@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Parquet fixture catalog (see TESTDATA.md / FIXTURES.md §2).
+  *
+  * Mirrors the reference's introspected-schema universe
+  * (reference `model.go:46-58`): a named set of tables with fixed schemas.
+  * Here the source is the driver-generated parquet star schema; the JDBC
+  * dialect layer in [[graft.sources]] covers the reference's live-DB scans.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one fixture table. `events.ts` is nanosecond-precision parquet,
+    * which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL]) — read it as raw ns
+    * longs (legacy.parquet.nanosAsLong) and truncate to µs TimestampType
+    * with integer division (a double division would lose precision on
+    * ~1.7e18 ns epoch values). DuckDB's CAST(ts AS TIMESTAMP) truncates
+    * ns→µs the same way, keeping the two engines aligned.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
+
+/** One engine query: Spark builder + optional DuckDB oracle SQL.
+  *
+  * The oracle SQL must produce the same column NAMES (driver sorts columns
+  * by name before hashing) and a deterministic total row order.
+  * `bench = true` marks headline queries timed by [[Bench]].
+  */
+final case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
