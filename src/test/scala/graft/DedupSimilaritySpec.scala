@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-algorithm consistency: the MinHash-LSH and SimHash near-dup
+  * operators must recover exactly the pairs the exact shingle-Jaccard
+  * operator finds (their shared DuckDB oracle asserts the same), and the
+  * LSH ANN must return full top-k rows with sane recall vs brute force.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("minhash-LSH recovers the exact jaccard pair set") {
+    assert(rows("q23_dedup_minhash") == rows("q22_dedup_jaccard"))
+  }
+
+  test("simhash recovers the exact jaccard pair set") {
+    assert(rows("q24_dedup_simhash") == rows("q22_dedup_jaccard"))
+  }
+
+  test("lsh ann returns full top-k and decent recall vs brute force") {
+    val exact = SparkEntry.queries("q26_ann_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SparkEntry.queries("q27_ann_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.size == exact.size)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall $recall collapsed")
+  }
+}
