@@ -13,7 +13,8 @@ object SparkEntry {
   /** Full catalog: one QueryDef per implemented operator (SURVEY.md §2). */
   def defs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Dedup.all ++
-      operators.Similarity.all ++ operators.TextAnalysis.all
+      operators.Similarity.all ++ operators.TextAnalysis.all ++
+      operators.StreamingQueries.all ++ operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming + session-window query surface (SURVEY.md §2.9).
+  *
+  * q33 runs a REAL Structured Streaming query (file source → watermark →
+  * tumbling window → memory sink) drained to completion; its oracle is
+  * the equivalent batch SQL — streaming/batch equivalence is the
+  * correctness claim. q34 is Spark's gap-based session_window in batch
+  * mode, oracled by a gaps-and-islands SQL formulation.
+  */
+object StreamingQueries {
+
+  val q33StreamTumbling: QueryDef = QueryDef(
+    "q33_stream_tumbling",
+    (s, dir) => {
+      val events = EventsStream.readEvents(s, dir)
+      EventsStream.runToCompletion(s, EventsStream.hourlyAgg(events))
+        .orderBy("hour_w", "event_type")
+    },
+    Some("""SELECT
+           |  strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+           |           '%Y-%m-%d %H:%M:%S') AS hour_w,
+           |  event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY 1, 2 ORDER BY hour_w, event_type""".stripMargin))
+
+  // Gap-based sessionization (30-min inactivity gap). Spark semantics:
+  // an event extends the session iff ts < prev_ts + gap, so a new
+  // session starts when the gap is >= 30 min — mirrored exactly in the
+  // oracle's gaps-and-islands break flag. Both engines work on the
+  // µs-truncated timestamp.
+  val q34Sessionize: QueryDef = QueryDef(
+    "q34_sessionize",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType)
+            .as("total"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n"), col("total"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+           |m AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |sess AS (
+           |  SELECT user_id, ts, value,
+           |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                   ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM m)
+           |SELECT user_id,
+           |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+           |FROM sess GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize)
+}
