@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's per-row transform surface (`TransformValue`,
+  * reference `migrate.go:459-466`) as Spark column expressions.
+  *
+  * Catalyst-expressible transforms stay `Column` compositions (codegen'd,
+  * null-propagating — F1 null passthrough is automatic, reference
+  * `source_mysql.go:647-649`); only the byte-surgery functions
+  * (F2/F3/F12 UUID byte orders and EWKB splicing) are Scala UDFs, per
+  * SURVEY.md §7.2.
+  *
+  * Error parity: the reference FAILS migrations on invalid tinyint(1) /
+  * UUID values (`source_mysql.go:695-716,690-692`) — mirrored here with
+  * `raise_error`, not permissive casts.
+  */
+object Transforms {
+
+  // ---- byte helpers -------------------------------------------------
+
+  private def hexUuid(b: Array[Byte]): String = {
+    val h = b.map("%02x".format(_)).mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20, 32)}"
+  }
+
+  /** F2 — MySQL binary(16) → canonical UUID text
+    * (reference `source_mysql.go:652-668`). `swapped = true` undoes
+    * MySQL `UUID_TO_BIN(u, 1)` time-field reordering: stored layout is
+    * [time_hi(2)][time_mid(2)][time_low(4)][rest(8)].
+    */
+  def binary16ToUuid(c: Column, swapped: Boolean = false): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else if (b.length != 16)
+        throw new IllegalArgumentException(
+          s"binary16 uuid must be 16 bytes, got ${b.length}")
+      else if (swapped)
+        hexUuid(b.slice(4, 8) ++ b.slice(2, 4) ++ b.slice(0, 2) ++
+          b.slice(8, 16))
+      else hexUuid(b)
+    }
+    f(c)
+  }
+
+  /** F3 — MSSQL uniqueidentifier mixed-endian GUID → canonical UUID
+    * (reference `source_mssql.go:856-878`): bytes 0-3 LE, 4-5 LE,
+    * 6-7 LE, 8-15 big-endian.
+    */
+  def guidToUuid(c: Column): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else if (b.length != 16)
+        throw new IllegalArgumentException(
+          s"guid must be 16 bytes, got ${b.length}")
+      else hexUuid(
+        b.slice(0, 4).reverse ++ b.slice(4, 6).reverse ++
+          b.slice(6, 8).reverse ++ b.slice(8, 16))
+    }
+    f(c)
+  }
+
+  private val UuidRe =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+  /** F4 — char(36) UUID normalize: trim, validate (hard error on
+    * mismatch, reference `source_mysql.go:679-693`), lowercase.
+    */
+  def stringUuidNormalize(c: Column): Column = {
+    val trimmed = trim(c)
+    when(c.isNull, lit(null).cast(StringType))
+      .when(trimmed.rlike(UuidRe), lower(trimmed))
+      .otherwise(raise_error(concat(lit("invalid uuid value: "), trimmed)))
+  }
+
+  /** F5 — strip NUL bytes from text (PG rejects them; reference
+    * `source_mysql.go:670-677`).
+    */
+  def stripNullBytes(c: Column): Column =
+    regexp_replace(c, "\\x00", "")
+
+  /** F6 — MySQL tinyint(1) → boolean, strict 0/1 domain (hard error
+    * otherwise, reference `source_mysql.go:695-716`).
+    */
+  def tinyint1ToBoolean(c: Column): Column =
+    when(c.isNull, lit(null).cast(BooleanType))
+      .when(c === 0, lit(false))
+      .when(c === 1, lit(true))
+      .otherwise(raise_error(
+        concat(lit("invalid tinyint(1) boolean value: "),
+          c.cast(StringType))).cast(BooleanType))
+
+  /** F7 — MySQL SET → text[] : empty string is the empty set, elements
+    * NUL-stripped (reference `source_mysql.go:718-733`).
+    */
+  def setToArray(c: Column): Column =
+    when(c.isNull, lit(null).cast(ArrayType(StringType)))
+      .when(c === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(stripNullBytes(c), ","))
+
+  /** F8 — MySQL bit(n) → binary string of the rightmost n bits
+    * (reference `source_mysql.go:735-758`).
+    */
+  def bitToBitstring(c: Column, width: Int): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val full = b.map(x => String.format(
+          "%8s", Integer.toBinaryString(x & 0xff)).replace(' ', '0'))
+          .mkString
+        val s = if (full.length >= width) full.substring(full.length - width)
+        else "0" * (width - full.length) + full
+        s
+      }
+    }
+    f(c)
+  }
+
+  /** F9 — MySQL year → integer (reference `source_mysql.go:760-777`). */
+  def yearToInt(c: Column): Column = c.cast(IntegerType)
+
+  /** F10 — MySQL TIME `[-]HHH:MM:SS[.ffffff]` → day-time interval,
+    * supporting the full ±838:59:59 range and per-component negation
+    * (reference `source_mysql.go:779-794,998-1035`).
+    */
+  def mysqlTimeToInterval(c: Column): Column = {
+    val sign = when(c.startsWith("-"), lit(-1L)).otherwise(lit(1L))
+    val h = regexp_extract(c, "^-?(\\d+):", 1).cast(LongType)
+    val m = regexp_extract(c, "^-?\\d+:(\\d{2}):", 1).cast(LongType)
+    val sec = regexp_extract(c, ":(\\d{2}(?:\\.\\d+)?)$", 1)
+      .cast(DecimalType(18, 6))
+    when(c.isNull, lit(null))
+      .otherwise(make_dt_interval(
+        lit(0), (sign * h).cast(IntegerType), (sign * m).cast(IntegerType),
+        (sign.cast(DecimalType(18, 6)) * sec)))
+  }
+
+  /** F11 — MySQL zero-date handling: `0000-00-00[ 00:00:00]` → NULL
+    * (default mode) or hard error (reference `source_mysql.go:796-814`).
+    */
+  def zeroDateToNull(c: Column, errorMode: Boolean = false): Column = {
+    val isZero = c.startsWith("0000-00-00")
+    if (errorMode)
+      when(isZero, raise_error(lit("zero date encountered"))
+        .cast(TimestampType))
+        .otherwise(c.cast(TimestampType))
+    else when(isZero, lit(null).cast(TimestampType))
+      .otherwise(c.cast(TimestampType))
+  }
+
+  /** F12 — MySQL spatial (4-byte LE SRID prefix + WKB) → PostGIS EWKB:
+    * validate ≥9 bytes and SRID ≤ 0x7FFFFFFF, honor the WKB byte-order
+    * marker, OR 0x20000000 into the geometry type word, splice the SRID
+    * after it; SRID 0 stays plain WKB (reference
+    * `source_mysql.go:940-986`).
+    */
+  def spatialToEwkb(c: Column): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        if (b.length < 9)
+          throw new IllegalArgumentException(
+            s"spatial value too short: ${b.length} bytes")
+        val srid = java.nio.ByteBuffer.wrap(b, 0, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        if (srid < 0)
+          throw new IllegalArgumentException(s"invalid SRID $srid")
+        val wkb = b.drop(4)
+        if (srid == 0) wkb
+        else {
+          val littleEndian = wkb(0) == 1
+          val order =
+            if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+            else java.nio.ByteOrder.BIG_ENDIAN
+          val geomType = java.nio.ByteBuffer.wrap(wkb, 1, 4).order(order)
+            .getInt
+          val out = java.nio.ByteBuffer.allocate(wkb.length + 4).order(order)
+          out.put(wkb(0))
+          out.putInt(geomType | 0x20000000)
+          out.putInt(srid)
+          out.put(wkb, 5, wkb.length - 5)
+          out.array()
+        }
+      }
+    }
+    f(c)
+  }
+
+  /** F13 — MSSQL money → numeric(19,4) (reference
+    * `source_mssql.go:880-891`; default `money_as_numeric=true`,
+    * `config.go:356`).
+    */
+  def moneyToNumeric(c: Column): Column = c.cast(DecimalType(19, 4))
+}

@@ -1,0 +1,206 @@
+package graft
+
+import graft.sources._
+import graft.checkpoint.CheckpointManager
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Unit coverage for the migration-parity core: identifier mapping,
+  * enum/set parsing, dialect type mapping, DDL generation, default
+  * rewriting, hook-SQL splitting, checkpoint round-trip + compat
+  * rejection (mirrors the reference's config/ddl/hooks/checkpoint test
+  * layers, SURVEY.md §5).
+  */
+class MigrationCoreSpec extends AnyFunSuite {
+  import SchemaMapping._
+
+  test("snake_case with acronym runs (schema.go:12-33)") {
+    assert(snakeCase("HTMLParser") == "html_parser")
+    assert(snakeCase("nameASCII") == "name_ascii")
+    assert(snakeCase("userId") == "user_id")
+    assert(snakeCase("already_snake") == "already_snake")
+    assert(snakeCase("Simple") == "simple")
+    assert(snakeCase("ABC") == "abc")
+    assert(snakeCase("userID2Fast") == "user_id2_fast")
+  }
+
+  test("enum/set value parsing with '' doubling and backslash escapes") {
+    assert(parseEnumSetValues("enum('a','b','c')") == Seq("a", "b", "c"))
+    assert(parseEnumSetValues("enum('it''s','a\\'b')") ==
+      Seq("it's", "a'b"))
+    assert(parseEnumSetValues("set('x y','')") == Seq("x y", ""))
+  }
+
+  test("enum type naming is value-set-stable (ddl.go:117-128)") {
+    val n1 = enumTypeName(Seq("b", "a"))
+    val n2 = enumTypeName(Seq("a", "b"))
+    assert(n1 == n2 && n1.startsWith("pgferry_enum_") && n1.length == 29)
+    assert(enumTypeName(Seq("a", "c")) != n1)
+  }
+
+  test("identifier truncation to 63 bytes with FNV suffix") {
+    val long = "x" * 100
+    val t = truncateIdentifier(long)
+    assert(t.getBytes("UTF-8").length <= 63)
+    assert(t != truncateIdentifier("y" * 100))
+    assert(truncateIdentifier("short") == "short")
+  }
+
+  test("mysql type mapping matrix (source_mysql.go:524-643)") {
+    val o = TypeOptions()
+    def m(dt: String, ct: String = "", p: Option[Int] = None,
+        s: Option[Int] = None, len: Option[Int] = None) =
+      MySqlDialect.resolve(SourceColumn("c", dt, columnType = ct,
+        precision = p, scale = s, charMaxLen = len), o)
+    assert(m("tinyint", "tinyint(1)").spark == BooleanType)
+    assert(m("tinyint", "tinyint(4)").spark == ShortType)
+    assert(m("bigint", "bigint unsigned").spark == DecimalType(20, 0))
+    assert(m("bigint", "bigint unsigned").pg == "numeric(20)")
+    assert(m("int").spark == IntegerType)
+    assert(m("int", "int unsigned").spark == LongType)
+    assert(m("decimal", p = Some(10), s = Some(2)).spark ==
+      DecimalType(10, 2))
+    assert(m("varchar", len = Some(50)).pg == "varchar(50)")
+    assert(m("longtext").spark == StringType)
+    assert(m("json").pg == "jsonb")
+    assert(m("set").spark == ArrayType(StringType))
+    assert(m("timestamp").spark == TimestampType)
+    assert(m("datetime").spark == TimestampNTZType)
+    assert(m("geometry").pg == "geometry")
+    assert(m("mediumblob").spark == BinaryType)
+    intercept[IllegalArgumentException] {
+      MySqlDialect.resolve(SourceColumn("c", "weirdtype"), o)
+    }
+    assert(MySqlDialect.resolve(SourceColumn("c", "weirdtype"),
+      o.copy(unknownAsText = true)).pg == "text")
+  }
+
+  test("mssql type mapping incl. money and nvarchar(max)") {
+    val o = TypeOptions()
+    def m(dt: String, len: Option[Int] = None) =
+      MssqlDialect.resolve(SourceColumn("c", dt, charMaxLen = len), o)
+    assert(m("money").spark == DecimalType(19, 4))
+    assert(m("nvarchar", Some(-1)).pg == "text")
+    assert(m("nvarchar", Some(40)).pg == "varchar(40)")
+    assert(m("uniqueidentifier").pg == "uuid")
+    assert(m("rowversion").spark == BinaryType)
+    assert(m("datetimeoffset").spark == TimestampType)
+  }
+
+  test("sqlite affinity mapping and worker cap") {
+    val o = TypeOptions()
+    def m(dt: String) = SqliteDialect.resolve(SourceColumn("c", dt), o)
+    assert(m("INTEGER").spark == LongType)
+    assert(m("int").spark == LongType)
+    assert(m("").spark == BinaryType) // undeclared → BLOB
+    assert(m("VARCHAR(20)").spark == StringType)
+    assert(SqliteDialect.maxWorkers(8) == 1)
+    assert(MySqlDialect.maxWorkers(8) == 8)
+  }
+
+  test("scan SQL quotes identifiers per dialect, never SELECT *") {
+    assert(MySqlDialect.scanSql("t", Seq("a", "b")) ==
+      "SELECT `a`, `b` FROM `t`")
+    assert(MssqlDialect.scanSql("t", Seq("a")) == "SELECT [a] FROM [t]")
+    assert(SqliteDialect.scanSql("t", Seq("a")) ==
+      "SELECT \"a\" FROM \"t\"")
+  }
+
+  test("create table: bare, unlogged, defaults inline (ddl.go:16-98)") {
+    val t = TableMeta("users", Seq(
+      ("id", "bigint", false, None),
+      ("name", "varchar(100)", false, None),
+      ("created", "timestamptz", true, Some("CURRENT_TIMESTAMP"))))
+    val ddl = DdlGenerator.createTable("public", t)
+    assert(ddl.startsWith("CREATE UNLOGGED TABLE \"public\".\"users\""))
+    assert(ddl.contains("\"id\" bigint NOT NULL"))
+    assert(ddl.contains("\"created\" timestamptz DEFAULT CURRENT_TIMESTAMP"))
+    assert(!ddl.contains("PRIMARY KEY")) // constraints deferred
+    assert(DdlGenerator.createTable("public", t, unlogged = false)
+      .startsWith("CREATE TABLE"))
+  }
+
+  test("constraint DDL: pk, index, fk, sequence reset (post.go)") {
+    val t = TableMeta("posts", Seq(("id", "bigint", false, None)),
+      primaryKey = Some(IndexMeta("pk", Seq("id"), isPrimary = true)),
+      foreignKeys = Seq(ForeignKeyMeta("fk_user", Seq("user_id"), "users",
+        Seq("id"), onDelete = "CASCADE")))
+    assert(DdlGenerator.addPrimaryKey("public", t).get ==
+      "ALTER TABLE \"public\".\"posts\" ADD PRIMARY KEY (\"id\")")
+    assert(DdlGenerator.createIndex("public", "posts",
+      IndexMeta("ix_t", Seq("a", "b"), unique = true)) ==
+      "CREATE UNIQUE INDEX \"ix_t\" ON \"public\".\"posts\" (\"a\", \"b\")")
+    val fk = DdlGenerator.addForeignKey("public", "posts",
+      t.foreignKeys.head)
+    assert(fk.contains("ON DELETE CASCADE ON UPDATE NO ACTION"))
+    assert(DdlGenerator.resetSequence("public", "posts", "id")
+      .contains("COALESCE((SELECT MAX(\"id\")"))
+  }
+
+  test("default-expression rewrite (F17)") {
+    import DdlGenerator.mapDefault
+    assert(mapDefault("mysql", "CURRENT_TIMESTAMP") ==
+      Some("CURRENT_TIMESTAMP"))
+    assert(mapDefault("mssql", "(getdate())") == Some("CURRENT_TIMESTAMP"))
+    assert(mapDefault("mssql", "((0))") == Some("0"))
+    assert(mapDefault("mssql", "(N'x')") == Some("'x'"))
+    assert(mapDefault("mssql", "(newid())") == Some("gen_random_uuid()"))
+    assert(mapDefault("mysql", "b'101'") == Some("B'101'"))
+    assert(mapDefault("mysql", "3.14") == Some("3.14"))
+    assert(mapDefault("mysql", "some_function(x)") == None)
+  }
+
+  test("hook splitter: quotes, comments, dollar quoting (hooks.go:42-188)") {
+    val script =
+      """-- leading comment
+        |CREATE VIEW v AS SELECT 'a;b' AS x; /* multi ;
+        |  /* nested */ still comment */
+        |INSERT INTO t VALUES ('it''s');
+        |DO $fn$ BEGIN PERFORM 1; END $fn$;
+        |""".stripMargin
+    val stmts = Hooks.splitStatements(script)
+    assert(stmts.size == 3, stmts.mkString("\n---\n"))
+    assert(stmts(0).contains("'a;b'"))
+    assert(stmts(1).contains("'it''s'"))
+    assert(stmts(2).contains("PERFORM 1; END $fn$"))
+    assert(Hooks.substituteSchema("SET search_path TO {{schema}}", "s1") ==
+      "SET search_path TO s1")
+    assert(!Hooks.isExecutable("-- nope\n/* also no */"))
+    assert(Hooks.isExecutable("SELECT 1 -- trailing"))
+  }
+
+  test("checkpoint: round-trip, idempotent marks, compat rejection") {
+    val dir = Files.createTempDirectory("graft_ckpt")
+    val path = dir.resolve("state.json").toString
+    val fp = CheckpointManager.fingerprint(Seq(
+      "table.users" -> "id:bigint", "mode" -> "parallel"))
+    val mgr = CheckpointManager.load(path, fp)
+    mgr.markDone("users", 0)
+    mgr.markDone("users", 3)
+    mgr.markDone("posts", 1)
+    mgr.flush()
+    val reloaded = CheckpointManager.load(path, fp)
+    assert(reloaded.completed("users") == Set(0L, 3L))
+    assert(reloaded.completed("posts") == Set(1L))
+    assert(reloaded.isDone("users", 3) && !reloaded.isDone("users", 1))
+    // changed config → different fingerprint → refuse resume
+    val fp2 = CheckpointManager.fingerprint(Seq(
+      "table.users" -> "id:bigint", "mode" -> "single_tx"))
+    intercept[IllegalArgumentException] {
+      CheckpointManager.load(path, fp2)
+    }
+  }
+
+  test("fingerprint is order-insensitive over parts") {
+    val a = CheckpointManager.fingerprint(Seq("a" -> "1", "b" -> "2"))
+    val b = CheckpointManager.fingerprint(Seq("b" -> "2", "a" -> "1"))
+    assert(a == b && a.length == 64)
+  }
+
+  test("copy sink insert SQL") {
+    assert(CopySink.insertSql("public", "users", Seq("id", "name")) ==
+      "INSERT INTO \"public\".\"users\" (\"id\", \"name\") " +
+        "VALUES (?, ?)")
+  }
+}

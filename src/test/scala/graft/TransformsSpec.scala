@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.Transforms._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-matrix tests for the F2–F13 transform surface, reproducing the
+  * reference's transform_test.go edge cases (FIXTURES.md §1.3): UUID byte
+  * orders, GUID endianness, bit widths, ±838h TIMEs, zero dates, NUL
+  * stripping, strict tinyint(1)/UUID error parity.
+  */
+class TransformsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect()(0).getAs[T](0)
+
+  test("F2 binary16 → uuid, straight and UUID_TO_BIN(u,1)-swapped") {
+    val bytes = Array.tabulate[Byte](16)(_.toByte) // 000102...0f
+    val df = Seq(Tuple1(bytes)).toDF("b")
+    assert(one[String](df.select(binary16ToUuid(col("b")))) ==
+      "00010203-0405-0607-0809-0a0b0c0d0e0f")
+    // swapped storage [time_hi][time_mid][time_low]: unswap reorders
+    // bytes 4-7, 2-3, 0-1 first.
+    assert(one[String](df.select(binary16ToUuid(col("b"), swapped = true))) ==
+      "04050607-0203-0001-0809-0a0b0c0d0e0f")
+  }
+
+  test("F3 MSSQL GUID mixed-endian → uuid") {
+    // canonical 00010203-0405-0607-0809-0a0b0c0d0e0f stored as
+    // 03020100 0504 0706 0809 0a0b0c0d0e0f
+    val stored = Array[Byte](3, 2, 1, 0, 5, 4, 7, 6, 8, 9, 10, 11, 12, 13,
+      14, 15)
+    val df = Seq(Tuple1(stored)).toDF("b")
+    assert(one[String](df.select(guidToUuid(col("b")))) ==
+      "00010203-0405-0607-0809-0a0b0c0d0e0f")
+  }
+
+  test("F4 string uuid normalizes, errors on invalid") {
+    val df = Seq("  550E8400-E29B-41D4-A716-446655440000  ").toDF("u")
+    assert(one[String](df.select(stringUuidNormalize(col("u")))) ==
+      "550e8400-e29b-41d4-a716-446655440000")
+    val bad = Seq("not-a-uuid").toDF("u")
+    intercept[Exception] {
+      bad.select(stringUuidNormalize(col("u"))).collect()
+    }
+  }
+
+  test("F5 strips NUL bytes") {
+    val nul = 0.toChar
+    val df = Seq(s"a${nul}b${nul}c").toDF("s")
+    assert(one[String](df.select(stripNullBytes(col("s")))) == "abc")
+  }
+
+  test("F6 tinyint(1) strict boolean") {
+    val df = Seq(0, 1).toDF("v")
+    assert(df.select(tinyint1ToBoolean(col("v"))).collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false, true))
+    intercept[Exception] {
+      Seq(2).toDF("v").select(tinyint1ToBoolean(col("v"))).collect()
+    }
+  }
+
+  test("F7 SET → array: empty string is empty set") {
+    val df = Seq("a,b,c", "").toDF("s")
+    val got = df.select(setToArray(col("s"))).collect()
+      .map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a", "b", "c"), Nil))
+  }
+
+  test("F8 bit(n) → rightmost-n bitstring") {
+    val df = Seq(Tuple1(Array[Byte](0x05, 0x03.toByte))).toDF("b")
+    assert(one[String](df.select(bitToBitstring(col("b"), 10))) ==
+      "0100000011")
+    assert(one[String](df.select(bitToBitstring(col("b"), 16))) ==
+      "0000010100000011")
+  }
+
+  test("F10 MySQL TIME → interval incl. 838:59:59 and negatives") {
+    val df = Seq("838:59:59", "-838:59:59", "00:00:01").toDF("t")
+    val got = df.select(mysqlTimeToInterval(col("t")).cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0).contains("34 22:59:59")) // 838h = 34d 22h
+    assert(got(1).contains("-34 22:59:59"))
+    assert(got(2).contains("0 00:00:01"))
+  }
+
+  test("F11 zero date → NULL (default) or error") {
+    val df = Seq("0000-00-00 00:00:00", "2024-01-01 00:00:00").toDF("d")
+    val got = df.select(zeroDateToNull(col("d"))).collect()
+    assert(got(0).isNullAt(0))
+    assert(!got(1).isNullAt(0))
+    intercept[Exception] {
+      Seq("0000-00-00").toDF("d")
+        .select(zeroDateToNull(col("d"), errorMode = true)).collect()
+    }
+  }
+
+  test("F12 spatial SRID+WKB → EWKB splice; SRID 0 passthrough") {
+    // SRID 4326 LE prefix + minimal LE point WKB (type 1)
+    val srid = Array[Byte](0xe6.toByte, 0x10, 0, 0)
+    val wkb = Array[Byte](1, 1, 0, 0, 0) ++ Array.fill[Byte](16)(0x11)
+    val df = Seq(Tuple1(srid ++ wkb)).toDF("g")
+    val out = one[Array[Byte]](df.select(spatialToEwkb(col("g"))))
+    assert(out.length == wkb.length + 4)
+    assert(out(0) == 1)
+    // type word now has 0x20000000 flag (LE byte 3 = 0x20)
+    assert((out(4) & 0x20) == 0x20)
+    // spliced SRID 4326 LE
+    assert((out(5) & 0xff) == 0xe6 && out(6) == 0x10)
+    val zeroSrid = Seq(Tuple1(Array[Byte](0, 0, 0, 0) ++ wkb)).toDF("g")
+    assert(one[Array[Byte]](zeroSrid.select(spatialToEwkb(col("g"))))
+      .sameElements(wkb))
+  }
+
+  test("F13 money → numeric(19,4)") {
+    val df = Seq(12.3456789).toDF("m")
+    assert(one[java.math.BigDecimal](df.select(moneyToNumeric(col("m"))))
+      .toPlainString == "12.3457")
+  }
+}
