@@ -1,0 +1,112 @@
+package graft
+
+import graft.config.JobConfig
+import graft.sources._
+
+/** Target-side statement executor boundary. Production wires a JDBC
+  * connection to PostgreSQL; tests record. The pipeline only speaks SQL
+  * strings through this seam.
+  */
+trait SqlExecutor {
+  def execute(sql: String): Unit
+}
+
+/** Per-table load callback: given the table, stream its data to the
+  * target and return rows written. In production this is a Spark job —
+  * chunked JDBC read (ChunkPlanner predicates) → transform projection →
+  * CopySink.write; the pipeline only cares about orchestration order.
+  */
+trait TableLoader {
+  def load(table: TableMeta): Long
+  /** Source-side row count for validation (reference `validate.go:34-36`). */
+  def sourceCount(table: TableMeta): Long
+  /** Target-side row count (reference `validate.go:87-98`). */
+  def targetCount(table: TableMeta): Long
+}
+
+final case class MigrationReport(
+    tablesCreated: Seq[String],
+    rowsLoaded: Map[String, Long],
+    validationMismatches: Map[String, (Long, Long)],
+    statementsExecuted: Int)
+
+/** The reference's migration lifecycle (`main.go:125-348` +
+  * `post.go:17-100`), re-expressed as driver-side orchestration around
+  * Spark load jobs. Phase order is load-bearing and mirrored exactly:
+  *
+  *  1. create enum types, then bare (optionally UNLOGGED) tables
+  *  2. before_data hooks → data load → after_data hooks
+  *  3. row-count validation
+  *  4. post: SET LOGGED → primary keys → indexes → before_fk hooks →
+  *     orphan cleanup (anti-join, delegated to [[operators]]) → foreign
+  *     keys → sequence resets → after_all hooks
+  *
+  * schema_only stops after 1; data_only skips 1 (reference
+  * `main.go:288-326,350-402`).
+  */
+final class MigrationPipeline(
+    cfg: JobConfig,
+    exec: SqlExecutor,
+    loader: TableLoader,
+    hookSql: Map[String, String] = Map.empty) {
+
+  private var stmtCount = 0
+  private def run(sql: String): Unit = { stmtCount += 1; exec.execute(sql) }
+
+  private def runHooks(phase: String): Unit =
+    hookSql.get(phase).toSeq.flatMap(Hooks.splitStatements)
+      .filter(Hooks.isExecutable)
+      .map(Hooks.substituteSchema(_, cfg.targetSchema))
+      .foreach(run)
+
+  def migrate(tables: Seq[TableMeta],
+      enumValueSets: Seq[Seq[String]] = Nil): MigrationReport = {
+    val schema = cfg.targetSchema
+
+    // 1. schema phase
+    if (!cfg.dataOnly) {
+      enumValueSets.distinct.foreach(vs => run(DdlGenerator.createEnumType(vs)))
+      tables.foreach(t => run(DdlGenerator.createTable(schema, t,
+        unlogged = cfg.unloggedTables)))
+    }
+    if (cfg.schemaOnly)
+      return MigrationReport(tables.map(_.name), Map.empty, Map.empty,
+        stmtCount)
+
+    // 2. data phase (hooks bracket the load, reference main.go:288-326)
+    runHooks("before_data")
+    val loaded = tables.map(t => t.name -> loader.load(t)).toMap
+    runHooks("after_data")
+
+    // 3. validation (reference validate.go:42-135)
+    val mismatches =
+      if (cfg.validation == "row_count")
+        tables.flatMap { t =>
+          val (src, tgt) = (loader.sourceCount(t), loader.targetCount(t))
+          if (src != tgt) Some(t.name -> (src, tgt)) else None
+        }.toMap
+      else Map.empty[String, (Long, Long)]
+
+    // 4. post phase (reference post.go:17-100 order)
+    if (cfg.unloggedTables)
+      tables.foreach(t => run(DdlGenerator.setLogged(schema, t.name)))
+    tables.foreach(t => DdlGenerator.addPrimaryKey(schema, t).foreach(run))
+    tables.foreach(t => t.indexes.filterNot(_.isPrimary)
+      .foreach(ix => run(DdlGenerator.createIndex(schema, t.name, ix))))
+    runHooks("before_fk")
+    tables.foreach(t => t.foreignKeys
+      .foreach(fk => run(DdlGenerator.addForeignKey(schema, t.name, fk))))
+    tables.foreach { t =>
+      t.columns.collectFirst {
+        case (name, pgType, _, _)
+          if t.primaryKey.exists(_.columns == Seq(name)) &&
+            (pgType == "bigint" || pgType == "integer" ||
+              pgType == "smallint") =>
+          run(DdlGenerator.resetSequence(schema, t.name, name))
+      }
+    }
+    runHooks("after_all")
+
+    MigrationReport(tables.map(_.name), loaded, mismatches, stmtCount)
+  }
+}
