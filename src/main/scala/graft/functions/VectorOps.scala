@@ -1,0 +1,28 @@
+package graft.functions
+
+import graft.plans.{DotProduct, L2Norm}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Column-level API over the native vector expressions. Registration is
+  * per-session and idempotent; callers invoke `register` once (query
+  * builders do it defensively) and use the Column helpers.
+  */
+object VectorOps {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_l2norm",
+      exprs => L2Norm(exprs.head), "built-in")
+  }
+
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def l2norm(a: Column): Column = call_function("graft_l2norm", a)
+
+  /** cosine(a, b) given precomputed norms — dot/(na*nb), matching the
+    * lambda formulation bit-for-bit.
+    */
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+}

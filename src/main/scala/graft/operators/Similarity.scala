@@ -30,16 +30,18 @@ object Similarity {
   private val LshTables = 8
   private val LshBits = 4
 
-  /** vec_id, v (double[]), nrm (L2 norm). */
-  private def normed(s: SparkSession, dir: String): DataFrame =
+  /** vec_id, v (double[]), nrm (L2 norm) — native codegen'd expressions
+    * (graft.plans.L2Norm), not interpreted higher-order-function lambdas.
+    */
+  private def normed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+  }
 
   private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0),
-      (acc, x) => acc + x) / (na * nb)
+    graft.functions.VectorOps.cosine(va, vb, na, nb)
 
   // All-pairs near-duplicate detection above a cosine threshold.
   // Self-join on vec_id< with broadcast of one side (embeddings tables

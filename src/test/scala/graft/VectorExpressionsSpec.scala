@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native DotProduct/L2Norm: value parity with the lambda formulation
+  * (bit-identical sequential accumulation), null propagation, codegen and
+  * interpreted paths agreeing.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dot and norm match the higher-order-function formulation exactly") {
+    VectorOps.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2, 0.3), Seq(-0.7, 0.11, 13.0))).toDF("a", "b")
+    val rows = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d1"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("d2"),
+      VectorOps.l2norm(col("a")).as("n1"),
+      sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x)).as("n2"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit-identical
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
+  test("null propagation") {
+    VectorOps.register(spark)
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    val r = df.select(VectorOps.dot(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+}
