@@ -14,7 +14,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     operators.Relational.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.TextAnalysis.all ++
-      operators.StreamingQueries.all ++ operators.Multimodal.all
+      operators.StreamingQueries.all ++ operators.Multimodal.all ++
+      operators.AsofJoin.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

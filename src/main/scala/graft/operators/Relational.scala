@@ -420,9 +420,33 @@ object Relational {
            |  len(list_distinct(string_split(lower(text), ' '))) AS n_uniq
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // Conditional-aggregation pivot: per-user activity matrix over the
+  // event-type domain (Spark `pivot` with explicit values ≡ the oracle's
+  // SUM(CASE) columns — same plan shape Catalyst lowers pivot to).
+  val q36Pivot: QueryDef = QueryDef(
+    "q36_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .count()
+      types.foldLeft(p)((df, ty) =>
+        df.withColumn(ty, coalesce(col(ty), lit(0L))))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+           |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q01ScanFilter, q02ChunkMinmax, q03RowCounts, q04Join3, q05AntiJoin,
     q06SemiJoin, q07GroupAgg, q08Distinct, q09Union, q09bIntersect,
     q09cExcept, q10Scalar, q11WindowTopk, q12SortLimit, q13WindowRunning,
-    q14Tumbling, q15Rollup, q16TopkPerGroup, q17JoinAgg, q18Json, q19Array)
+    q14Tumbling, q15Rollup, q16TopkPerGroup, q17JoinAgg, q18Json, q19Array,
+    q36Pivot)
 }
