@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Chunk-parallel JDBC reads — the reference's parallel scan tier
+  * (`migrate.go:44-147`) on Spark's JDBC source.
+  *
+  * Plan: a MIN/MAX planning query on the chunk key (reference
+  * `migrate.go:352-410`), [[ChunkPlanner]] slices the range, and each
+  * chunk becomes one element of the `predicates` array →
+  * one JDBC partition → one Spark task with its own connection (the
+  * reference's connection-per-worker shape, `migrate.go:262-269`).
+  * Filters/projections on the returned DataFrame push down into the
+  * remote SQL via Catalyst's JDBC pushdown.
+  *
+  * `maxWorkers` caps partition count per dialect (SQLite → 1).
+  */
+object JdbcSource {
+
+  final case class ReadSpec(
+      url: String,
+      table: String,
+      keyColumn: Option[String],
+      props: Map[String, String] = Map.empty)
+
+  /** The MIN/MAX planning SQL (runs as a 1-row JDBC query). */
+  def planningSql(dialect: SourceDialect, table: String, key: String): String =
+    s"SELECT MIN(${dialect.quote(key)}) AS lo, " +
+      s"MAX(${dialect.quote(key)}) AS hi FROM ${dialect.quote(table)}"
+
+  /** Build the per-partition predicate array from planned bounds.
+    * Empty table (no bounds) → single unpartitioned read.
+    */
+  def partitionPredicates(
+      dialect: SourceDialect,
+      key: String,
+      bounds: Option[(Long, Long)],
+      chunkSize: Long,
+      requestedWorkers: Int): Array[String] = {
+    val workers = dialect.maxWorkers(requestedWorkers)
+    bounds match {
+      case None => Array.empty
+      case Some((lo, hi)) =>
+        val preds = ChunkPlanner.jdbcPredicates(lo, hi,
+          dialect.quote(key), chunkSize)
+        if (workers == 1) Array.empty // sequential dialects read unchunked
+        else preds
+    }
+  }
+
+  /** Partitioned read. `bounds` come from a prior planning query (kept
+    * separate so tests can exercise the wiring without a live database).
+    */
+  def read(
+      spark: SparkSession,
+      dialect: SourceDialect,
+      spec: ReadSpec,
+      bounds: Option[(Long, Long)],
+      chunkSize: Long = ChunkPlanner.DefaultChunkSize,
+      workers: Int = 8): DataFrame = {
+    val props = new java.util.Properties()
+    spec.props.foreach { case (k, v) => props.setProperty(k, v) }
+    val preds = spec.keyColumn
+      .map(k => partitionPredicates(dialect, k, bounds, chunkSize, workers))
+      .getOrElse(Array.empty)
+    if (preds.isEmpty)
+      spark.read.jdbc(spec.url, dialect.quote(spec.table), props)
+    else
+      spark.read.jdbc(spec.url, dialect.quote(spec.table), preds, props)
+  }
+}

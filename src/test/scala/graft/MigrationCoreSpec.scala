@@ -198,6 +198,23 @@ class MigrationCoreSpec extends AnyFunSuite {
     assert(a == b && a.length == 64)
   }
 
+  test("jdbc source: planning SQL and partition predicates") {
+    assert(JdbcSource.planningSql(MySqlDialect, "users", "id") ==
+      "SELECT MIN(`id`) AS lo, MAX(`id`) AS hi FROM `users`")
+    val preds = JdbcSource.partitionPredicates(MySqlDialect, "id",
+      Some((0L, 250L)), 100L, 8)
+    assert(preds.toSeq == Seq(
+      "`id` >= 0 AND `id` < 100",
+      "`id` >= 100 AND `id` < 200",
+      "`id` >= 200 AND `id` <= 250"))
+    // SQLite caps to 1 worker → unpartitioned
+    assert(JdbcSource.partitionPredicates(SqliteDialect, "id",
+      Some((0L, 250L)), 100L, 8).isEmpty)
+    // empty table → unpartitioned
+    assert(JdbcSource.partitionPredicates(MySqlDialect, "id", None,
+      100L, 8).isEmpty)
+  }
+
   test("copy sink insert SQL") {
     assert(CopySink.insertSql("public", "users", Seq("id", "name")) ==
       "INSERT INTO \"public\".\"users\" (\"id\", \"name\") " +
