@@ -39,15 +39,21 @@ object Dedup {
   // stage filters those cheaply.
   private val SimhashHamming = 16
 
-  /** doc_id → distinct word-3-shingles, as (doc_id, g) rows. */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs
+  /** doc_id → word-3-shingles, as (doc_id, g) rows. `distinct = false`
+    * skips the dedup shuffle for consumers where multiset semantics are
+    * equivalent (MIN-hash: min over multiset == min over set;
+    * verification: collect_set dedups during its own aggregation).
+    */
+  private def shingles(docs: DataFrame,
+      distinct: Boolean = true): DataFrame = {
+    val raw = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= ShingleLen)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $ShingleLen), " +
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
-      .distinct()
+    if (distinct) raw.distinct() else raw
+  }
 
   /** Exact Jaccard for given candidate pairs (d1 < d2), via shingle sets.
     * Used as the verification stage after LSH/SimHash candidate
@@ -55,8 +61,11 @@ object Dedup {
     * the collect_set arrays stay bounded (≤ shingles per doc).
     */
   private def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
+    // collect_set dedups, so sh may carry multiset rows; the distinct
+    // shingle count is the set size.
     val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("n"))
+      .agg(collect_set(col("g")).as("gs"))
+      .withColumn("n", size(col("gs")))
     val a = sets.select(col("doc_id").as("d1"), col("gs").as("gs1"),
       col("n").as("n1"))
     val b = sets.select(col("doc_id").as("d2"), col("gs").as("gs2"),
@@ -154,7 +163,8 @@ object Dedup {
   val q23DedupMinhash: QueryDef = QueryDef(
     "q23_dedup_minhash",
     (s, dir) => {
-      val sh = shingles(Tables.load(s, dir, "documents")).cache()
+      val sh = shingles(Tables.load(s, dir, "documents"),
+        distinct = false).cache()
       val minAggs = (0 until NumHashes)
         .map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
       val mh = sh.groupBy(col("doc_id"))
