@@ -1,0 +1,139 @@
+package graft
+
+import graft.config.JobConfig
+import graft.sources._
+
+/** One introspected source table for planning (reference `model.go:46-53`
+  * with the fields the dry-run analyzer needs).
+  */
+final case class SourceTable(
+    name: String,
+    columns: Seq[SourceColumn],
+    indexes: Seq[IndexMeta] = Nil,
+    rowEstimate: Option[Long] = None)
+
+/** The `plan` command's dry-run report (reference `plan.go:170-254`):
+  * never touches the target; assembles required extensions, unsupported
+  * columns (by dry-running the type mapping), generated columns, skipped
+  * indexes with reasons, and collation warnings.
+  */
+final case class PlanReport(
+    dialect: String,
+    tables: Seq[String],
+    requiredExtensions: Seq[String],
+    unsupportedColumns: Seq[(String, String, String)], // (table, col, type)
+    generatedColumns: Seq[(String, String)],
+    skippedIndexes: Seq[(String, String, String)],     // (table, index, reason)
+    collationWarnings: Seq[CollationCompat.CollationWarning],
+    chunkableTables: Seq[String]) {
+
+  def renderText: String = {
+    val sb = new StringBuilder
+    sb.append(s"Migration plan ($dialect → postgresql)\n")
+    sb.append(s"Tables: ${tables.size}\n")
+    if (requiredExtensions.nonEmpty)
+      sb.append(s"Required extensions: ${requiredExtensions.mkString(", ")}\n")
+    if (unsupportedColumns.nonEmpty) {
+      sb.append("UNSUPPORTED columns (migration would abort):\n")
+      unsupportedColumns.foreach { case (t, c, ty) =>
+        sb.append(s"  - $t.$c: $ty\n") }
+    }
+    if (generatedColumns.nonEmpty) {
+      sb.append("Generated columns (recreate manually):\n")
+      generatedColumns.foreach { case (t, c) => sb.append(s"  - $t.$c\n") }
+    }
+    if (skippedIndexes.nonEmpty) {
+      sb.append("Skipped indexes:\n")
+      skippedIndexes.foreach { case (t, ix, r) =>
+        sb.append(s"  - $t.$ix: $r\n") }
+    }
+    if (collationWarnings.nonEmpty) {
+      sb.append("Collation warnings:\n")
+      collationWarnings.foreach(w =>
+        sb.append(s"  - ${w.table}.${w.index}: ${w.reason}\n"))
+    }
+    sb.append(s"Chunk-parallel tables: ${chunkableTables.mkString(", ")}\n")
+    sb.toString
+  }
+
+  def renderJson: String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    def arr(xs: Seq[String]) = xs.map(q).mkString("[", ",", "]")
+    s"""{"dialect":${q(dialect)},"tables":${arr(tables)},""" +
+      s""""required_extensions":${arr(requiredExtensions)},""" +
+      s""""unsupported_columns":${arr(unsupportedColumns.map {
+        case (t, c, ty) => s"$t.$c:$ty" })},""" +
+      s""""generated_columns":${arr(generatedColumns.map {
+        case (t, c) => s"$t.$c" })},""" +
+      s""""skipped_indexes":${arr(skippedIndexes.map {
+        case (t, ix, r) => s"$t.$ix:$r" })},""" +
+      s""""collation_warnings":${arr(collationWarnings.map(w =>
+        s"${w.table}.${w.index}"))},""" +
+      s""""chunkable_tables":${arr(chunkableTables)}}"""
+  }
+}
+
+object PlanReport {
+
+  /** Index-skip rules (reference `indexUnsupportedReason`,
+    * `plan.go:218-243`-adjacent; FULLTEXT/SPATIAL/prefix/expression
+    * indexes have no direct PG analog in the bare DDL path).
+    */
+  def indexSkipReason(ix: IndexMeta): Option[String] =
+    if (ix.kind == "FULLTEXT") Some("FULLTEXT index (use tsvector/GIN)")
+    else if (ix.kind == "SPATIAL") Some("SPATIAL index (use PostGIS GiST)")
+    else if (ix.hasPrefix) Some("prefix index (PG has no prefix indexes)")
+    else if (ix.hasExpression) Some("expression index (recreate manually)")
+    else None
+
+  def build(cfg: JobConfig, tables: Seq[SourceTable]): PlanReport = {
+    val dialect = SourceDialect(cfg.sourceDialect)
+    val o = cfg.typeOptions
+
+    val unsupported = for {
+      t <- tables; c <- t.columns
+      if c.generationExpression.isEmpty && dialect.mapType(c, o).isEmpty &&
+        !o.unknownAsText
+    } yield (t.name, c.name,
+      if (c.columnType.nonEmpty) c.columnType else c.dataType)
+
+    val generated = for {
+      t <- tables; c <- t.columns if c.generationExpression.nonEmpty
+    } yield (t.name, c.name)
+
+    val skipped = for {
+      t <- tables; ix <- t.indexes
+      r <- indexSkipReason(ix)
+    } yield (t.name, ix.name, r)
+
+    val collationWarnings = tables.flatMap(t =>
+      CollationCompat.uniqueIndexWarnings(t.name, t.columns, t.indexes,
+        ciAsCitext = false))
+
+    val needsCitext = tables.exists(_.columns.exists(c =>
+      CollationCompat.isCaseInsensitive(c.collation)))
+    val spatialTypes = Set("geometry", "point", "linestring", "polygon",
+      "multipoint", "multilinestring", "multipolygon",
+      "geometrycollection", "geography")
+    val needsPostgis = tables.exists(_.columns.exists(c =>
+      spatialTypes(c.dataType.toLowerCase) &&
+        dialect.mapType(c, o).exists(_.pg == "geometry")))
+    val extensions =
+      (if (needsCitext) Seq("citext") else Nil) ++
+        (if (needsPostgis) Seq("postgis") else Nil)
+
+    // chunkable: single-column integer PK (reference chunk.go:96-150)
+    val chunkable = tables.filter { t =>
+      t.indexes.find(_.isPrimary).exists { pk =>
+        pk.columns.size == 1 &&
+          t.columns.find(_.name == pk.columns.head).exists(c =>
+            dialect.mapType(c, o)
+              .exists(m => ChunkPlanner.eligibleKeyType(m.spark)))
+      }
+    }.map(_.name)
+
+    PlanReport(cfg.sourceDialect, tables.map(_.name), extensions,
+      unsupported, generated, skipped, collationWarnings, chunkable)
+  }
+}

@@ -9,7 +9,10 @@ import SchemaMapping._
   * `post.go:15-100`).
   */
 final case class IndexMeta(name: String, columns: Seq[String],
-    unique: Boolean = false, isPrimary: Boolean = false)
+    unique: Boolean = false, isPrimary: Boolean = false,
+    kind: String = "BTREE",            // BTREE|FULLTEXT|SPATIAL|HASH
+    hasPrefix: Boolean = false,        // prefix index, e.g. col(10)
+    hasExpression: Boolean = false)    // functional index
 final case class ForeignKeyMeta(name: String, columns: Seq[String],
     refTable: String, refColumns: Seq[String],
     onDelete: String = "NO ACTION", onUpdate: String = "NO ACTION")

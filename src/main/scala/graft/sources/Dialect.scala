@@ -15,7 +15,9 @@ final case class SourceColumn(
     nullable: Boolean = true,
     default: Option[String] = None,
     extra: String = "",          // "auto_increment", "on update ..."
-    unsigned: Boolean = false)
+    unsigned: Boolean = false,
+    collation: String = "",      // e.g. utf8mb4_general_ci
+    generationExpression: String = "") // non-empty = generated column
 
 /** Mapped result: Spark type for the engine + PG DDL type for the sink. */
 final case class MappedType(spark: DataType, pg: String)

@@ -1,0 +1,69 @@
+package graft
+
+import graft.config.JobConfig
+import graft.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dry-run plan analyzer parity (reference plan.go:170-254): required
+  * extensions, unsupported columns, generated columns, skipped indexes
+  * with reasons, collation warnings, chunk eligibility.
+  */
+class PlanReportSpec extends AnyFunSuite {
+
+  private val tables = Seq(
+    SourceTable("users",
+      columns = Seq(
+        SourceColumn("id", "bigint"),
+        SourceColumn("email", "varchar", charMaxLen = Some(200),
+          collation = "utf8mb4_general_ci"),
+        SourceColumn("geom", "geometry"),
+        SourceColumn("odd", "weirdtype", columnType = "weirdtype(9)"),
+        SourceColumn("full_name", "varchar", charMaxLen = Some(100),
+          generationExpression = "concat(first,' ',last)")),
+      indexes = Seq(
+        IndexMeta("pk", Seq("id"), unique = true, isPrimary = true),
+        IndexMeta("ux_email", Seq("email"), unique = true),
+        IndexMeta("ft_name", Seq("full_name"), kind = "FULLTEXT"),
+        IndexMeta("ix_prefix", Seq("email"), hasPrefix = true))),
+    SourceTable("logs",
+      columns = Seq(SourceColumn("id", "varchar", charMaxLen = Some(36))),
+      indexes = Seq(IndexMeta("pk", Seq("id"), unique = true,
+        isPrimary = true))))
+
+  test("plan report assembles the reference's dry-run findings") {
+    val r = PlanReport.build(JobConfig(), tables)
+    assert(r.requiredExtensions == Seq("citext", "postgis"))
+    assert(r.unsupportedColumns == Seq(("users", "odd", "weirdtype(9)")))
+    assert(r.generatedColumns == Seq(("users", "full_name")))
+    assert(r.skippedIndexes.map(x => (x._1, x._2)).toSet ==
+      Set(("users", "ft_name"), ("users", "ix_prefix")))
+    assert(r.collationWarnings.map(_.index) == Seq("ux_email"))
+    // users has integer PK → chunkable; logs has varchar PK → not
+    assert(r.chunkableTables == Seq("users"))
+    val text = r.renderText
+    assert(text.contains("UNSUPPORTED") && text.contains("users.odd"))
+    assert(r.renderJson.contains("\"required_extensions\":[\"citext\",\"postgis\"]"))
+  }
+
+  test("unknown_as_text clears unsupported columns") {
+    val cfg = JobConfig(typeOptions =
+      graft.sources.TypeOptions(unknownAsText = true))
+    assert(PlanReport.build(cfg, tables).unsupportedColumns.isEmpty)
+  }
+
+  test("collation treatments") {
+    import CollationCompat._
+    val ci = SourceColumn("e", "varchar", collation = "utf8_general_ci")
+    val bin = SourceColumn("b", "varchar", collation = "utf8_bin")
+    assert(treatment(ci, ciAsCitext = true) == ToCitext)
+    assert(treatment(ci, ciAsCitext = false) == NoChange)
+    assert(treatment(bin, ciAsCitext = true) == ToCollateC)
+    assert(applyTreatment("varchar(10)", ToCollateC) ==
+      "varchar(10) COLLATE \"C\"")
+    assert(applyTreatment("text", ToCitext) == "citext")
+    // citext enabled → no unique-index warnings
+    assert(uniqueIndexWarnings("t", Seq(ci),
+      Seq(IndexMeta("ux", Seq("e"), unique = true)),
+      ciAsCitext = true).isEmpty)
+  }
+}
