@@ -19,10 +19,15 @@ import java.sql.{Connection, PreparedStatement}
   */
 object CopySink {
 
-  /** Parameterized INSERT for a target table. */
+  /** Parameterized INSERT for a target table. `schema` null/empty →
+    * unqualified table name (embedded targets like Derby).
+    */
   def insertSql(schema: String, table: String, cols: Seq[String]): String = {
     import SchemaMapping.pgIdent
-    s"INSERT INTO ${pgIdent(schema)}.${pgIdent(table)} " +
+    val target =
+      if (schema == null || schema.isEmpty) pgIdent(table)
+      else s"${pgIdent(schema)}.${pgIdent(table)}"
+    s"INSERT INTO $target " +
       s"(${cols.map(pgIdent).mkString(", ")}) VALUES " +
       s"(${cols.map(_ => "?").mkString(", ")})"
   }

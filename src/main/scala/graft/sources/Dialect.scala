@@ -36,7 +36,7 @@ final case class TypeOptions(
   * identifier quoting, scan SQL shapes, parallelism caps, and the full
   * type-mapping table of SURVEY.md §1.2.
   */
-sealed trait SourceDialect {
+trait SourceDialect {
   def name: String
   def quote(ident: String): String
   /** Max parallel read connections (SQLite forced 1,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.{ChunkPlanner, CopySink, JdbcSource, MySqlDialect}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.DriverManager
+
+/** Real JDBC round trip against embedded Derby (the only JDBC engine in
+  * the container): CopySink streams a DataFrame through per-partition
+  * connections into a live table; JdbcSource reads it back with
+  * chunk-predicate partitioned reads. This is the integration tier the
+  * reference covers with live MySQL/PG containers
+  * (`integration_test.go`), scaled to what this environment provides.
+  */
+class JdbcIntegrationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  // Derby quoting is "ident" — reuse the sqlite/pg-style dialect shape.
+  private object DerbyDialect extends graft.sources.SourceDialect {
+    val name = "derby"
+    def quote(i: String): String = "\"" + i.replace("\"", "\"\"") + "\""
+    def mapType(c: graft.sources.SourceColumn,
+        o: graft.sources.TypeOptions) = None
+  }
+
+  test("copy sink → partitioned jdbc read round trip") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE \"events_rt\" (\"id\" BIGINT NOT NULL, " +
+          "\"name\" VARCHAR(50), \"score\" DOUBLE)")
+    } finally conn.close()
+
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("name", concat(lit("row_"), col("id")))
+      .withColumn("score", col("id") * 1.5)
+      .repartition(4)
+
+    CopySink.write(df, schema = null, table = "events_rt",
+      connect = () => DriverManager.getConnection(
+        "jdbc:derby:memory:graftdb"),
+      batchSize = 100)
+
+    // partitioned read back via chunk predicates
+    val preds = JdbcSource.partitionPredicates(DerbyDialect, "id",
+      Some((0L, 999L)), chunkSize = 250L, requestedWorkers = 8)
+    assert(preds.length == 4)
+    val props = new java.util.Properties()
+    val back = spark.read.jdbc(url, "\"events_rt\"", preds, props)
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 1000)
+    val row = back.filter(col("id") === 999).collect()(0)
+    assert(row.getAs[String]("name") == "row_999")
+    assert(row.getAs[Double]("score") == 1498.5)
+    // chunk predicates cover exactly once: sum of ids
+    assert(back.agg(sum("id")).collect()(0).getLong(0) == 999L * 1000 / 2)
+  }
+
+  test("copy sink insert-sql without schema qualifier") {
+    assert(CopySink.insertSql(null, "t", Seq("a")) ==
+      "INSERT INTO \"t\" (\"a\") VALUES (?)")
+  }
+}
