@@ -38,6 +38,18 @@ object Tables {
   * by name before hashing) and a deterministic total row order.
   * `bench = true` marks headline queries timed by [[Bench]].
   */
+/** Engine-neutral 4-dp rounding: floor(x*10^4 + 0.5)/10^4 as identical
+  * IEEE double ops in Spark and DuckDB. Engine round() builtins disagree
+  * on near-tie doubles (HALF_UP on exact binary vs scaled-multiply), so
+  * oracle queries use this form on BOTH sides.
+  */
+object Round4 {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.floor
+  def apply(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
+  val sql: String => String = x => s"floor(($x) * 10000 + 0.5) / 10000"
+}
+
 final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,

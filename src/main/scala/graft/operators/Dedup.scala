@@ -75,7 +75,7 @@ object Dedup {
       .withColumn("jac",
         col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
       .filter(col("jac") >= JaccardThreshold)
-      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+      .select(col("d1"), col("d2"), graft.Round4(col("jac")).as("jac"))
       .orderBy("d1", "d2")
   }
 
@@ -94,7 +94,7 @@ object Dedup {
       |pc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
       |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
       |       GROUP BY 1, 2)
-      |SELECT d1, d2, round(CAST(c AS DOUBLE)/(s1.n + s2.n - c), 4) AS jac
+      |SELECT d1, d2, floor((CAST(c AS DOUBLE)/(s1.n + s2.n - c)) * 10000 + 0.5) / 10000 AS jac
       |FROM pc
       |JOIN sz s1 ON pc.d1 = s1.doc_id
       |JOIN sz s2 ON pc.d2 = s2.doc_id
@@ -152,7 +152,7 @@ object Dedup {
         .withColumn("jac",
           col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
         .filter(col("jac") >= JaccardThreshold)
-        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+        .select(col("d1"), col("d2"), graft.Round4(col("jac")).as("jac"))
         .orderBy("d1", "d2")
     },
     Some(jaccardOracle))

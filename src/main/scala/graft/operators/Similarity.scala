@@ -58,12 +58,12 @@ object Similarity {
       a.join(b, col("v1") < col("v2"))
         .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
         .filter(col("sim") > NearDupThreshold)
-        .select(col("v1"), col("v2"), round(col("sim"), 4).as("sim"))
+        .select(col("v1"), col("v2"), graft.Round4(col("sim")).as("sim"))
         .orderBy("v1", "v2")
     },
     Some(s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
-            |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-            |        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            |  floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            |        CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS sim
             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
             |      CAST(b.embedding AS DOUBLE[])) > $NearDupThreshold
@@ -86,10 +86,11 @@ object Similarity {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)
         .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
-          round(col("sim"), 4).as("sim"))
+          graft.Round4(col("sim")).as("sim"))
         .orderBy("qid", "rnk")
     },
-    Some(s"""SELECT qid, rnk, neighbor, round(sim, 4) AS sim FROM (
+    Some(s"""SELECT qid, rnk, neighbor,
+            |  floor(sim * 10000 + 0.5) / 10000 AS sim FROM (
             |  SELECT q.vec_id AS qid, c.vec_id AS neighbor,
             |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
             |        CAST(c.embedding AS DOUBLE[])) AS sim,
@@ -147,7 +148,7 @@ object Similarity {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)
         .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
-          round(col("sim"), 4).as("sim"))
+          graft.Round4(col("sim")).as("sim"))
         .orderBy("qid", "rnk")
     },
     None)

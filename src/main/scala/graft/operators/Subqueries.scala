@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Subquery / grouping-set shapes beyond the reference's surface —
+  * cube, correlated-aggregate comparison (decorrelated to a join), and
+  * the TPC-H Q4 existence-aggregation pattern.
+  */
+object Subqueries {
+
+  // CUBE over (region, mktsegment): all 2^2 grouping combinations.
+  val q38Cube: QueryDef = QueryDef(
+    "q38_cube",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val n = broadcast(Tables.load(s, dir, "nation"))
+      val r = broadcast(Tables.load(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("rname"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          col("n"))
+        .orderBy("rname", "seg")
+    },
+    Some("""SELECT coalesce(r_name, 'ALL') AS rname,
+           |       coalesce(c_mktsegment, 'ALL') AS seg,
+           |       COUNT(*) AS n
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY CUBE(r_name, c_mktsegment)
+           |ORDER BY rname, seg""".stripMargin))
+
+  // Correlated-aggregate comparison, decorrelated Spark-style: orders
+  // priced strictly above their customer's average order value. The
+  // average is exact (decimal sum / count → double), identical in both
+  // engines regardless of partition order.
+  val q39Correlated: QueryDef = QueryDef(
+    "q39_above_avg",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val avg = o.groupBy(col("o_custkey").as("k"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DoubleType) / count(lit(1))).as("avg_price"))
+      o.join(avg, o("o_custkey") === avg("k"))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("avg_price").as("cust_avg"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH a AS (
+           |  SELECT o_custkey AS k,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           |      / COUNT(*) AS avg_price
+           |  FROM orders GROUP BY o_custkey)
+           |SELECT o_orderkey, o_custkey, o_totalprice,
+           |       avg_price AS cust_avg
+           |FROM orders JOIN a ON o_custkey = a.k
+           |WHERE o_totalprice > avg_price
+           |ORDER BY o_orderkey""".stripMargin))
+
+  // TPC-H Q4 shape: order-priority counts for orders having at least
+  // one late lineitem — existence via left_semi, then aggregate.
+  val q40ExistsAgg: QueryDef = QueryDef(
+    "q40_exists_agg",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val late = li.filter(col("l_shipdate") >
+        lit("1996-06-01 00:00:00").cast(TimestampType))
+      o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+           |FROM orders o
+           |WHERE EXISTS (
+           |  SELECT 1 FROM lineitem l
+           |  WHERE l.l_orderkey = o.o_orderkey
+           |    AND l.l_shipdate > TIMESTAMP '1996-06-01 00:00:00')
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q38Cube, q39Correlated, q40ExistsAgg)
+}

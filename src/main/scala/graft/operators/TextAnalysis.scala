@@ -65,9 +65,9 @@ object TextAnalysis {
       d.select(
         col("doc_id"),
         col("n_tokens"),
-        round(col("n_chars").cast(DoubleType) / col("n_tokens"), 4)
+        graft.Round4(col("n_chars").cast(DoubleType) / col("n_tokens"))
           .as("avg_tok_len"),
-        round(col("n_stop").cast(DoubleType) / col("n_tokens"), 4)
+        graft.Round4(col("n_stop").cast(DoubleType) / col("n_tokens"))
           .as("stop_ratio"),
         when(col("n_tokens") < 20, "short")
           .when(col("n_tokens") > 80, "long")
@@ -76,11 +76,13 @@ object TextAnalysis {
     },
     Some("""SELECT doc_id,
            |  len(string_split(lower(text), ' ')) AS n_tokens,
-           |  round(CAST(n_chars AS DOUBLE) /
-           |        len(string_split(lower(text), ' ')), 4) AS avg_tok_len,
-           |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+           |  floor((CAST(n_chars AS DOUBLE) /
+           |        len(string_split(lower(text), ' '))) * 10000 + 0.5)
+           |    / 10000 AS avg_tok_len,
+           |  floor((CAST(len(list_filter(string_split(lower(text), ' '),
            |          t -> t = 'the' OR t = 'a' OR t = 'of')) AS DOUBLE) /
-           |        len(string_split(lower(text), ' ')), 4) AS stop_ratio,
+           |        len(string_split(lower(text), ' '))) * 10000 + 0.5)
+           |    / 10000 AS stop_ratio,
            |  CASE WHEN len(string_split(lower(text), ' ')) < 20 THEN 'short'
            |       WHEN len(string_split(lower(text), ' ')) > 80 THEN 'long'
            |       ELSE 'good' END AS bucket
