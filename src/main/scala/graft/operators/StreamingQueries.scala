@@ -67,5 +67,23 @@ object StreamingQueries {
            |FROM sess GROUP BY user_id, sid
            |ORDER BY user_id, session_start""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize)
+  // Streaming keyed dedup (dropDuplicatesWithinWatermark): WHICH event
+  // survives per (user_id, event_type) is arrival-order-dependent, but
+  // the surviving COUNT per key is exactly the distinct-key count —
+  // aggregate that and the result is oracle-checkable.
+  val q41StreamDedup: QueryDef = QueryDef(
+    "q41_stream_dedup",
+    (s, dir) => {
+      val events = EventsStream.readEvents(s, dir)
+      val deduped = EventsStream.dedupWithinWatermark(events)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("distinct_users"))
+      EventsStream.runToCompletion(s, deduped)
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
+    q41StreamDedup)
 }
