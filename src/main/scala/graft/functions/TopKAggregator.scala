@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k as a typed Aggregator (SURVEY §2.10 aggregation
+  * extension point: `Aggregator[IN, BUF, OUT]`).
+  *
+  * The window formulation (`row_number <= k`) sorts every partition of
+  * every group; this aggregator keeps an O(k) buffer per group through
+  * partial aggregation — at 100 TB the difference between a full
+  * sort-shuffle and a map-side-combined k-row state per group.
+  *
+  * Ordering: value DESC, then tiebreak ASC — deterministic and identical
+  * to `ORDER BY value DESC, id` ranking.
+  */
+final class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), List[(Double, Long)],
+      List[(Double, Long)]] {
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def trim(xs: List[(Double, Long)]): List[(Double, Long)] =
+    xs.sortWith(better).take(k)
+
+  def zero: List[(Double, Long)] = Nil
+  def reduce(buf: List[(Double, Long)],
+      in: (Double, Long)): List[(Double, Long)] = trim(in :: buf)
+  def merge(a: List[(Double, Long)],
+      b: List[(Double, Long)]): List[(Double, Long)] = trim(a ++ b)
+  def finish(buf: List[(Double, Long)]): List[(Double, Long)] =
+    buf.sortWith(better)
+
+  def bufferEncoder: Encoder[List[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: Encoder[List[(Double, Long)]] = bufferEncoder
+}

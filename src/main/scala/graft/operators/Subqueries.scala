@@ -88,5 +88,35 @@ object Subqueries {
            |ORDER BY o_orderpriority""".stripMargin),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q38Cube, q39Correlated, q40ExistsAgg)
+  // Per-group top-k via the bounded typed Aggregator — same result
+  // contract (and oracle) as the window formulation in q16, but with an
+  // O(k) per-group buffer through partial aggregation instead of a full
+  // per-partition sort.
+  val q42TopkAgg: QueryDef = QueryDef(
+    "q42_topk_agg",
+    (s, dir) => {
+      import s.implicits._
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(v => (v._2, v._3))
+        .agg(topk.name("top"))
+        .toDF("c_mktsegment", "top")
+        .select(col("c_mktsegment"),
+          posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("c_mktsegment"), (col("pos") + 1).as("rnk"),
+          col("e._2").as("c_custkey"), col("e._1").as("c_acctbal"))
+        .orderBy("c_mktsegment", "rnk")
+    },
+    Some("""SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+           |  SELECT c_mktsegment, c_custkey, c_acctbal,
+           |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+           |      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           |  FROM customer) sub
+           |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q38Cube, q39Correlated, q40ExistsAgg,
+    q42TopkAgg)
 }
