@@ -84,6 +84,47 @@ object StreamingQueries {
     Some("""SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  // Sliding windows (1 h window, 15 min slide): every event lands in
+  // exactly 4 overlapping windows. Window starts align to the epoch
+  // 15-min grid in both engines; emitted as epoch seconds to avoid
+  // timezone-dependent formatting of DuckDB's to_timestamp.
+  val q43Sliding: QueryDef = QueryDef(
+    "q43_sliding_window",
+    (s, dir) =>
+      graft.Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double")
+            .as("total"))
+        .select(unix_timestamp(col("window.start")).as("w_start_s"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("w_start_s", "event_type"),
+    Some("""WITH g AS (
+           |  SELECT epoch(CAST(ts AS TIMESTAMP)) AS es, event_type, value
+           |  FROM events),
+           |e AS (
+           |  SELECT es, event_type, value, unnest(range(0, 4)) AS k FROM g)
+           |SELECT CAST(floor(es / 900) * 900 - k * 900 AS BIGINT)
+           |         AS w_start_s,
+           |       event_type, COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+           |         AS total
+           |FROM e GROUP BY 1, 2 ORDER BY w_start_s, event_type""".stripMargin))
+
+  // HLL approximate distinct (free via Catalyst, SURVEY §2.4 "HLL
+  // distinct *(not in reference)*"). Algorithms differ across engines →
+  // rows-only here; ApproxSpec asserts relative error against exact.
+  val q44ApproxDistinct: QueryDef = QueryDef(
+    "q44_approx_distinct",
+    (s, dir) =>
+      graft.Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    None)
+
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
-    q41StreamDedup)
+    q41StreamDedup, q43Sliding, q44ApproxDistinct)
 }

@@ -23,6 +23,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows("q24_dedup_simhash") == rows("q22_dedup_jaccard"))
   }
 
+  test("approx distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q44_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q41_stream_dedup")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"$k: approx $ap vs exact $ex")
+    }
+  }
+
   test("lsh ann returns full top-k and decent recall vs brute force") {
     val exact = SparkEntry.queries("q26_ann_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
