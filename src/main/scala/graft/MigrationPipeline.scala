@@ -73,9 +73,20 @@ final class MigrationPipeline(
       return MigrationReport(tables.map(_.name), Map.empty, Map.empty,
         stmtCount)
 
-    // 2. data phase (hooks bracket the load, reference main.go:288-326)
+    // 2. data phase (hooks bracket the load, reference main.go:288-326).
+    // data_only loads into a pre-existing constrained schema, so target
+    // triggers are disabled around the COPY (reference main.go:350-402,
+    // post.go:541-554).
     runHooks("before_data")
+    if (cfg.dataOnly)
+      tables.foreach(t => run(
+        s"ALTER TABLE ${SchemaMapping.pgIdent(schema)}." +
+          s"${SchemaMapping.pgIdent(t.name)} DISABLE TRIGGER ALL"))
     val loaded = tables.map(t => t.name -> loader.load(t)).toMap
+    if (cfg.dataOnly)
+      tables.foreach(t => run(
+        s"ALTER TABLE ${SchemaMapping.pgIdent(schema)}." +
+          s"${SchemaMapping.pgIdent(t.name)} ENABLE TRIGGER ALL"))
     runHooks("after_data")
 
     // 3. validation (reference validate.go:42-135)
@@ -87,15 +98,19 @@ final class MigrationPipeline(
         }.toMap
       else Map.empty[String, (Long, Long)]
 
-    // 4. post phase (reference post.go:17-100 order)
-    if (cfg.unloggedTables)
-      tables.foreach(t => run(DdlGenerator.setLogged(schema, t.name)))
-    tables.foreach(t => DdlGenerator.addPrimaryKey(schema, t).foreach(run))
-    tables.foreach(t => t.indexes.filterNot(_.isPrimary)
-      .foreach(ix => run(DdlGenerator.createIndex(schema, t.name, ix))))
-    runHooks("before_fk")
-    tables.foreach(t => t.foreignKeys
-      .foreach(fk => run(DdlGenerator.addForeignKey(schema, t.name, fk))))
+    // 4. post phase (reference post.go:17-100 order). In data_only mode
+    // the constraints already exist on the pre-created schema — only
+    // sequences and hooks apply.
+    if (!cfg.dataOnly) {
+      if (cfg.unloggedTables)
+        tables.foreach(t => run(DdlGenerator.setLogged(schema, t.name)))
+      tables.foreach(t => DdlGenerator.addPrimaryKey(schema, t).foreach(run))
+      tables.foreach(t => t.indexes.filterNot(_.isPrimary)
+        .foreach(ix => run(DdlGenerator.createIndex(schema, t.name, ix))))
+      runHooks("before_fk")
+      tables.foreach(t => t.foreignKeys
+        .foreach(fk => run(DdlGenerator.addForeignKey(schema, t.name, fk))))
+    }
     tables.foreach { t =>
       t.columns.collectFirst {
         case (name, pgType, _, _)

@@ -153,5 +153,55 @@ object Similarity {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh)
+  // IVF-style ANN: coarse-quantize every vector to its nearest centroid
+  // (inverted lists), probe the query's 2 nearest lists, exact re-rank.
+  // Centroids here are a deterministic fixed sample of the corpus
+  // (every Nth vector) so results are stable run-to-run with no RNG; a
+  // production build would train them with k-means (same plan shape —
+  // only the centroid table changes). Approximate → no SQL oracle; the
+  // spec asserts recall against brute force.
+  val q45AnnIvf: QueryDef = QueryDef(
+    "q45_ann_ivf",
+    (s, dir) => {
+      val e = normed(s, dir)
+      val nVecs = e.count()
+      val nCentroids = 16
+      val stride = math.max(nVecs / nCentroids, 1)
+      val cents = broadcast(
+        e.filter(col("vec_id") % stride === 0 &&
+            col("vec_id") < stride * nCentroids)
+          .select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("nrm").as("cn")))
+      def nearest(df: DataFrame, keep: Int): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))
+        df.join(cents)
+          .withColumn("csim",
+            cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+          .withColumn("crnk", row_number().over(w))
+          .filter(col("crnk") <= keep)
+          .select(col("vec_id"), col("cid"))
+      }
+      val lists = nearest(e.filter(col("vec_id") >= NumQueryVecs), 1)
+      val probes = nearest(e.filter(col("vec_id") < NumQueryVecs), 2)
+        .withColumnRenamed("vec_id", "qid")
+      val cand = probes.join(lists, "cid")
+        .select(col("qid"), col("vec_id")).distinct()
+      val qv = broadcast(e.filter(col("vec_id") < NumQueryVecs)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      cand.join(qv, "qid").join(e, "vec_id")
+        .withColumn("sim", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+          graft.Round4(col("sim")).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
+    q45AnnIvf)
 }

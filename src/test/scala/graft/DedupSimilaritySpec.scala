@@ -44,4 +44,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.4, s"LSH recall $recall collapsed")
   }
+
+  test("ivf ann returns rows with nonzero recall vs brute force") {
+    val exact = SparkEntry.queries("q26_ann_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SparkEntry.queries("q45_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.05, s"IVF recall $recall collapsed")
+  }
 }

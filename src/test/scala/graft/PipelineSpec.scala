@@ -110,6 +110,12 @@ class PipelineSpec extends AnyFunSuite {
     new MigrationPipeline(JobConfig(dataOnly = true), rec2, NoopLoader)
       .migrate(Seq(users))
     assert(!rec2.stmts.exists(_.startsWith("CREATE")))
+    // data_only: triggers disabled around the load, no constraint DDL
+    val disable = rec2.stmts.indexWhere(_.contains("DISABLE TRIGGER ALL"))
+    val enable = rec2.stmts.indexWhere(_.contains("ENABLE TRIGGER ALL"))
+    assert(disable >= 0 && enable > disable)
+    assert(!rec2.stmts.exists(_.contains("ADD PRIMARY KEY")))
+    assert(rec2.stmts.exists(_.contains("setval"))) // sequences still reset
   }
 
   test("validation reports mismatched counts") {
