@@ -164,18 +164,24 @@ object Dedup {
     "q23_dedup_minhash",
     (s, dir) => {
       val sh = shingles(Tables.load(s, dir, "documents"),
-        distinct = false).cache()
+        distinct = false)
+      // ONE per-doc aggregation carries both the 32 minhashes and the
+      // verification shingle set — signature computation and the later
+      // exact-verify share a single shuffle of the corpus.
       val minAggs = (0 until NumHashes)
         .map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
-      val mh = sh.groupBy(col("doc_id"))
-        .agg(minAggs.head, minAggs.tail: _*)
+      val docAgg = sh.groupBy(col("doc_id"))
+        .agg(minAggs.head, (minAggs.tail :+
+          collect_set(col("g")).as("gs")): _*)
+        .withColumn("n", size(col("gs")))
+        .cache()
       val bandCols = (0 until Bands).map { bnd =>
         val sig = xxhash64(
           (lit(bnd) +: (0 until RowsPerBand)
             .map(r => col(s"m${bnd * RowsPerBand + r}"))): _*)
         struct(lit(bnd).as("band"), sig.as("sig"))
       }
-      val buckets = mh
+      val buckets = docAgg
         .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"),
           col("bk.sig").as("sig"))
@@ -186,7 +192,17 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      verifyPairs(cand, sh)
+      val a = docAgg.select(col("doc_id").as("d1"), col("gs").as("gs1"),
+        col("n").as("n1"))
+      val b = docAgg.select(col("doc_id").as("d2"), col("gs").as("gs2"),
+        col("n").as("n2"))
+      cand.join(a, "d1").join(b, "d2")
+        .withColumn("c", size(array_intersect(col("gs1"), col("gs2"))))
+        .withColumn("jac",
+          col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("d1"), col("d2"), graft.Round4(col("jac")).as("jac"))
+        .orderBy("d1", "d2")
     },
     Some(jaccardOracle),
     bench = true)
