@@ -449,10 +449,29 @@ object Relational {
            |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  // SURVEY §2.11 #5 verbatim: events whose user_id has no matching
+  // customer, with the MATCH SIMPLE null guard (P3). The fixture has no
+  // orphan users, so the correct answer is the empty set — the hash
+  // compare still verifies schema + emptiness against the oracle.
+  val q46OrphanEvents: QueryDef = QueryDef(
+    "q46_orphan_events",
+    (s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val c = t(s, dir, "customer")
+      e.join(c, e("user_id") === c("c_custkey"), "left_anti")
+        .select("event_id")
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id FROM events e
+           |WHERE e.user_id IS NOT NULL
+           |  AND NOT EXISTS (SELECT 1 FROM customer c
+           |                  WHERE c.c_custkey = e.user_id)
+           |ORDER BY e.event_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q01ScanFilter, q02ChunkMinmax, q03RowCounts, q04Join3, q05AntiJoin,
     q06SemiJoin, q07GroupAgg, q08Distinct, q09Union, q09bIntersect,
     q09cExcept, q10Scalar, q11WindowTopk, q12SortLimit, q13WindowRunning,
     q14Tumbling, q15Rollup, q16TopkPerGroup, q17JoinAgg, q18Json, q19Array,
-    q36Pivot)
+    q36Pivot, q46OrphanEvents)
 }
