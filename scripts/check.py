@@ -45,9 +45,13 @@ def main(sfdir, outdir):
             print(f"[{status}] {name}: rows={t.num_rows} (no oracle)")
             continue
         try:
-            res = con.execute(oracle[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # fetch via Arrow: HUGEINT sums surface as the float/decimal
+            # values the driver's hasher would see, not python ints
+            dt = con.execute(oracle[name]).arrow()
+            dcols = dt.column_names
+            dd = dt.to_pydict()
+            drows = [tuple(dd[c][i] for c in dcols)
+                     for i in range(dt.num_rows)]
         except Exception as e:
             n_fail += 1
             print(f"[FAIL ] {name}: duckdb error: {e}")

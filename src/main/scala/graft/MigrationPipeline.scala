@@ -75,19 +75,36 @@ final class MigrationPipeline(
 
     // 2. data phase (hooks bracket the load, reference main.go:288-326).
     // data_only loads into a pre-existing constrained schema, so target
-    // triggers are disabled around the COPY (reference main.go:350-402,
-    // post.go:541-554).
-    runHooks("before_data")
-    if (cfg.dataOnly)
+    // triggers are disabled BEFORE the before_data hooks and re-enabled
+    // in a finally even when the load or a hook fails — otherwise FK
+    // constraint triggers would stay off (reference main.go:350-402
+    // disables first, then defers re-enable joining both errors).
+    def setTriggers(enable: Boolean): Unit =
       tables.foreach(t => run(
         s"ALTER TABLE ${SchemaMapping.pgIdent(schema)}." +
-          s"${SchemaMapping.pgIdent(t.name)} DISABLE TRIGGER ALL"))
-    val loaded = tables.map(t => t.name -> loader.load(t)).toMap
-    if (cfg.dataOnly)
-      tables.foreach(t => run(
-        s"ALTER TABLE ${SchemaMapping.pgIdent(schema)}." +
-          s"${SchemaMapping.pgIdent(t.name)} ENABLE TRIGGER ALL"))
-    runHooks("after_data")
+          s"${SchemaMapping.pgIdent(t.name)} " +
+          (if (enable) "ENABLE" else "DISABLE") + " TRIGGER ALL"))
+    def dataPhase(): Map[String, Long] = {
+      runHooks("before_data")
+      val loaded = tables.map(t => t.name -> loader.load(t)).toMap
+      runHooks("after_data")
+      loaded
+    }
+    val loaded =
+      if (!cfg.dataOnly) dataPhase()
+      else {
+        setTriggers(enable = false)
+        var failed: Throwable = null
+        try dataPhase()
+        catch { case e: Throwable => failed = e; throw e }
+        finally {
+          try setTriggers(enable = true)
+          catch {
+            case e: Throwable =>
+              if (failed != null) failed.addSuppressed(e) else throw e
+          }
+        }
+      }
 
     // 3. validation (reference validate.go:42-135)
     val mismatches =

@@ -6,11 +6,16 @@ import scala.collection.mutable
 
 /** Resume checkpointing for chunked loads (reference `checkpoint.go`).
   *
-  * Same design as the reference: per-table completed-chunk sets persisted
-  * as JSON; batched flush every `flushEvery` completions or `flushMillis`
-  * ms (reference `checkpoint.go:214-219` — 10 completions / 5 s); atomic
-  * temp-file + rename writes (`checkpoint.go:96-118`); a compatibility
-  * fingerprint of config+schema rejects resume against a changed job
+  * The on-disk format follows the reference's versioned schema
+  * (`checkpoint.go:14-35`): top-level `version` / `started_at` /
+  * `compatibility` / `tables`, with per-table `chunk_count`,
+  * `completed_chunks` (chunk id → {completed_at, rows_copied}),
+  * `full_table_done`, and `total_rows_copied` — so checkpoints are
+  * structurally interoperable. Batched flush every `flushEvery`
+  * completions or `flushMillis` ms (reference `checkpoint.go:214-219` —
+  * 10 completions / 5 s); atomic temp-file + rename writes
+  * (`checkpoint.go:96-118`); a compatibility fingerprint of
+  * config+schema rejects resume against a changed job
   * (`checkpoint_compat.go:48-87`). Thread-safe: Spark task-completion
   * callbacks land from multiple listener threads.
   */
@@ -20,31 +25,57 @@ final class CheckpointManager(
     flushEvery: Int = 10,
     flushMillis: Long = 5000L) {
 
-  private val done = mutable.Map[String, mutable.SortedSet[Long]]()
+  import CheckpointManager.{ChunkResult, TableState}
+
+  private val tables = mutable.Map[String, TableState]()
+  private val startedAt = java.time.Instant.now().toString
   private var pendingSinceFlush = 0
   private var lastFlush = System.currentTimeMillis()
   private val lock = new Object
 
-  def markDone(table: String, chunkId: Long): Unit = lock.synchronized {
-    done.getOrElseUpdate(table, mutable.SortedSet.empty[Long]) += chunkId
-    pendingSinceFlush += 1
-    val now = System.currentTimeMillis()
-    if (pendingSinceFlush >= flushEvery || now - lastFlush >= flushMillis)
-      flushLocked()
+  def markDone(table: String, chunkId: Long, rowsCopied: Long = 0L): Unit =
+    lock.synchronized {
+      val ts = tables.getOrElseUpdate(table, TableState())
+      if (!ts.chunks.contains(chunkId)) {
+        ts.chunks(chunkId) =
+          ChunkResult(java.time.Instant.now().toString, rowsCopied)
+        ts.totalRowsCopied += rowsCopied
+      }
+      pendingSinceFlush += 1
+      val now = System.currentTimeMillis()
+      if (pendingSinceFlush >= flushEvery || now - lastFlush >= flushMillis)
+        flushLocked()
+    }
+
+  def markTableDone(table: String): Unit = lock.synchronized {
+    tables.getOrElseUpdate(table, TableState()).fullTableDone = true
+    flushLocked()
+  }
+
+  def setChunkCount(table: String, n: Int): Unit = lock.synchronized {
+    tables.getOrElseUpdate(table, TableState()).chunkCount = n
   }
 
   def isDone(table: String, chunkId: Long): Boolean = lock.synchronized {
-    done.get(table).exists(_.contains(chunkId))
+    tables.get(table).exists(_.chunks.contains(chunkId))
+  }
+
+  def isTableDone(table: String): Boolean = lock.synchronized {
+    tables.get(table).exists(_.fullTableDone)
   }
 
   def completed(table: String): Set[Long] = lock.synchronized {
-    done.get(table).map(_.toSet).getOrElse(Set.empty)
+    tables.get(table).map(_.chunks.keySet.toSet).getOrElse(Set.empty)
+  }
+
+  def rowsCopied(table: String): Long = lock.synchronized {
+    tables.get(table).map(_.totalRowsCopied).getOrElse(0L)
   }
 
   def flush(): Unit = lock.synchronized { flushLocked() }
 
   private def flushLocked(): Unit = {
-    val json = CheckpointManager.toJson(fingerprint, done)
+    val json = CheckpointManager.toJson(fingerprint, startedAt, tables)
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     Files.createDirectories(path.toAbsolutePath.getParent)
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -57,21 +88,61 @@ final class CheckpointManager(
 
 object CheckpointManager {
 
+  /** Matches `checkpointVersion` in the reference (`checkpoint.go:13`). */
+  val Version = 2
+
+  final case class ChunkResult(completedAt: String, rowsCopied: Long)
+  final case class TableState(
+      chunks: mutable.Map[Long, ChunkResult] = mutable.Map.empty,
+      var chunkCount: Int = 0,
+      var fullTableDone: Boolean = false,
+      var totalRowsCopied: Long = 0L)
+
   /** Load an existing checkpoint; rejects a fingerprint mismatch
-    * (reference `checkpoint_compat.go:410-472` compat diff → abort).
+    * (reference `checkpoint_compat.go:410-472` compat diff → abort) and
+    * an unsupported version (`checkpoint.go:68-72`).
     */
   def load(pathStr: String, expectedFingerprint: String): CheckpointManager = {
     val path = Paths.get(pathStr)
     val mgr = new CheckpointManager(path, expectedFingerprint)
     if (Files.exists(path)) {
-      val (fp, tables) = fromJson(
+      val doc = Json.parse(
         new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+      val obj = doc.asInstanceOf[Map[String, Any]]
+      obj.get("version").map(_.asInstanceOf[Double].toInt) match {
+        case Some(v) if v == 1 || v == Version => ()
+        case v => throw new IllegalArgumentException(
+          s"unsupported checkpoint version ${v.getOrElse("<none>")} " +
+            s"(expected 1 or $Version)")
+      }
+      val fp = obj.get("compatibility") match {
+        case Some(c: Map[String @unchecked, Any @unchecked]) =>
+          c.getOrElse("fingerprint", "").toString
+        case _ => ""
+      }
       require(fp == expectedFingerprint,
         s"checkpoint fingerprint mismatch: saved=$fp " +
           s"current=$expectedFingerprint — config/schema changed since " +
           "the checkpoint was written; refusing to resume")
-      tables.foreach { case (t, chunks) =>
-        chunks.foreach(mgr.markDone(t, _))
+      obj.get("tables") match {
+        case Some(ts: Map[String @unchecked, Any @unchecked]) =>
+          ts.foreach { case (name, v) =>
+            val t = v.asInstanceOf[Map[String, Any]]
+            t.get("chunk_count").foreach(n =>
+              mgr.setChunkCount(name, n.asInstanceOf[Double].toInt))
+            t.get("completed_chunks").foreach {
+              case cc: Map[String @unchecked, Any @unchecked] =>
+                cc.foreach { case (id, r) =>
+                  val res = r.asInstanceOf[Map[String, Any]]
+                  mgr.markDone(name, id.toLong, res.get("rows_copied")
+                    .map(_.asInstanceOf[Double].toLong).getOrElse(0L))
+                }
+              case _ => ()
+            }
+            if (t.get("full_table_done").contains(true))
+              mgr.markTableDone(name)
+          }
+        case _ => ()
       }
     }
     mgr
@@ -88,33 +159,111 @@ object CheckpointManager {
       .map("%02x".format(_)).mkString
   }
 
-  private[checkpoint] def toJson(fp: String,
-      done: mutable.Map[String, mutable.SortedSet[Long]]): String = {
-    def q(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val tables = done.toSeq.sortBy(_._1).map { case (t, chunks) =>
-      s"${q(t)}: [${chunks.mkString(",")}]"
-    }.mkString(", ")
-    s"""{"fingerprint": ${q(fp)}, "tables": {$tables}}"""
+  private def q(s: String) = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private[checkpoint] def toJson(fp: String, startedAt: String,
+      tables: mutable.Map[String, TableState]): String = {
+    val tbl = tables.toSeq.sortBy(_._1).map { case (name, ts) =>
+      val chunks = ts.chunks.toSeq.sortBy(_._1).map { case (id, r) =>
+        s""""$id": {"completed_at": ${q(r.completedAt)}, """ +
+          s""""rows_copied": ${r.rowsCopied}}"""
+      }.mkString("{", ", ", "}")
+      s"${q(name)}: {" +
+        s""""chunk_count": ${ts.chunkCount}, """ +
+        s""""completed_chunks": $chunks, """ +
+        s""""full_table_done": ${ts.fullTableDone}, """ +
+        s""""total_rows_copied": ${ts.totalRowsCopied}}"""
+    }.mkString("{", ", ", "}")
+    s"""{"version": $Version, "started_at": ${q(startedAt)}, """ +
+      s""""compatibility": {"fingerprint": ${q(fp)}}, "tables": $tbl}"""
   }
 
-  /** Minimal parser for the exact JSON this object writes. */
-  private[checkpoint] def fromJson(
-      s: String): (String, Map[String, Seq[Long]]) = {
-    val fpRe = "\"fingerprint\"\\s*:\\s*\"([^\"]*)\"".r
-    val fp = fpRe.findFirstMatchIn(s)
-      .getOrElse(throw new IllegalArgumentException(
-        "corrupt checkpoint: no fingerprint")).group(1)
-    val tblRe = "\"([^\"]+)\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
-    val tables = tblRe.findAllMatchIn(s).map { m =>
-      val chunks = m.group(2).split(",").toSeq
-        .map(_.trim).filter(_.nonEmpty).map(_.toLong)
-      m.group(1) -> chunks
-    }.toMap - "fingerprint"
-    (fp, tables)
+  /** Minimal recursive-descent JSON reader (objects → `Map[String, Any]`,
+    * arrays → `Seq[Any]`, numbers → `Double`). Structural, so a table
+    * named `fingerprint` (or anything else) round-trips safely.
+    */
+  private[checkpoint] object Json {
+    def parse(s: String): Any = {
+      val p = new P(s); val v = p.value(); p.ws()
+      require(p.eof, s"trailing JSON at ${p.i}"); v
+    }
+    private final class P(s: String) {
+      var i = 0
+      def eof: Boolean = i >= s.length
+      def ws(): Unit = while (!eof && s.charAt(i).isWhitespace) i += 1
+      private def expect(c: Char): Unit = {
+        require(!eof && s.charAt(i) == c, s"expected '$c' at $i"); i += 1
+      }
+      def value(): Any = { ws(); s.charAt(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => lit("true", true)
+        case 'f' => lit("false", false)
+        case 'n' => lit("null", null)
+        case _ => num()
+      }}
+      private def lit(word: String, v: Any): Any = {
+        require(s.startsWith(word, i), s"bad literal at $i")
+        i += word.length; v
+      }
+      private def obj(): Map[String, Any] = {
+        expect('{'); ws()
+        val b = Map.newBuilder[String, Any]
+        if (s.charAt(i) == '}') { i += 1; return b.result() }
+        var go = true
+        while (go) {
+          ws(); val k = str(); ws(); expect(':'); val v = value(); ws()
+          b += k -> v
+          if (s.charAt(i) == ',') i += 1 else { expect('}'); go = false }
+        }
+        b.result()
+      }
+      private def arr(): Seq[Any] = {
+        expect('['); ws()
+        val b = Seq.newBuilder[Any]
+        if (s.charAt(i) == ']') { i += 1; return b.result() }
+        var go = true
+        while (go) {
+          b += value(); ws()
+          if (s.charAt(i) == ',') i += 1 else { expect(']'); go = false }
+        }
+        b.result()
+      }
+      private def str(): String = {
+        expect('"')
+        val sb = new StringBuilder
+        while (s.charAt(i) != '"') {
+          val c = s.charAt(i)
+          if (c == '\\') {
+            i += 1
+            s.charAt(i) match {
+              case 'n' => sb += '\n'; case 't' => sb += '\t'
+              case 'r' => sb += '\r'; case 'b' => sb += '\b'
+              case 'f' => sb += '\f'; case '/' => sb += '/'
+              case '"' => sb += '"'; case '\\' => sb += '\\'
+              case 'u' =>
+                sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+                i += 4
+              case other => throw new IllegalArgumentException(
+                s"bad escape \\$other at $i")
+            }
+          } else sb += c
+          i += 1
+        }
+        i += 1
+        sb.toString
+      }
+      private def num(): Double = {
+        val start = i
+        while (!eof && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+        s.substring(start, i).toDouble
+      }
+    }
   }
 }

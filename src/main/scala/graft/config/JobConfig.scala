@@ -10,9 +10,20 @@ import graft.sources.TypeOptions
   * keys, `config.go:95-120`).
   */
 object Toml {
-  def parse(text: String): Map[String, String] = {
+  /** A parsed TOML value: a scalar (string/int/bool, kept as its string
+    * form) or a string array. Arrays keep element boundaries — a quoted
+    * element may contain commas (the previous split-then-strip approach
+    * corrupted `["a,b.sql"]` into two bogus entries).
+    */
+  sealed trait Value { def scalar: String }
+  final case class Str(s: String) extends Value { def scalar: String = s }
+  final case class Arr(items: Seq[String]) extends Value {
+    def scalar: String = items.mkString(",")
+  }
+
+  def parse(text: String): Map[String, Value] = {
     var section = ""
-    val out = Map.newBuilder[String, String]
+    val out = Map.newBuilder[String, Value]
     text.linesIterator.zipWithIndex.foreach { case (raw, ln) =>
       val line = stripComment(raw).trim
       if (line.nonEmpty) {
@@ -43,13 +54,30 @@ object Toml {
     line
   }
 
-  private def parseValue(v: String, ln: Int): String = {
+  private def parseValue(v: String, ln: Int): Value = {
     if (v.startsWith("\"") && v.endsWith("\"") && v.length >= 2)
-      v.substring(1, v.length - 1)
+      Str(v.substring(1, v.length - 1))
     else if (v.startsWith("[") && v.endsWith("]"))
-      v.substring(1, v.length - 1).split(",").map(_.trim)
-        .filter(_.nonEmpty).map(s => parseValue(s, ln)).mkString(",")
-    else v
+      Arr(splitArray(v.substring(1, v.length - 1), ln)
+        .map(e => parseValue(e, ln).scalar))
+    else Str(v)
+  }
+
+  /** Split array elements on commas OUTSIDE quotes, so quoted elements
+    * containing commas survive intact.
+    */
+  private def splitArray(body: String, ln: Int): Seq[String] = {
+    val items = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inStr = false
+    body.foreach { c =>
+      if (c == '"') { inStr = !inStr; cur += c }
+      else if (c == ',' && !inStr) { items += cur.toString.trim; cur.clear() }
+      else cur += c
+    }
+    require(!inStr, s"line $ln: unterminated string in array")
+    items += cur.toString.trim
+    items.result().filter(_.nonEmpty)
   }
 }
 
@@ -97,11 +125,12 @@ object JobConfig {
     * worker bounds, mode values (`config.go:137-319`).
     */
   def fromToml(text: String): JobConfig = {
-    val kv = Toml.parse(text)
-    val unknown = kv.keySet.diff(knownKeys)
+    val parsed = Toml.parse(text)
+    val unknown = parsed.keySet.diff(knownKeys)
     require(unknown.isEmpty,
       s"unknown config keys: ${unknown.toSeq.sorted.mkString(", ")}")
 
+    val kv = parsed.view.mapValues(_.scalar).toMap
     def bool(k: String, d: Boolean) = kv.get(k).map(_.toBoolean).getOrElse(d)
     def int(k: String, d: Int) = kv.get(k).map(_.toInt).getOrElse(d)
 
@@ -130,8 +159,10 @@ object JobConfig {
         stringUuidAsUuid = bool("types.string_uuid_as_uuid", d = false),
         jsonAsJsonb = bool("types.json_as_jsonb", d = true),
         unknownAsText = bool("types.unknown_as_text", d = false)),
-      hooks = phases.flatMap(p => kv.get(s"hooks.$p")
-        .map(v => p -> v.split(",").toSeq.filter(_.nonEmpty))).toMap)
+      hooks = phases.flatMap(p => parsed.get(s"hooks.$p").map {
+        case Toml.Arr(items) => p -> items
+        case Toml.Str(s) => p -> Seq(s).filter(_.nonEmpty)
+      }).toMap)
     validate(cfg)
     cfg
   }

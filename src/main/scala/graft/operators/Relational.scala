@@ -441,12 +441,14 @@ object Relational {
         df.withColumn(ty, coalesce(col(ty), lit(0L))))
         .orderBy("user_id")
     },
+    // COUNT(*) FILTER keeps the oracle columns BIGINT — DuckDB SUM(int)
+    // yields HUGEINT → decimal128 via Arrow → hash mismatch vs int64.
     Some("""SELECT user_id,
-           |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           |  COUNT(*) FILTER (event_type = 'click') AS click,
+           |  COUNT(*) FILTER (event_type = 'error') AS error,
+           |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+           |  COUNT(*) FILTER (event_type = 'view') AS view
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   // SURVEY §2.11 #5 verbatim: events whose user_id has no matching

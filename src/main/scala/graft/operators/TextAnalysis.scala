@@ -99,9 +99,11 @@ object TextAnalysis {
           sum(size(split(col("text"), " "))).as("tokens"),
           sum(col("n_chars")).as("chars"))
         .orderBy("lang", "source"),
+    // CAST sums to BIGINT: DuckDB SUM(int) yields HUGEINT, which arrives
+    // as decimal128 through Arrow and hash-mismatches Spark's int64.
     Some("""SELECT lang, source, COUNT(*) AS docs,
-           |  SUM(len(string_split(text, ' '))) AS tokens,
-           |  SUM(n_chars) AS chars
+           |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
            |FROM documents GROUP BY lang, source
            |ORDER BY lang, source""".stripMargin),
     bench = true)

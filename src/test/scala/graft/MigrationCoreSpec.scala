@@ -4,7 +4,7 @@ import graft.sources._
 import graft.checkpoint.CheckpointManager
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** Unit coverage for the migration-parity core: identifier mapping,
   * enum/set parsing, dialect type mapping, DDL generation, default
@@ -37,6 +37,12 @@ class MigrationCoreSpec extends AnyFunSuite {
     val n2 = enumTypeName(Seq("a", "b"))
     assert(n1 == n2 && n1.startsWith("pgferry_enum_") && n1.length == 29)
     assert(enumTypeName(Seq("a", "c")) != n1)
+    // pinned to the reference pgEnumTypeName (ddl.go:117-128): FNV-1a-64
+    // over each sorted value followed by a 0x00 terminator
+    assert(enumTypeName(Seq("a")) == "pgferry_enum_089be207b544f1e4")
+    assert(enumTypeName(Seq("small", "medium", "large")) ==
+      "pgferry_enum_56a4f7cfa86f9c40")
+    assert(n1 == "pgferry_enum_ab40d7820d408076")
   }
 
   test("identifier truncation to 63 bytes with FNV suffix") {
@@ -189,6 +195,37 @@ class MigrationCoreSpec extends AnyFunSuite {
       "table.users" -> "id:bigint", "mode" -> "single_tx"))
     intercept[IllegalArgumentException] {
       CheckpointManager.load(path, fp2)
+    }
+  }
+
+  test("checkpoint: reference-shaped versioned JSON, rows_copied, " +
+      "table named 'fingerprint' survives") {
+    val dir = Files.createTempDirectory("graft_ckpt2")
+    val path = dir.resolve("state.json").toString
+    val fp = CheckpointManager.fingerprint(Seq("k" -> "v"))
+    val mgr = CheckpointManager.load(path, fp)
+    mgr.setChunkCount("fingerprint", 4)
+    mgr.markDone("fingerprint", 0, rowsCopied = 100)
+    mgr.markDone("fingerprint", 2, rowsCopied = 50)
+    mgr.markTableDone("events")
+    mgr.flush()
+    val json = new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+    // reference checkpoint.go:14-35 schema fields
+    assert(json.contains("\"version\": 2"))
+    assert(json.contains("\"started_at\""))
+    assert(json.contains("\"compatibility\""))
+    assert(json.contains("\"completed_chunks\""))
+    assert(json.contains("\"rows_copied\": 100"))
+    assert(json.contains("\"total_rows_copied\": 150"))
+    val re = CheckpointManager.load(path, fp)
+    assert(re.completed("fingerprint") == Set(0L, 2L))
+    assert(re.rowsCopied("fingerprint") == 150L)
+    assert(re.isTableDone("events") && !re.isTableDone("fingerprint"))
+    // unsupported version rejected (checkpoint.go:68-72)
+    Files.writeString(Paths.get(path),
+      json.replace("\"version\": 2", "\"version\": 99"))
+    intercept[IllegalArgumentException] {
+      CheckpointManager.load(path, fp)
     }
   }
 

@@ -25,11 +25,19 @@ class PipelineSpec extends AnyFunSuite {
         |[hooks]
         |before_data = ["a.sql", "b.sql"]
         |""".stripMargin)
-    assert(kv("mode") == "parallel")
-    assert(kv("workers") == "4")
-    assert(kv("source.dialect") == "mysql")
-    assert(kv("source.url") == "jdbc:mysql://h/db?x=#notcomment")
-    assert(kv("hooks.before_data") == "a.sql,b.sql")
+    assert(kv("mode") == Toml.Str("parallel"))
+    assert(kv("workers") == Toml.Str("4"))
+    assert(kv("source.dialect") == Toml.Str("mysql"))
+    assert(kv("source.url") == Toml.Str("jdbc:mysql://h/db?x=#notcomment"))
+    assert(kv("hooks.before_data") == Toml.Arr(Seq("a.sql", "b.sql")))
+  }
+
+  test("toml array elements may contain commas inside quotes") {
+    val kv = Toml.parse("""hooks = ["pre, with comma.sql", "b.sql"]""")
+    assert(kv("hooks") == Toml.Arr(Seq("pre, with comma.sql", "b.sql")))
+    val cfg = JobConfig.fromToml(
+      "[hooks]\nbefore_data = [\"pre, with comma.sql\", \"b.sql\"]")
+    assert(cfg.hooks("before_data") == Seq("pre, with comma.sql", "b.sql"))
   }
 
   test("config defaults and validation matrix") {
