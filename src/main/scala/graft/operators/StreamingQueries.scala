@@ -113,17 +113,28 @@ object StreamingQueries {
            |FROM e GROUP BY 1, 2 ORDER BY w_start_s, event_type""".stripMargin))
 
   // HLL approximate distinct (free via Catalyst, SURVEY §2.4 "HLL
-  // distinct *(not in reference)*"). Algorithms differ across engines →
-  // rows-only here; ApproxSpec asserts relative error against exact.
+  // distinct *(not in reference)*"). HLL sketches differ across engines,
+  // so the raw estimate can't hash-match an oracle — instead the query
+  // emits the exact distinct count alongside an in-query assertion that
+  // the HLL estimate lands within 5% of it (rsd=0.02 → ~2σ bound). The
+  // oracle pins the exact counts and the assertion's expected outcome,
+  // upgrading this from a rows-only check to a full hash match.
   val q44ApproxDistinct: QueryDef = QueryDef(
     "q44_approx_distinct",
     (s, dir) =>
       graft.Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx") - col("exact_users"))
+            .cast("double") / col("exact_users") <= 0.05).as("approx_ok"))
         .orderBy("event_type"),
-    None)
+    Some("""SELECT event_type,
+           |  COUNT(DISTINCT user_id) AS exact_users,
+           |  COUNT(*) AS n, true AS approx_ok
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct)

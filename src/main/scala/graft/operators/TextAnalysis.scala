@@ -141,6 +141,53 @@ object TextAnalysis {
            |    AS uuid
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // BPE-ish subword-style token accounting: a GPT-2-shaped regex
+  // (letter runs / digit runs / punctuation runs, each with optional
+  // leading space) rather than whitespace splitting. The pattern stays
+  // within the regex subset Java and RE2 interpret identically.
+  val q47BpeTokens: QueryDef = QueryDef(
+    "q47_bpe_tokens",
+    (s, dir) => {
+      val pat = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .as("bpe_tokens"),
+          size(split(col("text"), " ")).as("ws_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("bpe_tokens")).as("bpe_total"),
+          sum(col("ws_tokens")).as("ws_total"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS docs,
+           |  CAST(SUM(len(regexp_extract_all(text,
+           |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT)
+           |    AS bpe_total,
+           |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_total
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // Rolling-hash document fingerprint: polynomial hash over codepoints,
+  // h := (h*31 + cp) mod 1e9+7 — the incremental-hash shape a
+  // Rabin-Karp chunker builds on, expressed as a sequential fold so both
+  // engines evaluate the identical arithmetic (mod keeps every
+  // intermediate < 2^63; no overflow divergence).
+  val q48RollingHash: QueryDef = QueryDef(
+    "q48_rolling_hash",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          "aggregate(filter(split(text, ''), c -> c <> ''), 0L, " +
+            "(h, c) -> (h * 31 + ascii(c)) % 1000000007)").as("rh"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(regexp_split_to_array(text, ''),
+           |      c -> CAST(unicode(c) AS BIGINT))),
+           |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat)
+    q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
+    q47BpeTokens, q48RollingHash)
 }
