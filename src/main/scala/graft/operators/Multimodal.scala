@@ -84,5 +84,53 @@ object Multimodal {
            |       ELSE 1 END AS INTEGER) AS n_frames
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q35Multimodal)
+  /** Decode → resize → frame-sample, the full media pipeline shape.
+    * Resize fits into a 64×64 budget preserving aspect ratio with
+    * integer arithmetic (no float rounding divergence); frame sampling
+    * keeps ≤4 evenly-strided frames. Both stages run inside the same
+    * per-partition decoder pass — at scale the expensive codec state is
+    * initialized once per partition, not per row.
+    */
+  final case class MediaProcessed(
+      doc_id: Long, media_type: String, out_w: Int, out_h: Int,
+      sampled_frames: Seq[Long])
+
+  def resizeAndSample(feats: Dataset[MediaFeatures]): Dataset[MediaProcessed] = {
+    import feats.sparkSession.implicits._
+    feats.mapPartitions(_.map { f =>
+      val longSide = math.max(f.width, f.height)
+      val outW = if (longSide <= 64) f.width else f.width * 64 / longSide
+      val outH = if (longSide <= 64) f.height else f.height * 64 / longSide
+      val stride = (f.n_frames + 3) / 4
+      MediaProcessed(f.doc_id, f.media_type, outW, outH,
+        0L.until(f.n_frames.toLong).by(stride.toLong))
+    })
+  }
+
+  val q49MediaPipeline: QueryDef = QueryDef(
+    "q49_media_pipeline",
+    (s, dir) =>
+      resizeAndSample(extractFeatures(loadAssets(s, dir))).toDF()
+        .orderBy("doc_id"),
+    Some("""WITH f AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+           |         WHEN doc_id % 3 = 1 THEN 'audio'
+           |         ELSE 'video' END AS media_type,
+           |    CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS w,
+           |    CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER)
+           |      AS h,
+           |    CAST(CASE WHEN doc_id % 3 = 2
+           |         THEN 1 + octet_length(encode(text)) % 7
+           |         ELSE 1 END AS INTEGER) AS nf
+           |  FROM documents)
+           |SELECT doc_id, media_type,
+           |  CAST(CASE WHEN greatest(w, h) <= 64 THEN w
+           |       ELSE w * 64 // greatest(w, h) END AS INTEGER) AS out_w,
+           |  CAST(CASE WHEN greatest(w, h) <= 64 THEN h
+           |       ELSE h * 64 // greatest(w, h) END AS INTEGER) AS out_h,
+           |  range(0, nf, (nf + 3) // 4) AS sampled_frames
+           |FROM f ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q35Multimodal, q49MediaPipeline)
 }
