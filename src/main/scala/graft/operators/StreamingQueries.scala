@@ -136,6 +136,29 @@ object StreamingQueries {
            |  COUNT(*) AS n, true AS approx_ok
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  // Stream-stream interval join (click → purchase attribution within
+  // 10 min, same user), run as a REAL two-stream watermarked join
+  // drained through an append-mode memory sink. The inner-join result
+  // set is deterministic, so the oracle is the equivalent batch range
+  // join — streaming/batch equivalence again.
+  val q50StreamJoin: QueryDef = QueryDef(
+    "q50_stream_join",
+    (s, dir) => {
+      val events = EventsStream.readEvents(s, dir)
+      EventsStream.runToCompletion(s,
+        EventsStream.clickToPurchase(events), mode = "append")
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+           |  p.event_id AS purchase_id, p.value
+           |FROM events c JOIN events p
+           |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+           | AND c.user_id = p.user_id
+           | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+           | AND CAST(p.ts AS TIMESTAMP) <=
+           |     CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+           |ORDER BY click_id, purchase_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
-    q41StreamDedup, q43Sliding, q44ApproxDistinct)
+    q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin)
 }

@@ -73,4 +73,30 @@ object EventsStream {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** Stream-stream interval join: each click pairs with the same user's
+    * purchases landing within the following `windowMinutes`. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so Spark can expire join state — the property that keeps state
+    * bounded on an unbounded stream (without the time bound, stream-
+    * stream inner join state grows forever).
+    */
+  def clickToPurchase(events: DataFrame,
+      windowMinutes: Int = 10): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"interval $windowMinutes minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"))
+  }
 }
