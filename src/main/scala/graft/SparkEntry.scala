@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.TextAnalysis.all ++
       operators.StreamingQueries.all ++ operators.Multimodal.all ++
-      operators.AsofJoin.all ++ operators.Subqueries.all
+      operators.AsofJoin.all ++ operators.Subqueries.all ++
+      operators.Skew.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

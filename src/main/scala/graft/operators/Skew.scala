@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -46,4 +47,40 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("cnt"))
   }
+
+  // Salted two-phase aggregation over the heaviest key domain in the
+  // fixture (5 event types × thousands of rows each). The oracle is the
+  // PLAIN group-by — salting must be invisible in the result.
+  val q51SkewAgg: QueryDef = QueryDef(
+    "q51_skew_salted_agg",
+    (s, dir) =>
+      saltedCount(Tables.load(s, dir, "events")
+          .select("event_type", "event_id"),
+        "event_type", salts = 8)
+        .select(col("event_type"), col("cnt").cast("long").as("cnt"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS cnt
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // Salted equi-join of the skewed fact (events) against a replicated
+  // dimension (customer), aggregated per market segment; again the
+  // oracle is the unsalted join.
+  val q52SkewJoin: QueryDef = QueryDef(
+    "q52_skew_salted_join",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select("event_id", "user_id")
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      saltedJoin(e, c, "user_id", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q51SkewAgg, q52SkewJoin)
 }
