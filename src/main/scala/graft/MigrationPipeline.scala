@@ -41,8 +41,10 @@ final case class MigrationReport(
   *     orphan cleanup (anti-join, delegated to [[operators]]) → foreign
   *     keys → sequence resets → after_all hooks
   *
-  * schema_only stops after 1; data_only skips 1 (reference
-  * `main.go:288-326,350-402`).
+  * schema_only skips 2-3 (and SET LOGGED / orphan cleanup) but still
+  * attaches constraints in 4; data_only skips 1 and all post DDL except
+  * sequence resets (reference `main.go:288-326,350-402`,
+  * `post.go:17-100`).
   */
 final class MigrationPipeline(
     cfg: JobConfig,
@@ -60,18 +62,26 @@ final class MigrationPipeline(
       .foreach(run)
 
   def migrate(tables: Seq[TableMeta],
-      enumValueSets: Seq[Seq[String]] = Nil): MigrationReport = {
+      enumValueSets: Seq[Seq[String]] = Nil,
+      requiredExtensions: Seq[String] = Nil): MigrationReport = {
     val schema = cfg.targetSchema
+    // UNLOGGED only pays off for the bulk load; split modes force it off
+    // (reference main.go:129-132)
+    val unlogged = cfg.unloggedTables && !cfg.schemaOnly && !cfg.dataOnly
+
+    // 0. required extensions (citext for _ci collations, postgis for
+    // spatial) are ensured before any schema or data work — in ALL
+    // modes, since geometry/citext DDL and COPY both depend on them
+    // (reference main.go:255-264 / extensions.go:101-131).
+    requiredExtensions.distinct.foreach(ext =>
+      run(s"CREATE EXTENSION IF NOT EXISTS ${SchemaMapping.pgIdent(ext)}"))
 
     // 1. schema phase
     if (!cfg.dataOnly) {
       enumValueSets.distinct.foreach(vs => run(DdlGenerator.createEnumType(vs)))
       tables.foreach(t => run(DdlGenerator.createTable(schema, t,
-        unlogged = cfg.unloggedTables)))
+        unlogged = unlogged)))
     }
-    if (cfg.schemaOnly)
-      return MigrationReport(tables.map(_.name), Map.empty, Map.empty,
-        stmtCount)
 
     // 2. data phase (hooks bracket the load, reference main.go:288-326).
     // data_only loads into a pre-existing constrained schema, so target
@@ -91,7 +101,8 @@ final class MigrationPipeline(
       loaded
     }
     val loaded =
-      if (!cfg.dataOnly) dataPhase()
+      if (cfg.schemaOnly) Map.empty[String, Long]
+      else if (!cfg.dataOnly) dataPhase()
       else {
         setTriggers(enable = false)
         var failed: Throwable = null
@@ -106,25 +117,34 @@ final class MigrationPipeline(
         }
       }
 
-    // 3. validation (reference validate.go:42-135)
+    // 3. validation (reference validate.go:42-135; skipped in
+    // schema_only — there is no data to compare, main.go:328-339)
     val mismatches =
-      if (cfg.validation == "row_count")
+      if (cfg.validation == "row_count" && !cfg.schemaOnly)
         tables.flatMap { t =>
           val (src, tgt) = (loader.sourceCount(t), loader.targetCount(t))
           if (src != tgt) Some(t.name -> (src, tgt)) else None
         }.toMap
       else Map.empty[String, (Long, Long)]
 
-    // 4. post phase (reference post.go:17-100 order). In data_only mode
-    // the constraints already exist on the pre-created schema — only
-    // sequences and hooks apply.
+    // 4. post phase (reference post.go:17-100 order). data_only skips
+    // all DDL (constraints already exist on the pre-created schema) —
+    // only sequences and after_all hooks apply. schema_only runs the
+    // constraint DDL but skips SET LOGGED (tables were created LOGGED)
+    // and orphan cleanup (no data).
     if (!cfg.dataOnly) {
-      if (cfg.unloggedTables)
+      if (unlogged)
         tables.foreach(t => run(DdlGenerator.setLogged(schema, t.name)))
       tables.foreach(t => DdlGenerator.addPrimaryKey(schema, t).foreach(run))
       tables.foreach(t => t.indexes.filterNot(_.isPrimary)
         .foreach(ix => run(DdlGenerator.createIndex(schema, t.name, ix))))
       runHooks("before_fk")
+      // orphan cleanup precedes FK attachment so ADD CONSTRAINT cannot
+      // fail on pre-existing orphans (reference post.go:57-66; MySQL
+      // admits them via SET FOREIGN_KEY_CHECKS=0)
+      if (cfg.cleanOrphans && !cfg.schemaOnly)
+        tables.foreach(t => t.foreignKeys.foreach(fk =>
+          run(DdlGenerator.cleanOrphansSql(schema, t.name, fk))))
       tables.foreach(t => t.foreignKeys
         .foreach(fk => run(DdlGenerator.addForeignKey(schema, t.name, fk))))
     }
@@ -136,6 +156,15 @@ final class MigrationPipeline(
               pgType == "smallint") =>
           run(DdlGenerator.resetSequence(schema, t.name, name))
       }
+    }
+    if (!cfg.dataOnly) {
+      if (cfg.addUnsignedChecks)
+        tables.foreach(t => t.unsignedColumns.foreach { case (c, dt) =>
+          DdlGenerator.unsignedCheck(schema, t.name, c, dt).foreach(run)
+        })
+      if (cfg.replicateOnUpdateCurrentTimestamp)
+        tables.foreach(t => t.onUpdateColumns.foreach(c =>
+          DdlGenerator.onUpdateTrigger(schema, t.name, c).foreach(run)))
     }
     runHooks("after_all")
 

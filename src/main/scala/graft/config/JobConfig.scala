@@ -99,6 +99,9 @@ final case class JobConfig(
     schemaOnly: Boolean = false,
     dataOnly: Boolean = false,
     unloggedTables: Boolean = true,
+    cleanOrphans: Boolean = true,         // config.go:131
+    addUnsignedChecks: Boolean = false,
+    replicateOnUpdateCurrentTimestamp: Boolean = false,
     validation: String = "row_count",     // row_count | none
     snakeCaseIdentifiers: Boolean = true,
     typeOptions: TypeOptions = TypeOptions(),
@@ -113,8 +116,9 @@ object JobConfig {
   private val knownKeys = Set(
     "source.dialect", "source.url", "target.url", "target.schema",
     "mode", "workers", "index_workers", "chunk_size", "resume", "recreate",
-    "schema_only", "data_only", "unlogged_tables", "validation",
-    "snake_case_identifiers",
+    "schema_only", "data_only", "unlogged_tables", "clean_orphans",
+    "add_unsigned_checks", "replicate_on_update_current_timestamp",
+    "validation", "snake_case_identifiers",
     "types.tinyint1_as_boolean", "types.widen_unsigned_integers",
     "types.varchar_as_text", "types.binary16_as_uuid",
     "types.string_uuid_as_uuid", "types.json_as_jsonb",
@@ -148,6 +152,10 @@ object JobConfig {
       schemaOnly = bool("schema_only", d = false),
       dataOnly = bool("data_only", d = false),
       unloggedTables = bool("unlogged_tables", d = true),
+      cleanOrphans = bool("clean_orphans", d = true),
+      addUnsignedChecks = bool("add_unsigned_checks", d = false),
+      replicateOnUpdateCurrentTimestamp =
+        bool("replicate_on_update_current_timestamp", d = false),
       validation = kv.getOrElse("validation", "row_count"),
       snakeCaseIdentifiers = bool("snake_case_identifiers", d = true),
       typeOptions = TypeOptions(
@@ -185,6 +193,10 @@ object JobConfig {
       "resume has no effect with schema_only")
     require(!(c.mode == "single_tx" && c.resume),
       "resume is not supported in single_tx mode")
+    require(!(c.resume && c.unloggedTables),
+      "resume requires unlogged_tables = false: an UNLOGGED table is " +
+        "truncated on crash recovery, so resumed chunks would land in " +
+        "empty tables (reference config.go:55)")
     require(graft.sources.SourceDialect.registry.contains(c.sourceDialect),
       s"unknown source dialect: ${c.sourceDialect}")
   }

@@ -21,7 +21,14 @@ final case class TableMeta(
     columns: Seq[(String, String, Boolean, Option[String])], // (name, pgType, nullable, default)
     primaryKey: Option[IndexMeta] = None,
     indexes: Seq[IndexMeta] = Nil,
-    foreignKeys: Seq[ForeignKeyMeta] = Nil)
+    foreignKeys: Seq[ForeignKeyMeta] = Nil,
+    // (column, source base type) for columns whose source type was
+    // UNSIGNED (excluding tinyint(1)→boolean) — drives the optional
+    // post-load CHECK constraints (reference post.go:102-158)
+    unsignedColumns: Seq[(String, String)] = Nil,
+    // columns carrying MySQL `on update CURRENT_TIMESTAMP` — drives the
+    // optional trigger replication (reference post.go:436-472)
+    onUpdateColumns: Seq[String] = Nil)
 
 /** Target-side DDL generation (reference `ddl.go:16-98` createTables,
   * `ddl.go:132-175` enum types, `post.go` constraint re-attachment).
@@ -90,6 +97,75 @@ object DdlGenerator {
     val qt = s"${pgIdent(schema)}.${pgIdent(table)}"
     s"SELECT setval(pg_get_serial_sequence('$qt', '$col'), " +
       s"COALESCE((SELECT MAX(${pgIdent(col)}) FROM $qt), 0) + 1, false)"
+  }
+
+  /** Orphan-cleanup SQL per FK (reference `post.go:505-529`): DELETE
+    * for any delete rule except SET NULL, which nullifies instead; the
+    * all-NOT-NULL guard gives MATCH SIMPLE parity (`post.go:532-538`).
+    */
+  def cleanOrphansSql(schema: String, table: String,
+      fk: ForeignKeyMeta): String = {
+    val child = s"${pgIdent(schema)}.${pgIdent(table)}"
+    val parent = s"${pgIdent(schema)}.${pgIdent(fk.refTable)}"
+    val joinConds = fk.refColumns.zip(fk.columns)
+      .map { case (r, c) => s"p.${pgIdent(r)} = c.${pgIdent(c)}" }
+      .mkString(" AND ")
+    val notExists = s"NOT EXISTS (SELECT 1 FROM $parent p WHERE $joinConds)"
+    val allNotNull = fk.columns
+      .map(c => s"c.${pgIdent(c)} IS NOT NULL").mkString(" AND ")
+    if (fk.onDelete.equalsIgnoreCase("SET NULL")) {
+      val sets = fk.columns.map(c => s"${pgIdent(c)} = NULL").mkString(", ")
+      s"UPDATE $child c SET $sets WHERE ($allNotNull) AND $notExists"
+    } else
+      s"DELETE FROM $child c WHERE ($allNotNull) AND $notExists"
+  }
+
+  /** Range CHECK expression for an UNSIGNED source column
+    * (reference `post.go:133-158`).
+    */
+  def unsignedCheckExpr(col: String, dataType: String): Option[String] = {
+    val c = pgIdent(col)
+    dataType match {
+      case "tinyint"   => Some(s"$c >= 0 AND $c <= 255")
+      case "smallint"  => Some(s"$c >= 0 AND $c <= 65535")
+      case "mediumint" => Some(s"$c >= 0 AND $c <= 16777215")
+      case "int"       => Some(s"$c >= 0 AND $c <= 4294967295")
+      case "bigint"    => Some(s"$c >= 0 AND $c <= 18446744073709551615")
+      case "decimal" | "float" | "double" => Some(s"$c >= 0")
+      case _ => None
+    }
+  }
+
+  /** ADD CONSTRAINT … NOT VALID then VALIDATE — two statements, so the
+    * check never takes an exclusive lock over the full scan
+    * (reference `post.go:102-131`).
+    */
+  def unsignedCheck(schema: String, table: String, col: String,
+      dataType: String): Seq[String] =
+    unsignedCheckExpr(col, dataType).toSeq.flatMap { expr =>
+      val name = truncateIdentifier(s"ck_${table}_${col}_unsigned")
+      val qt = s"${pgIdent(schema)}.${pgIdent(table)}"
+      Seq(
+        s"ALTER TABLE $qt ADD CONSTRAINT ${pgIdent(name)} " +
+          s"CHECK ($expr) NOT VALID",
+        s"ALTER TABLE $qt VALIDATE CONSTRAINT ${pgIdent(name)}")
+    }
+
+  /** Trigger function + BEFORE UPDATE trigger replicating MySQL
+    * `on update CURRENT_TIMESTAMP` (reference `post.go:436-472`).
+    */
+  def onUpdateTrigger(schema: String, table: String,
+      col: String): Seq[String] = {
+    val fn = truncateIdentifier(s"set_$col")
+    val trg = truncateIdentifier(s"trg_${table}_$col")
+    val qs = pgIdent(schema)
+    Seq(
+      s"CREATE OR REPLACE FUNCTION $qs.${pgIdent(fn)}() RETURNS TRIGGER " +
+        s"AS $$fn$$ BEGIN NEW.${pgIdent(col)} = CURRENT_TIMESTAMP; " +
+        s"RETURN NEW; END; $$fn$$ LANGUAGE plpgsql",
+      s"CREATE TRIGGER ${pgIdent(trg)} BEFORE UPDATE ON " +
+        s"$qs.${pgIdent(table)} FOR EACH ROW EXECUTE FUNCTION " +
+        s"$qs.${pgIdent(fn)}()")
   }
 
   /** F17 — per-dialect DEFAULT-expression rewrite (reference

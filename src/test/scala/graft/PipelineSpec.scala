@@ -109,11 +109,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(report.validationMismatches.isEmpty)
   }
 
-  test("schema_only stops after DDL; data_only skips DDL") {
+  test("schema_only runs constraint DDL but no data/orphans/SET LOGGED; " +
+      "data_only skips DDL") {
     val rec1 = new Recorder
     new MigrationPipeline(JobConfig(schemaOnly = true), rec1, NoopLoader)
-      .migrate(Seq(users))
-    assert(rec1.stmts.forall(_.startsWith("CREATE UNLOGGED TABLE")))
+      .migrate(Seq(users, posts))
+    // unlogged forced off in split modes (main.go:129-132); post phase
+    // still attaches PK/indexes/FKs (post.go:35-70)
+    assert(rec1.stmts.exists(_.startsWith("CREATE TABLE")))
+    assert(!rec1.stmts.exists(_.contains("UNLOGGED")))
+    assert(!rec1.stmts.exists(_.contains("SET LOGGED")))
+    assert(rec1.stmts.exists(_.contains("ADD PRIMARY KEY")))
+    assert(rec1.stmts.exists(_.contains("ADD CONSTRAINT")))
+    assert(!rec1.stmts.exists(_.startsWith("DELETE FROM"))) // no orphan pass
     val rec2 = new Recorder
     new MigrationPipeline(JobConfig(dataOnly = true), rec2, NoopLoader)
       .migrate(Seq(users))
@@ -124,6 +132,90 @@ class PipelineSpec extends AnyFunSuite {
     assert(disable >= 0 && enable > disable)
     assert(!rec2.stmts.exists(_.contains("ADD PRIMARY KEY")))
     assert(rec2.stmts.exists(_.contains("setval"))) // sequences still reset
+  }
+
+  test("extensions ensured before any table DDL (main.go:259-264)") {
+    val rec = new Recorder
+    new MigrationPipeline(JobConfig(), rec, NoopLoader)
+      .migrate(Seq(users), requiredExtensions = Seq("citext", "postgis"))
+    val ext = rec.stmts.indexWhere(
+      _ == "CREATE EXTENSION IF NOT EXISTS \"citext\"")
+    val createT = rec.stmts.indexWhere(_.startsWith("CREATE UNLOGGED TABLE"))
+    assert(ext >= 0 && createT > ext)
+  }
+
+  test("data_only: triggers disabled before before_data hooks and " +
+      "re-enabled on load failure (main.go:350-402)") {
+    val rec = new Recorder
+    val boom = new TableLoader {
+      def load(t: TableMeta): Long = sys.error("copy failed")
+      def sourceCount(t: TableMeta): Long = 0L
+      def targetCount(t: TableMeta): Long = 0L
+    }
+    val hooks = Map("before_data" -> "SET search_path TO {{schema}};")
+    val e = intercept[RuntimeException] {
+      new MigrationPipeline(JobConfig(dataOnly = true), rec, boom, hooks)
+        .migrate(Seq(users))
+    }
+    assert(e.getMessage == "copy failed")
+    val disable = rec.stmts.indexWhere(_.contains("DISABLE TRIGGER ALL"))
+    val hook = rec.stmts.indexWhere(_.contains("SET search_path"))
+    val enable = rec.stmts.indexWhere(_.contains("ENABLE TRIGGER ALL"))
+    // reference ordering: disable → before_data hooks → (load fails) →
+    // deferred re-enable still runs
+    assert(disable >= 0 && hook > disable && enable > hook)
+  }
+
+  test("orphan-cleanup SQL precedes FK attachment; SET NULL rule " +
+      "nullifies (post.go:57-66,505-529)") {
+    val rec = new Recorder
+    new MigrationPipeline(JobConfig(), rec, NoopLoader)
+      .migrate(Seq(users, posts))
+    val orphan = rec.stmts.indexWhere(_.startsWith("DELETE FROM"))
+    val fk = rec.stmts.indexWhere(_.contains("ADD CONSTRAINT"))
+    assert(orphan >= 0 && fk > orphan)
+    assert(rec.stmts(orphan).contains("c.\"user_id\" IS NOT NULL"))
+    assert(rec.stmts(orphan).contains(
+      "NOT EXISTS (SELECT 1 FROM \"public\".\"users\" p"))
+    // SET NULL delete rule → UPDATE, not DELETE
+    val setNullFk = posts.copy(foreignKeys = Seq(
+      posts.foreignKeys.head.copy(onDelete = "SET NULL")))
+    val rec2 = new Recorder
+    new MigrationPipeline(JobConfig(), rec2, NoopLoader)
+      .migrate(Seq(users, setNullFk))
+    assert(rec2.stmts.exists(s =>
+      s.startsWith("UPDATE") && s.contains("SET \"user_id\" = NULL")))
+    // opt-out mirrors clean_orphans=false
+    val rec3 = new Recorder
+    new MigrationPipeline(JobConfig(cleanOrphans = false), rec3, NoopLoader)
+      .migrate(Seq(users, posts))
+    assert(!rec3.stmts.exists(_.startsWith("DELETE FROM")))
+  }
+
+  test("unsigned checks and on-update triggers are opt-in post steps " +
+      "(post.go:102-158,436-472)") {
+    val t = TableMeta("m",
+      Seq(("id", "bigint", false, None), ("cnt", "bigint", false, None),
+        ("updated", "timestamptz", true, None)),
+      primaryKey = Some(IndexMeta("pk_m", Seq("id"), isPrimary = true)),
+      unsignedColumns = Seq(("cnt", "int")),
+      onUpdateColumns = Seq("updated"))
+    val off = new Recorder
+    new MigrationPipeline(JobConfig(), off, NoopLoader).migrate(Seq(t))
+    assert(!off.stmts.exists(_.contains("CHECK")))
+    assert(!off.stmts.exists(_.contains("TRIGGER")))
+    val on = new Recorder
+    new MigrationPipeline(JobConfig(addUnsignedChecks = true,
+      replicateOnUpdateCurrentTimestamp = true), on, NoopLoader)
+      .migrate(Seq(t))
+    val add = on.stmts.indexWhere(_.contains(
+      "CHECK (\"cnt\" >= 0 AND \"cnt\" <= 4294967295) NOT VALID"))
+    val validate = on.stmts.indexWhere(_.contains("VALIDATE CONSTRAINT"))
+    assert(add >= 0 && validate > add)
+    assert(on.stmts.exists(_.startsWith(
+      "CREATE OR REPLACE FUNCTION \"public\".\"set_updated\"()")))
+    assert(on.stmts.exists(_.startsWith(
+      "CREATE TRIGGER \"trg_m_updated\" BEFORE UPDATE")))
   }
 
   test("validation reports mismatched counts") {
