@@ -23,7 +23,8 @@ final class CheckpointManager(
     path: Path,
     fingerprint: String,
     flushEvery: Int = 10,
-    flushMillis: Long = 5000L) {
+    flushMillis: Long = 5000L,
+    compatParts: Seq[(String, String)] = Nil) {
 
   import CheckpointManager.{ChunkResult, TableState}
 
@@ -75,7 +76,8 @@ final class CheckpointManager(
   def flush(): Unit = lock.synchronized { flushLocked() }
 
   private def flushLocked(): Unit = {
-    val json = CheckpointManager.toJson(fingerprint, startedAt, tables)
+    val json =
+      CheckpointManager.toJson(fingerprint, compatParts, startedAt, tables)
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
     Files.createDirectories(path.toAbsolutePath.getParent)
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -102,9 +104,11 @@ object CheckpointManager {
     * (reference `checkpoint_compat.go:410-472` compat diff → abort) and
     * an unsupported version (`checkpoint.go:68-72`).
     */
-  def load(pathStr: String, expectedFingerprint: String): CheckpointManager = {
+  def load(pathStr: String, expectedFingerprint: String,
+      parts: Seq[(String, String)] = Nil): CheckpointManager = {
     val path = Paths.get(pathStr)
-    val mgr = new CheckpointManager(path, expectedFingerprint)
+    val mgr = new CheckpointManager(path, expectedFingerprint,
+      compatParts = parts)
     if (Files.exists(path)) {
       val doc = Json.parse(
         new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
@@ -115,15 +119,27 @@ object CheckpointManager {
           s"unsupported checkpoint version ${v.getOrElse("<none>")} " +
             s"(expected 1 or $Version)")
       }
-      val fp = obj.get("compatibility") match {
-        case Some(c: Map[String @unchecked, Any @unchecked]) =>
-          c.getOrElse("fingerprint", "").toString
-        case _ => ""
+      val compat = obj.get("compatibility") match {
+        case Some(c: Map[String @unchecked, Any @unchecked]) => c
+        case _ => Map.empty[String, Any]
       }
-      require(fp == expectedFingerprint,
-        s"checkpoint fingerprint mismatch: saved=$fp " +
-          s"current=$expectedFingerprint — config/schema changed since " +
-          "the checkpoint was written; refusing to resume")
+      val fp = compat.getOrElse("fingerprint", "").toString
+      if (fp != expectedFingerprint) {
+        // structured diff of the saved vs current compatibility parts
+        // (reference checkpoint_compat.go:240-332 reason list)
+        val saved = compat.get("parts") match {
+          case Some(p: Map[String @unchecked, Any @unchecked]) =>
+            p.view.mapValues(_.toString).toMap
+          case _ => Map.empty[String, String]
+        }
+        val reasons = compatDiff(saved, parts.toMap)
+        val detail =
+          if (reasons.nonEmpty) reasons.mkString("; ")
+          else s"saved=$fp current=$expectedFingerprint"
+        throw new IllegalArgumentException(
+          s"checkpoint incompatible with current job ($detail) — " +
+            "refusing to resume")
+      }
       obj.get("tables") match {
         case Some(ts: Map[String @unchecked, Any @unchecked]) =>
           ts.foreach { case (name, v) =>
@@ -166,7 +182,24 @@ object CheckpointManager {
     case c => c.toString
   } + "\""
 
-  private[checkpoint] def toJson(fp: String, startedAt: String,
+  /** Sorted human-readable reasons why two compat part maps differ
+    * (reference `checkpoint_compat.go:240-332`).
+    */
+  private[checkpoint] def compatDiff(saved: Map[String, String],
+      current: Map[String, String]): Seq[String] = {
+    if (saved.isEmpty || current.isEmpty) return Nil
+    val changed = for {
+      (k, v) <- saved.toSeq; cv <- current.get(k) if cv != v
+    } yield s"$k changed: was '$v', now '$cv'"
+    val removed = saved.keySet.diff(current.keySet).toSeq
+      .map(k => s"$k removed")
+    val added = current.keySet.diff(saved.keySet).toSeq
+      .map(k => s"$k added")
+    (changed ++ removed ++ added).sorted
+  }
+
+  private[checkpoint] def toJson(fp: String, parts: Seq[(String, String)],
+      startedAt: String,
       tables: mutable.Map[String, TableState]): String = {
     val tbl = tables.toSeq.sortBy(_._1).map { case (name, ts) =>
       val chunks = ts.chunks.toSeq.sortBy(_._1).map { case (id, r) =>
@@ -179,8 +212,11 @@ object CheckpointManager {
         s""""full_table_done": ${ts.fullTableDone}, """ +
         s""""total_rows_copied": ${ts.totalRowsCopied}}"""
     }.mkString("{", ", ", "}")
+    val partsJson = parts.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
     s"""{"version": $Version, "started_at": ${q(startedAt)}, """ +
-      s""""compatibility": {"fingerprint": ${q(fp)}}, "tables": $tbl}"""
+      s""""compatibility": {"fingerprint": ${q(fp)}, """ +
+      s""""parts": $partsJson}, "tables": $tbl}"""
   }
 
   /** Minimal recursive-descent JSON reader (objects → `Map[String, Any]`,

@@ -63,12 +63,38 @@ trait SourceDialect {
     */
   def scanSql(table: String, cols: Seq[String]): String =
     s"SELECT ${cols.map(quote).mkString(", ")} FROM ${quote(table)}"
+
+  /** Normalize a JDBC URL with the connection options the reference
+    * forces on its DSNs (UTC, parsed timestamps, read-only where the
+    * engine demands it). Idempotent: present options are not duplicated.
+    */
+  def normalizeUrl(url: String): String = url
+
+  /** Append query params that aren't already present. */
+  protected final def withParams(url: String,
+      params: Seq[(String, String)]): String =
+    params.foldLeft(url) { case (u, (k, v)) =>
+      if (u.contains(s"$k=")) u
+      else u + (if (u.contains("?")) "&" else "?") + s"$k=$v"
+    }
 }
 
 /** MySQL / MariaDB (reference `source_mysql.go:524-643`). */
 object MySqlDialect extends SourceDialect {
   val name = "mysql"
   def quote(i: String): String = "`" + i.replace("`", "``") + "`"
+
+  /** JDBC analog of the reference's DSN normalization
+    * (`source_mysql.go:52-70`): UTC session timezone (the reference sets
+    * `Loc = time.UTC`), timestamps parsed as temporal types
+    * (`ParseTime = true`), utf8mb4 charset unless the URL already picks
+    * one.
+    */
+  override def normalizeUrl(url: String): String =
+    withParams(url, Seq(
+      "connectionTimeZone" -> "UTC",
+      "forceConnectionTimeZoneToSession" -> "true",
+      "characterEncoding" -> "utf8mb4"))
 
   def mapType(c: SourceColumn, o: TypeOptions): Option[MappedType] = {
     val dt = c.dataType.toLowerCase
@@ -131,6 +157,13 @@ object SqliteDialect extends SourceDialect {
   val name = "sqlite"
   def quote(i: String): String = "\"" + i.replace("\"", "\"\"") + "\""
   override def maxWorkers(requested: Int): Int = 1
+
+  /** The reference forces `mode=ro` on the SQLite DSN
+    * (`source_sqlite.go:37-48`) — the JDBC equivalent is
+    * `open_mode=1` (SQLITE_OPEN_READONLY).
+    */
+  override def normalizeUrl(url: String): String =
+    withParams(url, Seq("open_mode" -> "1"))
 
   def mapType(c: SourceColumn, o: TypeOptions): Option[MappedType] = {
     val t = c.dataType.toUpperCase

@@ -60,12 +60,15 @@ object JdbcSource {
       workers: Int = 8): DataFrame = {
     val props = new java.util.Properties()
     spec.props.foreach { case (k, v) => props.setProperty(k, v) }
+    // dialect-forced connection options (UTC, read-only, …) — the JDBC
+    // analog of the reference's DSN normalization
+    val url = dialect.normalizeUrl(spec.url)
     val preds = spec.keyColumn
       .map(k => partitionPredicates(dialect, k, bounds, chunkSize, workers))
       .getOrElse(Array.empty)
     if (preds.isEmpty)
-      spark.read.jdbc(spec.url, dialect.quote(spec.table), props)
+      spark.read.jdbc(url, dialect.quote(spec.table), props)
     else
-      spark.read.jdbc(spec.url, dialect.quote(spec.table), preds, props)
+      spark.read.jdbc(url, dialect.quote(spec.table), preds, props)
   }
 }

@@ -105,6 +105,23 @@ class MigrationCoreSpec extends AnyFunSuite {
     assert(MySqlDialect.maxWorkers(8) == 8)
   }
 
+  test("jdbc url normalization (source_mysql.go:52-70, " +
+      "source_sqlite.go:37-48)") {
+    val m = MySqlDialect.normalizeUrl("jdbc:mysql://h:3306/db")
+    assert(m.contains("connectionTimeZone=UTC"))
+    assert(m.contains("characterEncoding=utf8mb4"))
+    // idempotent + existing params respected
+    val m2 = MySqlDialect.normalizeUrl(
+      "jdbc:mysql://h/db?characterEncoding=latin1")
+    assert(m2.contains("characterEncoding=latin1") &&
+      !m2.contains("utf8mb4"))
+    assert(MySqlDialect.normalizeUrl(m) == m)
+    assert(SqliteDialect.normalizeUrl("jdbc:sqlite:/tmp/x.db")
+      .endsWith("?open_mode=1"))
+    assert(MssqlDialect.normalizeUrl("jdbc:sqlserver://h;db=x") ==
+      "jdbc:sqlserver://h;db=x")
+  }
+
   test("scan SQL quotes identifiers per dialect, never SELECT *") {
     assert(MySqlDialect.scanSql("t", Seq("a", "b")) ==
       "SELECT `a`, `b` FROM `t`")
@@ -227,6 +244,29 @@ class MigrationCoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CheckpointManager.load(path, fp)
     }
+  }
+
+  test("checkpoint compat rejection reports a structured diff " +
+      "(checkpoint_compat.go:240-332)") {
+    val dir = Files.createTempDirectory("graft_ckpt3")
+    val path = dir.resolve("state.json").toString
+    val parts1 = Seq("mode" -> "parallel", "chunk_size" -> "100000",
+      "hook.before_data" -> "sha:aaa")
+    val mgr = CheckpointManager.load(path, CheckpointManager
+      .fingerprint(parts1), parts1)
+    mgr.markDone("t", 0)
+    mgr.flush()
+    val parts2 = Seq("mode" -> "single_tx", "chunk_size" -> "100000",
+      "hook.after_all" -> "sha:bbb")
+    val e = intercept[IllegalArgumentException] {
+      CheckpointManager.load(path,
+        CheckpointManager.fingerprint(parts2), parts2)
+    }
+    assert(e.getMessage.contains("mode changed: was 'parallel', " +
+      "now 'single_tx'"))
+    assert(e.getMessage.contains("hook.before_data removed"))
+    assert(e.getMessage.contains("hook.after_all added"))
+    assert(!e.getMessage.contains("chunk_size"))
   }
 
   test("fingerprint is order-insensitive over parts") {
