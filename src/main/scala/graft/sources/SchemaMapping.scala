@@ -117,4 +117,54 @@ object SchemaMapping {
 
   /** F15 — PG identifier quoting (`schema.go:37-39`). */
   def pgIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+
+  /** Target-side identifier: snake_case (default) or lowercased
+    * (reference `schema.go` / `source_mysql.go:30-35`).
+    */
+  def pgName(source: String, snake: Boolean): String =
+    if (snake) snakeCase(source) else source.toLowerCase
+
+  /** Bridge from the introspected IR to the pipeline's [[TableMeta]]:
+    * resolves PG types through the dialect matrix, maps identifiers and
+    * DEFAULT expressions, and records the unsigned / on-update-timestamp
+    * columns the optional post steps need (reference model assembly in
+    * `main.go:183-189` + `post.go:102-158,436-472` eligibility).
+    */
+  def toTableMeta(
+      dialect: SourceDialect,
+      table: graft.SourceTable,
+      fks: Seq[ForeignKeyMeta],
+      opts: TypeOptions,
+      snake: Boolean = true): TableMeta = {
+    def ident(c: String) = pgName(c, snake)
+    val cols = table.columns.map { c =>
+      val mapped = dialect.resolve(c, opts)
+      (ident(c.name), mapped.pg, c.nullable,
+        c.default.flatMap(d => DdlGenerator.mapDefault(dialect.name, d)))
+    }
+    val unsigned = table.columns.collect {
+      case c if c.columnType.toLowerCase.contains("unsigned") &&
+        !(c.columnType.toLowerCase.startsWith("tinyint(1)") &&
+          opts.tinyint1AsBoolean) =>
+        (ident(c.name), c.dataType.toLowerCase)
+    }
+    val onUpdate = table.columns.collect {
+      case c if c.extra.toLowerCase.contains(
+        "on update current_timestamp") => ident(c.name)
+    }
+    def mapIx(ix: IndexMeta) =
+      ix.copy(name = ident(ix.name), columns = ix.columns.map(ident))
+    TableMeta(
+      name = ident(table.name),
+      columns = cols,
+      primaryKey = table.indexes.find(_.isPrimary).map(mapIx),
+      indexes = table.indexes.filterNot(_.isPrimary).map(mapIx),
+      foreignKeys = fks.map(fk => fk.copy(
+        name = ident(fk.name),
+        columns = fk.columns.map(ident),
+        refTable = ident(fk.refTable),
+        refColumns = fk.refColumns.map(ident))),
+      unsignedColumns = unsigned,
+      onUpdateColumns = onUpdate)
+  }
 }

@@ -122,6 +122,34 @@ class MigrationCoreSpec extends AnyFunSuite {
       "jdbc:sqlserver://h;db=x")
   }
 
+  test("SourceTable → TableMeta bridge: types, identifiers, defaults, " +
+      "unsigned + on-update detection") {
+    val st = graft.SourceTable("UserEvents", Seq(
+      SourceColumn("eventID", "bigint", "bigint", nullable = false),
+      SourceColumn("clickCount", "int", "int unsigned"),
+      SourceColumn("isActive", "tinyint", "tinyint(1)"),
+      SourceColumn("updatedAt", "timestamp", "timestamp",
+        default = Some("CURRENT_TIMESTAMP"),
+        extra = "DEFAULT_GENERATED on update CURRENT_TIMESTAMP")),
+      indexes = Seq(
+        IndexMeta("pk", Seq("eventID"), isPrimary = true),
+        IndexMeta("ixClick", Seq("clickCount"))))
+    val fks = Seq(ForeignKeyMeta("fkUser", Seq("eventID"), "Users",
+      Seq("id")))
+    val t = SchemaMapping.toTableMeta(MySqlDialect, st, fks, TypeOptions())
+    assert(t.name == "user_events")
+    assert(t.columns.head == ("event_id", "bigint", false, None))
+    assert(t.columns(1)._2 == "bigint") // int unsigned widened
+    assert(t.columns(2)._2 == "boolean") // tinyint(1)
+    assert(t.columns(3)._4 == Some("CURRENT_TIMESTAMP"))
+    assert(t.primaryKey.exists(_.columns == Seq("event_id")))
+    assert(t.indexes.map(_.name) == Seq("ix_click"))
+    assert(t.foreignKeys.head.refTable == "users")
+    // tinyint(1)→boolean excluded from unsigned checks; int unsigned in
+    assert(t.unsignedColumns == Seq(("click_count", "int")))
+    assert(t.onUpdateColumns == Seq("updated_at"))
+  }
+
   test("scan SQL quotes identifiers per dialect, never SELECT *") {
     assert(MySqlDialect.scanSql("t", Seq("a", "b")) ==
       "SELECT `a`, `b` FROM `t`")
