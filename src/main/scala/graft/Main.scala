@@ -1,0 +1,201 @@
+package graft
+
+import graft.config.JobConfig
+import graft.sources._
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path, Paths}
+
+/** CLI entry point mirroring the reference's single-binary surface
+  * (`main.go:20-65` cobra commands):
+  *
+  *  - `graft.Main migrate migration.toml` — full pipeline: introspect →
+  *    DDL → chunk-parallel load → validate → post phase.
+  *  - `graft.Main plan migration.toml [--json]` — dry-run analyzer,
+  *    never touches the target (reference `plan.go`).
+  *  - `graft.Main wizard [...]` — non-interactive config generator
+  *    (delegates to [[Wizard]]).
+  *
+  * Live introspection is wired for MySQL (the reference's primary
+  * source); SQLite/MSSQL run through the same library APIs
+  * ([[sources.Introspection]] catalog SQL + [[sources.SchemaMapping]]
+  * assembly) but aren't exposed on this CLI yet.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "migrate" :: cfgPath :: Nil => runMigrate(Paths.get(cfgPath))
+    case "plan" :: cfgPath :: rest =>
+      runPlan(Paths.get(cfgPath), json = rest.contains("--json"))
+    case "wizard" :: rest => Wizard.main(rest.toArray)
+    case cfgPath :: Nil if Files.exists(Paths.get(cfgPath)) =>
+      runMigrate(Paths.get(cfgPath)) // bare-path dispatch (main.go:74-82)
+    case _ =>
+      System.err.println(
+        "usage: graft.Main (migrate|plan) migration.toml | graft.Main wizard")
+      sys.exit(2)
+  }
+
+  /** Config + hook files (hook paths resolve relative to the config's
+    * directory, reference `hooks.go:14-38`).
+    */
+  def loadJob(cfgPath: Path): (JobConfig, Map[String, String]) = {
+    val cfg = JobConfig.fromToml(Files.readString(cfgPath))
+    val dir = Option(cfgPath.toAbsolutePath.getParent)
+      .getOrElse(Paths.get("."))
+    val hookSql = cfg.hooks.flatMap { case (phase, paths) =>
+      val sql = paths.map(p => Files.readString(dir.resolve(p)))
+        .mkString("\n")
+      if (sql.trim.isEmpty) None else Some(phase -> sql)
+    }
+    (cfg, hookSql)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        math.min(cpus.toInt, 16).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** Introspect the live source into TableMetas (MySQL CLI path). */
+  def introspect(spark: SparkSession, cfg: JobConfig)
+      : (Seq[SourceTable], Seq[TableMeta]) = {
+    require(cfg.sourceDialect == "mysql",
+      s"CLI introspection supports mysql; '${cfg.sourceDialect}' is " +
+        "available through the library API (sources.Introspection)")
+    val dialect = SourceDialect(cfg.sourceDialect)
+    val url = dialect.normalizeUrl(cfg.sourceUrl)
+    val dbName = url.split('/').last.takeWhile(_ != '?')
+    def catalog(sql: String) =
+      spark.read.format("jdbc").option("url", url)
+        .option("query", sql).load()
+    val (sts, fks) = Introspection.assembleMySql(
+      catalog(Introspection.MySql.columnsSql(dbName)),
+      catalog(Introspection.MySql.indexesSql(dbName)),
+      catalog(Introspection.MySql.foreignKeysSql(dbName)))
+    val metas = sts.map(st => SchemaMapping.toTableMeta(dialect, st,
+      fks.getOrElse(st.name, Nil), cfg.typeOptions,
+      snake = cfg.snakeCaseIdentifiers))
+    (sts, metas)
+  }
+
+  def runPlan(cfgPath: Path, json: Boolean = false): Unit = {
+    val (cfg, _) = loadJob(cfgPath)
+    val spark = session()
+    try {
+      val (sts, _) = introspect(spark, cfg)
+      val report = PlanReport.build(cfg, sts)
+      println(if (json) report.renderJson else report.renderText)
+    } finally spark.stop()
+  }
+
+  def runMigrate(cfgPath: Path): Unit = {
+    val (cfg, hookSql) = loadJob(cfgPath)
+    val spark = session()
+    try {
+      val (sts, metas) = introspect(spark, cfg)
+      val report = PlanReport.build(cfg, sts)
+      require(report.unsupportedColumns.isEmpty,
+        "unsupported columns (set types.unknown_as_text to map to " +
+          s"text): ${report.unsupportedColumns.mkString(", ")}")
+      val exec = new JdbcExecutor(cfg.targetUrl)
+      val loader = new SparkTableLoader(spark, cfg, sts)
+      val pipeline = new MigrationPipeline(cfg, exec, loader, hookSql)
+      val result = pipeline.migrate(metas,
+        requiredExtensions = report.requiredExtensions)
+      println(s"migrated ${result.tablesCreated.size} tables, " +
+        s"${result.rowsLoaded.values.sum} rows, " +
+        s"${result.statementsExecuted} statements")
+      if (result.validationMismatches.nonEmpty) {
+        System.err.println(
+          s"VALIDATION MISMATCHES: ${result.validationMismatches}")
+        sys.exit(1)
+      }
+    } finally spark.stop()
+  }
+}
+
+/** Target-side executor over a plain JDBC connection (one connection,
+  * driver-side DDL — the reference uses a pgx pool the same way).
+  */
+final class JdbcExecutor(url: String) extends SqlExecutor {
+  private lazy val conn = java.sql.DriverManager.getConnection(url)
+  def execute(sql: String): Unit = {
+    val st = conn.createStatement()
+    try st.execute(sql) finally st.close()
+  }
+}
+
+/** Spark-powered load path: chunk-parallel JDBC read of each table
+  * (MIN/MAX planning + predicate partitions), per-partition batched
+  * writes to the target (reference `migrate.go:44-147` worker fan-out
+  * as Spark tasks).
+  */
+final class SparkTableLoader(
+    spark: SparkSession, cfg: JobConfig,
+    sourceTables: Seq[SourceTable]) extends TableLoader {
+
+  private val dialect = SourceDialect(cfg.sourceDialect)
+  private val srcUrl = dialect.normalizeUrl(cfg.sourceUrl)
+  private val bySource: Map[String, SourceTable] =
+    sourceTables.map(st => SchemaMapping.pgName(st.name,
+      cfg.snakeCaseIdentifiers) -> st).toMap
+
+  private def chunkKey(st: SourceTable): Option[String] =
+    st.indexes.find(_.isPrimary).map(_.columns).collect {
+      case Seq(single) => st.columns.find(_.name == single)
+    }.flatten.collect {
+      // single-column signed-integer PK only (chunk.go:96-150)
+      case c if Set("tinyint", "smallint", "mediumint", "int",
+        "integer", "bigint")(c.dataType.toLowerCase) &&
+        !c.columnType.toLowerCase.contains("unsigned") => c.name
+    }
+
+  private def scalarLong(sql: String): Option[(Long, Long)] = {
+    val df = spark.read.format("jdbc").option("url", srcUrl)
+      .option("query", sql).load().collect()
+    df.headOption.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some((r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  def load(table: TableMeta): Long = {
+    val st = bySource(table.name)
+    val key = chunkKey(st)
+    val bounds = key.flatMap(k =>
+      scalarLong(JdbcSource.planningSql(dialect, st.name, k)))
+    val df = JdbcSource.read(spark, dialect,
+      JdbcSource.ReadSpec(cfg.sourceUrl, st.name, key),
+      bounds, cfg.chunkSize, cfg.workers)
+    val targetUrl = cfg.targetUrl
+    val sql = CopySink.insertSql(cfg.targetSchema, table.name,
+      df.columns.toSeq)
+    // single source pass: each partition writes its rows and yields its
+    // count (reference migrate.go:448-473 running counter)
+    df.mapPartitions { it =>
+      Iterator.single(CopySink.writePartition(it,
+        () => java.sql.DriverManager.getConnection(targetUrl), sql, 1000))
+    }(org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sum
+  }
+
+  private def count(url: String, qualified: String): Long =
+    spark.read.format("jdbc").option("url", url)
+      .option("query", s"SELECT COUNT(*) AS n FROM $qualified")
+      .load().collect().head.getLong(0)
+
+  def sourceCount(table: TableMeta): Long =
+    count(srcUrl, dialect.quote(bySource(table.name).name))
+
+  def targetCount(table: TableMeta): Long =
+    count(cfg.targetUrl, SchemaMapping.pgIdent(cfg.targetSchema) + "." +
+      SchemaMapping.pgIdent(table.name))
+}

@@ -229,6 +229,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(report.validationMismatches == Map("users" -> ((10L, 9L))))
   }
 
+  test("CLI loadJob: hook files resolve relative to the config dir " +
+      "(hooks.go:14-38)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli")
+    java.nio.file.Files.writeString(dir.resolve("pre.sql"),
+      "SET search_path TO {{schema}};")
+    java.nio.file.Files.writeString(dir.resolve("post.sql"), "ANALYZE;")
+    val cfgPath = dir.resolve("migration.toml")
+    java.nio.file.Files.writeString(cfgPath,
+      """mode = "parallel"
+        |[source]
+        |dialect = "mysql"
+        |url = "jdbc:mysql://h/db"
+        |[hooks]
+        |before_data = ["pre.sql"]
+        |after_all = ["post.sql"]
+        |""".stripMargin)
+    val (cfg, hookSql) = Main.loadJob(cfgPath)
+    assert(cfg.sourceDialect == "mysql" && cfg.mode == "parallel")
+    assert(hookSql("before_data").contains("SET search_path"))
+    assert(hookSql("after_all").contains("ANALYZE"))
+  }
+
   test("orphan cleanup: anti-join with MATCH SIMPLE null guard") {
     val spark = SparkTestSession.spark
     import spark.implicits._
