@@ -169,17 +169,19 @@ object TextAnalysis {
 
   // Rolling-hash document fingerprint: polynomial hash over codepoints,
   // h := (h*31 + cp) mod 1e9+7 — the incremental-hash shape a
-  // Rabin-Karp chunker builds on, expressed as a sequential fold so both
-  // engines evaluate the identical arithmetic (mod keeps every
-  // intermediate < 2^63; no overflow divergence).
+  // Rabin-Karp chunker builds on. Runs as the native codegen'd
+  // graft_rolling_hash expression (plans.RollingHash), not an
+  // interpreted aggregate() lambda; mod keeps every intermediate
+  // < 2^63 so both engines evaluate identical arithmetic.
   val q48RollingHash: QueryDef = QueryDef(
     "q48_rolling_hash",
-    (s, dir) =>
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), expr(
-          "aggregate(filter(split(text, ''), c -> c <> ''), 0L, " +
-            "(h, c) -> (h * 31 + ascii(c)) % 1000000007)").as("rh"))
-        .orderBy("doc_id"),
+        .select(col("doc_id"),
+          graft.functions.VectorOps.rollingHash(col("text")).as("rh"))
+        .orderBy("doc_id")
+    },
     Some("""SELECT doc_id,
            |  list_reduce(list_prepend(CAST(0 AS BIGINT),
            |    list_transform(regexp_split_to_array(text, ''),

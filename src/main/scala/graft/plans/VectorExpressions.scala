@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector-similarity hot path
   * (SURVEY.md §2 custom-operator ladder, step (b): a custom `Expression`
@@ -86,4 +87,44 @@ case class L2Norm(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): L2Norm = copy(child = newChild)
+}
+
+/** Polynomial rolling hash over a string's code points:
+  * `h := (h*31 + cp) mod 1e9+7` — the incremental-hash primitive a
+  * Rabin-Karp content chunker builds on. Replaces the
+  * `aggregate(split(text,''), …)` higher-order-function formulation
+  * (per-character interpreted lambda dispatch + a char-array
+  * materialization per row) with one fused loop; also correct for
+  * astral-plane text, where `split('')` yields UTF-16 halves.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    RollingHash.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.RollingHash.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingHash = copy(child = newChild)
+}
+
+object RollingHash {
+  final val Mod = 1000000007L
+
+  /** Static helper shared by eval and generated code. */
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
 }

@@ -37,4 +37,22 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val r = df.select(VectorOps.dot(col("a"), col("b"))).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("rolling hash: fold parity, codepoints, null, empty") {
+    VectorOps.register(spark)
+    def ref(s: String): Long = {
+      var h = 0L
+      s.codePoints().toArray.foreach(cp => h = (h * 31 + cp) % 1000000007L)
+      h
+    }
+    val inputs = Seq("", "a", "hello world", "it's ~ §ümlaut",
+      "astral 😀 pair") // 😀 = U+1F600
+    val df = inputs.toDF("s")
+    val got = df.select(VectorOps.rollingHash(col("s")).as("rh"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == inputs.map(ref))
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(VectorOps.rollingHash(col("s"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
