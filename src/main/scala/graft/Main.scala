@@ -25,7 +25,9 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "migrate" :: cfgPath :: Nil => runMigrate(Paths.get(cfgPath))
     case "plan" :: cfgPath :: rest =>
-      runPlan(Paths.get(cfgPath), json = rest.contains("--json"))
+      val hooksDir = rest.dropWhile(_ != "--hooks-dir").drop(1)
+        .headOption.map(Paths.get(_))
+      runPlan(Paths.get(cfgPath), json = rest.contains("--json"), hooksDir)
     case "wizard" :: rest => Wizard.main(rest.toArray)
     case cfgPath :: Nil if Files.exists(Paths.get(cfgPath)) =>
       runMigrate(Paths.get(cfgPath)) // bare-path dispatch (main.go:74-82)
@@ -86,13 +88,21 @@ object Main {
     (sts, metas)
   }
 
-  def runPlan(cfgPath: Path, json: Boolean = false): Unit = {
+  def runPlan(cfgPath: Path, json: Boolean = false,
+      hooksDir: Option[Path] = None): Unit = {
     val (cfg, _) = loadJob(cfgPath)
     val spark = session()
     try {
       val (sts, _) = introspect(spark, cfg)
       val report = PlanReport.build(cfg, sts)
       println(if (json) report.renderJson else report.renderText)
+      // optional TODO-skeleton hook files (reference plan.go:362-495)
+      hooksDir.foreach { dir =>
+        Files.createDirectories(dir)
+        report.hookSkeletons.foreach { case (name, body) =>
+          Files.writeString(dir.resolve(name), body)
+        }
+      }
     } finally spark.stop()
   }
 

@@ -22,7 +22,7 @@ final case class PlanReport(
     tables: Seq[String],
     requiredExtensions: Seq[String],
     unsupportedColumns: Seq[(String, String, String)], // (table, col, type)
-    generatedColumns: Seq[(String, String)],
+    generatedColumns: Seq[(String, String, String)], // (table, col, source expr)
     skippedIndexes: Seq[(String, String, String)],     // (table, index, reason)
     collationWarnings: Seq[CollationCompat.CollationWarning],
     chunkableTables: Seq[String]) {
@@ -40,7 +40,8 @@ final case class PlanReport(
     }
     if (generatedColumns.nonEmpty) {
       sb.append("Generated columns (recreate manually):\n")
-      generatedColumns.foreach { case (t, c) => sb.append(s"  - $t.$c\n") }
+      generatedColumns.foreach { case (t, c, _) =>
+        sb.append(s"  - $t.$c\n") }
     }
     if (skippedIndexes.nonEmpty) {
       sb.append("Skipped indexes:\n")
@@ -56,6 +57,46 @@ final case class PlanReport(
     sb.toString
   }
 
+  /** TODO-commented hook-file skeletons for the manual follow-ups the
+    * plan surfaces (reference `plan.go:362-495`): after_data for
+    * generated-column expressions, after_all for skipped indexes. Files
+    * use the `{{schema}}` template the hook runner substitutes.
+    */
+  def hookSkeletons: Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    if (generatedColumns.nonEmpty) {
+      val sb = new StringBuilder
+      sb.append("-- after_data hook: generated column expressions\n")
+      sb.append("-- These columns were materialized as plain data " +
+        "during migration.\n--\n-- Schema: {{schema}}\n\n")
+      generatedColumns.groupBy(_._1).toSeq.sortBy(_._1)
+        .foreach { case (table, cols) =>
+          sb.append(s"-- Table: $table\n")
+          cols.foreach { case (_, c, expr) =>
+            sb.append(s"-- TODO: ALTER TABLE \"{{schema}}\".\"$table\"\n")
+            sb.append(s"--        ALTER COLUMN \"$c\" " +
+              "SET EXPRESSION AS (...);\n")
+            sb.append(s"-- Source expression: $expr\n")
+          }
+          sb.append("\n")
+        }
+      out += "after_data.sql" -> sb.toString
+    }
+    if (skippedIndexes.nonEmpty) {
+      val sb = new StringBuilder
+      sb.append("-- after_all hook: indexes skipped during migration\n")
+      sb.append("--\n-- Schema: {{schema}}\n\n")
+      skippedIndexes.foreach { case (t, ix, reason) =>
+        sb.append(s"-- TODO: recreate index $ix on " +
+          s"\"{{schema}}\".\"$t\" ($reason)\n")
+        sb.append(s"-- CREATE INDEX \"$ix\" ON \"{{schema}}\".\"$t\" " +
+          "(...);\n\n")
+      }
+      out += "after_all.sql" -> sb.toString
+    }
+    out.result()
+  }
+
   def renderJson: String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\")
       .replace("\"", "\\\"") + "\""
@@ -65,7 +106,7 @@ final case class PlanReport(
       s""""unsupported_columns":${arr(unsupportedColumns.map {
         case (t, c, ty) => s"$t.$c:$ty" })},""" +
       s""""generated_columns":${arr(generatedColumns.map {
-        case (t, c) => s"$t.$c" })},""" +
+        case (t, c, _) => s"$t.$c" })},""" +
       s""""skipped_indexes":${arr(skippedIndexes.map {
         case (t, ix, r) => s"$t.$ix:$r" })},""" +
       s""""collation_warnings":${arr(collationWarnings.map(w =>
@@ -100,7 +141,7 @@ object PlanReport {
 
     val generated = for {
       t <- tables; c <- t.columns if c.generationExpression.nonEmpty
-    } yield (t.name, c.name)
+    } yield (t.name, c.name, c.generationExpression)
 
     val skipped = for {
       t <- tables; ix <- t.indexes

@@ -34,7 +34,8 @@ class PlanReportSpec extends AnyFunSuite {
     val r = PlanReport.build(JobConfig(), tables)
     assert(r.requiredExtensions == Seq("citext", "postgis"))
     assert(r.unsupportedColumns == Seq(("users", "odd", "weirdtype(9)")))
-    assert(r.generatedColumns == Seq(("users", "full_name")))
+    assert(r.generatedColumns.map(g => (g._1, g._2)) ==
+      Seq(("users", "full_name")))
     assert(r.skippedIndexes.map(x => (x._1, x._2)).toSet ==
       Set(("users", "ft_name"), ("users", "ix_prefix")))
     assert(r.collationWarnings.map(_.index) == Seq("ux_email"))
@@ -43,6 +44,22 @@ class PlanReportSpec extends AnyFunSuite {
     val text = r.renderText
     assert(text.contains("UNSUPPORTED") && text.contains("users.odd"))
     assert(r.renderJson.contains("\"required_extensions\":[\"citext\",\"postgis\"]"))
+  }
+
+  test("hook skeletons carry TODOs for generated columns and skipped " +
+      "indexes (plan.go:362-495)") {
+    val sk = PlanReport.build(JobConfig(), tables).hookSkeletons
+    assert(sk.keySet == Set("after_data.sql", "after_all.sql"))
+    val ad = sk("after_data.sql")
+    assert(ad.contains("{{schema}}"))
+    assert(ad.contains("Source expression: concat(first,' ',last)"))
+    assert(ad.contains("\"full_name\""))
+    val aa = sk("after_all.sql")
+    assert(aa.contains("ft_name") && aa.contains("FULLTEXT"))
+    assert(aa.contains("ix_prefix"))
+    // a clean schema produces no skeleton files
+    assert(PlanReport.build(JobConfig(),
+      Seq(tables.last)).hookSkeletons.isEmpty)
   }
 
   test("unknown_as_text clears unsupported columns") {
