@@ -182,9 +182,14 @@ final class SparkTableLoader(
     val key = chunkKey(st)
     val bounds = key.flatMap(k =>
       scalarLong(JdbcSource.planningSql(dialect, st.name, k)))
+    // single_tx approximates the reference's snapshot mode: one
+    // sequential connection (migrate.go:149-259). True cross-chunk
+    // snapshot isolation is not expressible over parallel JDBC reads —
+    // documented divergence (SURVEY §7.3).
+    val workers = if (cfg.mode == "single_tx") 1 else cfg.workers
     val df = JdbcSource.read(spark, dialect,
       JdbcSource.ReadSpec(cfg.sourceUrl, st.name, key),
-      bounds, cfg.chunkSize, cfg.workers)
+      bounds, cfg.chunkSize, workers)
     val targetUrl = cfg.targetUrl
     val sql = CopySink.insertSql(cfg.targetSchema, table.name,
       df.columns.toSeq)
