@@ -297,6 +297,36 @@ class MigrationCoreSpec extends AnyFunSuite {
     assert(!e.getMessage.contains("chunk_size"))
   }
 
+  test("property: checkpoint JSON round-trips hostile table names " +
+      "(300 seeded cases)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet =
+      "ab\"\\\n\tü語 fingerprint{}[]:,0".toCharArray
+    for (i <- 1 to 300) {
+      val dir = Files.createTempDirectory(s"graft_pj")
+      val path = dir.resolve("s.json").toString
+      val fp = CheckpointManager.fingerprint(Seq("i" -> i.toString))
+      val mgr = CheckpointManager.load(path, fp)
+      val tables = (0 until rnd.between(1, 4)).map { _ =>
+        val name = Seq.fill(rnd.between(1, 12))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+        val chunks = (0 until rnd.between(1, 5))
+          .map(_ => (rnd.between(0L, 1000L), rnd.between(0L, 99999L)))
+          .distinctBy(_._1)
+        name -> chunks
+      }.distinctBy(_._1)
+      tables.foreach { case (t, cs) =>
+        cs.foreach { case (id, rows) => mgr.markDone(t, id, rows) }
+      }
+      mgr.flush()
+      val re = CheckpointManager.load(path, fp)
+      tables.foreach { case (t, cs) =>
+        assert(re.completed(t) == cs.map(_._1).toSet, s"table '$t'")
+        assert(re.rowsCopied(t) == cs.map(_._2).sum)
+      }
+    }
+  }
+
   test("fingerprint is order-insensitive over parts") {
     val a = CheckpointManager.fingerprint(Seq("a" -> "1", "b" -> "2"))
     val b = CheckpointManager.fingerprint(Seq("b" -> "2", "a" -> "1"))
