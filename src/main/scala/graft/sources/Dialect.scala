@@ -244,12 +244,53 @@ object ParquetDialect extends SourceDialect {
     Some(MappedType(StringType, "text"))
 }
 
+/** Generic JDBC dialect (ours — beyond the reference's three engines):
+  * standard SQL type names as reported by `DatabaseMetaData`, so ANY
+  * JDBC database can act as a source via
+  * [[Introspection.fromJdbcMetadata]]. Double-quote identifier quoting
+  * per the SQL standard.
+  */
+object GenericJdbcDialect extends SourceDialect {
+  val name = "jdbc"
+  def quote(i: String): String = "\"" + i.replace("\"", "\"\"") + "\""
+
+  def mapType(c: SourceColumn, o: TypeOptions): Option[MappedType] = {
+    val t = c.dataType.toLowerCase
+    t match {
+      case "tinyint" | "smallint" => Some(MappedType(ShortType, "smallint"))
+      case "int" | "integer" => Some(MappedType(IntegerType, "integer"))
+      case "bigint" => Some(MappedType(LongType, "bigint"))
+      case "boolean" | "bool" => Some(MappedType(BooleanType, "boolean"))
+      case "real" => Some(MappedType(FloatType, "real"))
+      case "float" | "double" | "double precision" =>
+        Some(MappedType(DoubleType, "double precision"))
+      case "decimal" | "numeric" =>
+        val p = c.precision.getOrElse(18); val s = c.scale.getOrElse(0)
+        Some(MappedType(DecimalType(p, s), s"numeric($p,$s)"))
+      case "char" | "character" =>
+        Some(MappedType(StringType,
+          c.charMaxLen.map(n => s"char($n)").getOrElse("text")))
+      case "varchar" | "character varying" | "longvarchar" =>
+        Some(MappedType(StringType,
+          c.charMaxLen.map(n => s"varchar($n)").getOrElse("text")))
+      case "clob" | "text" => Some(MappedType(StringType, "text"))
+      case "date" => Some(MappedType(DateType, "date"))
+      case "time" => Some(MappedType(StringType, "time"))
+      case "timestamp" => Some(MappedType(TimestampNTZType, "timestamp"))
+      case "binary" | "varbinary" | "longvarbinary" | "blob" =>
+        Some(MappedType(BinaryType, "bytea"))
+      case _ => None
+    }
+  }
+}
+
 object SourceDialect {
   val registry: Map[String, SourceDialect] = Map(
     MySqlDialect.name -> MySqlDialect,
     SqliteDialect.name -> SqliteDialect,
     MssqlDialect.name -> MssqlDialect,
-    ParquetDialect.name -> ParquetDialect)
+    ParquetDialect.name -> ParquetDialect,
+    GenericJdbcDialect.name -> GenericJdbcDialect)
 
   def apply(name: String): SourceDialect =
     registry.getOrElse(name.toLowerCase,

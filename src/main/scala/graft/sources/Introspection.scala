@@ -174,6 +174,105 @@ object Introspection {
     out.toMap
   }
 
+  /** Engine-agnostic introspection over `java.sql.DatabaseMetaData` —
+    * works against ANY JDBC source (beyond the reference's three
+    * engines): tables, ordered columns, primary keys, secondary
+    * indexes, and imported foreign keys. Driver-side, a handful of
+    * metadata round trips like the reference's catalog queries.
+    */
+  def fromJdbcMetadata(conn: java.sql.Connection,
+      schemaPattern: String = null)
+      : (Seq[SourceTable], Map[String, Seq[ForeignKeyMeta]]) = {
+    val md = conn.getMetaData
+    val tableNames = {
+      val rs = md.getTables(null, schemaPattern, "%", Array("TABLE"))
+      val b = Seq.newBuilder[String]
+      while (rs.next()) b += rs.getString("TABLE_NAME")
+      rs.close()
+      b.result().sorted
+    }
+    def fkRule(code: Int): String = code match {
+      case java.sql.DatabaseMetaData.importedKeyCascade => "CASCADE"
+      case java.sql.DatabaseMetaData.importedKeySetNull => "SET NULL"
+      case java.sql.DatabaseMetaData.importedKeySetDefault => "SET DEFAULT"
+      case java.sql.DatabaseMetaData.importedKeyRestrict => "RESTRICT"
+      case _ => "NO ACTION"
+    }
+    val tables = tableNames.map { t =>
+      val cols = {
+        val rs = md.getColumns(null, schemaPattern, t, "%")
+        val b = Seq.newBuilder[(Int, SourceColumn)]
+        while (rs.next()) {
+          val size = rs.getInt("COLUMN_SIZE")
+          val scale = rs.getInt("DECIMAL_DIGITS")
+          b += rs.getInt("ORDINAL_POSITION") -> SourceColumn(
+            name = rs.getString("COLUMN_NAME"),
+            dataType = rs.getString("TYPE_NAME"),
+            columnType = rs.getString("TYPE_NAME"),
+            charMaxLen = if (rs.wasNull() || size == 0) None else Some(size),
+            precision = Some(size).filter(_ > 0),
+            scale = Some(scale).filter(_ => !rs.wasNull()),
+            nullable = rs.getInt("NULLABLE") !=
+              java.sql.DatabaseMetaData.columnNoNulls,
+            default = Option(rs.getString("COLUMN_DEF")))
+        }
+        rs.close()
+        b.result().sortBy(_._1).map(_._2)
+      }
+      val pkCols = {
+        val rs = md.getPrimaryKeys(null, schemaPattern, t)
+        val b = Seq.newBuilder[(Short, String)]
+        while (rs.next())
+          b += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME")
+        rs.close()
+        b.result().sortBy(_._1).map(_._2)
+      }
+      val pk =
+        if (pkCols.isEmpty) None
+        else Some(IndexMeta(s"pk_$t", pkCols, unique = true,
+          isPrimary = true))
+      val secondary = {
+        val rs = md.getIndexInfo(null, schemaPattern, t, false, false)
+        val b = Seq.newBuilder[(String, Boolean, Short, String)]
+        while (rs.next()) {
+          val name = rs.getString("INDEX_NAME")
+          val col = rs.getString("COLUMN_NAME")
+          if (name != null && col != null)
+            b += ((name, !rs.getBoolean("NON_UNIQUE"),
+              rs.getShort("ORDINAL_POSITION"), col))
+        }
+        rs.close()
+        b.result().groupBy(_._1).toSeq.sortBy(_._1).map {
+          case (name, rows) =>
+            IndexMeta(name, rows.sortBy(_._3).map(_._4),
+              unique = rows.head._2)
+        }.filterNot(ix => pk.exists(_.columns == ix.columns))
+      }
+      SourceTable(t, cols, pk.toSeq ++ secondary)
+    }
+    val fks = tableNames.flatMap { t =>
+      val rs = md.getImportedKeys(null, schemaPattern, t)
+      val b = Seq.newBuilder[(String, Short, String, String, String,
+        String, String)]
+      while (rs.next())
+        b += ((rs.getString("FK_NAME"), rs.getShort("KEY_SEQ"),
+          rs.getString("FKCOLUMN_NAME"), rs.getString("PKTABLE_NAME"),
+          rs.getString("PKCOLUMN_NAME"),
+          fkRule(rs.getInt("UPDATE_RULE")),
+          fkRule(rs.getInt("DELETE_RULE"))))
+      rs.close()
+      val grouped = b.result().groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (name, rows) =>
+          val sorted = rows.sortBy(_._2)
+          ForeignKeyMeta(name, sorted.map(_._3), sorted.head._4,
+            sorted.map(_._5), onDelete = sorted.head._7,
+            onUpdate = sorted.head._6)
+      }
+      if (grouped.isEmpty) None else Some(t -> grouped)
+    }.toMap
+    (tables, fks)
+  }
+
   /** Full assembly: catalog DataFrames → SourceTable IR. */
   def assembleMySql(columns: DataFrame, indexes: DataFrame,
       foreignKeys: DataFrame)

@@ -62,4 +62,44 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(CopySink.insertSql(null, "t", Seq("a")) ==
       "INSERT INTO \"t\" (\"a\") VALUES (?)")
   }
+
+  test("generic JDBC metadata introspection against live Derby " +
+      "(tables, PK, index, FK) bridges to TableMeta") {
+    import graft.sources.{GenericJdbcDialect, Introspection,
+      SchemaMapping, TypeOptions}
+    val iurl = "jdbc:derby:memory:graftmeta;create=true"
+    val conn = DriverManager.getConnection(iurl)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE USERS (ID BIGINT NOT NULL PRIMARY KEY, " +
+        "NAME VARCHAR(80) NOT NULL, BAL DECIMAL(10,2))")
+      st.execute("CREATE TABLE POSTS (ID BIGINT NOT NULL PRIMARY KEY, " +
+        "USER_ID BIGINT, CREATED TIMESTAMP, " +
+        "CONSTRAINT FK_POSTS_USER FOREIGN KEY (USER_ID) " +
+        "REFERENCES USERS (ID) ON DELETE CASCADE)")
+      st.execute("CREATE INDEX IX_POSTS_USER ON POSTS (USER_ID)")
+      val (tables, fks) = Introspection.fromJdbcMetadata(conn, "APP")
+      assert(tables.map(_.name) == Seq("POSTS", "USERS"))
+      val users = tables.find(_.name == "USERS").get
+      assert(users.columns.map(_.name) == Seq("ID", "NAME", "BAL"))
+      assert(users.columns.head.dataType == "BIGINT")
+      assert(!users.columns.head.nullable && users.columns.last.nullable)
+      assert(users.indexes.exists(ix => ix.isPrimary &&
+        ix.columns == Seq("ID")))
+      val posts = tables.find(_.name == "POSTS").get
+      assert(posts.indexes.exists(ix => !ix.isPrimary &&
+        ix.columns == Seq("USER_ID")))
+      val fk = fks("POSTS").head
+      assert(fk.columns == Seq("USER_ID") && fk.refTable == "USERS" &&
+        fk.refColumns == Seq("ID") && fk.onDelete == "CASCADE")
+      // bridge through the generic dialect to the pipeline IR
+      val meta = SchemaMapping.toTableMeta(GenericJdbcDialect, users,
+        Nil, TypeOptions())
+      assert(meta.name == "users")
+      assert(meta.columns.map(c => (c._1, c._2)) == Seq(
+        ("id", "bigint"), ("name", "varchar(80)"),
+        ("bal", "numeric(10,2)")))
+      assert(meta.primaryKey.exists(_.columns == Seq("id")))
+    } finally conn.close()
+  }
 }
