@@ -66,22 +66,31 @@ object Main {
       .getOrCreate()
   }
 
-  /** Introspect the live source into TableMetas (MySQL CLI path). */
+  /** Introspect the live source into TableMetas. MySQL uses the
+    * reference's INFORMATION_SCHEMA catalog queries; any other dialect
+    * goes through the engine-agnostic DatabaseMetaData path
+    * ([[sources.Introspection.fromJdbcMetadata]]), so the CLI can
+    * migrate from any JDBC database (`source.dialect = "jdbc"`).
+    */
   def introspect(spark: SparkSession, cfg: JobConfig)
       : (Seq[SourceTable], Seq[TableMeta]) = {
-    require(cfg.sourceDialect == "mysql",
-      s"CLI introspection supports mysql; '${cfg.sourceDialect}' is " +
-        "available through the library API (sources.Introspection)")
     val dialect = SourceDialect(cfg.sourceDialect)
     val url = dialect.normalizeUrl(cfg.sourceUrl)
-    val dbName = url.split('/').last.takeWhile(_ != '?')
-    def catalog(sql: String) =
-      spark.read.format("jdbc").option("url", url)
-        .option("query", sql).load()
-    val (sts, fks) = Introspection.assembleMySql(
-      catalog(Introspection.MySql.columnsSql(dbName)),
-      catalog(Introspection.MySql.indexesSql(dbName)),
-      catalog(Introspection.MySql.foreignKeysSql(dbName)))
+    val (sts, fks) =
+      if (cfg.sourceDialect == "mysql") {
+        val dbName = url.split('/').last.takeWhile(_ != '?')
+        def catalog(sql: String) =
+          spark.read.format("jdbc").option("url", url)
+            .option("query", sql).load()
+        Introspection.assembleMySql(
+          catalog(Introspection.MySql.columnsSql(dbName)),
+          catalog(Introspection.MySql.indexesSql(dbName)),
+          catalog(Introspection.MySql.foreignKeysSql(dbName)))
+      } else {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try Introspection.fromJdbcMetadata(conn)
+        finally conn.close()
+      }
     val metas = sts.map(st => SchemaMapping.toTableMeta(dialect, st,
       fks.getOrElse(st.name, Nil), cfg.typeOptions,
       snake = cfg.snakeCaseIdentifiers))
