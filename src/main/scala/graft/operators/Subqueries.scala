@@ -117,6 +117,77 @@ object Subqueries {
            |  FROM customer) sub
            |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin))
 
+  // Explicit GROUPING SETS (completes rollup/cube — the asymmetric
+  // combination neither expresses): totals per region, per segment,
+  // and grand total, but NOT per (region, segment). DataFrame API has
+  // rollup/cube only, so this goes through Spark SQL — same Catalyst
+  // Expand operator underneath.
+  val q53GroupingSets: QueryDef = QueryDef(
+    "q53_grouping_sets",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("gs_customer")
+      broadcast(Tables.load(s, dir, "nation"))
+        .createOrReplaceTempView("gs_nation")
+      broadcast(Tables.load(s, dir, "region"))
+        .createOrReplaceTempView("gs_region")
+      s.sql("""SELECT coalesce(r_name, 'ALL') AS rname,
+              |       coalesce(c_mktsegment, 'ALL') AS seg,
+              |       COUNT(*) AS n
+              |FROM gs_customer
+              |JOIN gs_nation ON c_nationkey = n_nationkey
+              |JOIN gs_region ON n_regionkey = r_regionkey
+              |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+              |ORDER BY rname, seg""".stripMargin)
+    },
+    Some("""SELECT coalesce(r_name, 'ALL') AS rname,
+           |       coalesce(c_mktsegment, 'ALL') AS seg,
+           |       COUNT(*) AS n
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+           |ORDER BY rname, seg""".stripMargin))
+
+  // Multiset set-ops (ALL variants keep duplicates — Spark exceptAll /
+  // intersectAll, U2's bag semantics): order priorities as a bag, minus
+  // one occurrence per urgent order, intersected with the
+  // finished-orders bag. Aggregated to counts for a compact deterministic result.
+  val q54SetOpsAll: QueryDef = QueryDef(
+    "q54_setops_all",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val all = o.select(col("o_orderpriority").as("p"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderpriority").as("p"))
+      val exceptBag = all.exceptAll(urgent)
+      val interBag = all.intersectAll(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderpriority").as("p")))
+      exceptBag.groupBy(col("p")).agg(count(lit(1)).as("n_except"))
+        .join(interBag.groupBy(col("p"))
+          .agg(count(lit(1)).as("n_intersect")), Seq("p"), "full_outer")
+        .select(col("p"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+        .orderBy("p")
+    },
+    Some("""WITH ebag AS (
+           |  SELECT o_orderpriority AS p FROM orders
+           |  EXCEPT ALL
+           |  SELECT o_orderpriority FROM orders
+           |  WHERE o_orderpriority = '1-URGENT'),
+           |ibag AS (
+           |  SELECT o_orderpriority AS p FROM orders
+           |  INTERSECT ALL
+           |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+           |e AS (SELECT p, COUNT(*) AS n_except FROM ebag GROUP BY p),
+           |i AS (SELECT p, COUNT(*) AS n_intersect FROM ibag GROUP BY p)
+           |SELECT coalesce(e.p, i.p) AS p,
+           |  coalesce(n_except, 0) AS n_except,
+           |  coalesce(n_intersect, 0) AS n_intersect
+           |FROM e FULL OUTER JOIN i ON e.p = i.p
+           |ORDER BY p""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q38Cube, q39Correlated, q40ExistsAgg,
-    q42TopkAgg)
+    q42TopkAgg, q53GroupingSets, q54SetOpsAll)
 }
