@@ -188,6 +188,34 @@ object Subqueries {
            |FROM e FULL OUTER JOIN i ON e.p = i.p
            |ORDER BY p""".stripMargin))
 
+  // TPC-H Q14 shape (promo revenue share): fact-to-part join with a
+  // conditional aggregate. The part side is far wider than lineitem
+  // needs — the plan must prune to (p_partkey, p_type) and broadcast it
+  // once part exceeds the fact side's memory at scale Catalyst falls
+  // back to SMJ on the same plan. Decimal partials → exact.
+  val q55PromoShare: QueryDef = QueryDef(
+    "q55_promo_share",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val p = broadcast(Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_type")))
+      val rev = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(8, 2)))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(sum(rev).as("revenue_d"), count(lit(1)).as("n"))
+        .select(col("p_type"),
+          col("revenue_d").cast(DoubleType).as("revenue"), col("n"))
+        .orderBy("p_type")
+    },
+    Some("""SELECT p_type,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |           CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
+           |    AS revenue,
+           |  COUNT(*) AS n
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_type ORDER BY p_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q38Cube, q39Correlated, q40ExistsAgg,
-    q42TopkAgg, q53GroupingSets, q54SetOpsAll)
+    q42TopkAgg, q53GroupingSets, q54SetOpsAll, q55PromoShare)
 }
