@@ -189,7 +189,50 @@ object TextAnalysis {
            |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // Scrubbing/redaction (training-data cleaning): numeric literals in
+  // the events props JSON replaced by a placeholder; counts verify how
+  // many values were touched. Pattern stays in the Java∩RE2 subset.
+  val q56Redact: QueryDef = QueryDef(
+    "q56_redact",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+            .as("n_redacted"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+           |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+           |  len(regexp_extract_all(props, '[0-9]+')) AS n_redacted
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  // Deterministic train/val/test split — the reproducible alternative
+  // to rand()-based sampling: assignment is a pure function of the key
+  // (doc_id mod 100 → 80/10/10), so every engine and every rerun agrees,
+  // and the split survives repartitioning. Reported as per-(lang, split)
+  // counts.
+  val q57Split: QueryDef = QueryDef(
+    "q57_split",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("split",
+          when(col("doc_id") % 100 < 80, "train")
+            .when(col("doc_id") % 100 < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .select(col("lang"), col("split"), col("docs"),
+          col("chars").cast("long").as("chars"))
+        .orderBy("lang", "split"),
+    Some("""SELECT lang,
+           |  CASE WHEN doc_id % 100 < 80 THEN 'train'
+           |       WHEN doc_id % 100 < 90 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  COUNT(*) AS docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
-    q47BpeTokens, q48RollingHash)
+    q47BpeTokens, q48RollingHash, q56Redact, q57Split)
 }
