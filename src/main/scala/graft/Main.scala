@@ -97,13 +97,32 @@ object Main {
     (sts, metas)
   }
 
+  /** S7 source-objects scan (views/routines/triggers, report-only —
+    * reference `source_objects.go` / `main.go:194-201`); MySQL catalog
+    * path only, empty elsewhere.
+    */
+  private def sourceObjects(spark: SparkSession, cfg: JobConfig)
+      : Introspection.SourceObjects =
+    if (cfg.sourceDialect != "mysql") Introspection.SourceObjects()
+    else {
+      val url = SourceDialect(cfg.sourceDialect).normalizeUrl(cfg.sourceUrl)
+      val dbName = url.split('/').last.takeWhile(_ != '?')
+      def rows(sql: String) =
+        spark.read.format("jdbc").option("url", url)
+          .option("query", sql).load().collect().toSeq
+      Introspection.MySql.assembleSourceObjects(
+        rows(Introspection.MySql.viewsSql(dbName)),
+        rows(Introspection.MySql.routinesSql(dbName)),
+        rows(Introspection.MySql.triggersSql(dbName)))
+    }
+
   def runPlan(cfgPath: Path, json: Boolean = false,
       hooksDir: Option[Path] = None): Unit = {
     val (cfg, _) = loadJob(cfgPath)
     val spark = session()
     try {
       val (sts, _) = introspect(spark, cfg)
-      val report = PlanReport.build(cfg, sts)
+      val report = PlanReport.build(cfg, sts, sourceObjects(spark, cfg))
       println(if (json) report.renderJson else report.renderText)
       // optional TODO-skeleton hook files (reference plan.go:362-495)
       hooksDir.foreach { dir =>

@@ -25,7 +25,9 @@ final case class PlanReport(
     generatedColumns: Seq[(String, String, String)], // (table, col, source expr)
     skippedIndexes: Seq[(String, String, String)],     // (table, index, reason)
     collationWarnings: Seq[CollationCompat.CollationWarning],
-    chunkableTables: Seq[String]) {
+    chunkableTables: Seq[String],
+    sourceObjects: Introspection.SourceObjects =
+      Introspection.SourceObjects()) {
 
   def renderText: String = {
     val sb = new StringBuilder
@@ -52,6 +54,13 @@ final case class PlanReport(
       sb.append("Collation warnings:\n")
       collationWarnings.foreach(w =>
         sb.append(s"  - ${w.table}.${w.index}: ${w.reason}\n"))
+    }
+    if (!sourceObjects.isEmpty) {
+      sb.append("Source objects NOT migrated (manual follow-up, " +
+        "reference source_objects.go):\n")
+      sourceObjects.views.foreach(v => sb.append(s"  - view $v\n"))
+      sourceObjects.routines.foreach(r => sb.append(s"  - routine $r\n"))
+      sourceObjects.triggers.foreach(t => sb.append(s"  - trigger $t\n"))
     }
     sb.append(s"Chunk-parallel tables: ${chunkableTables.mkString(", ")}\n")
     sb.toString
@@ -82,9 +91,10 @@ final case class PlanReport(
         }
       out += "after_data.sql" -> sb.toString
     }
-    if (skippedIndexes.nonEmpty) {
+    if (skippedIndexes.nonEmpty || !sourceObjects.isEmpty) {
       val sb = new StringBuilder
-      sb.append("-- after_all hook: indexes skipped during migration\n")
+      sb.append("-- after_all hook: indexes and source objects not " +
+        "migrated\n")
       sb.append("--\n-- Schema: {{schema}}\n\n")
       skippedIndexes.foreach { case (t, ix, reason) =>
         sb.append(s"-- TODO: recreate index $ix on " +
@@ -92,6 +102,14 @@ final case class PlanReport(
         sb.append(s"-- CREATE INDEX \"$ix\" ON \"{{schema}}\".\"$t\" " +
           "(...);\n\n")
       }
+      sourceObjects.views.foreach { v =>
+        sb.append(s"-- TODO: translate view $v\n")
+        sb.append(s"-- CREATE VIEW \"{{schema}}\".\"$v\" AS ...;\n\n")
+      }
+      sourceObjects.routines.foreach(r =>
+        sb.append(s"-- TODO: port routine $r (plpgsql)\n\n"))
+      sourceObjects.triggers.foreach(t =>
+        sb.append(s"-- TODO: port trigger $t\n\n"))
       out += "after_all.sql" -> sb.toString
     }
     out.result()
@@ -111,6 +129,9 @@ final case class PlanReport(
         case (t, ix, r) => s"$t.$ix:$r" })},""" +
       s""""collation_warnings":${arr(collationWarnings.map(w =>
         s"${w.table}.${w.index}"))},""" +
+      s""""source_objects":{"views":${arr(sourceObjects.views)},""" +
+      s""""routines":${arr(sourceObjects.routines)},""" +
+      s""""triggers":${arr(sourceObjects.triggers)}},""" +
       s""""chunkable_tables":${arr(chunkableTables)}}"""
   }
 }
@@ -128,7 +149,9 @@ object PlanReport {
     else if (ix.hasExpression) Some("expression index (recreate manually)")
     else None
 
-  def build(cfg: JobConfig, tables: Seq[SourceTable]): PlanReport = {
+  def build(cfg: JobConfig, tables: Seq[SourceTable],
+      sourceObjects: Introspection.SourceObjects =
+        Introspection.SourceObjects()): PlanReport = {
     val dialect = SourceDialect(cfg.sourceDialect)
     val o = cfg.typeOptions
 
@@ -175,6 +198,7 @@ object PlanReport {
     }.map(_.name)
 
     PlanReport(cfg.sourceDialect, tables.map(_.name), extensions,
-      unsupported, generated, skipped, collationWarnings, chunkable)
+      unsupported, generated, skipped, collationWarnings, chunkable,
+      sourceObjects)
   }
 }

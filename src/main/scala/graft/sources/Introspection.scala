@@ -16,6 +16,18 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object Introspection {
 
+  /** Views/routines/triggers discovered but NOT migrated — reported for
+    * manual follow-up, exactly the reference's posture
+    * (`source_objects.go:6-10`, `main.go:194-201`).
+    */
+  final case class SourceObjects(
+      views: Seq[String] = Nil,
+      routines: Seq[String] = Nil,   // "PROCEDURE name" / "FUNCTION name"
+      triggers: Seq[String] = Nil) {
+    def isEmpty: Boolean = views.isEmpty && routines.isEmpty &&
+      triggers.isEmpty
+  }
+
   /** MySQL catalog queries (reference `source_mysql.go:148-163`). */
   object MySql {
     def columnsSql(schema: String): String =
@@ -38,6 +50,29 @@ object Introspection {
          |FROM INFORMATION_SCHEMA.STATISTICS
          |WHERE TABLE_SCHEMA = '$schema'
          |ORDER BY TABLE_NAME, INDEX_NAME, SEQ_IN_INDEX""".stripMargin
+
+    /** Source-objects scan (S7, reference `source_mysql.go:417-460`). */
+    def viewsSql(schema: String): String =
+      s"SELECT TABLE_NAME FROM INFORMATION_SCHEMA.VIEWS " +
+        s"WHERE TABLE_SCHEMA = '$schema' ORDER BY TABLE_NAME"
+
+    def routinesSql(schema: String): String =
+      s"SELECT ROUTINE_TYPE, ROUTINE_NAME FROM " +
+        s"INFORMATION_SCHEMA.ROUTINES WHERE ROUTINE_SCHEMA = '$schema' " +
+        "ORDER BY ROUTINE_TYPE, ROUTINE_NAME"
+
+    def triggersSql(schema: String): String =
+      s"SELECT TRIGGER_NAME FROM INFORMATION_SCHEMA.TRIGGERS " +
+        s"WHERE TRIGGER_SCHEMA = '$schema' ORDER BY TRIGGER_NAME"
+
+    /** Fold the three catalog results into the report IR. */
+    def assembleSourceObjects(views: Seq[Row], routines: Seq[Row],
+        triggers: Seq[Row]): SourceObjects =
+      SourceObjects(
+        views = views.map(_.getString(0)),
+        routines = routines.map(r =>
+          s"${r.getString(0).toUpperCase} ${r.getString(1)}"),
+        triggers = triggers.map(_.getString(0)))
 
     def foreignKeysSql(schema: String): String =
       s"""SELECT kcu.TABLE_NAME, kcu.CONSTRAINT_NAME, kcu.COLUMN_NAME,

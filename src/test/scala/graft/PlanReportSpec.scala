@@ -62,6 +62,23 @@ class PlanReportSpec extends AnyFunSuite {
       Seq(tables.last)).hookSkeletons.isEmpty)
   }
 
+  test("source objects are report-only with after_all TODO stubs " +
+      "(source_objects.go, main.go:194-201)") {
+    val objs = graft.sources.Introspection.SourceObjects(
+      views = Seq("v_active"),
+      routines = Seq("PROCEDURE refresh_stats"),
+      triggers = Seq("trg_audit"))
+    val r = PlanReport.build(JobConfig(), tables, objs)
+    val text = r.renderText
+    assert(text.contains("view v_active"))
+    assert(text.contains("routine PROCEDURE refresh_stats"))
+    assert(text.contains("trigger trg_audit"))
+    assert(r.renderJson.contains("\"views\":[\"v_active\"]"))
+    val aa = r.hookSkeletons("after_all.sql")
+    assert(aa.contains("CREATE VIEW \"{{schema}}\".\"v_active\""))
+    assert(aa.contains("port routine PROCEDURE refresh_stats"))
+  }
+
   test("unknown_as_text clears unsupported columns") {
     val cfg = JobConfig(typeOptions =
       graft.sources.TypeOptions(unknownAsText = true))
