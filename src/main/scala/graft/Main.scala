@@ -45,8 +45,10 @@ object Main {
     val dir = Option(cfgPath.toAbsolutePath.getParent)
       .getOrElse(Paths.get("."))
     val hookSql = cfg.hooks.flatMap { case (phase, paths) =>
+      // terminate each file so an unterminated final statement can't
+      // merge with the next file's first statement
       val sql = paths.map(p => Files.readString(dir.resolve(p)))
-        .mkString("\n")
+        .mkString("\n;\n")
       if (sql.trim.isEmpty) None else Some(phase -> sql)
     }
     (cfg, hookSql)

@@ -33,8 +33,11 @@ object EventsStream {
       s"/tmp/graft_stream_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
+    // concurrent streaming queries (parallel Verify) may race here —
+    // losing the race is fine, the link is identical
     if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+      try Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -249,6 +249,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(cfg.sourceDialect == "mysql" && cfg.mode == "parallel")
     assert(hookSql("before_data").contains("SET search_path"))
     assert(hookSql("after_all").contains("ANALYZE"))
+    // a file with an unterminated final statement must not merge into
+    // the next file's first statement
+    java.nio.file.Files.writeString(dir.resolve("a.sql"),
+      "CREATE VIEW a AS SELECT 1") // no trailing ;
+    java.nio.file.Files.writeString(dir.resolve("b.sql"), "ANALYZE;")
+    java.nio.file.Files.writeString(cfgPath,
+      """[hooks]
+        |after_all = ["a.sql", "b.sql"]
+        |""".stripMargin)
+    val (_, h2) = Main.loadJob(cfgPath)
+    val stmts = graft.sources.Hooks.splitStatements(h2("after_all"))
+      .filter(graft.sources.Hooks.isExecutable)
+    assert(stmts.size == 2, stmts.mkString("|"))
+    assert(stmts.head.contains("CREATE VIEW a") &&
+      !stmts.head.contains("ANALYZE"))
   }
 
   test("orphan cleanup: anti-join with MATCH SIMPLE null guard") {
