@@ -32,15 +32,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // best-of-2 measured runs: guards the reported number against a
-    // transient load spike on the host mid-query
+    // transient load spike on the host mid-query. Only SUCCESSFUL runs
+    // compete — a fast failure must not report as a fast query.
     val results = defs.map { d =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { d.build(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { d.build(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      d.name -> times.min
+      d.name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -38,19 +38,24 @@ object Main {
   }
 
   /** Config + hook files (hook paths resolve relative to the config's
-    * directory, reference `hooks.go:14-38`).
+    * directory, reference `hooks.go:14-38`). `readHooks = false` skips
+    * hook-file I/O — the dry-run `plan` never executes hooks and may
+    * itself be the command that generates the (not-yet-existing) files.
     */
-  def loadJob(cfgPath: Path): (JobConfig, Map[String, String]) = {
+  def loadJob(cfgPath: Path,
+      readHooks: Boolean = true): (JobConfig, Map[String, String]) = {
     val cfg = JobConfig.fromToml(Files.readString(cfgPath))
     val dir = Option(cfgPath.toAbsolutePath.getParent)
       .getOrElse(Paths.get("."))
-    val hookSql = cfg.hooks.flatMap { case (phase, paths) =>
-      // terminate each file so an unterminated final statement can't
-      // merge with the next file's first statement
-      val sql = paths.map(p => Files.readString(dir.resolve(p)))
-        .mkString("\n;\n")
-      if (sql.trim.isEmpty) None else Some(phase -> sql)
-    }
+    val hookSql =
+      if (!readHooks) Map.empty[String, String]
+      else cfg.hooks.flatMap { case (phase, paths) =>
+        // terminate each file so an unterminated final statement can't
+        // merge with the next file's first statement
+        val sql = paths.map(p => Files.readString(dir.resolve(p)))
+          .mkString("\n;\n")
+        if (sql.trim.isEmpty) None else Some(phase -> sql)
+      }
     (cfg, hookSql)
   }
 
@@ -120,7 +125,7 @@ object Main {
 
   def runPlan(cfgPath: Path, json: Boolean = false,
       hooksDir: Option[Path] = None): Unit = {
-    val (cfg, _) = loadJob(cfgPath)
+    val (cfg, _) = loadJob(cfgPath, readHooks = false)
     val spark = session()
     try {
       val (sts, _) = introspect(spark, cfg)
@@ -203,7 +208,10 @@ final class SparkTableLoader(
       .option("query", sql).load().collect()
     df.headOption.flatMap { r =>
       if (r.isNullAt(0) || r.isNullAt(1)) None
-      else Some((r.getLong(0), r.getLong(1)))
+      // MIN/MAX over an INT/SMALLINT key comes back as the narrower
+      // boxed type — go through Number, not getLong
+      else Some((r.get(0).asInstanceOf[Number].longValue(),
+        r.get(1).asInstanceOf[Number].longValue()))
     }
   }
 
@@ -221,8 +229,12 @@ final class SparkTableLoader(
       JdbcSource.ReadSpec(cfg.sourceUrl, st.name, key),
       bounds, cfg.chunkSize, workers)
     val targetUrl = cfg.targetUrl
+    // target columns carry the MAPPED identifiers (snake_case /
+    // lowercased) — the INSERT must use those, in the source column
+    // order the DataFrame delivers
     val sql = CopySink.insertSql(cfg.targetSchema, table.name,
-      df.columns.toSeq)
+      df.columns.toSeq.map(c =>
+        SchemaMapping.pgName(c, cfg.snakeCaseIdentifiers)))
     // single source pass: each partition writes its rows and yields its
     // count (reference migrate.go:448-473 running counter)
     df.mapPartitions { it =>

@@ -36,22 +36,42 @@ final class CheckpointManager(
 
   def markDone(table: String, chunkId: Long, rowsCopied: Long = 0L): Unit =
     lock.synchronized {
-      val ts = tables.getOrElseUpdate(table, TableState())
-      if (!ts.chunks.contains(chunkId)) {
-        ts.chunks(chunkId) =
-          ChunkResult(java.time.Instant.now().toString, rowsCopied)
-        ts.totalRowsCopied += rowsCopied
-      }
+      record(table, chunkId, rowsCopied,
+        java.time.Instant.now().toString)
       pendingSinceFlush += 1
       val now = System.currentTimeMillis()
       if (pendingSinceFlush >= flushEvery || now - lastFlush >= flushMillis)
         flushLocked()
     }
 
+  /** Replay a chunk from a loaded checkpoint: keeps the ORIGINAL
+    * completion timestamp and — critically — never triggers a batched
+    * flush, so a partially-replayed state can't overwrite the file
+    * (a crash mid-load would otherwise forget completed chunks).
+    */
+  private[checkpoint] def restore(table: String, chunkId: Long,
+      rowsCopied: Long, completedAt: String): Unit = lock.synchronized {
+    record(table, chunkId, rowsCopied, completedAt)
+  }
+
+  private def record(table: String, chunkId: Long, rowsCopied: Long,
+      completedAt: String): Unit = {
+    val ts = tables.getOrElseUpdate(table, TableState())
+    if (!ts.chunks.contains(chunkId)) {
+      ts.chunks(chunkId) = ChunkResult(completedAt, rowsCopied)
+      ts.totalRowsCopied += rowsCopied
+    }
+  }
+
   def markTableDone(table: String): Unit = lock.synchronized {
     tables.getOrElseUpdate(table, TableState()).fullTableDone = true
     flushLocked()
   }
+
+  private[checkpoint] def restoreTableDone(table: String): Unit =
+    lock.synchronized {
+      tables.getOrElseUpdate(table, TableState()).fullTableDone = true
+    }
 
   def setChunkCount(table: String, n: Int): Unit = lock.synchronized {
     tables.getOrElseUpdate(table, TableState()).chunkCount = n
@@ -113,11 +133,13 @@ object CheckpointManager {
       val doc = Json.parse(
         new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
       val obj = doc.asInstanceOf[Map[String, Any]]
+      // this engine has only ever written version 2 — there is no v1
+      // format to accept (the reference's v1 predates this codebase)
       obj.get("version").map(_.asInstanceOf[Double].toInt) match {
-        case Some(v) if v == 1 || v == Version => ()
+        case Some(Version) => ()
         case v => throw new IllegalArgumentException(
           s"unsupported checkpoint version ${v.getOrElse("<none>")} " +
-            s"(expected 1 or $Version)")
+            s"(expected $Version)")
       }
       val compat = obj.get("compatibility") match {
         case Some(c: Map[String @unchecked, Any @unchecked]) => c
@@ -150,13 +172,16 @@ object CheckpointManager {
               case cc: Map[String @unchecked, Any @unchecked] =>
                 cc.foreach { case (id, r) =>
                   val res = r.asInstanceOf[Map[String, Any]]
-                  mgr.markDone(name, id.toLong, res.get("rows_copied")
-                    .map(_.asInstanceOf[Double].toLong).getOrElse(0L))
+                  mgr.restore(name, id.toLong,
+                    res.get("rows_copied")
+                      .map(_.asInstanceOf[Double].toLong).getOrElse(0L),
+                    res.get("completed_at").map(_.toString)
+                      .getOrElse(java.time.Instant.now().toString))
                 }
               case _ => ()
             }
             if (t.get("full_table_done").contains(true))
-              mgr.markTableDone(name)
+              mgr.restoreTableDone(name)
           }
         case _ => ()
       }

@@ -182,9 +182,13 @@ object TextAnalysis {
           graft.functions.VectorOps.rollingHash(col("text")).as("rh"))
         .orderBy("doc_id")
     },
+    // list_filter drops the '' element DuckDB yields for an empty
+    // string (unicode('') = -1 would poison the fold; Spark returns 0)
     Some("""SELECT doc_id,
            |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |    list_transform(regexp_split_to_array(text, ''),
+           |    list_transform(
+           |      list_filter(regexp_split_to_array(text, ''),
+           |        c -> c <> ''),
            |      c -> CAST(unicode(c) AS BIGINT))),
            |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
            |FROM documents ORDER BY doc_id""".stripMargin))

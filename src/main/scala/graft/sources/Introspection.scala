@@ -238,15 +238,19 @@ object Introspection {
         val rs = md.getColumns(null, schemaPattern, t, "%")
         val b = Seq.newBuilder[(Int, SourceColumn)]
         while (rs.next()) {
+          // wasNull() reports on the IMMEDIATELY preceding read — check
+          // each nullable getInt before touching another column
           val size = rs.getInt("COLUMN_SIZE")
+          val sizeNull = rs.wasNull()
           val scale = rs.getInt("DECIMAL_DIGITS")
+          val scaleNull = rs.wasNull()
           b += rs.getInt("ORDINAL_POSITION") -> SourceColumn(
             name = rs.getString("COLUMN_NAME"),
             dataType = rs.getString("TYPE_NAME"),
             columnType = rs.getString("TYPE_NAME"),
-            charMaxLen = if (rs.wasNull() || size == 0) None else Some(size),
-            precision = Some(size).filter(_ > 0),
-            scale = Some(scale).filter(_ => !rs.wasNull()),
+            charMaxLen = if (sizeNull || size == 0) None else Some(size),
+            precision = if (sizeNull) None else Some(size).filter(_ > 0),
+            scale = if (scaleNull) None else Some(scale),
             nullable = rs.getInt("NULLABLE") !=
               java.sql.DatabaseMetaData.columnNoNulls,
             default = Option(rs.getString("COLUMN_DEF")))

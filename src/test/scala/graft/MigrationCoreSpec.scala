@@ -297,6 +297,28 @@ class MigrationCoreSpec extends AnyFunSuite {
     assert(!e.getMessage.contains("chunk_size"))
   }
 
+  test("checkpoint load replays without flushing (no partial-state " +
+      "overwrite window) and preserves completed_at") {
+    val dir = Files.createTempDirectory("graft_ckpt4")
+    val path = dir.resolve("s.json")
+    val fp = CheckpointManager.fingerprint(Seq("k" -> "v"))
+    val mgr = CheckpointManager.load(path.toString, fp)
+    // 25 chunks — enough to cross the every-10 flush threshold twice
+    (0 until 25).foreach(i => mgr.markDone("t", i, rowsCopied = i))
+    mgr.flush()
+    val before = Files.readAllBytes(path)
+    val re = CheckpointManager.load(path.toString, fp)
+    assert(re.completed("t").size == 25)
+    // the file must be byte-identical after a pure load: replay ran
+    // without any intermediate flush and kept original timestamps
+    assert(java.util.Arrays.equals(before, Files.readAllBytes(path)))
+    re.flush()
+    // even an explicit flush after load preserves original completed_at
+    assert(new String(Files.readAllBytes(path), "UTF-8")
+      .contains(new String(before, "UTF-8")
+        .split("\"completed_at\": \"")(1).split("\"")(0)))
+  }
+
   test("property: checkpoint JSON round-trips hostile table names " +
       "(300 seeded cases)") {
     val rnd = new scala.util.Random(7)
