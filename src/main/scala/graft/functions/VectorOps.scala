@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{DotProduct, L2Norm, RollingHash}
+import graft.plans.{DotProduct, L2Norm, MinHashSignature, RollingHash}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -17,12 +17,18 @@ object VectorOps {
       exprs => L2Norm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_rolling_hash",
       exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def l2norm(a: Column): Column = call_function("graft_l2norm", a)
   def rollingHash(s: Column): Column =
     call_function("graft_rolling_hash", s)
+  def minhash(arr: Column, numHashes: Int): Column =
+    call_function("graft_minhash", arr,
+      org.apache.spark.sql.functions.lit(numHashes))
 
   /** cosine(a, b) given precomputed norms — dot/(na*nb), matching the
     * lambda formulation bit-for-bit.

@@ -30,8 +30,12 @@ import org.apache.spark.sql.types._
 object Dedup {
   private val ShingleLen = 3
   private val JaccardThreshold = 0.8
-  private val NumHashes = 32
-  private val Bands = 8
+  // 64 hashes → 16 bands × 4 rows. Per-pair miss probability at the
+  // fixture's weakest planted pair (J ≈ 0.889): (1 − J⁴)¹⁶ ≈ 1.5e-7 —
+  // affordable because the one-pass MinHashSignature expression makes
+  // signatures shuffle-free (cost is linear in hashes, not a wider agg).
+  private val NumHashes = 64
+  private val Bands = 16
   private val RowsPerBand = 4
   // Wide enough that every pair at Jaccard ≥ 0.8 lands inside the ball
   // (J = 0.89 pairs sit at Hamming ≈ 9-10); random pairs center at
@@ -160,25 +164,30 @@ object Dedup {
   // MinHash + banded LSH candidates, exact-verify. The scale path: at
   // 100 TB the inverted-index join above degrades on hot shingles, while
   // band buckets stay O(corpus) with ~constant bucket sizes.
+  //
+  // Signatures are SHUFFLE-FREE: the one-pass MinHashSignature
+  // expression (plans.VectorExpressions) computes all 64 minima per
+  // document in-row — no shingle explode, no per-doc aggregation. The
+  // only shuffles left are the (small) band-bucket join and the
+  // candidate verification.
   val q23DedupMinhash: QueryDef = QueryDef(
     "q23_dedup_minhash",
     (s, dir) => {
-      val sh = shingles(Tables.load(s, dir, "documents"),
-        distinct = false)
-      // ONE per-doc aggregation carries both the 32 minhashes and the
-      // verification shingle set — signature computation and the later
-      // exact-verify share a single shuffle of the corpus.
-      val minAggs = (0 until NumHashes)
-        .map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
-      val docAgg = sh.groupBy(col("doc_id"))
-        .agg(minAggs.head, (minAggs.tail :+
-          collect_set(col("g")).as("gs")): _*)
+      graft.functions.VectorOps.register(s)
+      val docAgg = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= ShingleLen)
+        .select(col("doc_id"), array_distinct(expr(
+          s"transform(sequence(0, size(w) - $ShingleLen), " +
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("gs"))
+        .withColumn("sig",
+          graft.functions.VectorOps.minhash(col("gs"), NumHashes))
         .withColumn("n", size(col("gs")))
         .cache()
       val bandCols = (0 until Bands).map { bnd =>
         val sig = xxhash64(
-          (lit(bnd) +: (0 until RowsPerBand)
-            .map(r => col(s"m${bnd * RowsPerBand + r}"))): _*)
+          (lit(bnd) +: (0 until RowsPerBand).map(r =>
+            element_at(col("sig"), bnd * RowsPerBand + r + 1))): _*)
         struct(lit(bnd).as("band"), sig.as("sig"))
       }
       val buckets = docAgg

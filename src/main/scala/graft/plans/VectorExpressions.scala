@@ -128,3 +128,58 @@ object RollingHash {
     h
   }
 }
+
+/** All K MinHash signature values of a string array in ONE pass:
+  * `sig[k] = min over elements e of xxhash64(e, seed = k)`. The
+  * column-function formulation needs either an explode + K min-aggs
+  * (a shuffle of every shingle row) or K separate
+  * `array_min(transform(...))` interpreted lambda passes; this computes
+  * the whole signature per row inside codegen with zero shuffle.
+  * Min over the raw (multiset) array equals min over the distinct set,
+  * so callers can hash before deduplicating.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashSignature.compute(a.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.MinHashSignature.compute($a, $numHashes);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSignature = copy(child = newChild)
+}
+
+object MinHashSignature {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Static helper shared by eval and generated code. Null elements are
+    * skipped; an empty/all-null array yields Long.MaxValue minima
+    * (no bucket collisions: every band hash then mixes identical
+    * sentinels, which the verification stage discards anyway).
+    */
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(s, org.apache.spark.sql.types.StringType, k.toLong)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
