@@ -43,21 +43,18 @@ object Dedup {
   // stage filters those cheaply.
   private val SimhashHamming = 16
 
-  /** doc_id → word-3-shingles, as (doc_id, g) rows. `distinct = false`
-    * skips the dedup shuffle for consumers where multiset semantics are
-    * equivalent (MIN-hash: min over multiset == min over set;
-    * verification: collect_set dedups during its own aggregation).
+  /** doc_id → distinct word-3-shingles, as (doc_id, g) rows (the
+    * inverted-index and verification shape; the MinHash path computes
+    * its shingles in-row instead, see q23).
     */
-  private def shingles(docs: DataFrame,
-      distinct: Boolean = true): DataFrame = {
-    val raw = docs
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= ShingleLen)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $ShingleLen), " +
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
-    if (distinct) raw.distinct() else raw
-  }
+      .distinct()
 
   /** Exact Jaccard for given candidate pairs (d1 < d2), via shingle sets.
     * Used as the verification stage after LSH/SimHash candidate
