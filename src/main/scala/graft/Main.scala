@@ -126,6 +126,17 @@ object Main {
   def runPlan(cfgPath: Path, json: Boolean = false,
       hooksDir: Option[Path] = None): Unit = {
     val (cfg, _) = loadJob(cfgPath, readHooks = false)
+    // preflight: report (don't crash on) missing hook files — plan may
+    // itself be generating them via --hooks-dir
+    val cfgDir = Option(cfgPath.toAbsolutePath.getParent)
+      .getOrElse(Paths.get("."))
+    val missingHooks = cfg.hooks.toSeq.flatMap { case (phase, paths) =>
+      paths.filterNot(p => Files.exists(cfgDir.resolve(p)))
+        .map(p => s"$phase: $p")
+    }
+    if (missingHooks.nonEmpty)
+      System.err.println("WARNING: hook files not found (migrate would " +
+        s"fail): ${missingHooks.mkString(", ")}")
     val spark = session()
     try {
       val (sts, _) = introspect(spark, cfg)

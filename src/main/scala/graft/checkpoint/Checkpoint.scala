@@ -29,7 +29,8 @@ final class CheckpointManager(
   import CheckpointManager.{ChunkResult, TableState}
 
   private val tables = mutable.Map[String, TableState]()
-  private val startedAt = java.time.Instant.now().toString
+  // original start time survives resume (restored by load)
+  private[checkpoint] var startedAt = java.time.Instant.now().toString
   private var pendingSinceFlush = 0
   private var lastFlush = System.currentTimeMillis()
   private val lock = new Object
@@ -162,6 +163,7 @@ object CheckpointManager {
           s"checkpoint incompatible with current job ($detail) — " +
             "refusing to resume")
       }
+      obj.get("started_at").foreach(v => mgr.startedAt = v.toString)
       obj.get("tables") match {
         case Some(ts: Map[String @unchecked, Any @unchecked]) =>
           ts.foreach { case (name, v) =>

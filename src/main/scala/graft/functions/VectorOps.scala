@@ -18,8 +18,19 @@ object VectorOps {
     reg.createOrReplaceTempFunction("graft_rolling_hash",
       exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
-      exprs => MinHashSignature(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+      exprs => {
+        val k = exprs(1) match {
+          case lit if lit.foldable => lit.eval(null) match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash: numHashes must be an integer literal, " +
+                s"got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash: numHashes must be a literal, not a column")
+        }
+        MinHashSignature(exprs(0), k)
+      }, "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

@@ -314,9 +314,13 @@ class MigrationCoreSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(before, Files.readAllBytes(path)))
     re.flush()
     // even an explicit flush after load preserves original completed_at
-    assert(new String(Files.readAllBytes(path), "UTF-8")
-      .contains(new String(before, "UTF-8")
-        .split("\"completed_at\": \"")(1).split("\"")(0)))
+    // AND the original started_at
+    val after = new String(Files.readAllBytes(path), "UTF-8")
+    val orig = new String(before, "UTF-8")
+    assert(after.contains(orig.split("\"completed_at\": \"")(1)
+      .split("\"")(0)))
+    assert(after.contains(orig.split("\"started_at\": \"")(1)
+      .split("\"")(0)))
   }
 
   test("property: checkpoint JSON round-trips hostile table names " +
