@@ -59,19 +59,7 @@ object Main {
     (cfg, hookSql)
   }
 
-  private def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions",
-        math.min(cpus.toInt, 16).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-  }
+  private def session(): SparkSession = Sessions.build("graft")
 
   /** Introspect the live source into TableMetas. MySQL uses the
     * reference's INFORMATION_SCHEMA catalog queries; any other dialect

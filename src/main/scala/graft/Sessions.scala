@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's tuned session defaults (UTC for oracle
+  * parity, AQE on, shuffle partitions sized to local cores instead of
+  * the 200 default — SURVEY §6 / PLANS.md "Session knobs"). Registers
+  * the graft_* native functions so SQL users get them immediately.
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
+
+  def build(appName: String, coresOverride: Option[String] = None)
+      : SparkSession = {
+    val n = coresOverride.getOrElse(cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$n]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        math.min(n.toInt, 16).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    functions.VectorOps.register(spark)
+    spark
+  }
+}
