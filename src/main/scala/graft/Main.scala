@@ -246,7 +246,7 @@ final class SparkTableLoader(
   private def count(url: String, qualified: String): Long =
     spark.read.format("jdbc").option("url", url)
       .option("query", s"SELECT COUNT(*) AS n FROM $qualified")
-      .load().collect().head.getLong(0)
+      .load().collect().head.get(0).asInstanceOf[Number].longValue()
 
   def sourceCount(table: TableMeta): Long =
     count(srcUrl, dialect.quote(bySource(table.name).name))

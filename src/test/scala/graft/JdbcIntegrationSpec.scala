@@ -63,6 +63,58 @@ class JdbcIntegrationSpec extends AnyFunSuite {
       "INSERT INTO \"t\" (\"a\") VALUES (?)")
   }
 
+  test("SparkTableLoader end-to-end on Derby: introspect → chunked " +
+      "read → mapped insert → counts (the CLI migrate load path)") {
+    import graft.config.JobConfig
+    import graft.sources.{GenericJdbcDialect, Introspection,
+      SchemaMapping, TypeOptions}
+    val srcUrl = "jdbc:derby:memory:graftsrc;create=true"
+    val tgtUrl = "jdbc:derby:memory:grafttgt;create=true"
+    val sc = DriverManager.getConnection(srcUrl)
+    try {
+      val st = sc.createStatement()
+      // INT (not BIGINT) PK exercises the Number-based MIN/MAX widening
+      st.execute("CREATE TABLE ITEMS (ITEMID INT NOT NULL PRIMARY KEY, " +
+        "ITEMNAME VARCHAR(40) NOT NULL, PRICE DOUBLE)")
+      val ins = sc.prepareStatement(
+        "INSERT INTO ITEMS VALUES (?, ?, ?)")
+      (1 to 500).foreach { i =>
+        ins.setInt(1, i); ins.setString(2, s"item_$i")
+        ins.setDouble(3, i * 0.5); ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally sc.close()
+    val tc = DriverManager.getConnection(tgtUrl)
+    try tc.createStatement().execute(
+      // target carries the MAPPED (lowercased) identifiers
+      "CREATE TABLE \"items\" (\"itemid\" INT, \"itemname\" " +
+        "VARCHAR(40), \"price\" DOUBLE)")
+    finally tc.close()
+
+    val conn = DriverManager.getConnection(srcUrl)
+    val (sts, _) = try Introspection.fromJdbcMetadata(conn, "APP")
+      finally conn.close()
+    val items = sts.find(_.name == "ITEMS").get
+    val cfg = JobConfig(sourceDialect = "jdbc",
+      sourceUrl = srcUrl, targetUrl = tgtUrl, targetSchema = null,
+      chunkSize = 100L, workers = 4)
+    val loader = new SparkTableLoader(spark, cfg, Seq(items))
+    val meta = SchemaMapping.toTableMeta(GenericJdbcDialect, items, Nil,
+      TypeOptions())
+    assert(meta.name == "items")
+    val written = loader.load(meta)
+    assert(written == 500L)
+    assert(loader.sourceCount(meta) == 500L)
+    // target got every row under the mapped column names
+    val check = DriverManager.getConnection(tgtUrl)
+    try {
+      val rs = check.createStatement().executeQuery(
+        "SELECT COUNT(*), SUM(\"itemid\") FROM \"items\"")
+      rs.next()
+      assert(rs.getLong(1) == 500L && rs.getLong(2) == 500L * 501 / 2)
+    } finally check.close()
+  }
+
   test("generic JDBC metadata introspection against live Derby " +
       "(tables, PK, index, FK) bridges to TableMeta") {
     import graft.sources.{GenericJdbcDialect, Introspection,
