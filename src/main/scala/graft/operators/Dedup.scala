@@ -24,8 +24,9 @@ import org.apache.spark.sql.types._
   *    At 0.8 threshold the S-curve miss probability for a J≈0.97 pair is
   *    (1−J⁴)⁸ ≈ 3e-8, so verified LSH output equals the exact operator's
   *    output — which is exactly what the shared DuckDB oracle asserts;
-  *  - SimHash: 64-bit token-frequency simhash, Hamming-ball candidate
-  *    filter, same exact verification.
+  *  - SimHash: 64-bit token-frequency simhash, banded-prefix equi-join
+  *    candidates refined by a Hamming-ball popcount, same exact
+  *    verification.
   */
 object Dedup {
   private val ShingleLen = 3
@@ -42,6 +43,16 @@ object Dedup {
   // Hamming ≈ 32 ± 4, so ≤ 16 admits ~3e-5 of them — the exact-verify
   // stage filters those cheaply.
   private val SimhashHamming = 16
+  // Candidate bands: 16 bands × 4 bits. Pigeonhole: ≤15 differing bits
+  // can dirty at most 15 of the 16 bands, so every pair within Hamming
+  // ≤ 15 shares at least one exact band — candidate generation is a pure
+  // equi-join on (band, chunk). Band width trades bucket size against
+  // guaranteed radius: w-bit bands over 64 bits guarantee radius
+  // 64/w − 1, so a web-scale corpus (Manku et al., WWW'07 use radius 3)
+  // widens to 4 × 16-bit bands with 65k-value keys; radius 15 needs the
+  // 4-bit keys used here.
+  private val SimhashBands = 16
+  private val SimhashBandBits = 4
 
   /** doc_id → distinct word-3-shingles, as (doc_id, g) rows (the
     * inverted-index and verification shape; the MinHash path computes
@@ -213,9 +224,11 @@ object Dedup {
     Some(jaccardOracle),
     bench = true)
 
-  // SimHash: 64-bit frequency-weighted token simhash; Hamming-ball
-  // candidates; exact-verify. Candidate filter here is the pairwise
-  // popcount (fine at fixture scale); the banded variant extends it.
+  // SimHash: 64-bit frequency-weighted token simhash; banded equi-join
+  // candidates (never an all-pairs nested loop — see SimhashBands);
+  // Hamming-ball refinement; exact-verify. Within the guaranteed radius
+  // (15 < SimhashHamming) banding loses nothing, so the verified output
+  // still equals the exact-Jaccard oracle.
   val q24DedupSimhash: QueryDef = QueryDef(
     "q24_dedup_simhash",
     (s, dir) => {
@@ -236,11 +249,23 @@ object Dedup {
           .otherwise(lit(0L)))
         .reduce(_ bitwiseOR _)
       val sh64 = sums.select(col("doc_id"), simhash.as("sh"))
-      val cand = sh64.as("a")
-        .join(sh64.as("b"), col("a.doc_id") < col("b.doc_id"))
+      val bandRows = sh64.select(col("doc_id"), col("sh"),
+        explode(array((0 until SimhashBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * SimhashBandBits)
+              .bitwiseAND(lit((1L << SimhashBandBits) - 1))
+              .as("chunk"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sh"),
+          col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+      val cand = bandRows.as("a")
+        .join(bandRows.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
         .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
           <= SimhashHamming)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
       verifyPairs(cand, shingles(docs))
     },
     Some(jaccardOracle))

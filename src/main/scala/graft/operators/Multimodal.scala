@@ -93,7 +93,7 @@ object Multimodal {
     */
   final case class MediaProcessed(
       doc_id: Long, media_type: String, out_w: Int, out_h: Int,
-      sampled_frames: Seq[Long])
+      sampled_frames: String)
 
   def resizeAndSample(feats: Dataset[MediaFeatures]): Dataset[MediaProcessed] = {
     import feats.sparkSession.implicits._
@@ -102,8 +102,10 @@ object Multimodal {
       val outW = if (longSide <= 64) f.width else f.width * 64 / longSide
       val outH = if (longSide <= 64) f.height else f.height * 64 / longSide
       val stride = (f.n_frames + 3) / 4
+      // Frame ids serialize as "0,2,4" — a deterministic scalar keeps the
+      // result sortable/hashable by any downstream comparator.
       MediaProcessed(f.doc_id, f.media_type, outW, outH,
-        0L.until(f.n_frames.toLong).by(stride.toLong))
+        0L.until(f.n_frames.toLong).by(stride.toLong).mkString(","))
     })
   }
 
@@ -129,7 +131,8 @@ object Multimodal {
            |       ELSE w * 64 // greatest(w, h) END AS INTEGER) AS out_w,
            |  CAST(CASE WHEN greatest(w, h) <= 64 THEN h
            |       ELSE h * 64 // greatest(w, h) END AS INTEGER) AS out_h,
-           |  range(0, nf, (nf + 3) // 4) AS sampled_frames
+           |  array_to_string(range(0, nf, (nf + 3) // 4), ',')
+           |    AS sampled_frames
            |FROM f ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q35Multimodal, q49MediaPipeline)

@@ -23,12 +23,10 @@ object Similarity {
   private val NearDupThreshold = 0.4
   private val TopK = 5
   private val NumQueryVecs = 20
-  // LSH: L hash tables × B hyperplanes (sign bits) each. For a pair at
-  // cosine ≈ 0.4 (θ ≈ 1.16 rad) the per-table collision probability is
-  // (1 − θ/π)^B ≈ 0.16 at B = 4; eight tables lift recall to ~0.75
-  // while keeping per-table buckets ~N/16.
-  private val LshTables = 8
-  private val LshBits = 4
+  // LSH geometry (8 tables × 4 sign bits) lives in the fixture — see
+  // graft.tools.GenFixtures. For a pair at cosine ≈ 0.4 (θ ≈ 1.16 rad)
+  // the per-table collision probability is (1 − θ/π)^B ≈ 0.16 at B = 4;
+  // eight tables lift recall to ~0.75 with per-table buckets ~N/16.
 
   /** vec_id, v (double[]), nrm (L2 norm) — native codegen'd expressions
     * (graft.plans.L2Norm), not interpreted higher-order-function lambdas.
@@ -103,36 +101,27 @@ object Similarity {
             |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin),
     bench = true)
 
-  /** Deterministic ±1 hyperplane component for (table, bit, dim) —
-    * MurmurHash3 parity, reproducible across runs with no RNG state.
-    */
-  private def planeSign(tbl: Int, bit: Int, dim: Int): Int =
-    if ((scala.util.hashing.MurmurHash3.productHash(
-      (tbl, bit, dim)) & 1) == 1) 1 else -1
-
   // Sign-random-projection LSH ANN: L tables of B sign bits; candidates
-  // from bucket equality in any table; exact cosine re-rank. Approximate
-  // (recall < 1) by construction → no SQL oracle; the spec asserts
-  // rows>0 and recall against q26 on the fixture.
+  // from bucket equality in any table; exact cosine re-rank. The
+  // hyperplanes are a parquet FIXTURE both engines read
+  // (fixtures/lsh_planes.parquet, see graft.tools.GenFixtures) — with
+  // the randomness materialized, candidate generation and re-rank are
+  // pure relational algebra and DuckDB reproduces the result exactly.
+  // Per-vector work: 32 broadcast-joined in-row dot products (codegen'd
+  // DotProduct, no pre-join shuffle of vector components); the only
+  // exchange before the re-rank is the groupBy assembling 4 sign bits
+  // per (vec_id, table) into a bucket code.
   val q27AnnLsh: QueryDef = QueryDef(
     "q27_ann_lsh",
     (s, dir) => {
       val e = normed(s, dir)
-      // plane matrix as a broadcast-joined literal DataFrame:
-      // (tbl, bit, d, sign)
-      val planes = s.createDataFrame(
-        for {
-          tbl <- 0 until LshTables; bit <- 0 until LshBits; d <- 0 until 64
-        } yield (tbl, bit, d, planeSign(tbl, bit, d).toDouble))
-        .toDF("tbl", "bit", "d", "sign")
-      val comps = e.select(col("vec_id"), posexplode(col("v"))
-        .as(Seq("d", "x")))
-      val codes = comps.join(broadcast(planes), "d")
-        .groupBy(col("vec_id"), col("tbl"), col("bit"))
-        .agg(sum(col("x") * col("sign")).as("proj"))
+      val planes = broadcast(graft.Fixtures.lshPlanes(s))
+      val codes = e.crossJoin(planes)
+        .withColumn("proj",
+          graft.functions.VectorOps.dot(col("v"), col("plane")))
         .groupBy(col("vec_id"), col("tbl"))
         .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
-          .otherwise(0)).as("code"))
+          .otherwise(0)).cast("long").as("code"))
       val q = codes.filter(col("vec_id") < NumQueryVecs)
         .select(col("vec_id").as("qid"), col("tbl"), col("code"))
       val c = codes.filter(col("vec_id") >= NumQueryVecs)
@@ -151,27 +140,49 @@ object Similarity {
           graft.Round4(col("sim")).as("sim"))
         .orderBy("qid", "rnk")
     },
-    None)
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |pl AS (SELECT tbl, bit, plane
+            |       FROM read_parquet('${graft.Fixtures.lshPlanesPath}')),
+            |codes AS (
+            |  SELECT vec_id, tbl,
+            |    CAST(SUM(CASE WHEN list_inner_product(v, plane) > 0
+            |             THEN 1 << bit ELSE 0 END) AS BIGINT) AS code
+            |  FROM e CROSS JOIN pl GROUP BY vec_id, tbl),
+            |cand AS (
+            |  SELECT DISTINCT q.vec_id AS qid, c.vec_id
+            |  FROM codes q JOIN codes c ON q.tbl = c.tbl AND q.code = c.code
+            |  WHERE q.vec_id < $NumQueryVecs AND c.vec_id >= $NumQueryVecs),
+            |ranked AS (
+            |  SELECT cand.qid, cand.vec_id AS neighbor,
+            |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+            |        CAST(ce.embedding AS DOUBLE[])) AS sim,
+            |    ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+            |      list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+            |          CAST(ce.embedding AS DOUBLE[])) DESC,
+            |      cand.vec_id) AS rnk
+            |  FROM cand
+            |  JOIN embeddings qe ON qe.vec_id = cand.qid
+            |  JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+            |SELECT qid, rnk, neighbor,
+            |  floor(sim * 10000 + 0.5) / 10000 AS sim
+            |FROM ranked WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin))
 
   // IVF-style ANN: coarse-quantize every vector to its nearest centroid
   // (inverted lists), probe the query's 2 nearest lists, exact re-rank.
-  // Centroids here are a deterministic fixed sample of the corpus
-  // (every Nth vector) so results are stable run-to-run with no RNG; a
-  // production build would train them with k-means (same plan shape —
-  // only the centroid table changes). Approximate → no SQL oracle; the
-  // spec asserts recall against brute force.
+  // Centroids are a parquet FIXTURE both engines read
+  // (fixtures/ivf_centroids.parquet, deterministic pseudo-random unit
+  // cube points — see graft.tools.GenFixtures); a production build would
+  // train them with k-means (same plan shape — only the centroid table
+  // changes). No driver-side count(), no density assumption on vec_id:
+  // the centroid table is explicit input.
   val q45AnnIvf: QueryDef = QueryDef(
     "q45_ann_ivf",
     (s, dir) => {
       val e = normed(s, dir)
-      val nVecs = e.count()
-      val nCentroids = 16
-      val stride = math.max(nVecs / nCentroids, 1)
-      val cents = broadcast(
-        e.filter(col("vec_id") % stride === 0 &&
-            col("vec_id") < stride * nCentroids)
-          .select(col("vec_id").as("cid"), col("v").as("cv"),
-            col("nrm").as("cn")))
+      val cents = broadcast(graft.Fixtures.ivfCentroids(s)
+        .withColumn("cn", graft.functions.VectorOps.l2norm(col("cv"))))
       def nearest(df: DataFrame, keep: Int): DataFrame = {
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("csim").desc, col("cid"))
@@ -200,7 +211,37 @@ object Similarity {
           graft.Round4(col("sim")).as("sim"))
         .orderBy("qid", "rnk")
     },
-    None)
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |ce AS (SELECT cid, cv
+            |       FROM read_parquet('${graft.Fixtures.ivfCentroidsPath}')),
+            |asn AS (
+            |  SELECT e.vec_id, ce.cid,
+            |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            |      list_cosine_similarity(v, cv) DESC, ce.cid) AS crnk
+            |  FROM e CROSS JOIN ce),
+            |lists AS (SELECT vec_id, cid FROM asn
+            |          WHERE crnk = 1 AND vec_id >= $NumQueryVecs),
+            |probes AS (SELECT vec_id AS qid, cid FROM asn
+            |           WHERE crnk <= 2 AND vec_id < $NumQueryVecs),
+            |cand AS (
+            |  SELECT DISTINCT probes.qid, lists.vec_id
+            |  FROM probes JOIN lists USING (cid)),
+            |ranked AS (
+            |  SELECT cand.qid, cand.vec_id AS neighbor,
+            |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+            |        CAST(ne.embedding AS DOUBLE[])) AS sim,
+            |    ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+            |      list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+            |          CAST(ne.embedding AS DOUBLE[])) DESC,
+            |      cand.vec_id) AS rnk
+            |  FROM cand
+            |  JOIN embeddings qe ON qe.vec_id = cand.qid
+            |  JOIN embeddings ne ON ne.vec_id = cand.vec_id)
+            |SELECT qid, rnk, neighbor,
+            |  floor(sim * 10000 + 0.5) / 10000 AS sim
+            |FROM ranked WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf)

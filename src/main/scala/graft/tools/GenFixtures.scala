@@ -1,0 +1,60 @@
+package graft.tools
+
+import graft.{Fixtures, Sessions}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.util.hashing.MurmurHash3
+
+/** Writes the engine-neutral ANN fixtures (see [[graft.Fixtures]]) as
+  * single parquet FILES (not Spark part-directories) so DuckDB's
+  * `read_parquet('<path>')` and Spark's `read.parquet` both open them.
+  *
+  * All values derive from MurmurHash3 of fixed tuples — byte-identical
+  * across runs, no RNG state. The LSH planes reproduce the exact ±1
+  * pattern the round-2 in-query generator used
+  * (`Similarity.planeSign`), so q27 results are unchanged by the move
+  * to a fixture.
+  */
+object GenFixtures {
+  val Dim = 64
+  val LshTables = 8
+  val LshBits = 4
+  val NumCentroids = 16
+
+  def planeSign(tbl: Int, bit: Int, d: Int): Double =
+    if ((MurmurHash3.productHash((tbl, bit, d)) & 1) == 1) 1.0 else -1.0
+
+  /** Centroid component in [-1, 1): 31-bit hash scaled. */
+  def centroidComponent(cid: Int, d: Int): Double =
+    (MurmurHash3.productHash(("ivf", cid, d)) / Int.MaxValue.toDouble)
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.build("graft-gen-fixtures",
+      coresOverride = Some("2"))
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val planes = (for {
+      tbl <- 0 until LshTables; bit <- 0 until LshBits
+    } yield (tbl, bit, (0 until Dim).map(planeSign(tbl, bit, _)).toArray))
+      .toDF("tbl", "bit", "plane")
+
+    val cents = (0 until NumCentroids)
+      .map(c => (c, (0 until Dim).map(centroidComponent(c, _)).toArray))
+      .toDF("cid", "cv")
+
+    def writeSingle(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-fix").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+        .head
+      Files.createDirectories(Paths.get(dest).getParent)
+      Files.move(Paths.get(part), Paths.get(dest),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeSingle(planes, Fixtures.lshPlanesPath)
+    writeSingle(cents, Fixtures.ivfCentroidsPath)
+    println(s"wrote ${Fixtures.lshPlanesPath} and ${Fixtures.ivfCentroidsPath}")
+    spark.stop()
+  }
+}

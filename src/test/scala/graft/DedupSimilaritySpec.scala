@@ -23,6 +23,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows("q24_dedup_simhash") == rows("q22_dedup_jaccard"))
   }
 
+  test("simhash candidates come from a banded equi-join, not all-pairs") {
+    val plan = SparkEntry.queries("q24_dedup_simhash")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "simhash plan fell back to a nested-loop join")
+    assert(!plan.contains("CartesianProduct"),
+      "simhash plan contains a cartesian product")
+  }
+
   test("approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("q44_approx_distinct")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
