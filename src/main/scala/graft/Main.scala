@@ -140,6 +140,33 @@ object Main {
     } finally spark.stop()
   }
 
+  /** Checkpoint file sits next to the config (reference
+    * `checkpoint.go:128-131` — `<configDir>/pgferry_checkpoint.json`).
+    */
+  def checkpointPath(cfgPath: Path): Path =
+    Option(cfgPath.toAbsolutePath.getParent).getOrElse(Paths.get("."))
+      .resolve("graft_checkpoint.json")
+
+  /** The compatibility surface that must match for a resume — settings
+    * that affect the data-copy stage or target table state (reference
+    * `checkpoint_compat.go:48-87`; pure schema-creation flags are
+    * excluded for the same reason the reference excludes them).
+    */
+  def compatParts(cfg: JobConfig, tables: Seq[TableMeta])
+      : Seq[(String, String)] = Seq(
+    "source_dialect" -> cfg.sourceDialect,
+    "source_url" -> cfg.sourceUrl,
+    "target_schema" -> cfg.targetSchema,
+    "mode" -> cfg.mode,
+    "chunk_size" -> cfg.chunkSize.toString,
+    "snake_case_identifiers" -> cfg.snakeCaseIdentifiers.toString,
+    "data_only" -> cfg.dataOnly.toString,
+    "unlogged_tables" -> cfg.unloggedTables.toString,
+    "type_options" -> cfg.typeOptions.toString,
+    "tables" -> tables.map(t =>
+      t.name + ":" + t.columns.map(c => c._1 + " " + c._2).mkString(","))
+      .sorted.mkString(";"))
+
   def runMigrate(cfgPath: Path): Unit = {
     val (cfg, hookSql) = loadJob(cfgPath)
     val spark = session()
@@ -150,8 +177,17 @@ object Main {
         "unsupported columns (set types.unknown_as_text to map to " +
           s"text): ${report.unsupportedColumns.mkString(", ")}")
       val exec = new JdbcExecutor(cfg.targetUrl)
-      val loader = new SparkTableLoader(spark, cfg, sts)
-      val pipeline = new MigrationPipeline(cfg, exec, loader, hookSql)
+      val checkpoint =
+        if (!cfg.resume) None
+        else {
+          val parts = compatParts(cfg, metas)
+          Some(graft.checkpoint.CheckpointManager.load(
+            checkpointPath(cfgPath).toString,
+            graft.checkpoint.CheckpointManager.fingerprint(parts), parts))
+        }
+      val loader = new SparkTableLoader(spark, cfg, sts, checkpoint)
+      val pipeline =
+        new MigrationPipeline(cfg, exec, loader, hookSql, checkpoint)
       val result = pipeline.migrate(metas,
         requiredExtensions = report.requiredExtensions)
       println(s"migrated ${result.tablesCreated.size} tables, " +
@@ -181,10 +217,21 @@ final class JdbcExecutor(url: String) extends SqlExecutor {
   * (MIN/MAX planning + predicate partitions), per-partition batched
   * writes to the target (reference `migrate.go:44-147` worker fan-out
   * as Spark tasks).
+  *
+  * Resume (reference `migrate.go:78-121`): chunk ids are positions in
+  * the FULL deterministic predicate plan; completed ids are skipped
+  * before the read, and each chunk is recorded in the checkpoint ON THE
+  * DRIVER as its task completes (`SparkContext.runJob` result handler —
+  * the Spark analog of the reference's per-chunk `RecordChunk`), so a
+  * job that dies mid-table still persists every finished chunk. A chunk
+  * is one committed transaction, so the record-after-commit window is
+  * the same at-least-once semantics the reference has.
   */
 final class SparkTableLoader(
     spark: SparkSession, cfg: JobConfig,
-    sourceTables: Seq[SourceTable]) extends TableLoader {
+    sourceTables: Seq[SourceTable],
+    checkpoint: Option[graft.checkpoint.CheckpointManager] = None)
+    extends TableLoader {
 
   private val dialect = SourceDialect(cfg.sourceDialect)
   private val srcUrl = dialect.normalizeUrl(cfg.sourceUrl)
@@ -224,23 +271,69 @@ final class SparkTableLoader(
     // snapshot isolation is not expressible over parallel JDBC reads —
     // documented divergence (SURVEY §7.3).
     val workers = if (cfg.mode == "single_tx") 1 else cfg.workers
-    val df = JdbcSource.read(spark, dialect,
+    // full deterministic chunk plan; chunk id = plan position
+    val allPreds = key
+      .map(k => JdbcSource.partitionPredicates(dialect, k, bounds,
+        cfg.chunkSize, workers))
+      .getOrElse(Array.empty)
+    val todo: Array[(String, Long)] =
+      if (allPreds.isEmpty) Array(("<full>", 0L))
+      else allPreds.zipWithIndex.map { case (p, i) => (p, i.toLong) }
+        .filterNot { case (_, id) =>
+          checkpoint.exists(_.isDone(table.name, id))
+        }
+    checkpoint.foreach(_.setChunkCount(table.name,
+      math.max(allPreds.length, 1)))
+    if (allPreds.nonEmpty && todo.isEmpty) return 0L
+    if (allPreds.isEmpty && checkpoint.exists(_.isDone(table.name, 0L)))
+      return 0L
+    val df = JdbcSource.readWithPredicates(spark, dialect,
       JdbcSource.ReadSpec(cfg.sourceUrl, st.name, key),
-      bounds, cfg.chunkSize, workers)
+      if (allPreds.isEmpty) Array.empty else todo.map(_._1))
     val targetUrl = cfg.targetUrl
     // target columns carry the MAPPED identifiers (snake_case /
     // lowercased) — the INSERT must use those, in the source column
     // order the DataFrame delivers
-    val sql = CopySink.insertSql(cfg.targetSchema, table.name,
-      df.columns.toSeq.map(c =>
-        SchemaMapping.pgName(c, cfg.snakeCaseIdentifiers)))
+    val targetCols = df.columns.toSeq.map(c =>
+      SchemaMapping.pgName(c, cfg.snakeCaseIdentifiers))
+    val sql = CopySink.insertSql(cfg.targetSchema, table.name, targetCols)
+    val copySql = PgCopy.copySql(cfg.targetSchema, table.name, targetCols)
     // single source pass: each partition writes its rows and yields its
-    // count (reference migrate.go:448-473 running counter)
-    df.mapPartitions { it =>
-      Iterator.single(CopySink.writePartition(it,
-        () => java.sql.DriverManager.getConnection(targetUrl), sql, 1000))
-    }(org.apache.spark.sql.Encoders.scalaLong)
-      .collect().sum
+    // count (reference migrate.go:448-473 running counter). runJob's
+    // result handler fires on the driver PER COMPLETED PARTITION, so
+    // chunk completions checkpoint incrementally, not only at job end.
+    // A chunk failure does NOT cancel the job: the task catches its own
+    // write error so sibling chunks run to completion and get recorded —
+    // the reference's errCh semantics (migrate.go:101-140), where one bad
+    // chunk costs one chunk of rework on resume, not the whole table.
+    val chunkIds = todo.map(_._2)
+    val tableName = table.name
+    var newRows = 0L
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    val writeChunk = (it: Iterator[org.apache.spark.sql.Row]) => {
+      val res: Either[String, Long] =
+        try Right(CopySink.writePartitionAuto(targetUrl, it,
+          () => java.sql.DriverManager.getConnection(targetUrl),
+          sql, copySql, 1000))
+        catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+      res
+    }
+    spark.sparkContext.runJob(
+      df.rdd,
+      writeChunk,
+      (idx: Int, res: Either[String, Long]) => res match {
+        case Right(n) =>
+          checkpoint.foreach(_.markDone(tableName, chunkIds(idx), n))
+          newRows += n
+        case Left(err) =>
+          failures += s"chunk ${chunkIds(idx)}: $err"
+          ()
+      })
+    if (failures.nonEmpty)
+      throw new RuntimeException(
+        s"${failures.size} chunk(s) of $tableName failed migration: " +
+          failures.mkString("; "))
+    newRows
   }
 
   private def count(url: String, qualified: String): Long =

@@ -50,7 +50,8 @@ final class MigrationPipeline(
     cfg: JobConfig,
     exec: SqlExecutor,
     loader: TableLoader,
-    hookSql: Map[String, String] = Map.empty) {
+    hookSql: Map[String, String] = Map.empty,
+    checkpoint: Option[graft.checkpoint.CheckpointManager] = None) {
 
   private var stmtCount = 0
   private def run(sql: String): Unit = { stmtCount += 1; exec.execute(sql) }
@@ -76,11 +77,22 @@ final class MigrationPipeline(
     requiredExtensions.distinct.foreach(ext =>
       run(s"CREATE EXTENSION IF NOT EXISTS ${SchemaMapping.pgIdent(ext)}"))
 
-    // 1. schema phase
+    // 1. schema phase. recreate drops existing targets first (reference
+    // on_schema_exists=recreate, main.go:448-452). Resume skips CREATE
+    // for tables the prior run already created (recorded in the
+    // checkpoint as table presence) — without this, a resumed run would
+    // die on the first duplicate CREATE TABLE.
     if (!cfg.dataOnly) {
+      if (cfg.recreate)
+        tables.foreach(t => run(DdlGenerator.dropTable(schema, t.name)))
       enumValueSets.distinct.foreach(vs => run(DdlGenerator.createEnumType(vs)))
-      tables.foreach(t => run(DdlGenerator.createTable(schema, t,
-        unlogged = unlogged)))
+      tables.foreach { t =>
+        if (!checkpoint.exists(_.hasTable(t.name))) {
+          run(DdlGenerator.createTable(schema, t, unlogged = unlogged))
+          checkpoint.foreach(_.ensureTable(t.name))
+        }
+      }
+      checkpoint.foreach(_.flush())
     }
 
     // 2. data phase (hooks bracket the load, reference main.go:288-326).
@@ -94,10 +106,34 @@ final class MigrationPipeline(
         s"ALTER TABLE ${SchemaMapping.pgIdent(schema)}." +
           s"${SchemaMapping.pgIdent(t.name)} " +
           (if (enable) "ENABLE" else "DISABLE") + " TRIGGER ALL"))
+    // Fully-done tables are skipped outright on resume; partially-done
+    // tables re-enter loader.load, which skips completed chunks
+    // internally. On ANY load failure the checkpoint flushes its partial
+    // progress before the error propagates (reference
+    // migrate.go:122-146); after a fully-successful data phase the file
+    // is deleted — nothing remains to resume (migrate.go:251-254).
     def dataPhase(): Map[String, Long] = {
       runHooks("before_data")
-      val loaded = tables.map(t => t.name -> loader.load(t)).toMap
+      val loaded =
+        try tables.map { t =>
+          checkpoint match {
+            case Some(cp) if cp.isTableDone(t.name) =>
+              t.name -> cp.rowsCopied(t.name)
+            case cp =>
+              val n = loader.load(t)
+              cp.foreach(_.markTableDone(t.name))
+              // resumed tables report prior + new rows; without a
+              // checkpoint the loader's count is the total
+              t.name -> cp.map(_.rowsCopied(t.name)).getOrElse(n)
+          }
+        }.toMap
+        catch {
+          case e: Throwable =>
+            checkpoint.foreach(_.flush())
+            throw e
+        }
       runHooks("after_data")
+      checkpoint.foreach(_.cleanup())
       loaded
     }
     val loaded =

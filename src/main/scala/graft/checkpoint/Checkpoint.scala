@@ -78,6 +78,29 @@ final class CheckpointManager(
     tables.getOrElseUpdate(table, TableState()).chunkCount = n
   }
 
+  /** Record that a table exists in the target (its CREATE ran) without
+    * marking any data progress — resume uses this to make the schema
+    * phase idempotent (skip CREATE for tables the prior run created).
+    */
+  def ensureTable(table: String): Unit = lock.synchronized {
+    tables.getOrElseUpdate(table, TableState()); ()
+  }
+
+  /** True if this table has any checkpoint state (created / chunks /
+    * done) from a prior run.
+    */
+  def hasTable(table: String): Boolean = lock.synchronized {
+    tables.contains(table)
+  }
+
+  /** Delete the checkpoint file after a fully-successful migration
+    * (reference `checkpoint.go:367-373` Cleanup) — there is nothing left
+    * to resume.
+    */
+  def cleanup(): Unit = lock.synchronized {
+    Files.deleteIfExists(path); ()
+  }
+
   def isDone(table: String, chunkId: Long): Boolean = lock.synchronized {
     tables.get(table).exists(_.chunks.contains(chunkId))
   }
@@ -134,13 +157,26 @@ object CheckpointManager {
       val doc = Json.parse(
         new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
       val obj = doc.asInstanceOf[Map[String, Any]]
-      // this engine has only ever written version 2 — there is no v1
-      // format to accept (the reference's v1 predates this codebase)
-      obj.get("version").map(_.asInstanceOf[Double].toInt) match {
+      // Pre-versioning checkpoints ({fingerprint, tables:[names]}, written
+      // before the v2 schema landed) are accepted: the table-name list
+      // marks fully-completed tables. Anything else unversioned is
+      // rejected.
+      obj.get("version").map(_.asInstanceOf[Number].intValue()) match {
         case Some(Version) => ()
+        case None if obj.get("tables").exists(_.isInstanceOf[Seq[_]]) =>
+          val fp = obj.getOrElse("fingerprint", "").toString
+          if (fp != expectedFingerprint)
+            throw new IllegalArgumentException(
+              "legacy checkpoint incompatible with current job " +
+                s"(saved=$fp current=$expectedFingerprint) — refusing " +
+                "to resume")
+          obj("tables").asInstanceOf[Seq[Any]]
+            .foreach(t => mgr.restoreTableDone(t.toString))
+          return mgr
         case v => throw new IllegalArgumentException(
           s"unsupported checkpoint version ${v.getOrElse("<none>")} " +
-            s"(expected $Version)")
+            s"(expected $Version, or the legacy unversioned table-list " +
+            "format) — delete the checkpoint file to restart from scratch")
       }
       val compat = obj.get("compatibility") match {
         case Some(c: Map[String @unchecked, Any @unchecked]) => c
@@ -169,14 +205,14 @@ object CheckpointManager {
           ts.foreach { case (name, v) =>
             val t = v.asInstanceOf[Map[String, Any]]
             t.get("chunk_count").foreach(n =>
-              mgr.setChunkCount(name, n.asInstanceOf[Double].toInt))
+              mgr.setChunkCount(name, n.asInstanceOf[Number].intValue()))
             t.get("completed_chunks").foreach {
               case cc: Map[String @unchecked, Any @unchecked] =>
                 cc.foreach { case (id, r) =>
                   val res = r.asInstanceOf[Map[String, Any]]
                   mgr.restore(name, id.toLong,
                     res.get("rows_copied")
-                      .map(_.asInstanceOf[Double].toLong).getOrElse(0L),
+                      .map(_.asInstanceOf[Number].longValue()).getOrElse(0L),
                     res.get("completed_at").map(_.toString)
                       .getOrElse(java.time.Instant.now().toString))
                 }
@@ -322,10 +358,16 @@ object CheckpointManager {
         i += 1
         sb.toString
       }
-      private def num(): Double = {
+      /** Integral tokens (no '.', 'e', 'E') lex as Long — a Double would
+        * silently lose precision above 2^53, corrupting resumed
+        * rows_copied totals for very large tables.
+        */
+      private def num(): Any = {
         val start = i
         while (!eof && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
-        s.substring(start, i).toDouble
+        val tok = s.substring(start, i)
+        if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble
+        else tok.toLong
       }
     }
   }

@@ -87,6 +87,22 @@ object CopySink {
     written
   }
 
+  /** Per-partition write dispatch: a PostgreSQL target streams the COPY
+    * protocol ([[PgCopy]] — the reference's write path,
+    * `migrate.go:319-349`); any other JDBC target takes the batched
+    * INSERT. Both are one connection per partition task.
+    */
+  def writePartitionAuto(
+      targetUrl: String,
+      rows: Iterator[Row],
+      connect: () => Connection,
+      insertSql: String,
+      copySql: String,
+      batchSize: Int): Long =
+    if (PgCopy.isPostgres(targetUrl))
+      PgCopy.copyPartition(rows, connect, copySql)
+    else writePartition(rows, connect, insertSql, batchSize)
+
   /** Distributed write: every partition opens its own connection and
     * streams its rows. `connect` must be serializable (capture DSN
     * strings, not Connection objects).

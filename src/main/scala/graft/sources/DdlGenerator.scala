@@ -54,6 +54,15 @@ object DdlGenerator {
       cols.mkString(",\n") + "\n)"
   }
 
+  /** DROP for `recreate` mode. The reference recreates at schema
+    * granularity (`DROP SCHEMA … CASCADE`, `main.go:448-452`); this
+    * engine drops per migrated table so unrelated objects in a shared
+    * target schema survive. CASCADE detaches dependent FKs from earlier
+    * runs.
+    */
+  def dropTable(schema: String, table: String): String =
+    s"DROP TABLE IF EXISTS ${pgIdent(schema)}.${pgIdent(table)} CASCADE"
+
   /** Native PG enum type with value-set-hashed shared name
     * (reference `ddl.go:132-175`).
     */

@@ -70,13 +70,27 @@ trait SourceDialect {
     */
   def normalizeUrl(url: String): String = url
 
-  /** Append query params that aren't already present. */
+  /** Append query params that aren't already present. Presence is decided
+    * by exact key comparison on the parsed query string — a substring test
+    * would false-positive when the key appears inside another parameter's
+    * name or value (e.g. a password containing `open_mode=`), silently
+    * skipping a required option.
+    */
   protected final def withParams(url: String,
-      params: Seq[(String, String)]): String =
+      params: Seq[(String, String)]): String = {
+    val existing: Set[String] = url.indexOf('?') match {
+      case -1 => Set.empty
+      case q => url.substring(q + 1).split('&').toSet[String]
+        .map(p => p.indexOf('=') match {
+          case -1 => p
+          case e => p.substring(0, e)
+        })
+    }
     params.foldLeft(url) { case (u, (k, v)) =>
-      if (u.contains(s"$k=")) u
+      if (existing(k)) u
       else u + (if (u.contains("?")) "&" else "?") + s"$k=$v"
     }
+  }
 }
 
 /** MySQL / MariaDB (reference `source_mysql.go:524-643`). */

@@ -57,15 +57,27 @@ object JdbcSource {
       spec: ReadSpec,
       bounds: Option[(Long, Long)],
       chunkSize: Long = ChunkPlanner.DefaultChunkSize,
-      workers: Int = 8): DataFrame = {
+      workers: Int = 8): DataFrame =
+    readWithPredicates(spark, dialect, spec,
+      spec.keyColumn
+        .map(k => partitionPredicates(dialect, k, bounds, chunkSize, workers))
+        .getOrElse(Array.empty))
+
+  /** Read with an EXPLICIT predicate list — partition i of the result is
+    * exactly `preds(i)`. The resume path uses this to read only the
+    * chunks a prior run didn't complete while preserving the plan-order
+    * chunk ids. Empty `preds` → single unpartitioned read.
+    */
+  def readWithPredicates(
+      spark: SparkSession,
+      dialect: SourceDialect,
+      spec: ReadSpec,
+      preds: Array[String]): DataFrame = {
     val props = new java.util.Properties()
     spec.props.foreach { case (k, v) => props.setProperty(k, v) }
     // dialect-forced connection options (UTC, read-only, …) — the JDBC
     // analog of the reference's DSN normalization
     val url = dialect.normalizeUrl(spec.url)
-    val preds = spec.keyColumn
-      .map(k => partitionPredicates(dialect, k, bounds, chunkSize, workers))
-      .getOrElse(Array.empty)
     if (preds.isEmpty)
       spark.read.jdbc(url, dialect.quote(spec.table), props)
     else

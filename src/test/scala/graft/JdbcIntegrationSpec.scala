@@ -115,6 +115,82 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     } finally check.close()
   }
 
+  test("resume on Derby: a failed chunk retries without duplicating " +
+      "the chunks a prior run completed") {
+    import graft.checkpoint.CheckpointManager
+    import graft.config.JobConfig
+    import graft.sources.{GenericJdbcDialect, Introspection,
+      SchemaMapping, TypeOptions}
+    val srcUrl = "jdbc:derby:memory:graftrsrc;create=true"
+    val tgtUrl = "jdbc:derby:memory:graftrtgt;create=true"
+    val sc = DriverManager.getConnection(srcUrl)
+    try {
+      val st = sc.createStatement()
+      st.execute("CREATE TABLE EVTS (ID INT NOT NULL PRIMARY KEY, " +
+        "TAG VARCHAR(40) NOT NULL)")
+      val ins = sc.prepareStatement("INSERT INTO EVTS VALUES (?, ?)")
+      (1 to 500).foreach { i =>
+        ins.setInt(1, i)
+        // ids 201-300 (exactly chunk 2 of the [1,500]/100 plan) carry
+        // tags too wide for the deliberately-narrow target column: that
+        // chunk fails, its four siblings commit
+        ins.setString(2, if (i > 200 && i <= 300) "x" * 30 else s"t_$i")
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally sc.close()
+    val tc = DriverManager.getConnection(tgtUrl)
+    try tc.createStatement().execute(
+      "CREATE TABLE \"evts\" (\"id\" INT, \"tag\" VARCHAR(10))")
+    finally tc.close()
+
+    val conn = DriverManager.getConnection(srcUrl)
+    val (sts, _) = try Introspection.fromJdbcMetadata(conn, "APP")
+      finally conn.close()
+    val evts = sts.find(_.name == "EVTS").get
+    val cfg = JobConfig(sourceDialect = "jdbc", sourceUrl = srcUrl,
+      targetUrl = tgtUrl, targetSchema = null, chunkSize = 100L,
+      workers = 4, resume = true, unloggedTables = false)
+    val meta = SchemaMapping.toTableMeta(GenericJdbcDialect, evts, Nil,
+      TypeOptions())
+    val cpFile = java.nio.file.Files.createTempDirectory("graft-cp")
+      .resolve("graft_checkpoint.json")
+    val parts = Seq("job" -> "resume-test")
+    val fp = CheckpointManager.fingerprint(parts)
+
+    // run 1: "crashes" (chunk 2 write fails); partial progress flushes
+    val cp1 = CheckpointManager.load(cpFile.toString, fp, parts)
+    val loader1 = new SparkTableLoader(spark, cfg, Seq(evts), Some(cp1))
+    val e = intercept[RuntimeException](loader1.load(meta))
+    assert(e.getMessage.contains("failed migration"))
+    cp1.flush() // what MigrationPipeline does when the load throws
+    assert(cp1.completed("evts").size == 4)
+    assert(!cp1.isDone("evts", 2L))
+
+    // operator fixes the target, run 2 resumes from the file on disk
+    val fix = DriverManager.getConnection(tgtUrl)
+    try fix.createStatement().execute("ALTER TABLE \"evts\" ALTER " +
+      "COLUMN \"tag\" SET DATA TYPE VARCHAR(40)")
+    finally fix.close()
+    val cp2 = CheckpointManager.load(cpFile.toString, fp, parts)
+    assert(cp2.completed("evts").size == 4)
+    val loader2 = new SparkTableLoader(spark, cfg, Seq(evts), Some(cp2))
+    assert(loader2.load(meta) == 100L) // ONLY the failed chunk reloads
+    assert(cp2.rowsCopied("evts") == 500L)
+
+    // target holds each source row exactly once
+    val check = DriverManager.getConnection(tgtUrl)
+    try {
+      val rs = check.createStatement().executeQuery(
+        "SELECT COUNT(*), SUM(\"id\"), COUNT(DISTINCT \"id\") " +
+          "FROM \"evts\"")
+      rs.next()
+      assert(rs.getLong(1) == 500L)
+      assert(rs.getLong(2) == 500L * 501 / 2)
+      assert(rs.getLong(3) == 500L)
+    } finally check.close()
+  }
+
   test("generic JDBC metadata introspection against live Derby " +
       "(tables, PK, index, FK) bridges to TableMeta") {
     import graft.sources.{GenericJdbcDialect, Introspection,

@@ -166,6 +166,96 @@ class PipelineSpec extends AnyFunSuite {
     assert(disable >= 0 && hook > disable && enable > hook)
   }
 
+  test("recreate drops existing tables before creating them") {
+    val rec = new Recorder
+    new MigrationPipeline(JobConfig(recreate = true), rec, NoopLoader)
+      .migrate(Seq(users, posts))
+    val drop = rec.stmts.indexWhere(
+      _ == "DROP TABLE IF EXISTS \"public\".\"users\" CASCADE")
+    val create = rec.stmts.indexWhere(_.startsWith("CREATE UNLOGGED TABLE"))
+    assert(drop >= 0 && create > drop, rec.stmts.mkString("\n"))
+  }
+
+  test("resume: done tables skip load, created tables skip CREATE, " +
+      "partial progress flushes on failure, file deleted on success") {
+    import graft.checkpoint.CheckpointManager
+    val dir = java.nio.file.Files.createTempDirectory("graft-pcp")
+    val cpPath = dir.resolve("graft_checkpoint.json")
+    val parts = Seq("job" -> "pipe-resume")
+    val fp = CheckpointManager.fingerprint(parts)
+    // prior run: users fully done (10 rows), posts created but unloaded
+    val prior = CheckpointManager.load(cpPath.toString, fp, parts)
+    prior.ensureTable("users"); prior.ensureTable("posts")
+    prior.markDone("users", 0L, 10L); prior.markTableDone("users")
+    prior.flush()
+
+    val cfg = JobConfig(resume = true, unloggedTables = false)
+    // run A: posts load fails → checkpoint file must survive with the
+    // users progress intact (flushed), and no CREATE was re-issued
+    val recA = new Recorder
+    val boom = new TableLoader {
+      def load(t: TableMeta): Long =
+        if (t.name == "posts") sys.error("net split") else 7L
+      def sourceCount(t: TableMeta): Long = 0L
+      def targetCount(t: TableMeta): Long = 0L
+    }
+    val cpA = CheckpointManager.load(cpPath.toString, fp, parts)
+    val loadedTables = scala.collection.mutable.Buffer[String]()
+    val spying = new TableLoader {
+      def load(t: TableMeta): Long = { loadedTables += t.name; boom.load(t) }
+      def sourceCount(t: TableMeta): Long = 0L
+      def targetCount(t: TableMeta): Long = 0L
+    }
+    intercept[RuntimeException] {
+      new MigrationPipeline(cfg.copy(validation = "none"), recA, spying,
+        checkpoint = Some(cpA)).migrate(Seq(users, posts))
+    }
+    assert(loadedTables == Seq("posts")) // users was table-done → skipped
+    assert(!recA.stmts.exists(_.startsWith("CREATE TABLE")))
+    assert(java.nio.file.Files.exists(cpPath))
+
+    // run B: posts succeeds → report mixes resumed and fresh counts,
+    // checkpoint file is cleaned up
+    val recB = new Recorder
+    val cpB = CheckpointManager.load(cpPath.toString, fp, parts)
+    val okLoader = new TableLoader {
+      def load(t: TableMeta): Long = { cpB.markDone(t.name, 0L, 7L); 7L }
+      def sourceCount(t: TableMeta): Long = 0L
+      def targetCount(t: TableMeta): Long = 0L
+    }
+    val report = new MigrationPipeline(cfg.copy(validation = "none"), recB,
+      okLoader, checkpoint = Some(cpB)).migrate(Seq(users, posts))
+    assert(report.rowsLoaded == Map("users" -> 10L, "posts" -> 7L))
+    assert(!java.nio.file.Files.exists(cpPath))
+  }
+
+  test("checkpoint rejects a changed job but accepts the legacy " +
+      "unversioned table-list format") {
+    import graft.checkpoint.CheckpointManager
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccp")
+    val p1 = dir.resolve("cp1.json")
+    val partsA = Seq("chunk_size" -> "100")
+    val partsB = Seq("chunk_size" -> "500")
+    val cp = CheckpointManager.load(p1.toString,
+      CheckpointManager.fingerprint(partsA), partsA)
+    cp.markDone("t", 0L, 5L); cp.flush()
+    val e = intercept[IllegalArgumentException] {
+      CheckpointManager.load(p1.toString,
+        CheckpointManager.fingerprint(partsB), partsB)
+    }
+    assert(e.getMessage.contains("chunk_size changed"))
+    // legacy shape: fingerprint + completed table-name list
+    val p2 = dir.resolve("cp2.json")
+    val fpB = CheckpointManager.fingerprint(partsB)
+    java.nio.file.Files.writeString(p2,
+      s"""{"fingerprint": "$fpB", "tables": ["users", "events"]}""")
+    val legacy = CheckpointManager.load(p2.toString, fpB, partsB)
+    assert(legacy.isTableDone("users") && legacy.isTableDone("events"))
+    intercept[IllegalArgumentException] {
+      CheckpointManager.load(p2.toString, "other-fp", partsB)
+    }
+  }
+
   test("orphan-cleanup SQL precedes FK attachment; SET NULL rule " +
       "nullifies (post.go:57-66,505-529)") {
     val rec = new Recorder
