@@ -372,23 +372,36 @@ object Relational {
       val o = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
       val n = broadcast(t(s, dir, "nation"))
-      val discF = (lit(1.0) - col("l_discount")).cast(DecimalType(8, 2))
+      // Money arithmetic in integer units (cents × discount-percent,
+      // exact at 4 decimal places): a DECIMAL(12,2)×DECIMAL(8,2) sum
+      // needs precision 22 — past Spark's compact-Long decimal range, so
+      // every row would accumulate through heap BigDecimals. Longs keep
+      // the 600k-row pre-aggregation inside codegen'd primitive ops and
+      // stay order-insensitive (exact), which the oracle hash requires.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)
+      val pct = floor((lit(1.0) - col("l_discount")) * 100 + 0.5)
+        .cast(LongType)
       val perOrder = li.groupBy(col("l_orderkey"))
-        .agg(sum(dec2(col("l_extendedprice")) * discF).as("orev"),
-          count(lit(1)).as("on"))
+        .agg(sum(cents * pct).as("orev"), count(lit(1)).as("on"))
+      // nation-level re-sum in DECIMAL(38,0): per-order longs are exact,
+      // and the wide-decimal path only touches the 150k pre-aggregated
+      // rows (25 output groups), not the raw fact table. A pure-long
+      // grand total would overflow around 10^19 cents·pct at the 100 TB
+      // scale target.
       perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("orev")).as("drev"), sum(col("on")).as("n"))
-        .select(col("n_name"), col("drev").cast(DoubleType).as("revenue"),
-          col("n"))
+        .agg(sum(col("orev").cast(DecimalType(38, 0))).as("drev"),
+          sum(col("on")).as("n"))
+        .select(col("n_name"),
+          (col("drev").cast(DoubleType) / 10000.0).as("revenue"), col("n"))
         .orderBy("n_name")
     },
     Some("""SELECT n_name,
-           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-           |           CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
-           |    AS revenue,
+           |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+           |           CAST(floor((1.0 - l_discount) * 100 + 0.5) AS BIGINT))
+           |       AS DOUBLE) / 10000.0 AS revenue,
            |  COUNT(*) AS n
            |FROM lineitem
            |JOIN orders ON l_orderkey = o_orderkey
