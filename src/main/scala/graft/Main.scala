@@ -15,10 +15,11 @@ import java.nio.file.{Files, Path, Paths}
   *  - `graft.Main wizard [...]` — non-interactive config generator
   *    (delegates to [[Wizard]]).
   *
-  * Live introspection is wired for MySQL (the reference's primary
-  * source); SQLite/MSSQL run through the same library APIs
-  * ([[sources.Introspection]] catalog SQL + [[sources.SchemaMapping]]
-  * assembly) but aren't exposed on this CLI yet.
+  * Live introspection dispatches to each dialect's native catalog —
+  * MySQL INFORMATION_SCHEMA, SQLite pragma table-valued functions,
+  * MSSQL sys.* views — with the engine-agnostic DatabaseMetaData path
+  * as the fallback for any other JDBC source
+  * (`source.dialect = "jdbc"`).
   */
 object Main {
 
@@ -61,31 +62,68 @@ object Main {
 
   private def session(): SparkSession = Sessions.build("graft")
 
-  /** Introspect the live source into TableMetas. MySQL uses the
-    * reference's INFORMATION_SCHEMA catalog queries; any other dialect
-    * goes through the engine-agnostic DatabaseMetaData path
-    * ([[sources.Introspection.fromJdbcMetadata]]), so the CLI can
-    * migrate from any JDBC database (`source.dialect = "jdbc"`).
+  /** MSSQL source schema — the reference defaults to dbo
+    * (`config.go:127`); overridable via env until the config grows a
+    * `source.schema` key.
+    */
+  private def mssqlSchema: String =
+    sys.env.getOrElse("GRAFT_MSSQL_SCHEMA", "dbo")
+
+  private def dbNameOf(url: String): String =
+    url.split('/').last.takeWhile(_ != '?')
+
+  /** Introspect the live source into TableMetas, using each dialect's
+    * NATIVE catalog (the reference's fidelity: generated/computed
+    * columns, default constraints, identity/rowid autoincrement) —
+    * MySQL INFORMATION_SCHEMA, SQLite pragma functions, MSSQL sys.*
+    * views. Any other dialect goes through the engine-agnostic
+    * DatabaseMetaData path ([[sources.Introspection.fromJdbcMetadata]]),
+    * so the CLI can migrate from any JDBC database
+    * (`source.dialect = "jdbc"`).
     */
   def introspect(spark: SparkSession, cfg: JobConfig)
       : (Seq[SourceTable], Seq[TableMeta]) = {
     val dialect = SourceDialect(cfg.sourceDialect)
     val url = dialect.normalizeUrl(cfg.sourceUrl)
-    val (sts, fks) =
-      if (cfg.sourceDialect == "mysql") {
-        val dbName = url.split('/').last.takeWhile(_ != '?')
-        def catalog(sql: String) =
-          spark.read.format("jdbc").option("url", url)
-            .option("query", sql).load()
+    def catalog(sql: String) =
+      spark.read.format("jdbc").option("url", url)
+        .option("query", sql).load()
+    def rows(sql: String): Seq[org.apache.spark.sql.Row] =
+      catalog(sql).collect().toSeq
+    def batched(sqls: Seq[String]): Seq[org.apache.spark.sql.Row] =
+      sqls.flatMap(rows)
+    val (sts, fks) = cfg.sourceDialect match {
+      case "mysql" =>
+        val dbName = dbNameOf(url)
         Introspection.assembleMySql(
           catalog(Introspection.MySql.columnsSql(dbName)),
           catalog(Introspection.MySql.indexesSql(dbName)),
           catalog(Introspection.MySql.foreignKeysSql(dbName)))
-      } else {
+      case "sqlite" =>
+        import Introspection.Sqlite
+        val tableNames = rows(Sqlite.tablesSql).map(_.getString(0))
+        val createSql = rows(Sqlite.createSqlSql)
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val listRows = batched(Sqlite.indexListSqlBatches(tableNames))
+        val ixPairs = listRows
+          .map(r => (r.getString(0), r.getString(2))).distinct
+        Introspection.assembleSqlite(
+          batched(Sqlite.columnsSqlBatches(tableNames)),
+          listRows,
+          batched(Sqlite.indexInfoSqlBatches(ixPairs)),
+          batched(Sqlite.foreignKeysSqlBatches(tableNames)),
+          createSql)
+      case "mssql" =>
+        import Introspection.Mssql
+        Introspection.assembleMssql(
+          rows(Mssql.columnsSql(mssqlSchema)),
+          rows(Mssql.indexesSql(mssqlSchema)),
+          rows(Mssql.foreignKeysSql(mssqlSchema)))
+      case _ =>
         val conn = java.sql.DriverManager.getConnection(url)
         try Introspection.fromJdbcMetadata(conn)
         finally conn.close()
-      }
+    }
     val metas = sts.map(st => SchemaMapping.toTableMeta(dialect, st,
       fks.getOrElse(st.name, Nil), cfg.typeOptions,
       snake = cfg.snakeCaseIdentifiers))
@@ -93,23 +131,38 @@ object Main {
   }
 
   /** S7 source-objects scan (views/routines/triggers, report-only —
-    * reference `source_objects.go` / `main.go:194-201`); MySQL catalog
-    * path only, empty elsewhere.
+    * reference `source_objects.go` / `main.go:194-201`) across all
+    * three native dialects; empty for generic JDBC sources.
     */
   private def sourceObjects(spark: SparkSession, cfg: JobConfig)
-      : Introspection.SourceObjects =
-    if (cfg.sourceDialect != "mysql") Introspection.SourceObjects()
-    else {
-      val url = SourceDialect(cfg.sourceDialect).normalizeUrl(cfg.sourceUrl)
-      val dbName = url.split('/').last.takeWhile(_ != '?')
-      def rows(sql: String) =
-        spark.read.format("jdbc").option("url", url)
-          .option("query", sql).load().collect().toSeq
-      Introspection.MySql.assembleSourceObjects(
-        rows(Introspection.MySql.viewsSql(dbName)),
-        rows(Introspection.MySql.routinesSql(dbName)),
-        rows(Introspection.MySql.triggersSql(dbName)))
+      : Introspection.SourceObjects = {
+    val url = SourceDialect(cfg.sourceDialect).normalizeUrl(cfg.sourceUrl)
+    def rows(sql: String) =
+      spark.read.format("jdbc").option("url", url)
+        .option("query", sql).load().collect().toSeq
+    cfg.sourceDialect match {
+      case "mysql" =>
+        val dbName = dbNameOf(url)
+        Introspection.MySql.assembleSourceObjects(
+          rows(Introspection.MySql.viewsSql(dbName)),
+          rows(Introspection.MySql.routinesSql(dbName)),
+          rows(Introspection.MySql.triggersSql(dbName)))
+      case "sqlite" =>
+        Introspection.SourceObjects(
+          views = rows(Introspection.Sqlite.viewsSql).map(_.getString(0)),
+          triggers =
+            rows(Introspection.Sqlite.triggersSql).map(_.getString(0)))
+      case "mssql" =>
+        Introspection.SourceObjects(
+          views = rows(Introspection.Mssql.viewsSql(mssqlSchema))
+            .map(_.getString(0)),
+          routines = rows(Introspection.Mssql.routinesSql(mssqlSchema))
+            .map(r => s"${r.getString(0)} ${r.getString(1)}"),
+          triggers = rows(Introspection.Mssql.triggersSql(mssqlSchema))
+            .map(_.getString(0)))
+      case _ => Introspection.SourceObjects()
     }
+  }
 
   def runPlan(cfgPath: Path, json: Boolean = false,
       hooksDir: Option[Path] = None): Unit = {

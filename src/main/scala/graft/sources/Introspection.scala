@@ -95,19 +95,68 @@ object Introspection {
   object Sqlite {
     val MaxUnionTerms = 400 // reference source_sqlite.go:15-16
 
+    private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
     def tablesSql: String =
       "SELECT name FROM sqlite_master WHERE type = 'table' " +
         "AND name NOT LIKE 'sqlite_%' ORDER BY name"
 
-    /** One compound SELECT per ≤400-table batch. */
+    /** name → CREATE SQL, for rowid-alias/AUTOINCREMENT detection
+      * (reference `source_sqlite.go:437-456`).
+      */
+    def createSqlSql: String =
+      "SELECT name, COALESCE(sql, '') FROM sqlite_master WHERE " +
+        "type = 'table' AND name NOT LIKE 'sqlite_%' ORDER BY name"
+
+    /** One compound SELECT per ≤400-table batch
+      * (reference `source_sqlite.go:372-384`).
+      */
     def columnsSqlBatches(tables: Seq[String]): Seq[String] =
       tables.grouped(MaxUnionTerms).map { batch =>
         batch.map { t =>
-          val lit = t.replace("'", "''")
-          s"SELECT '$lit' AS table_name, name, type, `notnull`, " +
-            s"dflt_value, pk, hidden FROM pragma_table_xinfo('$lit')"
-        }.mkString(" UNION ALL ")
+          s"SELECT ${lit(t)} AS table_name, cid, name, type, `notnull`, " +
+            s"dflt_value, pk, hidden FROM pragma_table_xinfo(${lit(t)})"
+        }.mkString("", " UNION ALL ", " ORDER BY table_name, cid")
       }.toSeq
+
+    /** pragma_index_list batches (reference `source_sqlite.go:509-523`). */
+    def indexListSqlBatches(tables: Seq[String]): Seq[String] =
+      tables.grouped(MaxUnionTerms).map { batch =>
+        batch.map { t =>
+          s"SELECT ${lit(t)} AS table_name, seq, name, `unique`, " +
+            s"origin, partial FROM pragma_index_list(${lit(t)})"
+        }.mkString("", " UNION ALL ", " ORDER BY table_name, seq")
+      }.toSeq
+
+    /** pragma_index_info batches over (table, index) pairs
+      * (reference `source_sqlite.go:570-585`).
+      */
+    def indexInfoSqlBatches(ixs: Seq[(String, String)]): Seq[String] =
+      ixs.grouped(MaxUnionTerms).map { batch =>
+        batch.map { case (t, ix) =>
+          s"SELECT ${lit(t)} AS table_name, ${lit(ix)} AS index_name, " +
+            s"seqno, cid, name FROM pragma_index_info(${lit(ix)})"
+        }.mkString("", " UNION ALL ",
+          " ORDER BY table_name, index_name, seqno")
+      }.toSeq
+
+    /** pragma_foreign_key_list batches
+      * (reference `source_sqlite.go:642-655`).
+      */
+    def foreignKeysSqlBatches(tables: Seq[String]): Seq[String] =
+      tables.grouped(MaxUnionTerms).map { batch =>
+        batch.map { t =>
+          s"SELECT ${lit(t)} AS table_name, id, seq, " +
+            s"`table` AS ref_table, `from`, `to`, on_update, on_delete " +
+            s"FROM pragma_foreign_key_list(${lit(t)})"
+        }.mkString("", " UNION ALL ", " ORDER BY table_name, id, seq")
+      }.toSeq
+
+    /** S7 source-objects (reference `source_sqlite.go:115-151`). */
+    def viewsSql: String =
+      "SELECT name FROM sqlite_master WHERE type='view' ORDER BY name"
+    def triggersSql: String =
+      "SELECT name FROM sqlite_master WHERE type='trigger' ORDER BY name"
   }
 
   /** MSSQL sys.* joins (reference `source_mssql.go:179-508`). */
@@ -128,6 +177,59 @@ object Introspection {
          |  ON c.object_id = cc.object_id AND c.column_id = cc.column_id
          |WHERE s.name = '$schema' AND t.is_ms_shipped = 0
          |ORDER BY t.name, c.column_id""".stripMargin
+
+    /** Key+included index columns (reference `source_mssql.go:319-340`). */
+    def indexesSql(schema: String): String =
+      s"""SELECT t.name AS table_name, i.name AS index_name, i.is_unique,
+         |  i.is_primary_key, i.type_desc, i.has_filter, ic.key_ordinal,
+         |  c.name AS column_name, ic.is_included_column
+         |FROM sys.indexes i
+         |JOIN sys.index_columns ic
+         |  ON i.object_id = ic.object_id AND i.index_id = ic.index_id
+         |JOIN sys.columns c
+         |  ON ic.object_id = c.object_id AND ic.column_id = c.column_id
+         |JOIN sys.tables t ON i.object_id = t.object_id
+         |JOIN sys.schemas s ON t.schema_id = s.schema_id
+         |WHERE s.name = '$schema' AND i.type > 0 AND i.name IS NOT NULL
+         |ORDER BY t.name, i.index_id, ic.is_included_column,
+         |  ic.key_ordinal""".stripMargin
+
+    /** FK constraint columns (reference `source_mssql.go:432-453`). */
+    def foreignKeysSql(schema: String): String =
+      s"""SELECT t.name AS table_name, fk.name AS fk_name,
+         |  pc.name AS column_name, ref_t.name AS ref_table,
+         |  rc.name AS ref_column,
+         |  fk.update_referential_action_desc AS update_action,
+         |  fk.delete_referential_action_desc AS delete_action,
+         |  fkc.constraint_column_id
+         |FROM sys.foreign_keys fk
+         |JOIN sys.foreign_key_columns fkc
+         |  ON fk.object_id = fkc.constraint_object_id
+         |JOIN sys.tables t ON fk.parent_object_id = t.object_id
+         |JOIN sys.schemas s ON t.schema_id = s.schema_id
+         |JOIN sys.tables ref_t ON fk.referenced_object_id = ref_t.object_id
+         |JOIN sys.columns pc ON fkc.parent_object_id = pc.object_id
+         |  AND fkc.parent_column_id = pc.column_id
+         |JOIN sys.columns rc ON fkc.referenced_object_id = rc.object_id
+         |  AND fkc.referenced_column_id = rc.column_id
+         |WHERE s.name = '$schema'
+         |ORDER BY t.name, fk.name, fkc.constraint_column_id""".stripMargin
+
+    /** S7 source-objects (reference `source_mssql.go:512-590`). */
+    def viewsSql(schema: String): String =
+      s"""SELECT v.name FROM sys.views v
+         |JOIN sys.schemas s ON v.schema_id = s.schema_id
+         |WHERE s.name = '$schema' ORDER BY v.name""".stripMargin
+    def routinesSql(schema: String): String =
+      s"""SELECT o.type_desc, o.name FROM sys.objects o
+         |JOIN sys.schemas s ON o.schema_id = s.schema_id
+         |WHERE s.name = '$schema' AND o.type IN ('P','FN','IF','TF')
+         |ORDER BY o.type, o.name""".stripMargin
+    def triggersSql(schema: String): String =
+      s"""SELECT tr.name FROM sys.triggers tr
+         |JOIN sys.objects o ON tr.parent_id = o.object_id
+         |JOIN sys.schemas s ON o.schema_id = s.schema_id
+         |WHERE s.name = '$schema' ORDER BY tr.name""".stripMargin
   }
 
   /** Fold MySQL COLUMNS rows into per-table SourceColumn lists,
@@ -323,5 +425,272 @@ object Introspection {
       SourceTable(t, cs, ixs.getOrElse(t, Nil))
     }
     (tables, fks)
+  }
+
+  // ---- SQLite native assembly (reference source_sqlite.go:364-713) ----
+
+  private def anyInt(v: Any): Int = v match {
+    case b: Boolean => if (b) 1 else 0
+    case n => n.toString.toDouble.toInt
+  }
+
+  private val TypeParams = """\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+
+  /** pragma_table_xinfo rows `(table_name, cid, name, type, notnull,
+    * dflt_value, pk, hidden)` → per-table ordered columns and the PK
+    * index. `createSql` (sqlite_master.sql) drives AUTOINCREMENT
+    * detection; an INTEGER single-column PK is a rowid alias and maps to
+    * auto_increment regardless (reference `source_sqlite.go:404-489`).
+    */
+  def assembleSqliteColumns(rows: Seq[Row],
+      createSql: Map[String, String] = Map.empty)
+      : (Map[String, Seq[SourceColumn]], Map[String, IndexMeta]) = {
+    val byTable = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(Int, SourceColumn)]]
+    val pkCols = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(Int, String)]]
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val declared = Option(r.getString(3)).getOrElse("")
+      val params = TypeParams.findFirstMatchIn(declared)
+      val p = params.map(_.group(1).toInt)
+      val s = params.flatMap(m => Option(m.group(2)).map(_.toInt))
+      val hidden = anyInt(r.get(7))
+      val c = SourceColumn(
+        name = r.getString(2),
+        dataType = TypeParams.replaceAllIn(declared, "").trim.toLowerCase,
+        columnType = declared.toLowerCase,
+        charMaxLen =
+          if (declared.toUpperCase.contains("CHAR")) p else None,
+        precision = p,
+        scale = s,
+        nullable = anyInt(r.get(4)) == 0,
+        default = if (r.isNullAt(5)) None else Some(r.get(5).toString),
+        extra = hidden match {
+          case 2 => "STORED GENERATED"
+          case 3 => "VIRTUAL GENERATED"
+          case _ => ""
+        })
+      byTable(t) = byTable.getOrElse(t, Vector.empty) :+
+        (anyInt(r.get(1)) -> c)
+      val pk = anyInt(r.get(6))
+      if (pk > 0)
+        pkCols(t) = pkCols.getOrElse(t, Vector.empty) :+ (pk -> c.name)
+    }
+    val pks = pkCols.map { case (t, cols) =>
+      t -> IndexMeta(s"pk_$t", cols.sortBy(_._1).map(_._2),
+        unique = true, isPrimary = true)
+    }.toMap
+    val tables = byTable.map { case (t, cs) =>
+      val ordered = cs.sortBy(_._1).map(_._2)
+      // rowid alias: single INTEGER pk column (covers AUTOINCREMENT too,
+      // which sqlite only permits on INTEGER PRIMARY KEY); explicit
+      // AUTOINCREMENT in the CREATE SQL also qualifies.
+      val auto = pkCols.get(t).filter(_.size == 1).map(_.head._2)
+        .filter { pkName =>
+          ordered.exists(c => c.name == pkName &&
+            c.columnType.equalsIgnoreCase("integer")) ||
+            createSql.get(t).exists(
+              _.toUpperCase.contains("AUTOINCREMENT"))
+        }
+      t -> ordered.map(c =>
+        if (auto.contains(c.name)) c.copy(extra = "auto_increment") else c)
+    }.toMap
+    (tables, pks)
+  }
+
+  /** pragma_index_list `(table_name, seq, name, unique, origin,
+    * partial)` + pragma_index_info `(table_name, index_name, seqno, cid,
+    * name)` → secondary IndexMeta per table (PK-origin rows excluded;
+    * partial and expression indexes flagged hasExpression so DDL skips
+    * them — reference `source_sqlite.go:496-633`).
+    */
+  def assembleSqliteIndexes(listRows: Seq[Row], infoRows: Seq[Row])
+      : Map[String, Seq[IndexMeta]] = {
+    val colsByIx = infoRows.groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues { rs =>
+        val sorted = rs.sortBy(r => anyInt(r.get(2)))
+        (sorted.map(r => Option(r.getString(4))),
+          sorted.exists(_.isNullAt(4))) // NULL column = expression index
+      }.toMap
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[IndexMeta]]
+    listRows.sortBy(r => (r.getString(0), anyInt(r.get(1)))).foreach { r =>
+      val (t, name) = (r.getString(0), r.getString(2))
+      if (r.getString(4) != "pk") {
+        val (cols, hasExpr) =
+          colsByIx.getOrElse((t, name), (Seq.empty, false))
+        out(t) = out.getOrElse(t, Vector.empty) :+ IndexMeta(
+          name = name,
+          columns = cols.flatten,
+          unique = anyInt(r.get(3)) == 1,
+          isPrimary = false,
+          hasExpression = hasExpr || anyInt(r.get(5)) == 1)
+      }
+    }
+    out.toMap
+  }
+
+  /** pragma_foreign_key_list `(table_name, id, seq, ref_table, from, to,
+    * on_update, on_delete)` → composite-ordered FKs, named
+    * `fk_<table>_<id>` like the reference (`source_sqlite.go:686-699`).
+    */
+  def assembleSqliteForeignKeys(rows: Seq[Row])
+      : Map[String, Seq[ForeignKeyMeta]] = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[ForeignKeyMeta]]
+    rows.groupBy(r => (r.getString(0), anyInt(r.get(1)))).toSeq
+      .sortBy(_._1).foreach { case ((t, id), fkRows) =>
+        val sorted = fkRows.sortBy(r => anyInt(r.get(2)))
+        out(t) = out.getOrElse(t, Vector.empty) :+ ForeignKeyMeta(
+          name = s"fk_${t}_$id",
+          columns = sorted.map(_.getString(4)),
+          refTable = sorted.head.getString(3),
+          refColumns = sorted.map(_.getString(5)),
+          onUpdate = sorted.head.getString(6).toUpperCase,
+          onDelete = sorted.head.getString(7).toUpperCase)
+      }
+    out.toMap
+  }
+
+  /** Full SQLite assembly from the batched pragma result sets. */
+  def assembleSqlite(colRows: Seq[Row], listRows: Seq[Row],
+      infoRows: Seq[Row], fkRows: Seq[Row],
+      createSql: Map[String, String] = Map.empty)
+      : (Seq[SourceTable], Map[String, Seq[ForeignKeyMeta]]) = {
+    val (cols, pks) = assembleSqliteColumns(colRows, createSql)
+    val ixs = assembleSqliteIndexes(listRows, infoRows)
+    val tables = cols.toSeq.sortBy(_._1).map { case (t, cs) =>
+      SourceTable(t, cs, pks.get(t).toSeq ++ ixs.getOrElse(t, Nil))
+    }
+    (tables, assembleSqliteForeignKeys(fkRows))
+  }
+
+  // ---- MSSQL native assembly (reference source_mssql.go:179-508) ----
+
+  /** Strip the outer constraint parens MSSQL wraps defaults in:
+    * `((0))` → `0`, `(getdate())` → `getdate()`
+    * (reference `mssqlStripParens`).
+    */
+  def mssqlStripParens(s: String): String = {
+    var cur = s.trim
+    while (cur.length >= 2 && cur.head == '(' && cur.last == ')') {
+      // only strip when the outer parens actually match each other
+      var depth = 0
+      var matched = true
+      cur.zipWithIndex.foreach { case (c, i) =>
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1
+          if (depth == 0 && i < cur.length - 1) matched = false }
+      }
+      if (!matched) return cur
+      cur = cur.substring(1, cur.length - 1).trim
+    }
+    cur
+  }
+
+  /** sys.columns rows (see [[Mssql.columnsSql]]) → per-table columns.
+    * nvarchar/nchar max_length is bytes (halved for chars); -1 = MAX
+    * (→ no length, text mapping). IDENTITY → auto_increment; computed
+    * columns carry their definition (reference
+    * `source_mssql.go:208-311`).
+    */
+  def assembleMssqlColumns(rows: Seq[Row])
+      : Map[String, Seq[SourceColumn]] = {
+    val byTable = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(Int, SourceColumn)]]
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val baseType = r.getString(2).toLowerCase
+      val maxLen = anyInt(r.get(3))
+      val chars = baseType match {
+        case "nvarchar" | "nchar" | "ntext" =>
+          if (maxLen <= 0) None else Some(maxLen / 2)
+        case "varchar" | "char" | "binary" | "varbinary" =>
+          if (maxLen <= 0) None else Some(maxLen)
+        case _ => None
+      }
+      val computed = Option(r.getString(9)).filter(_.nonEmpty)
+      val c = SourceColumn(
+        name = r.getString(1),
+        dataType = baseType,
+        columnType = baseType,
+        charMaxLen = chars,
+        precision = Some(anyInt(r.get(4))).filter(_ > 0),
+        scale = Some(anyInt(r.get(5))),
+        nullable = anyInt(r.get(6)) != 0,
+        default =
+          if (r.isNullAt(7)) None
+          else Some(mssqlStripParens(r.getString(7))),
+        extra =
+          if (anyInt(r.get(8)) != 0) "auto_increment"
+          else if (computed.isDefined) "COMPUTED"
+          else "",
+        collation = Option(r.getString(10)).getOrElse(""),
+        generationExpression = computed.getOrElse(""))
+      byTable(t) = byTable.getOrElse(t, Vector.empty) :+
+        (anyInt(r.get(11)) -> c)
+    }
+    byTable.map { case (t, cs) => t -> cs.sortBy(_._1).map(_._2) }.toMap
+  }
+
+  /** sys.indexes rows (see [[Mssql.indexesSql]]) → IndexMeta per table.
+    * Included (non-key) columns are dropped; XML/SPATIAL and filtered
+    * indexes are flagged hasExpression so DDL skips them (reference
+    * `source_mssql.go:319-430`).
+    */
+  def assembleMssqlIndexes(rows: Seq[Row]): Map[String, Seq[IndexMeta]] = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[IndexMeta]]
+    rows.groupBy(r => (r.getString(0), r.getString(1))).toSeq
+      .sortBy(_._1).foreach { case ((t, name), ixRows) =>
+        val keyCols = ixRows.filter(r => anyInt(r.get(8)) == 0)
+          .sortBy(r => anyInt(r.get(6)))
+        val head = ixRows.head
+        val typeDesc = head.getString(4)
+        out(t) = out.getOrElse(t, Vector.empty) :+ IndexMeta(
+          name = name,
+          columns = keyCols.map(_.getString(7)),
+          unique = anyInt(head.get(2)) == 1,
+          isPrimary = anyInt(head.get(3)) == 1,
+          kind = if (typeDesc == "XML" || typeDesc == "SPATIAL") typeDesc
+            else "BTREE",
+          hasExpression = typeDesc == "XML" || typeDesc == "SPATIAL" ||
+            anyInt(head.get(5)) == 1)
+      }
+    out.toMap
+  }
+
+  /** sys.foreign_keys rows (see [[Mssql.foreignKeysSql]]) → FKs;
+    * MSSQL action spelling `NO_ACTION`/`SET_NULL` normalizes to the
+    * SQL-standard space form (reference `source_mssql.go:455-508`).
+    */
+  def assembleMssqlForeignKeys(rows: Seq[Row])
+      : Map[String, Seq[ForeignKeyMeta]] = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[ForeignKeyMeta]]
+    rows.groupBy(r => (r.getString(0), r.getString(1))).toSeq
+      .sortBy(_._1).foreach { case ((t, name), fkRows) =>
+        val sorted = fkRows.sortBy(r => anyInt(r.get(7)))
+        out(t) = out.getOrElse(t, Vector.empty) :+ ForeignKeyMeta(
+          name = name,
+          columns = sorted.map(_.getString(2)),
+          refTable = sorted.head.getString(3),
+          refColumns = sorted.map(_.getString(4)),
+          onUpdate = sorted.head.getString(5).replace('_', ' '),
+          onDelete = sorted.head.getString(6).replace('_', ' '))
+      }
+    out.toMap
+  }
+
+  /** Full MSSQL assembly from the sys.* result sets. */
+  def assembleMssql(colRows: Seq[Row], ixRows: Seq[Row], fkRows: Seq[Row])
+      : (Seq[SourceTable], Map[String, Seq[ForeignKeyMeta]]) = {
+    val cols = assembleMssqlColumns(colRows)
+    val ixs = assembleMssqlIndexes(ixRows)
+    val tables = cols.toSeq.sortBy(_._1).map { case (t, cs) =>
+      SourceTable(t, cs, ixs.getOrElse(t, Nil))
+    }
+    (tables, assembleMssqlForeignKeys(fkRows))
   }
 }

@@ -98,4 +98,126 @@ class IntrospectionSpec extends AnyFunSuite {
     assert(Introspection.Mssql.columnsSql("dbo")
       .contains("is_ms_shipped = 0"))
   }
+
+  test("sqlite native assembly: generated/autoincrement columns, " +
+      "composite PK, pk-origin index exclusion, partial flag, FKs") {
+    import org.apache.spark.sql.Row
+    // pragma_table_xinfo: (table, cid, name, type, notnull, dflt, pk, hidden)
+    val colRows = Seq(
+      Row("docs", 0, "id", "INTEGER", 1, null, 1, 0),
+      Row("docs", 1, "body", "TEXT", 0, "'x'", 0, 0),
+      Row("docs", 2, "fp", "TEXT", 0, null, 0, 2),
+      Row("docs", 3, "price", "DECIMAL(10,2)", 0, null, 0, 0),
+      Row("tags", 0, "a", "VARCHAR(40)", 1, null, 1, 0),
+      Row("tags", 1, "b", "INTEGER", 1, null, 2, 0))
+    // pragma_index_list: (table, seq, name, unique, origin, partial)
+    val listRows = Seq(
+      Row("docs", 0, "ix_body", 1, "c", 0),
+      Row("docs", 1, "sqlite_autoindex_docs_1", 1, "pk", 0),
+      Row("docs", 2, "ix_part", 0, "c", 1))
+    // pragma_index_info: (table, index, seqno, cid, name)
+    val infoRows = Seq(
+      Row("docs", "ix_body", 0, 1, "body"),
+      Row("docs", "ix_part", 0, 3, "price"))
+    // pragma_foreign_key_list: (table, id, seq, ref_table, from, to,
+    // on_update, on_delete)
+    val fkRows = Seq(
+      Row("tags", 0, 0, "docs", "a", "id", "no action", "cascade"),
+      Row("tags", 0, 1, "docs", "b", "body", "no action", "cascade"))
+    val (tables, fks) = Introspection.assembleSqlite(
+      colRows, listRows, infoRows, fkRows,
+      createSql = Map("docs" ->
+        "CREATE TABLE docs (id INTEGER PRIMARY KEY AUTOINCREMENT)"))
+
+    assert(tables.map(_.name) == Seq("docs", "tags"))
+    val docs = tables.find(_.name == "docs").get
+    assert(docs.columns.map(_.name) == Seq("id", "body", "fp", "price"))
+    // rowid-alias INTEGER pk → auto_increment
+    assert(docs.columns.head.extra == "auto_increment")
+    assert(!docs.columns.head.nullable)
+    assert(docs.columns(1).default.contains("'x'"))
+    assert(docs.columns(2).extra == "STORED GENERATED")
+    assert(docs.columns(3).precision.contains(10) &&
+      docs.columns(3).scale.contains(2))
+    val pk = docs.indexes.find(_.isPrimary).get
+    assert(pk.columns == Seq("id"))
+    // pk-origin autoindex is NOT duplicated as a secondary index
+    assert(!docs.indexes.exists(_.name.startsWith("sqlite_autoindex")))
+    assert(docs.indexes.find(_.name == "ix_body").exists(ix =>
+      ix.unique && ix.columns == Seq("body") && !ix.hasExpression))
+    assert(docs.indexes.find(_.name == "ix_part").exists(_.hasExpression))
+    val tags = tables.find(_.name == "tags").get
+    // composite pk in pk-position order; VARCHAR pk is NOT autoincrement
+    assert(tags.indexes.find(_.isPrimary).get.columns == Seq("a", "b"))
+    assert(!tags.columns.exists(_.extra == "auto_increment"))
+    assert(tags.columns.head.charMaxLen.contains(40))
+    val fk = fks("tags").head
+    assert(fk.name == "fk_tags_0" && fk.columns == Seq("a", "b") &&
+      fk.refTable == "docs" && fk.refColumns == Seq("id", "body") &&
+      fk.onDelete == "CASCADE")
+    // SQLite dialect chains: DECIMAL(10,2) → numeric(10,2)
+    assert(SqliteDialect.resolve(docs.columns(3), TypeOptions()).pg ==
+      "numeric(10,2)")
+  }
+
+  test("mssql native assembly: nvarchar byte-halving, MAX, identity, " +
+      "computed, default paren-stripping, included-column skip, FKs") {
+    import org.apache.spark.sql.Row
+    // (table, column, type, max_length, precision, scale, nullable,
+    //  default, identity, computed_def, collation, column_id)
+    val colRows = Seq(
+      Row("inv", "id", "int", 4, 10, 0, false, null, true, null,
+        null, 1),
+      Row("inv", "title", "nvarchar", 100, 0, 0, true, null, false, null,
+        "SQL_Latin1_General_CP1_CI_AS", 2),
+      Row("inv", "notes", "nvarchar", -1, 0, 0, true, null, false, null,
+        null, 3),
+      Row("inv", "qty", "int", 4, 10, 0, false, "((0))", false, null,
+        null, 4),
+      Row("inv", "total", "money", 8, 19, 4, false, null, false,
+        "[qty]*[price]", null, 5))
+    // (table, index, is_unique, is_primary, type_desc, has_filter,
+    //  key_ordinal, column, is_included)
+    val ixRows = Seq(
+      Row("inv", "pk_inv", true, true, "CLUSTERED", false, 1, "id", false),
+      Row("inv", "ix_title", false, false, "NONCLUSTERED", false, 1,
+        "title", false),
+      Row("inv", "ix_title", false, false, "NONCLUSTERED", false, 0,
+        "notes", true),
+      Row("inv", "ix_filtered", false, false, "NONCLUSTERED", true, 1,
+        "qty", false))
+    // (table, fk, column, ref_table, ref_column, upd, del, ordinal)
+    val fkRows = Seq(
+      Row("inv", "fk_inv_cat", "id", "cat", "cid", "NO_ACTION",
+        "SET_NULL", 1))
+    val (tables, fks) = Introspection.assembleMssql(colRows, ixRows, fkRows)
+    val inv = tables.head
+    assert(inv.columns.map(_.name) ==
+      Seq("id", "title", "notes", "qty", "total"))
+    assert(inv.columns.head.extra == "auto_increment")
+    // nvarchar max_length is bytes → 50 chars; -1 (MAX) → no length
+    assert(inv.columns(1).charMaxLen.contains(50))
+    assert(inv.columns(1).collation == "SQL_Latin1_General_CP1_CI_AS")
+    assert(inv.columns(2).charMaxLen.isEmpty)
+    assert(inv.columns(3).default.contains("0"))
+    assert(inv.columns(4).extra == "COMPUTED" &&
+      inv.columns(4).generationExpression == "[qty]*[price]")
+    assert(inv.indexes.find(_.isPrimary).get.columns == Seq("id"))
+    // included column dropped from the key list
+    assert(inv.indexes.find(_.name == "ix_title").get.columns ==
+      Seq("title"))
+    assert(inv.indexes.find(_.name == "ix_filtered").get.hasExpression)
+    val fk = fks("inv").head
+    assert(fk.onUpdate == "NO ACTION" && fk.onDelete == "SET NULL")
+    // dialect chain: money → numeric(19,4)
+    assert(MssqlDialect.resolve(inv.columns(4), TypeOptions()).pg ==
+      "numeric(19,4)")
+  }
+
+  test("mssql default paren stripper only removes matching outers") {
+    assert(Introspection.mssqlStripParens("((0))") == "0")
+    assert(Introspection.mssqlStripParens("(getdate())") == "getdate()")
+    assert(Introspection.mssqlStripParens("(a)+(b)") == "(a)+(b)")
+    assert(Introspection.mssqlStripParens("plain") == "plain")
+  }
 }
