@@ -243,6 +243,68 @@ object Similarity {
             |  floor(sim * 10000 + 0.5) / 10000 AS sim
             |FROM ranked WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin))
 
+  // LSH-bucketed embedding near-dup — q25's scale path: candidate pairs
+  // come from sign-code bucket equality in any of the 8 tables (an
+  // equi-join, O(corpus)), then exact cosine verification above the
+  // threshold. Recall < 1 by construction (a far-apart pair can miss
+  // every bucket), but with the hyperplane fixture materialized the
+  // result is exactly reproducible in DuckDB — a full hash-match
+  // oracle, not a rows-only check. The recall floor vs the exact
+  // all-pairs operator is asserted in DedupSimilaritySpec.
+  val q58EmbedNeardupLsh: QueryDef = QueryDef(
+    "q58_embed_neardup_lsh",
+    (s, dir) => {
+      val e = normed(s, dir)
+      val planes = broadcast(graft.Fixtures.lshPlanes(s))
+      val codes = e.crossJoin(planes)
+        .withColumn("proj",
+          graft.functions.VectorOps.dot(col("v"), col("plane")))
+        .groupBy(col("vec_id"), col("tbl"))
+        .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
+          .otherwise(0)).cast("long").as("code"))
+      val cand = codes.select(col("vec_id").as("v1"), col("tbl"),
+          col("code"))
+        .join(codes.select(col("vec_id").as("v2"), col("tbl"),
+          col("code")), Seq("tbl", "code"))
+        .filter(col("v1") < col("v2"))
+        .select(col("v1"), col("v2")).distinct()
+      val a = e.select(col("vec_id").as("v1"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("v2"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      cand.join(a, "v1").join(b, "v2")
+        .withColumn("sim", cosine(col("va"), col("vb"), col("na"),
+          col("nb")))
+        .filter(col("sim") > NearDupThreshold)
+        .select(col("v1"), col("v2"), graft.Round4(col("sim")).as("sim"))
+        .orderBy("v1", "v2")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |pl AS (SELECT tbl, bit, plane
+            |       FROM read_parquet('${graft.Fixtures.lshPlanesPath}')),
+            |codes AS (
+            |  SELECT vec_id, tbl,
+            |    CAST(SUM(CASE WHEN list_inner_product(v, plane) > 0
+            |             THEN 1 << bit ELSE 0 END) AS BIGINT) AS code
+            |  FROM e CROSS JOIN pl GROUP BY vec_id, tbl),
+            |cand AS (
+            |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+            |  FROM codes a JOIN codes b
+            |    ON a.tbl = b.tbl AND a.code = b.code
+            |       AND a.vec_id < b.vec_id)
+            |SELECT v1, v2,
+            |  floor(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+            |        CAST(e2.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000
+            |    AS sim
+            |FROM cand
+            |JOIN embeddings e1 ON e1.vec_id = cand.v1
+            |JOIN embeddings e2 ON e2.vec_id = cand.v2
+            |WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+            |      CAST(e2.embedding AS DOUBLE[])) > $NearDupThreshold
+            |ORDER BY v1, v2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
-    q45AnnIvf)
+    q45AnnIvf, q58EmbedNeardupLsh)
 }

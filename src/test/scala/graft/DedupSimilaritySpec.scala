@@ -54,6 +54,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall $recall collapsed")
   }
 
+  test("lsh near-dup pairs are a subset of exact pairs with sane recall") {
+    val exact = SparkEntry.queries("q25_embed_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q58_embed_neardup_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified LSH pair outside the exact set")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH near-dup recall $recall collapsed")
+  }
+
   test("ivf ann returns rows with nonzero recall vs brute force") {
     val exact = SparkEntry.queries("q26_ann_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
