@@ -28,6 +28,16 @@ final case class Chunk(lower: Long, upper: Long, closed: Boolean) {
 object ChunkPlanner {
   val DefaultChunkSize: Long = 100000L // reference config.go:151-153
 
+  /** Driver-side chunk-plan cap. Fixed-width chunking on a SPARSE key
+    * space (snowflake/UUID-derived ids: range ≫ row count) would
+    * otherwise materialize millions of chunk predicates on the driver —
+    * (hi−lo)/chunkSize chunks regardless of actual rows. Past the cap
+    * the chunk width widens so the plan stays bounded; each chunk just
+    * covers more of the (mostly empty) key range. 10k partitions is
+    * far past the task-count sweet spot for any single table load.
+    */
+  val MaxChunks: Int = 10000
+
   /** Spark types eligible as chunk keys (signed integral, ≤ 64-bit). */
   def eligibleKeyType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -44,6 +54,22 @@ object ChunkPlanner {
       chunkSize: Long = DefaultChunkSize): Seq[Chunk] = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     require(min <= max, s"min $min > max $max")
+    // widen the chunk if the range would exceed MaxChunks partitions
+    // (unsigned math: the full Long range divided by any positive width
+    // stays representable)
+    val width = {
+      val spanChunks = java.lang.Long.divideUnsigned(max - min, chunkSize)
+      if (java.lang.Long.compareUnsigned(spanChunks, MaxChunks.toLong) <= 0)
+        chunkSize
+      else
+        // w ≤ 2^64/10^4 < 2^51, so +1 cannot overflow
+        java.lang.Long.divideUnsigned(max - min, MaxChunks.toLong) + 1
+    }
+    planChunksAtWidth(min, max, width)
+  }
+
+  private def planChunksAtWidth(min: Long, max: Long,
+      chunkSize: Long): Seq[Chunk] = {
     val out = Seq.newBuilder[Chunk]
     var lo = min
     var done = false

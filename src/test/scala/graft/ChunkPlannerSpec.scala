@@ -67,8 +67,11 @@ class ChunkPlannerSpec extends AnyFunSuite {
         case Seq(a, b) => assert(a.upper == b.lower && a.lower < a.upper)
         case _ =>
       }
-      // every open chunk has width == size
-      chunks.init.foreach(c => assert(c.upper - c.lower == size))
+      // every open chunk has one uniform width ≥ size (width widens
+      // only when the range would exceed the MaxChunks cap)
+      assert(chunks.size <= ChunkPlanner.MaxChunks + 1)
+      chunks.init.foreach(c => assert(c.upper - c.lower >= size))
+      assert(chunks.init.map(c => c.upper - c.lower).distinct.size <= 1)
       // a sample of keys is covered exactly once
       Seq(min, max, (min + max) / 2).foreach { k =>
         val n = chunks.count(c =>
@@ -76,6 +79,22 @@ class ChunkPlannerSpec extends AnyFunSuite {
         assert(n == 1, s"key $k covered $n times")
       }
     }
+  }
+
+  test("sparse key space caps the plan instead of exploding the driver") {
+    // snowflake-style ids: 2^41 range at chunk_size 100k would be ~22M
+    // driver-side chunks without the cap
+    val chunks = ChunkPlanner.planChunks(0L, 1L << 41, 100000L)
+    assert(chunks.size <= ChunkPlanner.MaxChunks + 1)
+    assert(chunks.head.lower == 0L)
+    assert(chunks.last.upper == (1L << 41) && chunks.last.closed)
+    // still covers the whole range contiguously
+    chunks.sliding(2).foreach {
+      case Seq(a, b) => assert(a.upper == b.lower)
+      case _ =>
+    }
+    // dense ranges are untouched
+    assert(ChunkPlanner.planChunks(0L, 999999L, 100000L).size == 10)
   }
 
   test("quantile chunks from skewed bounds") {
