@@ -212,6 +212,11 @@ object Main {
     "target_schema" -> cfg.targetSchema,
     "mode" -> cfg.mode,
     "chunk_size" -> cfg.chunkSize.toString,
+    // workers only affects the plan through the ==1 collapse to an
+    // unpartitioned read (chunk id 0); flipping across that boundary
+    // would misalign recorded chunk ids, so the boundary is part of
+    // the fingerprint (raising 4 → 8 workers stays resumable)
+    "single_worker" -> (cfg.workers == 1).toString,
     "snake_case_identifiers" -> cfg.snakeCaseIdentifiers.toString,
     "data_only" -> cfg.dataOnly.toString,
     "unlogged_tables" -> cfg.unloggedTables.toString,
@@ -329,14 +334,31 @@ final class SparkTableLoader(
       .map(k => JdbcSource.partitionPredicates(dialect, k, bounds,
         cfg.chunkSize, workers))
       .getOrElse(Array.empty)
+    val planChunks = math.max(allPreds.length, 1)
+    // Chunk ids are plan positions, and the plan derives from live
+    // MIN/MAX — if the source's key range shifted since the checkpoint
+    // was written (rows added past max, min rows deleted), the same id
+    // would denote a DIFFERENT range and a skip would silently lose
+    // rows. The recorded chunk count detects that drift; fail fast
+    // instead of resuming against a misaligned plan.
+    checkpoint.foreach { cp =>
+      cp.chunkCount(table.name).filter(_ > 0).foreach { recorded =>
+        if (recorded != planChunks)
+          throw new IllegalStateException(
+            s"cannot resume ${table.name}: the chunk plan has " +
+              s"$planChunks chunk(s) but the checkpoint recorded " +
+              s"$recorded — the source key range changed since the " +
+              "checkpoint was written. Delete the checkpoint file to " +
+              "restart this table from scratch.")
+      }
+    }
     val todo: Array[(String, Long)] =
       if (allPreds.isEmpty) Array(("<full>", 0L))
       else allPreds.zipWithIndex.map { case (p, i) => (p, i.toLong) }
         .filterNot { case (_, id) =>
           checkpoint.exists(_.isDone(table.name, id))
         }
-    checkpoint.foreach(_.setChunkCount(table.name,
-      math.max(allPreds.length, 1)))
+    checkpoint.foreach(_.setChunkCount(table.name, planChunks))
     if (allPreds.nonEmpty && todo.isEmpty) return 0L
     if (allPreds.isEmpty && checkpoint.exists(_.isDone(table.name, 0L)))
       return 0L

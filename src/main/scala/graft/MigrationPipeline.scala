@@ -83,16 +83,23 @@ final class MigrationPipeline(
     // checkpoint as table presence) — without this, a resumed run would
     // die on the first duplicate CREATE TABLE.
     if (!cfg.dataOnly) {
-      if (cfg.recreate)
+      if (cfg.recreate) {
         tables.foreach(t => run(DdlGenerator.dropTable(schema, t.name)))
+        // CREATE TYPE has no IF NOT EXISTS — a prior run's enum types
+        // must go too or the re-create below aborts on duplicate_object
+        enumValueSets.distinct.foreach(vs =>
+          run(DdlGenerator.dropEnumType(vs)))
+      }
       enumValueSets.distinct.foreach(vs => run(DdlGenerator.createEnumType(vs)))
-      tables.foreach { t =>
+      // flush in a finally: if a CREATE fails mid-loop, the tables
+      // already created must reach the checkpoint file or the next
+      // resume re-issues their CREATE and dies on duplicate tables
+      try tables.foreach { t =>
         if (!checkpoint.exists(_.hasTable(t.name))) {
           run(DdlGenerator.createTable(schema, t, unlogged = unlogged))
           checkpoint.foreach(_.ensureTable(t.name))
         }
-      }
-      checkpoint.foreach(_.flush())
+      } finally checkpoint.foreach(_.flush())
     }
 
     // 2. data phase (hooks bracket the load, reference main.go:288-326).

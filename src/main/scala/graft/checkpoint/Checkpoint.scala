@@ -78,6 +78,11 @@ final class CheckpointManager(
     tables.getOrElseUpdate(table, TableState()).chunkCount = n
   }
 
+  /** Chunk count recorded by a prior run (0/absent = never planned). */
+  def chunkCount(table: String): Option[Int] = lock.synchronized {
+    tables.get(table).map(_.chunkCount)
+  }
+
   /** Record that a table exists in the target (its CREATE ran) without
     * marking any data progress — resume uses this to make the schema
     * phase idempotent (skip CREATE for tables the prior run created).

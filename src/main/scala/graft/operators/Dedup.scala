@@ -40,9 +40,12 @@ object Dedup {
   private val RowsPerBand = 4
   // Wide enough that every pair at Jaccard ≥ 0.8 lands inside the ball
   // (J = 0.89 pairs sit at Hamming ≈ 9-10); random pairs center at
-  // Hamming ≈ 32 ± 4, so ≤ 16 admits ~3e-5 of them — the exact-verify
-  // stage filters those cheaply.
-  private val SimhashHamming = 16
+  // Hamming ≈ 32 ± 4, so ≤ 15 admits ~1e-5 of them — the exact-verify
+  // stage filters those cheaply. The radius EQUALS the banding
+  // guarantee below: a ball wider than the guarantee would re-admit
+  // pairs the candidate join can provably miss (a pair at Hamming 16
+  // can dirty all 16 bands), silently breaking ball semantics.
+  private val SimhashHamming = 15
   // Candidate bands: 16 bands × 4 bits. Pigeonhole: ≤15 differing bits
   // can dirty at most 15 of the 16 bands, so every pair within Hamming
   // ≤ 15 shares at least one exact band — candidate generation is a pure
@@ -226,9 +229,9 @@ object Dedup {
 
   // SimHash: 64-bit frequency-weighted token simhash; banded equi-join
   // candidates (never an all-pairs nested loop — see SimhashBands);
-  // Hamming-ball refinement; exact-verify. Within the guaranteed radius
-  // (15 < SimhashHamming) banding loses nothing, so the verified output
-  // still equals the exact-Jaccard oracle.
+  // Hamming-ball refinement; exact-verify. The ball radius equals the
+  // banding guarantee, so banding loses nothing and the verified
+  // output still equals the exact-Jaccard oracle.
   val q24DedupSimhash: QueryDef = QueryDef(
     "q24_dedup_simhash",
     (s, dir) => {

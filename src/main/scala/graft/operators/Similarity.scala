@@ -101,27 +101,46 @@ object Similarity {
             |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin),
     bench = true)
 
+  /** Per-(vector, table) sign-bucket codes from the hyperplane fixture —
+    * the stage q27 (ANN) and q58 (near-dup) share. Per-vector work: 32
+    * broadcast-joined in-row dot products (codegen'd DotProduct, no
+    * pre-join shuffle of vector components); the only exchange is the
+    * groupBy assembling 4 sign bits per (vec_id, table) into a code.
+    */
+  private def signCodes(e: DataFrame): DataFrame = {
+    val planes = broadcast(graft.Fixtures.lshPlanes(e.sparkSession))
+    e.crossJoin(planes)
+      .withColumn("proj",
+        graft.functions.VectorOps.dot(col("v"), col("plane")))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
+        .otherwise(0)).cast("long").as("code"))
+  }
+
+  /** The DuckDB mirror of [[signCodes]], shared by both oracles. */
+  private val codesCte: String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |pl AS (SELECT tbl, bit, plane
+       |       FROM read_parquet('${graft.Fixtures.lshPlanesPath}')),
+       |codes AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(SUM(CASE WHEN list_inner_product(v, plane) > 0
+       |             THEN 1 << bit ELSE 0 END) AS BIGINT) AS code
+       |  FROM e CROSS JOIN pl GROUP BY vec_id, tbl)""".stripMargin
+
   // Sign-random-projection LSH ANN: L tables of B sign bits; candidates
   // from bucket equality in any table; exact cosine re-rank. The
   // hyperplanes are a parquet FIXTURE both engines read
   // (fixtures/lsh_planes.parquet, see graft.tools.GenFixtures) — with
   // the randomness materialized, candidate generation and re-rank are
   // pure relational algebra and DuckDB reproduces the result exactly.
-  // Per-vector work: 32 broadcast-joined in-row dot products (codegen'd
-  // DotProduct, no pre-join shuffle of vector components); the only
-  // exchange before the re-rank is the groupBy assembling 4 sign bits
-  // per (vec_id, table) into a bucket code.
   val q27AnnLsh: QueryDef = QueryDef(
     "q27_ann_lsh",
     (s, dir) => {
       val e = normed(s, dir)
-      val planes = broadcast(graft.Fixtures.lshPlanes(s))
-      val codes = e.crossJoin(planes)
-        .withColumn("proj",
-          graft.functions.VectorOps.dot(col("v"), col("plane")))
-        .groupBy(col("vec_id"), col("tbl"))
-        .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
-          .otherwise(0)).cast("long").as("code"))
+      val codes = signCodes(e)
       val q = codes.filter(col("vec_id") < NumQueryVecs)
         .select(col("vec_id").as("qid"), col("tbl"), col("code"))
       val c = codes.filter(col("vec_id") >= NumQueryVecs)
@@ -140,16 +159,7 @@ object Similarity {
           graft.Round4(col("sim")).as("sim"))
         .orderBy("qid", "rnk")
     },
-    Some(s"""WITH e AS (
-            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            |  FROM embeddings),
-            |pl AS (SELECT tbl, bit, plane
-            |       FROM read_parquet('${graft.Fixtures.lshPlanesPath}')),
-            |codes AS (
-            |  SELECT vec_id, tbl,
-            |    CAST(SUM(CASE WHEN list_inner_product(v, plane) > 0
-            |             THEN 1 << bit ELSE 0 END) AS BIGINT) AS code
-            |  FROM e CROSS JOIN pl GROUP BY vec_id, tbl),
+    Some(s"""WITH $codesCte,
             |cand AS (
             |  SELECT DISTINCT q.vec_id AS qid, c.vec_id
             |  FROM codes q JOIN codes c ON q.tbl = c.tbl AND q.code = c.code
@@ -255,13 +265,7 @@ object Similarity {
     "q58_embed_neardup_lsh",
     (s, dir) => {
       val e = normed(s, dir)
-      val planes = broadcast(graft.Fixtures.lshPlanes(s))
-      val codes = e.crossJoin(planes)
-        .withColumn("proj",
-          graft.functions.VectorOps.dot(col("v"), col("plane")))
-        .groupBy(col("vec_id"), col("tbl"))
-        .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
-          .otherwise(0)).cast("long").as("code"))
+      val codes = signCodes(e)
       val cand = codes.select(col("vec_id").as("v1"), col("tbl"),
           col("code"))
         .join(codes.select(col("vec_id").as("v2"), col("tbl"),
@@ -279,16 +283,7 @@ object Similarity {
         .select(col("v1"), col("v2"), graft.Round4(col("sim")).as("sim"))
         .orderBy("v1", "v2")
     },
-    Some(s"""WITH e AS (
-            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            |  FROM embeddings),
-            |pl AS (SELECT tbl, bit, plane
-            |       FROM read_parquet('${graft.Fixtures.lshPlanesPath}')),
-            |codes AS (
-            |  SELECT vec_id, tbl,
-            |    CAST(SUM(CASE WHEN list_inner_product(v, plane) > 0
-            |             THEN 1 << bit ELSE 0 END) AS BIGINT) AS code
-            |  FROM e CROSS JOIN pl GROUP BY vec_id, tbl),
+    Some(s"""WITH $codesCte,
             |cand AS (
             |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
             |  FROM codes a JOIN codes b

@@ -63,6 +63,13 @@ object DdlGenerator {
   def dropTable(schema: String, table: String): String =
     s"DROP TABLE IF EXISTS ${pgIdent(schema)}.${pgIdent(table)} CASCADE"
 
+  /** DROP for `recreate` mode's enum types — CREATE TYPE has no
+    * IF NOT EXISTS, so a re-run against a target that already holds the
+    * hash-named type would otherwise abort on duplicate_object.
+    */
+  def dropEnumType(values: Seq[String]): String =
+    s"DROP TYPE IF EXISTS ${pgIdent(enumTypeName(values))} CASCADE"
+
   /** Native PG enum type with value-set-hashed shared name
     * (reference `ddl.go:132-175`).
     */

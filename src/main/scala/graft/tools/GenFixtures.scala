@@ -23,7 +23,13 @@ object GenFixtures {
   def planeSign(tbl: Int, bit: Int, d: Int): Double =
     if ((MurmurHash3.productHash((tbl, bit, d)) & 1) == 1) 1.0 else -1.0
 
-  /** Centroid component in [-1, 1): 31-bit hash scaled. */
+  /** Centroid component: full signed 32-bit hash scaled by
+    * Int.MaxValue — range is (-1 − 2⁻³¹, 1], i.e. marginally below −1
+    * when the hash lands on Int.MinValue. Nothing downstream assumes a
+    * unit cube (cosine normalizes), and the exact values are frozen in
+    * the committed fixture, so the formula is documented rather than
+    * re-ranged.
+    */
   def centroidComponent(cid: Int, d: Int): Double =
     (MurmurHash3.productHash(("ivf", cid, d)) / Int.MaxValue.toDouble)
 

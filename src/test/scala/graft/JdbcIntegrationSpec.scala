@@ -189,6 +189,18 @@ class JdbcIntegrationSpec extends AnyFunSuite {
       assert(rs.getLong(2) == 500L * 501 / 2)
       assert(rs.getLong(3) == 500L)
     } finally check.close()
+
+    // a checkpoint whose recorded chunk count disagrees with the live
+    // plan (source key range drifted) must refuse to resume, not skip
+    // misaligned chunk ids
+    val drifted = CheckpointManager.load(
+      java.nio.file.Files.createTempDirectory("graft-cp2")
+        .resolve("cp.json").toString, fp, parts)
+    drifted.setChunkCount("evts", 3) // live plan has 5
+    drifted.markDone("evts", 0L, 100L)
+    val loader3 = new SparkTableLoader(spark, cfg, Seq(evts), Some(drifted))
+    val drift = intercept[IllegalStateException](loader3.load(meta))
+    assert(drift.getMessage.contains("key range changed"))
   }
 
   test("generic JDBC metadata introspection against live Derby " +

@@ -166,14 +166,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(disable >= 0 && hook > disable && enable > hook)
   }
 
-  test("recreate drops existing tables before creating them") {
+  test("recreate drops existing tables AND enum types before creating") {
     val rec = new Recorder
     new MigrationPipeline(JobConfig(recreate = true), rec, NoopLoader)
-      .migrate(Seq(users, posts))
+      .migrate(Seq(users, posts), enumValueSets = Seq(Seq("a", "b")))
     val drop = rec.stmts.indexWhere(
       _ == "DROP TABLE IF EXISTS \"public\".\"users\" CASCADE")
+    val dropType = rec.stmts.indexWhere(_.startsWith("DROP TYPE IF EXISTS"))
+    val createType = rec.stmts.indexWhere(_.startsWith("CREATE TYPE"))
     val create = rec.stmts.indexWhere(_.startsWith("CREATE UNLOGGED TABLE"))
-    assert(drop >= 0 && create > drop, rec.stmts.mkString("\n"))
+    assert(drop >= 0 && dropType > drop && createType > dropType &&
+      create > createType, rec.stmts.mkString("\n"))
   }
 
   test("resume: done tables skip load, created tables skip CREATE, " +
