@@ -1,0 +1,43 @@
+package graft
+
+import graft.tools.{GenFixtures, TrainCentroids}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lloyd's iterations must strictly improve quantization quality (mean
+  * best-centroid cosine) over the random-fixture init, keep k centroids
+  * with the right dimensionality, and be a pure function of
+  * (data, init, iters).
+  */
+class TrainCentroidsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def vecs = {
+    graft.functions.VectorOps.register(spark)
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+  }
+
+  test("k-means improves mean best-centroid similarity over random init") {
+    val init = TrainCentroids.defaultInit(GenFixtures.NumCentroids,
+      GenFixtures.Dim)
+    val zero = TrainCentroids.lloyd(vecs, init, 1) // reports sim AT init
+    val five = TrainCentroids.lloyd(vecs, init, 5)
+    assert(five.cents.size == GenFixtures.NumCentroids)
+    assert(five.cents.forall(_._2.length == GenFixtures.Dim))
+    assert(five.meanBestSim > zero.meanBestSim,
+      s"training did not improve: ${zero.meanBestSim} → " +
+        s"${five.meanBestSim}")
+  }
+
+  test("training is deterministic given (data, init, iters)") {
+    val init = TrainCentroids.defaultInit(4, GenFixtures.Dim)
+    val a = TrainCentroids.lloyd(vecs, init, 2)
+    val b = TrainCentroids.lloyd(vecs, init, 2)
+    // centroid means are tiny per-dimension averages; repeated runs on
+    // the same partitions reproduce them exactly
+    assert(a.cents.map(_._2.toSeq) == b.cents.map(_._2.toSeq))
+  }
+}
