@@ -16,6 +16,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped relation cache: repeated `load` calls for the same
+    * (session, dir, table) reuse one analyzed DataFrame, so a workload
+    * of many queries lists files and reads parquet footers ONCE per
+    * table instead of once per query — the same role a catalog's table
+    * resolution plays on a real cluster. Weak-keyed on the session so a
+    * stopped session's entries don't pin its resources.
+    */
+  private val cache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]()
+
   /** Load one fixture table. `events.ts` is nanosecond-precision parquet,
     * which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL]) — read it as raw ns
     * longs (legacy.parquet.nanosAsLong) and truncate to µs TimestampType
@@ -24,11 +35,22 @@ object Tables {
     * ns→µs the same way, keeping the two engines aligned.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[(String, String), DataFrame]
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), {
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    })
   }
 }
 
