@@ -483,10 +483,58 @@ object Relational {
            |                  WHERE c.c_custkey = e.user_id)
            |ORDER BY e.event_id""".stripMargin))
 
+  // TPC-H Q3 shape: shipping-priority top-10 — segment-filtered
+  // customer ⋈ date-filtered orders ⋈ late lineitem, revenue per order,
+  // top 10 by revenue. Revenue in integer cents (see q17) so the
+  // aggregate is exact and order-insensitive; the final top-10 is a
+  // TakeOrderedAndProject (per-partition top-N + driver merge), never a
+  // global sort. Customer broadcast; at 100 TB orders⋈lineitem is the
+  // only keyed exchange pair.
+  val q59ShipPriority: QueryDef = QueryDef(
+    "q59_ship_priority",
+    (s, dir) => {
+      val cutoff = lit("1996-06-01 00:00:00").cast(TimestampType)
+      val c = broadcast(t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)
+      val pct = floor((lit(1.0) - col("l_discount")) * 100 + 0.5)
+        .cast(LongType)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(cents * pct).as("rev_cp"))
+        .select(col("o_orderkey"),
+          (col("rev_cp").cast(DoubleType) / 10000.0).as("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+           |           CAST(floor((1.0 - l_discount) * 100 + 0.5) AS BIGINT))
+           |       AS DOUBLE) / 10000.0 AS revenue,
+           |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS o_date
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND CAST(o_orderdate AS TIMESTAMP)
+           |      < TIMESTAMP '1996-06-01 00:00:00'
+           |  AND CAST(l_shipdate AS TIMESTAMP)
+           |      > TIMESTAMP '1996-06-01 00:00:00'
+           |GROUP BY o_orderkey, o_orderdate
+           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q01ScanFilter, q02ChunkMinmax, q03RowCounts, q04Join3, q05AntiJoin,
     q06SemiJoin, q07GroupAgg, q08Distinct, q09Union, q09bIntersect,
     q09cExcept, q10Scalar, q11WindowTopk, q12SortLimit, q13WindowRunning,
     q14Tumbling, q15Rollup, q16TopkPerGroup, q17JoinAgg, q18Json, q19Array,
-    q36Pivot, q46OrphanEvents)
+    q36Pivot, q46OrphanEvents, q59ShipPriority)
 }
