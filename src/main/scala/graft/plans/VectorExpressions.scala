@@ -162,6 +162,16 @@ object MinHashSignature {
     * skipped; an empty/all-null array yields Long.MaxValue minima
     * (no bucket collisions: every band hash then mixes identical
     * sentinels, which the verification stage discards anyway).
+    *
+    * The K hash families come from Kirsch–Mitzenmacher double hashing:
+    * `g_k(e) = h1(e) + k·h2(e)` with h2 forced odd (a bijection on
+    * Z/2⁶⁴ per step), so each element is string-hashed TWICE instead of
+    * K times — the dominant cost at 64 hashes over ~100 shingles/doc.
+    * Signature VALUES differ from a per-seed formulation, but minhash
+    * only needs a uniform permutation family: LSH recall is preserved
+    * (asserted empirically by DedupSimilaritySpec, whose verified
+    * output must still equal the exact-Jaccard operator's), and the
+    * candidate stage always re-verifies exactly.
     */
   def compute(arr: ArrayData, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -170,11 +180,16 @@ object MinHashSignature {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
+        val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, org.apache.spark.sql.types.StringType, 0L)
+        val h2 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, org.apache.spark.sql.types.StringType,
+            0x9E3779B97F4A7C15L) | 1L
         var k = 0
+        var v = h1
         while (k < numHashes) {
-          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-            .hash(s, org.apache.spark.sql.types.StringType, k.toLong)
-          if (h < mins(k)) mins(k) = h
+          if (v < mins(k)) mins(k) = v
+          v += h2
           k += 1
         }
       }
