@@ -269,6 +269,35 @@ final class JdbcExecutor(url: String) extends SqlExecutor {
     val st = conn.createStatement()
     try st.execute(sql) finally st.close()
   }
+
+  /** Parallel pool with one connection per worker thread and
+    * first-error cancellation — the reference's index-build pool
+    * (`post.go:292-366`: errgroup with context cancel).
+    */
+  override def executeAll(sqls: Seq[String], workers: Int): Unit = {
+    if (sqls.isEmpty) return
+    val n = math.max(1, math.min(workers, sqls.size))
+    if (n == 1) { sqls.foreach(execute); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val futures = sqls.map { sql =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          if (failed.get() == null) { // first-error cancel: skip the rest
+            val c = java.sql.DriverManager.getConnection(url)
+            try {
+              val st = c.createStatement()
+              try st.execute(sql) finally st.close()
+            } catch {
+              case e: Throwable => failed.compareAndSet(null, e)
+            } finally c.close()
+          }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    if (failed.get() != null) throw failed.get()
+  }
 }
 
 /** Spark-powered load path: chunk-parallel JDBC read of each table
@@ -384,6 +413,8 @@ final class SparkTableLoader(
     val chunkIds = todo.map(_._2)
     val tableName = table.name
     var newRows = 0L
+    var chunksDone = 0
+    var lastLog = System.currentTimeMillis()
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     val writeChunk = (it: Iterator[org.apache.spark.sql.Row]) => {
       val res: Either[String, Long] =
@@ -400,6 +431,14 @@ final class SparkTableLoader(
         case Right(n) =>
           checkpoint.foreach(_.markDone(tableName, chunkIds(idx), n))
           newRows += n
+          chunksDone += 1
+          // progress cadence: every 10 s per table (migrate.go:469-472)
+          val now = System.currentTimeMillis()
+          if (now - lastLog >= 10000L) {
+            lastLog = now
+            System.err.println(s"  [$tableName] $chunksDone/" +
+              s"${chunkIds.length} chunks, $newRows rows copied")
+          }
         case Left(err) =>
           failures += s"chunk ${chunkIds(idx)}: $err"
           ()

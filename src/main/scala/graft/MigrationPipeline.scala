@@ -9,6 +9,14 @@ import graft.sources._
   */
 trait SqlExecutor {
   def execute(sql: String): Unit
+
+  /** Execute INDEPENDENT statements with up to `workers` parallelism
+    * (the reference's index-build pool, `post.go:292-366`). Default is
+    * serial, so recording/test executors keep deterministic order;
+    * [[JdbcExecutor]] overrides with a real pool + first-error cancel.
+    */
+  def executeAll(sqls: Seq[String], workers: Int): Unit =
+    sqls.foreach(execute)
 }
 
 /** Per-table load callback: given the table, stream its data to the
@@ -179,8 +187,12 @@ final class MigrationPipeline(
       if (unlogged)
         tables.foreach(t => run(DdlGenerator.setLogged(schema, t.name)))
       tables.foreach(t => DdlGenerator.addPrimaryKey(schema, t).foreach(run))
-      tables.foreach(t => t.indexes.filterNot(_.isPrimary)
-        .foreach(ix => run(DdlGenerator.createIndex(schema, t.name, ix))))
+      // secondary indexes build in parallel (index_workers pool,
+      // reference post.go:292-366) — they are independent statements
+      val ixSql = tables.flatMap(t => t.indexes.filterNot(_.isPrimary)
+        .map(ix => DdlGenerator.createIndex(schema, t.name, ix)))
+      stmtCount += ixSql.size
+      exec.executeAll(ixSql, cfg.indexWorkers)
       runHooks("before_fk")
       // orphan cleanup precedes FK attachment so ADD CONSTRAINT cannot
       // fail on pre-existing orphans (reference post.go:57-66; MySQL

@@ -203,6 +203,33 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(drift.getMessage.contains("key range changed"))
   }
 
+  test("parallel index pool on Derby: builds all, first error cancels") {
+    val iurl = "jdbc:derby:memory:graftixp;create=true"
+    val c = DriverManager.getConnection(iurl)
+    try {
+      val st = c.createStatement()
+      // one index per table: Derby table-locks DDL, so the pool's
+      // parallelism shows across tables (the common real shape)
+      (1 to 3).foreach(i => st.execute(s"CREATE TABLE T$i (A INT)"))
+    } finally c.close()
+    val exec = new JdbcExecutor(iurl)
+    exec.executeAll(
+      (1 to 3).map(i => s"CREATE INDEX IX_$i ON T$i (A)"), workers = 3)
+    val chk = DriverManager.getConnection(iurl)
+    try (1 to 3).foreach { i =>
+      val rs = chk.getMetaData.getIndexInfo(null, "APP", s"T$i",
+        false, false)
+      val names = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("INDEX_NAME")).toSet
+      assert(names.contains(s"IX_$i"))
+    } finally chk.close()
+    // a bad statement fails the pool (first-error semantics)
+    intercept[Throwable] {
+      exec.executeAll(Seq("CREATE INDEX IX_BAD ON NO_TABLE (X)"),
+        workers = 2)
+    }
+  }
+
   test("generic JDBC metadata introspection against live Derby " +
       "(tables, PK, index, FK) bridges to TableMeta") {
     import graft.sources.{GenericJdbcDialect, Introspection,
