@@ -169,14 +169,25 @@ final class MigrationPipeline(
       }
 
     // 3. validation (reference validate.go:42-135; skipped in
-    // schema_only — there is no data to compare, main.go:328-339)
+    // schema_only — there is no data to compare, main.go:328-339).
+    // Counts run in parallel bounded by `workers`, like the reference's
+    // validation pool.
     val mismatches =
-      if (cfg.validation == "row_count" && !cfg.schemaOnly)
-        tables.flatMap { t =>
-          val (src, tgt) = (loader.sourceCount(t), loader.targetCount(t))
-          if (src != tgt) Some(t.name -> (src, tgt)) else None
+      if (cfg.validation == "row_count" && !cfg.schemaOnly) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(cfg.workers, tables.size)))
+        try tables.map { t =>
+          t.name -> pool.submit(
+            new java.util.concurrent.Callable[(Long, Long)] {
+              def call(): (Long, Long) =
+                (loader.sourceCount(t), loader.targetCount(t))
+            })
+        }.flatMap { case (name, f) =>
+          val (src, tgt) = f.get()
+          if (src != tgt) Some(name -> (src, tgt)) else None
         }.toMap
-      else Map.empty[String, (Long, Long)]
+        finally pool.shutdown()
+      } else Map.empty[String, (Long, Long)]
 
     // 4. post phase (reference post.go:17-100 order). data_only skips
     // all DDL (constraints already exist on the pre-created schema) —
