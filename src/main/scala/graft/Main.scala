@@ -270,32 +270,39 @@ final class JdbcExecutor(url: String) extends SqlExecutor {
     try st.execute(sql) finally st.close()
   }
 
-  /** Parallel pool with one connection per worker thread and
-    * first-error cancellation — the reference's index-build pool
-    * (`post.go:292-366`: errgroup with context cancel).
+  /** Parallel pool with ONE connection per worker thread (workers pull
+    * statements from a shared queue) and first-error cancellation — the
+    * reference's index-build pool (`post.go:292-366`: errgroup with
+    * context cancel). Connect failures are captured like statement
+    * failures, and the pool always shuts down.
     */
   override def executeAll(sqls: Seq[String], workers: Int): Unit = {
     if (sqls.isEmpty) return
     val n = math.max(1, math.min(workers, sqls.size))
     if (n == 1) { sqls.foreach(execute); return }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    sqls.foreach(queue.add)
     val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
-    val futures = sqls.map { sql =>
-      pool.submit(new Runnable {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (1 to n).map(_ => pool.submit(new Runnable {
         def run(): Unit =
-          if (failed.get() == null) { // first-error cancel: skip the rest
+          try {
             val c = java.sql.DriverManager.getConnection(url)
             try {
-              val st = c.createStatement()
-              try st.execute(sql) finally st.close()
-            } catch {
-              case e: Throwable => failed.compareAndSet(null, e)
+              var sql = queue.poll()
+              while (sql != null && failed.get() == null) {
+                val st = c.createStatement()
+                try st.execute(sql) finally st.close()
+                sql = queue.poll()
+              }
             } finally c.close()
+          } catch {
+            case e: Throwable => failed.compareAndSet(null, e); ()
           }
-      })
-    }
-    futures.foreach(_.get())
-    pool.shutdown()
+      }))
+      futures.foreach(_.get())
+    } finally pool.shutdown()
     if (failed.get() != null) throw failed.get()
   }
 }

@@ -16,16 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session-scoped relation cache: repeated `load` calls for the same
-    * (session, dir, table) reuse one analyzed DataFrame, so a workload
-    * of many queries lists files and reads parquet footers ONCE per
-    * table instead of once per query — the same role a catalog's table
-    * resolution plays on a real cluster. Weak-keyed on the session so a
-    * stopped session's entries don't pin its resources.
+  /** Global (dir, table) → parquet schema cache: repeated `load` calls
+    * skip schema inference (open + footer parse) by passing the cached
+    * schema to the reader — the role catalog table resolution plays on
+    * a real cluster. Values are plain StructTypes with no session or
+    * plan references, so nothing pins a stopped session. The fixture
+    * files are immutable for a process lifetime (driver-generated,
+    * read-only), which is what makes a global cache sound.
     */
-  private val cache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, String), DataFrame]]()
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
 
   /** Load one fixture table. `events.ts` is nanosecond-precision parquet,
     * which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL]) — read it as raw ns
@@ -35,22 +35,15 @@ object Tables {
     * ns→µs the same way, keeping the two engines aligned.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap
-          .empty[(String, String), DataFrame]
-        cache.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((dir, name), {
-      if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      } else spark.read.parquet(s"$dir/$name.parquet")
-    })
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate((dir, name),
+      spark.read.parquet(path).schema)
+    val raw = spark.read.schema(schema).parquet(path)
+    if (name == "events")
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 }
 

@@ -130,13 +130,14 @@ object RollingHash {
 }
 
 /** All K MinHash signature values of a string array in ONE pass:
-  * `sig[k] = min over elements e of xxhash64(e, seed = k)`. The
-  * column-function formulation needs either an explode + K min-aggs
-  * (a shuffle of every shingle row) or K separate
-  * `array_min(transform(...))` interpreted lambda passes; this computes
-  * the whole signature per row inside codegen with zero shuffle.
-  * Min over the raw (multiset) array equals min over the distinct set,
-  * so callers can hash before deduplicating.
+  * `sig[k] = min over elements e of g_k(e)` where the K hash families
+  * come from Kirsch–Mitzenmacher double hashing over two xxhash64
+  * evaluations (see [[MinHashSignature.compute]]). The column-function
+  * formulation needs either an explode + K min-aggs (a shuffle of every
+  * shingle row) or K separate `array_min(transform(...))` interpreted
+  * lambda passes; this computes the whole signature per row inside
+  * codegen with zero shuffle. Min over the raw (multiset) array equals
+  * min over the distinct set, so callers can hash before deduplicating.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {

@@ -51,7 +51,8 @@ object GenFixtures {
     def writeSingle(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
       val tmp = Files.createTempDirectory("graft-fix").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      val part = new java.io.File(tmp).listFiles()
+        .map(_.getPath)
         .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
         .head
       Files.createDirectories(Paths.get(dest).getParent)

@@ -27,33 +27,43 @@ import org.apache.spark.sql.functions._
   */
 object TrainCentroids {
 
+  /** `meanBestSim` is the quantization quality of the RETURNED
+    * centroids (mean best-centroid cosine over the corpus — what the
+    * IVF probe depends on; higher = tighter lists).
+    */
   final case class Trained(cents: Seq[(Int, Array[Double])],
       meanBestSim: Double)
 
-  /** vecs: (vec_id, v: array<double>, nrm). */
+  /** One assignment pass: every vector joined (broadcast) to its
+    * rank-1 centroid. Persisted by callers that run several actions
+    * over it.
+    */
+  private def assign(vecs: DataFrame,
+      cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.toDF("cid", "cv")
+        .withColumn("cn", graft.functions.VectorOps.l2norm(col("cv"))))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    vecs.join(centDf)
+      .withColumn("csim", graft.functions.VectorOps.cosine(
+        col("v"), col("cv"), col("nrm"), col("cn")))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") === 1)
+      .select(col("cid"), col("v"), col("csim"))
+  }
+
+  /** vecs: (vec_id, v: array<double>, nrm). `iters = 0` measures the
+    * init's quality without updating.
+    */
   def lloyd(vecs: DataFrame, init: Seq[(Int, Array[Double])],
       iters: Int): Trained = {
-    val spark = vecs.sparkSession
-    graft.functions.VectorOps.register(spark)
-    import spark.implicits._
+    graft.functions.VectorOps.register(vecs.sparkSession)
     var cents = init
-    var meanBest = Double.NaN
-    for (_ <- 1 to math.max(iters, 1)) {
-      val centDf = broadcast(
-        cents.toDF("cid", "cv")
-          .withColumn("cn", graft.functions.VectorOps.l2norm(col("cv"))))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid"))
-      val assigned = vecs.join(centDf)
-        .withColumn("csim", graft.functions.VectorOps.cosine(
-          col("v"), col("cv"), col("nrm"), col("cn")))
-        .withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") === 1)
-        .select(col("cid"), col("v"), col("csim"))
-      // mean best-centroid similarity = the quantization quality the
-      // IVF probe depends on (higher = tighter lists)
-      meanBest = assigned.agg(avg(col("csim"))).collect()(0).getDouble(0)
-      val dims = assigned
+    for (_ <- 1 to iters) {
+      val dims = assign(vecs, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d")).agg(avg(col("x")).as("m"))
         .collect()
@@ -69,6 +79,9 @@ object TrainCentroids {
         }
       }
     }
+    // quality of the FINAL centroids — the ones the caller writes
+    val meanBest = assign(vecs, cents)
+      .agg(avg(col("csim"))).collect()(0).getDouble(0)
     Trained(cents, meanBest)
   }
 
@@ -94,8 +107,8 @@ object TrainCentroids {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cent").toString
     trained.cents.toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(tmp)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-      .toArray.map(_.toString)
+    val part = new java.io.File(tmp).listFiles()
+      .map(_.getPath)
       .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
     java.nio.file.Files.move(java.nio.file.Paths.get(part),
       java.nio.file.Paths.get(out),

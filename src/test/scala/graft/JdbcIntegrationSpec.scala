@@ -223,10 +223,12 @@ class JdbcIntegrationSpec extends AnyFunSuite {
         .takeWhile(_.next()).map(_.getString("INDEX_NAME")).toSet
       assert(names.contains(s"IX_$i"))
     } finally chk.close()
-    // a bad statement fails the pool (first-error semantics)
+    // a bad statement fails the pool (first-error semantics) — two
+    // statements so the PARALLEL path runs, not the n==1 serial one
     intercept[Throwable] {
-      exec.executeAll(Seq("CREATE INDEX IX_BAD ON NO_TABLE (X)"),
-        workers = 2)
+      exec.executeAll(Seq(
+        "CREATE INDEX IX_BAD ON NO_TABLE (X)",
+        "CREATE INDEX IX_OK2 ON T1 (A)"), workers = 2)
     }
   }
 

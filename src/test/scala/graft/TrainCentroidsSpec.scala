@@ -23,12 +23,18 @@ class TrainCentroidsSpec extends AnyFunSuite {
   test("k-means improves mean best-centroid similarity over random init") {
     val init = TrainCentroids.defaultInit(GenFixtures.NumCentroids,
       GenFixtures.Dim)
-    val zero = TrainCentroids.lloyd(vecs, init, 1) // reports sim AT init
+    val zero = TrainCentroids.lloyd(vecs, init, 0) // quality AT init
     val five = TrainCentroids.lloyd(vecs, init, 5)
     assert(five.cents.size == GenFixtures.NumCentroids)
     assert(five.cents.forall(_._2.length == GenFixtures.Dim))
-    assert(five.meanBestSim > zero.meanBestSim,
-      s"training did not improve: ${zero.meanBestSim} → " +
+    // >= because the mean-update step optimizes squared error, not the
+    // cosine it is measured by (a converged plateau yields equality);
+    // on this fixture the improvement is decisively real, which the
+    // margin below pins
+    assert(five.meanBestSim >= zero.meanBestSim,
+      s"training regressed: ${zero.meanBestSim} → ${five.meanBestSim}")
+    assert(five.meanBestSim - zero.meanBestSim > 0.01,
+      s"training did not measurably improve: ${zero.meanBestSim} → " +
         s"${five.meanBestSim}")
   }
 
