@@ -38,12 +38,16 @@ class TrainCentroidsSpec extends AnyFunSuite {
         s"${five.meanBestSim}")
   }
 
-  test("training is deterministic given (data, init, iters)") {
+  test("training is reproducible given (data, init, iters)") {
     val init = TrainCentroids.defaultInit(4, GenFixtures.Dim)
     val a = TrainCentroids.lloyd(vecs, init, 2)
     val b = TrainCentroids.lloyd(vecs, init, 2)
-    // centroid means are tiny per-dimension averages; repeated runs on
-    // the same partitions reproduce them exactly
-    assert(a.cents.map(_._2.toSeq) == b.cents.map(_._2.toSeq))
+    // per-dimension double averages can differ in the last ulp between
+    // runs (shuffle partial-merge order is not fixed) — assert equality
+    // to float-noise tolerance, not bitwise
+    val maxDiff = a.cents.map(_._2).zip(b.cents.map(_._2))
+      .flatMap { case (x, y) => x.zip(y).map(p => math.abs(p._1 - p._2)) }
+      .max
+    assert(maxDiff < 1e-12, s"centroids diverged by $maxDiff")
   }
 }
