@@ -65,7 +65,12 @@ object Subqueries {
            |ORDER BY o_orderkey""".stripMargin))
 
   // TPC-H Q4 shape: order-priority counts for orders having at least
-  // one late lineitem — existence via left_semi, then aggregate.
+  // one late lineitem — existence via left_semi, then aggregate. The
+  // existence side pre-distincts its key: the partial (map-side)
+  // distinct shrinks what crosses the wire BEFORE the join strategy is
+  // chosen — a smaller broadcast build here, a smaller shuffle when
+  // the side outgrows broadcast at real scale. Semi-join semantics are
+  // unchanged (existence only needs the key set).
   val q40ExistsAgg: QueryDef = QueryDef(
     "q40_exists_agg",
     (s, dir) => {
@@ -73,6 +78,7 @@ object Subqueries {
       val li = Tables.load(s, dir, "lineitem")
       val late = li.filter(col("l_shipdate") >
         lit("1996-06-01 00:00:00").cast(TimestampType))
+        .select(col("l_orderkey")).distinct()
       o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
