@@ -23,7 +23,29 @@ import java.nio.file.{Files, Path, Paths}
   */
 object Main {
 
+  /** Version string formatting (reference `version.go:10-40`): a real
+    * version wins; "dev" builds append the short commit when known.
+    */
+  def formatVersion(version: String, commit: String): String = {
+    val v = Option(version).map(_.trim).filter(_.nonEmpty).getOrElse("dev")
+    if (v != "dev") v
+    else shortCommit(commit) match {
+      case "" => "dev"
+      case c => s"dev-$c"
+    }
+  }
+
+  def shortCommit(commit: String): String = {
+    val c = Option(commit).map(_.trim).getOrElse("")
+    if (c.isEmpty || c == "unknown") "" else c.take(7)
+  }
+
+  def versionString: String = formatVersion(
+    sys.env.getOrElse("GRAFT_BUILD_VERSION", "dev"),
+    sys.env.getOrElse("GRAFT_BUILD_COMMIT", "unknown"))
+
   def main(args: Array[String]): Unit = args.toList match {
+    case "version" :: Nil => println(versionString)
     case "migrate" :: cfgPath :: Nil => runMigrate(Paths.get(cfgPath))
     case "plan" :: cfgPath :: rest =>
       val hooksDir = rest.dropWhile(_ != "--hooks-dir").drop(1)
@@ -34,7 +56,8 @@ object Main {
       runMigrate(Paths.get(cfgPath)) // bare-path dispatch (main.go:74-82)
     case _ =>
       System.err.println(
-        "usage: graft.Main (migrate|plan) migration.toml | graft.Main wizard")
+        "usage: graft.Main (migrate|plan) migration.toml | " +
+          "graft.Main wizard | graft.Main version")
       sys.exit(2)
   }
 

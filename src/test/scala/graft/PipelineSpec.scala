@@ -359,6 +359,15 @@ class PipelineSpec extends AnyFunSuite {
       !stmts.head.contains("ANALYZE"))
   }
 
+  test("version formatting matches the reference (version.go:10-40)") {
+    assert(Main.formatVersion("1.2.3", "abcdef1234") == "1.2.3")
+    assert(Main.formatVersion("dev", "unknown") == "dev")
+    assert(Main.formatVersion("", "") == "dev")
+    assert(Main.formatVersion("dev", "abcdef1234") == "dev-abcdef1")
+    assert(Main.formatVersion("dev", "abc") == "dev-abc")
+    assert(Main.shortCommit("  ") == "")
+  }
+
   test("orphan cleanup: anti-join with MATCH SIMPLE null guard") {
     val spark = SparkTestSession.spark
     import spark.implicits._
