@@ -249,37 +249,44 @@ object Main {
       .sorted.mkString(";"))
 
   def runMigrate(cfgPath: Path): Unit = {
-    val (cfg, hookSql) = loadJob(cfgPath)
     val spark = session()
-    try {
-      val (sts, metas) = introspect(spark, cfg)
-      val report = PlanReport.build(cfg, sts)
-      require(report.unsupportedColumns.isEmpty,
-        "unsupported columns (set types.unknown_as_text to map to " +
-          s"text): ${report.unsupportedColumns.mkString(", ")}")
-      val exec = new JdbcExecutor(cfg.targetUrl)
-      val checkpoint =
-        if (!cfg.resume) None
-        else {
-          val parts = compatParts(cfg, metas)
-          Some(graft.checkpoint.CheckpointManager.load(
-            checkpointPath(cfgPath).toString,
-            graft.checkpoint.CheckpointManager.fingerprint(parts), parts))
-        }
-      val loader = new SparkTableLoader(spark, cfg, sts, checkpoint)
-      val pipeline =
-        new MigrationPipeline(cfg, exec, loader, hookSql, checkpoint)
-      val result = pipeline.migrate(metas,
-        requiredExtensions = report.requiredExtensions)
-      println(s"migrated ${result.tablesCreated.size} tables, " +
-        s"${result.rowsLoaded.values.sum} rows, " +
-        s"${result.statementsExecuted} statements")
-      if (result.validationMismatches.nonEmpty) {
-        System.err.println(
-          s"VALIDATION MISMATCHES: ${result.validationMismatches}")
-        sys.exit(1)
+    try runMigrateWith(cfgPath, spark) finally spark.stop()
+  }
+
+  /** The migrate flow against a caller-owned session (tests drive this
+    * against the shared test session; the CLI wrapper above owns its
+    * session's lifecycle).
+    */
+  private[graft] def runMigrateWith(cfgPath: Path,
+      spark: SparkSession): Unit = {
+    val (cfg, hookSql) = loadJob(cfgPath)
+    val (sts, metas) = introspect(spark, cfg)
+    val report = PlanReport.build(cfg, sts)
+    require(report.unsupportedColumns.isEmpty,
+      "unsupported columns (set types.unknown_as_text to map to " +
+        s"text): ${report.unsupportedColumns.mkString(", ")}")
+    val exec = new JdbcExecutor(cfg.targetUrl)
+    val checkpoint =
+      if (!cfg.resume) None
+      else {
+        val parts = compatParts(cfg, metas)
+        Some(graft.checkpoint.CheckpointManager.load(
+          checkpointPath(cfgPath).toString,
+          graft.checkpoint.CheckpointManager.fingerprint(parts), parts))
       }
-    } finally spark.stop()
+    val loader = new SparkTableLoader(spark, cfg, sts, checkpoint)
+    val pipeline =
+      new MigrationPipeline(cfg, exec, loader, hookSql, checkpoint)
+    val result = pipeline.migrate(metas,
+      requiredExtensions = report.requiredExtensions)
+    println(s"migrated ${result.tablesCreated.size} tables, " +
+      s"${result.rowsLoaded.values.sum} rows, " +
+      s"${result.statementsExecuted} statements")
+    if (result.validationMismatches.nonEmpty) {
+      System.err.println(
+        s"VALIDATION MISMATCHES: ${result.validationMismatches}")
+      sys.exit(1)
+    }
   }
 }
 

@@ -203,6 +203,56 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     assert(drift.getMessage.contains("key range changed"))
   }
 
+  test("CLI migrate end-to-end on Derby: config file → introspect → " +
+      "DDL → load → validate, resume bookkeeping cleaned on success") {
+    val srcUrl = "jdbc:derby:memory:graftclisrc;create=true"
+    val tgtUrl = "jdbc:derby:memory:graftclitgt;create=true"
+    val sc = DriverManager.getConnection(srcUrl)
+    try {
+      val st = sc.createStatement()
+      // VARCHAR PK: no sequence-reset DDL (PG setval doesn't exist on
+      // Derby) and the non-chunkable full-table load path runs
+      st.execute("CREATE TABLE PRODS (SKU VARCHAR(20) NOT NULL " +
+        "PRIMARY KEY, PNAME VARCHAR(40) NOT NULL, PRICE DOUBLE)")
+      val ins = sc.prepareStatement("INSERT INTO PRODS VALUES (?, ?, ?)")
+      (1 to 50).foreach { i =>
+        ins.setString(1, f"sku_$i%03d"); ins.setString(2, s"prod $i")
+        ins.setDouble(3, i * 1.25); ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally sc.close()
+
+    val cfgDir = java.nio.file.Files.createTempDirectory("graft-cli")
+    val cfgPath = cfgDir.resolve("migration.toml")
+    java.nio.file.Files.writeString(cfgPath,
+      s"""mode = "parallel"
+         |resume = true
+         |unlogged_tables = false
+         |validation = "row_count"
+         |[source]
+         |dialect = "jdbc"
+         |url = "$srcUrl"
+         |[target]
+         |url = "$tgtUrl"
+         |schema = "tgt"
+         |""".stripMargin)
+    Main.runMigrateWith(cfgPath, spark)
+
+    val chk = DriverManager.getConnection(tgtUrl)
+    try {
+      val rs = chk.createStatement().executeQuery(
+        "SELECT COUNT(*), MIN(\"sku\"), MAX(\"price\") " +
+          "FROM \"tgt\".\"prods\"")
+      rs.next()
+      assert(rs.getLong(1) == 50L)
+      assert(rs.getString(2) == "sku_001")
+      assert(rs.getDouble(3) == 62.5)
+    } finally chk.close()
+    // successful migration deletes the resume checkpoint
+    assert(!java.nio.file.Files.exists(
+      Main.checkpointPath(cfgPath)))
+  }
+
   test("parallel index pool on Derby: builds all, first error cancels") {
     val iurl = "jdbc:derby:memory:graftixp;create=true"
     val c = DriverManager.getConnection(iurl)
