@@ -249,13 +249,23 @@ object Main {
       .sorted.mkString(";"))
 
   def runMigrate(cfgPath: Path): Unit = {
+    loadJob(cfgPath) // config problems fail fast, before session startup
     val spark = session()
-    try runMigrateWith(cfgPath, spark) finally spark.stop()
+    try runMigrateWith(cfgPath, spark)
+    catch {
+      case e: MigrationValidationException =>
+        System.err.println(e.getMessage)
+        sys.exit(1)
+    } finally spark.stop()
   }
+
+  final class MigrationValidationException(msg: String)
+      extends RuntimeException(msg)
 
   /** The migrate flow against a caller-owned session (tests drive this
     * against the shared test session; the CLI wrapper above owns its
-    * session's lifecycle).
+    * session's lifecycle and exit codes — this helper THROWS on
+    * validation mismatch instead of exiting the JVM).
     */
   private[graft] def runMigrateWith(cfgPath: Path,
       spark: SparkSession): Unit = {
@@ -266,35 +276,43 @@ object Main {
       "unsupported columns (set types.unknown_as_text to map to " +
         s"text): ${report.unsupportedColumns.mkString(", ")}")
     val exec = new JdbcExecutor(cfg.targetUrl)
-    val checkpoint =
-      if (!cfg.resume) None
-      else {
-        val parts = compatParts(cfg, metas)
-        Some(graft.checkpoint.CheckpointManager.load(
-          checkpointPath(cfgPath).toString,
-          graft.checkpoint.CheckpointManager.fingerprint(parts), parts))
-      }
-    val loader = new SparkTableLoader(spark, cfg, sts, checkpoint)
-    val pipeline =
-      new MigrationPipeline(cfg, exec, loader, hookSql, checkpoint)
-    val result = pipeline.migrate(metas,
-      requiredExtensions = report.requiredExtensions)
-    println(s"migrated ${result.tablesCreated.size} tables, " +
-      s"${result.rowsLoaded.values.sum} rows, " +
-      s"${result.statementsExecuted} statements")
-    if (result.validationMismatches.nonEmpty) {
-      System.err.println(
-        s"VALIDATION MISMATCHES: ${result.validationMismatches}")
-      sys.exit(1)
-    }
+    try {
+      val checkpoint =
+        if (!cfg.resume) None
+        else {
+          val parts = compatParts(cfg, metas)
+          Some(graft.checkpoint.CheckpointManager.load(
+            checkpointPath(cfgPath).toString,
+            graft.checkpoint.CheckpointManager.fingerprint(parts), parts))
+        }
+      val loader = new SparkTableLoader(spark, cfg, sts, checkpoint)
+      val pipeline =
+        new MigrationPipeline(cfg, exec, loader, hookSql, checkpoint)
+      val result = pipeline.migrate(metas,
+        requiredExtensions = report.requiredExtensions)
+      println(s"migrated ${result.tablesCreated.size} tables, " +
+        s"${result.rowsLoaded.values.sum} rows, " +
+        s"${result.statementsExecuted} statements")
+      if (result.validationMismatches.nonEmpty)
+        throw new MigrationValidationException(
+          s"VALIDATION MISMATCHES: ${result.validationMismatches}")
+    } finally exec.close()
   }
 }
 
 /** Target-side executor over a plain JDBC connection (one connection,
   * driver-side DDL — the reference uses a pgx pool the same way).
   */
-final class JdbcExecutor(url: String) extends SqlExecutor {
-  private lazy val conn = java.sql.DriverManager.getConnection(url)
+final class JdbcExecutor(url: String) extends SqlExecutor
+    with AutoCloseable {
+  private var opened: java.sql.Connection = null
+  private def conn: java.sql.Connection = synchronized {
+    if (opened == null) opened = java.sql.DriverManager.getConnection(url)
+    opened
+  }
+  def close(): Unit = synchronized {
+    if (opened != null) { opened.close(); opened = null }
+  }
   def execute(sql: String): Unit = {
     val st = conn.createStatement()
     try st.execute(sql) finally st.close()
