@@ -14,13 +14,20 @@ object Sessions {
   def build(appName: String, coresOverride: Option[String] = None)
       : SparkSession = {
     val n = coresOverride.getOrElse(cpus)
+    // AQE on by default (runtime re-plan, skew splitting, post-shuffle
+    // coalesce — the 100 TB posture). SPARK_GRAFT_AQE=off exists for
+    // measuring AQE's per-query stage-materialization overhead at tiny
+    // local scale; production leaves it on.
+    val aqe =
+      !sys.env.get("SPARK_GRAFT_AQE").exists(_.equalsIgnoreCase("off"))
     val spark = SparkSession.builder()
       .master(s"local[$n]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions",
         math.min(n.toInt, 16).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
