@@ -59,6 +59,66 @@ class PgCopySpec extends AnyFunSuite {
     assert(in.rowsRead == 3L)
   }
 
+  test("property: escape/unescape round-trips hostile strings " +
+      "(500 seeded cases)") {
+    // decoder implementing PostgreSQL's documented COPY TEXT unescape —
+    // the server-side inverse our encoder must satisfy
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          i += 1
+          s.charAt(i) match {
+            case '\\' => sb += '\\'
+            case 't' => sb += '\t'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case 'v' => sb += 0x0b.toChar
+            case other => sb += other
+          }
+        } else sb += c
+        i += 1
+      }
+      sb.toString
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab\\\t\n\r\b\f,{}\"'é☃ ".toCharArray
+    for (_ <- 1 to 500) {
+      val s = Seq.fill(rnd.nextInt(24))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val escaped = PgCopy.escapeText(s)
+      // no raw control characters survive into the wire format
+      assert(!escaped.exists(c => c == '\t' || c == '\n' || c == '\r'))
+      assert(unescape(escaped) == s, s"round-trip broke for ${s.toList}")
+    }
+  }
+
+  test("property: encoded rows keep exactly one line and n-1 tabs " +
+      "(300 seeded cases)") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "x\\\t\n,{}\" ".toCharArray
+    for (_ <- 1 to 300) {
+      val n = 1 + rnd.nextInt(5)
+      val vals: Seq[Any] = Seq.fill(n)(rnd.nextInt(3) match {
+        case 0 => null
+        case 1 => Seq.fill(rnd.nextInt(8))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+        case 2 => Seq(Seq.fill(rnd.nextInt(5))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      })
+      val line = PgCopy.encodeRow(Row(vals: _*))
+      // exactly one terminating newline, no interior ones
+      assert(line.endsWith("\n") && line.count(_ == '\n') == 1)
+      // column separators survive exactly: n-1 raw tabs
+      assert(line.count(_ == '\t') == n - 1,
+        s"tab count off for $vals → ${line.toList}")
+    }
+  }
+
   test("dispatch: postgresql URLs take COPY, others take batched INSERT") {
     assert(PgCopy.isPostgres("jdbc:postgresql://h:5432/db"))
     assert(!PgCopy.isPostgres("jdbc:derby:memory:x"))
