@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PLANS.md audit rows as ENFORCED invariants: pushdown reaches the
+  * scan, dimensions broadcast, top-k avoids global sorts, candidate
+  * generation never degrades to a nested loop. A regression that
+  * silently changes a headline plan's shape now fails the suite instead
+  * of waiting for a bench diff.
+  */
+class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  private def scans(name: String): Seq[FileSourceScanExec] =
+    collectWithSubqueries(SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan) { case s: FileSourceScanExec => s }
+
+  test("q01: range predicates push into the parquet scan, projection " +
+      "prunes columns") {
+    val s = scans("q01_scan_filter")
+      .find(_.metadata.get("Location").exists(_.contains("lineitem")))
+      .get
+    val pushed = s.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual") ||
+      pushed.contains("GreaterThan"), pushed)
+    assert(s.requiredSchema.length <= 6,
+      s"projection not pruned: ${s.requiredSchema.fieldNames.toSeq}")
+  }
+
+  test("q04: both dimension joins broadcast (zero fact-side shuffles)") {
+    val p = plan("q04_join3")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dimension join fell to SMJ")
+  }
+
+  test("q07: partial+final aggregate pair around one keyed exchange") {
+    val p = plan("q07_group_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("q12: top-k is TakeOrderedAndProject, never a global sort") {
+    assert(plan("q12_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q59: TPC-H Q3 top-10 is also TakeOrderedAndProject") {
+    assert(plan("q59_ship_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("q17: star dimensions broadcast around the pre-aggregation") {
+    val p = plan("q17_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("q40: existence is a semi join, not a row-multiplying inner") {
+    assert(plan("q40_exists_agg").contains("LeftSemi"))
+  }
+
+  test("candidate generation never degrades to an all-pairs nested " +
+      "loop (q23 minhash, q24 simhash, q27/q58 LSH)") {
+    // q23/q24 must have NO nested-loop joins at all
+    Seq("q23_dedup_minhash", "q24_dedup_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q fell to a nested-loop/cartesian join")
+    }
+    // q27/q58's only nested loops are cross joins against the 32-row
+    // broadcast hyperplane fixture (constant-size at any corpus scale;
+    // the codes subtree appears on both sides of the candidate join, so
+    // the plan can hold one per side). Candidate generation itself must
+    // stay an equi-join: every nested loop must be matched by a
+    // plane-fixture scan, and none may be a full cartesian.
+    Seq("q27_ann_lsh", "q58_embed_neardup_lsh").foreach { q =>
+      val p = plan(q)
+      val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      val planeScans = "lsh_planes".r.findAllIn(p).size
+      assert(nlj <= planeScans,
+        s"$q has $nlj nested-loop joins but only $planeScans " +
+          "plane-fixture scans — a corpus-sized nested loop crept in")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+}
