@@ -243,6 +243,22 @@ class MigrationCoreSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint: row counts above 2^53 round-trip exactly " +
+      "(integral JSON tokens lex as Long, not Double)") {
+    val dir = Files.createTempDirectory("graft_ckpt_big")
+    val path = dir.resolve("state.json").toString
+    val fp = CheckpointManager.fingerprint(Seq("k" -> "v"))
+    val mgr = CheckpointManager.load(path, fp, Seq("k" -> "v"))
+    val big = (1L << 53) + 1L // first value a Double cannot represent
+    val big2 = (1L << 60) + 7L
+    mgr.markDone("huge", 0L, big)
+    mgr.markDone("huge", 1L, big2)
+    mgr.flush()
+    val back = CheckpointManager.load(path, fp, Seq("k" -> "v"))
+    assert(back.rowsCopied("huge") == big + big2)
+    assert(back.completed("huge") == Set(0L, 1L))
+  }
+
   test("checkpoint: reference-shaped versioned JSON, rows_copied, " +
       "table named 'fingerprint' survives") {
     val dir = Files.createTempDirectory("graft_ckpt2")
