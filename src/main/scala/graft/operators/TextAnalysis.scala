@@ -236,7 +236,37 @@ object TextAnalysis {
            |  CAST(SUM(n_chars) AS BIGINT) AS chars
            |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
 
+  // Deterministic CONTENT-hash sampling — the key-based split above
+  // (q57) follows ids; this follows bytes, so exact duplicates land in
+  // or out of the sample TOGETHER regardless of id, and the subset is
+  // stable across reruns, engines, and repartitioning (no rand()).
+  // Selection compares an md5-prefix lexicographically ('1a'/'100' hex
+  // buckets ≈ 10.16%), which both engines compute identically. Per-row
+  // hash inside the partial aggregate → one keyed exchange; at 100 TB
+  // the sample predicate also pushes into a pre-filter before any wider
+  // pipeline stage.
+  val q60SampleHash: QueryDef = QueryDef(
+    "q60_sample_hash",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("in_sample",
+          substring(md5(col("text").cast("binary")), 1, 2) < "1a")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("in_sample"), 1L).otherwise(0L)).as("sampled"))
+        .select(col("source"), col("total"), col("sampled"),
+          graft.Round4(col("sampled").cast("double") / col("total"))
+            .as("rate"))
+        .orderBy("source"),
+    Some("""SELECT source, COUNT(*) AS total,
+           |  CAST(SUM(CASE WHEN substr(md5(text), 1, 2) < '1a'
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS sampled,
+           |  floor((CAST(SUM(CASE WHEN substr(md5(text), 1, 2) < '1a'
+           |              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+           |        * 10000 + 0.5) / 10000 AS rate
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
-    q47BpeTokens, q48RollingHash, q56Redact, q57Split)
+    q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash)
 }
