@@ -242,9 +242,10 @@ object TextAnalysis {
   // stable across reruns, engines, and repartitioning (no rand()).
   // Selection compares an md5-prefix lexicographically ('1a'/'100' hex
   // buckets ≈ 10.16%), which both engines compute identically. Per-row
-  // hash inside the partial aggregate → one keyed exchange; at 100 TB
-  // the sample predicate also pushes into a pre-filter before any wider
-  // pipeline stage.
+  // hash inside the partial aggregate → one keyed exchange. (A pipeline
+  // that only needs the SAMPLE — not this query's per-source rates over
+  // the full corpus — applies the same predicate as a plain filter and
+  // never materializes the unsampled rows.)
   val q60SampleHash: QueryDef = QueryDef(
     "q60_sample_hash",
     (s, dir) =>
