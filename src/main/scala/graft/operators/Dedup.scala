@@ -94,11 +94,10 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Shared oracle: exact shingle-Jaccard near-dup pairs. The LSH and
-    * SimHash variants verify candidates against the same threshold, so
-    * all three must produce this exact result set.
+  /** The shingle/size/pair-count CTE stack shared by the jaccard oracle
+    * and the q61 curation oracle.
     */
-  private val jaccardOracle: String =
+  private val jaccardCtes: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
       |  WHERE len(string_split(lower(text), ' ')) >= 3),
@@ -108,8 +107,14 @@ object Dedup {
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |pc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
       |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2)
-      |SELECT d1, d2, floor((CAST(c AS DOUBLE)/(s1.n + s2.n - c)) * 10000 + 0.5) / 10000 AS jac
+      |       GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle: exact shingle-Jaccard near-dup pairs. The LSH and
+    * SimHash variants verify candidates against the same threshold, so
+    * all three must produce this exact result set.
+    */
+  private val jaccardOracle: String = jaccardCtes + "\n" +
+    """SELECT d1, d2, floor((CAST(c AS DOUBLE)/(s1.n + s2.n - c)) * 10000 + 0.5) / 10000 AS jac
       |FROM pc
       |JOIN sz s1 ON pc.d1 = s1.doc_id
       |JOIN sz s2 ON pc.d2 = s2.doc_id
@@ -151,26 +156,70 @@ object Dedup {
     Some("SELECT COUNT(*) AS total, " +
       "COUNT(DISTINCT md5(text)) AS distinct_fp FROM documents"))
 
+  /** Exact shingle-Jaccard near-dup pairs (d1 < d2, jac ≥ threshold)
+    * via the inverted-index join — q22's body, reused by the q61
+    * curation pipeline's duplicate drop-list.
+    */
+  def exactJaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("g"))
+    val b = sh.select(col("doc_id").as("d2"), col("g"))
+    val inter = a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jac",
+        col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
+      .filter(col("jac") >= JaccardThreshold)
+  }
+
   // Exact shingle-Jaccard near-dup pairs via inverted-index join.
   val q22DedupJaccard: QueryDef = QueryDef(
     "q22_dedup_jaccard",
-    (s, dir) => {
-      val sh = shingles(Tables.load(s, dir, "documents"))
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("d1"), col("g"))
-      val b = sh.select(col("doc_id").as("d2"), col("g"))
-      val inter = a.join(b, Seq("g")).filter(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-      inter
-        .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-        .withColumn("jac",
-          col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
-        .filter(col("jac") >= JaccardThreshold)
+    (s, dir) =>
+      exactJaccardPairs(Tables.load(s, dir, "documents"))
         .select(col("d1"), col("d2"), graft.Round4(col("jac")).as("jac"))
-        .orderBy("d1", "d2")
-    },
+        .orderBy("d1", "d2"),
     Some(jaccardOracle))
+
+  // End-to-end curation pipeline — the composition a training-data
+  // pipeline actually runs, in ONE declarative plan: token-count
+  // quality gate → near-duplicate removal (keep the lower doc_id of
+  // each pair, drop the other) → per-(lang, source) retention
+  // accounting. Each stage is an already-oracle-proven operator; the
+  // value here is that the composition stays a single Catalyst plan
+  // (quality filter pushes to the scan, the drop-list anti-join is
+  // keyed), not a chain of materialized intermediate tables.
+  val q61Curation: QueryDef = QueryDef(
+    "q61_curation",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val dups = exactJaccardPairs(docs)
+        .select(col("d2").as("doc_id")).distinct()
+      docs
+        .withColumn("n_tokens", size(split(lower(col("text")), " ")))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 80)
+        .join(dups, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("lang", "source")
+    },
+    Some(jaccardCtes + ",\n" +
+      """dups AS (
+        |  SELECT DISTINCT pc.d2 AS doc_id
+        |  FROM pc
+        |  JOIN sz s1 ON pc.d1 = s1.doc_id
+        |  JOIN sz s2 ON pc.d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.8)
+        |SELECT d.lang, d.source, COUNT(*) AS docs,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS chars
+        |FROM documents d
+        |WHERE len(string_split(lower(d.text), ' ')) BETWEEN 20 AND 80
+        |  AND NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = d.doc_id)
+        |GROUP BY 1, 2 ORDER BY d.lang, d.source""".stripMargin))
 
   // MinHash + banded LSH candidates, exact-verify. The scale path: at
   // 100 TB the inverted-index join above degrades on hot shingles, while
@@ -275,5 +324,5 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
-    q24DedupSimhash)
+    q24DedupSimhash, q61Curation)
 }
