@@ -300,6 +300,50 @@ object Similarity {
             |      CAST(e2.embedding AS DOUBLE[])) > $NearDupThreshold
             |ORDER BY v1, v2""".stripMargin))
 
+  // IVF index-health diagnostic: inverted-list sizes and shares for the
+  // current centroid fixture — the balance metric that decides when to
+  // retrain (tools.TrainCentroids tightens exactly this distribution).
+  // One corpus pass: broadcast centroids, rank-1 assignment, count per
+  // list. An operations query a user of the ANN tier runs routinely.
+  val q62IvfListStats: QueryDef = QueryDef(
+    "q62_ivf_list_stats",
+    (s, dir) => {
+      val e = normed(s, dir)
+      val cents = broadcast(graft.Fixtures.ivfCentroids(s)
+        .withColumn("cn", graft.functions.VectorOps.l2norm(col("cv"))))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid"))
+      val assigned = e.join(cents)
+        .withColumn("csim",
+          cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") === 1)
+      assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("share",
+          graft.Round4(col("n_vecs").cast("double") / sum(col("n_vecs"))
+            .over(Window.partitionBy())))
+        .select(col("cid"), col("n_vecs"), col("share"))
+        .orderBy("cid")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |ce AS (SELECT cid, cv
+            |       FROM read_parquet('${graft.Fixtures.ivfCentroidsPath}')),
+            |asn AS (
+            |  SELECT e.vec_id, ce.cid,
+            |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            |      list_cosine_similarity(v, cv) DESC, ce.cid) AS crnk
+            |  FROM e CROSS JOIN ce),
+            |lists AS (
+            |  SELECT cid, COUNT(*) AS n_vecs FROM asn
+            |  WHERE crnk = 1 GROUP BY cid)
+            |SELECT cid, n_vecs,
+            |  floor((CAST(n_vecs AS DOUBLE) / SUM(n_vecs) OVER ())
+            |        * 10000 + 0.5) / 10000 AS share
+            |FROM lists ORDER BY cid""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
-    q45AnnIvf, q58EmbedNeardupLsh)
+    q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats)
 }
