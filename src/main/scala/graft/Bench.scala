@@ -5,9 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — one JSON line with per-query seconds over the
   * headline query set (QueryDef.bench) at SPARK_GRAFT_SF_DIR.
   *
-  * A warmup pass first runs every headline query once so timings measure
-  * steady-state plan execution (codegen compiled, JIT warm, file
-  * listings cached) rather than first-query JVM warmup.
+  * Two timing surfaces, reported side by side so fixed per-query
+  * overhead and steady-state compute separate cleanly:
+  *
+  *  - cold: the FIRST execution of each plan in this JVM — pays codegen
+  *    compilation, file listing, JIT warmup (`queries_cold` /
+  *    `cold_total`);
+  *  - warm: best of 3 subsequent runs — steady-state plan execution,
+  *    the number that tracks real compute (`queries` / `value`).
+  *
+  * Only successful runs compete — a fast failure must not report as a
+  * fast query (a query with no successful run reports -1 and is
+  * excluded from totals).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,29 +26,29 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val defs = SparkEntry.benchDefs
-    // warmup: execute each plan once (count() drains the whole plan)
-    defs.foreach { d =>
-      try d.build(spark, sfDir).count()
-      catch { case _: Throwable => () }
+
+    // one timed execution; count() drains the whole plan
+    def run(d: QueryDef): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { d.build(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
     }
-    // best-of-2 measured runs: guards the reported number against a
-    // transient load spike on the host mid-query. Only SUCCESSFUL runs
-    // compete — a fast failure must not report as a fast query.
-    val results = defs.map { d =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { d.build(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
+
+    val cold = defs.map(d => d.name -> run(d).getOrElse(-1.0))
+    val warm = defs.map { d =>
+      val times = (1 to 3).flatMap(_ => run(d))
       d.name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // failed queries (-1 sentinel) must not shrink the headline total —
-    // exclude them from the sum (their -1 in `queries` flags the failure)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def total(kvs: Seq[(String, Double)]): Double =
+      kvs.map(_._2).filter(_ >= 0).sum
+
+    println(s"""{"metric":"total","value":${total(warm)},"unit":"sec",""" +
+      s""""queries":${jsonMap(warm)},""" +
+      s""""cold_total":${total(cold)},"queries_cold":${jsonMap(cold)},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

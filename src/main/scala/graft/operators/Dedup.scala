@@ -94,32 +94,48 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** The shingle/size/pair-count CTE stack shared by the jaccard oracle
-    * and the q61 curation oracle.
+  /** The shingle/size/pair-count CTE stack shared by the jaccard
+    * oracles (q22/q23/q24, q63) and the q61 curation oracle. With
+    * `dfCap` set, shingles appearing in more than `dfCap` documents are
+    * removed before sizes and pair counts (the q63 semantics).
     */
-  private val jaccardCtes: String =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-      |  WHERE len(string_split(lower(text), ' ')) >= 3),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-      |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM tok) u),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |pc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-      |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2)""".stripMargin
+  private def jaccardCtesFor(dfCap: Option[Int]): String = {
+    val shingleSelect =
+      """  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM tok) u""".stripMargin
+    val shDef = dfCap match {
+      case None => s"sh AS (\n$shingleSelect)"
+      case Some(cap) =>
+        s"""sh0 AS (
+           |$shingleSelect),
+           |hot AS (SELECT g FROM sh0 GROUP BY g HAVING COUNT(*) > $cap),
+           |sh AS (SELECT * FROM sh0 WHERE g NOT IN (SELECT g FROM hot))""".stripMargin
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+       |  WHERE len(string_split(lower(text), ' ')) >= 3),
+       |$shDef,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+       |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)""".stripMargin
+  }
 
-  /** Shared oracle: exact shingle-Jaccard near-dup pairs. The LSH and
-    * SimHash variants verify candidates against the same threshold, so
-    * all three must produce this exact result set.
-    */
-  private val jaccardOracle: String = jaccardCtes + "\n" +
+  private val jaccardCtes: String = jaccardCtesFor(None)
+
+  private def jaccardSelect(ctes: String): String = ctes + "\n" +
     """SELECT d1, d2, floor((CAST(c AS DOUBLE)/(s1.n + s2.n - c)) * 10000 + 0.5) / 10000 AS jac
       |FROM pc
       |JOIN sz s1 ON pc.d1 = s1.doc_id
       |JOIN sz s2 ON pc.d2 = s2.doc_id
       |WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.8
       |ORDER BY d1, d2""".stripMargin
+
+  /** Shared oracle: exact shingle-Jaccard near-dup pairs. The LSH and
+    * SimHash variants verify candidates against the same threshold, so
+    * all three must produce this exact result set.
+    */
+  private val jaccardOracle: String = jaccardSelect(jaccardCtes)
 
   // Keyed dedup: keep the earliest event per (user_id, event_type) —
   // hash-shuffle on the key, row_number keep-first. `dropDuplicates`
@@ -160,8 +176,14 @@ object Dedup {
     * via the inverted-index join — q22's body, reused by the q61
     * curation pipeline's duplicate drop-list.
     */
-  def exactJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+  def exactJaccardPairs(docs: DataFrame): DataFrame =
+    jaccardFromShingles(shingles(docs))
+
+  /** The inverted-index Jaccard join over an arbitrary (doc_id, g)
+    * shingle relation — shared by the exact operator (q22/q61, all
+    * shingles) and the df-capped variant (q63, hot shingles removed).
+    */
+  private def jaccardFromShingles(sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("d1"), col("g"))
     val b = sh.select(col("doc_id").as("d2"), col("g"))
@@ -183,6 +205,32 @@ object Dedup {
         .select(col("d1"), col("d2"), graft.Round4(col("jac")).as("jac"))
         .orderBy("d1", "d2"),
     Some(jaccardOracle))
+
+  // Shingles in more than DfCap documents carry no near-dup signal but
+  // dominate the inverted-index join's cost (a shingle at df ~ 10⁶
+  // contributes ~10¹² candidate pairs at web scale — the documented
+  // degradation of the exact q22 path). Dropping them bounds every
+  // shingle's pair contribution at DfCap², making the join O(corpus).
+  private val DfCap = 4
+
+  // q22 with the hot-shingle document-frequency cap — the formulation
+  // that survives a web corpus. The hot list is TINY by construction
+  // (only shingles above the cap), so removal is a broadcast anti-join
+  // BEFORE the self-join; sizes and intersections both use the capped
+  // shingle universe, so the Jaccard semantics are self-consistent and
+  // the oracle reproduces them exactly.
+  val q63DedupJaccardCapped: QueryDef = QueryDef(
+    "q63_dedup_jaccard_capped",
+    (s, dir) => {
+      val sh0 = shingles(Tables.load(s, dir, "documents"))
+      val hot = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > DfCap).select(col("g"))
+      jaccardFromShingles(sh0.join(broadcast(hot), Seq("g"), "left_anti"))
+        .select(col("d1"), col("d2"), graft.Round4(col("jac")).as("jac"))
+        .orderBy("d1", "d2")
+    },
+    Some(jaccardSelect(jaccardCtesFor(Some(DfCap)))),
+    bench = true)
 
   // End-to-end curation pipeline — the composition a training-data
   // pipeline actually runs, in ONE declarative plan: token-count
@@ -219,7 +267,8 @@ object Dedup {
         |FROM documents d
         |WHERE len(string_split(lower(d.text), ' ')) BETWEEN 20 AND 80
         |  AND NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = d.doc_id)
-        |GROUP BY 1, 2 ORDER BY d.lang, d.source""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY d.lang, d.source""".stripMargin),
+    bench = true)
 
   // MinHash + banded LSH candidates, exact-verify. The scale path: at
   // 100 TB the inverted-index join above degrades on hot shingles, while
@@ -324,5 +373,5 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
-    q24DedupSimhash, q61Curation)
+    q24DedupSimhash, q61Curation, q63DedupJaccardCapped)
 }

@@ -529,7 +529,8 @@ object Relational {
            |  AND CAST(l_shipdate AS TIMESTAMP)
            |      > TIMESTAMP '1996-06-01 00:00:00'
            |GROUP BY o_orderkey, o_orderdate
-           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(
     q01ScanFilter, q02ChunkMinmax, q03RowCounts, q04Join3, q05AntiJoin,

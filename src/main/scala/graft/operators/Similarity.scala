@@ -182,11 +182,13 @@ object Similarity {
   // IVF-style ANN: coarse-quantize every vector to its nearest centroid
   // (inverted lists), probe the query's 2 nearest lists, exact re-rank.
   // Centroids are a parquet FIXTURE both engines read
-  // (fixtures/ivf_centroids.parquet, deterministic pseudo-random unit
-  // cube points — see graft.tools.GenFixtures); a production build would
-  // train them with k-means (same plan shape — only the centroid table
-  // changes). No driver-side count(), no density assumption on vec_id:
-  // the centroid table is explicit input.
+  // (fixtures/ivf_centroids.parquet) — TRAINED with distributed
+  // k-means over the sf0.1 corpus (graft.tools.TrainCentroids, 10
+  // Lloyd's iterations from the deterministic GenFixtures init;
+  // mean best-centroid cosine 0.2213 → 0.2799). The query plan is
+  // independent of how the centroid table was produced. No driver-side
+  // count(), no density assumption on vec_id: the centroid table is
+  // explicit input.
   val q45AnnIvf: QueryDef = QueryDef(
     "q45_ann_ivf",
     (s, dir) => {
@@ -251,7 +253,8 @@ object Similarity {
             |  JOIN embeddings ne ON ne.vec_id = cand.vec_id)
             |SELECT qid, rnk, neighbor,
             |  floor(sim * 10000 + 0.5) / 10000 AS sim
-            |FROM ranked WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin))
+            |FROM ranked WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin),
+    bench = true)
 
   // LSH-bucketed embedding near-dup — q25's scale path: candidate pairs
   // come from sign-code bucket equality in any of the 8 tables (an
@@ -298,7 +301,8 @@ object Similarity {
             |JOIN embeddings e2 ON e2.vec_id = cand.v2
             |WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
             |      CAST(e2.embedding AS DOUBLE[])) > $NearDupThreshold
-            |ORDER BY v1, v2""".stripMargin))
+            |ORDER BY v1, v2""".stripMargin),
+    bench = true)
 
   // IVF index-health diagnostic: inverted-list sizes and shares for the
   // current centroid fixture — the balance metric that decides when to
@@ -318,11 +322,16 @@ object Similarity {
           cosine(col("v"), col("cv"), col("nrm"), col("cn")))
         .withColumn("crnk", row_number().over(w))
         .filter(col("crnk") === 1)
-      assigned.groupBy(col("cid"))
+      val lists = assigned.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vecs"))
+      // corpus total as a broadcast 1-row join, not a partition-less
+      // window: same result on the 16 post-aggregation rows, but this
+      // idiom stays parallel if copied onto a pre-aggregation relation
+      // (an empty Window.partitionBy() would funnel it through one task)
+      val total = lists.agg(sum(col("n_vecs")).as("tot"))
+      lists.join(broadcast(total))
         .withColumn("share",
-          graft.Round4(col("n_vecs").cast("double") / sum(col("n_vecs"))
-            .over(Window.partitionBy())))
+          graft.Round4(col("n_vecs").cast("double") / col("tot")))
         .select(col("cid"), col("n_vecs"), col("share"))
         .orderBy("cid")
     },

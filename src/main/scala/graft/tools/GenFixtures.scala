@@ -4,15 +4,21 @@ import graft.{Fixtures, Sessions}
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.util.hashing.MurmurHash3
 
-/** Writes the engine-neutral ANN fixtures (see [[graft.Fixtures]]) as
-  * single parquet FILES (not Spark part-directories) so DuckDB's
-  * `read_parquet('<path>')` and Spark's `read.parquet` both open them.
+/** Writes the LSH hyperplane fixture (see [[graft.Fixtures]]) as a
+  * single parquet FILE (not a Spark part-directory) so DuckDB's
+  * `read_parquet('<path>')` and Spark's `read.parquet` both open it.
   *
   * All values derive from MurmurHash3 of fixed tuples — byte-identical
   * across runs, no RNG state. The LSH planes reproduce the exact ±1
   * pattern the round-2 in-query generator used
   * (`Similarity.planeSign`), so q27 results are unchanged by the move
   * to a fixture.
+  *
+  * The IVF centroid fixture is NOT written here: centroids are trained
+  * (k-means over the embeddings corpus, seeded from
+  * [[centroidComponent]]) — regenerate via
+  * `sbt "runMain graft.tools.TrainCentroids"` so a fixture refresh
+  * can't silently revert to the untrained init.
   */
 object GenFixtures {
   val Dim = 64
@@ -44,10 +50,6 @@ object GenFixtures {
     } yield (tbl, bit, (0 until Dim).map(planeSign(tbl, bit, _)).toArray))
       .toDF("tbl", "bit", "plane")
 
-    val cents = (0 until NumCentroids)
-      .map(c => (c, (0 until Dim).map(centroidComponent(c, _)).toArray))
-      .toDF("cid", "cv")
-
     def writeSingle(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
       val tmp = Files.createTempDirectory("graft-fix").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -60,8 +62,8 @@ object GenFixtures {
         StandardCopyOption.REPLACE_EXISTING)
     }
     writeSingle(planes, Fixtures.lshPlanesPath)
-    writeSingle(cents, Fixtures.ivfCentroidsPath)
-    println(s"wrote ${Fixtures.lshPlanesPath} and ${Fixtures.ivfCentroidsPath}")
+    println(s"wrote ${Fixtures.lshPlanesPath} (centroids: run " +
+      "graft.tools.TrainCentroids)")
     spark.stop()
   }
 }

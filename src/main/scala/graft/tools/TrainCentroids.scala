@@ -89,14 +89,19 @@ object TrainCentroids {
     (0 until k).map(c =>
       c -> (0 until dim).map(GenFixtures.centroidComponent(c, _)).toArray)
 
-  /** usage: TrainCentroids <sfDir> [k] [iters] [outPath] */
+  /** usage: TrainCentroids [sfDir] [k] [iters] [outPath]
+    *
+    * Defaults regenerate the committed IVF fixture from the sf0.1
+    * corpus (the largest local SF — train on the data the index
+    * serves; at production scale this runs on a sample of the real
+    * corpus, same plan).
+    */
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else GenFixtures.NumCentroids
-    val iters = if (args.length > 2) args(2).toInt else 5
+    val iters = if (args.length > 2) args(2).toInt else 10
     val out = if (args.length > 3) args(3)
-      else graft.Fixtures.ivfCentroidsPath.stripSuffix(".parquet") +
-        "_trained.parquet"
+      else graft.Fixtures.ivfCentroidsPath
     val spark = graft.Sessions.build("graft-train-centroids")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
