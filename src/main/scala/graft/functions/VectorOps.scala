@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{DotProduct, L2Norm, MinHashSignature, RollingHash}
+import graft.plans.{DotProduct, L2Norm, MinHashSignature, RollingHash, ShingleSet}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -31,6 +31,20 @@ object VectorOps {
         }
         MinHashSignature(exprs(0), k)
       }, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => {
+        val len = exprs(1) match {
+          case lit if lit.foldable => lit.eval(null) match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_shingles: shingleLen must be an integer literal, " +
+                s"got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_shingles: shingleLen must be a literal, not a column")
+        }
+        ShingleSet(exprs(0), len)
+      }, "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -40,6 +54,11 @@ object VectorOps {
   def minhash(arr: Column, numHashes: Int): Column =
     call_function("graft_minhash", arr,
       org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Distinct word-n-gram shingles of a pre-lowercased text. */
+  def shingles(text: Column, shingleLen: Int): Column =
+    call_function("graft_shingles", text,
+      org.apache.spark.sql.functions.lit(shingleLen))
 
   /** cosine(a, b) given precomputed norms — dot/(na*nb), matching the
     * lambda formulation bit-for-bit.

@@ -57,30 +57,32 @@ object Dedup {
   private val SimhashBands = 16
   private val SimhashBandBits = 4
 
-  /** doc_id → distinct word-3-shingles, as (doc_id, g) rows (the
-    * inverted-index and verification shape; the MinHash path computes
-    * its shingles in-row instead, see q23).
+  /** doc_id → (gs: DISTINCT word-3-shingle array, n = |gs|), computed
+    * entirely IN-ROW by the native codegen'd [[graft.plans.ShingleSet]]
+    * expression: the whole per-document stage is embarrassingly
+    * parallel — no corpus-wide distinct shuffle and no group-by for set
+    * sizes, which at 100 TB removes the two largest exchanges of the
+    * naive formulation (dedup via `.distinct()` and sizes via
+    * `groupBy(doc_id)`). The empty-array filter is exactly the old
+    * `size(w) >= ShingleLen` pre-filter (≥ len tokens ⇔ ≥ 1 shingle).
     */
-  private def shingles(docs: DataFrame): DataFrame =
+  private def shingleSets(docs: DataFrame): DataFrame = {
+    graft.functions.VectorOps.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .filter(size(col("w")) >= ShingleLen)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $ShingleLen), " +
-          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
-      .distinct()
-
-  /** Exact Jaccard for given candidate pairs (d1 < d2), via shingle sets.
-    * Used as the verification stage after LSH/SimHash candidate
-    * generation; candidate cardinality is tiny compared to the corpus, so
-    * the collect_set arrays stay bounded (≤ shingles per doc).
-    */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
-    // collect_set dedups, so sh may carry multiset rows; the distinct
-    // shingle count is the set size.
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("g")).as("gs"))
+      .select(col("doc_id"),
+        graft.functions.VectorOps.shingles(lower(col("text")), ShingleLen)
+          .as("gs"))
+      .filter(size(col("gs")) > 0)
       .withColumn("n", size(col("gs")))
+  }
+
+  /** Exact Jaccard for given candidate pairs (d1 < d2), via the in-row
+    * shingle sets ([[shingleSets]] — no aggregation needed). Used as the
+    * verification stage after LSH/SimHash candidate generation;
+    * candidate cardinality is tiny compared to the corpus, so the set
+    * arrays crossing the join stay bounded (≤ shingles per doc).
+    */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame = {
     val a = sets.select(col("doc_id").as("d1"), col("gs").as("gs1"),
       col("n").as("n1"))
     val b = sets.select(col("doc_id").as("d2"), col("gs").as("gs2"),
@@ -176,22 +178,36 @@ object Dedup {
     * via the inverted-index join — q22's body, reused by the q61
     * curation pipeline's duplicate drop-list.
     */
-  def exactJaccardPairs(docs: DataFrame): DataFrame =
-    jaccardFromShingles(shingles(docs))
+  def exactJaccardPairs(docs: DataFrame): DataFrame = {
+    val sets = shingleSets(docs)
+    // sizes come from the in-row arrays — no aggregation over the
+    // exploded shingle rows
+    jaccardFromShingles(
+      sets.select(col("doc_id"), col("n"), explode(col("gs")).as("g")))
+  }
 
-  /** The inverted-index Jaccard join over an arbitrary (doc_id, g)
-    * shingle relation — shared by the exact operator (q22/q61, all
-    * shingles) and the df-capped variant (q63, hot shingles removed).
+  /** The inverted-index Jaccard join over a (doc_id, n, g) shingle
+    * relation that CARRIES its per-doc set size — shared by the exact
+    * operator (q22/q61, in-row sizes) and the df-capped variant (q63,
+    * sizes recounted after hot-shingle removal). Carrying n through the
+    * self-join (8 bytes per shingle row) replaces two post-aggregation
+    * size joins and their exchanges; the per-pair sizes re-emerge via
+    * `min` (n is constant per doc, so any order-insensitive pick is
+    * exact).
     */
-  private def jaccardFromShingles(sh: DataFrame): DataFrame = {
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("d1"), col("g"))
-    val b = sh.select(col("doc_id").as("d2"), col("g"))
-    val inter = a.join(b, Seq("g")).filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+  private def jaccardFromShingles(sh0: DataFrame): DataFrame = {
+    // hash-distribute the shingle rows on the join key ONCE — both
+    // sides of the self-join below reuse this single exchange
+    // (ReusedExchange), instead of the planner broadcasting the whole
+    // exploded relation (its size estimate under a Generate is wildly
+    // low) and probing it on the scan's partitioning
+    val sh = sh0.repartition(col("g"))
+    val a = sh.select(col("doc_id").as("d1"), col("n").as("n1"), col("g"))
+    val b = sh.select(col("doc_id").as("d2"), col("n").as("n2"), col("g"))
+    a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("c"), min(col("n1")).as("n1"),
+        min(col("n2")).as("n2"))
       .withColumn("jac",
         col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
       .filter(col("jac") >= JaccardThreshold)
@@ -222,10 +238,17 @@ object Dedup {
   val q63DedupJaccardCapped: QueryDef = QueryDef(
     "q63_dedup_jaccard_capped",
     (s, dir) => {
-      val sh0 = shingles(Tables.load(s, dir, "documents"))
+      val sh0 = shingleSets(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), explode(col("gs")).as("g"))
       val hot = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") > DfCap).select(col("g"))
-      jaccardFromShingles(sh0.join(broadcast(hot), Seq("g"), "left_anti"))
+      val kept = sh0.join(broadcast(hot), Seq("g"), "left_anti")
+      // set sizes are df-dependent here, so they are recounted over the
+      // capped shingle rows (one keyed exchange) — unlike the exact
+      // path, where sizes come free from the in-row arrays
+      val sized = kept.join(
+        kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), "doc_id")
+      jaccardFromShingles(sized.select(col("doc_id"), col("n"), col("g")))
         .select(col("d1"), col("d2"), graft.Round4(col("jac")).as("jac"))
         .orderBy("d1", "d2")
     },
@@ -283,16 +306,12 @@ object Dedup {
     "q23_dedup_minhash",
     (s, dir) => {
       graft.functions.VectorOps.register(s)
-      val docAgg = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-        .filter(size(col("w")) >= ShingleLen)
-        .select(col("doc_id"), array_distinct(expr(
-          s"transform(sequence(0, size(w) - $ShingleLen), " +
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("gs"))
+      // in-row native shingle sets + one-pass signatures; cheap enough
+      // per row that the three consumers below (buckets, both verify
+      // sides) just recompute — no .cache() pinning the corpus
+      val docAgg = shingleSets(Tables.load(s, dir, "documents"))
         .withColumn("sig",
           graft.functions.VectorOps.minhash(col("gs"), NumHashes))
-        .withColumn("n", size(col("gs")))
-        .cache()
       val bandCols = (0 until Bands).map { bnd =>
         val sig = xxhash64(
           (lit(bnd) +: (0 until RowsPerBand).map(r =>
@@ -367,7 +386,7 @@ object Dedup {
           <= SimhashHamming)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      verifyPairs(cand, shingles(docs))
+      verifyPairs(cand, shingleSets(docs))
     },
     Some(jaccardOracle))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector-similarity hot path
@@ -126,6 +126,67 @@ object RollingHash {
       i += Character.charCount(cp)
     }
     h
+  }
+}
+
+/** DISTINCT word-n-gram shingles of a (pre-lowercased) text in ONE
+  * pass: tokenize on single spaces (empty tokens kept, matching
+  * `split(s, " ")` regex semantics), slide a window of `shingleLen`
+  * tokens joined by ' ', dedup in an insertion-ordered hash set.
+  * Replaces the `array_distinct(transform(sequence(...), i ->
+  * concat_ws(' ', w[i], w[i+1], w[i+2])))` formulation, whose
+  * interpreted `HigherOrderFunction` lambda (per-element closure
+  * dispatch, boxed indices) dominated the whole dedup tier's runtime —
+  * and whose cost CollapseProject silently multiplies when the array
+  * feeds several consumers (size, explode). A text with fewer than
+  * `shingleLen` tokens yields an empty array (= the old
+  * `size(w) >= len` pre-filter).
+  */
+case class ShingleSet(child: Expression, shingleLen: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleSet.compute(a.asInstanceOf[UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.ShingleSet.compute($a, $shingleLen);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleSet = copy(child = newChild)
+}
+
+object ShingleSet {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Static helper shared by eval and generated code. */
+  def compute(text: UTF8String, len: Int): ArrayData = {
+    // String.split with a 1-char non-regex pattern fast-paths to a
+    // direct scan; -1 keeps trailing empty tokens like Spark's split
+    val w = text.toString.split(" ", -1)
+    if (w.length < len) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= w.length - len) {
+      sb.setLength(0)
+      var j = 0
+      while (j < len) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
   }
 }
 
