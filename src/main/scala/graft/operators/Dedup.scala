@@ -140,19 +140,22 @@ object Dedup {
   private val jaccardOracle: String = jaccardSelect(jaccardCtes)
 
   // Keyed dedup: keep the earliest event per (user_id, event_type) —
-  // hash-shuffle on the key, row_number keep-first. `dropDuplicates`
-  // would be nondeterministic about WHICH row survives; the window makes
-  // the survivor explicit and oracle-checkable.
+  // the survivor is the lexicographic MIN of (ts, event_id), so it
+  // reassembles through a plain aggregate: partial min per map task,
+  // one keyed exchange of ≤ |groups| rows, no per-partition sort. The
+  // window formulation shuffles and sorts EVERY event row; min-struct
+  // ships one candidate per group per task — the 100 TB shape.
+  // (`dropDuplicates` would be nondeterministic about WHICH row
+  // survives; the explicit min keeps the survivor oracle-checkable.)
   val q20DedupKeyed: QueryDef = QueryDef(
     "q20_dedup_keyed",
     (s, dir) => {
       val e = Tables.load(s, dir, "events")
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(unix_millis(col("ts")), col("event_id"))
-      e.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      e.groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(unix_millis(col("ts")).as("ems"),
+          col("event_id").as("eid"))).as("m"))
         .select(col("user_id"), col("event_type"),
-          col("event_id").as("first_event"))
+          col("m.eid").as("first_event"))
         .orderBy("user_id", "event_type")
     },
     Some("""SELECT user_id, event_type, event_id AS first_event FROM (
@@ -318,10 +321,13 @@ object Dedup {
             element_at(col("sig"), bnd * RowsPerBand + r + 1))): _*)
         struct(lit(bnd).as("band"), sig.as("sig"))
       }
+      // one hash exchange on the bucket key, reused by both sides of
+      // the candidate self-join (same rationale as jaccardFromShingles)
       val buckets = docAgg
         .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"),
           col("bk.sig").as("sig"))
+        .repartition(col("band"), col("sig"))
       val cand = buckets.as("a")
         .join(buckets.as("b"),
           col("a.band") === col("b.band") &&

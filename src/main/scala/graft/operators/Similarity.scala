@@ -115,6 +115,11 @@ object Similarity {
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
         .otherwise(0)).cast("long").as("code"))
+      // hash-distribute on the bucket key once — q58's candidate
+      // self-join reuses this single exchange on both sides instead of
+      // broadcasting the whole code relation off a low post-aggregate
+      // size estimate
+      .repartition(col("tbl"), col("code"))
   }
 
   /** The DuckDB mirror of [[signCodes]], shared by both oracles. */
