@@ -227,9 +227,19 @@ object Main {
     * that affect the data-copy stage or target table state (reference
     * `checkpoint_compat.go:48-87`; pure schema-creation flags are
     * excluded for the same reason the reference excludes them).
+    *
+    * `hookSql` is each phase's resolved hook-file CONTENTS (reference
+    * `checkpoint_compat.go:160-226` hashes hook files the same way):
+    * a user who edits `before_data.sql` between runs would otherwise
+    * resume with the old semantics silently half-applied, so the edit
+    * must invalidate the checkpoint with a reason naming the phase.
     */
-  def compatParts(cfg: JobConfig, tables: Seq[TableMeta])
-      : Seq[(String, String)] = Seq(
+  def compatParts(cfg: JobConfig, tables: Seq[TableMeta],
+      hookSql: Map[String, String] = Map.empty)
+      : Seq[(String, String)] =
+    hookSql.toSeq.sortBy(_._1).map { case (phase, sql) =>
+      s"hooks.$phase" -> graft.checkpoint.CheckpointManager.sha256(sql)
+    } ++ Seq(
     "source_dialect" -> cfg.sourceDialect,
     "source_url" -> cfg.sourceUrl,
     "target_schema" -> cfg.targetSchema,
@@ -280,22 +290,32 @@ object Main {
       val checkpoint =
         if (!cfg.resume) None
         else {
-          val parts = compatParts(cfg, metas)
+          val parts = compatParts(cfg, metas, hookSql)
           Some(graft.checkpoint.CheckpointManager.load(
             checkpointPath(cfgPath).toString,
             graft.checkpoint.CheckpointManager.fingerprint(parts), parts))
         }
-      val loader = new SparkTableLoader(spark, cfg, sts, checkpoint)
-      val pipeline =
-        new MigrationPipeline(cfg, exec, loader, hookSql, checkpoint)
-      val result = pipeline.migrate(metas,
-        requiredExtensions = report.requiredExtensions)
-      println(s"migrated ${result.tablesCreated.size} tables, " +
-        s"${result.rowsLoaded.values.sum} rows, " +
-        s"${result.statementsExecuted} statements")
-      if (result.validationMismatches.nonEmpty)
-        throw new MigrationValidationException(
-          s"VALIDATION MISMATCHES: ${result.validationMismatches}")
+      // single_tx routes through the sequential one-connection snapshot
+      // loader (reference migrate.go:149-259); everything else takes the
+      // chunk-parallel Spark path
+      val loader: TableLoader =
+        if (cfg.mode == "single_tx") new SingleTxTableLoader(cfg, sts)
+        else new SparkTableLoader(spark, cfg, sts, checkpoint)
+      try {
+        val pipeline =
+          new MigrationPipeline(cfg, exec, loader, hookSql, checkpoint)
+        val result = pipeline.migrate(metas,
+          requiredExtensions = report.requiredExtensions)
+        println(s"migrated ${result.tablesCreated.size} tables, " +
+          s"${result.rowsLoaded.values.sum} rows, " +
+          s"${result.statementsExecuted} statements")
+        if (result.validationMismatches.nonEmpty)
+          throw new MigrationValidationException(
+            s"VALIDATION MISMATCHES: ${result.validationMismatches}")
+      } finally loader match {
+        case c: AutoCloseable => c.close()
+        case _ => ()
+      }
     } finally exec.close()
   }
 }
@@ -408,11 +428,9 @@ final class SparkTableLoader(
     val key = chunkKey(st)
     val bounds = key.flatMap(k =>
       scalarLong(JdbcSource.planningSql(dialect, st.name, k)))
-    // single_tx approximates the reference's snapshot mode: one
-    // sequential connection (migrate.go:149-259). True cross-chunk
-    // snapshot isolation is not expressible over parallel JDBC reads —
-    // documented divergence (SURVEY §7.3).
-    val workers = if (cfg.mode == "single_tx") 1 else cfg.workers
+    // single_tx never reaches this loader (Main routes it to
+    // SingleTxTableLoader, the true one-connection snapshot path)
+    val workers = cfg.workers
     // full deterministic chunk plan; chunk id = plan position
     val allPreds = key
       .map(k => JdbcSource.partitionPredicates(dialect, k, bounds,

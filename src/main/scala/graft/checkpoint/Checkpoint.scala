@@ -235,11 +235,16 @@ object CheckpointManager {
   /** SHA-256 compatibility fingerprint over the canonicalized job spec
     * (reference `checkpoint_compat.go:48-87,160-226`).
     */
-  def fingerprint(parts: Seq[(String, String)]): String = {
-    val canonical = parts.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+  def fingerprint(parts: Seq[(String, String)]): String =
+    sha256(parts.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n"))
+
+  /** Hex SHA-256 — also used to digest hook-file contents into the
+    * compat parts (reference `checkpoint_compat.go:160-226`).
+    */
+  def sha256(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(canonical.getBytes(StandardCharsets.UTF_8))
+    md.digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
   }
 

@@ -70,6 +70,14 @@ trait SourceDialect {
     */
   def normalizeUrl(url: String): String = url
 
+  /** Session-init statements that make the subsequent transaction a
+    * consistent snapshot for single_tx mode (reference
+    * `migrate.go:158-176`). The caller additionally sets JDBC
+    * REPEATABLE READ isolation where the driver supports it; MSSQL
+    * overrides with its statement-level SNAPSHOT switch.
+    */
+  def snapshotSessionSql: Seq[String] = Nil
+
   /** Append query params that aren't already present. Presence is decided
     * by exact key comparison on the parsed query string — a substring test
     * would false-positive when the key appears inside another parameter's
@@ -109,6 +117,12 @@ object MySqlDialect extends SourceDialect {
       "connectionTimeZone" -> "UTC",
       "forceConnectionTimeZoneToSession" -> "true",
       "characterEncoding" -> "utf8mb4"))
+
+  /** migrate.go:168-171 — explicit session statement, then the caller's
+    * BEGIN picks up a consistent InnoDB snapshot.
+    */
+  override def snapshotSessionSql: Seq[String] =
+    Seq("SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ")
 
   def mapType(c: SourceColumn, o: TypeOptions): Option[MappedType] = {
     val dt = c.dataType.toLowerCase
@@ -209,6 +223,12 @@ object SqliteDialect extends SourceDialect {
 object MssqlDialect extends SourceDialect {
   val name = "mssql"
   def quote(i: String): String = "[" + i.replace("]", "]]") + "]"
+
+  /** migrate.go:160-167 — requires ALLOW_SNAPSHOT_ISOLATION on the
+    * source database, like the reference's hint says.
+    */
+  override def snapshotSessionSql: Seq[String] =
+    Seq("SET TRANSACTION ISOLATION LEVEL SNAPSHOT")
 
   def mapType(c: SourceColumn, o: TypeOptions): Option[MappedType] = {
     c.dataType.toLowerCase match {

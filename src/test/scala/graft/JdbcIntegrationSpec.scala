@@ -253,6 +253,71 @@ class JdbcIntegrationSpec extends AnyFunSuite {
       Main.checkpointPath(cfgPath)))
   }
 
+  test("single_tx on Derby: ALL tables read over ONE connection in one " +
+      "transaction; counts snapshot-consistent (migrate.go:149-259)") {
+    import graft.config.JobConfig
+    import graft.sources.{GenericJdbcDialect, Introspection, SchemaMapping,
+      SingleTxTableLoader, TypeOptions}
+    val srcUrl = "jdbc:derby:memory:graftstx;create=true"
+    val tgtUrl = "jdbc:derby:memory:graftstxt;create=true"
+    val sc = DriverManager.getConnection(srcUrl)
+    try {
+      val st = sc.createStatement()
+      st.execute("CREATE TABLE ACCTS (ID INT NOT NULL PRIMARY KEY, " +
+        "OWNER VARCHAR(40) NOT NULL)")
+      st.execute("CREATE TABLE MOVES (ID INT NOT NULL PRIMARY KEY, " +
+        "ACCT INT, AMT DOUBLE)")
+      val a = sc.prepareStatement("INSERT INTO ACCTS VALUES (?, ?)")
+      (1 to 40).foreach { i =>
+        a.setInt(1, i); a.setString(2, s"own_$i"); a.addBatch() }
+      a.executeBatch()
+      val m = sc.prepareStatement("INSERT INTO MOVES VALUES (?, ?, ?)")
+      (1 to 200).foreach { i =>
+        m.setInt(1, i); m.setInt(2, 1 + i % 40)
+        m.setDouble(3, i * 0.25); m.addBatch() }
+      m.executeBatch()
+    } finally sc.close()
+    val tc = DriverManager.getConnection(tgtUrl)
+    try {
+      val st = tc.createStatement()
+      st.execute("CREATE TABLE \"accts\" (\"id\" INT, " +
+        "\"owner\" VARCHAR(40))")
+      st.execute("CREATE TABLE \"moves\" (\"id\" INT, \"acct\" INT, " +
+        "\"amt\" DOUBLE)")
+    } finally tc.close()
+
+    val conn = DriverManager.getConnection(srcUrl)
+    val (sts, _) = try Introspection.fromJdbcMetadata(conn, "APP")
+      finally conn.close()
+    val cfg = JobConfig(mode = "single_tx", sourceDialect = "jdbc",
+      sourceUrl = srcUrl, targetUrl = tgtUrl, targetSchema = null)
+    val loader = new SingleTxTableLoader(cfg, sts)
+    try {
+      val metas = sts.map(st => SchemaMapping.toTableMeta(
+        GenericJdbcDialect, st, Nil, TypeOptions()))
+      val byName = metas.map(m => m.name -> m).toMap
+      assert(loader.load(byName("accts")) == 40L)
+      assert(loader.load(byName("moves")) == 200L)
+      // snapshot-consistent validation counts run in the SAME tx
+      assert(loader.sourceCount(byName("accts")) == 40L)
+      assert(loader.sourceCount(byName("moves")) == 200L)
+      assert(loader.targetCount(byName("moves")) == 200L)
+      // the single_tx contract: one source connection, ever
+      assert(loader.connectionsOpened == 1)
+    } finally loader.close()
+
+    val check = DriverManager.getConnection(tgtUrl)
+    try {
+      val rs = check.createStatement().executeQuery(
+        "SELECT COUNT(*), SUM(\"id\") FROM \"moves\"")
+      rs.next()
+      assert(rs.getLong(1) == 200L && rs.getLong(2) == 200L * 201 / 2)
+      val rs2 = check.createStatement().executeQuery(
+        "SELECT COUNT(*) FROM \"accts\"")
+      rs2.next(); assert(rs2.getLong(1) == 40L)
+    } finally check.close()
+  }
+
   test("parallel index pool on Derby: builds all, first error cancels") {
     val iurl = "jdbc:derby:memory:graftixp;create=true"
     val c = DriverManager.getConnection(iurl)

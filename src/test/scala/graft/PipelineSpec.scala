@@ -259,6 +259,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("editing a hook file between runs invalidates resume with a " +
+      "reason naming the hook phase (checkpoint_compat.go:160-226)") {
+    import graft.checkpoint.CheckpointManager
+    val dir = java.nio.file.Files.createTempDirectory("graft-hcp")
+    val cpPath = dir.resolve("cp.json")
+    val cfg = JobConfig()
+    val metas = Seq(users)
+    val partsA = Main.compatParts(cfg, metas,
+      Map("before_data" -> "SET search_path TO x;"))
+    val cp = CheckpointManager.load(cpPath.toString,
+      CheckpointManager.fingerprint(partsA), partsA)
+    cp.markDone("users", 0L, 5L); cp.flush()
+    // same config, same tables — only the hook file's contents changed
+    val partsB = Main.compatParts(cfg, metas,
+      Map("before_data" -> "SET search_path TO y;"))
+    val e = intercept[IllegalArgumentException] {
+      CheckpointManager.load(cpPath.toString,
+        CheckpointManager.fingerprint(partsB), partsB)
+    }
+    assert(e.getMessage.contains("hooks.before_data changed"),
+      e.getMessage)
+    // adding a hook phase also invalidates; dropping the edit resumes
+    val partsC = Main.compatParts(cfg, metas,
+      Map("before_data" -> "SET search_path TO x;",
+        "after_data" -> "ANALYZE;"))
+    val e2 = intercept[IllegalArgumentException] {
+      CheckpointManager.load(cpPath.toString,
+        CheckpointManager.fingerprint(partsC), partsC)
+    }
+    assert(e2.getMessage.contains("hooks.after_data"), e2.getMessage)
+    val again = CheckpointManager.load(cpPath.toString,
+      CheckpointManager.fingerprint(partsA), partsA)
+    assert(again.isDone("users", 0L))
+  }
+
   test("orphan-cleanup SQL precedes FK attachment; SET NULL rule " +
       "nullifies (post.go:57-66,505-529)") {
     val rec = new Recorder
