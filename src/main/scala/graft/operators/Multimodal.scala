@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A media asset as it travels the pipeline: opaque binary payload +
@@ -11,30 +11,55 @@ import org.apache.spark.sql.functions._
 final case class MediaAsset(
     doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Features extracted by the (stubbed) decoder. */
+/** Features extracted by the decoder. */
 final case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Int,
     width: Int, height: Int, n_frames: Int)
+
+/** The pluggable decoder seam: expensive codec state (JNI handles,
+  * FFMPEG contexts, model weights) initializes in `open()` ONCE PER
+  * PARTITION and is reused across that partition's rows — the batch
+  * shape any real decoder needs. Implementations must be serializable
+  * INSTANTIATION RECIPES (the factory closure ships to executors; the
+  * opened state never crosses the wire).
+  *
+  * `MultimodalCodecSpec` proves the lifecycle: open/close called
+  * exactly once per non-empty partition, decode once per row.
+  */
+trait MediaCodec extends Serializable {
+  /** Per-partition init — allocate codec state here, not per row. */
+  def open(): Unit = ()
+  def decode(a: MediaAsset): MediaFeatures
+  /** Per-partition teardown, called after the partition drains. */
+  def close(): Unit = ()
+}
+
+/** The container has no image/audio codecs, so the default codec
+  * derives deterministic fake dimensions from the byte length — the
+  * ONLY thing to swap for a real decoder; schema, partitioning and the
+  * oracle contract stay put.
+  */
+final class StubCodec extends MediaCodec {
+  def decode(a: MediaAsset): MediaFeatures = Multimodal.decodeStub(a)
+}
 
 /** Multimodal-column plumbing (builder-prompt north star).
   *
   * Real part: the Spark-side shape — binary payload column, typed
   * `Dataset[MediaAsset]`, partition-parallel decode via `mapPartitions`
-  * (one decoder instance per partition, the same batch shape a JNI/FFMPEG
-  * or Pandas-UDF decoder needs), features re-joining the relational
-  * surface as columns.
+  * with a per-partition [[MediaCodec]] lifecycle, features re-joining
+  * the relational surface as columns. Everything DOWNSTREAM of the
+  * decode (resize arithmetic, frame-stride selection) is Column
+  * expressions, so it stays inside whole-stage codegen instead of
+  * round-tripping rows through the object decoder path.
   *
-  * Stubbed part: `decodeStub` — this container has no image/audio codecs,
-  * so the decoder derives deterministic fake dimensions from the byte
-  * length. The stub is the ONLY thing to swap for a real codec; schema,
-  * partitioning and the oracle contract stay put.
+  * Stubbed part: [[StubCodec]] / [[decodeStub]] — deterministic on
+  * payload bytes so the DuckDB oracle can reproduce the expected
+  * features from octet lengths alone.
   */
 object Multimodal {
 
-  /** STUB — replace with a real codec (e.g. javax.imageio / JNI ffmpeg).
-    * Deterministic on payload bytes so the DuckDB oracle can reproduce
-    * the expected features from octet lengths alone.
-    */
+  /** STUB decode math — replace via a real [[MediaCodec]]. */
   def decodeStub(a: MediaAsset): MediaFeatures = {
     val n = a.payload.length
     val frames = if (a.media_type == "video") 1 + n % 7 else 1
@@ -42,13 +67,26 @@ object Multimodal {
       width = 16 + n % 64, height = 16 + (n / 64) % 64, n_frames = frames)
   }
 
-  /** Typed decode stage: one decoder per partition, streaming batches. */
-  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+  /** Typed decode stage: one codec instance per partition (opened
+    * before the first row, closed when the partition drains), streaming
+    * rows through it — never materializing the partition.
+    */
+  def extractFeatures(assets: Dataset[MediaAsset],
+      codec: () => MediaCodec = () => new StubCodec)
+      : Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition decoder init would go here (expensive codec setup
-      // amortized across the partition's rows)
-      it.map(decodeStub)
+      val c = codec()
+      c.open()
+      new Iterator[MediaFeatures] {
+        private var closed = false
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !closed) { closed = true; c.close() }
+          h
+        }
+        def next(): MediaFeatures = c.decode(it.next())
+      }
     }
   }
 
@@ -84,35 +122,33 @@ object Multimodal {
            |       ELSE 1 END AS INTEGER) AS n_frames
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** Decode → resize → frame-sample, the full media pipeline shape.
-    * Resize fits into a 64×64 budget preserving aspect ratio with
-    * integer arithmetic (no float rounding divergence); frame sampling
-    * keeps ≤4 evenly-strided frames. Both stages run inside the same
-    * per-partition decoder pass — at scale the expensive codec state is
-    * initialized once per partition, not per row.
+  /** Resize → frame-sample as COLUMN EXPRESSIONS over the decoded
+    * features: fit into a 64×64 budget preserving aspect ratio with
+    * integer arithmetic (no float rounding divergence), keep ≤4
+    * evenly-strided frame ids serialized as "0,2,4" (a deterministic
+    * scalar any downstream comparator can sort/hash). Pure arithmetic
+    * needs no codec state, so unlike the decode it belongs in codegen,
+    * not in `mapPartitions`.
     */
-  final case class MediaProcessed(
-      doc_id: Long, media_type: String, out_w: Int, out_h: Int,
-      sampled_frames: String)
-
-  def resizeAndSample(feats: Dataset[MediaFeatures]): Dataset[MediaProcessed] = {
-    import feats.sparkSession.implicits._
-    feats.mapPartitions(_.map { f =>
-      val longSide = math.max(f.width, f.height)
-      val outW = if (longSide <= 64) f.width else f.width * 64 / longSide
-      val outH = if (longSide <= 64) f.height else f.height * 64 / longSide
-      val stride = (f.n_frames + 3) / 4
-      // Frame ids serialize as "0,2,4" — a deterministic scalar keeps the
-      // result sortable/hashable by any downstream comparator.
-      MediaProcessed(f.doc_id, f.media_type, outW, outH,
-        0L.until(f.n_frames.toLong).by(stride.toLong).mkString(","))
-    })
+  def resizeAndSample(feats: Dataset[MediaFeatures]): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    def fit(side: String) =
+      when(longSide <= 64, col(side))
+        .otherwise(expr(s"$side * 64 div greatest(width, height)"))
+        .cast("int")
+    val stride = expr("(n_frames + 3) div 4")
+    feats.toDF()
+      .select(col("doc_id"), col("media_type"),
+        fit("width").as("out_w"), fit("height").as("out_h"),
+        concat_ws(",",
+          transform(sequence(lit(0L), col("n_frames") - 1, stride),
+            _.cast("string"))).as("sampled_frames"))
   }
 
   val q49MediaPipeline: QueryDef = QueryDef(
     "q49_media_pipeline",
     (s, dir) =>
-      resizeAndSample(extractFeatures(loadAssets(s, dir))).toDF()
+      resizeAndSample(extractFeatures(loadAssets(s, dir)))
         .orderBy("doc_id"),
     Some("""WITH f AS (
            |  SELECT doc_id,
