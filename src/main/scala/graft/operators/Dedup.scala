@@ -152,10 +152,9 @@ object Dedup {
     (s, dir) => {
       val e = Tables.load(s, dir, "events")
       e.groupBy(col("user_id"), col("event_type"))
-        .agg(min(struct(unix_millis(col("ts")).as("ems"),
-          col("event_id").as("eid"))).as("m"))
-        .select(col("user_id"), col("event_type"),
-          col("m.eid").as("first_event"))
+        .agg(min_by(col("event_id"),
+          struct(unix_millis(col("ts")).as("ems"),
+            col("event_id").as("eid"))).as("first_event"))
         .orderBy("user_id", "event_type")
     },
     Some("""SELECT user_id, event_type, event_id AS first_event FROM (

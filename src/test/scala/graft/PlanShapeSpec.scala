@@ -62,6 +62,32 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan("q40_exists_agg").contains("LeftSemi"))
   }
 
+  test("q20: keyed dedup is a partial+final aggregate (shuffle carries " +
+      "one candidate per group per task), not a window shuffle of " +
+      "every event row") {
+    val p = plan("q20_dedup_keyed")
+    assert(!p.contains("Window"), "q20 regressed to a window")
+    assert("partial_min_by".r.findAllIn(p).size >= 1 &&
+      "Aggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("self-join candidate generation hash-distributes the relation " +
+      "on its join key before the pair join " +
+      "(q22/q61/q63 shingles, q23 buckets, q58 codes)") {
+    // the explicit repartition makes the probe side parallel regardless
+    // of the scan's split count, and at real scale (estimates past the
+    // broadcast threshold) both sides co-partition and reuse the ONE
+    // exchange; at toy SF the planner may legally broadcast the build
+    // side on top of it
+    Seq("q22_dedup_jaccard", "q61_curation", "q63_dedup_jaccard_capped",
+      "q23_dedup_minhash", "q58_embed_neardup_lsh").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("REPARTITION_BY_COL"),
+        s"$q lost the keyed pre-join repartition")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("candidate generation never degrades to an all-pairs nested " +
       "loop (q23 minhash, q24 simhash, q27/q58 LSH)") {
     // q23/q24 must have NO nested-loop joins at all
