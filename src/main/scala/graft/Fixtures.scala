@@ -20,8 +20,15 @@ object Fixtures {
 
   val lshPlanesPath = s"$dir/lsh_planes.parquet"
   val ivfCentroidsPath = s"$dir/ivf_centroids.parquet"
+  val pqCodebookPath = s"$dir/pq_codebook.parquet"
 
   def lshPlanes(s: SparkSession): DataFrame = s.read.parquet(lshPlanesPath)
   def ivfCentroids(s: SparkSession): DataFrame =
     s.read.parquet(ivfCentroidsPath)
+
+  /** (m: subspace, cid, cv: double[8]) — trained by
+    * [[graft.tools.TrainPqCodebook]].
+    */
+  def pqCodebook(s: SparkSession): DataFrame =
+    s.read.parquet(pqCodebookPath)
 }

@@ -395,7 +395,65 @@ object Dedup {
     },
     Some(jaccardOracle))
 
+  // Train/test decontamination — the check every LLM data pipeline runs
+  // before evaluation: a test-split document sharing ANY 5-word shingle
+  // with a train-split document is contaminated (5-grams, not 3-grams:
+  // long enough that template phrases don't flag everything, the
+  // standard n-gram-overlap decontamination shape). Splits are the
+  // deterministic q57 assignment, so the check is reproducible. Plan:
+  // in-row native shingle sets; train side reduced to its key column
+  // before a LEFT SEMI join (existence only — never multiplies rows);
+  // contaminated ids distinct; per-lang accounting. Only documents with
+  // ≥ 5 tokens can carry a 5-shingle, so shorter docs are outside both
+  // the test count and the check — stated in the oracle's WHERE too.
+  val q65Decontamination: QueryDef = QueryDef(
+    "q65_decontamination",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val sets5 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.VectorOps.shingles(lower(col("text")), 5)
+            .as("gs"))
+        .filter(size(col("gs")) > 0)
+      val sh = sets5.select(col("doc_id"), col("lang"),
+        explode(col("gs")).as("g"))
+      val train = sh.filter(col("doc_id") % 100 < 80).select(col("g"))
+      val test = sh.filter(col("doc_id") % 100 >= 90)
+      val contaminated = test.join(train, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("c", lit(1L))
+      sets5.filter(col("doc_id") % 100 >= 90)
+        .select(col("doc_id"), col("lang"))
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("test_docs"),
+          sum(coalesce(col("c"), lit(0L))).as("contaminated"))
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+           |  FROM documents
+           |  WHERE len(string_split(lower(text), ' ')) >= 5),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, lang,
+           |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+           |      w[i+3] || ' ' || w[i+4] AS g
+           |  FROM (SELECT doc_id, lang, w,
+           |        unnest(range(1, len(w)-3)) AS i FROM tok) u),
+           |train AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 < 80),
+           |test AS (SELECT doc_id, lang, g FROM sh
+           |         WHERE doc_id % 100 >= 90),
+           |cont AS (SELECT DISTINCT doc_id FROM test
+           |         WHERE g IN (SELECT g FROM train))
+           |SELECT t.lang, COUNT(*) AS test_docs,
+           |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS contaminated
+           |FROM (SELECT DISTINCT doc_id, lang FROM test) t
+           |LEFT JOIN cont c ON t.doc_id = c.doc_id
+           |GROUP BY t.lang ORDER BY t.lang""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
-    q24DedupSimhash, q61Curation, q63DedupJaccardCapped)
+    q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
+    q65Decontamination)
 }

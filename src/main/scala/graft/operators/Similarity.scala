@@ -314,6 +314,90 @@ object Similarity {
             |ORDER BY v1, v2""".stripMargin),
     bench = true)
 
+  private val PqSubDim = 8 // 64 dims → 8 subspaces × 8 dims
+
+  // PQ/ADC ANN — the memory-bound scale path (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011): the corpus
+  // encodes to 8 sub-codes (≈1 byte each — ~64× smaller than raw
+  // floats, which is what makes a 10⁹-vector index fit in memory),
+  // queries build a per-subspace distance lookup table against the
+  // broadcast codebook, and approximate distances are 8 integer table
+  // lookups summed — no vector arithmetic in any corpus-sized stage
+  // after the one-pass encode. The codebook is a TRAINED parquet
+  // fixture (tools.TrainPqCodebook: driver-side L2 k-means over a
+  // bounded sample, the industry shape) both engines read, so the whole
+  // query is exact relational algebra — full DuckDB hash-match.
+  // Lookup-table distances quantize to integer micro-units BEFORE the
+  // 8-way sum, so the aggregate is order-insensitive (exact) in both
+  // engines; ranking ties break on vec_id.
+  val q64AnnPq: QueryDef = QueryDef(
+    "q64_ann_pq",
+    (s, dir) => {
+      val e = normed(s, dir)
+      val book = broadcast(graft.Fixtures.pqCodebook(s))
+      def subDists(df: DataFrame): DataFrame = {
+        val sv = slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim))
+        df.crossJoin(book)
+          .withColumn("d2",
+            graft.functions.VectorOps.dot(sv, sv)
+              - lit(2) * graft.functions.VectorOps.dot(sv, col("cv"))
+              + graft.functions.VectorOps.dot(col("cv"), col("cv")))
+      }
+      // one-pass encode: nearest sub-centroid per (vector, subspace);
+      // ties to the lower cid, matching the oracle's row_number order
+      val codes = subDists(e.filter(col("vec_id") >= NumQueryVecs))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      val lut = subDists(e.filter(col("vec_id") < NumQueryVecs))
+        .select(col("vec_id").as("qid"), col("m"), col("cid"),
+          floor(col("d2") * 1000000 + 0.5).cast("long").as("d2u"))
+      val approx = codes.join(broadcast(lut), Seq("m", "cid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d2u")).as("du"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("du"), col("vec_id"))
+      approx.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+          graft.Round4(col("du").cast("double") / 1000000.0)
+            .as("adc_dist"))
+        .orderBy("qid", "rnk")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |bk AS (SELECT m, cid, cv
+            |       FROM read_parquet('${graft.Fixtures.pqCodebookPath}')),
+            |sub AS (
+            |  SELECT e.vec_id, bk.m, bk.cid,
+            |    list_inner_product(list_slice(v, bk.m*8+1, bk.m*8+8),
+            |                       list_slice(v, bk.m*8+1, bk.m*8+8))
+            |    - 2*list_inner_product(list_slice(v, bk.m*8+1, bk.m*8+8),
+            |                           cv)
+            |    + list_inner_product(cv, cv) AS d2
+            |  FROM e CROSS JOIN bk),
+            |codes AS (
+            |  SELECT vec_id, m, cid FROM (
+            |    SELECT vec_id, m, cid,
+            |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+            |                         ORDER BY d2, cid) AS r
+            |    FROM sub WHERE vec_id >= $NumQueryVecs) s WHERE r = 1),
+            |lut AS (
+            |  SELECT vec_id AS qid, m, cid,
+            |    CAST(floor(d2*1000000 + 0.5) AS BIGINT) AS d2u
+            |  FROM sub WHERE vec_id < $NumQueryVecs),
+            |approx AS (
+            |  SELECT qid, vec_id, CAST(SUM(d2u) AS BIGINT) AS du
+            |  FROM codes JOIN lut USING (m, cid) GROUP BY 1, 2)
+            |SELECT qid, rnk, neighbor, adc_dist FROM (
+            |  SELECT qid, vec_id AS neighbor,
+            |    ROW_NUMBER() OVER (PARTITION BY qid
+            |                       ORDER BY du, vec_id) AS rnk,
+            |    floor((CAST(du AS DOUBLE)/1000000.0) * 10000 + 0.5)/10000
+            |      AS adc_dist
+            |  FROM approx) r
+            |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin))
+
   // IVF index-health diagnostic: inverted-list sizes and shares for the
   // current centroid fixture — the balance metric that decides when to
   // retrain (tools.TrainCentroids tightens exactly this distribution).
@@ -364,5 +448,5 @@ object Similarity {
             |FROM lists ORDER BY cid""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
-    q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats)
+    q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq)
 }
