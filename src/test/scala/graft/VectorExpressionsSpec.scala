@@ -55,4 +55,41 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .select(VectorOps.rollingHash(col("s"))).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("shingle set: parity with the split+transform+array_distinct " +
+      "formulation on seeded random texts and edge cases") {
+    VectorOps.register(spark)
+    // reference = the HOF pipeline ShingleSet replaced (len = 3)
+    def ref(s: String): Seq[String] = {
+      val w = s.split(" ", -1).toSeq
+      if (w.length < 3) Seq.empty
+      else (0 to w.length - 3)
+        .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").distinct
+    }
+    val rnd = new scala.util.Random(42)
+    val words = Seq("the", "quick", "brown", "fox", "", "a", "über",
+      "数据", "x'y", "z\"w")
+    val randomTexts = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    }
+    val edge = Seq("", " ", "  ", "a b c", "a  b  c", "a b c d e",
+      "same same same same", " leading", "trailing ", "one two")
+    val inputs = (randomTexts ++ edge).distinct
+    val got = inputs.toDF("s")
+      .select(col("s"), VectorOps.shingles(col("s"), 3).as("g"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    inputs.foreach { s =>
+      assert(got(s).sorted == ref(s).sorted, s"text='$s'")
+    }
+    // len parameter: 5-gram count on a known text
+    val five = Seq("a b c d e f g").toDF("s")
+      .select(VectorOps.shingles(col("s"), 5)).collect()(0)
+      .getSeq[String](0)
+    assert(five == Seq("a b c d e", "b c d e f", "c d e f g"))
+    val nul = Seq(Option.empty[String]).toDF("s")
+      .select(VectorOps.shingles(col("s"), 3)).collect()(0)
+    assert(nul.isNullAt(0))
+  }
 }
