@@ -45,6 +45,7 @@ object Tables {
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
+
 }
 
 /** One engine query: Spark builder + optional DuckDB oracle SQL.

@@ -452,8 +452,93 @@ object Dedup {
            |LEFT JOIN cont c ON t.doc_id = c.doc_id
            |GROUP BY t.lang ORDER BY t.lang""".stripMargin))
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation — the clustering step that turns pairwise
+    * near-dup PAIRS into dedup GROUPS, so "keep one doc per duplicate
+    * cluster" is well-defined even when A~B and B~C but A̸~C (pair-based
+    * keep-the-lower-id silently keeps transitive duplicates; components
+    * don't). Input columns (d1, d2); output (v, lbl) with lbl = the
+    * minimum doc_id reachable from v.
+    *
+    * Shape: a driver loop of keyed joins — each round every vertex
+    * takes the min of its own label and its neighbors' labels, and the
+    * label relation is localCheckpoint'd so lineage (and therefore
+    * plan size) stays flat across rounds. Labels only ever decrease,
+    * so "no label decreased this round" is the fixpoint test; rounds
+    * needed = component diameter, a handful for near-dup clusters
+    * (near-dup graphs are dense star-like clumps, not paths). The
+    * web-scale refinement is the alternating star-contraction variant
+    * (large-star/small-star) which converges in O(log n) rounds on
+    * adversarial graphs — same per-round join shape, so this operator
+    * is the right skeleton for it. At 100 TB the edge list is the
+    * OUTPUT of the LSH pipelines above (tiny vs the corpus), so the
+    * per-round shuffles are on pairs, never on documents.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("d1").as("v"), col("d2").as("u"))
+      .union(pairs.select(col("d2").as("v"), col("d1").as("u")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbr = und
+        .join(labels.select(col("v").as("u"), col("lbl")), "u")
+        .groupBy(col("v")).agg(min(col("lbl")).as("nbl"))
+      val next = labels.join(nbr, Seq("v"))
+        .select(col("v"), least(col("lbl"), col("nbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "v")
+        .filter(col("lbl") < col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  // Near-dup clusters: exact-Jaccard pairs → connected components →
+  // one canonical (minimum-id) doc per cluster. The oracle computes
+  // the same fixpoint as a recursive transitive closure — exact on the
+  // small pair graph, which is precisely where a SQL engine stops and
+  // the iterative Spark loop keeps scaling.
+  val q66DedupClusters: QueryDef = QueryDef(
+    "q66_dedup_clusters",
+    (s, dir) => {
+      val comp = connectedComponents(
+        exactJaccardPairs(Tables.load(s, dir, "documents")))
+      comp
+        .withColumn("members",
+          count(lit(1)).over(Window.partitionBy(col("lbl"))))
+        .select(col("v").as("doc_id"), col("lbl").as("cluster"),
+          col("members"),
+          when(col("v") === col("lbl"), 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      """pairs AS (
+        |  SELECT d1, d2 FROM pc
+        |  JOIN sz s1 ON pc.d1 = s1.doc_id
+        |  JOIN sz s2 ON pc.d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.8),
+        |und AS (SELECT d1 AS v, d2 AS u FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |reach(v, u) AS (
+        |  SELECT v, u FROM und
+        |  UNION
+        |  SELECT r.v, e.u FROM reach r JOIN und e ON r.u = e.v),
+        |lab AS (SELECT v, least(v, MIN(u)) AS cluster
+        |        FROM reach GROUP BY v)
+        |SELECT v AS doc_id, cluster,
+        |  COUNT(*) OVER (PARTITION BY cluster) AS members,
+        |  CASE WHEN v = cluster THEN 1 ELSE 0 END AS keep
+        |FROM lab ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
     q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
-    q65Decontamination)
+    q65Decontamination, q66DedupClusters)
 }

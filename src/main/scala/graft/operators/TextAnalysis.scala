@@ -267,7 +267,185 @@ object TextAnalysis {
            |        * 10000 + 0.5) / 10000 AS rate
            |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
+  // Exact distribution quantiles of per-document token counts by
+  // language — the corpus-length profile every data-mix decision reads
+  // (truncation budget, packing efficiency, outlier cut). Spark's
+  // `percentile` is the EXACT interpolated quantile (rank p·(n−1),
+  // linear between neighbors) — the same definition as the oracle's
+  // quantile_cont — not the approximate KLL/GK sketch
+  // (`percentile_approx`), which is the right tool at 100 TB but has
+  // engine-specific results that can't hash-match an oracle. Exact
+  // percentile sorts within each group after one keyed exchange; the
+  // sketch swap-in is a one-line change at the agg.
+  val q67TokenQuantiles: QueryDef = QueryDef(
+    "q67_token_quantiles",
+    (s, dir) => {
+      val q = expr(
+        "percentile(nt, array(0.5D, 0.9D, 0.99D))")
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast(DoubleType).as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), q.as("q"))
+        .select(col("lang"), col("docs"),
+          graft.Round4(element_at(col("q"), 1)).as("p50"),
+          graft.Round4(element_at(col("q"), 2)).as("p90"),
+          graft.Round4(element_at(col("q"), 3)).as("p99"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, COUNT(*) AS docs,
+            |  ${graft.Round4.sql(
+               "quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5)")} AS p50,
+            |  ${graft.Round4.sql(
+               "quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.9)")} AS p90,
+            |  ${graft.Round4.sql(
+               "quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99)")} AS p99
+            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // Per-document TF-IDF keyword extraction: top-3 terms per document by
+  // tf·ln(N/df), deterministic tie-break on the term itself AFTER
+  // 4-dp rounding so a sub-1e-4 score difference can never let the two
+  // engines disagree on rank order. Plan: one explode → (doc, term)
+  // partial-count agg; df by term (keyed agg); corpus N joined on as a
+  // broadcast 1-row relation (the copy-safe scalar-total idiom — never
+  // a partition-less window); top-3 via a doc-keyed window. Every
+  // exchange is keyed; nothing is quadratic in the corpus.
+  val q68Tfidf: QueryDef = QueryDef(
+    "q68_tfidf",
+    (s, dir) => {
+      val tk = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("t"))
+        .filter(col("t") =!= "")
+      val tf = tk.groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tk.groupBy(col("t"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = tk.agg(countDistinct(col("doc_id")).as("n"))
+      val sc = tf.join(df, "t").join(broadcast(n))
+        .select(col("doc_id"), col("t"),
+          graft.Round4(col("tf") *
+            log(col("n").cast(DoubleType) / col("df"))).as("s4"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("s4").desc, col("t"))
+      sc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("t").as("term"), col("s4"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, t FROM (
+           |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+           |    FROM documents) u
+           |  WHERE t <> ''),
+           |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+           |df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+           |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tk),
+           |sc AS (
+           |  SELECT tf.doc_id, tf.t,
+           |    floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000 + 0.5)
+           |      / 10000 AS s4
+           |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n),
+           |rk AS (
+           |  SELECT doc_id, t, s4,
+           |    ROW_NUMBER() OVER (PARTITION BY doc_id
+           |                       ORDER BY s4 DESC, t) AS rk
+           |  FROM sc)
+           |SELECT doc_id, rk, t AS term, s4 FROM rk
+           |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+
+  // Repetition ratio — the duplicate-n-gram quality rule (the Gopher
+  // rules family): fraction of a document's 3-gram occurrences that
+  // are repeats, 1 − distinct/total. Distinct counts come FREE from
+  // the same in-row native ShingleSet expression the dedup tier uses
+  // (no per-doc aggregation, no shuffle at all before the final sort);
+  // total is arithmetic on the token count. Embarrassingly parallel —
+  // the shape that matters when this gate runs over every crawl dump.
+  val q70Repetition: QueryDef = QueryDef(
+    "q70_repetition",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val w = split(lower(col("text")), " ")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          (size(w) - 2).as("total"),
+          size(graft.functions.VectorOps.shingles(lower(col("text")), 3))
+            .as("uniq"))
+        .filter(col("total") > 0)
+        .select(col("doc_id"), col("total"), col("uniq"),
+          graft.Round4(lit(1.0) -
+            col("uniq").cast(DoubleType) / col("total")).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS w
+           |  FROM documents
+           |  WHERE len(string_split(lower(text), ' ')) >= 3),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
+           |        FROM tok) u),
+           |d AS (SELECT doc_id, COUNT(*) AS uniq FROM sh GROUP BY doc_id)
+           |SELECT t.doc_id, len(t.w) - 2 AS total, d.uniq,
+           |  floor((1.0 - CAST(d.uniq AS DOUBLE) / (len(t.w) - 2))
+           |        * 10000 + 0.5) / 10000 AS rep_ratio
+           |FROM tok t JOIN d ON t.doc_id = d.doc_id
+           |ORDER BY t.doc_id""".stripMargin))
+
+  // Sequence packing — assign documents to fixed-token-budget context
+  // bins (the pretraining "packing" step that turns a corpus into
+  // near-full training sequences). Greedy in doc_id order per
+  // language: a doc goes in the bin its EXCLUSIVE running token sum
+  // falls in, so bin boundaries are a pure function of the ordered
+  // prefix sums — deterministic in both engines, no serial packer
+  // loop. Per-(lang, bin) fill accounting closes the loop (the metric
+  // a packing run is judged by). The per-lang running sum is a single
+  // ordered window — at 100 TB the same query runs per (lang, shard)
+  // so no one reducer sees a whole language; the bin math is
+  // shard-local either way (documented serial→parallel tradeoff).
+  val q71PackBins: QueryDef = QueryDef(
+    "q71_pack_bins",
+    (s, dir) => {
+      val BinTokens = 2048
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("nt"))
+        .withColumn("cum_excl",
+          coalesce(sum(col("nt")).over(w), lit(0L)))
+        // integer division on BOTH sides: DuckDB's CAST(x AS BIGINT)
+        // rounds-half-away while Spark's cast truncates, so a float
+        // divide + cast would disagree on exact-boundary prefix sums
+        .withColumn("bin", expr(s"cum_excl div $BinTokens"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("docs"), sum(col("nt")).as("tokens"),
+          graft.Round4(sum(col("nt")).cast(DoubleType) / BinTokens)
+            .as("fill"))
+        .orderBy("lang", "bin")
+    },
+    Some("""WITH d AS (
+           |  SELECT lang, doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+           |  FROM documents),
+           |c AS (
+           |  SELECT lang, doc_id, nt,
+           |    COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cum_excl
+           |  FROM d)
+           |SELECT lang, cum_excl // 2048 AS bin,
+           |  COUNT(*) AS docs, CAST(SUM(nt) AS BIGINT) AS tokens,
+           |  floor((CAST(SUM(nt) AS DOUBLE) / 2048) * 10000 + 0.5)
+           |    / 10000 AS fill
+           |FROM c GROUP BY lang, cum_excl // 2048
+           |ORDER BY lang, bin""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
-    q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash)
+    q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
+    q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins)
 }
