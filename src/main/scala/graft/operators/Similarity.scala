@@ -447,6 +447,142 @@ object Similarity {
             |        * 10000 + 0.5) / 10000 AS share
             |FROM lists ORDER BY cid""".stripMargin))
 
+  // IVF-PQ with exact re-rank — the composition production ANN indexes
+  // actually ship (the FAISS IVFPQ shape): the coarse quantizer
+  // restricts each query to its 2 probed inverted lists, approximate
+  // ADC distances rank ONLY those candidates from the 8-byte PQ codes,
+  // and the true vectors are touched for just the ADC top-R before the
+  // exact top-k. Each stage is the already-oracle-proven q45/q64
+  // machinery; the value is the composed memory story: the corpus-sized
+  // state is codes (≈64× smaller than floats) + list assignments, full
+  // vectors stream only through the encode pass and the per-query R-row
+  // re-rank. Both fixtures are trained parquet both engines read, so
+  // the whole pipeline stays exact relational algebra end to end.
+  val q72AnnIvfPq: QueryDef = QueryDef(
+    "q72_ann_ivfpq",
+    (s, dir) => {
+      val Rerank = 3 * TopK
+      val e = normed(s, dir)
+      val cents = broadcast(graft.Fixtures.ivfCentroids(s)
+        .withColumn("cn", graft.functions.VectorOps.l2norm(col("cv"))))
+      def nearest(df: DataFrame, keep: Int): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))
+        df.join(cents)
+          .withColumn("csim",
+            cosine(col("v"), col("cv"), col("nrm"), col("cn")))
+          .withColumn("crnk", row_number().over(w))
+          .filter(col("crnk") <= keep)
+          .select(col("vec_id"), col("cid"))
+      }
+      val corpus = e.filter(col("vec_id") >= NumQueryVecs)
+      val queries = e.filter(col("vec_id") < NumQueryVecs)
+      val lists = nearest(corpus, 1)
+      val probes = nearest(queries, 2).withColumnRenamed("vec_id", "qid")
+      val cand = probes.join(lists, "cid")
+        .select(col("qid"), col("vec_id")).distinct()
+      val book = broadcast(graft.Fixtures.pqCodebook(s))
+      def subDists(df: DataFrame): DataFrame = {
+        val sv = slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim))
+        df.crossJoin(book)
+          .withColumn("d2",
+            graft.functions.VectorOps.dot(sv, sv)
+              - lit(2) * graft.functions.VectorOps.dot(sv, col("cv"))
+              + graft.functions.VectorOps.dot(col("cv"), col("cv")))
+      }
+      val codes = subDists(corpus)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+      val lut = subDists(queries)
+        .select(col("vec_id").as("qid"), col("m"), col("cid"),
+          floor(col("d2") * 1000000 + 0.5).cast("long").as("d2u"))
+      // ADC over candidates only: the per-query LUT keys the join on
+      // (qid, m, cid), so list-pruned pairs never touch the code table
+      val adc = cand.join(codes, "vec_id")
+        .join(broadcast(lut), Seq("qid", "m", "cid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d2u")).as("du"))
+      val wa = Window.partitionBy(col("qid"))
+        .orderBy(col("du"), col("vec_id"))
+      val shortlist = adc.withColumn("ar", row_number().over(wa))
+        .filter(col("ar") <= Rerank)
+        .select(col("qid"), col("vec_id"))
+      val qv = broadcast(queries.select(col("vec_id").as("qid"),
+        col("v").as("qv"), col("nrm").as("qn")))
+      val we = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      shortlist.join(qv, "qid").join(e, "vec_id")
+        .withColumn("sim",
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("rnk", row_number().over(we))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+          graft.Round4(col("sim")).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |ce AS (SELECT cid, cv
+            |       FROM read_parquet('${graft.Fixtures.ivfCentroidsPath}')),
+            |asn AS (
+            |  SELECT e.vec_id, ce.cid,
+            |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            |      list_cosine_similarity(v, cv) DESC, ce.cid) AS crnk
+            |  FROM e CROSS JOIN ce),
+            |lists AS (SELECT vec_id, cid FROM asn
+            |          WHERE crnk = 1 AND vec_id >= $NumQueryVecs),
+            |probes AS (SELECT vec_id AS qid, cid FROM asn
+            |           WHERE crnk <= 2 AND vec_id < $NumQueryVecs),
+            |cand AS (
+            |  SELECT DISTINCT probes.qid, lists.vec_id
+            |  FROM probes JOIN lists USING (cid)),
+            |bk AS (SELECT m, cid, cv
+            |       FROM read_parquet('${graft.Fixtures.pqCodebookPath}')),
+            |sub AS (
+            |  SELECT e.vec_id, bk.m, bk.cid,
+            |    list_inner_product(list_slice(v, bk.m*8+1, bk.m*8+8),
+            |                       list_slice(v, bk.m*8+1, bk.m*8+8))
+            |    - 2*list_inner_product(list_slice(v, bk.m*8+1, bk.m*8+8),
+            |                           cv)
+            |    + list_inner_product(cv, cv) AS d2
+            |  FROM e CROSS JOIN bk),
+            |codes AS (
+            |  SELECT vec_id, m, cid FROM (
+            |    SELECT vec_id, m, cid,
+            |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+            |                         ORDER BY d2, cid) AS r
+            |    FROM sub WHERE vec_id >= $NumQueryVecs) s WHERE r = 1),
+            |lut AS (
+            |  SELECT vec_id AS qid, m, cid,
+            |    CAST(floor(d2*1000000 + 0.5) AS BIGINT) AS d2u
+            |  FROM sub WHERE vec_id < $NumQueryVecs),
+            |adc AS (
+            |  SELECT cand.qid, cand.vec_id, CAST(SUM(d2u) AS BIGINT) AS du
+            |  FROM cand
+            |  JOIN codes ON cand.vec_id = codes.vec_id
+            |  JOIN lut ON lut.qid = cand.qid AND lut.m = codes.m
+            |          AND lut.cid = codes.cid
+            |  GROUP BY 1, 2),
+            |shortlist AS (
+            |  SELECT qid, vec_id FROM (
+            |    SELECT qid, vec_id,
+            |      ROW_NUMBER() OVER (PARTITION BY qid
+            |                         ORDER BY du, vec_id) AS ar
+            |    FROM adc) a WHERE ar <= ${3 * TopK})
+            |SELECT qid, rnk, neighbor, sim FROM (
+            |  SELECT s.qid, s.vec_id AS neighbor,
+            |    ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY
+            |      list_cosine_similarity(qe.v, ne.v) DESC,
+            |      s.vec_id) AS rnk,
+            |    floor(list_cosine_similarity(qe.v, ne.v) * 10000 + 0.5)
+            |      / 10000 AS sim
+            |  FROM shortlist s
+            |  JOIN e qe ON qe.vec_id = s.qid
+            |  JOIN e ne ON ne.vec_id = s.vec_id) r
+            |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
-    q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq)
+    q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq)
 }

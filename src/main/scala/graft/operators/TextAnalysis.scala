@@ -353,7 +353,8 @@ object TextAnalysis {
            |                       ORDER BY s4 DESC, t) AS rk
            |  FROM sc)
            |SELECT doc_id, rk, t AS term, s4 FROM rk
-           |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+           |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+    bench = true)
 
   // Repetition ratio — the duplicate-n-gram quality rule (the Gopher
   // rules family): fraction of a document's 3-gram occurrences that
@@ -442,7 +443,8 @@ object TextAnalysis {
            |  floor((CAST(SUM(nt) AS DOUBLE) / 2048) * 10000 + 0.5)
            |    / 10000 AS fill
            |FROM c GROUP BY lang, cum_excl // 2048
-           |ORDER BY lang, bin""".stripMargin))
+           |ORDER BY lang, bin""".stripMargin),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,

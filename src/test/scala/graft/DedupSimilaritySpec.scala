@@ -73,4 +73,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall > 0.05, s"IVF recall $recall collapsed")
   }
+
+  test("ivf-pq results stay inside the ivf candidate universe and " +
+      "track plain ivf (same probed lists + exact re-rank)") {
+    val ivf = SparkEntry.queries("q45_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = SparkEntry.queries("q72_ann_ivfpq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivfpq.nonEmpty)
+    // both draw candidates from the same probed lists; PQ only changes
+    // WHICH candidates survive to the exact re-rank, so agreement
+    // collapsing to near-zero means the ADC shortlist is broken
+    val agree = ivfpq.intersect(ivf).size.toDouble / ivf.size
+    assert(agree >= 0.5, s"IVF-PQ agreement with IVF fell to $agree")
+  }
 }
