@@ -113,4 +113,33 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       assert(!p.contains("CartesianProduct"))
     }
   }
+
+  test("q68: corpus total N joins as a broadcast, never a sort-merge " +
+      "or cartesian over the term relation") {
+    val p = plan("q68_tfidf")
+    assert(p.contains("BroadcastExchange") || p.contains("Broadcast"),
+      "1-row N total lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q70: repetition ratio has no aggregate and no join — pure " +
+      "per-row map before the output sort") {
+    val p = plan("q70_repetition")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "q70 grew an aggregation — distinct counts must come from the " +
+        "in-row ShingleSet")
+    assert(!p.contains("Join"), "q70 grew a join")
+  }
+
+  test("q72: IVF-PQ nested loops are all against broadcast fixture " +
+      "relations (centroids/codebook), never a corpus cartesian") {
+    val p = plan("q72_ann_ivfpq")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val fixtureScans = ("ivf_centroids".r.findAllIn(p).size
+      + "pq_codebook".r.findAllIn(p).size)
+    assert(nlj <= fixtureScans,
+      s"q72 has $nlj nested-loop joins but only $fixtureScans " +
+        "fixture scans")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
