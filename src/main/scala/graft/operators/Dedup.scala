@@ -295,6 +295,24 @@ object Dedup {
         |GROUP BY 1, 2 ORDER BY d.lang, d.source""".stripMargin),
     bench = true)
 
+  /** (doc_id, band, sig) LSH bucket rows from a signature relation:
+    * each document lands in [[Bands]] buckets keyed by an xxhash64 of
+    * its band's [[RowsPerBand]] signature minima. Shared by the q23
+    * self-join and the q74 one-sided (base×delta) join.
+    */
+  private def bandBuckets(docAgg: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { bnd =>
+      val sig = xxhash64(
+        (lit(bnd) +: (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), bnd * RowsPerBand + r + 1))): _*)
+      struct(lit(bnd).as("band"), sig.as("sig"))
+    }
+    docAgg
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.sig").as("sig"))
+  }
+
   // MinHash + banded LSH candidates, exact-verify. The scale path: at
   // 100 TB the inverted-index join above degrades on hot shingles, while
   // band buckets stay O(corpus) with ~constant bucket sizes.
@@ -314,18 +332,9 @@ object Dedup {
       val docAgg = shingleSets(Tables.load(s, dir, "documents"))
         .withColumn("sig",
           graft.functions.VectorOps.minhash(col("gs"), NumHashes))
-      val bandCols = (0 until Bands).map { bnd =>
-        val sig = xxhash64(
-          (lit(bnd) +: (0 until RowsPerBand).map(r =>
-            element_at(col("sig"), bnd * RowsPerBand + r + 1))): _*)
-        struct(lit(bnd).as("band"), sig.as("sig"))
-      }
       // one hash exchange on the bucket key, reused by both sides of
       // the candidate self-join (same rationale as jaccardFromShingles)
-      val buckets = docAgg
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.sig").as("sig"))
+      val buckets = bandBuckets(docAgg)
         .repartition(col("band"), col("sig"))
       val cand = buckets.as("a")
         .join(buckets.as("b"),
@@ -537,8 +546,53 @@ object Dedup {
         |  CASE WHEN v = cluster THEN 1 ELSE 0 END AS keep
         |FROM lab ORDER BY doc_id""".stripMargin))
 
+  // Incremental near-dup — the shape a CONTINUOUSLY-ingesting pipeline
+  // runs: a new batch (delta, the deterministic q57/q65 10% split)
+  // checked against the existing corpus (base) without re-deduping the
+  // corpus against itself. Candidates come from a ONE-SIDED LSH bucket
+  // join — base buckets ⋈ broadcast delta buckets — so the corpus-sized
+  // side streams exactly once and no base×base pair is ever generated;
+  // at 100 TB the delta (a day's crawl) broadcasts, and when it
+  // doesn't, the same join runs keyed on (band, sig). Exact-verify
+  // makes the output equal the exact-Jaccard cross-split pairs, which
+  // is exactly what the oracle computes.
+  val q74IncrementalNeardup: QueryDef = QueryDef(
+    "q74_incremental_neardup",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val docAgg = shingleSets(Tables.load(s, dir, "documents"))
+        .withColumn("sig",
+          graft.functions.VectorOps.minhash(col("gs"), NumHashes))
+      val isDelta = col("doc_id") % 100 >= 90
+      val baseB = bandBuckets(docAgg.filter(!isDelta))
+      val deltaB = bandBuckets(docAgg.filter(isDelta))
+      val cand = baseB.as("a")
+        .join(broadcast(deltaB).as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      verifyPairs(cand, docAgg)
+        .select(col("d1").as("base_id"), col("d2").as("delta_id"),
+          col("jac"))
+        .orderBy("base_id", "delta_id")
+    },
+    Some(jaccardCtes + ",\n" +
+      """jp AS (
+        |  SELECT d1, d2,
+        |    floor((CAST(c AS DOUBLE)/(s1.n + s2.n - c)) * 10000 + 0.5)
+        |      / 10000 AS jac
+        |  FROM pc
+        |  JOIN sz s1 ON pc.d1 = s1.doc_id
+        |  JOIN sz s2 ON pc.d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.8)
+        |SELECT CASE WHEN d1 % 100 >= 90 THEN d2 ELSE d1 END AS base_id,
+        |  CASE WHEN d1 % 100 >= 90 THEN d1 ELSE d2 END AS delta_id, jac
+        |FROM jp WHERE (d1 % 100 >= 90) <> (d2 % 100 >= 90)
+        |ORDER BY base_id, delta_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
     q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
-    q65Decontamination, q66DedupClusters)
+    q65Decontamination, q66DedupClusters, q74IncrementalNeardup)
 }

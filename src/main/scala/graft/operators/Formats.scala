@@ -46,5 +46,32 @@ object Formats {
             |FROM read_json_auto('$JsonlPath')
             |GROUP BY lang, source ORDER BY lang, source""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q69JsonlScan)
+  /** The committed CSV ingest fixture (sf0.01 documents with header) —
+    * same SF-independence contract as [[JsonlPath]]. Regenerate:
+    * `sbt "runMain graft.tools.GenCsvFixture"`.
+    */
+  val CsvPath = "/root/repo/fixtures/csv/documents.csv"
+
+  // CSV scan — the other wire format batch metadata arrives in. Same
+  // explicit-schema discipline as q69 (inference is an extra corpus
+  // pass and a type-widening hazard); header row skipped by the
+  // reader, not by row filtering, so the scan stays splittable.
+  val q73CsvScan: QueryDef = QueryDef(
+    "q73_csv_scan",
+    (s, dir) => {
+      val schema = Tables.load(s, dir, "documents").schema
+      s.read.schema(schema).option("header", "true").csv(CsvPath)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " "))).as("tokens"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("source")
+    },
+    Some(s"""SELECT source, COUNT(*) AS docs,
+            |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+            |  CAST(SUM(n_chars) AS BIGINT) AS chars
+            |FROM read_csv_auto('$CsvPath', header = true)
+            |GROUP BY source ORDER BY source""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q69JsonlScan, q73CsvScan)
 }

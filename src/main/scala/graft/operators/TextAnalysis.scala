@@ -446,8 +446,50 @@ object TextAnalysis {
            |ORDER BY lang, bin""".stripMargin),
     bench = true)
 
+  // Data-mix rebalancing — downsample every source to the size of the
+  // smallest one (a balanced mix), selecting WHICH documents survive
+  // content-addressed: per source, the docs with the lexicographically
+  // lowest md5(text) win (ties by doc_id). Pure function of the data —
+  // reproducible across engines, reruns and repartitioning, and exact
+  // duplicates keep identical sampling fate (the q60 property, now
+  // with a data-dependent per-group budget). The budget (min source
+  // count) is an aggregate joined on as a broadcast 1-row relation.
+  // Per-source selection is a keyed window sort here (exact); at
+  // 100 TB the same semantics run as threshold selection — approximate
+  // the per-source md5 cutoff from a sample, filter, then trim — so no
+  // reducer ever sorts a whole source.
+  val q75MixRebalance: QueryDef = QueryDef(
+    "q75_mix_rebalance",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          md5(col("text").cast(BinaryType)).as("h"))
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val target = counts.agg(min(col("cnt")).as("tgt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .join(broadcast(target))
+        .filter(col("rn") <= col("tgt"))
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    },
+    Some("""WITH h AS (
+           |  SELECT source, doc_id, md5(text) AS h FROM documents),
+           |c AS (SELECT source, COUNT(*) AS cnt FROM documents
+           |      GROUP BY source),
+           |t AS (SELECT MIN(cnt) AS tgt FROM c),
+           |r AS (
+           |  SELECT source, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY source
+           |                       ORDER BY h, doc_id) AS rn
+           |  FROM h)
+           |SELECT source, rn, doc_id FROM r CROSS JOIN t
+           |WHERE rn <= tgt ORDER BY source, rn""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
-    q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins)
+    q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
+    q75MixRebalance)
 }

@@ -67,6 +67,28 @@ class ClusteringSpec extends AnyFunSuite {
       }
   }
 
+  test("q75 balances every source to the min source count and keeps " +
+      "the lexicographically-lowest content hashes") {
+    val rows = SparkEntry.queries("q75_mix_rebalance")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val perSource = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perSource.values.toSet.size == 1,
+      s"unbalanced mix: $perSource")
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val kept = rows.toSet
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val n = perSource(src)
+      val expect = ds.sortBy(d => (d._3, d._2)).take(n)
+        .map(d => (src, d._2)).toSet
+      assert(kept.filter(_._1 == src) == expect,
+        s"$src did not keep the lowest-hash docs")
+    }
+  }
+
   test("q68 emits at most 3 ranked terms per doc, scores non-increasing") {
     val rows = SparkEntry.queries("q68_tfidf")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))

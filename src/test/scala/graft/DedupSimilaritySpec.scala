@@ -74,6 +74,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall > 0.05, s"IVF recall $recall collapsed")
   }
 
+  test("incremental near-dup (q74) equals the cross-split subset of " +
+      "the exact pair set, re-keyed (base_id, delta_id)") {
+    val expect = SparkEntry.queries("q22_dedup_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 100 >= 90) != (b % 100 >= 90) }
+      .map { case (a, b, j) =>
+        if (a % 100 >= 90) (b, a, j) else (a, b, j) }
+      .toSet
+    val got = SparkEntry.queries("q74_incremental_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == expect,
+      s"q74 mismatch: missing=${expect -- got} extra=${got -- expect}")
+  }
+
   test("ivf-pq results stay inside the ivf candidate universe and " +
       "track plain ivf (same probed lists + exact re-rank)") {
     val ivf = SparkEntry.queries("q45_ann_ivf")(spark, dir)
