@@ -159,6 +159,34 @@ object StreamingQueries {
            |     CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
            |ORDER BY click_id, purchase_id""".stripMargin))
 
+  // Stream-static enrichment — the third Structured Streaming join
+  // pattern (alongside the windowed agg and the stream-stream interval
+  // join): a live event stream joined to a broadcast static dimension
+  // (customer) and aggregated per segment. The static side is planned
+  // ONCE and re-broadcast per micro-batch — no stream-side state at
+  // all, which is why this is the default enrichment shape at any
+  // scale. Complete-mode memory sink, batch-equivalence oracle (same
+  // rows as the batch join by construction).
+  val q76StreamEnrich: QueryDef = QueryDef(
+    "q76_stream_enrich",
+    (s, dir) => {
+      val events = EventsStream.readEvents(s, dir)
+      val cust = broadcast(graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val agg = events
+        .join(cust, events("user_id") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double")
+            .as("total"))
+      EventsStream.runToCompletion(s, agg).orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
-    q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin)
+    q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
+    q76StreamEnrich)
 }

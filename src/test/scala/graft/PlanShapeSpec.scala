@@ -131,6 +131,15 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("Join"), "q70 grew a join")
   }
 
+  test("q74: incremental near-dup candidates come from a one-sided " +
+      "broadcast hash join (delta side), never a self-join or " +
+      "cartesian") {
+    val p = plan("q74_incremental_neardup")
+    assert(p.contains("BroadcastHashJoin"),
+      "delta bucket side lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q72: IVF-PQ nested loops are all against broadcast fixture " +
       "relations (centroids/codebook), never a corpus cartesian") {
     val p = plan("q72_ann_ivfpq")
