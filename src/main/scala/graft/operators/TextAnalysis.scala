@@ -319,9 +319,13 @@ object TextAnalysis {
         .filter(col("t") =!= "")
       val tf = tk.groupBy(col("doc_id"), col("t"))
         .agg(count(lit(1)).as("tf"))
-      val df = tk.groupBy(col("t"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val n = tk.agg(countDistinct(col("doc_id")).as("n"))
+      // df and N both DERIVE from tf — it is already one row per
+      // (doc, term), so df = rows per term and N = distinct docs in it.
+      // One explode pass over the corpus instead of three (tf/df/N each
+      // re-exploding every document), and the df count needs no
+      // distinct at all.
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val n = tf.agg(countDistinct(col("doc_id")).as("n"))
       val sc = tf.join(df, "t").join(broadcast(n))
         .select(col("doc_id"), col("t"),
           graft.Round4(col("tf") *
