@@ -24,7 +24,8 @@ object Sessions {
       .master(s"local[$n]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions",
-        math.min(n.toInt, 16).toString)
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          math.min(n.toInt, 16).toString))
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         aqe.toString)

@@ -470,18 +470,17 @@ object Dedup {
     * minimum doc_id reachable from v.
     *
     * Shape: a driver loop of keyed joins — each round every vertex
-    * takes the min of its own label and its neighbors' labels, and the
-    * label relation is localCheckpoint'd so lineage (and therefore
-    * plan size) stays flat across rounds. Labels only ever decrease,
-    * so "no label decreased this round" is the fixpoint test; rounds
-    * needed = component diameter, a handful for near-dup clusters
-    * (near-dup graphs are dense star-like clumps, not paths). The
-    * web-scale refinement is the alternating star-contraction variant
-    * (large-star/small-star) which converges in O(log n) rounds on
-    * adversarial graphs — same per-round join shape, so this operator
-    * is the right skeleton for it. At 100 TB the edge list is the
-    * OUTPUT of the LSH pipelines above (tiny vs the corpus), so the
-    * per-round shuffles are on pairs, never on documents.
+    * takes the min of its own label and its neighbors' labels, THEN
+    * follows its new label's label (pointer jumping / shortcutting),
+    * and the label relation is localCheckpoint'd so lineage (and
+    * therefore plan size) stays flat across rounds. Labels only ever
+    * decrease, so "no label decreased this round" is the fixpoint
+    * test; with the shortcut step a path of diameter d converges in
+    * O(log d) rounds instead of d (the same doubling argument as the
+    * alternating star-contraction CC algorithms). At 100 TB the edge
+    * list is the OUTPUT of the LSH pipelines above (tiny vs the
+    * corpus), so the per-round shuffles are on pairs, never on
+    * documents.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val und = pairs.select(col("d1").as("v"), col("d2").as("u"))
@@ -497,8 +496,15 @@ object Dedup {
       val nbr = und
         .join(labels.select(col("v").as("u"), col("lbl")), "u")
         .groupBy(col("v")).agg(min(col("lbl")).as("nbl"))
-      val next = labels.join(nbr, Seq("v"))
+      val prop = labels.join(nbr, Seq("v"))
         .select(col("v"), least(col("lbl"), col("nbl")).as("lbl"))
+      // pointer jumping: a label is always a vertex id, so every lbl
+      // has a row in prop — the inner self-join is total. lbl2 ≤ lbl
+      // by monotonicity; least() just documents the intent.
+      val next = prop
+        .join(prop.select(col("v").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"))
+        .select(col("v"), least(col("lbl"), col("lbl2")).as("lbl"))
         .localCheckpoint()
       changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), "v")
