@@ -532,6 +532,60 @@ final class SparkTableLoader(
     count(srcUrl, dialect.quote(bySource(table.name).name))
 
   def targetCount(table: TableMeta): Long =
-    count(cfg.targetUrl, SchemaMapping.pgIdent(cfg.targetSchema) + "." +
-      SchemaMapping.pgIdent(table.name))
+    count(cfg.targetUrl, qualifiedTarget(table.name))
+
+  private def qualifiedTarget(name: String): String = {
+    val t = SchemaMapping.pgIdent(name)
+    if (cfg.targetSchema == null || cfg.targetSchema.isEmpty) t
+    else SchemaMapping.pgIdent(cfg.targetSchema) + "." + t
+  }
+
+  /** Order-insensitive content digest: every row canonicalizes to a
+    * \u0001-joined string of its column values (NULL → a sentinel no
+    * real cast produces), md5's leading 15 hex chars (60 bits) become
+    * an integer, and the digest is COUNT plus the exact DECIMAL(38,0)
+    * sum of those integers — commutative, so chunk order, partitioning
+    * and engine scan order are all irrelevant, and both sides reduce
+    * to one number without any sort or row transfer to the driver.
+    * Both digests canonicalize through SPARK casts on the SAME column
+    * order (source order / its mapped target names), so engine-side
+    * formatting differences never enter the comparison; columns whose
+    * TYPE the migration intentionally rewrites (uuid reshaping, enum
+    * text) compare via their post-JDBC string forms, which Derby/PG
+    * round-trip exactly for the identity-mapped majority.
+    */
+  private def digest(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*)
+    val h = conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10)
+      .cast(DecimalType(38, 0))
+    val r = df.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      sum(h).as("d")).collect().head
+    val d = Option(r.getDecimal(1)).map(_.toBigInteger)
+      .getOrElse(java.math.BigInteger.ZERO)
+    s"${r.getLong(0)}:$d"
+  }
+
+  override def sourceDigest(table: TableMeta): Option[String] = {
+    val st = bySource(table.name)
+    val cols = st.columns.map(_.name)
+    val df = spark.read.format("jdbc").option("url", srcUrl)
+      .option("dbtable", dialect.quote(st.name)).load()
+    Some(digest(df, cols))
+  }
+
+  override def targetDigest(table: TableMeta): Option[String] = {
+    val st = bySource(table.name)
+    // the mapped identifiers, in SOURCE column order — digests compare
+    // column-for-column
+    val cols = st.columns.map(c =>
+      SchemaMapping.pgName(c.name, cfg.snakeCaseIdentifiers))
+    val df = spark.read.format("jdbc").option("url", cfg.targetUrl)
+      .option("dbtable", qualifiedTarget(table.name)).load()
+    Some(digest(df, cols))
+  }
 }

@@ -30,13 +30,25 @@ trait TableLoader {
   def sourceCount(table: TableMeta): Long
   /** Target-side row count (reference `validate.go:87-98`). */
   def targetCount(table: TableMeta): Long
+  /** Order-insensitive content digest of the source table
+    * (`"<count>:<sum of per-row md5 prefixes>"`) for `validation =
+    * "checksum"` — BEYOND the reference, which only compares counts
+    * (`validate.go:42-135`): equal counts with corrupted, truncated or
+    * default-filled values still pass a count check. None = this
+    * loader can't compute digests (checksum validation then degrades
+    * to the count compare for the table).
+    */
+  def sourceDigest(table: TableMeta): Option[String] = None
+  /** Target-side content digest; see [[sourceDigest]]. */
+  def targetDigest(table: TableMeta): Option[String] = None
 }
 
 final case class MigrationReport(
     tablesCreated: Seq[String],
     rowsLoaded: Map[String, Long],
     validationMismatches: Map[String, (Long, Long)],
-    statementsExecuted: Int)
+    statementsExecuted: Int,
+    checksumMismatches: Map[String, (String, String)] = Map.empty)
 
 /** The reference's migration lifecycle (`main.go:125-348` +
   * `post.go:17-100`), re-expressed as driver-side orchestration around
@@ -172,8 +184,10 @@ final class MigrationPipeline(
     // schema_only — there is no data to compare, main.go:328-339).
     // Counts run in parallel bounded by `workers`, like the reference's
     // validation pool.
+    val validating =
+      Set("row_count", "checksum")(cfg.validation) && !cfg.schemaOnly
     val mismatches =
-      if (cfg.validation == "row_count" && !cfg.schemaOnly) {
+      if (validating) {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.max(1, math.min(cfg.workers, tables.size)))
         try tables.map { t =>
@@ -188,6 +202,28 @@ final class MigrationPipeline(
         }.toMap
         finally pool.shutdown()
       } else Map.empty[String, (Long, Long)]
+    // checksum validation — content equality on top of the reference's
+    // count compare; a table whose loader can't digest (None) already
+    // had its counts checked above
+    val checksumMismatches =
+      if (cfg.validation == "checksum" && !cfg.schemaOnly) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(cfg.workers, tables.size)))
+        try tables.map { t =>
+          t.name -> pool.submit(new java.util.concurrent.Callable[
+            (Option[String], Option[String])] {
+            def call(): (Option[String], Option[String]) =
+              (loader.sourceDigest(t), loader.targetDigest(t))
+          })
+        }.flatMap { case (name, f) =>
+          f.get() match {
+            case (Some(src), Some(tgt)) if src != tgt =>
+              Some(name -> (src, tgt))
+            case _ => None
+          }
+        }.toMap
+        finally pool.shutdown()
+      } else Map.empty[String, (String, String)]
 
     // 4. post phase (reference post.go:17-100 order). data_only skips
     // all DDL (constraints already exist on the pre-created schema) —
@@ -234,6 +270,7 @@ final class MigrationPipeline(
     }
     runHooks("after_all")
 
-    MigrationReport(tables.map(_.name), loaded, mismatches, stmtCount)
+    MigrationReport(tables.map(_.name), loaded, mismatches, stmtCount,
+      checksumMismatches)
   }
 }

@@ -102,7 +102,7 @@ final case class JobConfig(
     cleanOrphans: Boolean = true,         // config.go:131
     addUnsignedChecks: Boolean = false,
     replicateOnUpdateCurrentTimestamp: Boolean = false,
-    validation: String = "row_count",     // row_count | none
+    validation: String = "row_count",     // row_count | checksum | none
     snakeCaseIdentifiers: Boolean = true,
     typeOptions: TypeOptions = TypeOptions(),
     hooks: Map[String, Seq[String]] = Map.empty) // phase → sql files
@@ -178,8 +178,8 @@ object JobConfig {
   def validate(c: JobConfig): Unit = {
     require(Set("parallel", "single_tx")(c.mode),
       s"invalid mode '${c.mode}' (parallel|single_tx)")
-    require(Set("row_count", "none")(c.validation),
-      s"invalid validation '${c.validation}' (row_count|none)")
+    require(Set("row_count", "checksum", "none")(c.validation),
+      s"invalid validation '${c.validation}' (row_count|checksum|none)")
     require(c.workers >= 1 && c.workers <= 64,
       s"workers must be in [1,64], got ${c.workers}")
     require(c.indexWorkers >= 1 && c.indexWorkers <= 64,

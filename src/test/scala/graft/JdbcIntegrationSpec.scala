@@ -115,6 +115,58 @@ class JdbcIntegrationSpec extends AnyFunSuite {
     } finally check.close()
   }
 
+  test("checksum validation on Derby: digests match after a faithful " +
+      "load and catch a corrupted value that counts cannot") {
+    import graft.config.JobConfig
+    import graft.sources.{GenericJdbcDialect, Introspection,
+      SchemaMapping, TypeOptions}
+    val srcUrl = "jdbc:derby:memory:graftcks;create=true"
+    val tgtUrl = "jdbc:derby:memory:graftckt;create=true"
+    val sc = DriverManager.getConnection(srcUrl)
+    try {
+      val st = sc.createStatement()
+      st.execute("CREATE TABLE T (ID INT NOT NULL PRIMARY KEY, " +
+        "NAME VARCHAR(40), PRICE DOUBLE)")
+      val ins = sc.prepareStatement("INSERT INTO T VALUES (?, ?, ?)")
+      (1 to 50).foreach { i =>
+        ins.setInt(1, i)
+        if (i % 7 == 0) ins.setNull(2, java.sql.Types.VARCHAR)
+        else ins.setString(2, s"n_$i")
+        ins.setDouble(3, i * 0.25); ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally sc.close()
+    val tc = DriverManager.getConnection(tgtUrl)
+    try tc.createStatement().execute(
+      "CREATE TABLE \"t\" (\"id\" INT, \"name\" VARCHAR(40), " +
+        "\"price\" DOUBLE)")
+    finally tc.close()
+    val conn = DriverManager.getConnection(srcUrl)
+    val (sts, _) = try Introspection.fromJdbcMetadata(conn, "APP")
+      finally conn.close()
+    val t = sts.find(_.name == "T").get
+    val cfg = JobConfig(sourceDialect = "jdbc", sourceUrl = srcUrl,
+      targetUrl = tgtUrl, targetSchema = null, workers = 2,
+      validation = "checksum")
+    val loader = new SparkTableLoader(spark, cfg, Seq(t))
+    val meta = SchemaMapping.toTableMeta(GenericJdbcDialect, t, Nil,
+      TypeOptions())
+    assert(loader.load(meta) == 50L)
+    val src = loader.sourceDigest(meta).get
+    assert(src == loader.targetDigest(meta).get,
+      "digests differ after a faithful load")
+    assert(src.startsWith("50:"))
+    // corrupt ONE value without changing the row count — count
+    // validation is blind to this, the digest is not
+    val cc = DriverManager.getConnection(tgtUrl)
+    try cc.createStatement().execute(
+      "UPDATE \"t\" SET \"price\" = 99.75 WHERE \"id\" = 13")
+    finally cc.close()
+    val corrupted = loader.targetDigest(meta).get
+    assert(corrupted.startsWith("50:") && corrupted != src,
+      "digest failed to catch a same-count corruption")
+  }
+
   test("resume on Derby: a failed chunk retries without duplicating " +
       "the chunks a prior run completed") {
     import graft.checkpoint.CheckpointManager

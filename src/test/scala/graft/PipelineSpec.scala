@@ -84,6 +84,39 @@ class PipelineSpec extends AnyFunSuite {
     def targetCount(t: TableMeta): Long = 42L
   }
 
+  test("checksum validation: digest mismatches reach the report, " +
+      "digest-less loaders degrade to the count compare") {
+    val digesting = new TableLoader {
+      def load(t: TableMeta): Long = 1L
+      def sourceCount(t: TableMeta): Long = 1L
+      def targetCount(t: TableMeta): Long = 1L
+      override def sourceDigest(t: TableMeta): Option[String] =
+        Some("1:100")
+      override def targetDigest(t: TableMeta): Option[String] =
+        Some(if (t.name == "posts") "1:999" else "1:100")
+    }
+    val report = new MigrationPipeline(
+      JobConfig(validation = "checksum"), new Recorder, digesting)
+      .migrate(Seq(users, posts))
+    // counts agree everywhere; only posts' content digest differs
+    assert(report.validationMismatches.isEmpty)
+    assert(report.checksumMismatches == Map("posts" -> ("1:100", "1:999")))
+    // a loader without digest support still gets the count compare
+    val countsOnly = new TableLoader {
+      def load(t: TableMeta): Long = 1L
+      def sourceCount(t: TableMeta): Long = 5L
+      def targetCount(t: TableMeta): Long = 3L
+    }
+    val r2 = new MigrationPipeline(
+      JobConfig(validation = "checksum"), new Recorder, countsOnly)
+      .migrate(Seq(users))
+    assert(r2.validationMismatches == Map("users" -> (5L, 3L)))
+    assert(r2.checksumMismatches.isEmpty)
+    intercept[IllegalArgumentException] {
+      JobConfig.fromToml("validation = \"sha\"")
+    }
+  }
+
   test("pipeline phase order matches the reference lifecycle") {
     val rec = new Recorder
     val cfg = JobConfig()
