@@ -491,9 +491,49 @@ object TextAnalysis {
            |SELECT source, rn, doc_id FROM r CROSS JOIN t
            |WHERE rn <= tgt ORDER BY source, rn""".stripMargin))
 
+  // Column profiling — the ANALYZE-style statistics pass every engine
+  // ships (null rate, distinct count, min/max per column), computed in
+  // ONE scan: all per-column aggregates run in a single agg (Catalyst
+  // plans the multi-distinct via one Expand — rows × #distinct-cols —
+  // still one pass over storage), then the single wide row unpivots to
+  // one row per column via stack(). Values serialize as strings so one
+  // result schema profiles any table. At 100 TB the exact
+  // count_distinct swaps to approx_count_distinct (HLL, no Expand) —
+  // same one-liner swap as q67's sketch note.
+  val q77Profile: QueryDef = QueryDef(
+    "q77_profile",
+    (s, dir) => {
+      val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast(StringType).as(s"${c}_min"),
+          max(col(c)).cast(StringType).as(s"${c}_max"))
+      }
+      val wide = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackExpr = cols.map(c =>
+        s"'$c', n_rows, ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max")
+        .mkString(s"stack(${cols.size}, ", ", ",
+          ") AS (col_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
+      wide.select(expr(stackExpr)).orderBy("col_name")
+    },
+    Some {
+      val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s,
+           |  CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })
+
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
-    q75MixRebalance)
+    q75MixRebalance, q77Profile)
 }
