@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Similarity.all ++ operators.TextAnalysis.all ++
       operators.StreamingQueries.all ++ operators.Multimodal.all ++
       operators.AsofJoin.all ++ operators.Subqueries.all ++
-      operators.Skew.all ++ operators.Formats.all
+      operators.Skew.all ++ operators.Formats.all ++
+      operators.Intervals.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -597,8 +597,59 @@ object Dedup {
         |FROM jp WHERE (d1 % 100 >= 90) <> (d2 % 100 >= 90)
         |ORDER BY base_id, delta_id""".stripMargin))
 
+  // Exact duplicated-SPAN detection — the character-level exact-substring
+  // dedup family (the suffix-array dedup of Lee et al. "Deduplicating
+  // Training Data Makes Language Models Better", approximated at fixed
+  // span granularity): 40-char spans sampled every 10 chars, a span is
+  // "duplicated" when it occurs in ≥2 distinct documents, and each doc
+  // reports what fraction of its spans are shared. Plan: in-row position
+  // explode (no join to form spans) → one keyed agg for per-span doc
+  // frequency (partial distinct map-side) → one keyed join back →
+  // per-doc agg. Everything is keyed on the span; nothing is quadratic.
+  // At 100 TB the span string itself is the shuffle key only once — the
+  // df relation would key on a 16-byte hash of the span and the
+  // two-level agg absorbs hot boilerplate spans exactly like q63's
+  // df-capped shingles.
+  val q80SpanDedup: QueryDef = QueryDef(
+    "q80_span_dedup",
+    (s, dir) => {
+      val pos = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1L, n_chars - 39L, 10L)")).as("i"))
+        .select(col("doc_id"),
+          expr("substring(text, CAST(i AS INT), 40)").as("span"))
+      val df = pos.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      pos.join(df, "span")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          graft.Round4(col("n_dup").cast(DoubleType) / col("n_spans"))
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, substr(text, CAST(i AS INT), 40) AS span
+            |  FROM (SELECT doc_id, text,
+            |          unnest(range(1, n_chars - 38, 10)) AS i
+            |        FROM documents) u),
+            |df AS (
+            |  SELECT span, COUNT(DISTINCT doc_id) AS nd
+            |  FROM sh GROUP BY 1)
+            |SELECT sh.doc_id, COUNT(*) AS n_spans,
+            |  CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_dup,
+            |  ${graft.Round4.sql(
+              "CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)" +
+                " / COUNT(*)")} AS dup_frac
+            |FROM sh JOIN df USING (span)
+            |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
     q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
-    q65Decontamination, q66DedupClusters, q74IncrementalNeardup)
+    q65Decontamination, q66DedupClusters, q74IncrementalNeardup,
+    q80SpanDedup)
 }

@@ -532,10 +532,58 @@ object Relational {
            |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
     bench = true)
 
+  // FULL OUTER reconciliation — the missing member of the join family
+  // (inner/semi/anti/left are covered elsewhere): two independently
+  // aggregated per-key relations compared side-by-side, rows classified
+  // by which source knows the key. The aggregations reduce each side to
+  // key cardinality BEFORE the join, so the full-outer exchange moves
+  // one row per key, not one per fact — the reconciliation shape that
+  // holds at any fact-table scale. Money sums go through DECIMAL(12,2)
+  // (the q33-proven cast-parity idiom) and surface as doubles.
+  val q81ReconOuter: QueryDef = QueryDef(
+    "q81_recon_outer",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("orders_total"))
+      val e = Tables.load(s, dir, "events")
+        .groupBy(col("user_id").as("k2"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("events_total"))
+      o.join(e, col("k") === col("k2"), "full_outer")
+        .select(coalesce(col("k"), col("k2")).as("k"),
+          when(col("k").isNull, "events_only")
+            .when(col("k2").isNull, "orders_only")
+            .otherwise("both").as("side"),
+          col("n_orders"), col("orders_total"),
+          col("n_events"), col("events_total"))
+        .orderBy("k")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey AS k, COUNT(*) AS n_orders,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           |      AS orders_total
+           |  FROM orders GROUP BY 1),
+           |e AS (
+           |  SELECT user_id AS k, COUNT(*) AS n_events,
+           |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+           |      AS events_total
+           |  FROM events GROUP BY 1)
+           |SELECT COALESCE(o.k, e.k) AS k,
+           |  CASE WHEN o.k IS NULL THEN 'events_only'
+           |       WHEN e.k IS NULL THEN 'orders_only'
+           |       ELSE 'both' END AS side,
+           |  o.n_orders, o.orders_total, e.n_events, e.events_total
+           |FROM o FULL OUTER JOIN e ON o.k = e.k
+           |ORDER BY k""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q01ScanFilter, q02ChunkMinmax, q03RowCounts, q04Join3, q05AntiJoin,
     q06SemiJoin, q07GroupAgg, q08Distinct, q09Union, q09bIntersect,
     q09cExcept, q10Scalar, q11WindowTopk, q12SortLimit, q13WindowRunning,
     q14Tumbling, q15Rollup, q16TopkPerGroup, q17JoinAgg, q18Json, q19Array,
-    q36Pivot, q46OrphanEvents, q59ShipPriority)
+    q36Pivot, q46OrphanEvents, q59ShipPriority, q81ReconOuter)
 }

@@ -186,7 +186,51 @@ object StreamingQueries {
            |FROM events JOIN customer ON user_id = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  // First-threshold-crossing alert (flatMapGroupsWithState emitting
+  // MID-stream, not on expiry — see [[graft.streaming.ThresholdMonitor]]):
+  // per user, the first event at which the cumulative value reaches
+  // 3000.00. Exact integer-cents state makes the running total
+  // engine-identical; the oracle is the batch running-sum formulation.
+  val q82StreamThreshold: QueryDef = QueryDef(
+    "q82_stream_threshold",
+    (s, dir) => {
+      import s.implicits._
+      val rows = EventsStream.readEvents(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsUs"),
+          (col("value").cast(DecimalType(12, 2)) * 100)
+            .cast(LongType).as("cents"))
+        .as[graft.streaming.CumRow]
+      val crossings =
+        graft.streaming.ThresholdMonitor.firstCrossing(rows, 300000L)
+      EventsStream.runToCompletion(s, crossings.toDF(), mode = "append")
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("cross_ts_us")),
+            "yyyy-MM-dd HH:mm:ss").as("cross_ts"),
+          col("n_at_cross"),
+          (col("cum_cents").cast(DoubleType) / 100d).as("cum_at_cross"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           |    CAST(value AS DECIMAL(12,2)) AS v
+           |  FROM events),
+           |r AS (
+           |  SELECT user_id, ts,
+           |    SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                 ROWS UNBOUNDED PRECEDING) AS cum,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id
+           |                       ORDER BY ts, event_id) AS rn
+           |  FROM e),
+           |c AS (
+           |  SELECT user_id, ts, rn, cum,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS rk
+           |  FROM r WHERE cum >= 3000.00)
+           |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS cross_ts,
+           |  rn AS n_at_cross, CAST(cum AS DOUBLE) AS cum_at_cross
+           |FROM c WHERE rk = 1 ORDER BY user_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
-    q76StreamEnrich)
+    q76StreamEnrich, q82StreamThreshold)
 }

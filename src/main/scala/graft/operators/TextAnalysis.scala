@@ -531,9 +531,82 @@ object TextAnalysis {
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     })
 
+  // Bigram collocation mining by PMI — the corpus-statistics op behind
+  // tokenizer vocab curation and boilerplate phrase detection. One
+  // tokenize pass feeds both relations (unigram counts from the token
+  // stream, bigram counts from an in-row index transform — no
+  // self-join to form pairs); corpus totals ride in as broadcast 1-row
+  // relations (the copy-safe scalar-total idiom), and the unigram
+  // relation is vocabulary-sized, so both PMI joins broadcast. The only
+  // corpus-sized exchanges are the two keyed counting aggs. PMI is
+  // computed with an identical IEEE expression tree in both engines and
+  // 4-dp-rounded before the (pmi, bigram) rank so no sub-1e-4
+  // difference can reorder the top-50 cutoff.
+  val q79BigramPmi: QueryDef = QueryDef(
+    "q79_bigram_pmi",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("w"))
+      val uni = toks.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val bgAll = toks.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+      val n1 = uni.agg(sum(col("c")).as("n1"))
+      val n2 = bgAll.agg(sum(col("n")).as("n2"))
+      val ux = uni.select(col("t").as("tx"), col("c").as("cx"))
+      val uy = uni.select(col("t").as("ty"), col("c").as("cy"))
+      bgAll.filter(col("n") >= 10)
+        .withColumn("x", split(col("bigram"), " ").getItem(0))
+        .withColumn("y", split(col("bigram"), " ").getItem(1))
+        .join(broadcast(ux), col("x") === col("tx"))
+        .join(broadcast(uy), col("y") === col("ty"))
+        .join(broadcast(n1)).join(broadcast(n2))
+        .select(col("bigram"), col("n"),
+          graft.Round4(log(
+            (col("n").cast(DoubleType) / col("n2")) /
+              ((col("cx").cast(DoubleType) / col("n1")) *
+                (col("cy").cast(DoubleType) / col("n1"))))).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(50)
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id,
+            |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+            |      AS w
+            |  FROM documents),
+            |uni AS (
+            |  SELECT t, COUNT(*) AS c
+            |  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+            |bg_all AS (
+            |  SELECT bigram, COUNT(*) AS n
+            |  FROM (
+            |    SELECT unnest(list_transform(range(1, len(w)),
+            |      i -> w[i] || ' ' || w[i + 1])) AS bigram
+            |    FROM toks WHERE len(w) >= 2) u
+            |  GROUP BY 1),
+            |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uni),
+            |n2 AS (SELECT CAST(SUM(n) AS BIGINT) AS n2 FROM bg_all)
+            |SELECT b.bigram, b.n,
+            |  ${graft.Round4.sql(
+              "ln((CAST(b.n AS DOUBLE) / n2.n2) /" +
+                " ((CAST(cx.c AS DOUBLE) / n1.n1) *" +
+                " (CAST(cy.c AS DOUBLE) / n1.n1)))")} AS pmi
+            |FROM bg_all b
+            |JOIN uni cx ON cx.t = string_split(b.bigram, ' ')[1]
+            |JOIN uni cy ON cy.t = string_split(b.bigram, ' ')[2]
+            |CROSS JOIN n1 CROSS JOIN n2
+            |WHERE b.n >= 10
+            |ORDER BY pmi DESC, b.bigram LIMIT 50""".stripMargin),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
-    q75MixRebalance, q77Profile)
+    q75MixRebalance, q77Profile, q79BigramPmi)
 }

@@ -140,6 +140,31 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q78: the banded range join is an EQUI-join — the whole point " +
+      "of the rewrite is that no nested loop / cartesian survives") {
+    val p = plan("q78_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "banded range join fell back to a nested loop")
+  }
+
+  test("q80: span-df join is keyed on the span; no cartesian, and the " +
+      "distinct doc count is a two-level (partial) aggregate") {
+    val p = plan("q80_span_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("q79: PMI unigram joins broadcast (vocabulary-sized build side); " +
+      "top-50 is TakeOrderedAndProject, never a global sort") {
+    val p = plan("q79_bigram_pmi")
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram join lost its broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q72: IVF-PQ nested loops are all against broadcast fixture " +
       "relations (centroids/codebook), never a corpus cartesian") {
     val p = plan("q72_ann_ivfpq")
