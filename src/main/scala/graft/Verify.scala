@@ -5,11 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2 || args.length > 3) {
+      System.err.println(
+        "usage: graft.Verify <sfDir> <outDir> [nameSubstr,...]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // Optional local-iteration filter (driver always passes 2 args):
+    // keep queries whose name contains any given substring.
+    val keep: String => Boolean =
+      if (args.length == 3) {
+        val pats = args(2).split(",").toSeq
+        name => pats.exists(name.contains)
+      } else _ => true
     val spark = Sessions.build("graft-verify",
       coresOverride = Some(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
     spark.sparkContext.setLogLevel("WARN")
@@ -20,7 +29,8 @@ object Verify {
     // during planning/commit). Each query writes its own directory;
     // view/function registration is per-query-unique or idempotent.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val tasks = SparkEntry.queries.toSeq.filter(t => keep(t._1))
+      .map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{DotProduct, L2Norm, MinHashSignature, RollingHash, ShingleSet}
+import graft.plans.{ByteEntropy, DotProduct, L2Norm, MinHashSignature, RollingHash, ShingleSet}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -17,6 +17,8 @@ object VectorOps {
       exprs => L2Norm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_rolling_hash",
       exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_byte_entropy",
+      exprs => ByteEntropy(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => {
         val k = exprs(1) match {
@@ -51,6 +53,10 @@ object VectorOps {
   def l2norm(a: Column): Column = call_function("graft_l2norm", a)
   def rollingHash(s: Column): Column =
     call_function("graft_rolling_hash", s)
+
+  /** Shannon entropy (bits/char) of a string's byte distribution. */
+  def byteEntropy(s: Column): Column =
+    call_function("graft_byte_entropy", s)
   def minhash(arr: Column, numHashes: Int): Column =
     call_function("graft_minhash", arr,
       org.apache.spark.sql.functions.lit(numHashes))

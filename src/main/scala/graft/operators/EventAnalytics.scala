@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{QueryDef, Round4, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Event-sequence analytics over the `events` table — the behavioral
+  * OLAP tier (funnels, recency scoring, burst detection, distribution
+  * profiling) that complements the time-join operators in
+  * [[AsofJoin]]/[[Intervals]] (reference events tier: `events_agg.go`,
+  * window semantics per SURVEY.md §2.8).
+  *
+  * All four queries share one scale posture: the ONLY wide operation is
+  * a single hash exchange on `user_id` (funnel, burst) or on the small
+  * group key (decay, histogram). Per-user sequence logic runs inside
+  * one partition-local sort — never a self-join, never a collect — so
+  * the plans are corpus-size-invariant: 1000 executors each sessionize
+  * their own user shard.
+  */
+object EventAnalytics {
+
+  private val StepUs: Long = 6L * 3600L * 1000000L // 6 h per funnel step
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+
+  /** Ordered 3-step conversion funnel (view → click → purchase, each
+    * step within 6 h of the previous one) in ONE shuffle.
+    *
+    * The textbook formulation is a chain of per-step self-joins (the
+    * oracle SQL keeps that shape as the semantic spec). Joins re-shuffle
+    * the full events relation once per step; at 100 TB that is three
+    * fact-sized exchanges. Instead the step times are three chained
+    * window minima over the SAME `partition by user_id` — Catalyst
+    * plans one exchange + one sort and evaluates all three frames in
+    * that single partition pass, because each successive window reuses
+    * the child's partitioning. Per-user state is O(1) (three
+    * timestamps), so no skew concern even for a bot user with 10^8
+    * events.
+    */
+  val q83Funnel: QueryDef = QueryDef(
+    "q83_funnel",
+    (s, dir) => {
+      val perUser = Window.partitionBy("user_id")
+      val t1 = events(s, dir)
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("us"))).over(perUser))
+      val t2 = t1.withColumn("t2",
+        min(when(col("event_type") === "click" &&
+            col("us") > col("t1") &&
+            col("us") <= col("t1") + StepUs, col("us"))).over(perUser))
+      val t3 = t2.withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+            col("us") > col("t2") &&
+            col("us") <= col("t2") + StepUs, col("us"))).over(perUser))
+      t3.groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .agg(count(col("t1")).as("viewed"),
+          count(col("t2")).as("clicked"),
+          count(col("t3")).as("purchased"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            |  FROM events),
+            |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+            |       WHERE event_type = 'view' GROUP BY 1),
+            |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+            |       JOIN s1 ON e.user_id = s1.user_id
+            |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+            |         AND e.ts <= s1.t1 + INTERVAL 6 HOUR GROUP BY 1),
+            |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+            |       JOIN s2 ON e.user_id = s2.user_id
+            |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            |         AND e.ts <= s2.t2 + INTERVAL 6 HOUR GROUP BY 1)
+            |SELECT (SELECT COUNT(*) FROM s1) AS viewed,
+            |       (SELECT COUNT(*) FROM s2) AS clicked,
+            |       (SELECT COUNT(*) FROM s3) AS purchased""".stripMargin),
+    bench = true)
+
+  private val HalfLifeUs: Double = 7d * 86400d * 1000000d // 7-day half-life
+
+  /** Recency-weighted score: sum(value · 2^(−age/half-life)) per event
+    * type, age anchored at the corpus max timestamp.
+    *
+    * The anchor is a 1-row global aggregate joined back by cross join —
+    * Spark broadcasts a single-row build side, so the fact scan is
+    * never re-shuffled for it (the copy-safe idiom VERDICT r3 #8
+    * mandated over an empty-partition window). The decay weight is
+    * per-row codegen arithmetic; the only exchange is the final 5-key
+    * aggregation.
+    */
+  val q84Decay: QueryDef = QueryDef(
+    "q84_decay_score",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("value"))
+        .join(Tables.load(s, dir, "events")
+          .agg(max(unix_micros(col("ts"))).as("t_max")))
+      ev.withColumn("w",
+          pow(lit(2d), (col("us") - col("t_max")).cast(DoubleType)
+            / lit(HalfLifeUs)))
+        .groupBy("event_type")
+        .agg(Round4(sum(col("value") * col("w"))).as("decayed_sum"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+            |         value FROM events),
+            |m AS (SELECT MAX(us) AS t_max FROM e)
+            |SELECT event_type,
+            |  ${Round4.sql("SUM(value * POW(2, CAST(us - t_max AS DOUBLE) / "
+              + s"$HalfLifeUs))")} AS decayed_sum,
+            |  COUNT(*) AS n
+            |FROM e, m GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  private val BurstUs: Long = 3600L * 1000000L // 1-hour trailing window
+
+  /** Burst profile: events in the trailing 1 h per user (a RANGE window
+    * frame over event-time µs — value-based, not row-based, so sparse
+    * and dense users get the same semantics), summarized per type.
+    *
+    * Same single-exchange posture as the funnel: one hash partition by
+    * user, one in-partition sort, frame state bounded by events/hour.
+    * This is the batch twin of the streaming sliding window (q43) —
+    * same window semantics, expressed as a frame instead of state.
+    */
+  val q85Burst: QueryDef = QueryDef(
+    "q85_burst_window",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-BurstUs, 0)
+      events(s, dir)
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .groupBy("event_type")
+        .agg(max("cnt_1h").as("max_burst"),
+          Round4(avg("cnt_1h")).as("avg_burst"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT user_id, event_type,
+            |         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+            |w AS (
+            |  SELECT event_type, COUNT(*) OVER (
+            |    PARTITION BY user_id ORDER BY us
+            |    RANGE BETWEEN ${BurstUs} PRECEDING AND CURRENT ROW)
+            |    AS cnt_1h FROM e)
+            |SELECT event_type, MAX(cnt_1h) AS max_burst,
+            |  ${Round4.sql("AVG(cnt_1h)")} AS avg_burst
+            |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  private val BinWidth = 50d
+
+  /** Fixed-width value histogram per event type — the distribution
+    * profile a pipeline operator (or the q77 profiler) uses to pick
+    * chunk bounds and detect drift. Bin assignment is per-row integer
+    * arithmetic fused into the scan stage; the aggregate output is
+    * (types × bins) rows regardless of corpus size, so the exchange
+    * carries only partial-agg state — the canonical map-side-combine
+    * shape.
+    */
+  val q86Histogram: QueryDef = QueryDef(
+    "q86_value_histogram",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") / BinWidth).cast("long").as("bin"),
+          col("value"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), Round4(sum("value")).as("sum_value"))
+        .orderBy("event_type", "bin")
+    },
+    Some(s"""SELECT event_type,
+            |  CAST(FLOOR(value / $BinWidth) AS BIGINT) AS bin,
+            |  COUNT(*) AS n, ${Round4.sql("SUM(value)")} AS sum_value
+            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q83Funnel, q84Decay, q85Burst, q86Histogram)
+}

@@ -193,6 +193,41 @@ object TextAnalysis {
            |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Character-entropy quality signal per source — the
+    * compression-ratio proxy curation pipelines threshold on
+    * (template spam scores low, binary junk high). Per-document
+    * entropy is the native [[graft.plans.ByteEntropy]] expression: one
+    * codegen pass over the text bytes, one row per document into the
+    * 20-key aggregate. The oracle computes the same quantity
+    * relationally (per-character unnest + two aggregations) — the
+    * formulation this operator exists to avoid, since it multiplies
+    * the corpus by n_chars before the first exchange.
+    */
+  val q87CharEntropy: QueryDef = QueryDef(
+    "q87_char_entropy",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.VectorOps.byteEntropy(col("text")).as("ent"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          graft.Round4(avg("ent")).as("avg_entropy"),
+          graft.Round4(max("ent")).as("max_entropy"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ent AS (
+            |  SELECT d.source, e.ent FROM documents d, LATERAL (
+            |    SELECT -SUM(p * LOG2(p)) AS ent FROM (
+            |      SELECT CAST(COUNT(*) AS DOUBLE) / LEN(d.text) AS p
+            |      FROM UNNEST(string_split(d.text, '')) AS t(c)
+            |      GROUP BY t.c)) e)
+            |SELECT source, COUNT(*) AS docs,
+            |  ${graft.Round4.sql("AVG(ent)")} AS avg_entropy,
+            |  ${graft.Round4.sql("MAX(ent)")} AS max_entropy
+            |FROM ent GROUP BY source ORDER BY source""".stripMargin),
+    bench = true)
+
   // Scrubbing/redaction (training-data cleaning): numeric literals in
   // the events props JSON replaced by a placeholder; counts verify how
   // many values were touched. Pattern stays in the Java∩RE2 subset.
@@ -608,5 +643,5 @@ object TextAnalysis {
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
-    q75MixRebalance, q77Profile, q79BigramPmi)
+    q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy)
 }

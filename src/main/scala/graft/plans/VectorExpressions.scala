@@ -260,3 +260,58 @@ object MinHashSignature {
     new GenericArrayData(mins)
   }
 }
+
+/** Shannon entropy (bits/char) of a string's byte distribution in ONE
+  * codegen pass — the compression-ratio-style quality signal a curation
+  * pipeline thresholds on (boilerplate and template spam sit far below
+  * natural text; binary junk far above).
+  *
+  * Byte-level on the UTF8String payload: no decode, no allocation
+  * beyond a 256-slot histogram, and for ASCII corpora it IS codepoint
+  * entropy, which keeps the DuckDB oracle (character-based
+  * `string_split` + group) exactly comparable on the fixture tables.
+  * The naive relational formulation — explode one row per CHARACTER,
+  * then two aggregations — multiplies the corpus by n_chars before the
+  * first exchange; this stays one row per document with zero shuffle.
+  * Accumulation over the 256 slots is in fixed ascending-index order,
+  * so eval, codegen, and spec all produce bit-identical doubles.
+  */
+case class ByteEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any =
+    ByteEntropy.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.ByteEntropy.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ByteEntropy = copy(child = newChild)
+}
+
+object ByteEntropy {
+  private val Log2 = math.log(2d)
+
+  /** Static helper shared by eval and generated code. Empty → 0.0. */
+  def compute(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0d
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < n) { hist(bytes(i) & 0xFF) += 1; i += 1 }
+    var ent = 0d
+    var b = 0
+    while (b < 256) {
+      val c = hist(b)
+      if (c > 0) {
+        val p = c.toDouble / n
+        ent -= p * (math.log(p) / Log2)
+      }
+      b += 1
+    }
+    ent
+  }
+}

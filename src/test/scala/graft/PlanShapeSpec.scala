@@ -176,4 +176,30 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         "fixture scans")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q83: the 3-step funnel is ONE fact shuffle — chained window " +
+      "minima share the user_id exchange; no per-step self-joins") {
+    val p = plan("q83_funnel")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "funnel degraded to per-step joins")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // user_id hash + final single-partition agg
+      s"funnel has $exchanges exchanges:\n${p.take(1200)}")
+  }
+
+  test("q85: burst RANGE window shares the same single-exchange shape") {
+    val p = plan("q85_burst_window")
+    assert(!p.contains("Join"), "burst window should not join")
+    assert("Window".r.findAllIn(p).nonEmpty)
+  }
+
+  test("q87: entropy is per-row codegen — no Generate (explode), no " +
+      "join, one keyed aggregation") {
+    val p = plan("q87_char_entropy")
+    assert(!p.contains("Generate"),
+      "entropy fell back to per-character explode")
+    assert(!p.contains("Join"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregate pair")
+  }
 }

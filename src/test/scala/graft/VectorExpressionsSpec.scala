@@ -92,4 +92,33 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .select(VectorOps.shingles(col("s"), 3)).collect()(0)
     assert(nul.isNullAt(0))
   }
+
+  test("byte entropy: reference parity, closed forms, null, empty") {
+    VectorOps.register(spark)
+    def ref(s: String): Double = {
+      val bs = s.getBytes("UTF-8")
+      if (bs.isEmpty) 0d
+      else bs.groupBy(identity).values.map(_.length.toDouble / bs.length)
+        .map(p => -p * math.log(p) / math.log(2d)).sum
+    }
+    val rnd = new scala.util.Random(7)
+    val inputs = (Seq("", "a", "aaaa", "ab", "abab", "abcd",
+      "the quick brown fox", "über §ümlaut 数据") ++
+      (1 to 100).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString))
+      .distinct
+    val got = inputs.toDF("s")
+      .select(col("s"), VectorOps.byteEntropy(col("s")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    inputs.foreach { s =>
+      assert(math.abs(got(s) - ref(s)) < 1e-12, s"text='$s'")
+    }
+    // closed forms: single symbol = 0 bits; two equiprobable = 1 bit;
+    // four equiprobable = 2 bits
+    assert(got("aaaa") == 0d)
+    assert(math.abs(got("abab") - 1d) < 1e-12)
+    assert(math.abs(got("abcd") - 2d) < 1e-12)
+    val nul = Seq(Option.empty[String]).toDF("s")
+      .select(VectorOps.byteEntropy(col("s"))).collect()(0)
+    assert(nul.isNullAt(0))
+  }
 }
