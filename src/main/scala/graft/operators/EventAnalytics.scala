@@ -180,5 +180,45 @@ object EventAnalytics {
             |  COUNT(*) AS n, ${Round4.sql("SUM(value)")} AS sum_value
             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q83Funnel, q84Decay, q85Burst, q86Histogram)
+  /** Weekly cohort retention: users grouped by first-activity week,
+    * counted distinctly in each later week they return. The classic
+    * product-analytics triangle, and a deliberately join-shaped
+    * contrast to the funnel: cohort assignment (per-user min) and the
+    * distinct (user, week) activity relation both hash-partition on
+    * user_id, so the cohort join co-partitions with no extra fact
+    * shuffle; only the final (cohort, offset) aggregate — output
+    * bounded by weeks², not corpus — re-keys. The week offset is
+    * integer day arithmetic `div 7` on date_trunc'd dates (exact in
+    * both engines; no epoch-float rounding).
+    */
+  val q89Retention: QueryDef = QueryDef(
+    "q89_retention",
+    (s, dir) => {
+      val activity = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      val cohorts = activity.groupBy("user_id")
+        .agg(min("week").as("cohort_week"))
+      activity.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          expr("datediff(week, cohort_week) div 7").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH a AS (
+           |  SELECT DISTINCT user_id,
+           |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+           |      AS week
+           |  FROM events),
+           |c AS (SELECT user_id, MIN(week) AS cohort_week FROM a
+           |      GROUP BY 1)
+           |SELECT c.cohort_week,
+           |  datediff('day', c.cohort_week, a.week) // 7 AS week_offset,
+           |  COUNT(DISTINCT a.user_id) AS n_users
+           |FROM a JOIN c ON a.user_id = c.user_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q83Funnel, q84Decay, q85Burst, q86Histogram,
+    q89Retention)
 }

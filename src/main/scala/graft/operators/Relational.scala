@@ -580,10 +580,45 @@ object Relational {
            |FROM o FULL OUTER JOIN e ON o.k = e.k
            |ORDER BY k""".stripMargin))
 
+  /** TPC-H Q13 shape: orders-per-customer distribution through a LEFT
+    * OUTER join whose filter lives in the JOIN CONDITION (not WHERE —
+    * moving it would silently drop the zero-order customers the query
+    * exists to count). Two-level aggregate: per-customer count (keyed
+    * exchange on custkey; the outer join itself co-partitions on the
+    * same key so Catalyst reuses one exchange), then the tiny
+    * distribution aggregate. The null-count semantics (COUNT(col)
+    * skips the outer join's null-extended rows) are the whole
+    * correctness story — a COUNT(*) here would be off by one for
+    * every childless customer.
+    */
+  val q88CustOrderDist: QueryDef = QueryDef(
+    "q88_cust_order_dist",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+      c.join(o, c("c_custkey") === o("o_custkey") &&
+          o("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+           |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+           |  FROM customer c LEFT OUTER JOIN orders o
+           |    ON c.c_custkey = o.o_custkey
+           |   AND o.o_orderpriority <> '1-URGENT'
+           |  GROUP BY c.c_custkey)
+           |GROUP BY c_count
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q01ScanFilter, q02ChunkMinmax, q03RowCounts, q04Join3, q05AntiJoin,
     q06SemiJoin, q07GroupAgg, q08Distinct, q09Union, q09bIntersect,
     q09cExcept, q10Scalar, q11WindowTopk, q12SortLimit, q13WindowRunning,
     q14Tumbling, q15Rollup, q16TopkPerGroup, q17JoinAgg, q18Json, q19Array,
-    q36Pivot, q46OrphanEvents, q59ShipPriority, q81ReconOuter)
+    q36Pivot, q46OrphanEvents, q59ShipPriority, q81ReconOuter,
+    q88CustOrderDist)
 }

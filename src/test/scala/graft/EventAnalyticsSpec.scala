@@ -65,6 +65,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
       hist.count())
   }
 
+  test("retention: offset-0 count equals cohort size (every user is " +
+      "active in their own first week)") {
+    val r = EventAnalytics.q89Retention.build(spark, dir)
+    val offset0 = r.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).collect()(0).getLong(0)
+    val users = events.select("user_id").distinct().count()
+    assert(offset0 == users)
+  }
+
+  test("q88: the custdist distribution partitions the customer " +
+      "relation (left outer keeps zero-order customers)") {
+    val dist = operators.Relational.q88CustOrderDist.build(spark, dir)
+    val total = dist.agg(sum("custdist")).collect()(0).getLong(0)
+    assert(total == Tables.load(spark, dir, "customer").count())
+  }
+
   test("decay: weights bounded by (0, 1] so each type's decayed sum " +
       "is below its plain sum") {
     val decayed = EventAnalytics.q84Decay.build(spark, dir)
