@@ -230,7 +230,35 @@ object StreamingQueries {
            |  rn AS n_at_cross, CAST(cum AS DOUBLE) AS cum_at_cross
            |FROM c WHERE rk = 1 ORDER BY user_id""".stripMargin))
 
+  /** The q83 funnel run as a STREAM: per-user state machine
+    * (flatMapGroupsWithState, Update mode) over the file-stream source,
+    * progress rows reduced to each user's final state with a plain max
+    * (emissions are monotone — see [[graft.streaming.FunnelTracker]]),
+    * then the same three counts. Shares q83's oracle verbatim:
+    * stream/batch equivalence IS the correctness claim, exactly like
+    * q33 vs its batch aggregation.
+    */
+  val q90StreamFunnel: QueryDef = QueryDef(
+    "q90_stream_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val stepUs = 6L * 3600L * 1000000L
+      val events = EventsStream.readEvents(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsUs"),
+          col("event_type"))
+        .as[graft.streaming.FunnelEvent]
+      val progress = graft.streaming.FunnelTracker.track(events, stepUs)
+      EventsStream.runToCompletion(s, progress.toDF(), mode = "update")
+        .groupBy("user_id")
+        .agg(max(struct(col("stage"), col("t1"), col("t2"), col("t3")))
+          .as("f"))
+        .agg(count(when(col("f.stage") >= 1, 1)).as("viewed"),
+          count(when(col("f.stage") >= 2, 1)).as("clicked"),
+          count(when(col("f.stage") >= 3, 1)).as("purchased"))
+    },
+    EventAnalytics.q83Funnel.oracle)
+
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
-    q76StreamEnrich, q82StreamThreshold)
+    q76StreamEnrich, q82StreamThreshold, q90StreamFunnel)
 }

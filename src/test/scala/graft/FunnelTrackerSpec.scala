@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.{FunnelEvent, FunnelProgress, FunnelTracker}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the streaming funnel FSM through a MemoryStream across
+  * several micro-batches: state persists between batches, step windows
+  * gate transitions, and emissions stay monotone per user.
+  */
+class FunnelTrackerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val H = 3600L * 1000000L // 1 h in µs
+
+  private def run(batches: Seq[Seq[FunnelEvent]]): Seq[FunnelProgress] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val name = s"funnel_out_${System.nanoTime()}"
+    val q = FunnelTracker.track(input.toDS(), stepUs = 6 * H)
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).as[FunnelProgress].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("state persists across micro-batches and step windows gate " +
+      "transitions") {
+    val t0 = 1700000000L * 1000000L
+    val out = run(Seq(
+      // batch 1: user 1 views; user 2 clicks with no prior view (noop)
+      Seq(FunnelEvent(1, t0, "view"), FunnelEvent(2, t0, "click")),
+      // batch 2: user 1 clicks within 6 h (advances), then purchases
+      // 7 h after the click — outside the step window (noop)
+      Seq(FunnelEvent(1, t0 + 2 * H, "click"),
+        FunnelEvent(1, t0 + 9 * H, "purchase")),
+      // batch 3: user 1 purchases again — but t2+6h has passed, so
+      // still stage 2; user 2 finally views (stage 1)
+      Seq(FunnelEvent(1, t0 + 10 * H, "purchase"),
+        FunnelEvent(2, t0 + 1 * H, "view"))))
+    val finalByUser = out.groupBy(_.user_id).view
+      .mapValues(_.maxBy(p => (p.stage, p.t1, p.t2, p.t3))).toMap
+    assert(finalByUser(1L).stage == 2)
+    assert(finalByUser(1L).t1 == t0 && finalByUser(1L).t2 == t0 + 2 * H)
+    assert(finalByUser(2L).stage == 1)
+  }
+
+  test("complete funnel in one batch; within-batch fold is event-time " +
+      "ordered regardless of input order") {
+    val t0 = 1800000000L * 1000000L
+    // events deliberately out of order in the batch: the purchase and
+    // click arrive before the view in arrival order
+    val out = run(Seq(Seq(
+      FunnelEvent(7, t0 + 3 * H, "purchase"),
+      FunnelEvent(7, t0 + 1 * H, "click"),
+      FunnelEvent(7, t0, "view"))))
+    val fin = out.filter(_.user_id == 7L)
+      .maxBy(p => (p.stage, p.t1, p.t2, p.t3))
+    assert(fin.stage == 3)
+    assert(fin.t1 == t0 && fin.t2 == t0 + 1 * H && fin.t3 == t0 + 3 * H)
+  }
+
+  test("first view wins: a second view never re-arms the funnel") {
+    val t0 = 1900000000L * 1000000L
+    val out = run(Seq(
+      Seq(FunnelEvent(3, t0, "view")),
+      // 2nd view 20 h later must NOT reset t1; click 21 h after first
+      // view is outside ITS window → stage stays 1
+      Seq(FunnelEvent(3, t0 + 20 * H, "view"),
+        FunnelEvent(3, t0 + 21 * H, "click"))))
+    val fin = out.filter(_.user_id == 3L)
+      .maxBy(p => (p.stage, p.t1, p.t2, p.t3))
+    assert(fin.stage == 1 && fin.t1 == t0)
+  }
+}
