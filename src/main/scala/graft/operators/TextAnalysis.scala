@@ -228,6 +228,46 @@ object TextAnalysis {
             |FROM ent GROUP BY source ORDER BY source""".stripMargin),
     bench = true)
 
+  /** Per-language length quartiles via ntile — grouped exact tiering
+    * (each language's docs split into 4 equal-count tiers by token
+    * count). The window partitions by lang, so parallelism is
+    * per-group and state is one group's rows — the legitimate grouped
+    * use of ntile, NOT a partition-less global window (at corpus
+    * scale, GLOBAL tiering instead goes through broadcast approximate
+    * quantile cutpoints — the q67 family — precisely because a global
+    * ntile would serialize the corpus through one partition).
+    * Tie-break on doc_id makes tier assignment a total order, so both
+    * engines tier identically.
+    */
+  val q92QualityTiers: QueryDef = QueryDef(
+    "q92_quality_tiers",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("n_tokens", size(split(lower(col("text")), " ")))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_tokens"), col("doc_id"))
+      d.withColumn("tier", ntile(4).over(w))
+        .groupBy("lang", "tier")
+        .agg(count(lit(1)).as("docs"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"),
+          graft.Round4(avg("n_tokens")).as("avg_tokens"))
+        .orderBy("lang", "tier")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT lang, doc_id,
+            |    len(string_split(lower(text), ' ')) AS n_tokens
+            |  FROM documents),
+            |w AS (
+            |  SELECT lang, n_tokens, NTILE(4) OVER (
+            |    PARTITION BY lang ORDER BY n_tokens, doc_id) AS tier
+            |  FROM t)
+            |SELECT lang, tier, COUNT(*) AS docs,
+            |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+            |  ${graft.Round4.sql("AVG(n_tokens)")} AS avg_tokens
+            |FROM w GROUP BY lang, tier ORDER BY lang, tier""".stripMargin))
+
   // Scrubbing/redaction (training-data cleaning): numeric literals in
   // the events props JSON replaced by a placeholder; counts verify how
   // many values were touched. Pattern stays in the Java∩RE2 subset.
@@ -643,5 +683,6 @@ object TextAnalysis {
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
-    q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy)
+    q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy,
+    q92QualityTiers)
 }

@@ -23,6 +23,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows("q24_dedup_simhash") == rows("q22_dedup_jaccard"))
   }
 
+  test("prefix filtering recovers the exact jaccard pair set (lossless " +
+      "by the prefix theorem, unlike the df-capped variant)") {
+    assert(rows("q91_dedup_jaccard_prefix") == rows("q22_dedup_jaccard"))
+  }
+
   test("simhash candidates come from a banded equi-join, not all-pairs") {
     val plan = SparkEntry.queries("q24_dedup_simhash")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -80,7 +80,8 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // exchange; at toy SF the planner may legally broadcast the build
     // side on top of it
     Seq("q22_dedup_jaccard", "q61_curation", "q63_dedup_jaccard_capped",
-      "q23_dedup_minhash", "q58_embed_neardup_lsh").foreach { q =>
+      "q23_dedup_minhash", "q58_embed_neardup_lsh",
+      "q91_dedup_jaccard_prefix").foreach { q =>
       val p = plan(q)
       assert(p.contains("REPARTITION_BY_COL"),
         s"$q lost the keyed pre-join repartition")
