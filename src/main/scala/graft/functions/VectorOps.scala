@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{ByteEntropy, DotProduct, L2Norm, MinHashSignature, RollingHash, ShingleSet}
+import graft.plans.{ByteEntropy, DotProduct, L2Norm, MinHashSignature, RollingHash, ShingleSet, SortedIntersectCount}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -19,6 +19,8 @@ object VectorOps {
       exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_entropy",
       exprs => ByteEntropy(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => {
         val k = exprs(1) match {
@@ -57,6 +59,10 @@ object VectorOps {
   /** Shannon entropy (bits/char) of a string's byte distribution. */
   def byteEntropy(s: Column): Column =
     call_function("graft_byte_entropy", s)
+
+  /** |a ∩ b| for duplicate-free arrays sorted in binary string order. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_count", a, b)
   def minhash(arr: Column, numHashes: Int): Column =
     call_function("graft_minhash", arr,
       org.apache.spark.sql.functions.lit(numHashes))

@@ -315,3 +315,52 @@ object ByteEntropy {
     ent
   }
 }
+
+/** Count of common elements of two SORTED string arrays via a single
+  * linear merge — the exact-verification kernel of the dedup tier
+  * (|A ∩ B| for candidate pairs). `array_intersect` materializes a
+  * hash set and an output array per row; candidate verification only
+  * needs the COUNT, and both sides are deduplicated in-row by
+  * [[ShingleSet]], so a two-pointer merge over `sort_array`ed inputs
+  * does strictly less work with zero allocation. Comparison is
+  * UTF8String binary order — the same order `sort_array` applies, so
+  * callers sort once per document (in-row) and every candidate pair
+  * reuses the sorted form.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Static helper shared by eval and generated code. Inputs must be
+    * duplicate-free and ascending in UTF8String binary order.
+    */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}

@@ -93,6 +93,33 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("sorted intersect count: parity with array_intersect on seeded " +
+      "random duplicate-free sorted arrays; empty and disjoint edges") {
+    VectorOps.register(spark)
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 60).map(i => s"tok$i")
+    val cases = (1 to 150).map { _ =>
+      val a = rnd.shuffle(vocab).take(rnd.nextInt(20)).sorted
+      val b = rnd.shuffle(vocab).take(rnd.nextInt(20)).sorted
+      (a, b)
+    } ++ Seq((Seq.empty[String], Seq("x")), (Seq("x"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("c", "d")), (Seq("a", "b"), Seq("a", "b")))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        VectorOps.sortedIntersectCount(col("a"), col("b")).as("c"),
+        size(array_intersect(col("a"), col("b"))).as("expect"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3),
+        s"a=${r.getSeq[String](0)} b=${r.getSeq[String](1)}")
+    }
+    val nul = Seq((Some(Seq("a")), Option.empty[Seq[String]]))
+      .toDF("a", "b")
+      .select(VectorOps.sortedIntersectCount(col("a"), col("b")))
+      .collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("byte entropy: reference parity, closed forms, null, empty") {
     VectorOps.register(spark)
     def ref(s: String): Double = {
