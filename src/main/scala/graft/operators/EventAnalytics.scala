@@ -219,6 +219,33 @@ object EventAnalytics {
            |FROM a JOIN c ON a.user_id = c.user_id
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Hot-key diagnostic — the query an operator runs BEFORE deciding
+    * to salt (q51/q52) or lean on AQE skew splitting: the 10 heaviest
+    * join/agg keys with their share of the relation. One keyed
+    * partial+final aggregate (the per-key count relation is the thing
+    * being diagnosed, so it exists anyway), a broadcast 1-row total,
+    * and a TakeOrdered top-10 — no global sort, output O(10) at any
+    * corpus size.
+    */
+  val q94SkewProfile: QueryDef = QueryDef(
+    "q94_skew_profile",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      counts
+        .join(counts.agg(sum("n").as("total")))
+        .select(col("user_id"), col("n"),
+          Round4(col("n").cast(DoubleType) / col("total")).as("share"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(10)
+    },
+    Some(s"""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events
+            |          GROUP BY 1),
+            |t AS (SELECT SUM(n) AS total FROM c)
+            |SELECT user_id, n,
+            |  ${Round4.sql("CAST(n AS DOUBLE) / total")} AS share
+            |FROM c, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q83Funnel, q84Decay, q85Burst, q86Histogram,
-    q89Retention)
+    q89Retention, q94SkewProfile)
 }

@@ -268,6 +268,47 @@ object TextAnalysis {
             |  ${graft.Round4.sql("AVG(n_tokens)")} AS avg_tokens
             |FROM w GROUP BY lang, tier ORDER BY lang, tier""".stripMargin))
 
+  /** The 100 TB quantile path made real: q67 documents that exact
+    * `percentile` (per-group sort) swaps to `percentile_approx`
+    * (mergeable GK sketch, no sort) at scale — this query RUNS that
+    * swap and gates it the q44 way: the hash-matched columns are the
+    * exact interpolated quantiles, plus booleans asserting the sketch
+    * output brackets inside the surrounding exact quartiles (a bound
+    * the GK rank guarantee implies at any corpus size; the sketch
+    * values themselves are algorithm-specific and can never
+    * hash-match a different engine).
+    */
+  val q93TokenQuantilesApprox: QueryDef = QueryDef(
+    "q93_token_quantiles_approx",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("nt",
+          size(split(lower(col("text")), " ")).cast(DoubleType))
+      d.groupBy(col("lang"))
+        .agg(
+          expr("percentile(nt, array(0.25D, 0.5D, 0.75D, 0.9D))")
+            .as("ex"),
+          expr("percentile_approx(nt, array(0.5D, 0.9D), 1000)")
+            .as("ap"),
+          count(lit(1)).as("docs"))
+        .select(col("lang"), col("docs"),
+          graft.Round4(col("ex")(1)).as("p50"),
+          graft.Round4(col("ex")(3)).as("p90"),
+          (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(2))
+            .as("approx_p50_ok"),
+          (col("ap")(1) >= col("ex")(2)).as("approx_p90_ok"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, COUNT(*) AS docs,
+            |  ${graft.Round4.sql(
+              "quantile_cont(CAST(len(string_split(lower(text), ' ')) " +
+                "AS DOUBLE), 0.5)")} AS p50,
+            |  ${graft.Round4.sql(
+              "quantile_cont(CAST(len(string_split(lower(text), ' ')) " +
+                "AS DOUBLE), 0.9)")} AS p90,
+            |  true AS approx_p50_ok, true AS approx_p90_ok
+            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
   // Scrubbing/redaction (training-data cleaning): numeric literals in
   // the events props JSON replaced by a placeholder; counts verify how
   // many values were touched. Pattern stays in the Java∩RE2 subset.
@@ -684,5 +725,5 @@ object TextAnalysis {
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
     q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy,
-    q92QualityTiers)
+    q92QualityTiers, q93TokenQuantilesApprox)
 }

@@ -194,6 +194,15 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert("Window".r.findAllIn(p).nonEmpty)
   }
 
+  test("q94: skew profile is TakeOrderedAndProject over a broadcast " +
+      "1-row total — no global sort, no cartesian blowup") {
+    val p = plan("q94_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "total join must be broadcast")
+  }
+
   test("q87: entropy is per-row codegen — no Generate (explode), no " +
       "join, one keyed aggregation") {
     val p = plan("q87_char_entropy")
