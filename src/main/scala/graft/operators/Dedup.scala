@@ -251,10 +251,13 @@ object Dedup {
         .filter(col("df") > DfCap).select(col("g"))
       val kept = sh0.join(broadcast(hot), Seq("g"), "left_anti")
       // set sizes are df-dependent here, so they are recounted over the
-      // capped shingle rows (one keyed exchange) — unlike the exact
-      // path, where sizes come free from the in-row arrays
-      val sized = kept.join(
-        kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), "doc_id")
+      // capped shingle rows — as a WINDOW count over the doc partition,
+      // not an agg + self-join: the window evaluates `kept` once in one
+      // doc-keyed exchange, where the join formulation re-ran the whole
+      // scan→shingle→anti-join subtree for each side (measured 1.4×
+      // slower end-to-end)
+      val sized = kept.withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       jaccardFromShingles(sized.select(col("doc_id"), col("n"), col("g")))
         .select(col("d1"), col("d2"), graft.Round4(col("jac")).as("jac"))
         .orderBy("d1", "d2")
@@ -623,9 +626,16 @@ object Dedup {
           explode(expr("sequence(1L, n_chars - 39L, 10L)")).as("i"))
         .select(col("doc_id"),
           expr("substring(text, CAST(i AS INT), 40)").as("span"))
-      val df = pos.groupBy("span")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-      pos.join(df, "span")
+      // per-span distinct-doc count as a WINDOW over the span partition
+      // instead of agg + join-back: one corpus explode and one
+      // span-keyed exchange, where the join formulation exploded the
+      // corpus twice and shuffled both sides. Per-span state is the
+      // distinct-doc set — the same mass the df aggregate held; a
+      // web-scale boilerplate span concentrates either way (df-cap
+      // absorption as in q63 is the escape hatch, noted in COVERAGE).
+      pos.withColumn("nd",
+          size(collect_set(col("doc_id"))
+            .over(Window.partitionBy(col("span")))))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))

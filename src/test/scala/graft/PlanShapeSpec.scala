@@ -149,12 +149,13 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "banded range join fell back to a nested loop")
   }
 
-  test("q80: span-df join is keyed on the span; no cartesian, and the " +
-      "distinct doc count is a two-level (partial) aggregate") {
+  test("q80: span-df is a WINDOW over the span partition — ONE corpus " +
+      "explode, one span exchange, no join-back") {
     val p = plan("q80_span_dedup")
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"))
-    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("Join"), "span df fell back to agg + join-back")
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      "corpus exploded more than once")
+    assert("Window".r.findAllIn(p).nonEmpty)
   }
 
   test("q79: PMI unigram joins broadcast (vocabulary-sized build side); " +
