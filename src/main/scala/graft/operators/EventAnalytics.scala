@@ -246,6 +246,90 @@ object EventAnalytics {
             |  ${Round4.sql("CAST(n AS DOUBLE) / total")} AS share
             |FROM c, t ORDER BY n DESC, user_id LIMIT 10""".stripMargin))
 
+  /** SCD type-2 interval construction from a change log — the
+    * warehouse temporal-modeling primitive: collapse each user's event
+    * stream into validity intervals [valid_from, valid_to) over the
+    * tracked attribute (event_type), keeping only change points. Two
+    * stacked windows (change detection via lag, interval close via
+    * lead) over ONE (user_id, ts) sort — Catalyst plans a single
+    * exchange + sort and evaluates both frames in that pass. The open
+    * interval's valid_to is NULL, exactly the SCD-2 "current row"
+    * convention. Timestamps travel as epoch µs so neither engine
+    * formats time zones.
+    */
+  val q95Scd2: QueryDef = QueryDef(
+    "q95_scd2",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+      val changes = events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val wc = Window.partitionBy("user_id").orderBy("us")
+      changes
+        .withColumn("valid_to", lead(col("us"), 1).over(wc))
+        .select(col("user_id"), col("event_type"),
+          col("us").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_type,
+           |         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+           |c AS (
+           |  SELECT user_id, event_type, us,
+           |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY us)
+           |      AS prev
+           |  FROM e)
+           |SELECT user_id, event_type, us AS valid_from,
+           |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS valid_to
+           |FROM c WHERE prev IS NULL OR prev <> event_type
+           |ORDER BY user_id, valid_from""".stripMargin))
+
+  private val MadK = 3.0
+
+  /** Robust outlier accounting: events beyond `median ± 3·MAD` per
+    * type — the data-quality rule that survives heavy tails where
+    * mean/stddev break. Two exact-percentile passes (median of values,
+    * then median of absolute deviations) joined back by the 5-key
+    * group — both joins broadcast group-cardinality relations, the
+    * fact table shuffles once per pass. At 100 TB the same shape runs
+    * on `percentile_approx` (the q93-gated swap).
+    */
+  val q96Outliers: QueryDef = QueryDef(
+    "q96_outliers",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("m"))
+      val mad = e.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - m), 0.5D)").as("mad"),
+          first(col("m")).as("m"))
+      e.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("value") - col("m")) > col("mad") * MadK, 1L)
+            .otherwise(0L)).as("n_outliers"),
+          Round4(first(col("m"))).as("median"),
+          Round4(first(col("mad"))).as("mad"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH med AS (
+            |  SELECT event_type, quantile_cont(value, 0.5) AS m
+            |  FROM events GROUP BY 1),
+            |mad AS (
+            |  SELECT e.event_type,
+            |    quantile_cont(abs(e.value - med.m), 0.5) AS mad,
+            |    ANY_VALUE(med.m) AS m
+            |  FROM events e JOIN med USING (event_type) GROUP BY 1)
+            |SELECT e.event_type, COUNT(*) AS n,
+            |  CAST(SUM(CASE WHEN abs(e.value - mad.m) > $MadK * mad.mad
+            |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+            |  ${Round4.sql("ANY_VALUE(mad.m)")} AS median,
+            |  ${Round4.sql("ANY_VALUE(mad.mad)")} AS mad
+            |FROM events e JOIN mad USING (event_type)
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q83Funnel, q84Decay, q85Burst, q86Histogram,
-    q89Retention, q94SkewProfile)
+    q89Retention, q94SkewProfile, q95Scd2, q96Outliers)
 }
