@@ -330,6 +330,40 @@ object EventAnalytics {
             |FROM events e JOIN mad USING (event_type)
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Statistical aggregate family — Pearson correlation, regression
+    * slope, and sample stddev of value against event time per type
+    * (drift detection: a nonzero slope means the metric trends inside
+    * the window). All three are single-pass mergeable aggregates
+    * (partial moment sums per map task, one 5-key exchange) — the same
+    * map-side-combine shape as COUNT/SUM, just with higher moments.
+    * The slope is rescaled from per-µs to per-hour so the 4-dp
+    * rounding gate sees a stable magnitude.
+    */
+  val q97StatsAgg: QueryDef = QueryDef(
+    "q97_stats_agg",
+    (s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          unix_micros(col("ts")).cast(DoubleType).as("us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Round4(corr(col("value"), col("us"))).as("corr_vt"),
+          Round4(expr("regr_slope(value, us)") * lit(3600e6))
+            .as("slope_per_hour"),
+          Round4(stddev_samp(col("value"))).as("sd"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT event_type, value,
+            |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS us
+            |  FROM events)
+            |SELECT event_type, COUNT(*) AS n,
+            |  ${Round4.sql("corr(value, us)")} AS corr_vt,
+            |  ${Round4.sql("regr_slope(value, us) * 3600e6")}
+            |    AS slope_per_hour,
+            |  ${Round4.sql("stddev_samp(value)")} AS sd
+            |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q83Funnel, q84Decay, q85Burst, q86Histogram,
-    q89Retention, q94SkewProfile, q95Scd2, q96Outliers)
+    q89Retention, q94SkewProfile, q95Scd2, q96Outliers, q97StatsAgg)
 }
