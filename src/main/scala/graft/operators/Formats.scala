@@ -73,5 +73,43 @@ object Formats {
             |FROM read_csv_auto('$CsvPath', header = true)
             |GROUP BY source ORDER BY source""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q69JsonlScan, q73CsvScan)
+  /** The committed schema-evolution fixture: two parquet "snapshots"
+    * of the same logical table whose schemas drifted (snap2 drops
+    * `source`, adds `quality`) — the normal state of a recurring dump
+    * after months of producer changes. Regenerate:
+    * `sbt "runMain graft.tools.GenEvolutionFixture"`.
+    */
+  val EvolutionDir = "/root/repo/fixtures/evolution"
+
+  // Schema-evolution ingest: per-file explicit schemas +
+  // unionByName(allowMissingColumns) — absent columns become NULLs on
+  // the side that lacks them, by NAME, never by position (a positional
+  // union would silently pour `quality` doubles into `n_chars`).
+  // Count(col) null-skip semantics then report column availability per
+  // language — the coverage question every backfill decision starts
+  // from. Scale: both reads are plain parquet scans; the union is a
+  // zero-shuffle concatenation; one keyed agg.
+  val q98SchemaEvolution: QueryDef = QueryDef(
+    "q98_schema_evolution",
+    (s, dir) => {
+      val snap1 = s.read.parquet(s"$EvolutionDir/snap1.parquet")
+      val snap2 = s.read.parquet(s"$EvolutionDir/snap2.parquet")
+      snap1.unionByName(snap2, allowMissingColumns = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          count(col("source")).as("with_source"),
+          count(col("quality")).as("with_quality"),
+          graft.Round4(avg(col("quality"))).as("avg_quality"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, COUNT(*) AS docs,
+            |  COUNT(source) AS with_source,
+            |  COUNT(quality) AS with_quality,
+            |  ${graft.Round4.sql("AVG(quality)")} AS avg_quality
+            |FROM read_parquet(
+            |  ['$EvolutionDir/snap1.parquet',
+            |   '$EvolutionDir/snap2.parquet'], union_by_name = true)
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q69JsonlScan, q73CsvScan, q98SchemaEvolution)
 }
