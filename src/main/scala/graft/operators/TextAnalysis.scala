@@ -309,6 +309,59 @@ object TextAnalysis {
             |  true AS approx_p50_ok, true AS approx_p90_ok
             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Unigram cross-entropy scoring — the CCNet-style "perplexity
+    * bucket" quality signal with the corpus itself as the language
+    * model: each document scores the average self-information
+    * (bits/token) of its tokens under the corpus unigram
+    * distribution. Template spam (high-probability tokens) scores
+    * LOW, lexically rich text high, gibberish highest — the thresholds
+    * head/middle/tail bucketing runs on. Two corpus passes (the
+    * information-theoretic minimum: one to build the LM, one to
+    * score) + a broadcast of the vocabulary-sized count relation; at
+    * web scale the broadcast becomes the trained top-K vocab with an
+    * OOV floor, same shape.
+    */
+  val q99UnigramXent: QueryDef = QueryDef(
+    "q99_unigram_xent",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(lower(col("text")), " ")).as("t"))
+        .filter(col("t") =!= "")
+      val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = uni.agg(sum(col("c")).as("n"))
+      val perDoc = toks.join(broadcast(uni), Seq("t"))
+        .join(broadcast(n))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(avg(-log2(col("c").cast(DoubleType) / col("n")))
+          .as("bits_per_token"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          graft.Round4(avg(col("bits_per_token"))).as("avg_bits"),
+          graft.Round4(min(col("bits_per_token"))).as("min_bits"),
+          graft.Round4(max(col("bits_per_token"))).as("max_bits"))
+        .orderBy("source")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, source, t FROM (
+            |    SELECT doc_id, source,
+            |      unnest(string_split(lower(text), ' ')) AS t
+            |    FROM documents) u WHERE t <> ''),
+            |uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+            |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+            |pd AS (
+            |  SELECT toks.doc_id, toks.source,
+            |    AVG(-LOG2(CAST(uni.c AS DOUBLE) / n.n)) AS bits
+            |  FROM toks JOIN uni USING (t) CROSS JOIN n
+            |  GROUP BY 1, 2)
+            |SELECT source, COUNT(*) AS docs,
+            |  ${graft.Round4.sql("AVG(bits)")} AS avg_bits,
+            |  ${graft.Round4.sql("MIN(bits)")} AS min_bits,
+            |  ${graft.Round4.sql("MAX(bits)")} AS max_bits
+            |FROM pd GROUP BY source ORDER BY source""".stripMargin),
+    bench = true)
+
   // Scrubbing/redaction (training-data cleaning): numeric literals in
   // the events props JSON replaced by a placeholder; counts verify how
   // many values were touched. Pattern stays in the Java∩RE2 subset.
@@ -740,5 +793,5 @@ object TextAnalysis {
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
     q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy,
-    q92QualityTiers, q93TokenQuantilesApprox)
+    q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent)
 }
