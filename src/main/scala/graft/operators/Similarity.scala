@@ -592,6 +592,64 @@ object Similarity {
             |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin),
     bench = true)
 
+  private val NumNegatives = 4
+
+  /** Deterministic negative sampling for contrastive training — pair
+    * each query vector with K pseudo-random corpus vectors and score
+    * them, the relation a hard-negative miner filters. The "random"
+    * index is pure integer arithmetic (Knuth multiplicative hash of
+    * (qid, j) mod corpus size), NOT an engine hash or rand(): both
+    * engines compute the identical pairing, the same property that
+    * makes q57/q60's splits reproducible. Plan: the tiny (query × K)
+    * pair relation joins the corpus keyed on vec_id — one fact-side
+    * shuffle; queries broadcast. At 10⁹ vectors the same pairing is
+    * how you avoid the cross join no negative sampler can afford.
+    */
+  val q100NegativeSampling: QueryDef = QueryDef(
+    "q100_negative_sampling",
+    (s, dir) => {
+      val e = normed(s, dir)
+      val n = e.agg(max(col("vec_id")).as("maxid"))
+      val q = e.filter(col("vec_id") < NumQueryVecs)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val pairs = q.join(broadcast(n))
+        .withColumn("j", explode(sequence(lit(1), lit(NumNegatives))))
+        .withColumn("neg_id",
+          lit(NumQueryVecs) +
+            (col("qid") * 2654435761L + col("j") * 40503L) %
+              (col("maxid") - NumQueryVecs + 1))
+      pairs.join(e, pairs("neg_id") === e("vec_id"))
+        .withColumn("sim", cosine(col("qv"), col("v"), col("qn"),
+          col("nrm")))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+          graft.Round4(avg(col("sim"))).as("avg_sim"),
+          graft.Round4(max(col("sim"))).as("hardest_sim"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |n AS (SELECT MAX(vec_id) AS maxid FROM e),
+            |q AS (SELECT vec_id AS qid, v AS qv FROM e
+            |      WHERE vec_id < $NumQueryVecs),
+            |pairs AS (
+            |  SELECT q.qid, q.qv, j,
+            |    $NumQueryVecs + (q.qid * 2654435761 + j * 40503) %
+            |      (n.maxid - $NumQueryVecs + 1) AS neg_id
+            |  FROM q CROSS JOIN n
+            |    CROSS JOIN (SELECT unnest(range(1, ${NumNegatives + 1}))
+            |                AS j))
+            |SELECT p.qid, COUNT(*) AS k,
+            |  ${graft.Round4.sql(
+              "AVG(list_cosine_similarity(p.qv, e.v))")} AS avg_sim,
+            |  ${graft.Round4.sql(
+              "MAX(list_cosine_similarity(p.qv, e.v))")} AS hardest_sim
+            |FROM pairs p JOIN e ON p.neg_id = e.vec_id
+            |GROUP BY p.qid ORDER BY p.qid""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
-    q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq)
+    q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
+    q100NegativeSampling)
 }
