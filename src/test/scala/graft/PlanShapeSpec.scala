@@ -195,6 +195,16 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert("Window".r.findAllIn(p).nonEmpty)
   }
 
+  test("multi-consumer relations stay materialized: the persisted " +
+      "corpus relations appear as InMemoryTableScan, not as repeated " +
+      "corpus re-evaluation (q91 sets, q68 tf, q79 vocab, q72 normed)") {
+    Seq("q91_dedup_jaccard_prefix", "q68_tfidf", "q79_bigram_pmi",
+      "q72_ann_ivfpq").foreach { q =>
+      assert(plan(q).contains("InMemoryTableScan"),
+        s"$q lost its persist — every consumer re-runs the corpus scan")
+    }
+  }
+
   test("q94: skew profile is TakeOrderedAndProject over a broadcast " +
       "1-row total — no global sort, no cartesian blowup") {
     val p = plan("q94_skew_profile")
