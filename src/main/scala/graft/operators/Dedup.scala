@@ -726,9 +726,51 @@ object Dedup {
     Some(jaccardOracle),
     bench = true)
 
+  private val EditDistMax = 4
+
+  /** Fuzzy entity matching by edit distance with BLOCKING — the
+    * entity-resolution shape: candidate pairs come from an equi-join
+    * on a cheap blocking key (here the first name token — the
+    * color/size word of a part name), then the expensive
+    * `levenshtein` runs only inside blocks. A direct
+    * `levenshtein(a, b) <= k` self-join has no equi key and plans a
+    * cartesian product — the non-starter every ER pipeline exists to
+    * avoid; blocking bounds each key's pair count by block size², the
+    * same contract as the LSH band joins. Distance-0 pairs are exact
+    * duplicate names (the fixture has them: 200 parts over a small
+    * vocabulary), reported alongside near-misses.
+    */
+  val q103FuzzyNameMatch: QueryDef = QueryDef(
+    "q103_fuzzy_name_match",
+    (s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val a = p.select(col("blk"), col("p_partkey").as("k1"),
+        col("p_name").as("n1"))
+      val b = p.select(col("blk"), col("p_partkey").as("k2"),
+        col("p_name").as("n2"))
+      a.join(b, Seq("blk")).filter(col("k1") < col("k2"))
+        .withColumn("dist", levenshtein(col("n1"), col("n2")))
+        .filter(col("dist") <= EditDistMax)
+        .groupBy(col("n1"), col("n2"), col("dist"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("n1", "n2", "dist")
+    },
+    Some(s"""WITH p AS (
+            |  SELECT p_partkey, p_name,
+            |    string_split(p_name, ' ')[1] AS blk FROM part)
+            |SELECT a.p_name AS n1, b.p_name AS n2,
+            |  levenshtein(a.p_name, b.p_name) AS dist,
+            |  COUNT(*) AS n_pairs
+            |FROM p a JOIN p b
+            |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+            |WHERE levenshtein(a.p_name, b.p_name) <= $EditDistMax
+            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
     q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
     q65Decontamination, q66DedupClusters, q74IncrementalNeardup,
-    q80SpanDedup, q91DedupJaccardPrefix)
+    q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch)
 }

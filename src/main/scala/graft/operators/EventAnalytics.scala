@@ -364,6 +364,100 @@ object EventAnalytics {
             |  ${Round4.sql("stddev_samp(value)")} AS sd
             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Funnel timing — how long conversion takes, not just whether it
+    * happens: for users completing q83's view→click→purchase funnel,
+    * the end-to-end seconds from first view to qualifying purchase.
+    * Reuses the q83 single-exchange window chain verbatim and adds one
+    * global aggregate over the ≤1-row-per-user relation; converter
+    * counts stay consistent with q83 by construction.
+    */
+  val q101FunnelTiming: QueryDef = QueryDef(
+    "q101_funnel_timing",
+    (s, dir) => {
+      val perUser = Window.partitionBy("user_id")
+      val t1 = events(s, dir)
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("us"))).over(perUser))
+      val t2 = t1.withColumn("t2",
+        min(when(col("event_type") === "click" &&
+            col("us") > col("t1") &&
+            col("us") <= col("t1") + StepUs, col("us"))).over(perUser))
+      val t3 = t2.withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+            col("us") > col("t2") &&
+            col("us") <= col("t2") + StepUs, col("us"))).over(perUser))
+      t3.groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t3").as("t3"))
+        .filter(col("t3").isNotNull)
+        .agg(count(lit(1)).as("converted"),
+          Round4(avg((col("t3") - col("t1")).cast(DoubleType)
+            / lit(1000000d))).as("avg_seconds"),
+          Round4(expr(
+            "percentile(CAST(t3 - t1 AS DOUBLE) / 1000000, 0.5D)"))
+            .as("median_seconds"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT user_id, event_type,
+            |         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+            |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+            |       WHERE event_type = 'view' GROUP BY 1),
+            |s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e
+            |       JOIN s1 ON e.user_id = s1.user_id
+            |       WHERE e.event_type = 'click' AND e.us > s1.t1
+            |         AND e.us <= s1.t1 + ${StepUs}
+            |       GROUP BY 1),
+            |s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e
+            |       JOIN s2 ON e.user_id = s2.user_id
+            |       WHERE e.event_type = 'purchase' AND e.us > s2.t2
+            |         AND e.us <= s2.t2 + ${StepUs}
+            |       GROUP BY 1)
+            |SELECT COUNT(*) AS converted,
+            |  ${Round4.sql("AVG(CAST(s3.t3 - s1.t1 AS DOUBLE) / 1000000)")}
+            |    AS avg_seconds,
+            |  ${Round4.sql("quantile_cont(CAST(s3.t3 - s1.t1 AS DOUBLE)" +
+              " / 1000000, 0.5)")} AS median_seconds
+            |FROM s3 JOIN s1 ON s3.user_id = s1.user_id""".stripMargin))
+
+  /** Event-type co-occurrence (market-basket lite): for each unordered
+    * type pair, how many users exhibit both, as absolute support and a
+    * share of all users. The pair join runs on the DISTINCT
+    * (user, type) relation — bounded by users × types, tiny next to
+    * the event log — and co-partitions on user_id, so the only
+    * fact-sized work is the initial distinct. Association/affinity
+    * mining's candidate-generation shape.
+    */
+  val q102Cooccurrence: QueryDef = QueryDef(
+    "q102_cooccurrence",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      // user total joins as a broadcast 1-row aggregate — never a
+      // driver-side action (the q62 copy-safe idiom)
+      val users = d.agg(countDistinct(col("user_id")).as("nu"))
+      val a = d.select(col("user_id"), col("event_type").as("t1"))
+      val b = d.select(col("user_id"), col("event_type").as("t2"))
+      a.join(b, Seq("user_id")).filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("n_users"))
+        .join(broadcast(users))
+        .withColumn("support",
+          Round4(col("n_users").cast(DoubleType) / col("nu")))
+        .select(col("t1"), col("t2"), col("n_users"), col("support"))
+        .orderBy("t1", "t2")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT DISTINCT user_id, event_type FROM events),
+            |u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM d)
+            |SELECT a.event_type AS t1, b.event_type AS t2,
+            |  COUNT(*) AS n_users,
+            |  ${Round4.sql("CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(u.nu)")}
+            |    AS support
+            |FROM d a JOIN d b ON a.user_id = b.user_id
+            |  AND a.event_type < b.event_type
+            |CROSS JOIN u
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q83Funnel, q84Decay, q85Burst, q86Histogram,
-    q89Retention, q94SkewProfile, q95Scd2, q96Outliers, q97StatsAgg)
+    q89Retention, q94SkewProfile, q95Scd2, q96Outliers, q97StatsAgg,
+    q101FunnelTiming, q102Cooccurrence)
 }
