@@ -457,7 +457,77 @@ object EventAnalytics {
             |CROSS JOIN u
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** User-growth curve: first-seen date per user → daily new-user
+    * counts → cumulative total. "Cumulative distinct" without any
+    * distinct-over-window (which no engine supports): first-seen
+    * assignment is one keyed aggregate, and the running sum then
+    * operates on the POST-AGGREGATION days-cardinality relation — ≤ a
+    * few thousand rows for a decade of data — where a single ordered
+    * window partition is the right plan at any corpus size (the fact
+    * table never enters a global window).
+    */
+  val q104Growth: QueryDef = QueryDef(
+    "q104_growth",
+    (s, dir) => {
+      val firstSeen = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .groupBy("user_id").agg(min("d").as("d"))
+      val daily = firstSeen.groupBy("d")
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_users", sum("new_users").over(w))
+        .orderBy("d")
+    },
+    Some("""WITH f AS (
+           |  SELECT user_id,
+           |    MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+           |  FROM events GROUP BY 1),
+           |n AS (SELECT d, COUNT(*) AS new_users FROM f GROUP BY 1)
+           |SELECT d, new_users,
+           |  CAST(SUM(new_users) OVER (ORDER BY d
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+           |FROM n ORDER BY d""".stripMargin))
+
+  /** Timeliness/completeness audit against a generated calendar spine:
+    * every day between the corpus bounds, its event count, and a gap
+    * flag — the data-quality check that catches silently missing
+    * ingest days (a plain GROUP BY cannot report a day that has no
+    * rows at all). The spine generates from a 1-row bounds aggregate
+    * (days-cardinality, broadcast); daily counts are one keyed agg of
+    * the fact table.
+    */
+  val q105GapDetection: QueryDef = QueryDef(
+    "q105_gap_detection",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("ts").cast("date").as("d"))
+      val bounds = e.agg(min("d").as("lo"), max("d").as("hi"))
+      val spine = bounds.select(explode(
+        expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      val daily = e.groupBy("d").agg(count(lit(1)).as("n"))
+      spine.join(daily, Seq("d"), "left_outer")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n"),
+          when(col("n").isNull, 1).otherwise(0).as("is_gap"))
+        .orderBy("d")
+    },
+    Some("""WITH b AS (
+           |  SELECT MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS lo,
+           |         MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hi
+           |  FROM events),
+           |spine AS (
+           |  SELECT CAST(unnest(generate_series(b.lo, b.hi,
+           |    INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+           |daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+           |         COUNT(*) AS n
+           |  FROM events GROUP BY 1)
+           |SELECT spine.d, COALESCE(daily.n, 0) AS n,
+           |  CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS is_gap
+           |FROM spine LEFT JOIN daily ON spine.d = daily.d
+           |ORDER BY spine.d""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q83Funnel, q84Decay, q85Burst, q86Histogram,
     q89Retention, q94SkewProfile, q95Scd2, q96Outliers, q97StatsAgg,
-    q101FunnelTiming, q102Cooccurrence)
+    q101FunnelTiming, q102Cooccurrence, q104Growth, q105GapDetection)
 }
