@@ -773,9 +773,65 @@ object Dedup {
             |WHERE levenshtein(a.p_name, b.p_name) <= $EditDistMax
             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  /** Duplicate-cluster sizes via a RECURSIVE CTE (Spark 4.x
+    * `WITH RECURSIVE`) — the declarative twin of q66's imperative
+    * pointer-jumping loop: bounded-depth transitive closure over the
+    * near-dup pair graph, component id = least reachable doc, then
+    * cluster-size accounting. Spark's recursion supports UNION ALL
+    * only, so the closure caps at depth 8 (≥ the fixture graph's
+    * diameter; a component wider than the cap would split — which is
+    * exactly why the UNBOUNDED path stays q66's O(log d)
+    * pointer-jumping, not recursion). The OR-join in the step walks a
+    * 25-pair broadcast edge relation — constant-sized here; at web
+    * scale the edge relation is corpus-sized and this whole shape
+    * yields to q66.
+    */
+  val q106DedupClosureSql: QueryDef = QueryDef(
+    "q106_dedup_closure_sql",
+    (s, dir) => {
+      exactJaccardPairs(Tables.load(s, dir, "documents"))
+        .select(col("d1"), col("d2"))
+        .createOrReplaceTempView("q106_edges")
+      s.sql("""WITH RECURSIVE reach(a, b, lvl) AS (
+        |  SELECT d1 AS a, d2 AS b, 1 AS lvl FROM q106_edges
+        |  UNION ALL
+        |  SELECT d2 AS a, d1 AS b, 1 AS lvl FROM q106_edges
+        |  UNION ALL
+        |  SELECT r.a,
+        |    CASE WHEN r.b = e.d1 THEN e.d2 ELSE e.d1 END AS b,
+        |    r.lvl + 1
+        |  FROM reach r JOIN q106_edges e
+        |    ON r.b = e.d1 OR r.b = e.d2
+        |  WHERE r.lvl < 8)
+        |SELECT comp, COUNT(*) AS size FROM (
+        |  SELECT a, LEAST(MIN(b), a) AS comp FROM reach GROUP BY a)
+        |GROUP BY comp ORDER BY comp""".stripMargin)
+    },
+    Some(jaccardCtesFor(None).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+        |edges AS (
+        |  SELECT d1, d2 FROM pc
+        |  JOIN sz s1 ON pc.d1 = s1.doc_id
+        |  JOIN sz s2 ON pc.d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.8),
+        |reach(a, b, lvl) AS (
+        |  SELECT d1 AS a, d2 AS b, 1 AS lvl FROM edges
+        |  UNION ALL
+        |  SELECT d2 AS a, d1 AS b, 1 AS lvl FROM edges
+        |  UNION ALL
+        |  SELECT r.a,
+        |    CASE WHEN r.b = e.d1 THEN e.d2 ELSE e.d1 END AS b,
+        |    r.lvl + 1
+        |  FROM reach r JOIN edges e ON r.b = e.d1 OR r.b = e.d2
+        |  WHERE r.lvl < 8)
+        |SELECT comp, COUNT(*) AS size FROM (
+        |  SELECT a, LEAST(MIN(b), a) AS comp FROM reach GROUP BY a)
+        |GROUP BY comp ORDER BY comp""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
     q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
     q65Decontamination, q66DedupClusters, q74IncrementalNeardup,
-    q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch)
+    q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch,
+    q106DedupClosureSql)
 }

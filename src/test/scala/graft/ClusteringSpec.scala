@@ -58,6 +58,16 @@ class ClusteringSpec extends AnyFunSuite {
       "component vertex set != near-dup pair vertex set")
   }
 
+  test("q106 recursive-CTE closure reproduces q66's cluster sizes " +
+      "(declarative vs pointer-jumping on the same pair graph)") {
+    val viaSql = SparkEntry.queries("q106_dedup_closure_sql")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = SparkEntry.queries("q66_dedup_clusters")(spark, dir)
+      .select(col("cluster"), col("members")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaLoop)
+  }
+
   test("q67 quantiles are ordered and bracket the per-lang extremes") {
     SparkEntry.queries("q67_token_quantiles")(spark, dir)
       .collect().foreach { r =>
