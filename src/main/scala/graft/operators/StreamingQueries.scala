@@ -258,7 +258,45 @@ object StreamingQueries {
     },
     EventAnalytics.q83Funnel.oracle)
 
+  /** STREAMING curation — the q61 composition (quality gate →
+    * content dedup → retention accounting) run over the documents
+    * table as a continuous stream, the shape a live-crawl ingest
+    * pipeline actually runs. Quality gate is stateless per-row;
+    * dedup is streaming dropDuplicates keyed on
+    * (lang, source, content-hash) — deterministic because every
+    * duplicate of a hash carries identical accounted values, so
+    * arrival order cannot change the aggregate; accounting is a
+    * complete-mode group count. Dedup state here is the distinct-hash
+    * set (unbounded); a production deployment bounds it with
+    * dropDuplicatesWithinWatermark on ingest time, exactly as q41
+    * does for events.
+    */
+  val q107StreamCuration: QueryDef = QueryDef(
+    "q107_stream_curation",
+    (s, dir) => {
+      val docs = EventsStream.readDocuments(s, dir)
+        .withColumn("n_tokens", size(split(lower(col("text")), " ")))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 80)
+        .withColumn("h", md5(col("text")))
+        .dropDuplicates("lang", "source", "h")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("chars"))
+      EventsStream.runToCompletion(s, docs)
+        .orderBy("lang", "source")
+    },
+    Some("""WITH d AS (
+           |  SELECT DISTINCT lang, source, md5(text) AS h, n_chars
+           |  FROM documents
+           |  WHERE len(string_split(lower(text), ' '))
+           |        BETWEEN 20 AND 80)
+           |SELECT lang, source, COUNT(*) AS docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM d GROUP BY lang, source
+           |ORDER BY lang, source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
-    q76StreamEnrich, q82StreamThreshold, q90StreamFunnel)
+    q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,
+    q107StreamCuration)
 }

@@ -43,6 +43,25 @@ object EventsStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Streaming view of the documents table — the text-corpus stream a
+    * continuous-crawl pipeline consumes. Same symlink-directory +
+    * explicit-schema contract as [[readEvents]] (no ns-timestamp
+    * normalization needed; documents carry no event time).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Paths.get(
+      s"/tmp/graft_stream_docs_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("documents.parquet")
+    if (!Files.exists(link))
+      try Files.createSymbolicLink(link,
+        Paths.get(s"$dir/documents.parquet"))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
   /** Run a streaming aggregation to completion over the static fixture
     * and return the final result as a batch DataFrame.
     */
