@@ -81,6 +81,68 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(total == Tables.load(spark, dir, "customer").count())
   }
 
+  test("scd2: per-user intervals are disjoint, ordered, and exactly " +
+      "one open (NULL valid_to) interval per user") {
+    val rows = operators.EventAnalytics.q95Scd2.build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      sorted.foreach { case (_, from, to) => assert(from < to) }
+      sorted.sliding(2).foreach {
+        case Array((_, _, to1), (_, from2, _)) => assert(to1 == from2,
+          s"user $u: intervals not contiguous")
+        case _ => ()
+      }
+      assert(ivs.count(_._3 == Long.MaxValue) == 1,
+        s"user $u: open-interval count != 1")
+    }
+  }
+
+  test("outliers: robust stats sane (0 <= outliers < n, mad >= 0)") {
+    operators.EventAnalytics.q96Outliers.build(spark, dir)
+      .collect().foreach { r =>
+        val n = r.getLong(1); val out = r.getLong(2)
+        assert(out >= 0 && out < n)
+        assert(r.getDouble(4) >= 0) // mad
+      }
+  }
+
+  test("cooccurrence: support bounded by the rarer member's user count") {
+    val d = events.select("user_id", "event_type").distinct()
+    val perType = d.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    operators.EventAnalytics.q102Cooccurrence.build(spark, dir)
+      .collect().foreach { r =>
+        val (t1, t2, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        assert(n <= math.min(perType(t1), perType(t2)))
+        val s = r.getDouble(3)
+        assert(s > 0 && s <= 1)
+      }
+  }
+
+  test("growth: cumulative count is monotone and ends at the distinct " +
+      "user total") {
+    val rows = operators.EventAnalytics.q104Growth.build(spark, dir)
+      .collect().map(r => r.getLong(2))
+    assert(rows.sameElements(rows.sorted))
+    assert(rows.last == events.select("user_id").distinct().count())
+  }
+
+  test("gap detection: spine is contiguous daily and counts sum to " +
+      "the full event total") {
+    val rows = operators.EventAnalytics.q105GapDetection.build(spark, dir)
+      .collect()
+    val days = rows.map(r => r.getDate(0).toLocalDate)
+    days.sliding(2).foreach {
+      case Array(a, b) => assert(b == a.plusDays(1), s"gap in spine: $a→$b")
+      case _ => ()
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.load(spark, dir, "events").count())
+  }
+
   test("decay: weights bounded by (0, 1] so each type's decayed sum " +
       "is below its plain sum") {
     val decayed = EventAnalytics.q84Decay.build(spark, dir)
