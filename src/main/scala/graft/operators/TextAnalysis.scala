@@ -362,6 +362,57 @@ object TextAnalysis {
             |FROM pd GROUP BY source ORDER BY source""".stripMargin),
     bench = true)
 
+  private val MixAlpha = 0.5   // temperature exponent (T = 1/α = 2)
+  private val MixBudget = 1e6  // global token budget to allocate
+
+  /** Temperature-based mixture weights — the α-sampling allocation
+    * multilingual/multi-source training mixes actually use: raw token
+    * share `p_i` flattened to `p_i^α / Σ p_j^α` (α < 1 up-weights
+    * low-resource slices), a global token budget allocated by the
+    * flattened weight, and the implied epoch count (allocation ÷
+    * available tokens) that tells you which slice will over-repeat.
+    * One corpus aggregate to per-lang token counts, a broadcast 1-row
+    * normalizer, then pure arithmetic — the corpus is touched once
+    * regardless of slice count.
+    */
+  val q108MixTemperature: QueryDef = QueryDef(
+    "q108_mix_temperature",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          size(split(lower(col("text")), " ")).cast("long").as("nt"))
+        .groupBy("lang").agg(sum("nt").as("tokens"))
+      val norm = counts
+        .agg(sum(pow(col("tokens").cast(DoubleType), MixAlpha)).as("z"),
+          sum(col("tokens")).as("total"))
+      counts.join(broadcast(norm))
+        .withColumn("w",
+          pow(col("tokens").cast(DoubleType), MixAlpha) / col("z"))
+        .select(col("lang"), col("tokens"),
+          graft.Round4(col("tokens").cast(DoubleType) / col("total"))
+            .as("raw_share"),
+          graft.Round4(col("w")).as("mix_weight"),
+          graft.Round4(col("w") * MixBudget / col("tokens"))
+            .as("epochs"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH c AS (
+            |  SELECT lang,
+            |    CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+            |      AS tokens
+            |  FROM documents GROUP BY 1),
+            |z AS (SELECT SUM(POW(CAST(tokens AS DOUBLE), $MixAlpha)) AS z,
+            |             CAST(SUM(tokens) AS BIGINT) AS total FROM c)
+            |SELECT lang, tokens,
+            |  ${graft.Round4.sql("CAST(tokens AS DOUBLE) / total")}
+            |    AS raw_share,
+            |  ${graft.Round4.sql(
+              s"POW(CAST(tokens AS DOUBLE), $MixAlpha) / z")} AS mix_weight,
+            |  ${graft.Round4.sql(
+              s"POW(CAST(tokens AS DOUBLE), $MixAlpha) / z * $MixBudget" +
+                " / tokens")} AS epochs
+            |FROM c, z ORDER BY lang""".stripMargin))
+
   // Scrubbing/redaction (training-data cleaning): numeric literals in
   // the events props JSON replaced by a placeholder; counts verify how
   // many values were touched. Pattern stays in the Java∩RE2 subset.
@@ -793,5 +844,6 @@ object TextAnalysis {
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
     q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy,
-    q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent)
+    q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
+    q108MixTemperature)
 }
