@@ -413,6 +413,51 @@ object TextAnalysis {
                 " / tokens")} AS epochs
             |FROM c, z ORDER BY lang""".stripMargin))
 
+  private val ChunkLen = 32   // tokens per chunk
+  private val ChunkStride = 24 // 8-token overlap between neighbors
+
+  /** Overlapping token-window chunking — the RAG/embedding-ingest
+    * preprocessing step: each document becomes fixed-size chunks with
+    * an 8-token overlap so no sentence is split without context on
+    * either side. Start positions stop at `max(len − 8, 1)`, so the
+    * tail chunk keeps at least 9 tokens instead of emitting confetti. Pure in-row array
+    * arithmetic fused with the scan (one explode of start offsets,
+    * ~len/stride rows per doc); at corpus scale this is the map-only
+    * stage feeding the embedding model, and the (doc_id, chunk_id) key
+    * it emits is exactly what joins embeddings back to spans.
+    */
+  val q109Chunking: QueryDef = QueryDef(
+    "q109_chunking",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1),
+            greatest(size(col("w")) - 8, lit(1)),
+            lit(ChunkStride))).as("i"))
+        .select(col("doc_id"),
+          expr(s"(i - 1) div $ChunkStride").as("chunk_id"),
+          concat_ws(" ", slice(col("w"), col("i"), lit(ChunkLen)))
+            .as("chunk"),
+          least(size(col("w")) - col("i") + 1, lit(ChunkLen))
+            .as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+            |  FROM documents),
+            |c AS (
+            |  SELECT doc_id, (i - 1) // $ChunkStride AS chunk_id,
+            |    array_to_string(toks[i : i + ${ChunkLen - 1}], ' ')
+            |      AS chunk,
+            |    LEAST(len(toks) - i + 1, $ChunkLen) AS n_tokens
+            |  FROM (SELECT doc_id, toks,
+            |          unnest(range(1, GREATEST(len(toks) - 7, 2),
+            |            $ChunkStride)) AS i
+            |        FROM w) u)
+            |SELECT doc_id, chunk_id, chunk, n_tokens FROM c
+            |ORDER BY doc_id, chunk_id""".stripMargin))
+
   // Scrubbing/redaction (training-data cleaning): numeric literals in
   // the events props JSON replaced by a placeholder; counts verify how
   // many values were touched. Pattern stays in the Java∩RE2 subset.
@@ -845,5 +890,5 @@ object TextAnalysis {
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
     q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy,
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
-    q108MixTemperature)
+    q108MixTemperature, q109Chunking)
 }
