@@ -295,8 +295,30 @@ object StreamingQueries {
            |FROM d GROUP BY lang, source
            |ORDER BY lang, source""".stripMargin))
 
+  /** The q86 value histogram maintained INCREMENTALLY over the event
+    * stream — the live-dashboard distribution monitor. Bin assignment
+    * is stateless per-row; the complete-mode aggregate keeps one
+    * running (count, sum) per (type, bin) — state bounded by the bin
+    * grid, not the stream. Shares q86's oracle verbatim: stream/batch
+    * equivalence, the q90 pattern.
+    */
+  val q110StreamHistogram: QueryDef = QueryDef(
+    "q110_stream_histogram",
+    (s, dir) => {
+      val binned = EventsStream.readEvents(s, dir)
+        .select(col("event_type"),
+          floor(col("value") / 50d).cast("long").as("bin"),
+          col("value"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          graft.Round4(sum("value")).as("sum_value"))
+      EventsStream.runToCompletion(s, binned)
+        .orderBy("event_type", "bin")
+    },
+    EventAnalytics.q86Histogram.oracle)
+
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,
-    q107StreamCuration)
+    q107StreamCuration, q110StreamHistogram)
 }
