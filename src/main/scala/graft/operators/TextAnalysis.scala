@@ -714,11 +714,11 @@ object TextAnalysis {
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            |      AS cum_excl
            |  FROM d)
-           |SELECT lang, cum_excl // 2048 AS bin,
+           |SELECT lang, CAST(cum_excl // 2048 AS BIGINT) AS bin,
            |  COUNT(*) AS docs, CAST(SUM(nt) AS BIGINT) AS tokens,
            |  floor((CAST(SUM(nt) AS DOUBLE) / 2048) * 10000 + 0.5)
            |    / 10000 AS fill
-           |FROM c GROUP BY lang, cum_excl // 2048
+           |FROM c GROUP BY lang, CAST(cum_excl // 2048 AS BIGINT)
            |ORDER BY lang, bin""".stripMargin),
     bench = true)
 
