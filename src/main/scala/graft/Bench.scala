@@ -35,7 +35,14 @@ object Bench {
       coresOverride = Some(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
 
-    val defs = SparkEntry.benchDefs
+    // Optional local-iteration filter (the driver never sets it):
+    // bench only queries whose name contains any given substring.
+    val defs = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(pats) =>
+        val ps = pats.split(",").toSeq
+        SparkEntry.benchDefs.filter(d => ps.exists(d.name.contains))
+      case None => SparkEntry.benchDefs
+    }
 
     // one timed execution; count() drains the whole plan
     def run(d: QueryDef): Option[Double] = {

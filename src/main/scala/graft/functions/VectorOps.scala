@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{ByteEntropy, DotProduct, L2Norm, MinHashSignature, RollingHash, ShingleSet, SortedIntersectCount}
+import graft.plans.{ByteEntropy, DotProduct, L2Norm, MinHashSignature, RollingHash, ShingleHashSet, ShingleSet, SortedIntersectCount, SortedLongIntersectCount}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -49,6 +49,22 @@ object VectorOps {
         }
         ShingleSet(exprs(0), len)
       }, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => {
+        val len = exprs(1) match {
+          case lit if lit.foldable => lit.eval(null) match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_shingle_hashes: shingleLen must be an integer " +
+                s"literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_shingle_hashes: shingleLen must be a literal, not a column")
+        }
+        ShingleHashSet(exprs(0), len)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_long_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -71,6 +87,15 @@ object VectorOps {
   def shingles(text: Column, shingleLen: Int): Column =
     call_function("graft_shingles", text,
       org.apache.spark.sql.functions.lit(shingleLen))
+
+  /** Sorted distinct xxhash64 word-n-gram shingle hashes. */
+  def shingleHashes(text: Column, shingleLen: Int): Column =
+    call_function("graft_shingle_hashes", text,
+      org.apache.spark.sql.functions.lit(shingleLen))
+
+  /** |a ∩ b| for duplicate-free ascending long arrays. */
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_long_intersect_count", a, b)
 
   /** cosine(a, b) given precomputed norms — dot/(na*nb), matching the
     * lambda formulation bit-for-bit.

@@ -76,6 +76,42 @@ object Dedup {
       .withColumn("n", size(col("gs")))
   }
 
+  /** [[shingleSets]] with 64-bit hashed shingles: doc_id → (gs: SORTED
+    * distinct xxhash64 shingle array, n = |gs|), all in-row via the
+    * codegen'd [[graft.plans.ShingleHashSet]]. The whole downstream
+    * pipeline — inverted-index keys, df aggregation, verify merge —
+    * moves from ~20-byte strings to 8-byte longs, and the verify
+    * needs no `sort_array` pass at all (the expression emits sorted).
+    */
+  private def hashedShingleSets(docs: DataFrame): DataFrame = {
+    graft.functions.VectorOps.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        graft.functions.VectorOps
+          .shingleHashes(lower(col("text")), ShingleLen).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .withColumn("n", size(col("gs")))
+  }
+
+  /** [[verifyPairs]] over [[hashedShingleSets]] relations: the arrays
+    * are already sorted longs, so the per-pair intersection is the
+    * primitive two-pointer merge with no per-document sort.
+    */
+  private def verifyPairsHashed(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val a = sets.select(col("doc_id").as("d1"),
+      col("gs").as("gs1"), col("n").as("n1"))
+    val b = sets.select(col("doc_id").as("d2"),
+      col("gs").as("gs2"), col("n").as("n2"))
+    cand.join(a, "d1").join(b, "d2")
+      .withColumn("c", graft.functions.VectorOps
+        .sortedLongIntersectCount(col("gs1"), col("gs2")))
+      .withColumn("jac",
+        col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), graft.Round4(col("jac")).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
   /** Exact Jaccard for given candidate pairs (d1 < d2), via the in-row
     * shingle sets ([[shingleSets]] — no aggregation needed). Used as the
     * verification stage after LSH/SimHash candidate generation;
@@ -702,7 +738,7 @@ object Dedup {
       // CTE materialization — disk-backed at 100 TB (the "write the
       // encoded corpus once, reuse it" pipeline stage every production
       // dedup run has anyway).
-      val sets = shingleSets(Tables.load(s, dir, "documents"))
+      val sets = hashedShingleSets(Tables.load(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sh0 = sets.select(col("doc_id"), col("n"),
         explode(col("gs")).as("g"))
@@ -710,11 +746,13 @@ object Dedup {
       val wDoc = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("g"))
       // prefix length n − ⌈t·n⌉ + 1 with t = JaccardThreshold = 4/5,
-      // in exact integer math
+      // in exact integer math; r (the token's rank in the df-ordered
+      // set) and n ride along into the index rows for the positional
+      // filter below.
       val pref = sh0.join(dfRel, Seq("g"))
         .withColumn("r", row_number().over(wDoc))
         .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-        .select(col("doc_id"), col("g"))
+        .select(col("doc_id"), col("g"), col("r"), col("n"))
       // same reused-exchange self-join discipline as jaccardFromShingles.
       // NO pre-verify distinct: with df-ordered prefixes a pair rarely
       // shares more than one prefix token (measured 122k raw vs 119k
@@ -722,11 +760,30 @@ object Dedup {
       // verify work yet costs a full exchange+aggregate of the pair
       // relation; the tiny verified survivor set dedups for free.
       val pr = pref.repartition(col("g"))
-      val cand = pr.select(col("doc_id").as("d1"), col("g"))
-        .join(pr.select(col("doc_id").as("d2"), col("g")), Seq("g"))
+      // POSITIONAL filter (the "PP" of PPJoin, Xiao et al. WWW'08):
+      // common tokens align monotonically under the global order, so
+      // for a shared token at ranks (p1, p2) the overlap is at most
+      // min(p1,p2) [commons ≤ g, g included] + min(n1−p1, n2−p2)
+      // [commons > g]. J ≥ 4/5 forces overlap ≥ ⌈4(n1+n2)/9⌉, and a
+      // true pair satisfies the bound on EVERY shared-token row, so
+      // per-row filtering loses nothing. Plus the length filter
+      // (J ≥ t ⇒ min(n) ≥ t·max(n)). Both run inside the join's
+      // codegen stage — candidates die before the sorted-merge verify
+      // ever touches their shingle arrays, which is the whole point:
+      // verify cost goes from "every colliding pair" to "pairs that
+      // could actually clear the threshold".
+      val cand = pr.select(col("doc_id").as("d1"), col("g"),
+          col("r").as("p1"), col("n").as("na"))
+        .join(pr.select(col("doc_id").as("d2"), col("g"),
+          col("r").as("p2"), col("n").as("nb")), Seq("g"))
         .filter(col("d1") < col("d2"))
+        .filter(lit(5) * least(col("na"), col("nb")) >=
+          lit(4) * greatest(col("na"), col("nb")))
+        .filter(least(col("p1"), col("p2")) +
+          least(col("na") - col("p1"), col("nb") - col("p2")) >=
+          expr("(4 * (na + nb) + 8) div 9"))
         .select(col("d1"), col("d2"))
-      verifyPairs(cand, sets).distinct().orderBy("d1", "d2")
+      verifyPairsHashed(cand, sets).distinct().orderBy("d1", "d2")
     },
     Some(jaccardOracle),
     bench = true)

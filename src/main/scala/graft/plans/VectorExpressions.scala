@@ -190,6 +190,141 @@ object ShingleSet {
   }
 }
 
+/** DISTINCT word-n-gram shingles of a (pre-lowercased) text as a
+  * SORTED array of 64-bit xxhash64 values — the hashed sibling of
+  * [[ShingleSet]] for pipelines that never need the shingle text back
+  * (candidate generation + exact-verify by intersection COUNT). Two
+  * wins over the string form, both material at corpus scale:
+  *
+  *  - zero string allocation: because tokens are single-space-joined,
+  *    every shingle IS a contiguous byte slice of the input text, so
+  *    the hash runs directly over `(base, offset+start, len)` — no
+  *    substring, no StringBuilder, no UTF8String per shingle;
+  *  - everything downstream is 8-byte primitives: the inverted-index
+  *    shuffle keys on a long instead of a ~20-byte string, and the
+  *    verify merge compares longs instead of UTF8Strings.
+  *
+  * A 64-bit collision (two distinct shingles, equal hash, meeting in
+  * the same document or candidate pair) would perturb a set size or an
+  * intersection count; at ~10¹¹ shingles corpus-wide the birthday term
+  * is ~10⁻³ per FULL corpus and ~10⁻¹⁰ at fixture scale — the same
+  * trade MinHash/LSH already makes, and deterministic (xxhash64 is
+  * seed-fixed, so a green run stays green).
+  */
+case class ShingleHashSet(child: Expression, shingleLen: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleHashSet.compute(a.asInstanceOf[UTF8String], shingleLen)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.ShingleHashSet.compute($a, $shingleLen);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashSet = copy(child = newChild)
+}
+
+object ShingleHashSet {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Static helper shared by eval and generated code. Tokenization
+    * matches [[ShingleSet]] exactly: split on single spaces, empty
+    * tokens kept (0x20 never occurs inside a UTF-8 multibyte sequence,
+    * so byte-level scanning is character-exact).
+    */
+  def compute(text: UTF8String, len: Int): ArrayData = {
+    val nBytes = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    // token start offsets: 0 and every byte after a space
+    var nTok = 1
+    var i = 0
+    while (i < nBytes) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20)
+        nTok += 1
+      i += 1
+    }
+    if (nTok < len) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < nBytes) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    starts(nTok) = nBytes + 1 // sentinel: "space" one past the end
+    val nSh = nTok - len + 1
+    val hs = new Array[Long](nSh)
+    var k = 0
+    while (k < nSh) {
+      val s = starts(k)
+      val e = starts(k + len) - 1 // end of token k+len-1 (excl. space)
+      hs(k) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s, e - s, 0L)
+      k += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var w = 0
+    k = 0
+    while (k < nSh) {
+      if (k == 0 || hs(k) != hs(k - 1)) { hs(w) = hs(k); w += 1 }
+      k += 1
+    }
+    val out = new Array[Any](w)
+    k = 0
+    while (k < w) { out(k) = hs(k); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** |A ∩ B| of two duplicate-free ASCENDING long arrays by two-pointer
+  * merge — [[SortedIntersectCount]] for the hashed-shingle form
+  * ([[ShingleHashSet]] emits sorted arrays, so no `sort_array` pass is
+  * needed at all).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersectCount.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.SortedLongIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** All K MinHash signature values of a string array in ONE pass:
   * `sig[k] = min over elements e of g_k(e)` where the K hash families
   * come from Kirsch–Mitzenmacher double hashing over two xxhash64

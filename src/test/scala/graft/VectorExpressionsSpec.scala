@@ -120,6 +120,70 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("shingle hash set: per-element xxhash64 parity with the string " +
+      "shingle set, sortedness, dedup, null/short-text edges") {
+    VectorOps.register(spark)
+    val rnd = new scala.util.Random(7)
+    val words = Seq("the", "quick", "brown", "fox", "", "a", "über",
+      "数据", "x'y", "z\"w")
+    val randomTexts = (1 to 200).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    }
+    val edge = Seq("", " ", "  ", "a b c", "a  b  c", "a b c d e",
+      "same same same same", " leading", "trailing ", "one two")
+    val inputs = (randomTexts ++ edge).distinct
+    // reference: xxhash64(seed 0) of every STRING shingle, sorted set —
+    // Spark's xxhash64() function uses seed 42, so hash via the same
+    // catalyst helper the expression uses
+    def refHash(s: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType, 0L)
+    val got = inputs.toDF("s")
+      .select(col("s"),
+        VectorOps.shingleHashes(col("s"), 3).as("h"),
+        VectorOps.shingles(col("s"), 3).as("g"))
+      .collect()
+    got.foreach { r =>
+      val h = r.getSeq[Long](1)
+      val expect = r.getSeq[String](2).map(refHash).distinct.sorted
+      assert(h == expect, s"text='${r.getString(0)}'")
+      assert(h == h.distinct.sorted)
+    }
+    val nul = Seq(Option.empty[String]).toDF("s")
+      .select(VectorOps.shingleHashes(col("s"), 3)).collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
+  test("sorted long intersect count: parity with array_intersect on " +
+      "seeded random sorted long arrays; empty/disjoint/null edges") {
+    VectorOps.register(spark)
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 60).map(i => rnd.nextLong())
+    val cases = (1 to 150).map { _ =>
+      val a = rnd.shuffle(vocab).take(rnd.nextInt(20)).sorted
+      val b = rnd.shuffle(vocab).take(rnd.nextInt(20)).sorted
+      (a, b)
+    } ++ Seq((Seq.empty[Long], Seq(1L)), (Seq(1L), Seq.empty[Long]),
+      (Seq(Long.MinValue, 0L), Seq(Long.MaxValue)),
+      (Seq(-5L, 3L), Seq(-5L, 3L)))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        VectorOps.sortedLongIntersectCount(col("a"), col("b")).as("c"),
+        size(array_intersect(col("a"), col("b"))).as("expect"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3),
+        s"a=${r.getSeq[Long](0)} b=${r.getSeq[Long](1)}")
+    }
+    val nul = Seq((Some(Seq(1L)), Option.empty[Seq[Long]]))
+      .toDF("a", "b")
+      .select(VectorOps.sortedLongIntersectCount(col("a"), col("b")))
+      .collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("byte entropy: reference parity, closed forms, null, empty") {
     VectorOps.register(spark)
     def ref(s: String): Double = {
