@@ -31,4 +31,62 @@ object Fixtures {
     */
   def pqCodebook(s: SparkSession): DataFrame =
     s.read.parquet(pqCodebookPath)
+
+  /** The PQ codebook flattened for the in-row [[graft.plans.PqCodes]] /
+    * [[graft.plans.PqLut]] kernels: entry (m, cid) dim d at
+    * `(m*K + cid)*subDim + d`. Driver-side collect of a 128-row
+    * broadcast-sized fixture (same class as the chunk-bounds and
+    * k-means-training collects — metadata, not a data path), cached per
+    * session so repeated query builds don't re-read the parquet.
+    */
+  def pqCodebookFlat(s: SparkSession, k: Int, subDim: Int): Array[Double] =
+    flatCache.computeIfAbsent((s, k, subDim), _ => {
+      val rows = pqCodebook(s).collect()
+      val m = rows.length / k
+      val flat = new Array[Double](m * k * subDim)
+      rows.foreach { r =>
+        val mi = r.getAs[Int]("m")
+        val cid = r.getAs[Int]("cid")
+        val cv = r.getAs[scala.collection.Seq[Double]]("cv")
+        var d = 0
+        while (d < subDim) {
+          flat((mi * k + cid) * subDim + d) = cv(d)
+          d += 1
+        }
+      }
+      flat
+    })
+
+  private val flatCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Int),
+      Array[Double]]()
+
+  /** The IVF centroid table packed for the in-row
+    * [[graft.plans.CentroidTopK]] kernel: per cid (ascending, dense),
+    * `[cn, cv(0), …, cv(dim-1)]` where cn is the L2 norm computed with
+    * the same sequential accumulation as [[graft.plans.L2Norm]] (so
+    * cosines downstream are bit-identical to the relational spelling).
+    */
+  def ivfCentroidsPacked(s: SparkSession): Array[Double] =
+    packedCache.computeIfAbsent(s, _ => {
+      val rows = ivfCentroids(s).collect()
+      val dim = rows.head.getAs[scala.collection.Seq[Double]]("cv").length
+      val flat = new Array[Double](rows.length * (dim + 1))
+      rows.foreach { r =>
+        val cid = r.getAs[Int]("cid")
+        val cv = r.getAs[scala.collection.Seq[Double]]("cv")
+        var acc = 0.0
+        var d = 0
+        while (d < dim) { val x = cv(d); acc += x * x; d += 1 }
+        val off = cid * (dim + 1)
+        flat(off) = math.sqrt(acc)
+        d = 0
+        while (d < dim) { flat(off + 1 + d) = cv(d); d += 1 }
+      }
+      flat
+    })
+
+  private val packedCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      Array[Double]]()
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{ByteEntropy, DotProduct, L2Norm, MinHashSignature, RollingHash, ShingleHashSet, ShingleSet, SortedIntersectCount, SortedLongIntersectCount}
+import graft.plans.{ByteEntropy, CentroidTopK, DotProduct, L2Norm, MinHashSignature, PqAdcSum, PqCodes, PqLut, RollingHash, ShingleHashSet, ShingleSet, SortedIntersectCount, SortedLongIntersectCount}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -65,6 +65,41 @@ object VectorOps {
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_long_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc_sum",
+      exprs => {
+        val k = exprs(2) match {
+          case lit if lit.foldable => lit.eval(null) match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_pq_adc_sum: numCentroids must be an integer " +
+                s"literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_pq_adc_sum: numCentroids must be a literal, not a column")
+        }
+        PqAdcSum(exprs(0), exprs(1), k)
+      }, "built-in")
+    def intLit(name: String, arg: String)(e: org.apache.spark.sql
+        .catalyst.expressions.Expression): Int = e match {
+      case lit if lit.foldable => lit.eval(null) match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$name: $arg must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$name: $arg must be a literal, not a column")
+    }
+    reg.createOrReplaceTempFunction("graft_pq_codes",
+      exprs => PqCodes(exprs(0), exprs(1),
+        intLit("graft_pq_codes", "numCentroids")(exprs(2)),
+        intLit("graft_pq_codes", "subDim")(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_lut",
+      exprs => PqLut(exprs(0), exprs(1),
+        intLit("graft_pq_lut", "numCentroids")(exprs(2)),
+        intLit("graft_pq_lut", "subDim")(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction("graft_centroid_topk",
+      exprs => CentroidTopK(exprs(0), exprs(1), exprs(2),
+        intLit("graft_centroid_topk", "k")(exprs(3))), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -96,6 +131,30 @@ object VectorOps {
   /** |a ∩ b| for duplicate-free ascending long arrays. */
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_long_intersect_count", a, b)
+
+  /** Σ_m lut[m*numCentroids + codes[m]] — PQ asymmetric-distance sum. */
+  def pqAdcSum(codes: Column, lut: Column, numCentroids: Int): Column =
+    call_function("graft_pq_adc_sum", codes, lut,
+      org.apache.spark.sql.functions.lit(numCentroids))
+
+  /** All M PQ sub-codes of a vector vs a flattened constant codebook. */
+  def pqCodes(v: Column, book: Column, numCentroids: Int,
+      subDim: Int): Column =
+    call_function("graft_pq_codes", v, book,
+      org.apache.spark.sql.functions.lit(numCentroids),
+      org.apache.spark.sql.functions.lit(subDim))
+
+  /** Flattened M×K quantized ADC LUT of a query vector. */
+  def pqLut(v: Column, book: Column, numCentroids: Int,
+      subDim: Int): Column =
+    call_function("graft_pq_lut", v, book,
+      org.apache.spark.sql.functions.lit(numCentroids),
+      org.apache.spark.sql.functions.lit(subDim))
+
+  /** Top-k centroid ids by cosine vs a packed constant centroid table. */
+  def centroidTopK(v: Column, nrm: Column, packed: Column, k: Int): Column =
+    call_function("graft_centroid_topk", v, nrm, packed,
+      org.apache.spark.sql.functions.lit(k))
 
   /** cosine(a, b) given precomputed norms — dot/(na*nb), matching the
     * lambda formulation bit-for-bit.

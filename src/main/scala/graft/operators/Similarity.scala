@@ -227,8 +227,12 @@ object Similarity {
       val lists = nearest(e.filter(col("vec_id") >= NumQueryVecs), 1)
       val probes = nearest(e.filter(col("vec_id") < NumQueryVecs), 2)
         .withColumnRenamed("vec_id", "qid")
+      // no distinct needed: each corpus vector sits in exactly ONE
+      // inverted list (rank-1 assignment) and a query's probe cids are
+      // distinct by construction, so (qid, vec_id) cannot repeat —
+      // the oracle's DISTINCT is a no-op on the same grounds
       val cand = probes.join(lists, "cid")
-        .select(col("qid"), col("vec_id")).distinct()
+        .select(col("qid"), col("vec_id"))
       val qv = broadcast(e.filter(col("vec_id") < NumQueryVecs)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nrm").as("qn")))
@@ -324,6 +328,7 @@ object Similarity {
     bench = true)
 
   private val PqSubDim = 8 // 64 dims → 8 subspaces × 8 dims
+  private val PqNumCentroids = 16 // = tools.TrainPqCodebook.K
 
   // PQ/ADC ANN — the memory-bound scale path (Jégou et al., "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011): the corpus
@@ -343,26 +348,26 @@ object Similarity {
     "q64_ann_pq",
     (s, dir) => {
       val e = normed(s, dir)
-      val book = broadcast(graft.Fixtures.pqCodebook(s))
-      def subDists(df: DataFrame): DataFrame = {
-        val sv = slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim))
-        df.crossJoin(book)
-          .withColumn("d2",
-            graft.functions.VectorOps.dot(sv, sv)
-              - lit(2) * graft.functions.VectorOps.dot(sv, col("cv"))
-              + graft.functions.VectorOps.dot(col("cv"), col("cv")))
-      }
-      // one-pass encode: nearest sub-centroid per (vector, subspace);
-      // ties to the lower cid, matching the oracle's row_number order
-      val codes = subDists(e.filter(col("vec_id") >= NumQueryVecs))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      val lut = subDists(e.filter(col("vec_id") < NumQueryVecs))
-        .select(col("vec_id").as("qid"), col("m"), col("cid"),
-          floor(col("d2") * 1000000 + 0.5).cast("long").as("d2u"))
-      val approx = codes.join(broadcast(lut), Seq("m", "cid"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(sum(col("d2u")).as("du"))
+      // one-pass IN-ROW encode + LUT (see q72 for the kernel contract:
+      // same dot-form and accumulation order as the crossJoin+min_by
+      // relational spelling, ties to the lower cid, so the oracle's
+      // row_number formulation hash-matches); the ADC scan is then one
+      // row per (query, corpus vector) from a bounded broadcast of the
+      // 20 query LUTs — no (m, cid) join, no 8× row blowup, no re-agg
+      val bookLit = typedLit(graft.Fixtures
+        .pqCodebookFlat(s, PqNumCentroids, PqSubDim).toSeq)
+      val codeArr = e.filter(col("vec_id") >= NumQueryVecs)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.pqCodes(col("v"), bookLit,
+            PqNumCentroids, PqSubDim).as("code"))
+      val lutArr = e.filter(col("vec_id") < NumQueryVecs)
+        .select(col("vec_id").as("qid"),
+          graft.functions.VectorOps.pqLut(col("v"), bookLit,
+            PqNumCentroids, PqSubDim).as("lut"))
+      val approx = codeArr.crossJoin(broadcast(lutArr))
+        .withColumn("du", graft.functions.VectorOps
+          .pqAdcSum(col("code"), col("lut"), PqNumCentroids))
+        .select(col("qid"), col("vec_id"), col("du"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("du"), col("vec_id"))
       approx.withColumn("rnk", row_number().over(w))
@@ -472,45 +477,49 @@ object Similarity {
     (s, dir) => {
       val Rerank = 3 * TopK
       val e = normed(s, dir)
-      val cents = broadcast(graft.Fixtures.ivfCentroids(s)
-        .withColumn("cn", graft.functions.VectorOps.l2norm(col("cv"))))
-      def nearest(df: DataFrame, keep: Int): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cid"))
-        df.join(cents)
-          .withColumn("csim",
-            cosine(col("v"), col("cv"), col("nrm"), col("cn")))
-          .withColumn("crnk", row_number().over(w))
-          .filter(col("crnk") <= keep)
-          .select(col("vec_id"), col("cid"))
-      }
+      // in-row coarse assignment: CentroidTopK evaluates the 16
+      // cosines and the (csim DESC, cid ASC) top-k inside one narrow
+      // codegen'd map against the packed constant centroid table —
+      // no corpus × K crossJoin, no vec_id-keyed window sort
+      val centsPacked = typedLit(graft.Fixtures
+        .ivfCentroidsPacked(s).toSeq)
+      def nearest(df: DataFrame, keep: Int): DataFrame =
+        df.select(col("vec_id"),
+          explode(graft.functions.VectorOps.centroidTopK(col("v"),
+            col("nrm"), centsPacked, keep)).as("cid"))
       val corpus = e.filter(col("vec_id") >= NumQueryVecs)
       val queries = e.filter(col("vec_id") < NumQueryVecs)
       val lists = nearest(corpus, 1)
       val probes = nearest(queries, 2).withColumnRenamed("vec_id", "qid")
+      // no distinct needed: each corpus vector sits in exactly ONE
+      // inverted list (rank-1 assignment) and a query's probe cids are
+      // distinct by construction, so (qid, vec_id) cannot repeat —
+      // the oracle's DISTINCT is a no-op on the same grounds
       val cand = probes.join(lists, "cid")
-        .select(col("qid"), col("vec_id")).distinct()
-      val book = broadcast(graft.Fixtures.pqCodebook(s))
-      def subDists(df: DataFrame): DataFrame = {
-        val sv = slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim))
-        df.crossJoin(book)
-          .withColumn("d2",
-            graft.functions.VectorOps.dot(sv, sv)
-              - lit(2) * graft.functions.VectorOps.dot(sv, col("cv"))
-              + graft.functions.VectorOps.dot(col("cv"), col("cv")))
-      }
-      val codes = subDists(corpus)
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      val lut = subDists(queries)
-        .select(col("vec_id").as("qid"), col("m"), col("cid"),
-          floor(col("d2") * 1000000 + 0.5).cast("long").as("d2u"))
-      // ADC over candidates only: the per-query LUT keys the join on
-      // (qid, m, cid), so list-pruned pairs never touch the code table
-      val adc = cand.join(codes, "vec_id")
-        .join(broadcast(lut), Seq("qid", "m", "cid"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(sum(col("d2u")).as("du"))
+        .select(col("qid"), col("vec_id"))
+      // in-row encode + LUT (the FAISS shape): the codebook is an ~8 KB
+      // constant, so PqCodes/PqLut compute each vector's 8 codes / each
+      // query's 8×16 quantized LUT inside one narrow codegen'd map —
+      // no corpus × (M·K) crossJoin, no min_by re-aggregation, no
+      // (qid, m, cid) LUT join. Distances use the same dot-form and
+      // accumulation order as the relational spelling, so ties and
+      // quantized values are bit-identical (the oracle asserts it).
+      val bookLit = typedLit(graft.Fixtures
+        .pqCodebookFlat(s, PqNumCentroids, PqSubDim).toSeq)
+      val codeArr = corpus.select(col("vec_id"),
+        graft.functions.VectorOps.pqCodes(col("v"), bookLit,
+          PqNumCentroids, PqSubDim).as("code"))
+      val lutArr = queries.select(col("vec_id").as("qid"),
+        graft.functions.VectorOps.pqLut(col("v"), bookLit,
+          PqNumCentroids, PqSubDim).as("lut"))
+      // ADC over candidates only, ONE ROW PER CANDIDATE: the per-query
+      // LUT rides a broadcast array join and the codegen'd PqAdcSum
+      // does the 8 table indexes in-row
+      val adc = cand.join(codeArr, "vec_id")
+        .join(broadcast(lutArr), "qid")
+        .withColumn("du", graft.functions.VectorOps
+          .pqAdcSum(col("code"), col("lut"), PqNumCentroids))
+        .select(col("qid"), col("vec_id"), col("du"))
       val wa = Window.partitionBy(col("qid"))
         .orderBy(col("du"), col("vec_id"))
       val shortlist = adc.withColumn("ar", row_number().over(wa))

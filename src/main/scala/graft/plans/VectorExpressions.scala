@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
@@ -322,6 +322,255 @@ object SortedLongIntersectCount {
       else j += 1
     }
     c
+  }
+}
+
+/** Asymmetric-distance (ADC) sum for product quantization: given a
+  * vector's PQ code array (`codes[m]` = centroid id of subspace m) and
+  * a query's flattened distance LUT (`lut[m*numCentroids + cid]` =
+  * quantized ‖q_m − c_{m,cid}‖²), returns Σ_m lut[m*K + codes[m]] —
+  * the whole ADC evaluation for one (query, candidate) pair in one
+  * codegen'd loop. Replaces the relational spelling (explode the code
+  * into M rows, equi-join the (qid, m, cid) LUT, sum back): one row
+  * per candidate instead of M, no join, no re-aggregation.
+  */
+case class PqAdcSum(left: Expression, right: Expression, numCentroids: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAdcSum.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], numCentroids)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.PqAdcSum.compute($a, $b, $numCentroids);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcSum {
+  /** Static helper shared by eval and generated code. */
+  def compute(codes: ArrayData, lut: ArrayData, k: Int): Long = {
+    val m = codes.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < m) {
+      acc += lut.getLong(i * k + codes.getInt(i))
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Shared distance kernel for the in-row PQ expressions: squared L2
+  * between a vector's m-th subspace slice and codebook entry (m, cid),
+  * in EXACTLY the dot-product form the relational formulation (and the
+  * DuckDB oracle) evaluates — `sv·sv − 2·sv·cv + cv·cv` with
+  * sequential left-to-right accumulation per dot — so quantized LUT
+  * values and argmin ties are bit-identical to the join+window
+  * spelling they replace.
+  */
+private[plans] object PqKernel {
+  /** book layout: flat array<double>, entry (m, cid) dim d at
+    * `(m*k + cid)*subDim + d`.
+    */
+  def subDist(v: ArrayData, book: ArrayData, m: Int, cid: Int,
+      k: Int, subDim: Int): Double = {
+    val vOff = m * subDim
+    val bOff = (m * k + cid) * subDim
+    var aa = 0.0; var ab = 0.0; var bb = 0.0
+    var d = 0
+    while (d < subDim) {
+      val x = v.getDouble(vOff + d)
+      aa += x * x
+      d += 1
+    }
+    d = 0
+    while (d < subDim) {
+      ab += v.getDouble(vOff + d) * book.getDouble(bOff + d)
+      d += 1
+    }
+    d = 0
+    while (d < subDim) {
+      val y = book.getDouble(bOff + d)
+      bb += y * y
+      d += 1
+    }
+    aa - 2.0 * ab + bb
+  }
+}
+
+/** In-row PQ encode: all M sub-codes of a vector against a constant
+  * flattened codebook (a `typedLit` — ~8 KB riding the task closure,
+  * the FAISS shape where encoding is a per-vector kernel, not a
+  * corpus × (M·K) `crossJoin` + min_by re-aggregation). Ties go to the
+  * lower cid, matching the `min_by(cid, struct(d2, cid))` order of the
+  * relational spelling.
+  */
+case class PqCodes(left: Expression, right: Expression,
+    numCentroids: Int, subDim: Int) extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqCodes.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      numCentroids, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.PqCodes.compute($a, $b, " +
+        s"$numCentroids, $subDim);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCodes =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqCodes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def compute(v: ArrayData, book: ArrayData, k: Int, subDim: Int)
+      : ArrayData = {
+    val m = book.numElements() / (k * subDim)
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = PqKernel.subDist(v, book, mi, 0, k, subDim)
+      var cid = 1
+      while (cid < k) {
+        val d2 = PqKernel.subDist(v, book, mi, cid, k, subDim)
+        if (d2 < bestD) { bestD = d2; best = cid }
+        cid += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** In-row PQ query LUT: the full M×K table of quantized asymmetric
+  * distances (`floor(d2·10⁶ + 0.5)` longs, entry (m, cid) at
+  * `m*K + cid`) for one query vector — the companion of [[PqCodes]]
+  * on the query side, feeding [[PqAdcSum]].
+  */
+case class PqLut(left: Expression, right: Expression,
+    numCentroids: Int, subDim: Int) extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqLut.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      numCentroids, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.PqLut.compute($a, $b, " +
+        s"$numCentroids, $subDim);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqLut =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqLut {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def compute(v: ArrayData, book: ArrayData, k: Int, subDim: Int)
+      : ArrayData = {
+    val m = book.numElements() / (k * subDim)
+    val out = new Array[Any](m * k)
+    var mi = 0
+    while (mi < m) {
+      var cid = 0
+      while (cid < k) {
+        val d2 = PqKernel.subDist(v, book, mi, cid, k, subDim)
+        out(mi * k + cid) = math.floor(d2 * 1000000.0 + 0.5).toLong
+        cid += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** In-row top-k coarse-quantizer assignment: the ids of the `k`
+  * centroids nearest (by cosine, ties to the lower cid) to a vector,
+  * against a PACKED constant centroid table (`typedLit` array laid out
+  * `[cn, cv(0), …, cv(dim-1)]` per cid — [[graft.Fixtures]] packs it).
+  * Replaces the corpus × K `crossJoin(centroids)` + `row_number`
+  * window (a K× row blowup and a vec_id-keyed exchange+sort) with one
+  * narrow codegen'd map. The cosine is evaluated EXACTLY as the
+  * relational spelling — sequential dot, `nrm * cn` product, one
+  * division — so assignments and ties are bit-identical.
+  */
+case class CentroidTopK(first: Expression, second: Expression,
+    third: Expression, k: Int) extends TernaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any, nrm: Any, packed: Any): Any =
+    CentroidTopK.compute(v.asInstanceOf[ArrayData],
+      nrm.asInstanceOf[Double], packed.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.plans.CentroidTopK.compute($a, $b, $c, $k);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): CentroidTopK =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object CentroidTopK {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def compute(v: ArrayData, nrm: Double, packed: ArrayData, k: Int)
+      : ArrayData = {
+    val dim = v.numElements()
+    val nc = packed.numElements() / (dim + 1)
+    val sims = new Array[Double](nc)
+    var cid = 0
+    while (cid < nc) {
+      val off = cid * (dim + 1)
+      val cn = packed.getDouble(off)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        dot += v.getDouble(d) * packed.getDouble(off + 1 + d)
+        d += 1
+      }
+      sims(cid) = dot / (nrm * cn)
+      cid += 1
+    }
+    val kk = math.min(k, nc)
+    val out = new Array[Any](kk)
+    val used = new Array[Boolean](nc)
+    var r = 0
+    while (r < kk) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      cid = 0
+      while (cid < nc) {
+        // strict > with ascending cid scan = (csim DESC, cid ASC) order
+        if (!used(cid) && (best < 0 || sims(cid) > bestSim)) {
+          best = cid; bestSim = sims(cid)
+        }
+        cid += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
