@@ -68,6 +68,7 @@ object Bench {
       s""""queries":${jsonMap(warm)},""" +
       s""""cold_total":${total(cold)},"queries_cold":${jsonMap(cold)},""" +
       s""""sf":"$sfDir"}""")
+    Caches.clear(spark)
     spark.stop()
   }
 }

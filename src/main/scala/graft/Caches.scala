@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped registry for the corpus relations query builders
+  * `persist` (q91 shingle sets, q68 tf, q79 vocab, the ANN tier's
+  * normed embeddings). Spark's cache manager dedups registrations by
+  * logical plan, so repeated builds of the same query — and different
+  * queries sharing a relation — reuse one cached copy; what it does
+  * NOT do is ever let go: a long-lived session running the full
+  * 112-query catalog would otherwise accumulate every cached relation
+  * for its lifetime. Routing persists through here gives the session
+  * owner one explicit release point — `Verify`/`Bench` call
+  * [[clear]] when their run is done, and a production pipeline calls
+  * it between stages.
+  */
+object Caches {
+  private val reg =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame,
+        java.lang.Boolean]())
+
+  /** Persist (MEMORY_AND_DISK) and register for later [[clear]]. */
+  def persist(df: DataFrame): DataFrame = {
+    reg.add(df)
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Unpersist every relation this registry holds for `spark`
+    * (non-blocking; in-flight queries recompute, nothing breaks).
+    */
+  def clear(spark: SparkSession): Unit = {
+    val it = reg.iterator()
+    while (it.hasNext) {
+      val df = it.next()
+      if (df.sparkSession eq spark) {
+        df.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+}

@@ -42,6 +42,9 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    // release every corpus relation the query builders persisted —
+    // without this a full-catalog session holds all of them for life
+    Caches.clear(spark)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

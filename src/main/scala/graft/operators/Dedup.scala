@@ -738,8 +738,8 @@ object Dedup {
       // CTE materialization — disk-backed at 100 TB (the "write the
       // encoded corpus once, reuse it" pipeline stage every production
       // dedup run has anyway).
-      val sets = hashedShingleSets(Tables.load(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sets = graft.Caches.persist(
+        hashedShingleSets(Tables.load(s, dir, "documents")))
       val sh0 = sets.select(col("doc_id"), col("n"),
         explode(col("gs")).as("g"))
       val dfRel = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))

@@ -20,10 +20,12 @@ object Formats {
 
   /** The committed JSONL ingest fixture (sf0.01 documents, one JSON
     * object per line) — SF-independent like the LSH-plane fixture, so
-    * both engines read the identical absolute path at every SF.
+    * both engines read the identical absolute path at every SF
+    * (resolved via [[graft.Fixtures.dir]], so a relocated checkout
+    * sets GRAFT_FIXTURES_DIR instead of breaking).
     * Regenerate: `sbt "runMain graft.tools.GenJsonlFixture"`.
     */
-  val JsonlPath = "/root/repo/fixtures/jsonl/documents.jsonl"
+  val JsonlPath = s"${graft.Fixtures.dir}/jsonl/documents.jsonl"
 
   // JSONL scan → the q30-shaped accounting aggregate, proving the
   // parsed rows (ints, strings, full text bytes) match what the parquet
@@ -50,7 +52,7 @@ object Formats {
     * same SF-independence contract as [[JsonlPath]]. Regenerate:
     * `sbt "runMain graft.tools.GenCsvFixture"`.
     */
-  val CsvPath = "/root/repo/fixtures/csv/documents.csv"
+  val CsvPath = s"${graft.Fixtures.dir}/csv/documents.csv"
 
   // CSV scan — the other wire format batch metadata arrives in. Same
   // explicit-schema discipline as q69 (inference is an extra corpus
@@ -79,7 +81,7 @@ object Formats {
     * after months of producer changes. Regenerate:
     * `sbt "runMain graft.tools.GenEvolutionFixture"`.
     */
-  val EvolutionDir = "/root/repo/fixtures/evolution"
+  val EvolutionDir = s"${graft.Fixtures.dir}/evolution"
 
   // Schema-evolution ingest: per-file explicit schemas +
   // unionByName(allowMissingColumns) — absent columns become NULLs on

@@ -44,7 +44,7 @@ object Similarity {
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.persist)
   }
 
   private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =

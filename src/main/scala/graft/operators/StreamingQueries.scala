@@ -248,7 +248,8 @@ object StreamingQueries {
           col("event_type"))
         .as[graft.streaming.FunnelEvent]
       val progress = graft.streaming.FunnelTracker.track(events, stepUs)
-      EventsStream.runToCompletion(s, progress.toDF(), mode = "update")
+      EventsStream.runToCompletion(s, progress.toDF(), mode = "update",
+          requireSingleBatch = true)
         .groupBy("user_id")
         .agg(max(struct(col("stage"), col("t1"), col("t2"), col("t3")))
           .as("f"))

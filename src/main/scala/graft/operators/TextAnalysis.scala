@@ -216,12 +216,20 @@ object TextAnalysis {
           graft.Round4(max("ent")).as("max_entropy"))
         .orderBy("source")
     },
+    // BYTE-level oracle (hex pairs of the UTF-8 encoding), matching
+    // ByteEntropy's definition exactly — a character-level oracle
+    // agrees only on all-ASCII fixtures; COALESCE matches the
+    // expression's empty-text → 0.0 (the LATERAL yields NULL there)
     Some(s"""WITH ent AS (
-            |  SELECT d.source, e.ent FROM documents d, LATERAL (
+            |  SELECT d.source, COALESCE(e.ent, 0.0) AS ent
+            |  FROM documents d, LATERAL (
             |    SELECT -SUM(p * LOG2(p)) AS ent FROM (
-            |      SELECT CAST(COUNT(*) AS DOUBLE) / LEN(d.text) AS p
-            |      FROM UNNEST(string_split(d.text, '')) AS t(c)
-            |      GROUP BY t.c)) e)
+            |      SELECT CAST(COUNT(*) AS DOUBLE)
+            |          / OCTET_LENGTH(ENCODE(d.text)) AS p
+            |      FROM UNNEST(range(1, OCTET_LENGTH(ENCODE(d.text)) + 1))
+            |        AS t(i)
+            |      GROUP BY substring(hex(ENCODE(d.text)),
+            |                         CAST(2*i - 1 AS INT), 2))) e)
             |SELECT source, COUNT(*) AS docs,
             |  ${graft.Round4.sql("AVG(ent)")} AS avg_entropy,
             |  ${graft.Round4.sql("MAX(ent)")} AS max_entropy
@@ -329,7 +337,7 @@ object TextAnalysis {
           explode(split(lower(col("text")), " ")).as("t"))
         .filter(col("t") =!= "")
       val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Caches.persist)
       val n = uni.agg(sum(col("c")).as("n"))
       val perDoc = toks.join(broadcast(uni), Seq("t"))
         .join(broadcast(n))
@@ -590,7 +598,7 @@ object TextAnalysis {
       // materializes anyway (disk-backed at 100 TB).
       val tf = tk.groupBy(col("doc_id"), col("t"))
         .agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Caches.persist)
       // df and N both DERIVE from tf — it is already one row per
       // (doc, term), so df = rows per term and N = distinct docs in it.
       // One explode pass over the corpus instead of three (tf/df/N each
@@ -828,14 +836,14 @@ object TextAnalysis {
       // n-gram order), the minimum this statistic needs.
       val uni = toks.select(explode(col("w")).as("t"))
         .groupBy("t").agg(count(lit(1)).as("c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Caches.persist)
       val bgAll = toks.filter(size(col("w")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(w) - 1)," +
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Caches.persist)
       val n1 = uni.agg(sum(col("c")).as("n1"))
       val n2 = bgAll.agg(sum(col("n")).as("n2"))
       val ux = uni.select(col("t").as("tx"), col("c").as("cx"))

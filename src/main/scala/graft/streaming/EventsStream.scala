@@ -64,9 +64,18 @@ object EventsStream {
 
   /** Run a streaming aggregation to completion over the static fixture
     * and return the final result as a batch DataFrame.
+    *
+    * `requireSingleBatch` asserts all input rows arrived in ONE
+    * micro-batch — for operators whose batch-equivalence oracle
+    * silently depends on it (q90's greedy funnel fold is only equal to
+    * the batch window formulation when no earlier event arrives in a
+    * later batch; see [[FunnelTracker]]'s in-order contract). A
+    * multi-file source that split delivery would pass the oracle only
+    * by luck — this turns that luck into a loud failure.
     */
   def runToCompletion(spark: SparkSession, agg: DataFrame,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "complete",
+      requireSingleBatch: Boolean = false): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream
       .outputMode(mode)
@@ -75,6 +84,14 @@ object EventsStream {
       .start()
     try {
       q.processAllAvailable()
+      if (requireSingleBatch) {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches > 1)
+          throw new IllegalStateException(
+            s"operator assumes single-batch delivery but data arrived " +
+              s"in $dataBatches micro-batches — buffer/reorder via " +
+              s"watermark before folding")
+      }
     } finally q.stop()
     spark.table(name)
   }

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{FunnelEvent, FunnelProgress, FunnelTracker}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Drives the streaming funnel FSM through a MemoryStream across
@@ -73,5 +74,29 @@ class FunnelTrackerSpec extends AnyFunSuite {
     val fin = out.filter(_.user_id == 3L)
       .maxBy(p => (p.stage, p.t1, p.t2, p.t3))
     assert(fin.stage == 1 && fin.t1 == t0)
+  }
+
+  test("single-batch guard: q90's oracle contract fails loudly when " +
+      "data arrives across multiple micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_two_batch").toString
+    // two parquet files + maxFilesPerTrigger=1 → two data batches
+    Seq((1L, "a")).toDF("k", "v").write.mode("append").parquet(dir)
+    Seq((2L, "b")).toDF("k", "v").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val agg = stream.groupBy(col("k")).count()
+    val e = intercept[IllegalStateException] {
+      graft.streaming.EventsStream.runToCompletion(spark, agg,
+        requireSingleBatch = true)
+    }
+    assert(e.getMessage.contains("single-batch"))
+    // and the same shape under the default (no guard) still drains fine
+    val ok = graft.streaming.EventsStream.runToCompletion(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(dir).groupBy(col("k")).count())
+    assert(ok.count() == 2)
   }
 }

@@ -209,8 +209,12 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "1-row total — no global sort, no cartesian blowup") {
     val p = plan("q94_skew_profile")
     assert(p.contains("TakeOrderedAndProject"))
-    assert(!p.contains("CartesianProduct") ||
-      p.contains("BroadcastNestedLoopJoin"),
+    // two independent assertions — the old disjunction was vacuously
+    // true whenever the expected BNLJ was present, so the cartesian
+    // guard could never fire
+    assert(!p.contains("CartesianProduct"),
+      "1-row total join degenerated to a cartesian product")
+    assert(p.contains("BroadcastNestedLoopJoin"),
       "total join must be broadcast")
   }
 
