@@ -149,7 +149,8 @@ object Main {
     }
     val metas = sts.map(st => SchemaMapping.toTableMeta(dialect, st,
       fks.getOrElse(st.name, Nil), cfg.typeOptions,
-      snake = cfg.snakeCaseIdentifiers))
+      snake = cfg.snakeCaseIdentifiers,
+      preserveDefaults = cfg.preserveDefaults))
     (sts, metas)
   }
 

@@ -88,6 +88,8 @@ object Toml {
 final case class JobConfig(
     sourceDialect: String = "mysql",
     sourceUrl: String = "",
+    sourceCharset: String = "utf8mb4",    // MySQL-only (config.go:276-289)
+    sourceSchema: String = "",            // MSSQL-only, defaults to dbo
     targetUrl: String = "",
     targetSchema: String = "public",
     mode: String = "parallel",            // parallel | single_tx
@@ -95,15 +97,18 @@ final case class JobConfig(
     indexWorkers: Int = JobConfig.defaultWorkers,
     chunkSize: Long = 100000L,
     resume: Boolean = false,
-    recreate: Boolean = false,
+    recreate: Boolean = false,            // = on_schema_exists "recreate"
     schemaOnly: Boolean = false,
     dataOnly: Boolean = false,
     unloggedTables: Boolean = true,
+    preserveDefaults: Boolean = true,     // config.go:130
     cleanOrphans: Boolean = true,         // config.go:131
     addUnsignedChecks: Boolean = false,
     replicateOnUpdateCurrentTimestamp: Boolean = false,
     validation: String = "row_count",     // row_count | checksum | none
     snakeCaseIdentifiers: Boolean = true,
+    postgisEnabled: Boolean = false,      // [postgis] block (config.go)
+    postgisCreateExtension: Boolean = false,
     typeOptions: TypeOptions = TypeOptions(),
     hooks: Map[String, Seq[String]] = Map.empty) // phase → sql files
 
@@ -113,60 +118,134 @@ object JobConfig {
 
   val phases = Seq("before_data", "after_data", "before_fk", "after_all")
 
+  /** Boolean type_mapping keys, each accepted under the reference's
+    * `type_mapping.` section AND the engine's legacy `types.` alias.
+    */
+  private val tmBoolKeys = Seq(
+    "tinyint1_as_boolean", "binary16_as_uuid", "datetime_as_timestamptz",
+    "json_as_jsonb", "widen_unsigned_integers", "varchar_as_text",
+    "sanitize_json_null_bytes", "unknown_as_text", "ci_as_citext",
+    "string_uuid_as_uuid", "nvarchar_as_text", "money_as_numeric",
+    "xml_as_text")
+  private val tmStringKeys = Seq(
+    "enum_mode", "set_mode", "collation_mode", "bit_mode",
+    "binary16_uuid_mode", "time_mode", "zero_date_mode", "spatial_mode")
+
   private val knownKeys = Set(
+    // engine-native names
     "source.dialect", "source.url", "target.url", "target.schema",
-    "mode", "workers", "index_workers", "chunk_size", "resume", "recreate",
-    "schema_only", "data_only", "unlogged_tables", "clean_orphans",
-    "add_unsigned_checks", "replicate_on_update_current_timestamp",
-    "validation", "snake_case_identifiers",
-    "types.tinyint1_as_boolean", "types.widen_unsigned_integers",
-    "types.varchar_as_text", "types.binary16_as_uuid",
-    "types.string_uuid_as_uuid", "types.json_as_jsonb",
-    "types.unknown_as_text") ++ phases.map(p => s"hooks.$p")
+    "mode", "recreate",
+    // reference-parity aliases (config.go:14-39 toml tags)
+    "source.type", "source.dsn", "source.charset", "source.source_schema",
+    "target.dsn", "schema", "on_schema_exists", "source_snapshot_mode",
+    "postgis.enabled", "postgis.create_extension",
+    // shared names
+    "workers", "index_workers", "chunk_size", "resume",
+    "schema_only", "data_only", "unlogged_tables", "preserve_defaults",
+    "clean_orphans", "add_unsigned_checks",
+    "replicate_on_update_current_timestamp",
+    "validation", "snake_case_identifiers") ++
+    phases.map(p => s"hooks.$p") ++
+    tmBoolKeys.flatMap(k => Seq(s"type_mapping.$k", s"types.$k")) ++
+    tmStringKeys.map(k => s"type_mapping.$k")
 
   /** Parse + validate. Error messages mirror the reference's conflicts:
     * resume×recreate, schema_only×data_only, resume×schema_only,
-    * worker bounds, mode values (`config.go:137-319`).
+    * worker bounds, mode values, type-mapping mode enums and
+    * source-specific rejections (`config.go:95-319`).
     */
   def fromToml(text: String): JobConfig = {
     val parsed = Toml.parse(text)
-    val unknown = parsed.keySet.diff(knownKeys)
+    // [type_mapping.collation_map] carries user-chosen collation names
+    // as keys — any key under it is legal (config.go:78)
+    val unknown = parsed.keySet.filterNot(_.startsWith(
+      "type_mapping.collation_map.")).diff(knownKeys)
     require(unknown.isEmpty,
       s"unknown config keys: ${unknown.toSeq.sorted.mkString(", ")}")
 
     val kv = parsed.view.mapValues(_.scalar).toMap
     def bool(k: String, d: Boolean) = kv.get(k).map(_.toBoolean).getOrElse(d)
     def int(k: String, d: Int) = kv.get(k).map(_.toInt).getOrElse(d)
+    def str(keys: Seq[String], d: String) =
+      keys.flatMap(kv.get).headOption.getOrElse(d)
+    // reference name first, then the engine's legacy alias
+    def tmBool(k: String, d: Boolean) =
+      kv.get(s"type_mapping.$k").orElse(kv.get(s"types.$k"))
+        .map(_.toBoolean).getOrElse(d)
+    def tmStr(k: String, d: String) = kv.getOrElse(s"type_mapping.$k", d)
+
+    val dialect = str(Seq("source.type", "source.dialect"), "mysql")
+    val collationMap = parsed.collect {
+      case (k, v) if k.startsWith("type_mapping.collation_map.") =>
+        k.stripPrefix("type_mapping.collation_map.") -> v.scalar
+    }
+    val onSchemaExists = kv.getOrElse("on_schema_exists",
+      if (bool("recreate", d = false)) "recreate" else "error")
+    require(Set("error", "recreate")(onSchemaExists),
+      s"on_schema_exists must be one of: error, recreate " +
+        s"(got '$onSchemaExists')")
+    val mode = kv.get("source_snapshot_mode") match {
+      case Some("none") => "parallel"
+      case Some("single_tx") => "single_tx"
+      case Some(other) => throw new IllegalArgumentException(
+        s"source_snapshot_mode must be one of: none, single_tx " +
+          s"(got '$other')")
+      case None => kv.getOrElse("mode", "parallel")
+    }
 
     val cfg = JobConfig(
-      sourceDialect = kv.getOrElse("source.dialect", "mysql"),
-      sourceUrl = kv.getOrElse("source.url", ""),
-      targetUrl = kv.getOrElse("target.url", ""),
-      targetSchema = kv.getOrElse("target.schema", "public"),
-      mode = kv.getOrElse("mode", "parallel"),
+      sourceDialect = dialect,
+      sourceUrl = str(Seq("source.dsn", "source.url"), ""),
+      sourceCharset = kv.getOrElse("source.charset", "utf8mb4"),
+      sourceSchema = kv.getOrElse("source.source_schema",
+        if (dialect == "mssql") "dbo" else ""),
+      targetUrl = str(Seq("target.dsn", "target.url"), ""),
+      targetSchema = str(Seq("schema", "target.schema"), "public"),
+      mode = mode,
       workers = int("workers", defaultWorkers),
       indexWorkers = int("index_workers", int("workers", defaultWorkers)),
       chunkSize = kv.get("chunk_size").map(_.toLong).getOrElse(100000L),
       resume = bool("resume", d = false),
-      recreate = bool("recreate", d = false),
+      recreate = onSchemaExists == "recreate",
       schemaOnly = bool("schema_only", d = false),
       dataOnly = bool("data_only", d = false),
       unloggedTables = bool("unlogged_tables", d = true),
+      preserveDefaults = bool("preserve_defaults", d = true),
       cleanOrphans = bool("clean_orphans", d = true),
       addUnsignedChecks = bool("add_unsigned_checks", d = false),
       replicateOnUpdateCurrentTimestamp =
         bool("replicate_on_update_current_timestamp", d = false),
       validation = kv.getOrElse("validation", "row_count"),
       snakeCaseIdentifiers = bool("snake_case_identifiers", d = true),
+      postgisEnabled = bool("postgis.enabled", d = false),
+      postgisCreateExtension = bool("postgis.create_extension", d = false),
       typeOptions = TypeOptions(
-        tinyint1AsBoolean = bool("types.tinyint1_as_boolean", d = true),
+        tinyint1AsBoolean = tmBool("tinyint1_as_boolean", d = false),
+        binary16AsUuid = tmBool("binary16_as_uuid", d = false),
+        datetimeAsTimestamptz =
+          tmBool("datetime_as_timestamptz", d = false),
+        jsonAsJsonb = tmBool("json_as_jsonb", d = true),
+        enumMode = tmStr("enum_mode", ""),
+        setMode = tmStr("set_mode", "text"),
         widenUnsignedIntegers =
-          bool("types.widen_unsigned_integers", d = true),
-        varcharAsText = bool("types.varchar_as_text", d = false),
-        binary16AsUuid = bool("types.binary16_as_uuid", d = false),
-        stringUuidAsUuid = bool("types.string_uuid_as_uuid", d = false),
-        jsonAsJsonb = bool("types.json_as_jsonb", d = true),
-        unknownAsText = bool("types.unknown_as_text", d = false)),
+          tmBool("widen_unsigned_integers", d = true),
+        varcharAsText = tmBool("varchar_as_text", d = false),
+        sanitizeJsonNullBytes =
+          tmBool("sanitize_json_null_bytes", d = true),
+        unknownAsText = tmBool("unknown_as_text", d = false),
+        collationMode = tmStr("collation_mode", "none"),
+        collationMap = collationMap,
+        ciAsCitext = tmBool("ci_as_citext", d = false),
+        bitMode = tmStr("bit_mode", "bytea"),
+        stringUuidAsUuid = tmBool("string_uuid_as_uuid", d = false),
+        binary16UuidMode = tmStr("binary16_uuid_mode", "rfc4122"),
+        timeMode = tmStr("time_mode", "time"),
+        zeroDateMode = tmStr("zero_date_mode", "null"),
+        spatialMode = tmStr("spatial_mode", "off"),
+        nvarcharAsText = tmBool("nvarchar_as_text", d = false),
+        moneyAsNumeric = tmBool("money_as_numeric", d = true),
+        xmlAsText = tmBool("xml_as_text", d = false),
+        usePostGis = bool("postgis.enabled", d = false)),
       hooks = phases.flatMap(p => parsed.get(s"hooks.$p").map {
         case Toml.Arr(items) => p -> items
         case Toml.Str(s) => p -> Seq(s).filter(_.nonEmpty)
@@ -199,5 +278,28 @@ object JobConfig {
         "empty tables (reference config.go:55)")
     require(graft.sources.SourceDialect.registry.contains(c.sourceDialect),
       s"unknown source dialect: ${c.sourceDialect}")
+    require(c.targetSchema.trim.nonEmpty, "schema is required")
+    // type_mapping mode values + source-specific rejections
+    // (config.go:180-238 + the ValidateTypeMapping vtables)
+    c.typeOptions.validateModes()
+    c.typeOptions.validateForSource(c.sourceDialect)
+    // [postgis] feature block (config.go:265-275)
+    require(!(c.postgisCreateExtension && !c.postgisEnabled),
+      "postgis.create_extension requires postgis.enabled = true")
+    require(!(c.postgisEnabled && c.sourceDialect != "mysql"),
+      "postgis is currently only supported for mysql sources")
+    require(!(c.postgisEnabled && c.typeOptions.spatialMode != "off"),
+      s"postgis.enabled is incompatible with type_mapping.spatial_mode " +
+        s"= '${c.typeOptions.spatialMode}'; set spatial_mode = \"off\" " +
+        "because native PostGIS migration replaces the fallback " +
+        "spatial modes")
+    // charset is a MySQL-only option (config.go:283-289)
+    require(c.sourceDialect == "mysql" || c.sourceCharset == "utf8mb4",
+      "source.charset is a MySQL-only option")
+    // single_tx needs a snapshot-capable source
+    // (config.go:278-282; source_sqlite.go:172)
+    require(!(c.mode == "single_tx" && c.sourceDialect == "sqlite"),
+      "source_snapshot_mode \"single_tx\" is not supported for sqlite " +
+        "sources")
   }
 }

@@ -194,4 +194,55 @@ object Transforms {
     * `config.go:356`).
     */
   def moneyToNumeric(c: Column): Column = c.cast(DecimalType(19, 4))
+
+  /** The config-driven transform selector — the Spark spelling of the
+    * reference's per-row `mysqlTransformValue` /
+    * `mssqlTransformValue` dispatch (`source_mysql.go:645-830`,
+    * `source_mssql.go:860-900`): given an introspected column and the
+    * job's `[type_mapping]` options, pick the column transform (None =
+    * identity passthrough). This is what makes every TOML mode key
+    * actually select a data-path mechanism, not just a DDL type.
+    */
+  def forColumn(dialect: String,
+      c: graft.sources.SourceColumn,
+      o: graft.sources.TypeOptions): Option[Column => Column] = {
+    val dt = c.dataType.toLowerCase
+    val ct = c.columnType.toLowerCase
+    val spatial = Set("geometry", "point", "linestring", "polygon",
+      "multipoint", "multilinestring", "multipolygon",
+      "geometrycollection")
+    dialect match {
+      case "mysql" => dt match {
+        case "tinyint" if ct.startsWith("tinyint(1)") &&
+            o.tinyint1AsBoolean =>
+          Some(tinyint1ToBoolean)
+        case "binary" if c.charMaxLen.contains(16) && o.binary16AsUuid =>
+          Some(binary16ToUuid(_,
+            swapped = o.binary16UuidMode == "mysql_uuid_to_bin_swap"))
+        case "char" | "varchar"
+            if c.charMaxLen.contains(36) && o.stringUuidAsUuid =>
+          Some(stringUuidNormalize)
+        case "set" if o.setMode != "text" => Some(setToArray)
+        case "bit" if o.bitMode != "bytea" =>
+          val w = graft.sources.MySqlDialect.typeLength(ct, "bit")
+            .orElse(c.precision).filter(_ > 0).getOrElse(1)
+          Some(bitToBitstring(_, w))
+        case "year" => Some(yearToInt)
+        case "time" if o.timeMode == "interval" =>
+          Some(mysqlTimeToInterval)
+        case "datetime" =>
+          Some(zeroDateToNull(_, errorMode = o.zeroDateMode == "error"))
+        case "json" if o.sanitizeJsonNullBytes => Some(stripNullBytes)
+        case t if spatial(t) && o.usePostGis => Some(spatialToEwkb)
+        case _ => None
+      }
+      case "mssql" => dt match {
+        case "money" | "smallmoney" if o.moneyAsNumeric =>
+          Some(moneyToNumeric)
+        case "uniqueidentifier" => Some(guidToUuid)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 }

@@ -36,6 +36,41 @@ object CollationCompat {
     case ToCollateC => s"$pgType COLLATE \"C\""
   }
 
+  /** Text-like PG types that accept a COLLATE clause
+    * (`collation_compat.go:158-171` — citext intentionally excluded).
+    */
+  def isTextLikePgType(pgType: String): Boolean = {
+    val l = pgType.toLowerCase
+    l == "text" || l.startsWith("varchar") || l.startsWith("char")
+  }
+
+  /** The full config-driven column policy used at DDL time, composing
+    * `pgTypeForCollation` (`collation_compat.go:28-42`) with
+    * `pgCollationClause` (`collation_compat.go:127-155`):
+    * citext promotion for unmapped `_ci` columns under `ci_as_citext`,
+    * then under `collation_mode = auto` a COLLATE clause — the
+    * user's `collation_map` entry first, `"C"` for `_bin`, nothing
+    * otherwise (warnings cover the rest).
+    */
+  def applyConfigPolicy(c: SourceColumn, pgType: String,
+      o: TypeOptions): String = {
+    val promoted =
+      if (o.ciAsCitext && isCaseInsensitive(c.collation) &&
+          !o.collationMap.contains(c.collation) &&
+          isTextLikePgType(pgType)) "citext"
+      else pgType
+    val clause =
+      if (o.collationMode != "auto" || c.collation.isEmpty ||
+          !isTextLikePgType(promoted)) ""
+      else o.collationMap.get(c.collation) match {
+        case Some(mapped) => s""" COLLATE "$mapped""""
+        case None if o.ciAsCitext && isCaseInsensitive(c.collation) => ""
+        case None if isBinary(c.collation) => " COLLATE \"C\""
+        case None => ""
+      }
+    promoted + clause
+  }
+
   final case class CollationWarning(table: String, index: String,
       columns: Seq[String], reason: String)
 

@@ -28,7 +28,10 @@ final case class TableMeta(
     unsignedColumns: Seq[(String, String)] = Nil,
     // columns carrying MySQL `on update CURRENT_TIMESTAMP` — drives the
     // optional trigger replication (reference post.go:436-472)
-    onUpdateColumns: Seq[String] = Nil)
+    onUpdateColumns: Seq[String] = Nil,
+    // per-table CHECK clauses from enum_mode=check (ddl.go:177-195)
+    // and set_mode=text_array_check (ddl.go:197-214)
+    checks: Seq[String] = Nil)
 
 /** Target-side DDL generation (reference `ddl.go:16-98` createTables,
   * `ddl.go:132-175` enum types, `post.go` constraint re-attachment).
@@ -44,14 +47,20 @@ object DdlGenerator {
   def createTable(schema: String, t: TableMeta,
       unlogged: Boolean = true): String = {
     val cols = t.columns.map { case (name, pgType, nullable, default) =>
-      val parts = Seq(pgIdent(name), pgType) ++
+      // schema-qualify the shared FNV-named enum types created by
+      // createEnumType (reference ddl.go:46-49)
+      val qualified =
+        if (pgType.startsWith("pgferry_enum_"))
+          s"${pgIdent(schema)}.${pgIdent(pgType)}"
+        else pgType
+      val parts = Seq(pgIdent(name), qualified) ++
         (if (!nullable) Seq("NOT NULL") else Nil) ++
         default.map(d => s"DEFAULT $d").toSeq
       "  " + parts.mkString(" ")
     }
     val kind = if (unlogged) "UNLOGGED TABLE" else "TABLE"
     s"CREATE $kind ${pgIdent(schema)}.${pgIdent(t.name)} (\n" +
-      cols.mkString(",\n") + "\n)"
+      (cols ++ t.checks.map("  " + _)).mkString(",\n") + "\n)"
   }
 
   /** DROP for `recreate` mode. The reference recreates at schema

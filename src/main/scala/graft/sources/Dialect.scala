@@ -22,15 +22,100 @@ final case class SourceColumn(
 /** Mapped result: Spark type for the engine + PG DDL type for the sink. */
 final case class MappedType(spark: DataType, pg: String)
 
-/** Type-mapping option flags (reference `config.go:340-360` defaults). */
+/** The full `[type_mapping]` option surface of the reference
+  * (`config.go:66-92`), with the reference's defaults
+  * (`config.go:340-360`). `enumMode` empty = source-defaulted
+  * (mysql → "check", else "text" — `config.go:362-375`); `usePostGis`
+  * is derived from the `[postgis]` feature block, not a TOML key.
+  */
 final case class TypeOptions(
-    tinyint1AsBoolean: Boolean = true,
+    tinyint1AsBoolean: Boolean = false,
+    binary16AsUuid: Boolean = false,
+    datetimeAsTimestamptz: Boolean = false,
+    jsonAsJsonb: Boolean = true,
+    enumMode: String = "",                // text|check|native
+    setMode: String = "text",             // text|text_array|text_array_check
     widenUnsignedIntegers: Boolean = true,
     varcharAsText: Boolean = false,
-    binary16AsUuid: Boolean = false,
+    sanitizeJsonNullBytes: Boolean = true,
+    unknownAsText: Boolean = false,
+    collationMode: String = "none",       // none|auto
+    collationMap: Map[String, String] = Map.empty,
+    ciAsCitext: Boolean = false,
+    bitMode: String = "bytea",            // bytea|bit|varbit (MySQL)
     stringUuidAsUuid: Boolean = false,
-    jsonAsJsonb: Boolean = true,
-    unknownAsText: Boolean = false)
+    binary16UuidMode: String = "rfc4122", // rfc4122|mysql_uuid_to_bin_swap
+    timeMode: String = "time",            // text|time|interval (MySQL)
+    zeroDateMode: String = "null",        // null|error (MySQL)
+    spatialMode: String = "off",          // off|wkb_bytea|wkt_text
+    nvarcharAsText: Boolean = false,      // MSSQL
+    moneyAsNumeric: Boolean = true,       // MSSQL
+    xmlAsText: Boolean = false,           // MSSQL
+    usePostGis: Boolean = false) {
+
+  /** `config.go:362-375` — enum_mode defaults per source engine. */
+  def effectiveEnumMode(source: String): String =
+    if (enumMode.nonEmpty) enumMode
+    else if (source == "mysql") "check" else "text"
+
+  /** Mode-value validation (`config.go:180-238`). */
+  def validateModes(): Unit = {
+    def in(k: String, v: String, allowed: Set[String]): Unit =
+      require(allowed(v),
+        s"type_mapping.$k must be one of: ${allowed.toSeq.sorted
+          .mkString(", ")} (got '$v')")
+    if (enumMode.nonEmpty) in("enum_mode", enumMode,
+      Set("text", "check", "native"))
+    in("set_mode", setMode, Set("text", "text_array", "text_array_check"))
+    in("collation_mode", collationMode, Set("none", "auto"))
+    in("bit_mode", bitMode, Set("bytea", "bit", "varbit"))
+    in("binary16_uuid_mode", binary16UuidMode,
+      Set("rfc4122", "mysql_uuid_to_bin_swap"))
+    require(binary16UuidMode == "rfc4122" || binary16AsUuid,
+      "type_mapping.binary16_uuid_mode requires binary16_as_uuid = true")
+    in("time_mode", timeMode, Set("text", "time", "interval"))
+    in("zero_date_mode", zeroDateMode, Set("null", "error"))
+    in("spatial_mode", spatialMode, Set("off", "wkb_bytea", "wkt_text"))
+  }
+
+  /** Source-specific rejections, mirroring the three
+    * `ValidateTypeMapping` vtables (`source_mysql.go:123-138`,
+    * `source_sqlite.go:175-…`, `source_mssql.go:86-…`).
+    */
+  def validateForSource(source: String): Unit = {
+    val errs = Seq.newBuilder[String]
+    def mysqlOnly(flag: Boolean, key: String): Unit =
+      if (flag && source != "mysql") errs += s"$key is a MySQL-only option"
+    def mssqlOnly(flag: Boolean, key: String): Unit =
+      if (flag && source != "mssql") errs += s"$key is a MSSQL-only option"
+    mysqlOnly(tinyint1AsBoolean, "tinyint1_as_boolean")
+    mysqlOnly(binary16AsUuid, "binary16_as_uuid")
+    mysqlOnly(varcharAsText, "varchar_as_text")
+    mysqlOnly(!widenUnsignedIntegers, "widen_unsigned_integers")
+    mysqlOnly(effectiveEnumMode(source) != "text" && source != "mysql",
+      s"enum_mode='$enumMode'")
+    mysqlOnly(setMode != "text", s"set_mode='$setMode'")
+    mysqlOnly(collationMode != "none", s"collation_mode='$collationMode'")
+    mysqlOnly(collationMap.nonEmpty, "collation_map")
+    mysqlOnly(ciAsCitext, "ci_as_citext")
+    mysqlOnly(bitMode != "bytea", s"bit_mode='$bitMode'")
+    mysqlOnly(stringUuidAsUuid, "string_uuid_as_uuid")
+    mysqlOnly(binary16UuidMode != "rfc4122",
+      s"binary16_uuid_mode='$binary16UuidMode'")
+    mysqlOnly(timeMode != "time", s"time_mode='$timeMode'")
+    mysqlOnly(zeroDateMode != "null", s"zero_date_mode='$zeroDateMode'")
+    if (datetimeAsTimestamptz && source == "sqlite")
+      errs += "datetime_as_timestamptz is a MySQL-only option"
+    if (spatialMode != "off" && source == "sqlite")
+      errs += "spatial_mode is a MySQL/MSSQL-only option"
+    mssqlOnly(nvarcharAsText, "nvarchar_as_text")
+    mssqlOnly(!moneyAsNumeric, "money_as_numeric")
+    mssqlOnly(xmlAsText, "xml_as_text")
+    val all = errs.result()
+    require(all.isEmpty,
+      s"invalid type_mapping for $source source: ${all.mkString("; ")}")
+  }
+}
 
 /** Per-source-engine dialect vtable (reference `source.go:10-65` SourceDB):
   * identifier quoting, scan SQL shapes, parallelism caps, and the full
@@ -161,22 +246,72 @@ object MySqlDialect extends SourceDialect {
       case t if t.endsWith("text") => Some(MappedType(StringType, "text"))
       case "json" =>
         Some(MappedType(StringType, if (o.jsonAsJsonb) "jsonb" else "json"))
-      case "enum" => Some(MappedType(StringType, "text"))
-      case "set" => Some(MappedType(ArrayType(StringType), "text[]"))
+      // enum_mode (source_mysql.go:568-581): text and check are both
+      // `text` at the type level (check adds a DDL CHECK clause,
+      // ddl.go:177-195); native resolves to the shared FNV-named PG
+      // enum type created up front (ddl.go:132-175)
+      case "enum" => o.effectiveEnumMode(name) match {
+        case "native" => Some(MappedType(StringType, SchemaMapping
+          .enumTypeName(SchemaMapping.parseEnumSetValues(c.columnType))))
+        case _ => Some(MappedType(StringType, "text"))
+      }
+      // set_mode (source_mysql.go:582-590): text keeps MySQL's
+      // comma-joined string form; the array modes split to text[]
+      // (text_array_check adds the `<@ ARRAY[…]` DDL check)
+      case "set" => o.setMode match {
+        case "text" => Some(MappedType(StringType, "text"))
+        case _ => Some(MappedType(ArrayType(StringType), "text[]"))
+      }
       case "timestamp" => Some(MappedType(TimestampType, "timestamptz"))
-      case "datetime" => Some(MappedType(TimestampNTZType, "timestamp"))
+      case "datetime" =>
+        if (o.datetimeAsTimestamptz)
+          Some(MappedType(TimestampType, "timestamptz"))
+        else Some(MappedType(TimestampNTZType, "timestamp"))
       case "date" => Some(MappedType(DateType, "date"))
       case "year" => Some(MappedType(IntegerType, "integer"))
-      case "time" => Some(MappedType(StringType, "time"))
-      case "bit" => Some(MappedType(BinaryType, "bytea"))
+      // time_mode (source_mysql.go:602-612); the interval conversion
+      // itself is functions.Transforms.timeToInterval (F10)
+      case "time" => o.timeMode match {
+        case "text" => Some(MappedType(StringType, "text"))
+        case "interval" =>
+          Some(MappedType(DayTimeIntervalType(), "interval"))
+        case _ => Some(MappedType(StringType, "time"))
+      }
+      // bit_mode (source_mysql.go:613-628): bit(n)/varbit carry the
+      // value as a '0101…' bit string; bytea passes raw bytes
+      case "bit" => o.bitMode match {
+        case "bit" =>
+          val n = MySqlDialect.typeLength(ct, "bit")
+            .orElse(c.precision).filter(_ > 0).getOrElse(1)
+          Some(MappedType(StringType, s"bit($n)"))
+        case "varbit" => Some(MappedType(StringType, "varbit"))
+        case _ => Some(MappedType(BinaryType, "bytea"))
+      }
       case "binary" | "varbinary" => Some(MappedType(BinaryType, "bytea"))
       case t if t.endsWith("blob") => Some(MappedType(BinaryType, "bytea"))
+      // spatial_mode (source_mysql.go:631-637): PostGIS native when the
+      // feature block enables it; otherwise the fallback encodings, and
+      // `off` makes spatial columns unsupported (unknown_as_text or
+      // hard error) — exactly the reference's resolution order
       case "geometry" | "point" | "linestring" | "polygon" |
            "multipoint" | "multilinestring" | "multipolygon" |
            "geometrycollection" =>
-        Some(MappedType(BinaryType, "geometry"))
+        if (o.usePostGis) Some(MappedType(BinaryType, "geometry"))
+        else o.spatialMode match {
+          case "wkb_bytea" => Some(MappedType(BinaryType, "bytea"))
+          case "wkt_text" => Some(MappedType(StringType, "text"))
+          case _ => None
+        }
       case _ => None
     }
+  }
+
+  /** Parse the length of `base(n)` out of a MySQL column_type
+    * (`source_mysql.go` mysqlColumnTypeLength).
+    */
+  private[graft] def typeLength(ct: String, base: String): Option[Int] = {
+    val p = s"$base\\((\\d+)\\)".r
+    p.findFirstMatchIn(ct).map(_.group(1).toInt)
   }
 }
 
@@ -231,7 +366,8 @@ object MssqlDialect extends SourceDialect {
     Seq("SET TRANSACTION ISOLATION LEVEL SNAPSHOT")
 
   def mapType(c: SourceColumn, o: TypeOptions): Option[MappedType] = {
-    c.dataType.toLowerCase match {
+    val dtLower = c.dataType.toLowerCase
+    dtLower match {
       case "int" => Some(MappedType(IntegerType, "integer"))
       case "bigint" => Some(MappedType(LongType, "bigint"))
       case "smallint" | "tinyint" => Some(MappedType(ShortType, "smallint"))
@@ -241,28 +377,55 @@ object MssqlDialect extends SourceDialect {
         Some(MappedType(DecimalType(p, s), s"numeric($p,$s)"))
       case "float" => Some(MappedType(DoubleType, "double precision"))
       case "real" => Some(MappedType(FloatType, "real"))
-      case "money" => Some(MappedType(DecimalType(19, 4), "numeric(19,4)"))
+      // money_as_numeric (source_mssql.go:624-634, default true):
+      // false falls back to text (exact string form, no precision loss)
+      case "money" =>
+        if (o.moneyAsNumeric)
+          Some(MappedType(DecimalType(19, 4), "numeric(19,4)"))
+        else Some(MappedType(StringType, "text"))
       case "smallmoney" =>
-        Some(MappedType(DecimalType(10, 4), "numeric(10,4)"))
-      case "char" | "nchar" =>
+        if (o.moneyAsNumeric)
+          Some(MappedType(DecimalType(10, 4), "numeric(10,4)"))
+        else Some(MappedType(StringType, "text"))
+      case "char" =>
         Some(MappedType(StringType,
-          c.charMaxLen.filter(_ > 0).map(n => s"char($n)").getOrElse("text")))
+          c.charMaxLen.filter(_ > 0).map(n => s"char($n)")
+            .getOrElse("char(1)")))
+      // nvarchar_as_text (source_mssql.go:649-664) also covers nchar
+      case "nchar" =>
+        if (o.nvarcharAsText) Some(MappedType(StringType, "text"))
+        else Some(MappedType(StringType,
+          c.charMaxLen.filter(_ > 0).map(n => s"char($n)")
+            .getOrElse("char(1)")))
       case "varchar" | "nvarchar" =>
-        Some(MappedType(StringType, c.charMaxLen match {
+        if (o.nvarcharAsText && dtLower == "nvarchar")
+          Some(MappedType(StringType, "text"))
+        else Some(MappedType(StringType, c.charMaxLen match {
           case Some(-1) | None => "text" // (max)
           case Some(n) => s"varchar($n)"
         }))
-      case "text" | "ntext" | "xml" => Some(MappedType(StringType, "text"))
+      case "text" | "ntext" => Some(MappedType(StringType, "text"))
+      // xml_as_text (source_mssql.go:697-701): native xml by default
+      case "xml" =>
+        Some(MappedType(StringType, if (o.xmlAsText) "text" else "xml"))
       case "binary" | "varbinary" | "image" | "timestamp" | "rowversion" =>
         Some(MappedType(BinaryType, "bytea"))
       case "date" => Some(MappedType(DateType, "date"))
       case "time" => Some(MappedType(StringType, "time"))
       case "datetime" | "datetime2" | "smalldatetime" =>
-        Some(MappedType(TimestampNTZType, "timestamp"))
+        if (o.datetimeAsTimestamptz)
+          Some(MappedType(TimestampType, "timestamptz"))
+        else Some(MappedType(TimestampNTZType, "timestamp"))
       case "datetimeoffset" => Some(MappedType(TimestampType, "timestamptz"))
       case "uniqueidentifier" => Some(MappedType(StringType, "uuid"))
       case "sql_variant" | "hierarchyid" => Some(MappedType(StringType, "text"))
-      case "geography" | "geometry" => Some(MappedType(BinaryType, "bytea"))
+      // spatial_mode (source_mssql.go:712-724): no PostGIS path for
+      // MSSQL; off → unsupported (unknown_as_text or hard error)
+      case "geography" | "geometry" => o.spatialMode match {
+        case "wkb_bytea" => Some(MappedType(BinaryType, "bytea"))
+        case "wkt_text" => Some(MappedType(StringType, "text"))
+        case _ => None
+      }
       case _ => None
     }
   }

@@ -135,13 +135,36 @@ object SchemaMapping {
       table: graft.SourceTable,
       fks: Seq[ForeignKeyMeta],
       opts: TypeOptions,
-      snake: Boolean = true): TableMeta = {
+      snake: Boolean = true,
+      preserveDefaults: Boolean = true): TableMeta = {
     def ident(c: String) = pgName(c, snake)
     val cols = table.columns.map { c =>
       val mapped = dialect.resolve(c, opts)
-      (ident(c.name), mapped.pg, c.nullable,
-        c.default.flatMap(d => DdlGenerator.mapDefault(dialect.name, d)))
+      // collation policy (citext promotion + COLLATE clause) applies
+      // after type resolution, exactly like ddl.go:45-56
+      val pgType = CollationCompat.applyConfigPolicy(c, mapped.pg, opts)
+      (ident(c.name), pgType, c.nullable,
+        if (preserveDefaults)
+          c.default.flatMap(d => DdlGenerator.mapDefault(dialect.name, d))
+        else None)
     }
+    // enum_mode=check / set_mode=text_array_check CHECK clauses
+    // (ddl.go:177-214); MySQL is the only source with enum/set
+    val checks =
+      if (dialect.name != "mysql") Nil
+      else table.columns.flatMap { c =>
+        val dt = c.dataType.toLowerCase
+        lazy val values = parseEnumSetValues(c.columnType)
+        if (dt == "enum" && opts.effectiveEnumMode("mysql") == "check" &&
+            values.nonEmpty)
+          Some(s"CHECK (${pgIdent(ident(c.name))} IN " +
+            s"(${values.map(pgLiteral).mkString(", ")}))")
+        else if (dt == "set" && opts.setMode == "text_array_check" &&
+            values.nonEmpty)
+          Some(s"CHECK (${pgIdent(ident(c.name))} <@ " +
+            s"ARRAY[${values.map(pgLiteral).mkString(", ")}]::text[])")
+        else None
+      }
     val unsigned = table.columns.collect {
       case c if c.columnType.toLowerCase.contains("unsigned") &&
         !(c.columnType.toLowerCase.startsWith("tinyint(1)") &&
@@ -165,6 +188,7 @@ object SchemaMapping {
         refTable = ident(fk.refTable),
         refColumns = fk.refColumns.map(ident))),
       unsignedColumns = unsigned,
-      onUpdateColumns = onUpdate)
+      onUpdateColumns = onUpdate,
+      checks = checks)
   }
 }

@@ -59,7 +59,11 @@ class MigrationCoreSpec extends AnyFunSuite {
         s: Option[Int] = None, len: Option[Int] = None) =
       MySqlDialect.resolve(SourceColumn("c", dt, columnType = ct,
         precision = p, scale = s, charMaxLen = len), o)
-    assert(m("tinyint", "tinyint(1)").spark == BooleanType)
+    // reference default tinyint1_as_boolean = false (config.go:342)
+    assert(m("tinyint", "tinyint(1)").spark == ShortType)
+    assert(MySqlDialect.resolve(
+      SourceColumn("c", "tinyint", columnType = "tinyint(1)"),
+      o.copy(tinyint1AsBoolean = true)).spark == BooleanType)
     assert(m("tinyint", "tinyint(4)").spark == ShortType)
     assert(m("bigint", "bigint unsigned").spark == DecimalType(20, 0))
     assert(m("bigint", "bigint unsigned").pg == "numeric(20)")
@@ -70,16 +74,116 @@ class MigrationCoreSpec extends AnyFunSuite {
     assert(m("varchar", len = Some(50)).pg == "varchar(50)")
     assert(m("longtext").spark == StringType)
     assert(m("json").pg == "jsonb")
-    assert(m("set").spark == ArrayType(StringType))
+    // reference default set_mode = "text" (config.go:347)
+    assert(m("set").spark == StringType && m("set").pg == "text")
     assert(m("timestamp").spark == TimestampType)
     assert(m("datetime").spark == TimestampNTZType)
-    assert(m("geometry").pg == "geometry")
+    // spatial_mode default "off" → unsupported; postgis/native modes map
+    intercept[IllegalArgumentException] {
+      MySqlDialect.resolve(SourceColumn("c", "geometry"), o)
+    }
+    assert(MySqlDialect.resolve(SourceColumn("c", "geometry"),
+      o.copy(usePostGis = true)).pg == "geometry")
+    assert(MySqlDialect.resolve(SourceColumn("c", "geometry"),
+      o.copy(spatialMode = "wkb_bytea")).pg == "bytea")
+    assert(MySqlDialect.resolve(SourceColumn("c", "point"),
+      o.copy(spatialMode = "wkt_text")).pg == "text")
     assert(m("mediumblob").spark == BinaryType)
     intercept[IllegalArgumentException] {
       MySqlDialect.resolve(SourceColumn("c", "weirdtype"), o)
     }
     assert(MySqlDialect.resolve(SourceColumn("c", "weirdtype"),
       o.copy(unknownAsText = true)).pg == "text")
+  }
+
+  test("mysql type-mapping MODES: enum/set/bit/time/zero-date/datetime " +
+      "(source_mysql.go:568-628, ddl.go:132-214)") {
+    def col(dt: String, ct: String = "", p: Option[Int] = None) =
+      SourceColumn("c", dt, columnType = ct, precision = p)
+    def m(o: TypeOptions, dt: String, ct: String = "",
+        p: Option[Int] = None) = MySqlDialect.resolve(col(dt, ct, p), o)
+    val o = TypeOptions()
+    // enum: default mode for mysql is "check" → text type (DDL adds
+    // the CHECK); explicit text → text; native → shared FNV type name
+    assert(o.effectiveEnumMode("mysql") == "check")
+    assert(o.effectiveEnumMode("sqlite") == "text")
+    assert(m(o, "enum", "enum('a','b')").pg == "text")
+    val native = m(o.copy(enumMode = "native"), "enum", "enum('a','b')")
+    assert(native.pg == SchemaMapping.enumTypeName(Seq("a", "b")))
+    // set modes
+    assert(m(o.copy(setMode = "text_array"), "set", "set('x','y')").pg ==
+      "text[]")
+    assert(m(o.copy(setMode = "text_array_check"), "set",
+      "set('x','y')").spark == ArrayType(StringType))
+    // bit modes: width from column_type, then precision, floor 1
+    assert(m(o, "bit", "bit(5)").pg == "bytea")
+    assert(m(o.copy(bitMode = "bit"), "bit", "bit(5)").pg == "bit(5)")
+    assert(m(o.copy(bitMode = "bit"), "bit", "bit",
+      p = Some(7)).pg == "bit(7)")
+    assert(m(o.copy(bitMode = "bit"), "bit").pg == "bit(1)")
+    assert(m(o.copy(bitMode = "varbit"), "bit", "bit(9)").pg == "varbit")
+    // time modes
+    assert(m(o, "time").pg == "time")
+    assert(m(o.copy(timeMode = "text"), "time").pg == "text")
+    assert(m(o.copy(timeMode = "interval"), "time").pg == "interval")
+    // datetime_as_timestamptz
+    assert(m(o.copy(datetimeAsTimestamptz = true), "datetime").pg ==
+      "timestamptz")
+    assert(m(o.copy(datetimeAsTimestamptz = true), "datetime").spark ==
+      TimestampType)
+  }
+
+  test("mssql type-mapping MODES: money/nvarchar/xml/spatial " +
+      "(source_mssql.go:624-724)") {
+    def m(o: TypeOptions, dt: String, len: Option[Int] = None) =
+      MssqlDialect.resolve(SourceColumn("c", dt, charMaxLen = len), o)
+    val o = TypeOptions()
+    assert(m(o.copy(moneyAsNumeric = false), "money").pg == "text")
+    assert(m(o.copy(moneyAsNumeric = false), "smallmoney").pg == "text")
+    assert(m(o.copy(nvarcharAsText = true), "nvarchar", Some(40)).pg ==
+      "text")
+    assert(m(o.copy(nvarcharAsText = true), "nchar", Some(4)).pg ==
+      "text")
+    assert(m(o, "nchar", Some(4)).pg == "char(4)")
+    // xml is native by default (source_mssql.go:697-701)
+    assert(m(o, "xml").pg == "xml")
+    assert(m(o.copy(xmlAsText = true), "xml").pg == "text")
+    // spatial: off → unsupported, fallback encodings map
+    intercept[IllegalArgumentException] { m(o, "geography") }
+    assert(m(o.copy(spatialMode = "wkb_bytea"), "geography").pg ==
+      "bytea")
+    assert(m(o.copy(spatialMode = "wkt_text"), "geometry").pg == "text")
+    assert(m(o.copy(datetimeAsTimestamptz = true), "datetime2").pg ==
+      "timestamptz")
+  }
+
+  test("collation policy: citext promotion, collation_map, COLLATE C " +
+      "(collation_compat.go:28-42,127-155)") {
+    import graft.sources.CollationCompat.applyConfigPolicy
+    val ci = SourceColumn("e", "varchar", charMaxLen = Some(20),
+      collation = "utf8mb4_general_ci")
+    val bin = SourceColumn("b", "varchar", charMaxLen = Some(10),
+      collation = "utf8mb4_bin")
+    val o = TypeOptions()
+    // default: no promotion, no clause
+    assert(applyConfigPolicy(ci, "varchar(20)", o) == "varchar(20)")
+    // ci_as_citext promotes unmapped _ci text-likes
+    assert(applyConfigPolicy(ci, "varchar(20)",
+      o.copy(ciAsCitext = true)) == "citext")
+    // collation_map entry wins over citext promotion and emits COLLATE
+    assert(applyConfigPolicy(ci, "varchar(20)",
+      o.copy(ciAsCitext = true, collationMode = "auto",
+        collationMap = Map("utf8mb4_general_ci" -> "en-US-x-icu"))) ==
+      "varchar(20) COLLATE \"en-US-x-icu\"")
+    // _bin → COLLATE "C" under auto
+    assert(applyConfigPolicy(bin, "varchar(10)",
+      o.copy(collationMode = "auto")) == "varchar(10) COLLATE \"C\"")
+    // citext (not text-like) never gets a clause
+    assert(applyConfigPolicy(ci, "varchar(20)",
+      o.copy(ciAsCitext = true, collationMode = "auto")) == "citext")
+    // non-text-like types unchanged
+    assert(applyConfigPolicy(bin, "bytea",
+      o.copy(collationMode = "auto")) == "bytea")
   }
 
   test("mssql type mapping incl. money and nvarchar(max)") {
@@ -136,7 +240,8 @@ class MigrationCoreSpec extends AnyFunSuite {
         IndexMeta("ixClick", Seq("clickCount"))))
     val fks = Seq(ForeignKeyMeta("fkUser", Seq("eventID"), "Users",
       Seq("id")))
-    val t = SchemaMapping.toTableMeta(MySqlDialect, st, fks, TypeOptions())
+    val t = SchemaMapping.toTableMeta(MySqlDialect, st, fks,
+      TypeOptions(tinyint1AsBoolean = true))
     assert(t.name == "user_events")
     assert(t.columns.head == ("event_id", "bigint", false, None))
     assert(t.columns(1)._2 == "bigint") // int unsigned widened

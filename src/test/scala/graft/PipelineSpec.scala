@@ -64,6 +64,134 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("reference TOML key surface round-trips: every config.go key " +
+      "(config.go:14-92) selects its mechanism") {
+    val cfg = JobConfig.fromToml(
+      """schema = "myapp"
+        |on_schema_exists = "recreate"
+        |source_snapshot_mode = "single_tx"
+        |schema_only = false
+        |data_only = false
+        |unlogged_tables = true
+        |preserve_defaults = false
+        |add_unsigned_checks = true
+        |clean_orphans = false
+        |snake_case_identifiers = true
+        |replicate_on_update_current_timestamp = true
+        |workers = 4
+        |index_workers = 2
+        |chunk_size = 5000
+        |resume = false
+        |validation = "row_count"
+        |[source]
+        |type = "mysql"
+        |dsn = "jdbc:mysql://h/db"
+        |charset = "utf8mb4"
+        |[target]
+        |dsn = "jdbc:postgresql://h/pg"
+        |[postgis]
+        |enabled = true
+        |create_extension = true
+        |[type_mapping]
+        |tinyint1_as_boolean = true
+        |binary16_as_uuid = true
+        |binary16_uuid_mode = "mysql_uuid_to_bin_swap"
+        |datetime_as_timestamptz = true
+        |json_as_jsonb = false
+        |enum_mode = "native"
+        |set_mode = "text_array_check"
+        |widen_unsigned_integers = true
+        |varchar_as_text = true
+        |sanitize_json_null_bytes = false
+        |unknown_as_text = true
+        |collation_mode = "auto"
+        |ci_as_citext = true
+        |bit_mode = "varbit"
+        |string_uuid_as_uuid = true
+        |time_mode = "interval"
+        |zero_date_mode = "error"
+        |spatial_mode = "off"
+        |[type_mapping.collation_map]
+        |utf8mb4_general_ci = "en-US-x-icu"
+        |[hooks]
+        |before_data = ["a.sql"]
+        |""".stripMargin)
+    assert(cfg.targetSchema == "myapp" && cfg.recreate &&
+      cfg.mode == "single_tx" && !cfg.preserveDefaults &&
+      cfg.addUnsignedChecks && !cfg.cleanOrphans &&
+      cfg.replicateOnUpdateCurrentTimestamp && cfg.workers == 4 &&
+      cfg.indexWorkers == 2 && cfg.chunkSize == 5000L)
+    assert(cfg.sourceDialect == "mysql" &&
+      cfg.sourceUrl == "jdbc:mysql://h/db")
+    assert(cfg.targetUrl == "jdbc:postgresql://h/pg")
+    assert(cfg.postgisEnabled && cfg.postgisCreateExtension)
+    val o = cfg.typeOptions
+    assert(o.tinyint1AsBoolean && o.binary16AsUuid &&
+      o.binary16UuidMode == "mysql_uuid_to_bin_swap" &&
+      o.datetimeAsTimestamptz && !o.jsonAsJsonb &&
+      o.enumMode == "native" && o.setMode == "text_array_check" &&
+      o.varcharAsText && !o.sanitizeJsonNullBytes && o.unknownAsText &&
+      o.collationMode == "auto" && o.ciAsCitext &&
+      o.bitMode == "varbit" && o.stringUuidAsUuid &&
+      o.timeMode == "interval" && o.zeroDateMode == "error" &&
+      o.spatialMode == "off" && o.usePostGis &&
+      o.collationMap == Map("utf8mb4_general_ci" -> "en-US-x-icu"))
+    assert(cfg.hooks("before_data") == Seq("a.sql"))
+  }
+
+  test("type_mapping validation parity (config.go:180-319 + the " +
+      "per-source ValidateTypeMapping vtables)") {
+    def bad(toml: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        JobConfig.fromToml(toml)
+      }
+      assert(e.getMessage.contains(fragment), s"got: ${e.getMessage}")
+    }
+    bad("on_schema_exists = \"replace\"", "on_schema_exists")
+    bad("source_snapshot_mode = \"snapshot\"", "source_snapshot_mode")
+    bad("[type_mapping]\nenum_mode = \"custom\"", "enum_mode")
+    bad("[type_mapping]\nset_mode = \"array\"", "set_mode")
+    bad("[type_mapping]\ncollation_mode = \"all\"", "collation_mode")
+    bad("[type_mapping]\nbit_mode = \"bits\"", "bit_mode")
+    bad("[type_mapping]\nbinary16_uuid_mode = \"swap\"",
+      "binary16_uuid_mode")
+    // mode without the feature flag (config.go:211-214)
+    bad("[type_mapping]\nbinary16_uuid_mode = \"mysql_uuid_to_bin_swap\"",
+      "requires binary16_as_uuid")
+    bad("[type_mapping]\ntime_mode = \"hms\"", "time_mode")
+    bad("[type_mapping]\nzero_date_mode = \"skip\"", "zero_date_mode")
+    bad("[type_mapping]\nspatial_mode = \"geojson\"", "spatial_mode")
+    // postgis block rules (config.go:265-275)
+    bad("[postgis]\ncreate_extension = true", "requires postgis.enabled")
+    bad("[source]\ntype = \"sqlite\"\n[postgis]\nenabled = true",
+      "only supported for mysql")
+    bad("[postgis]\nenabled = true\n[type_mapping]\n" +
+      "spatial_mode = \"wkb_bytea\"", "incompatible")
+    // source-specific rejections
+    bad("[source]\ntype = \"mssql\"\n[type_mapping]\n" +
+      "tinyint1_as_boolean = true", "MySQL-only")
+    bad("[source]\ntype = \"sqlite\"\n[type_mapping]\n" +
+      "bit_mode = \"bit\"", "MySQL-only")
+    bad("[source]\ntype = \"mysql\"\n[type_mapping]\n" +
+      "nvarchar_as_text = true", "MSSQL-only")
+    bad("[source]\ntype = \"mysql\"\n[type_mapping]\n" +
+      "money_as_numeric = false", "MSSQL-only")
+    bad("[source]\ntype = \"sqlite\"\n[type_mapping]\n" +
+      "xml_as_text = true", "MSSQL-only")
+    // charset is MySQL-only (config.go:283-289)
+    bad("[source]\ntype = \"sqlite\"\ncharset = \"latin1\"",
+      "MySQL-only")
+    // sqlite has no snapshot mode (source_sqlite.go:172)
+    bad("source_snapshot_mode = \"single_tx\"\n[source]\n" +
+      "type = \"sqlite\"", "not supported for sqlite")
+    // unknown keys still rejected, including inside type_mapping
+    bad("[type_mapping]\nenum_as_text = true", "unknown config keys")
+    // collation_map keys are user-chosen and always legal
+    JobConfig.fromToml(
+      "[type_mapping]\ncollation_mode = \"auto\"\n" +
+        "[type_mapping.collation_map]\nlatin1_swedish_ci = \"C\"")
+  }
+
   private val users = TableMeta("users",
     Seq(("id", "bigint", false, None), ("name", "text", false, None)),
     primaryKey = Some(IndexMeta("pk_users", Seq("id"), isPrimary = true)))

@@ -31,7 +31,15 @@ class PlanReportSpec extends AnyFunSuite {
         isPrimary = true))))
 
   test("plan report assembles the reference's dry-run findings") {
-    val r = PlanReport.build(JobConfig(), tables)
+    // default config: spatial_mode=off and no postgis → the geometry
+    // column is UNSUPPORTED and no postgis extension is required
+    val r0 = PlanReport.build(JobConfig(), tables)
+    assert(r0.requiredExtensions == Seq("citext"))
+    assert(r0.unsupportedColumns.toSet ==
+      Set(("users", "odd", "weirdtype(9)"), ("users", "geom", "geometry")))
+    // postgis enabled → geometry maps natively and postgis is required
+    val r = PlanReport.build(JobConfig(postgisEnabled = true,
+      typeOptions = graft.sources.TypeOptions(usePostGis = true)), tables)
     assert(r.requiredExtensions == Seq("citext", "postgis"))
     assert(r.unsupportedColumns == Seq(("users", "odd", "weirdtype(9)")))
     assert(r.generatedColumns.map(g => (g._1, g._2)) ==

@@ -119,4 +119,61 @@ class TransformsSpec extends AnyFunSuite {
     assert(one[java.math.BigDecimal](df.select(moneyToNumeric(col("m"))))
       .toPlainString == "12.3457")
   }
+
+  test("config-driven transform dispatch: [type_mapping] modes select " +
+      "data-path mechanisms (mysqlTransformValue parity)") {
+    import graft.sources.{SourceColumn, TypeOptions}
+    val o = TypeOptions()
+    def sel(dialect: String, c: SourceColumn, opts: TypeOptions) =
+      graft.functions.Transforms.forColumn(dialect, c, opts)
+    val t1 = SourceColumn("b", "tinyint", columnType = "tinyint(1)")
+    // defaults: tinyint(1) passes through; flag selects the transform
+    assert(sel("mysql", t1, o).isEmpty)
+    assert(sel("mysql", t1, o.copy(tinyint1AsBoolean = true)).nonEmpty)
+    // binary16 uuid + swap mode changes the BYTES decoded
+    val b16 = SourceColumn("u", "binary", charMaxLen = Some(16))
+    val bytes = Array[Byte](0x11, 0x11, 0x22, 0x22, 0x33, 0x33, 0x33, 0x33,
+      0x44, 0x44, 0x55, 0x55, 0x55, 0x55, 0x55, 0x55)
+    val df = Seq(Tuple1(bytes)).toDF("u")
+    val plain = sel("mysql", b16,
+      o.copy(binary16AsUuid = true)).get(col("u"))
+    val swapped = sel("mysql", b16, o.copy(binary16AsUuid = true,
+      binary16UuidMode = "mysql_uuid_to_bin_swap")).get(col("u"))
+    assert(one[String](df.select(plain)) ==
+      "11112222-3333-3333-4444-555555555555")
+    assert(one[String](df.select(swapped)) ==
+      "33333333-2222-1111-4444-555555555555")
+    // set mode: text passthrough vs array split
+    val st = SourceColumn("s", "set", columnType = "set('a','b')")
+    assert(sel("mysql", st, o).isEmpty)
+    assert(sel("mysql", st, o.copy(setMode = "text_array")).nonEmpty)
+    // bit mode: width parsed from column_type
+    val bit = SourceColumn("f", "bit", columnType = "bit(5)")
+    assert(sel("mysql", bit, o).isEmpty)
+    val bits = sel("mysql", bit, o.copy(bitMode = "bit")).get
+    assert(one[String](Seq(Tuple1(Array[Byte](0x15)))
+      .toDF("f").select(bits(col("f")))) == "10101")
+    // time interval mode
+    val tm = SourceColumn("t", "time")
+    assert(sel("mysql", tm, o).isEmpty)
+    assert(sel("mysql", tm, o.copy(timeMode = "interval")).nonEmpty)
+    // zero_date error mode raises; null mode nulls
+    val dtc = SourceColumn("d", "datetime")
+    val zdf = Seq("0000-00-00 00:00:00").toDF("d")
+    assert(zdf.select(sel("mysql", dtc, o).get(col("d")))
+      .collect()(0).isNullAt(0))
+    intercept[Exception] {
+      zdf.select(sel("mysql", dtc,
+        o.copy(zeroDateMode = "error")).get(col("d"))).collect()
+    }
+    // json sanitization on by default, off when disabled
+    val js = SourceColumn("j", "json")
+    assert(sel("mysql", js, o).nonEmpty)
+    assert(sel("mysql", js,
+      o.copy(sanitizeJsonNullBytes = false)).isEmpty)
+    // mssql: money respects money_as_numeric
+    val money = SourceColumn("m", "money")
+    assert(sel("mssql", money, o).nonEmpty)
+    assert(sel("mssql", money, o.copy(moneyAsNumeric = false)).isEmpty)
+  }
 }
