@@ -276,6 +276,68 @@ object TextAnalysis {
             |  ${graft.Round4.sql("AVG(n_tokens)")} AS avg_tokens
             |FROM w GROUP BY lang, tier ORDER BY lang, tier""".stripMargin))
 
+  /** GLOBAL quality tiering — the corpus-wide twin of [[q92QualityTiers]]
+    * built the way 100 TB actually allows: q92's `ntile` window is
+    * per-LANGUAGE (parallel by group), but a corpus-wide ntile would
+    * serialize everything through one partition. Instead the global
+    * quartile CUTPOINTS are computed once as a 1-row aggregate,
+    * broadcast back (a 1-row BNLJ, not an exchange of the corpus), and
+    * tier assignment becomes a stateless per-row CASE — one narrow
+    * corpus pass, no global sort, no window anywhere in the plan
+    * (`PlanShapeSpec` asserts both). At 100 TB the exact `percentile`
+    * cutpoint aggregate swaps to `percentile_approx` (mergeable GK
+    * sketch, q93 runs that swap under a bracketing gate); the
+    * broadcast-CASE stage is unchanged.
+    *
+    * Semantics note: quartile EDGES differ from q92's ntile on
+    * purpose — ntile balances COUNTS (ties split across tiers),
+    * cutpoint tiering is value-deterministic (equal scores always
+    * land in the same tier), which is the property a reproducible
+    * data-curation run needs.
+    */
+  val q111GlobalTiers: QueryDef = QueryDef(
+    "q111_global_tiers",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("nt",
+          size(split(lower(col("text")), " ")).cast(DoubleType))
+      val cuts = d.agg(
+        expr("percentile(nt, array(0.25D, 0.5D, 0.75D))").as("c"))
+      d.crossJoin(broadcast(cuts))
+        .withColumn("tier",
+          when(col("nt") <= col("c")(0), 1)
+            .when(col("nt") <= col("c")(1), 2)
+            .when(col("nt") <= col("c")(2), 3)
+            .otherwise(4))
+        .groupBy(col("tier"), col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          min(col("nt")).cast("long").as("min_tokens"),
+          max(col("nt")).cast("long").as("max_tokens"),
+          graft.Round4(avg(col("nt"))).as("avg_tokens"))
+        .orderBy("tier", "lang")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+            |      AS nt
+            |  FROM documents),
+            |c AS (
+            |  SELECT quantile_cont(nt, 0.25) AS q1,
+            |         quantile_cont(nt, 0.50) AS q2,
+            |         quantile_cont(nt, 0.75) AS q3 FROM t),
+            |w AS (
+            |  SELECT lang, nt,
+            |    CASE WHEN nt <= c.q1 THEN 1
+            |         WHEN nt <= c.q2 THEN 2
+            |         WHEN nt <= c.q3 THEN 3
+            |         ELSE 4 END AS tier
+            |  FROM t, c)
+            |SELECT tier, lang, COUNT(*) AS docs,
+            |  CAST(MIN(nt) AS BIGINT) AS min_tokens,
+            |  CAST(MAX(nt) AS BIGINT) AS max_tokens,
+            |  ${graft.Round4.sql("AVG(nt)")} AS avg_tokens
+            |FROM w GROUP BY tier, lang ORDER BY tier, lang""".stripMargin))
+
   /** The 100 TB quantile path made real: q67 documents that exact
     * `percentile` (per-group sort) swaps to `percentile_approx`
     * (mergeable GK sketch, no sort) at scale — this query RUNS that
@@ -898,5 +960,5 @@ object TextAnalysis {
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
     q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy,
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
-    q108MixTemperature, q109Chunking)
+    q108MixTemperature, q109Chunking, q111GlobalTiers)
 }

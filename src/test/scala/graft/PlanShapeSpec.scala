@@ -218,6 +218,16 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "total join must be broadcast")
   }
 
+  test("q111: global tiering is broadcast cutpoints + stateless CASE " +
+      "— no window, no global sort of the corpus") {
+    val p = plan("q111_global_tiers")
+    assert(!p.contains("Window"),
+      "global tiering fell back to a partition-less window")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "1-row cutpoint relation must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q87: entropy is per-row codegen — no Generate (explode), no " +
       "join, one keyed aggregation") {
     val p = plan("q87_char_entropy")
