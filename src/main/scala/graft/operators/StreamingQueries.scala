@@ -296,6 +296,38 @@ object StreamingQueries {
            |FROM d GROUP BY lang, source
            |ORDER BY lang, source""".stripMargin))
 
+  /** [[q107StreamCuration]] with BOUNDED dedup state — the production
+    * form its scaladoc promises: `dropDuplicatesWithinWatermark` keyed
+    * on the same (lang, source, content-hash), with a deterministic
+    * ingest timestamp and a 10 s watermark. State for a hash is
+    * evicted once the watermark passes its event time + delay, so a
+    * year-long ingest holds hours of state, not the full distinct-hash
+    * history (`DropDuplicatesWatermarkSpec` drives eviction across
+    * micro-batches and proves a late re-arrival passes through). The
+    * fixture replay lands in one micro-batch with all ingest times
+    * inside one delay window, so the output — and the oracle — are
+    * exactly q107's.
+    */
+  val q112StreamCurationWm: QueryDef = QueryDef(
+    "q112_stream_curation_wm",
+    (s, dir) => {
+      val docs = EventsStream.readDocuments(s, dir)
+        .withColumn("n_tokens", size(split(lower(col("text")), " ")))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 80)
+        .withColumn("h", md5(col("text")))
+        // deterministic ingest time: all rows within one 10 s window
+        .withColumn("ing_ts", expr(
+          "timestamp_micros(1700000000000000 + (doc_id % 5) * 1000000)"))
+        .withWatermark("ing_ts", "10 seconds")
+        .dropDuplicatesWithinWatermark("lang", "source", "h")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("chars"))
+      EventsStream.runToCompletion(s, docs)
+        .orderBy("lang", "source")
+    },
+    q107StreamCuration.oracle)
+
   /** The q86 value histogram maintained INCREMENTALLY over the event
     * stream — the live-dashboard distribution monitor. Bin assignment
     * is stateless per-row; the complete-mode aggregate keeps one
@@ -321,5 +353,5 @@ object StreamingQueries {
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,
-    q107StreamCuration, q110StreamHistogram)
+    q107StreamCuration, q110StreamHistogram, q112StreamCurationWm)
 }
