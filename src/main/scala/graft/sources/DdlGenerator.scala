@@ -12,7 +12,8 @@ final case class IndexMeta(name: String, columns: Seq[String],
     unique: Boolean = false, isPrimary: Boolean = false,
     kind: String = "BTREE",            // BTREE|FULLTEXT|SPATIAL|HASH
     hasPrefix: Boolean = false,        // prefix index, e.g. col(10)
-    hasExpression: Boolean = false)    // functional index
+    hasExpression: Boolean = false,    // functional index
+    directions: Seq[String] = Nil)     // per-column ASC|DESC (model.go:26)
 final case class ForeignKeyMeta(name: String, columns: Seq[String],
     refTable: String, refColumns: Seq[String],
     onDelete: String = "NO ACTION", onUpdate: String = "NO ACTION")
@@ -101,9 +102,15 @@ object DdlGenerator {
   def createIndex(schema: String, table: String, ix: IndexMeta): String = {
     val unique = if (ix.unique) "UNIQUE " else ""
     val name = truncateIdentifier(ix.name)
+    val cols = ix.columns.zipWithIndex.map { case (c, i) =>
+      // per-column DESC from the source index definition (model.go:26;
+      // MySQL STATISTICS.COLLATION 'D')
+      if (ix.directions.lift(i).contains("DESC")) s"${pgIdent(c)} DESC"
+      else pgIdent(c)
+    }
     s"CREATE ${unique}INDEX ${pgIdent(name)} ON " +
       s"${pgIdent(schema)}.${pgIdent(table)} " +
-      s"(${ix.columns.map(pgIdent).mkString(", ")})"
+      s"(${cols.mkString(", ")})"
   }
 
   def addForeignKey(schema: String, table: String,

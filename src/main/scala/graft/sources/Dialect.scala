@@ -17,6 +17,7 @@ final case class SourceColumn(
     extra: String = "",          // "auto_increment", "on update ..."
     unsigned: Boolean = false,
     collation: String = "",      // e.g. utf8mb4_general_ci
+    charset: String = "",        // e.g. utf8mb4 (model.go:17)
     generationExpression: String = "") // non-empty = generated column
 
 /** Mapped result: Spark type for the engine + PG DDL type for the sink. */

@@ -34,7 +34,7 @@ object Introspection {
       s"""SELECT TABLE_NAME, COLUMN_NAME, DATA_TYPE, COLUMN_TYPE,
          |  CHARACTER_MAXIMUM_LENGTH, NUMERIC_PRECISION, NUMERIC_SCALE,
          |  IS_NULLABLE, COLUMN_DEFAULT, EXTRA, COLLATION_NAME,
-         |  GENERATION_EXPRESSION, ORDINAL_POSITION
+         |  GENERATION_EXPRESSION, ORDINAL_POSITION, CHARACTER_SET_NAME
          |FROM INFORMATION_SCHEMA.COLUMNS
          |WHERE TABLE_SCHEMA = '$schema'
          |ORDER BY TABLE_NAME, ORDINAL_POSITION""".stripMargin
@@ -46,7 +46,7 @@ object Introspection {
 
     def indexesSql(schema: String): String =
       s"""SELECT TABLE_NAME, INDEX_NAME, NON_UNIQUE, SEQ_IN_INDEX,
-         |  COLUMN_NAME, SUB_PART, EXPRESSION, INDEX_TYPE
+         |  COLUMN_NAME, SUB_PART, EXPRESSION, INDEX_TYPE, COLLATION
          |FROM INFORMATION_SCHEMA.STATISTICS
          |WHERE TABLE_SCHEMA = '$schema'
          |ORDER BY TABLE_NAME, INDEX_NAME, SEQ_IN_INDEX""".stripMargin
@@ -257,6 +257,9 @@ object Introspection {
         unsigned = Option(r.getString(3)).exists(
           _.toLowerCase.contains("unsigned")),
         collation = strOpt(10).getOrElse(""),
+        // CHARACTER_SET_NAME rides at the tail so older recorded
+        // catalogs (13-field rows) still replay
+        charset = if (r.size > 13) strOpt(13).getOrElse("") else "",
         generationExpression = strOpt(11).getOrElse(""))
       val t = r.getString(0)
       byTable(t) = byTable.getOrElse(t, Vector.empty) :+ c
@@ -280,7 +283,13 @@ object Introspection {
           isPrimary = ixName == "PRIMARY",
           kind = sorted.head.getString(7),
           hasPrefix = sorted.exists(!_.isNullAt(5)),
-          hasExpression = sorted.exists(!_.isNullAt(6)))
+          hasExpression = sorted.exists(!_.isNullAt(6)),
+          // STATISTICS.COLLATION: 'A'/'D'/NULL per key part
+          // (model.go:26); tail position keeps 8-field recordings valid
+          directions = sorted.map(r =>
+            if (r.size > 8 && !r.isNullAt(8) && r.getString(8) == "D")
+              "DESC"
+            else "ASC"))
         out(table) = out.getOrElse(table, Vector.empty) :+ ix
       }
     out.toMap
