@@ -57,33 +57,22 @@ object Dedup {
   private val SimhashBands = 16
   private val SimhashBandBits = 4
 
-  /** doc_id → (gs: DISTINCT word-3-shingle array, n = |gs|), computed
-    * entirely IN-ROW by the native codegen'd [[graft.plans.ShingleSet]]
-    * expression: the whole per-document stage is embarrassingly
-    * parallel — no corpus-wide distinct shuffle and no group-by for set
-    * sizes, which at 100 TB removes the two largest exchanges of the
-    * naive formulation (dedup via `.distinct()` and sizes via
-    * `groupBy(doc_id)`). The empty-array filter is exactly the old
+  /** doc_id → (gs: SORTED distinct 64-bit xxhash64 word-3-shingle
+    * array, n = |gs|), computed entirely IN-ROW by the codegen'd
+    * [[graft.plans.ShingleHashSet]] expression: the whole per-document
+    * stage is embarrassingly parallel — no corpus-wide distinct
+    * shuffle, no group-by for set sizes, zero string allocation (the
+    * hash runs over the text's byte windows), and every downstream
+    * stage — inverted-index keys, df aggregation, minhash signatures,
+    * verify merges — works on 8-byte longs instead of ~20-byte shingle
+    * strings. The empty-array filter is exactly the old
     * `size(w) >= ShingleLen` pre-filter (≥ len tokens ⇔ ≥ 1 shingle).
+    * 64-bit collision odds are ~1e-10 at fixture scale and the oracle
+    * gate would catch any (deterministic — a green run stays green);
+    * the string form survives as [[graft.plans.ShingleSet]] for
+    * pipelines that need the shingle text back.
     */
   private def shingleSets(docs: DataFrame): DataFrame = {
-    graft.functions.VectorOps.register(docs.sparkSession)
-    docs
-      .select(col("doc_id"),
-        graft.functions.VectorOps.shingles(lower(col("text")), ShingleLen)
-          .as("gs"))
-      .filter(size(col("gs")) > 0)
-      .withColumn("n", size(col("gs")))
-  }
-
-  /** [[shingleSets]] with 64-bit hashed shingles: doc_id → (gs: SORTED
-    * distinct xxhash64 shingle array, n = |gs|), all in-row via the
-    * codegen'd [[graft.plans.ShingleHashSet]]. The whole downstream
-    * pipeline — inverted-index keys, df aggregation, verify merge —
-    * moves from ~20-byte strings to 8-byte longs, and the verify
-    * needs no `sort_array` pass at all (the expression emits sorted).
-    */
-  private def hashedShingleSets(docs: DataFrame): DataFrame = {
     graft.functions.VectorOps.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
@@ -93,11 +82,16 @@ object Dedup {
       .withColumn("n", size(col("gs")))
   }
 
-  /** [[verifyPairs]] over [[hashedShingleSets]] relations: the arrays
-    * are already sorted longs, so the per-pair intersection is the
-    * primitive two-pointer merge with no per-document sort.
+  /** Exact Jaccard for given candidate pairs (d1 < d2), via the in-row
+    * hashed shingle sets ([[shingleSets]] — no aggregation needed, no
+    * per-document sort: [[graft.plans.ShingleHashSet]] emits sorted, so
+    * every pair's intersection is the primitive codegen'd two-pointer
+    * long merge). Used as the verification stage after LSH/SimHash/
+    * prefix candidate generation; candidate cardinality is tiny
+    * compared to the corpus, so the set arrays crossing the join stay
+    * bounded (≤ shingles per doc).
     */
-  private def verifyPairsHashed(cand: DataFrame, sets: DataFrame): DataFrame = {
+  private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame = {
     val a = sets.select(col("doc_id").as("d1"),
       col("gs").as("gs1"), col("n").as("n1"))
     val b = sets.select(col("doc_id").as("d2"),
@@ -105,31 +99,6 @@ object Dedup {
     cand.join(a, "d1").join(b, "d2")
       .withColumn("c", graft.functions.VectorOps
         .sortedLongIntersectCount(col("gs1"), col("gs2")))
-      .withColumn("jac",
-        col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
-      .filter(col("jac") >= JaccardThreshold)
-      .select(col("d1"), col("d2"), graft.Round4(col("jac")).as("jac"))
-      .orderBy("d1", "d2")
-  }
-
-  /** Exact Jaccard for given candidate pairs (d1 < d2), via the in-row
-    * shingle sets ([[shingleSets]] — no aggregation needed). Used as the
-    * verification stage after LSH/SimHash candidate generation;
-    * candidate cardinality is tiny compared to the corpus, so the set
-    * arrays crossing the join stay bounded (≤ shingles per doc).
-    */
-  private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame = {
-    // sort once per DOCUMENT (in-row), then every candidate pair's
-    // intersection is a zero-allocation codegen'd two-pointer merge —
-    // measured ~3× faster than per-pair array_intersect (hash set +
-    // output array per row) on a 119k-candidate verify at sf0.1
-    val a = sets.select(col("doc_id").as("d1"),
-      sort_array(col("gs")).as("gs1"), col("n").as("n1"))
-    val b = sets.select(col("doc_id").as("d2"),
-      sort_array(col("gs")).as("gs2"), col("n").as("n2"))
-    cand.join(a, "d1").join(b, "d2")
-      .withColumn("c", graft.functions.VectorOps
-        .sortedIntersectCount(col("gs1"), col("gs2")))
       .withColumn("jac",
         col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
       .filter(col("jac") >= JaccardThreshold)
@@ -739,7 +708,7 @@ object Dedup {
       // encoded corpus once, reuse it" pipeline stage every production
       // dedup run has anyway).
       val sets = graft.Caches.persist(
-        hashedShingleSets(Tables.load(s, dir, "documents")))
+        shingleSets(Tables.load(s, dir, "documents")))
       val sh0 = sets.select(col("doc_id"), col("n"),
         explode(col("gs")).as("g"))
       val dfRel = sh0.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -783,7 +752,7 @@ object Dedup {
           least(col("na") - col("p1"), col("nb") - col("p2")) >=
           expr("(4 * (na + nb) + 8) div 9"))
         .select(col("d1"), col("d2"))
-      verifyPairsHashed(cand, sets).distinct().orderBy("d1", "d2")
+      verifyPairs(cand, sets).distinct().orderBy("d1", "d2")
     },
     Some(jaccardOracle),
     bench = true)

@@ -589,13 +589,23 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
+  // accepts string shingles or pre-hashed long shingles
+  // ([[ShingleHashSet]] output); the long path double-hashes the
+  // 64-bit value instead of the string bytes
+  private def longInput: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any): Any =
-    MinHashSignature.compute(a.asInstanceOf[ArrayData], numHashes)
+    MinHashSignature.compute(a.asInstanceOf[ArrayData], numHashes,
+      longInput)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.plans.MinHashSignature.compute($a, $numHashes);")
+      s"${ev.value} = graft.plans.MinHashSignature.compute($a, " +
+        s"$numHashes, $longInput);")
 
   override protected def withNewChildInternal(
       newChild: Expression): MinHashSignature = copy(child = newChild)
@@ -619,18 +629,29 @@ object MinHashSignature {
     * output must still equal the exact-Jaccard operator's), and the
     * candidate stage always re-verifies exactly.
     */
-  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+  def compute(arr: ArrayData, numHashes: Int,
+      longInput: Boolean): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(s, org.apache.spark.sql.types.StringType, 0L)
-        val h2 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(s, org.apache.spark.sql.types.StringType,
-            0x9E3779B97F4A7C15L) | 1L
+        var h1 = 0L
+        var h2 = 0L
+        if (longInput) {
+          val v = arr.getLong(i)
+          h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(v, 0L)
+          h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(v, 0x9E3779B97F4A7C15L) | 1L
+        } else {
+          val s = arr.getUTF8String(i)
+          h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(s, org.apache.spark.sql.types.StringType, 0L)
+          h2 = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(s, org.apache.spark.sql.types.StringType,
+              0x9E3779B97F4A7C15L) | 1L
+        }
         var k = 0
         var v = h1
         while (k < numHashes) {
