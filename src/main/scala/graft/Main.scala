@@ -465,9 +465,13 @@ final class SparkTableLoader(
     if (allPreds.nonEmpty && todo.isEmpty) return 0L
     if (allPreds.isEmpty && checkpoint.exists(_.isDone(table.name, 0L)))
       return 0L
-    val df = JdbcSource.readWithPredicates(spark, dialect,
-      JdbcSource.ReadSpec(cfg.sourceUrl, st.name, key),
-      if (allPreds.isEmpty) Array.empty else todo.map(_._1))
+    // transform projection (reference migrate.go:459-466): the
+    // config-selected per-column transforms run between scan and sink
+    val df = graft.functions.Transforms.applyTo(
+      JdbcSource.readWithPredicates(spark, dialect,
+        JdbcSource.ReadSpec(cfg.sourceUrl, st.name, key),
+        if (allPreds.isEmpty) Array.empty else todo.map(_._1)),
+      st.columns, dialect.name, cfg.typeOptions)
     val targetUrl = cfg.targetUrl
     // target columns carry the MAPPED identifiers (snake_case /
     // lowercased) — the INSERT must use those, in the source column

@@ -203,6 +203,22 @@ object Transforms {
     * identity passthrough). This is what makes every TOML mode key
     * actually select a data-path mechanism, not just a DDL type.
     */
+  /** Apply [[forColumn]] across a scanned source DataFrame — the load
+    * path's transform-projection stage (one `withColumn` per affected
+    * column; untouched columns stream through).
+    */
+  def applyTo(df: org.apache.spark.sql.DataFrame,
+      columns: Seq[graft.sources.SourceColumn],
+      dialect: String,
+      o: graft.sources.TypeOptions): org.apache.spark.sql.DataFrame =
+    columns.foldLeft(df) { (d, c) =>
+      forColumn(dialect, c, o) match {
+        case Some(f) if d.columns.contains(c.name) =>
+          d.withColumn(c.name, f(org.apache.spark.sql.functions.col(c.name)))
+        case _ => d
+      }
+    }
+
   def forColumn(dialect: String,
       c: graft.sources.SourceColumn,
       o: graft.sources.TypeOptions): Option[Column => Column] = {

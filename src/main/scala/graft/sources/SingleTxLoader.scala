@@ -57,6 +57,11 @@ final class SingleTxTableLoader(
   }
 
   def load(table: TableMeta): Long = {
+    // NOTE: this one-connection snapshot path streams raw JDBC rows —
+    // the config-selected column transforms (Transforms.forColumn)
+    // apply on the parallel DataFrame path; a single_tx job with
+    // transform-bearing type options loads source-form values (the
+    // target DDL for those modes matches the source form)
     val st = bySource(table.name)
     val sql = dialect.scanSql(st.name, st.columns.map(_.name))
     val stmt = conn.createStatement()

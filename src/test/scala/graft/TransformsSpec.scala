@@ -176,4 +176,25 @@ class TransformsSpec extends AnyFunSuite {
     assert(sel("mssql", money, o).nonEmpty)
     assert(sel("mssql", money, o.copy(moneyAsNumeric = false)).isEmpty)
   }
+
+  test("applyTo: the load path's transform projection rewrites exactly " +
+      "the config-selected columns, leaves the rest streaming through") {
+    import graft.sources.{SourceColumn, TypeOptions}
+    val df = Seq((1, "a,b", "x")).toDF("flag", "tags", "plain")
+    val cols = Seq(
+      SourceColumn("flag", "tinyint", columnType = "tinyint(1)"),
+      SourceColumn("tags", "set", columnType = "set('a','b')"),
+      SourceColumn("plain", "varchar", charMaxLen = Some(10)))
+    val out = graft.functions.Transforms.applyTo(df, cols, "mysql",
+      TypeOptions(tinyint1AsBoolean = true, setMode = "text_array"))
+    val r = out.collect()(0)
+    assert(r.getBoolean(0) === true)
+    assert(r.getSeq[String](1) == Seq("a", "b"))
+    assert(r.getString(2) == "x")
+    // defaults: nothing selected, frame untouched
+    val same = graft.functions.Transforms.applyTo(df, cols, "mysql",
+      TypeOptions())
+    assert(same.collect()(0).getInt(0) == 1 &&
+      same.collect()(0).getString(1) == "a,b")
+  }
 }
