@@ -211,9 +211,12 @@ object Dedup {
     // hash-distribute the shingle rows on the join key ONCE — both
     // sides of the self-join below reuse this single exchange
     // (ReusedExchange), instead of the planner broadcasting the whole
-    // exploded relation (its size estimate under a Generate is wildly
-    // low) and probing it on the scan's partitioning
-    val sh = sh0.repartition(col("g"))
+    // exploded relation. The merge hint is load-bearing: 8-byte hashed
+    // shingle keys shrink the size ESTIMATE under the broadcast
+    // threshold, and the planner otherwise broadcasts the corpus-sized
+    // index (measured: q61 0.8 → 1.3 s locally, and a guaranteed OOM
+    // at 100 TB where the inverted index is corpus-sized)
+    val sh = sh0.repartition(col("g")).hint("shuffle_hash")
     val a = sh.select(col("doc_id").as("d1"), col("n").as("n1"), col("g"))
     val b = sh.select(col("doc_id").as("d2"), col("n").as("n2"), col("g"))
     a.join(b, Seq("g")).filter(col("d1") < col("d2"))
@@ -728,7 +731,11 @@ object Dedup {
       // distinct — 3%), so deduplicating BEFORE verify buys almost no
       // verify work yet costs a full exchange+aggregate of the pair
       // relation; the tiny verified survivor set dedups for free.
-      val pr = pref.repartition(col("g"))
+      // same anti-broadcast discipline as jaccardFromShingles: the
+      // prefix relation is ~(1-t) of the corpus index — small here,
+      // corpus-sized at scale; the hint keeps the self-join on the one
+      // reused exchange instead of a broadcast of the index
+      val pr = pref.repartition(col("g")).hint("shuffle_hash")
       // POSITIONAL filter (the "PP" of PPJoin, Xiao et al. WWW'08):
       // common tokens align monotonically under the global order, so
       // for a shared token at ranks (p1, p2) the overlap is at most
