@@ -352,6 +352,7 @@ object Dedup {
       // the candidate self-join (same rationale as jaccardFromShingles)
       val buckets = bandBuckets(docAgg)
         .repartition(col("band"), col("sig"))
+        .hint("shuffle_hash") // anti-broadcast: see jaccardFromShingles
       val cand = buckets.as("a")
         .join(buckets.as("b"),
           col("a.band") === col("b.band") &&
@@ -364,7 +365,8 @@ object Dedup {
       val b = docAgg.select(col("doc_id").as("d2"), col("gs").as("gs2"),
         col("n").as("n2"))
       cand.join(a, "d1").join(b, "d2")
-        .withColumn("c", size(array_intersect(col("gs1"), col("gs2"))))
+        .withColumn("c", graft.functions.VectorOps
+          .sortedLongIntersectCount(col("gs1"), col("gs2")))
         .withColumn("jac",
           col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
         .filter(col("jac") >= JaccardThreshold)
@@ -407,8 +409,12 @@ object Dedup {
               .as("chunk"))): _*)).as("bk"))
         .select(col("doc_id"), col("sh"),
           col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-      val cand = bandRows.as("a")
-        .join(bandRows.as("b"),
+      // one hash exchange on the bucket key, reused by both sides —
+      // and hint-pinned there (anti-broadcast: see jaccardFromShingles)
+      val br = bandRows.repartition(col("band"), col("chunk"))
+        .hint("shuffle_hash")
+      val cand = br.as("a")
+        .join(br.as("b"),
           col("a.band") === col("b.band") &&
             col("a.chunk") === col("b.chunk") &&
             col("a.doc_id") < col("b.doc_id"))

@@ -218,6 +218,20 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "total join must be broadcast")
   }
 
+  test("candidate self-joins stay on the reused shuffle exchange — " +
+      "never a broadcast of the corpus-sized index/bucket relation") {
+    // 8-byte hashed keys shrank the exploded relations' size ESTIMATES
+    // under the broadcast threshold and the planner silently started
+    // broadcasting them (q61 regression, round 7); the shuffle_hash
+    // hints pin the join, and this asserts the pin holds
+    Seq("q22_dedup_jaccard", "q23_dedup_minhash", "q24_dedup_simhash",
+      "q61_curation", "q91_dedup_jaccard_prefix").foreach { q =>
+      assert(plan(q).contains("ShuffledHashJoin"),
+        s"$q: candidate self-join left the pinned shuffle exchange " +
+          "(broadcast of a corpus-sized relation?)")
+    }
+  }
+
   test("q111: global tiering is broadcast cutpoints + stateless CASE " +
       "— no window, no global sort of the corpus") {
     val p = plan("q111_global_tiers")
