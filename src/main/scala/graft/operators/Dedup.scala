@@ -441,9 +441,12 @@ object Dedup {
     "q65_decontamination",
     (s, dir) => {
       graft.functions.VectorOps.register(s)
+      // hashed 5-grams: the semi-join key and its exchange go from
+      // ~30-byte strings to 8-byte longs (the existence check never
+      // needs the n-gram text back)
       val sets5 = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          graft.functions.VectorOps.shingles(lower(col("text")), 5)
+          graft.functions.VectorOps.shingleHashes(lower(col("text")), 5)
             .as("gs"))
         .filter(size(col("gs")) > 0)
       val sh = sets5.select(col("doc_id"), col("lang"),
