@@ -47,26 +47,48 @@ object Bench {
     * SPARK_GRAFT_MRG=off benches the raw fixtures.
     */
   private def multiRowGroupCopy(spark: SparkSession, raw: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val dest = s"/tmp/graft_mrg_${raw.replaceAll("[^A-Za-z0-9]", "_")}"
-    val d = new java.io.File(dest)
-    val marker = new java.io.File(d, "_GRAFT_MRG_DONE")
-    if (!marker.exists()) {
-      d.mkdirs()
-      AllTables.foreach { t =>
-        val src = java.nio.file.Paths.get(s"$raw/$t.parquet")
-        val dst = new java.io.File(d, s"$t.parquet")
-        if (!dst.exists() && java.nio.file.Files.exists(src)) {
-          if (SplitTables(t))
-            spark.read.parquet(src.toString).repartition(16)
-              .write.mode("overwrite")
-              .option("parquet.block.size", (1 << 20).toString)
-              .parquet(dst.toString)
-          else java.nio.file.Files.createSymbolicLink(dst.toPath, src)
-        }
+    val marker = Paths.get(dest, "_GRAFT_MRG_DONE")
+    if (Files.exists(marker)) return dest
+    // build in a process-unique staging dir, then one atomic rename —
+    // a concurrent Bench JVM (e.g. the driver's round-end run racing a
+    // local one) either wins the rename or falls back cleanly; nobody
+    // ever reads a half-written copy
+    val stage = Paths.get(
+      s"${dest}_stage_${java.lang.ProcessHandle.current().pid()}")
+    Files.createDirectories(stage)
+    AllTables.foreach { t =>
+      val src = Paths.get(s"$raw/$t.parquet")
+      if (Files.exists(src)) {
+        val dst = stage.resolve(s"$t.parquet")
+        if (SplitTables(t))
+          spark.read.parquet(src.toString).repartition(16)
+            .write.mode("overwrite")
+            .option("parquet.block.size", (1 << 20).toString)
+            .parquet(dst.toString)
+        else Files.createSymbolicLink(dst, src)
       }
-      marker.createNewFile()
     }
-    dest
+    Files.createFile(stage.resolve("_GRAFT_MRG_DONE"))
+    try {
+      Files.move(stage, Paths.get(dest), StandardCopyOption.ATOMIC_MOVE)
+      dest
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AccessDeniedException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        // another JVM won the race; use its copy if complete, else
+        // fall back to this process's staging dir (still valid input)
+        if (Files.exists(marker)) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(stage.toFile)
+          dest
+        } else stage.toString
+    }
   }
 
   def main(args: Array[String]): Unit = {
