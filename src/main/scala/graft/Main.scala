@@ -305,7 +305,18 @@ object Main {
       try {
         val pipeline =
           new MigrationPipeline(cfg, exec, loader, hookSql, checkpoint)
+        // native enum mode: the shared FNV-named PG types referenced by
+        // the column DDL must be created up front (ddl.go:132-175)
+        val enumSets =
+          if (cfg.typeOptions.effectiveEnumMode(cfg.sourceDialect) ==
+              "native")
+            sts.flatMap(_.columns
+              .filter(_.dataType.equalsIgnoreCase("enum"))
+              .map(c => SchemaMapping.parseEnumSetValues(c.columnType)))
+              .filter(_.nonEmpty)
+          else Nil
         val result = pipeline.migrate(metas,
+          enumValueSets = enumSets,
           requiredExtensions = report.requiredExtensions)
         println(s"migrated ${result.tablesCreated.size} tables, " +
           s"${result.rowsLoaded.values.sum} rows, " +
