@@ -315,9 +315,15 @@ object Main {
               .map(c => SchemaMapping.parseEnumSetValues(c.columnType)))
               .filter(_.nonEmpty)
           else Nil
+        // postgis creation is opt-in ([postgis].create_extension,
+        // extensions.go:38-43); citext auto-creates (extensions.go:29)
+        val createExts = report.requiredExtensions.filter {
+          case "postgis" => cfg.postgisCreateExtension
+          case _ => true
+        }
         val result = pipeline.migrate(metas,
           enumValueSets = enumSets,
-          requiredExtensions = report.requiredExtensions)
+          requiredExtensions = createExts)
         println(s"migrated ${result.tablesCreated.size} tables, " +
           s"${result.rowsLoaded.values.sum} rows, " +
           s"${result.statementsExecuted} statements")

@@ -173,10 +173,14 @@ object PlanReport {
 
     val collationWarnings = tables.flatMap(t =>
       CollationCompat.uniqueIndexWarnings(t.name, t.columns, t.indexes,
-        ciAsCitext = false))
+        ciAsCitext = o.ciAsCitext))
 
-    val needsCitext = tables.exists(_.columns.exists(c =>
-      CollationCompat.isCaseInsensitive(c.collation)))
+    // citext is required only when the config actually PRODUCES citext
+    // columns (extensions.go:20-34 via pgTypeForCollation) — a plain
+    // migration of _ci columns maps them to text and needs nothing
+    val needsCitext = o.ciAsCitext && tables.exists(_.columns.exists(c =>
+      dialect.mapType(c, o).exists(m =>
+        CollationCompat.applyConfigPolicy(c, m.pg, o) == "citext")))
     val spatialTypes = Set("geometry", "point", "linestring", "polygon",
       "multipoint", "multilinestring", "multipolygon",
       "geometrycollection", "geography")

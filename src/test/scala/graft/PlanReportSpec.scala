@@ -32,21 +32,30 @@ class PlanReportSpec extends AnyFunSuite {
 
   test("plan report assembles the reference's dry-run findings") {
     // default config: spatial_mode=off and no postgis → the geometry
-    // column is UNSUPPORTED and no postgis extension is required
+    // column is UNSUPPORTED; _ci columns map to plain text without
+    // ci_as_citext, so NO extension is required (extensions.go:20-34)
     val r0 = PlanReport.build(JobConfig(), tables)
-    assert(r0.requiredExtensions == Seq("citext"))
+    assert(r0.requiredExtensions.isEmpty)
     assert(r0.unsupportedColumns.toSet ==
       Set(("users", "odd", "weirdtype(9)"), ("users", "geom", "geometry")))
+    // ci_as_citext produces citext columns → citext required
+    assert(PlanReport.build(JobConfig(typeOptions =
+      graft.sources.TypeOptions(ciAsCitext = true)), tables)
+      .requiredExtensions == Seq("citext"))
     // postgis enabled → geometry maps natively and postgis is required
     val r = PlanReport.build(JobConfig(postgisEnabled = true,
-      typeOptions = graft.sources.TypeOptions(usePostGis = true)), tables)
+      typeOptions = graft.sources.TypeOptions(ciAsCitext = true,
+        usePostGis = true)), tables)
     assert(r.requiredExtensions == Seq("citext", "postgis"))
     assert(r.unsupportedColumns == Seq(("users", "odd", "weirdtype(9)")))
     assert(r.generatedColumns.map(g => (g._1, g._2)) ==
       Seq(("users", "full_name")))
     assert(r.skippedIndexes.map(x => (x._1, x._2)).toSet ==
       Set(("users", "ft_name"), ("users", "ix_prefix")))
-    assert(r.collationWarnings.map(_.index) == Seq("ux_email"))
+    // warnings fire when _ci columns STAY plain text (default config);
+    // ci_as_citext suppresses them (the semantics are then preserved)
+    assert(r0.collationWarnings.map(_.index) == Seq("ux_email"))
+    assert(r.collationWarnings.isEmpty)
     // users has integer PK → chunkable; logs has varchar PK → not
     assert(r.chunkableTables == Seq("users"))
     val text = r.renderText
