@@ -85,12 +85,13 @@ object Main {
 
   private def session(): SparkSession = Sessions.build("graft")
 
-  /** MSSQL source schema — the reference defaults to dbo
-    * (`config.go:127`); overridable via env until the config grows a
-    * `source.schema` key.
+  /** MSSQL source schema — `source.source_schema` in migration.toml,
+    * defaulting to dbo like the reference (`config.go:127`); the env
+    * override predates the config key and still wins when set.
     */
-  private def mssqlSchema: String =
-    sys.env.getOrElse("GRAFT_MSSQL_SCHEMA", "dbo")
+  private def mssqlSchema(cfg: JobConfig): String =
+    sys.env.getOrElse("GRAFT_MSSQL_SCHEMA",
+      if (cfg.sourceSchema.nonEmpty) cfg.sourceSchema else "dbo")
 
   private def dbNameOf(url: String): String =
     url.split('/').last.takeWhile(_ != '?')
@@ -139,9 +140,9 @@ object Main {
       case "mssql" =>
         import Introspection.Mssql
         Introspection.assembleMssql(
-          rows(Mssql.columnsSql(mssqlSchema)),
-          rows(Mssql.indexesSql(mssqlSchema)),
-          rows(Mssql.foreignKeysSql(mssqlSchema)))
+          rows(Mssql.columnsSql(mssqlSchema(cfg))),
+          rows(Mssql.indexesSql(mssqlSchema(cfg))),
+          rows(Mssql.foreignKeysSql(mssqlSchema(cfg))))
       case _ =>
         val conn = java.sql.DriverManager.getConnection(url)
         try Introspection.fromJdbcMetadata(conn)
@@ -178,11 +179,11 @@ object Main {
             rows(Introspection.Sqlite.triggersSql).map(_.getString(0)))
       case "mssql" =>
         Introspection.SourceObjects(
-          views = rows(Introspection.Mssql.viewsSql(mssqlSchema))
+          views = rows(Introspection.Mssql.viewsSql(mssqlSchema(cfg)))
             .map(_.getString(0)),
-          routines = rows(Introspection.Mssql.routinesSql(mssqlSchema))
+          routines = rows(Introspection.Mssql.routinesSql(mssqlSchema(cfg)))
             .map(r => s"${r.getString(0)} ${r.getString(1)}"),
-          triggers = rows(Introspection.Mssql.triggersSql(mssqlSchema))
+          triggers = rows(Introspection.Mssql.triggersSql(mssqlSchema(cfg)))
             .map(_.getString(0)))
       case _ => Introspection.SourceObjects()
     }
