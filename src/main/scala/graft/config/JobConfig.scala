@@ -193,10 +193,23 @@ object JobConfig {
       case None => kv.getOrElse("mode", "parallel")
     }
 
+    // a non-default MySQL charset rides the JDBC URL from here on —
+    // every downstream normalizeUrl() sees the key already present and
+    // leaves it alone (the reference threads Charset into its DSN the
+    // same way, source_mysql.go:52-70)
+    val rawUrl = str(Seq("source.dsn", "source.url"), "")
+    val charset = kv.getOrElse("source.charset", "utf8mb4")
+    val urlWithCharset =
+      if (dialect == "mysql" && charset != "utf8mb4" && rawUrl.nonEmpty &&
+          !rawUrl.contains("characterEncoding="))
+        rawUrl + (if (rawUrl.contains("?")) "&" else "?") +
+          s"characterEncoding=$charset"
+      else rawUrl
+
     val cfg = JobConfig(
       sourceDialect = dialect,
-      sourceUrl = str(Seq("source.dsn", "source.url"), ""),
-      sourceCharset = kv.getOrElse("source.charset", "utf8mb4"),
+      sourceUrl = urlWithCharset,
+      sourceCharset = charset,
       sourceSchema = kv.getOrElse("source.source_schema",
         if (dialect == "mssql") "dbo" else ""),
       targetUrl = str(Seq("target.dsn", "target.url"), ""),

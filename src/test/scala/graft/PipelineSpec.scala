@@ -190,6 +190,16 @@ class PipelineSpec extends AnyFunSuite {
     JobConfig.fromToml(
       "[type_mapping]\ncollation_mode = \"auto\"\n" +
         "[type_mapping.collation_map]\nlatin1_swedish_ci = \"C\"")
+    // a non-default MySQL charset threads into the JDBC URL so every
+    // connection path picks it up (source_mysql.go:52-70)
+    val cs = JobConfig.fromToml(
+      "[source]\ntype = \"mysql\"\ndsn = \"jdbc:mysql://h/db\"\n" +
+        "charset = \"latin1\"")
+    assert(cs.sourceUrl == "jdbc:mysql://h/db?characterEncoding=latin1")
+    assert(graft.sources.MySqlDialect.normalizeUrl(cs.sourceUrl)
+      .count(_ == '?') == 1)
+    assert(!graft.sources.MySqlDialect.normalizeUrl(cs.sourceUrl)
+      .contains("utf8mb4"))
   }
 
   private val users = TableMeta("users",
