@@ -773,6 +773,70 @@ object Dedup {
     Some(jaccardOracle),
     bench = true)
 
+  /** Cluster-representative selection — the step that actually DELETES
+    * duplicates: group near-dup docs into clusters (q66's
+    * pointer-jumping components over the exact-Jaccard pair graph),
+    * keep ONE representative per cluster by the curation policy
+    * (longest text, ties to the lower doc_id — "best" is
+    * value-deterministic, so re-runs keep the same doc), and account
+    * for what survives per language. Singletons (never in any pair)
+    * keep themselves via the left join + coalesce. Plan: the pair
+    * graph is tiny relative to the corpus, components iterate on it
+    * alone (O(log d) keyed rounds), and the final selection is one
+    * cluster-keyed window over the corpus — parallel by cluster, no
+    * global sort.
+    */
+  val q113ClusterKeepBest: QueryDef = QueryDef(
+    "q113_cluster_keep_best",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val comp = connectedComponents(exactJaccardPairs(docs))
+      val labeled = docs
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(comp, docs("doc_id") === comp("v"), "left_outer")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled.withColumn("r", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("r") === 1, 1L).otherwise(0L)).as("kept"),
+          sum(when(col("r") === 1, col("n_chars")).otherwise(0L))
+            .as("chars_kept"))
+        .orderBy("lang")
+    },
+    Some(jaccardCtesFor(None).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+        |pairs AS (
+        |  SELECT d1, d2 FROM pc
+        |  JOIN sz s1 ON pc.d1 = s1.doc_id
+        |  JOIN sz s2 ON pc.d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.8),
+        |und AS (SELECT d1 AS v, d2 AS u FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |reach(v, u) AS (
+        |  SELECT v, u FROM und
+        |  UNION
+        |  SELECT r.v, e.u FROM reach r JOIN und e ON r.u = e.v),
+        |lab AS (SELECT v, least(v, MIN(u)) AS cluster
+        |        FROM reach GROUP BY v),
+        |fulld AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    COALESCE(lab.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN lab ON lab.v = d.doc_id),
+        |rk AS (
+        |  SELECT lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |                       ORDER BY n_chars DESC, doc_id) AS r
+        |  FROM fulld)
+        |SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept,
+        |  CAST(SUM(CASE WHEN r = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_kept
+        |FROM rk GROUP BY lang ORDER BY lang""".stripMargin))
+
   private val EditDistMax = 4
 
   /** Fuzzy entity matching by edit distance with BLOCKING — the
@@ -875,5 +939,5 @@ object Dedup {
     q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
     q65Decontamination, q66DedupClusters, q74IncrementalNeardup,
     q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch,
-    q106DedupClosureSql)
+    q106DedupClosureSql, q113ClusterKeepBest)
 }
