@@ -103,14 +103,20 @@ final class MigrationPipeline(
     // checkpoint as table presence) — without this, a resumed run would
     // die on the first duplicate CREATE TABLE.
     if (!cfg.dataOnly) {
+      // Dedup by the hash-derived TYPE NAME, not the raw value order:
+      // two enum columns declaring the same values in different order
+      // share one PG type (reference ddl.go:149-156 `created` map), so
+      // raw-order distinct would emit two CREATEs for one name.
+      val enumSets = enumValueSets
+        .groupBy(vs => SchemaMapping.enumTypeName(vs))
+        .values.map(_.head).toSeq
       if (cfg.recreate) {
         tables.foreach(t => run(DdlGenerator.dropTable(schema, t.name)))
-        // CREATE TYPE has no IF NOT EXISTS — a prior run's enum types
-        // must go too or the re-create below aborts on duplicate_object
-        enumValueSets.distinct.foreach(vs =>
-          run(DdlGenerator.dropEnumType(vs)))
+        // recreate really does want the types gone (value sets may have
+        // changed source-side); create below is idempotent regardless
+        enumSets.foreach(vs => run(DdlGenerator.dropEnumType(schema, vs)))
       }
-      enumValueSets.distinct.foreach(vs => run(DdlGenerator.createEnumType(vs)))
+      enumSets.foreach(vs => run(DdlGenerator.createEnumType(schema, vs)))
       // flush in a finally: if a CREATE fails mid-loop, the tables
       // already created must reach the checkpoint file or the next
       // resume re-issues their CREATE and dies on duplicate tables

@@ -27,6 +27,62 @@ object Transforms {
       s"${h.substring(16, 20)}-${h.substring(20, 32)}"
   }
 
+  /** Plain-JVM byte surgery shared by the Column udfs and the raw-JDBC
+    * value path ([[valueForColumn]]).
+    */
+  private[graft] def binary16Bytes(b: Array[Byte], swapped: Boolean): String = {
+    if (b.length != 16)
+      throw new IllegalArgumentException(
+        s"binary16 uuid must be 16 bytes, got ${b.length}")
+    if (swapped)
+      hexUuid(b.slice(4, 8) ++ b.slice(2, 4) ++ b.slice(0, 2) ++
+        b.slice(8, 16))
+    else hexUuid(b)
+  }
+
+  private[graft] def guidBytes(b: Array[Byte]): String = {
+    if (b.length != 16)
+      throw new IllegalArgumentException(
+        s"guid must be 16 bytes, got ${b.length}")
+    hexUuid(
+      b.slice(0, 4).reverse ++ b.slice(4, 6).reverse ++
+        b.slice(6, 8).reverse ++ b.slice(8, 16))
+  }
+
+  private[graft] def bitstringBytes(b: Array[Byte], width: Int): String = {
+    val full = b.map(x => String.format(
+      "%8s", Integer.toBinaryString(x & 0xff)).replace(' ', '0'))
+      .mkString
+    if (full.length >= width) full.substring(full.length - width)
+    else "0" * (width - full.length) + full
+  }
+
+  private[graft] def spatialBytesToEwkb(b: Array[Byte]): Array[Byte] = {
+    if (b.length < 9)
+      throw new IllegalArgumentException(
+        s"spatial value too short: ${b.length} bytes")
+    val srid = java.nio.ByteBuffer.wrap(b, 0, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    if (srid < 0)
+      throw new IllegalArgumentException(s"invalid SRID $srid")
+    val wkb = b.drop(4)
+    if (srid == 0) wkb
+    else {
+      val littleEndian = wkb(0) == 1
+      val order =
+        if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN
+      val geomType = java.nio.ByteBuffer.wrap(wkb, 1, 4).order(order)
+        .getInt
+      val out = java.nio.ByteBuffer.allocate(wkb.length + 4).order(order)
+      out.put(wkb(0))
+      out.putInt(geomType | 0x20000000)
+      out.putInt(srid)
+      out.put(wkb, 5, wkb.length - 5)
+      out.array()
+    }
+  }
+
   /** F2 — MySQL binary(16) → canonical UUID text
     * (reference `source_mysql.go:652-668`). `swapped = true` undoes
     * MySQL `UUID_TO_BIN(u, 1)` time-field reordering: stored layout is
@@ -34,14 +90,7 @@ object Transforms {
     */
   def binary16ToUuid(c: Column, swapped: Boolean = false): Column = {
     val f = udf { (b: Array[Byte]) =>
-      if (b == null) null
-      else if (b.length != 16)
-        throw new IllegalArgumentException(
-          s"binary16 uuid must be 16 bytes, got ${b.length}")
-      else if (swapped)
-        hexUuid(b.slice(4, 8) ++ b.slice(2, 4) ++ b.slice(0, 2) ++
-          b.slice(8, 16))
-      else hexUuid(b)
+      if (b == null) null else binary16Bytes(b, swapped)
     }
     f(c)
   }
@@ -51,15 +100,7 @@ object Transforms {
     * 6-7 LE, 8-15 big-endian.
     */
   def guidToUuid(c: Column): Column = {
-    val f = udf { (b: Array[Byte]) =>
-      if (b == null) null
-      else if (b.length != 16)
-        throw new IllegalArgumentException(
-          s"guid must be 16 bytes, got ${b.length}")
-      else hexUuid(
-        b.slice(0, 4).reverse ++ b.slice(4, 6).reverse ++
-          b.slice(6, 8).reverse ++ b.slice(8, 16))
-    }
+    val f = udf { (b: Array[Byte]) => if (b == null) null else guidBytes(b) }
     f(c)
   }
 
@@ -106,15 +147,7 @@ object Transforms {
     */
   def bitToBitstring(c: Column, width: Int): Column = {
     val f = udf { (b: Array[Byte]) =>
-      if (b == null) null
-      else {
-        val full = b.map(x => String.format(
-          "%8s", Integer.toBinaryString(x & 0xff)).replace(' ', '0'))
-          .mkString
-        val s = if (full.length >= width) full.substring(full.length - width)
-        else "0" * (width - full.length) + full
-        s
-      }
+      if (b == null) null else bitstringBytes(b, width)
     }
     f(c)
   }
@@ -159,32 +192,7 @@ object Transforms {
     */
   def spatialToEwkb(c: Column): Column = {
     val f = udf { (b: Array[Byte]) =>
-      if (b == null) null
-      else {
-        if (b.length < 9)
-          throw new IllegalArgumentException(
-            s"spatial value too short: ${b.length} bytes")
-        val srid = java.nio.ByteBuffer.wrap(b, 0, 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-        if (srid < 0)
-          throw new IllegalArgumentException(s"invalid SRID $srid")
-        val wkb = b.drop(4)
-        if (srid == 0) wkb
-        else {
-          val littleEndian = wkb(0) == 1
-          val order =
-            if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
-            else java.nio.ByteOrder.BIG_ENDIAN
-          val geomType = java.nio.ByteBuffer.wrap(wkb, 1, 4).order(order)
-            .getInt
-          val out = java.nio.ByteBuffer.allocate(wkb.length + 4).order(order)
-          out.put(wkb(0))
-          out.putInt(geomType | 0x20000000)
-          out.putInt(srid)
-          out.put(wkb, 5, wkb.length - 5)
-          out.array()
-        }
-      }
+      if (b == null) null else spatialBytesToEwkb(b)
     }
     f(c)
   }
@@ -260,5 +268,128 @@ object Transforms {
       }
       case _ => None
     }
+  }
+
+  // ---- raw-JDBC value path (single_tx) ------------------------------
+
+  private def vBytes(what: String)(v: Any): Array[Byte] = v match {
+    case b: Array[Byte] => b
+    case other => throw new IllegalArgumentException(
+      s"$what: expected binary value, got ${other.getClass.getName}")
+  }
+
+  private val vTinyint1: Any => Any = {
+    case b: java.lang.Boolean => b // driver already mapped tinyint(1)
+    case n: java.lang.Number => n.longValue() match {
+      case 0L => java.lang.Boolean.FALSE
+      case 1L => java.lang.Boolean.TRUE
+      case other => throw new IllegalArgumentException(
+        s"invalid tinyint(1) boolean value: $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"invalid tinyint(1) boolean value: $other")
+  }
+
+  private val vStringUuid: Any => Any = { v =>
+    val trimmed = String.valueOf(v).trim
+    if (!trimmed.matches(UuidRe))
+      throw new IllegalArgumentException(s"invalid uuid value: $trimmed")
+    trimmed.toLowerCase
+  }
+
+  private val vSetToArray: Any => Any = { v =>
+    val s = String.valueOf(v).replace("\u0000", "")
+    if (s.isEmpty) Seq.empty[String] else s.split(",", -1).toSeq
+  }
+
+  private def vBit(width: Int): Any => Any = {
+    case b: java.lang.Boolean => // MySQL Connector/J maps bit(1) → boolean
+      bitstringBytes(Array[Byte](if (b) 1 else 0), width)
+    case n: java.lang.Number =>
+      val l = n.longValue()
+      bitstringBytes((0 until 8).reverseIterator
+        .map(i => ((l >>> (i * 8)) & 0xff).toByte).toArray, width)
+    case v => bitstringBytes(vBytes("bit")(v), width)
+  }
+
+  private val vYear: Any => Any = {
+    case d: java.sql.Date => Integer.valueOf(d.toLocalDate.getYear)
+    case n: java.lang.Number => Integer.valueOf(n.intValue())
+    case other => Integer.valueOf(String.valueOf(other).trim.toInt)
+  }
+
+  /** MySQL TIME text already parses as a PostgreSQL interval literal
+    * (`'-838:59:59'` is valid interval input), so the value path only
+    * normalizes to the text form; java.sql.Time can't carry the >24 h
+    * range, so string passthrough is the faithful spelling.
+    */
+  private val vTimeInterval: Any => Any = v => String.valueOf(v)
+
+  private def vZeroDate(errorMode: Boolean): Any => Any = {
+    case s: String if s.startsWith("0000-00-00") =>
+      if (errorMode) throw new IllegalArgumentException(
+        "zero date encountered")
+      else null
+    case other => other
+  }
+
+  private val vStripNul: Any => Any =
+    v => String.valueOf(v).replace("\u0000", "")
+
+  /** Value-level counterpart of [[forColumn]] for the raw-JDBC
+    * `single_tx` row path ([[graft.sources.SingleTxTableLoader]]): that
+    * loader streams ResultSet objects with no DataFrame in between, so
+    * the config-selected transforms must run per JVM value or modes like
+    * `binary16_as_uuid` / `bit_mode=bit` / `set_mode=text_array` /
+    * `tinyint1_as_boolean` would insert source-form values into the
+    * transformed target column types. Same dispatch and error parity as
+    * the Column form; nulls pass through (F1).
+    */
+  def valueForColumn(dialect: String,
+      c: graft.sources.SourceColumn,
+      o: graft.sources.TypeOptions): Option[Any => Any] = {
+    val dt = c.dataType.toLowerCase
+    val ct = c.columnType.toLowerCase
+    val spatial = Set("geometry", "point", "linestring", "polygon",
+      "multipoint", "multilinestring", "multipolygon",
+      "geometrycollection")
+    val picked: Option[Any => Any] = dialect match {
+      case "mysql" => dt match {
+        case "tinyint" if ct.startsWith("tinyint(1)") &&
+            o.tinyint1AsBoolean =>
+          Some(vTinyint1)
+        case "binary" if c.charMaxLen.contains(16) && o.binary16AsUuid =>
+          Some(v => binary16Bytes(vBytes("binary16 uuid")(v),
+            swapped = o.binary16UuidMode == "mysql_uuid_to_bin_swap"))
+        case "char" | "varchar"
+            if c.charMaxLen.contains(36) && o.stringUuidAsUuid =>
+          Some(vStringUuid)
+        case "set" if o.setMode != "text" => Some(vSetToArray)
+        case "bit" if o.bitMode != "bytea" =>
+          val w = graft.sources.MySqlDialect.typeLength(ct, "bit")
+            .orElse(c.precision).filter(_ > 0).getOrElse(1)
+          Some(vBit(w))
+        case "year" => Some(vYear)
+        case "time" if o.timeMode == "interval" => Some(vTimeInterval)
+        case "datetime" =>
+          Some(vZeroDate(errorMode = o.zeroDateMode == "error"))
+        case "json" if o.sanitizeJsonNullBytes => Some(vStripNul)
+        case t if spatial(t) && o.usePostGis =>
+          Some(v => spatialBytesToEwkb(vBytes("spatial")(v)))
+        case _ => None
+      }
+      case "mssql" => dt match {
+        // money arrives as BigDecimal from JDBC — numeric(19,4) takes it
+        // directly, no value change needed
+        case "uniqueidentifier" =>
+          Some {
+            case s: String => vStringUuid(s) // driver may pre-render text
+            case v => guidBytes(vBytes("guid")(v))
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+    picked.map(f => (v: Any) => if (v == null) null else f(v))
   }
 }

@@ -73,20 +73,30 @@ object DdlGenerator {
   def dropTable(schema: String, table: String): String =
     s"DROP TABLE IF EXISTS ${pgIdent(schema)}.${pgIdent(table)} CASCADE"
 
-  /** DROP for `recreate` mode's enum types — CREATE TYPE has no
-    * IF NOT EXISTS, so a re-run against a target that already holds the
-    * hash-named type would otherwise abort on duplicate_object.
+  /** DROP for `recreate` mode's enum types. Schema-qualified to match
+    * createEnumType — with an unqualified name the DROP would resolve
+    * via search_path and miss (or hit the wrong) type whenever the
+    * target schema isn't the connection default.
     */
-  def dropEnumType(values: Seq[String]): String =
-    s"DROP TYPE IF EXISTS ${pgIdent(enumTypeName(values))} CASCADE"
+  def dropEnumType(schema: String, values: Seq[String]): String =
+    s"DROP TYPE IF EXISTS ${pgIdent(schema)}.${pgIdent(enumTypeName(values))} CASCADE"
 
   /** Native PG enum type with value-set-hashed shared name
-    * (reference `ddl.go:132-175`).
+    * (reference `ddl.go:132-175`). Matches the reference on all three
+    * contract points: the type is created IN the target schema (so the
+    * schema-qualified reference in createTable resolves without any
+    * search_path assumption), values are declared in the same sorted
+    * order the name hash uses (deterministic comparison order regardless
+    * of which column is encountered first), and creation is wrapped in a
+    * duplicate_object-tolerant DO block so a resumed migration that
+    * already created the type re-runs safely.
     */
-  def createEnumType(values: Seq[String]): String = {
+  def createEnumType(schema: String, values: Seq[String]): String = {
     val name = enumTypeName(values)
-    s"CREATE TYPE ${pgIdent(name)} AS ENUM (" +
-      values.map(pgLiteral).mkString(", ") + ")"
+    val lits = values.sorted.map(pgLiteral).mkString(", ")
+    s"DO $$$$ BEGIN CREATE TYPE ${pgIdent(schema)}.${pgIdent(name)} " +
+      s"AS ENUM ($lits); " +
+      "EXCEPTION WHEN duplicate_object THEN NULL; END $$"
   }
 
   /** SET LOGGED after bulk load (reference `post.go:213-222`). */

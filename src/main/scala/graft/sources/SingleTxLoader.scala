@@ -57,13 +57,17 @@ final class SingleTxTableLoader(
   }
 
   def load(table: TableMeta): Long = {
-    // NOTE: this one-connection snapshot path streams raw JDBC rows —
-    // the config-selected column transforms (Transforms.forColumn)
-    // apply on the parallel DataFrame path; a single_tx job with
-    // transform-bearing type options loads source-form values (the
-    // target DDL for those modes matches the source form)
     val st = bySource(table.name)
     val sql = dialect.scanSql(st.name, st.columns.map(_.name))
+    // the same config-selected per-column transforms the parallel
+    // DataFrame path applies (Transforms.applyTo), in value form — the
+    // target DDL is built from these TypeOptions, so skipping them here
+    // would insert source-form values into transformed column types
+    // (uuid, bit/varbit, text[], boolean, …)
+    val colTransforms: Array[Any => Any] = st.columns.map(c =>
+      graft.functions.Transforms
+        .valueForColumn(dialect.name, c, cfg.typeOptions)
+        .getOrElse(identity[Any] _)).toArray
     val stmt = conn.createStatement()
     try {
       stmt.setFetchSize(1000) // stream, don't materialize the table
@@ -87,7 +91,7 @@ final class SingleTxTableLoader(
             if (!hasNext) throw new NoSuchElementException
             advanced = false
             org.apache.spark.sql.Row.fromSeq(
-              (1 to n).map(rs.getObject))
+              (1 to n).map(i => colTransforms(i - 1)(rs.getObject(i))))
           }
         }
         CopySink.writePartitionAuto(cfg.targetUrl, rows,

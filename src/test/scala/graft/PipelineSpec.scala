@@ -344,10 +344,32 @@ class PipelineSpec extends AnyFunSuite {
     val drop = rec.stmts.indexWhere(
       _ == "DROP TABLE IF EXISTS \"public\".\"users\" CASCADE")
     val dropType = rec.stmts.indexWhere(_.startsWith("DROP TYPE IF EXISTS"))
-    val createType = rec.stmts.indexWhere(_.startsWith("CREATE TYPE"))
+    val createType = rec.stmts.indexWhere(_.contains("CREATE TYPE"))
     val create = rec.stmts.indexWhere(_.startsWith("CREATE UNLOGGED TABLE"))
     assert(drop >= 0 && dropType > drop && createType > dropType &&
       create > createType, rec.stmts.mkString("\n"))
+  }
+
+  test("enum type DDL: schema-qualified, sorted values, re-run safe, " +
+      "deduped by type name not raw value order") {
+    // ddl.go:152-165 contract: type created IN the target schema,
+    // values declared in the hash's sorted order, duplicate_object
+    // tolerated for resume
+    val name = graft.sources.SchemaMapping.enumTypeName(Seq("b", "a"))
+    val create = DdlGenerator.createEnumType("myschema", Seq("b", "a"))
+    assert(create ==
+      s"""DO $$$$ BEGIN CREATE TYPE "myschema"."$name" AS ENUM """ +
+      s"""('a', 'b'); EXCEPTION WHEN duplicate_object THEN NULL; END $$$$""")
+    assert(DdlGenerator.dropEnumType("myschema", Seq("b", "a")) ==
+      s"""DROP TYPE IF EXISTS "myschema"."$name" CASCADE""")
+    // two columns declaring the same value set in different order share
+    // one type name — the pipeline must emit ONE create, not two
+    val rec = new Recorder
+    new MigrationPipeline(JobConfig(), rec, NoopLoader)
+      .migrate(Seq(users),
+        enumValueSets = Seq(Seq("b", "a"), Seq("a", "b")))
+    assert(rec.stmts.count(_.contains("CREATE TYPE")) == 1,
+      rec.stmts.mkString("\n"))
   }
 
   test("resume: done tables skip load, created tables skip CREATE, " +

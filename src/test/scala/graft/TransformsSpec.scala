@@ -197,4 +197,67 @@ class TransformsSpec extends AnyFunSuite {
     assert(same.collect()(0).getInt(0) == 1 &&
       same.collect()(0).getString(1) == "a,b")
   }
+
+  test("valueForColumn: the single_tx raw-JDBC path applies the same " +
+      "config-selected transforms at the JVM value level") {
+    import graft.sources.{SourceColumn, TypeOptions}
+    val o = TypeOptions(tinyint1AsBoolean = true, setMode = "text_array",
+      bitMode = "varbit", binary16AsUuid = true, stringUuidAsUuid = true)
+    def f(c: SourceColumn) = graft.functions.Transforms
+      .valueForColumn("mysql", c, o).get
+    val t1 = f(SourceColumn("f", "tinyint", columnType = "tinyint(1)"))
+    assert(t1(Integer.valueOf(1)) == java.lang.Boolean.TRUE)
+    assert(t1(Integer.valueOf(0)) == java.lang.Boolean.FALSE)
+    assert(t1(null) == null) // F1 null passthrough
+    intercept[IllegalArgumentException] { t1(Integer.valueOf(2)) }
+    // drivers that pre-map tinyint(1)→boolean pass through
+    assert(t1(java.lang.Boolean.TRUE) == java.lang.Boolean.TRUE)
+
+    val set = f(SourceColumn("s", "set", columnType = "set('a','b')"))
+    assert(set("a,b") == Seq("a", "b"))
+    assert(set("") == Seq.empty[String])
+
+    val bin = f(SourceColumn("u", "binary", charMaxLen = Some(16)))
+    assert(bin(Array.tabulate[Byte](16)(_.toByte)) ==
+      "00010203-0405-0607-0809-0a0b0c0d0e0f")
+    intercept[IllegalArgumentException] { bin(Array[Byte](1, 2)) }
+
+    val su = f(SourceColumn("u", "char", charMaxLen = Some(36)))
+    assert(su("  550E8400-E29B-41D4-A716-446655440000 ") ==
+      "550e8400-e29b-41d4-a716-446655440000")
+    intercept[IllegalArgumentException] { su("nope") }
+
+    val bit = f(SourceColumn("b", "bit", columnType = "bit(12)"))
+    assert(bit(Array[Byte](0x0a, 0x55)) == "101001010101")
+    assert(bit(java.lang.Boolean.TRUE) == "000000000001")
+
+    val yr = graft.functions.Transforms
+      .valueForColumn("mysql", SourceColumn("y", "year"), o).get
+    assert(yr(java.sql.Date.valueOf("2024-01-01")) == 2024)
+    assert(yr(java.lang.Short.valueOf(1999.toShort)) == 1999)
+
+    val zd = graft.functions.Transforms.valueForColumn("mysql",
+      SourceColumn("d", "datetime"), o).get
+    assert(zd("0000-00-00 00:00:00") == null)
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 10:00:00")
+    assert(zd(ts) == ts)
+    intercept[IllegalArgumentException] {
+      graft.functions.Transforms.valueForColumn("mysql",
+        SourceColumn("d", "datetime"), o.copy(zeroDateMode = "error"))
+        .get("0000-00-00")
+    }
+
+    // mssql GUID: bytes get the mixed-endian unscramble, pre-rendered
+    // text normalizes
+    val guid = graft.functions.Transforms.valueForColumn("mssql",
+      SourceColumn("g", "uniqueidentifier"), o).get
+    assert(guid(Array[Byte](3, 2, 1, 0, 5, 4, 7, 6, 8, 9, 10, 11, 12,
+      13, 14, 15)) == "00010203-0405-0607-0809-0a0b0c0d0e0f")
+    assert(guid("550E8400-E29B-41D4-A716-446655440000") ==
+      "550e8400-e29b-41d4-a716-446655440000")
+
+    // untransformed column → None (identity on the loader side)
+    assert(graft.functions.Transforms.valueForColumn("mysql",
+      SourceColumn("p", "varchar", charMaxLen = Some(10)), o).isEmpty)
+  }
 }
