@@ -110,31 +110,67 @@ object Bench {
       case None => SparkEntry.benchDefs
     }
 
-    // one timed execution; count() drains the whole plan
-    def run(d: QueryDef): Option[Double] = {
+    // stage attribution: per-run stage counts / task time via listener,
+    // reported for each query's min-warm run (the floor-vs-compute
+    // split BENCH_NOTES reads)
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    val cores = spark.sparkContext.defaultParallelism
+
+    // one timed execution; count() drains the whole plan. Returns
+    // (wall sec, stage profile of exactly this run).
+    final case class Profile(stages: Int, taskSec: Double,
+        cpuSec: Double, stageWallSec: Double)
+    def run(d: QueryDef): Option[(Double, Profile)] = {
+      clock.quiesce(); clock.reset()
       val t0 = System.nanoTime()
-      try { d.build(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try {
+        d.build(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        clock.quiesce()
+        val (st, task, cpu, sw) = clock.snapshot()
+        Some((wall, Profile(st, task, cpu, sw)))
+      }
       catch { case _: Throwable => None }
     }
 
-    val cold = defs.map(d => d.name -> run(d).getOrElse(-1.0))
+    val cold = defs.map(d => d.name -> run(d).map(_._1).getOrElse(-1.0))
     val backToBack = defs.map(d => (1 to 3).flatMap(_ => run(d)))
     val sweep = defs.map(d => run(d))
-    val warm = defs.zipWithIndex.map { case (d, i) =>
-      val times = backToBack(i) ++ sweep(i)
-      d.name -> (if (times.nonEmpty) times.min else -1.0)
+    val warmRuns = defs.zipWithIndex.map { case (d, i) =>
+      val runs = backToBack(i) ++ sweep(i)
+      d.name -> (if (runs.nonEmpty) Some(runs.minBy(_._1)) else None)
     }
+    val warm = warmRuns.map { case (n, r) => n -> r.map(_._1).getOrElse(-1.0) }
 
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def total(kvs: Seq[(String, Double)]): Double =
       kvs.map(_._2).filter(_ >= 0).sum
 
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // floor = wall − taskSec/cores: the share of wall clock NOT
+    // explained by perfectly-parallel execution of the measured task
+    // work — scheduling gaps, AQE materialization barriers, driver-side
+    // broadcast collects, dispatch overhead of sub-ms tasks.
+    val profiles = warmRuns.flatMap { case (n, r) =>
+      r.map { case (wall, p) =>
+        val ideal = p.taskSec / cores
+        val floor = math.max(0.0, wall - ideal)
+        s""""$n":{"stages":${p.stages},"task_sec":${r3(p.taskSec)},""" +
+          s""""cpu_sec":${r3(p.cpuSec)},""" +
+          s""""stage_wall_sec":${r3(p.stageWallSec)},""" +
+          s""""floor_sec":${r3(floor)},""" +
+          s""""floor_share":${r3(if (wall > 0) floor / wall else 0.0)}}"""
+      }
+    }.mkString("{", ",", "}")
+
     val fixture =
       if (sfDir == rawDir) "raw" else "multi_row_group_rewrite"
     println(s"""{"metric":"total","value":${total(warm)},"unit":"sec",""" +
       s""""queries":${jsonMap(warm)},""" +
       s""""cold_total":${total(cold)},"queries_cold":${jsonMap(cold)},""" +
+      s""""profiles":$profiles,"cores":$cores,""" +
       s""""sf":"$rawDir","fixture":"$fixture"}""")
     Caches.clear(spark)
     spark.stop()

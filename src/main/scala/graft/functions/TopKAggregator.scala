@@ -36,3 +36,33 @@ final class TopKAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   def outputEncoder: Encoder[List[(Double, Long)]] = bufferEncoder
 }
+
+/** [[TopKAggregator]] with a String tiebreak — `ORDER BY value DESC,
+  * term ASC` ranking with an O(k) per-group buffer. Used by the TF-IDF
+  * keyword extraction (q68): map-side partial aggregation emits at most
+  * k rows per document per task, so the doc-keyed exchange carries
+  * ~k rows/doc instead of the full per-doc term list the window
+  * formulation shuffles and sorts.
+  */
+final class TopKTermAggregator(k: Int)
+    extends Aggregator[(Double, String), List[(Double, String)],
+      List[(Double, String)]] {
+
+  private def better(a: (Double, String), b: (Double, String)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def trim(xs: List[(Double, String)]): List[(Double, String)] =
+    xs.sortWith(better).take(k)
+
+  def zero: List[(Double, String)] = Nil
+  def reduce(buf: List[(Double, String)],
+      in: (Double, String)): List[(Double, String)] = trim(in :: buf)
+  def merge(a: List[(Double, String)],
+      b: List[(Double, String)]): List[(Double, String)] = trim(a ++ b)
+  def finish(buf: List[(Double, String)]): List[(Double, String)] =
+    buf.sortWith(better)
+
+  def bufferEncoder: Encoder[List[(Double, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: Encoder[List[(Double, String)]] = bufferEncoder
+}

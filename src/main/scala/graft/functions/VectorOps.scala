@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{ByteEntropy, CentroidTopK, DotProduct, L2Norm, MinHashSignature, PqAdcSum, PqCodes, PqLut, RollingHash, ShingleHashSet, ShingleSet, SortedIntersectCount, SortedLongIntersectCount}
+import graft.plans.{ByteEntropy, CentroidTopK, DotProduct, L2Norm, MinHashSignature, PqAdcSum, PqCodes, PqLut, RollingHash, ShingleHashSet, ShingleSet, SortedIntersectCount, SortedLongIntersectCount, TermCounts}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -65,6 +65,8 @@ object VectorOps {
       }, "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_long_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_term_counts",
+      exprs => TermCounts(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc_sum",
       exprs => {
         val k = exprs(2) match {
@@ -131,6 +133,10 @@ object VectorOps {
   /** |a ∩ b| for duplicate-free ascending long arrays. */
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_long_intersect_count", a, b)
+
+  /** Per-doc `array<struct<t,tf>>` term frequencies, in-row. */
+  def termCounts(text: Column): Column =
+    call_function("graft_term_counts", text)
 
   /** Σ_m lut[m*numCentroids + codes[m]] — PQ asymmetric-distance sum. */
   def pqAdcSum(codes: Column, lut: Column, numCentroids: Int): Column =

@@ -640,42 +640,51 @@ object TextAnalysis {
   // Per-document TF-IDF keyword extraction: top-3 terms per document by
   // tf·ln(N/df), deterministic tie-break on the term itself AFTER
   // 4-dp rounding so a sub-1e-4 score difference can never let the two
-  // engines disagree on rank order. Plan: one explode → (doc, term)
-  // partial-count agg; df by term (keyed agg); corpus N joined on as a
-  // broadcast 1-row relation (the copy-safe scalar-total idiom — never
-  // a partition-less window); top-3 via a doc-keyed window. Every
-  // exchange is keyed; nothing is quadratic in the corpus.
+  // engines disagree on rank order. Plan (the r8 shape): tf is computed
+  // entirely IN-ROW by the codegen'd TermCounts expression — the
+  // explode → GROUP BY (doc, term) formulation made the engine's
+  // largest exchange carry one row per token OCCURRENCE; in-row tf
+  // removes that exchange altogether. df is a term-keyed aggregate over
+  // the (doc, term) explode of the tf arrays (map-side combined — one
+  // row per distinct term) and joins back by BROADCAST, so the big
+  // relation never shuffles for the join; corpus N is the usual 1-row
+  // broadcast scalar. The only doc-keyed exchange left is the top-3
+  // rank window. At 100 TB the df broadcast bounds at vocabulary size —
+  // ~10⁷ after the min-df prune every production TF-IDF applies (rare
+  // terms can't reach any top-k, so pruning is lossless for this
+  // query); if vocabulary must stay unpruned, the join reverts to a
+  // term-keyed shuffle join — a config swap, not a shape change.
   val q68Tfidf: QueryDef = QueryDef(
     "q68_tfidf",
     (s, dir) => {
-      val tk = Tables.load(s, dir, "documents")
+      graft.functions.VectorOps.register(s)
+      // pairs feeds three consumers (df, N, the score pass); persist is
+      // the Spark spelling of the oracle's materialized tf CTE (a
+      // no-persist recompute measured ~20% slower at sf0.1 — the in-row
+      // tf is cheap but not 3×-free), and the per-doc term-count arrays
+      // are the artifact every TF-IDF pipeline materializes anyway
+      // (disk-backed at 100 TB).
+      val pairs = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          explode(split(lower(col("text")), " ")).as("t"))
-        .filter(col("t") =!= "")
-      // tf feeds THREE consumers (df, N, the score join); without
-      // materialization each re-runs the corpus explode+aggregate
-      // (measured: 3 corpus scans in the executed plan). persist() is
-      // the Spark spelling of the oracle's materialized tf CTE — and
-      // the (doc, term) relation is the artifact every TF-IDF pipeline
-      // materializes anyway (disk-backed at 100 TB).
-      val tf = tk.groupBy(col("doc_id"), col("t"))
-        .agg(count(lit(1)).as("tf"))
+          graft.functions.VectorOps.termCounts(lower(col("text")))
+            .as("pairs"))
         .transform(graft.Caches.persist)
-      // df and N both DERIVE from tf — it is already one row per
-      // (doc, term), so df = rows per term and N = distinct docs in it.
-      // One explode pass over the corpus instead of three (tf/df/N each
-      // re-exploding every document), and the df count needs no
-      // distinct at all.
+      val tf = pairs
+        .select(col("doc_id"), explode(col("pairs")).as("e"))
+        .select(col("doc_id"), col("e.t").as("t"), col("e.tf").as("tf"))
+      // df = docs per term: the tf arrays are distinct per doc, so a
+      // plain count per term — no DISTINCT aggregation anywhere.
       val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      val n = tf.agg(countDistinct(col("doc_id")).as("n"))
-      val sc = tf.join(df, "t").join(broadcast(n))
-        .select(col("doc_id"), col("t"),
-          graft.Round4(col("tf") *
-            log(col("n").cast(DoubleType) / col("df"))).as("s4"))
+      val n = pairs.filter(size(col("pairs")) > 0)
+        .agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("s4").desc, col("t"))
-      sc.withColumn("rk", row_number().over(w))
+      tf.join(broadcast(df), "t").join(broadcast(n))
+        .select(col("doc_id"), col("t"),
+          graft.Round4(col("tf") *
+            log(col("n").cast(DoubleType) / col("df"))).as("s4"))
+        .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("t").as("term"), col("s4"))
         .orderBy("doc_id", "rk")

@@ -284,6 +284,73 @@ object ShingleHashSet {
   }
 }
 
+/** Per-document term frequencies computed entirely IN-ROW:
+  * `array<struct<t, tf>>` of every distinct non-empty space-separated
+  * token with its occurrence count. The TF stage of TF-IDF (q68) as an
+  * embarrassingly-parallel expression — the alternative (explode the
+  * corpus to token rows, then `GROUP BY doc, term`) makes the engine's
+  * LARGEST exchange carry one row per token occurrence; this keeps the
+  * whole tf computation inside the scan stage, so the only corpus-wide
+  * shuffles left in TF-IDF are the (small, map-side-combined) df
+  * aggregate and the final doc-keyed rank.
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TermCounts.OutType
+
+  override def nullSafeEval(a: Any): Any =
+    TermCounts.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.TermCounts.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TermCounts = copy(child = newChild)
+}
+
+object TermCounts {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  val OutType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("tf", LongType,
+        nullable = false))),
+    containsNull = false)
+
+  /** Static helper shared by eval and generated code. Tokenization
+    * matches the explode formulation exactly: split on single spaces,
+    * empty tokens dropped (`t <> ''`). Insertion-ordered map for
+    * deterministic output (downstream re-ranks, but determinism keeps
+    * plans replayable).
+    */
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val m = new java.util.LinkedHashMap[String, Long]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.isEmpty) {
+        val prev = m.get(t)
+        m.put(t, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** |A ∩ B| of two duplicate-free ASCENDING long arrays by two-pointer
   * merge — [[SortedIntersectCount]] for the hashed-shingle form
   * ([[ShingleHashSet]] emits sorted arrays, so no `sort_array` pass is
