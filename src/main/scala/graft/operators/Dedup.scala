@@ -208,15 +208,22 @@ object Dedup {
     * exact).
     */
   private def jaccardFromShingles(sh0: DataFrame): DataFrame = {
-    // hash-distribute the shingle rows on the join key ONCE — both
-    // sides of the self-join below reuse this single exchange
-    // (ReusedExchange), instead of the planner broadcasting the whole
-    // exploded relation. The merge hint is load-bearing: 8-byte hashed
+    // hash-distribute the shingle rows on the join key ONCE and PERSIST
+    // the partitioned relation: r8's executed-plan audit showed
+    // exchange reuse NEVER applying to these self-joins (per-consumer
+    // column pruning and re-aliasing leave the two sides' subtrees
+    // canonically different), so without the cache each side re-ran
+    // the whole scan → shingle → explode → repartition chain. The
+    // cache builds the inverted index once; both sides read it
+    // co-partitioned with no further exchange — at 100 TB this is the
+    // standard "write the encoded corpus index once" pipeline stage,
+    // disk-backed. The merge hint is load-bearing: 8-byte hashed
     // shingle keys shrink the size ESTIMATE under the broadcast
     // threshold, and the planner otherwise broadcasts the corpus-sized
     // index (measured: q61 0.8 → 1.3 s locally, and a guaranteed OOM
     // at 100 TB where the inverted index is corpus-sized)
-    val sh = sh0.repartition(col("g")).hint("shuffle_hash")
+    val sh = graft.Caches.persist(sh0.repartition(col("g")))
+      .hint("shuffle_hash")
     val a = sh.select(col("doc_id").as("d1"), col("n").as("n1"), col("g"))
     val b = sh.select(col("doc_id").as("d2"), col("n").as("n2"), col("g"))
     a.join(b, Seq("g")).filter(col("d1") < col("d2"))
