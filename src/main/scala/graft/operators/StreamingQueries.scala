@@ -328,6 +328,38 @@ object StreamingQueries {
     },
     q107StreamCuration.oracle)
 
+  /** The q90 funnel WITHOUT the single-batch assumption: the
+    * watermark-BUFFERED tracker holds each user's events in group
+    * state until the event-time watermark passes them, folds them in
+    * event-time order on release (event-time timeouts drain the tail
+    * through Spark's no-data batch), and so stays correct when
+    * delivery splits across micro-batches or reorders within the
+    * watermark delay — the capability q90's loud single-batch guard
+    * exists to flag. Shares q83's batch oracle like q90;
+    * `FunnelTrackerSpec` drives the multi-batch and cross-batch
+    * out-of-order cases MemoryStream-side.
+    */
+  val q114StreamFunnelBuffered: QueryDef = QueryDef(
+    "q114_stream_funnel_buffered",
+    (s, dir) => {
+      import s.implicits._
+      val stepUs = 6L * 3600L * 1000000L
+      val events = EventsStream.readEvents(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsUs"),
+          col("event_type"))
+        .as[graft.streaming.FunnelEvent]
+      val progress =
+        graft.streaming.BufferedFunnelTracker.track(events, stepUs)
+      EventsStream.runToCompletion(s, progress.toDF(), mode = "update")
+        .groupBy("user_id")
+        .agg(max(struct(col("stage"), col("t1"), col("t2"), col("t3")))
+          .as("f"))
+        .agg(count(when(col("f.stage") >= 1, 1)).as("viewed"),
+          count(when(col("f.stage") >= 2, 1)).as("clicked"),
+          count(when(col("f.stage") >= 3, 1)).as("purchased"))
+    },
+    EventAnalytics.q83Funnel.oracle)
+
   /** The q86 value histogram maintained INCREMENTALLY over the event
     * stream — the live-dashboard distribution monitor. Bin assignment
     * is stateless per-row; the complete-mode aggregate keeps one
@@ -353,5 +385,6 @@ object StreamingQueries {
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,
-    q107StreamCuration, q110StreamHistogram, q112StreamCurationWm)
+    q107StreamCuration, q110StreamHistogram, q112StreamCurationWm,
+    q114StreamFunnelBuffered)
 }

@@ -99,4 +99,75 @@ class FunnelTrackerSpec extends AnyFunSuite {
         .parquet(dir).groupBy(col("k")).count())
     assert(ok.count() == 2)
   }
+
+  // ---- q114: the watermark-BUFFERED tracker --------------------------
+
+  private def runBuffered(batches: Seq[Seq[FunnelEvent]],
+      delay: String): Seq[FunnelProgress] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val name = s"funnel_buf_out_${System.nanoTime()}"
+    val q = graft.streaming.BufferedFunnelTracker
+      .track(input.toDS(), stepUs = 6 * H, delay = delay)
+      .writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).as[FunnelProgress].collect().toSeq
+    } finally q.stop()
+  }
+
+  private def finalOf(out: Seq[FunnelProgress], user: Long) =
+    out.filter(_.user_id == user).maxBy(p => (p.stage, p.t1, p.t2, p.t3))
+
+  test("q114 buffered: multi-batch in-order delivery completes the " +
+      "funnel WITHOUT any single-batch assumption") {
+    val t0 = 2000000000L * 1000000L
+    // one step per micro-batch — exactly the delivery q90's guard
+    // rejects; the trailing event advances the watermark past the
+    // purchase so the tail drains (delay 0: wm = max seen event time)
+    val out = runBuffered(Seq(
+      Seq(FunnelEvent(1, t0, "view")),
+      Seq(FunnelEvent(1, t0 + 2 * H, "click")),
+      Seq(FunnelEvent(1, t0 + 4 * H, "purchase")),
+      Seq(FunnelEvent(99, t0 + 30 * H, "view"))), delay = "0 seconds")
+    val fin = finalOf(out, 1L)
+    assert(fin.stage == 3)
+    assert(fin.t1 == t0 && fin.t2 == t0 + 2 * H && fin.t3 == t0 + 4 * H)
+  }
+
+  test("q114 buffered: cross-batch OUT-OF-ORDER arrival inside the " +
+      "watermark delay folds in event-time order (greedy would fail)") {
+    val t0 = 2100000000L * 1000000L
+    // purchase arrives FIRST, view LAST — the greedy tracker would
+    // discard all three; with a 12 h delay the watermark stays behind
+    // them until the flush event, then folds t0 -> t0+1H -> t0+3H
+    val out = runBuffered(Seq(
+      Seq(FunnelEvent(7, t0 + 3 * H, "purchase")),
+      Seq(FunnelEvent(7, t0 + 1 * H, "click")),
+      Seq(FunnelEvent(7, t0, "view")),
+      Seq(FunnelEvent(99, t0 + 30 * H, "view"))), delay = "12 hours")
+    val fin = finalOf(out, 7L)
+    assert(fin.stage == 3)
+    assert(fin.t1 == t0 && fin.t2 == t0 + 1 * H && fin.t3 == t0 + 3 * H)
+    // and the event-time-timeout path drained user 7 without user 7
+    // ever appearing in the flushing batch
+  }
+
+  test("q114 buffered: events beyond the watermark stay pending and " +
+      "emissions remain monotone") {
+    val t0 = 2200000000L * 1000000L
+    // no flush event: with a 12 h delay the purchase at t0+3H is never
+    // released (wm never passes it), so the funnel must report the
+    // stage the WATERMARK can prove, not the optimistic one
+    val out = runBuffered(Seq(
+      Seq(FunnelEvent(5, t0, "view"), FunnelEvent(5, t0 + 1 * H, "click"),
+        FunnelEvent(5, t0 + 3 * H, "purchase"))), delay = "12 hours")
+    val fin = finalOf(out, 5L)
+    assert(fin.stage == 0, s"nothing is provable yet: $fin")
+    // per-user emissions never regress a stage
+    val stages = out.filter(_.user_id == 5L).map(_.stage)
+    assert(stages.sorted == stages)
+  }
 }
