@@ -35,6 +35,7 @@ final class StageClock extends SparkListener {
   private var taskTimeMs = 0L
   private var cpuTimeNs = 0L
   private var stageWallMs = 0L
+  private var shuffleRecs = 0L
   private var activeJobs = 0
 
   override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -51,6 +52,7 @@ final class StageClock extends SparkListener {
       if (m != null) {
         taskTimeMs += m.executorRunTime
         cpuTimeNs += m.executorCpuTime
+        shuffleRecs += m.shuffleWriteMetrics.recordsWritten
       }
       stageWallMs += (for {
         s <- si.submissionTime; c <- si.completionTime
@@ -59,7 +61,14 @@ final class StageClock extends SparkListener {
 
   def reset(): Unit = lock.synchronized {
     stages = 0; taskTimeMs = 0L; cpuTimeNs = 0L; stageWallMs = 0L
+    shuffleRecs = 0L
   }
+
+  /** Total shuffle records WRITTEN since the last reset — the
+    * candidate-volume proxy the scale-growth property test fits its
+    * exponent over.
+    */
+  def shuffleRecords: Long = lock.synchronized(shuffleRecs)
 
   /** Wait (bounded) until the listener bus has drained this run's
     * events: no active jobs and stable counters twice in a row.
