@@ -241,8 +241,16 @@ final class MigrationPipeline(
         tables.foreach(t => run(DdlGenerator.setLogged(schema, t.name)))
       tables.foreach(t => DdlGenerator.addPrimaryKey(schema, t).foreach(run))
       // secondary indexes build in parallel (index_workers pool,
-      // reference post.go:292-366) — they are independent statements
+      // reference post.go:292-366) — they are independent statements.
+      // Unsupported shapes (expression/prefix key-parts, FULLTEXT/
+      // SPATIAL, empty column lists) are SKIPPED here exactly as the
+      // reference's planIndexJobs does (index_compat.go:5-31,
+      // post.go:247-259) — previously only the `plan` dry-run applied
+      // the rule and the migrate path emitted invalid DDL for them
+      // (caught by SqliteContractSpec's partial-index replay).
       val ixSql = tables.flatMap(t => t.indexes.filterNot(_.isPrimary)
+        .filter(ix => PlanReport.indexSkipReason(ix).isEmpty &&
+          ix.columns.nonEmpty)
         .map(ix => DdlGenerator.createIndex(schema, t.name, ix)))
       stmtCount += ixSql.size
       exec.executeAll(ixSql, cfg.indexWorkers)
