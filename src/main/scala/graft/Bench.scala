@@ -48,7 +48,20 @@ object Bench {
     */
   private def multiRowGroupCopy(spark: SparkSession, raw: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dest = s"/tmp/graft_mrg_${raw.replaceAll("[^A-Za-z0-9]", "_")}"
+    // the dest is keyed by a content fingerprint (name/size/mtime of
+    // every raw table file) so regenerated fixtures with different
+    // contents rebuild instead of silently benching a stale rewrite
+    val fp = {
+      val parts = AllTables.flatMap { t =>
+        val p = Paths.get(s"$raw/$t.parquet")
+        if (Files.exists(p))
+          Some(s"$t:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+        else None
+      }.mkString("|")
+      f"${scala.util.hashing.MurmurHash3.stringHash(parts)}%08x"
+    }
+    val dest =
+      s"/tmp/graft_mrg_${raw.replaceAll("[^A-Za-z0-9]", "_")}_$fp"
     val marker = Paths.get(dest, "_GRAFT_MRG_DONE")
     if (Files.exists(marker)) return dest
     // build in a process-unique staging dir, then one atomic rename —

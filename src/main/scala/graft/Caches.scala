@@ -39,5 +39,8 @@ object Caches {
         it.remove()
       }
     }
+    // the packed fixture caches are session-keyed too — release them at
+    // the same explicit point so ended sessions can be collected
+    Fixtures.dropSession(spark)
   }
 }

@@ -89,4 +89,14 @@ object Fixtures {
   private val packedCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       Array[Double]]()
+
+  /** Drop this session's packed-fixture entries — called from
+    * [[Caches.clear]] so a long-lived process creating many sessions
+    * doesn't pin dead sessions (and their arrays) in these maps.
+    */
+  private[graft] def dropSession(s: SparkSession): Unit = {
+    packedCache.remove(s)
+    val it = flatCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 eq s) it.remove()
+  }
 }
