@@ -349,16 +349,20 @@ object Dedup {
     "q23_dedup_minhash",
     (s, dir) => {
       graft.functions.VectorOps.register(s)
-      // in-row native shingle sets + one-pass signatures; cheap enough
-      // per row that the three consumers below (buckets, both verify
-      // sides) just recompute — no .cache() pinning the corpus
-      val docAgg = shingleSets(Tables.load(s, dir, "documents"))
-        .withColumn("sig",
-          graft.functions.VectorOps.minhash(col("gs"), NumHashes))
-      // one hash exchange on the bucket key, reused by both sides of
-      // the candidate self-join (same rationale as jaccardFromShingles)
-      val buckets = bandBuckets(docAgg)
-        .repartition(col("band"), col("sig"))
+      // persisted: the signature relation feeds three consumers
+      // (buckets, both verify sides) and the r8 executed-plan audit
+      // showed exchange reuse never applies to these self-joins — an
+      // uncached plan re-ran the scan + shingle + minhash chain per
+      // consumer (4 FileScans, 12 shingle evaluations measured)
+      val docAgg = graft.Caches.persist(
+        shingleSets(Tables.load(s, dir, "documents"))
+          .withColumn("sig",
+            graft.functions.VectorOps.minhash(col("gs"), NumHashes)))
+      // one hash exchange on the bucket key; PERSISTED g-partitioned so
+      // both candidate self-join sides read it co-partitioned (same
+      // fix as jaccardFromShingles)
+      val buckets = graft.Caches.persist(bandBuckets(docAgg)
+          .repartition(col("band"), col("sig")))
         .hint("shuffle_hash") // anti-broadcast: see jaccardFromShingles
       val cand = buckets.as("a")
         .join(buckets.as("b"),
@@ -417,8 +421,12 @@ object Dedup {
         .select(col("doc_id"), col("sh"),
           col("bk.band").as("band"), col("bk.chunk").as("chunk"))
       // one hash exchange on the bucket key, reused by both sides —
-      // and hint-pinned there (anti-broadcast: see jaccardFromShingles)
-      val br = bandRows.repartition(col("band"), col("chunk"))
+      // and hint-pinned there (anti-broadcast: see jaccardFromShingles).
+      // Persisted: without the cache each self-join side re-ran the
+      // whole tf → 64-bit-sum → banding chain (exchange reuse never
+      // applies — r8 audit)
+      val br = graft.Caches.persist(
+          bandRows.repartition(col("band"), col("chunk")))
         .hint("shuffle_hash")
       val cand = br.as("a")
         .join(br.as("b"),
