@@ -459,11 +459,15 @@ object Dedup {
       // hashed 5-grams: the semi-join key and its exchange go from
       // ~30-byte strings to 8-byte longs (the existence check never
       // needs the n-gram text back)
-      val sets5 = Tables.load(s, dir, "documents")
+      // persisted: three consumers (train side, test side, the
+      // per-lang accounting base) would each re-run the corpus
+      // 5-shingle pass otherwise (r8 audit — exchange reuse never
+      // applies across the derived subtrees)
+      val sets5 = graft.Caches.persist(Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           graft.functions.VectorOps.shingleHashes(lower(col("text")), 5)
             .as("gs"))
-        .filter(size(col("gs")) > 0)
+        .filter(size(col("gs")) > 0))
       val sh = sets5.select(col("doc_id"), col("lang"),
         explode(col("gs")).as("g"))
       val train = sh.filter(col("doc_id") % 100 < 80).select(col("g"))
@@ -606,9 +610,12 @@ object Dedup {
     "q74_incremental_neardup",
     (s, dir) => {
       graft.functions.VectorOps.register(s)
-      val docAgg = shingleSets(Tables.load(s, dir, "documents"))
-        .withColumn("sig",
-          graft.functions.VectorOps.minhash(col("gs"), NumHashes))
+      // persisted: four consumers (base buckets, delta buckets, both
+      // verify sides) and exchange reuse never applies (r8 audit)
+      val docAgg = graft.Caches.persist(
+        shingleSets(Tables.load(s, dir, "documents"))
+          .withColumn("sig",
+            graft.functions.VectorOps.minhash(col("gs"), NumHashes)))
       val isDelta = col("doc_id") % 100 >= 90
       val baseB = bandBuckets(docAgg.filter(!isDelta))
       val deltaB = bandBuckets(docAgg.filter(isDelta))
