@@ -142,7 +142,9 @@ object Main {
         Introspection.assembleMssql(
           rows(Mssql.columnsSql(mssqlSchema(cfg))),
           rows(Mssql.indexesSql(mssqlSchema(cfg))),
-          rows(Mssql.foreignKeysSql(mssqlSchema(cfg))))
+          rows(Mssql.foreignKeysSql(mssqlSchema(cfg))),
+          sourceSchema = mssqlSchema(cfg),
+          onWarn = m => System.err.println(s"WARN: $m"))
       case _ =>
         val conn = java.sql.DriverManager.getConnection(url)
         try Introspection.fromJdbcMetadata(conn)

@@ -176,13 +176,18 @@ object Introspection {
          |LEFT JOIN sys.computed_columns cc
          |  ON c.object_id = cc.object_id AND c.column_id = cc.column_id
          |WHERE s.name = '$schema' AND t.is_ms_shipped = 0
+         |  AND c.is_hidden = 0
          |ORDER BY t.name, c.column_id""".stripMargin
 
-    /** Key+included index columns (reference `source_mssql.go:319-340`). */
+    /** Key+included index columns (reference `source_mssql.go:319-340`;
+      * `is_descending_key` drives per-column DESC on the recreated
+      * index, like MySQL's STATISTICS.COLLATION = 'D').
+      */
     def indexesSql(schema: String): String =
       s"""SELECT t.name AS table_name, i.name AS index_name, i.is_unique,
          |  i.is_primary_key, i.type_desc, i.has_filter, ic.key_ordinal,
-         |  c.name AS column_name, ic.is_included_column
+         |  c.name AS column_name, ic.is_included_column,
+         |  ic.is_descending_key
          |FROM sys.indexes i
          |JOIN sys.index_columns ic
          |  ON i.object_id = ic.object_id AND i.index_id = ic.index_id
@@ -194,14 +199,20 @@ object Introspection {
          |ORDER BY t.name, i.index_id, ic.is_included_column,
          |  ic.key_ordinal""".stripMargin
 
-    /** FK constraint columns (reference `source_mssql.go:432-453`). */
+    /** FK constraint columns (reference `source_mssql.go:432-453`).
+      * `ref_schema` rides along for the cross-schema warning
+      * (`source_mssql.go:477-481`): pgferry migrates one schema at a
+      * time, so an FK referencing a table in another schema may fail
+      * to re-attach and must be reported.
+      */
     def foreignKeysSql(schema: String): String =
       s"""SELECT t.name AS table_name, fk.name AS fk_name,
          |  pc.name AS column_name, ref_t.name AS ref_table,
          |  rc.name AS ref_column,
          |  fk.update_referential_action_desc AS update_action,
          |  fk.delete_referential_action_desc AS delete_action,
-         |  fkc.constraint_column_id
+         |  fkc.constraint_column_id,
+         |  SCHEMA_NAME(ref_t.schema_id) AS ref_schema
          |FROM sys.foreign_keys fk
          |JOIN sys.foreign_key_columns fkc
          |  ON fk.object_id = fkc.constraint_object_id
@@ -657,6 +668,10 @@ object Introspection {
           .sortBy(r => anyInt(r.get(6)))
         val head = ixRows.head
         val typeDesc = head.getString(4)
+        // per-column DESC from is_descending_key (ninth column; older
+        // recorded fixtures without it default to ASC)
+        val dirs = keyCols.map(r =>
+          if (r.length > 9 && anyInt(r.get(9)) == 1) "DESC" else "ASC")
         out(t) = out.getOrElse(t, Vector.empty) :+ IndexMeta(
           name = name,
           columns = keyCols.map(_.getString(7)),
@@ -665,7 +680,8 @@ object Introspection {
           kind = if (typeDesc == "XML" || typeDesc == "SPATIAL") typeDesc
             else "BTREE",
           hasExpression = typeDesc == "XML" || typeDesc == "SPATIAL" ||
-            anyInt(head.get(5)) == 1)
+            anyInt(head.get(5)) == 1,
+          directions = dirs)
       }
     out.toMap
   }
@@ -674,13 +690,28 @@ object Introspection {
     * MSSQL action spelling `NO_ACTION`/`SET_NULL` normalizes to the
     * SQL-standard space form (reference `source_mssql.go:455-508`).
     */
-  def assembleMssqlForeignKeys(rows: Seq[Row])
+  def assembleMssqlForeignKeys(rows: Seq[Row],
+      sourceSchema: String = "",
+      onWarn: String => Unit = _ => ())
       : Map[String, Seq[ForeignKeyMeta]] = {
     val out = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[ForeignKeyMeta]]
     rows.groupBy(r => (r.getString(0), r.getString(1))).toSeq
       .sortBy(_._1).foreach { case ((t, name), fkRows) =>
         val sorted = fkRows.sortBy(r => anyInt(r.get(7)))
+        // cross-schema referenced table: re-attachment may fail when
+        // the referenced table isn't migrated into the target schema —
+        // warn exactly like the reference (source_mssql.go:477-481).
+        // (Older recorded fixtures without the ref_schema column skip
+        // the check.)
+        val head = sorted.head
+        if (head.length > 8 && sourceSchema.nonEmpty) {
+          val refSchema = Option(head.getString(8)).getOrElse("")
+          if (refSchema.nonEmpty && refSchema != sourceSchema)
+            onWarn(s"FK $name references table $refSchema." +
+              s"${head.getString(3)} in a different schema; the FK may " +
+              "fail if that table is not in the target PostgreSQL schema")
+        }
         out(t) = out.getOrElse(t, Vector.empty) :+ ForeignKeyMeta(
           name = name,
           columns = sorted.map(_.getString(2)),
@@ -693,13 +724,15 @@ object Introspection {
   }
 
   /** Full MSSQL assembly from the sys.* result sets. */
-  def assembleMssql(colRows: Seq[Row], ixRows: Seq[Row], fkRows: Seq[Row])
+  def assembleMssql(colRows: Seq[Row], ixRows: Seq[Row], fkRows: Seq[Row],
+      sourceSchema: String = "",
+      onWarn: String => Unit = _ => ())
       : (Seq[SourceTable], Map[String, Seq[ForeignKeyMeta]]) = {
     val cols = assembleMssqlColumns(colRows)
     val ixs = assembleMssqlIndexes(ixRows)
     val tables = cols.toSeq.sortBy(_._1).map { case (t, cs) =>
       SourceTable(t, cs, ixs.getOrElse(t, Nil))
     }
-    (tables, assembleMssqlForeignKeys(fkRows))
+    (tables, assembleMssqlForeignKeys(fkRows, sourceSchema, onWarn))
   }
 }
