@@ -842,6 +842,66 @@ object TextAnalysis {
            |SELECT source, rn, doc_id FROM r CROSS JOIN t
            |WHERE rn <= tgt ORDER BY source, rn""".stripMargin))
 
+  // Temperature-weighted corpus mixing — the pretraining-mix sampler
+  // (p_i ∝ n_i^α): upweight small sources relative to their raw share
+  // so a dominant crawl doesn't drown the curated tail. α = 0.5
+  // (square-root smoothing, the multilingual-mix standard) is chosen
+  // deliberately over 0.7: IEEE `sqrt` is correctly rounded in BOTH
+  // engines while `pow(x, 0.7)` is not, so the floor() at the take
+  // boundary can never flip on a last-ulp difference — the
+  // hash-stability requirement every cross-engine float expression
+  // here obeys. Selection is q75's content-addressed determinism: the
+  // lowest (md5(text), doc_id) ranks win, so re-runs and engines agree
+  // row for row. Plan: source-count agg (tiny) → 1-row broadcast
+  // consts (Σ√n, total, budget) → per-source take → broadcast join →
+  // ONE source-keyed rank window over the corpus → filter. At 100 TB
+  // the window swaps for the sample-estimated threshold selection q75
+  // documents; the weights math is already scale-free.
+  val q115MixTemperature: QueryDef = QueryDef(
+    "q115_mix_temperature",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          md5(col("text").cast(BinaryType)).as("h"))
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .withColumn("w", sqrt(col("cnt").cast(DoubleType)))
+      val consts = counts.agg(sum(col("w")).as("sw"),
+        sum(col("cnt")).as("total"))
+      val takes = counts.join(broadcast(consts))
+        .select(col("source"), col("cnt"),
+          least(col("cnt"), floor(
+            floor(col("total").cast(DoubleType) / 2) * col("w") /
+              col("sw")).cast(LongType)).as("take"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .join(broadcast(takes), Seq("source"))
+        .filter(col("rn") <= col("take"))
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    },
+    Some("""WITH h AS (
+           |  SELECT source, doc_id, md5(text) AS h FROM documents),
+           |c AS (SELECT source, COUNT(*) AS cnt,
+           |        sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+           |      FROM documents GROUP BY source),
+           |k AS (SELECT SUM(w) AS sw,
+           |        CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+           |t AS (
+           |  SELECT source, cnt,
+           |    least(cnt, CAST(floor(
+           |      floor(CAST(total AS DOUBLE) / 2) * w / sw) AS BIGINT))
+           |      AS take
+           |  FROM c CROSS JOIN k),
+           |r AS (
+           |  SELECT source, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY source
+           |                       ORDER BY h, doc_id) AS rn
+           |  FROM h)
+           |SELECT r.source AS source, rn, doc_id FROM r
+           |JOIN t ON r.source = t.source
+           |WHERE rn <= t.take ORDER BY r.source, rn""".stripMargin))
+
   // Column profiling — the ANALYZE-style statistics pass every engine
   // ships (null rate, distinct count, min/max per column), computed in
   // ONE scan: all per-column aggregates run in a single agg (Catalyst
@@ -968,6 +1028,7 @@ object TextAnalysis {
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
     q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy,
+    q115MixTemperature,
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers)
 }
