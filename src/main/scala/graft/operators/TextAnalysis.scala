@@ -52,6 +52,90 @@ object TextAnalysis {
             |  COUNT(*) AS n
             |FROM documents GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin))
 
+  // TRAINED language-ID — the Cavnar–Trenkle n-gram-profile classifier
+  // (the shape fastText LID industrialized), upgrade over q28's
+  // hardcoded markers: per-language profiles are the top-40 char
+  // bigrams LEARNED from a deterministic train split (doc_id%10 < 8)
+  // of the corpus itself, and a held-out doc's prediction is the
+  // language whose profile shares the most of the doc's distinct
+  // bigrams (integer overlap — no floats anywhere, so the confusion
+  // matrix is trivially hash-stable). Plan: train pass = one bigram
+  // explode → (lang, bigram) counts → per-lang top-40 rank window →
+  // broadcast profile (40·|langs| rows); score pass = one bigram
+  // explode over held-out docs → broadcast join → per-(doc, lang)
+  // overlap agg → per-doc argmax via max_by struct (value-
+  // deterministic tie-break: higher overlap, then lexicographically
+  // smaller lang) → confusion matrix. Two corpus passes, every
+  // exchange keyed, profile broadcast bounded by 40·|langs|.
+  val q116LangIdProfile: QueryDef = QueryDef(
+    "q116_langid_profile",
+    (s, dir) => {
+      val ProfileK = 40
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(lower(col("text")), 1, 200).as("t"))
+      def bigrams(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, length(t) - 1)," +
+            " i -> substring(t, i, 2))")).as("g"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("g"))
+      val profile = bigrams(docs.filter(col("doc_id") % 10 < 8))
+        .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= ProfileK)
+        .select(col("lang").as("plang"), col("g"))
+      val held = bigrams(docs.filter(col("doc_id") % 10 >= 8))
+        .select(col("doc_id"), col("lang"), col("g")).distinct()
+      held.join(broadcast(profile), Seq("g"))
+        .groupBy(col("doc_id"), col("lang"), col("plang"))
+        .agg(count(lit(1)).as("overlap"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(max_by(col("plang"),
+          struct(col("overlap"),
+            // lexicographically SMALLER lang wins ties: max_by takes
+            // the max struct, so invert the lang ordering via a
+            // negated-codepoint surrogate — langs here are 2-char
+            // ASCII codes, so two chars suffice
+            (-ascii(col("plang"))).as("a1"),
+            (-ascii(substring(col("plang"), 2, 1))).as("a2")))
+          .as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang, substr(lower(text), 1, 200) AS t
+           |  FROM documents),
+           |bg AS (
+           |  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 2) AS g
+           |  FROM (SELECT doc_id, lang, t,
+           |          unnest(range(1, length(t))) AS i FROM d) u),
+           |prof AS (
+           |  SELECT lang AS plang, g FROM (
+           |    SELECT lang, g, COUNT(*) AS c,
+           |      ROW_NUMBER() OVER (PARTITION BY lang
+           |                         ORDER BY COUNT(*) DESC, g) AS rk
+           |    FROM bg WHERE doc_id % 10 < 8 GROUP BY lang, g) r
+           |  WHERE rk <= 40),
+           |held AS (
+           |  SELECT DISTINCT doc_id, lang, g FROM bg
+           |  WHERE doc_id % 10 >= 8),
+           |ov AS (
+           |  SELECT doc_id, lang, plang, COUNT(*) AS overlap
+           |  FROM held JOIN prof USING (g)
+           |  GROUP BY doc_id, lang, plang),
+           |pred AS (
+           |  SELECT doc_id, lang, plang AS pred FROM (
+           |    SELECT doc_id, lang, plang,
+           |      ROW_NUMBER() OVER (PARTITION BY doc_id, lang
+           |                         ORDER BY overlap DESC, plang) AS rk
+           |    FROM ov) r
+           |  WHERE rk = 1)
+           |SELECT lang, pred, COUNT(*) AS n FROM pred
+           |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin))
+
   // Quality scoring: token counts, average token length, stopword ratio,
   // quality bucket. Ratios are single double divisions of exact integers.
   val q29Quality: QueryDef = QueryDef(
@@ -1028,7 +1112,7 @@ object TextAnalysis {
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
     q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy,
-    q115MixTemperature,
+    q115MixTemperature, q116LangIdProfile,
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers)
 }
