@@ -232,6 +232,24 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("candidate self-joins read their index from ONE cached build — " +
+      "each side scans the InMemoryRelation, never a rebuilt chain") {
+    // round 8 finding: ReusedExchange never fires for these self-joins
+    // (per-consumer column pruning leaves the sides canonically
+    // different), so without the Caches.persist each side re-ran the
+    // ENTIRE index build (q91: the whole df-agg → window → repartition
+    // chain twice — 13 AQE stages; with the cache, 5). This pins the
+    // cache: both self-join sides must scan the cached relation.
+    Seq("q22_dedup_jaccard" -> 2, "q23_dedup_minhash" -> 2,
+      "q24_dedup_simhash" -> 2, "q63_dedup_jaccard_capped" -> 2,
+      "q91_dedup_jaccard_prefix" -> 2).foreach { case (q, atLeast) =>
+      val n = "InMemoryTableScan".r.findAllIn(plan(q)).length
+      assert(n >= atLeast,
+        s"$q: expected >= $atLeast InMemoryTableScans (cached index " +
+          s"read by both self-join sides), found $n — persist dropped?")
+    }
+  }
+
   test("q111: global tiering is broadcast cutpoints + stateless CASE " +
       "— no window, no global sort of the corpus") {
     val p = plan("q111_global_tiers")
