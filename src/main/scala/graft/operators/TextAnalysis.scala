@@ -833,6 +833,85 @@ object TextAnalysis {
            |FROM tok t JOIN d ON t.doc_id = d.doc_id
            |ORDER BY t.doc_id""".stripMargin))
 
+  // Composite quality gate — the Gopher-rules family AS A GATE (the
+  // filter a curation pipeline actually applies before training),
+  // composing the individually-proven signals: token-count window,
+  // mean-word-length window, stopword presence, duplicate-3-gram
+  // repetition. Per-(lang, source) accounting of every rule plus the
+  // conjunction, so a mix owner sees WHICH rule bites where. Rule math
+  // is engine-exact by construction: counts and boolean sums are
+  // integers; the repetition bound is cross-multiplied into integer
+  // space (1 − uniq/total ≤ 0.2 ⇔ 5·uniq ≥ 4·total — no float at the
+  // decision boundary); the only float compare (mean word length) is
+  // one IEEE division computed identically in both engines. Per-doc
+  // work is in-row (codegen'd ShingleSet for uniq); one keyed agg.
+  val q117GopherGate: QueryDef = QueryDef(
+    "q117_gopher_gate",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val w = split(lower(col("text")), " ")
+      val d = Tables.load(s, dir, "documents")
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(w).as("nt"),
+          (array_contains(w, "the").cast(IntegerType) +
+            array_contains(w, "a").cast(IntegerType) +
+            array_contains(w, "of").cast(IntegerType)).as("stops"),
+          size(graft.functions.VectorOps.shingles(lower(col("text")), 3))
+            .as("uniq"))
+        .withColumn("r_len",
+          col("nt") >= 20 && col("nt") <= 80)
+        .withColumn("awl", col("n_chars").cast(DoubleType) / col("nt"))
+        .withColumn("r_awl", col("awl") >= 3.0 && col("awl") <= 10.0)
+        .withColumn("r_stop", col("stops") >= 2)
+        .withColumn("r_rep", col("nt") > 2 &&
+          lit(5) * col("uniq") >= lit(4) * (col("nt") - 2))
+      def cnt(c: Column, name: String) =
+        sum(when(c, 1L).otherwise(0L)).as(name)
+      d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"),
+          cnt(col("r_len"), "pass_len"),
+          cnt(col("r_awl"), "pass_awl"),
+          cnt(col("r_stop"), "pass_stop"),
+          cnt(col("r_rep"), "pass_rep"),
+          cnt(col("r_len") && col("r_awl") && col("r_stop") &&
+            col("r_rep"), "pass_all"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, lang, source, n_chars,
+           |    string_split(lower(text), ' ') AS w
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
+           |        FROM tok WHERE len(w) >= 3) u),
+           |u AS (SELECT doc_id, COUNT(*) AS uniq FROM sh GROUP BY doc_id),
+           |r AS (
+           |  SELECT t.lang, t.source,
+           |    len(t.w) AS nt,
+           |    (CASE WHEN list_contains(t.w, 'the') THEN 1 ELSE 0 END +
+           |     CASE WHEN list_contains(t.w, 'a') THEN 1 ELSE 0 END +
+           |     CASE WHEN list_contains(t.w, 'of') THEN 1 ELSE 0 END)
+           |      AS stops,
+           |    COALESCE(u.uniq, 0) AS uniq,
+           |    CAST(t.n_chars AS DOUBLE) / len(t.w) AS awl
+           |  FROM tok t LEFT JOIN u ON t.doc_id = u.doc_id)
+           |SELECT lang, source, COUNT(*) AS docs,
+           |  CAST(SUM(CASE WHEN nt BETWEEN 20 AND 80
+           |       THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+           |  CAST(SUM(CASE WHEN awl >= 3.0 AND awl <= 10.0
+           |       THEN 1 ELSE 0 END) AS BIGINT) AS pass_awl,
+           |  CAST(SUM(CASE WHEN stops >= 2
+           |       THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+           |  CAST(SUM(CASE WHEN nt > 2 AND 5 * uniq >= 4 * (nt - 2)
+           |       THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep,
+           |  CAST(SUM(CASE WHEN nt BETWEEN 20 AND 80
+           |       AND awl >= 3.0 AND awl <= 10.0 AND stops >= 2
+           |       AND nt > 2 AND 5 * uniq >= 4 * (nt - 2)
+           |       THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+           |FROM r GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+
   // Sequence packing — assign documents to fixed-token-budget context
   // bins (the pretraining "packing" step that turns a corpus into
   // near-full training sequences). Greedy in doc_id order per
@@ -1112,7 +1191,7 @@ object TextAnalysis {
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,
     q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy,
-    q115MixTemperature, q116LangIdProfile,
+    q115MixTemperature, q116LangIdProfile, q117GopherGate,
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers)
 }
