@@ -1023,9 +1023,12 @@ object TextAnalysis {
   val q115MixTemperature: QueryDef = QueryDef(
     "q115_mix_temperature",
     (s, dir) => {
-      val d = Tables.load(s, dir, "documents")
+      // the hashed projection feeds both the counts agg and the rank
+      // window — persist so the corpus md5 pass runs once (the 100 TB
+      // materialization every sampler run writes anyway)
+      val d = graft.Caches.persist(Tables.load(s, dir, "documents")
         .select(col("source"), col("doc_id"),
-          md5(col("text").cast(BinaryType)).as("h"))
+          md5(col("text").cast(BinaryType)).as("h")))
       val counts = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
         .withColumn("w", sqrt(col("cnt").cast(DoubleType)))
       val consts = counts.agg(sum(col("w")).as("sw"),
