@@ -20,7 +20,7 @@ object Sessions {
     // local scale; production leaves it on.
     val aqe =
       !sys.env.get("SPARK_GRAFT_AQE").exists(_.equalsIgnoreCase("off"))
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$n]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions",
@@ -30,8 +30,23 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // scan-partition packing: the 4 MB default models HDFS-era file
+      // open costs; local/object-store parquet with ~1 MB row groups
+      // packs several files per task instead of paying per-task reader
+      // init 16× for a 16-file table (the MRG bench fixture, small
+      // dims). Large files still split by maxPartitionBytes as before.
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Ad-hoc knob passthrough for measurement runs, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.coalescePartitions.parallelismFirst=false;k2=v2".
+    // Tuned DEFAULTS belong above, not in this env var.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { kvs =>
+      kvs.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     functions.VectorOps.register(spark)
     spark
   }

@@ -32,6 +32,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
 final class StageClock extends SparkListener {
   private val lock = new Object
   private var stages = 0
+  private var jobsCount = 0
   private var taskTimeMs = 0L
   private var cpuTimeNs = 0L
   private var stageWallMs = 0L
@@ -39,7 +40,7 @@ final class StageClock extends SparkListener {
   private var activeJobs = 0
 
   override def onJobStart(e: SparkListenerJobStart): Unit =
-    lock.synchronized { activeJobs += 1 }
+    lock.synchronized { activeJobs += 1; jobsCount += 1 }
 
   override def onJobEnd(e: SparkListenerJobEnd): Unit =
     lock.synchronized { activeJobs -= 1 }
@@ -60,9 +61,16 @@ final class StageClock extends SparkListener {
     }
 
   def reset(): Unit = lock.synchronized {
-    stages = 0; taskTimeMs = 0L; cpuTimeNs = 0L; stageWallMs = 0L
-    shuffleRecs = 0L
+    stages = 0; jobsCount = 0; taskTimeMs = 0L; cpuTimeNs = 0L
+    stageWallMs = 0L; shuffleRecs = 0L
   }
+
+  /** Jobs started since the last reset — each job in local mode costs a
+    * measured ~30-45 ms of scheduler floor regardless of task count, so
+    * job count (AQE stage materializations + broadcast builds + the
+    * final job) is the first-order floor model for sub-second queries.
+    */
+  def jobs: Int = lock.synchronized(jobsCount)
 
   /** Total shuffle records WRITTEN since the last reset — the
     * candidate-volume proxy the scale-growth property test fits its

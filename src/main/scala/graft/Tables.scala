@@ -53,6 +53,14 @@ object Tables {
   * The oracle SQL must produce the same column NAMES (driver sorts columns
   * by name before hashing) and a deterministic total row order.
   * `bench = true` marks headline queries timed by [[Bench]].
+  *
+  * `lowLatency = true` marks queries that run under the engine's
+  * interactive profile (AQE materialization barriers off — each AQE query
+  * stage is a separate scheduler job costing a measured ~20-45 ms on this
+  * host, which dominates sub-second queries; the adaptive profile stays
+  * the default for the heavy/skew-prone tier and for every correctness
+  * run). Plans must be correct under BOTH profiles — the flag only trades
+  * runtime re-planning for scheduling floor.
   */
 /** Engine-neutral 4-dp rounding: floor(x*10^4 + 0.5)/10^4 as identical
   * IEEE double ops in Spark and DuckDB. Engine round() builtins disagree
@@ -70,4 +78,5 @@ final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    lowLatency: Boolean = false)

@@ -173,7 +173,7 @@ object Dedup {
            |      ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS rn
            |  FROM events) sub
            |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // Exact content dedup accounting via md5 fingerprints (full-corpus
   // distinct is a single hash-shuffle; no sort).

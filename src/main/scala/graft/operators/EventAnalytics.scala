@@ -79,7 +79,7 @@ object EventAnalytics {
             |SELECT (SELECT COUNT(*) FROM s1) AS viewed,
             |       (SELECT COUNT(*) FROM s2) AS clicked,
             |       (SELECT COUNT(*) FROM s3) AS purchased""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   private val HalfLifeUs: Double = 7d * 86400d * 1000000d // 7-day half-life
 

@@ -52,7 +52,7 @@ object Relational {
            |FROM lineitem
            |WHERE l_orderkey >= 100 AND l_orderkey < 200
            |ORDER BY l_orderkey, l_linenumber""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // A1: chunk-planning MIN/MAX aggregate (reference chunk.go:152-185).
   val q02ChunkMinmax: QueryDef = QueryDef(
@@ -96,7 +96,7 @@ object Relational {
            |JOIN nation ON c_nationkey = n_nationkey
            |JOIN region ON n_regionkey = r_regionkey
            |ORDER BY c_custkey""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // J3/P4: anti-join — the reference's orphan detection NOT EXISTS
   // (post.go:514-515) over a filtered parent set.
@@ -117,7 +117,7 @@ object Relational {
            |  WHERE o.o_custkey = c.c_custkey
            |    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
            |ORDER BY c_custkey""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // J4: semi-join — retained-row side of orphan cleanup (post.go:482-538).
   val q06SemiJoin: QueryDef = QueryDef(
@@ -259,7 +259,7 @@ object Relational {
            |               event_id DESC) AS rn
            |  FROM events) sub
            |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // O-family: global sort + limit (top-k via TakeOrderedAndProject).
   val q12SortLimit: QueryDef = QueryDef(
@@ -271,7 +271,7 @@ object Relational {
         .limit(10),
     Some("""SELECT o_orderkey, o_totalprice FROM orders
            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // §2.8: running aggregate window (exact decimal running sum).
   val q13WindowRunning: QueryDef = QueryDef(
@@ -311,7 +311,7 @@ object Relational {
            |  event_type, COUNT(*) AS n,
            |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
            |FROM events GROUP BY 1, 2 ORDER BY hour_w, event_type""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // Rollup / grouping sets (free via Catalyst; not in reference §2.4).
   val q15Rollup: QueryDef = QueryDef(
@@ -408,7 +408,7 @@ object Relational {
            |JOIN customer ON o_custkey = c_custkey
            |JOIN nation ON c_nationkey = n_nationkey
            |GROUP BY n_name ORDER BY n_name""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // F-json analog: extract typed value from the JSON props column via
   // regexp (identical semantics in both engines).

@@ -108,7 +108,7 @@ object Similarity {
             |    ON q.vec_id < $NumQueryVecs AND c.vec_id >= $NumQueryVecs
             |  ) sub
             |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   /** Per-(vector, table) sign-bucket codes from the hyperplane fixture —
     * the stage q27 (ANN) and q58 (near-dup) share. Per-vector work: 32
@@ -230,8 +230,13 @@ object Similarity {
       // no distinct needed: each corpus vector sits in exactly ONE
       // inverted list (rank-1 assignment) and a query's probe cids are
       // distinct by construction, so (qid, vec_id) cannot repeat —
-      // the oracle's DISTINCT is a no-op on the same grounds
-      val cand = probes.join(lists, "cid")
+      // the oracle's DISTINCT is a no-op on the same grounds.
+      // probes is the query set × 2 lists — bounded by the (small,
+      // fixed) query workload at ANY corpus scale, so broadcasting it
+      // is the honest 100 TB shape too: the corpus-sized `lists` side
+      // never shuffles by cid (AQE reaches the same plan from runtime
+      // stats; the hint keeps the static/interactive profile identical).
+      val cand = broadcast(probes).join(lists, "cid")
         .select(col("qid"), col("vec_id"))
       val qv = broadcast(e.filter(col("vec_id") < NumQueryVecs)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -277,7 +282,7 @@ object Similarity {
             |SELECT qid, rnk, neighbor,
             |  floor(sim * 10000 + 0.5) / 10000 AS sim
             |FROM ranked WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // LSH-bucketed embedding near-dup — q25's scale path: candidate pairs
   // come from sign-code bucket equality in any of the 8 tables (an
@@ -494,8 +499,13 @@ object Similarity {
       // no distinct needed: each corpus vector sits in exactly ONE
       // inverted list (rank-1 assignment) and a query's probe cids are
       // distinct by construction, so (qid, vec_id) cannot repeat —
-      // the oracle's DISTINCT is a no-op on the same grounds
-      val cand = probes.join(lists, "cid")
+      // the oracle's DISTINCT is a no-op on the same grounds.
+      // probes is the query set × 2 lists — bounded by the (small,
+      // fixed) query workload at ANY corpus scale, so broadcasting it
+      // is the honest 100 TB shape too: the corpus-sized `lists` side
+      // never shuffles by cid (AQE reaches the same plan from runtime
+      // stats; the hint keeps the static/interactive profile identical).
+      val cand = broadcast(probes).join(lists, "cid")
         .select(col("qid"), col("vec_id"))
       // in-row encode + LUT (the FAISS shape): the codebook is an ~8 KB
       // constant, so PqCodes/PqLut compute each vector's 8 codes / each

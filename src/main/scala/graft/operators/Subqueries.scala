@@ -97,7 +97,7 @@ object Subqueries {
            |    AND l.l_shipdate > TIMESTAMP '1996-06-01 00:00:00')
            |GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // Per-group top-k via the bounded typed Aggregator — same result
   // contract (and oracle) as the window formulation in q16, but with an

@@ -190,7 +190,7 @@ object TextAnalysis {
            |  CAST(SUM(n_chars) AS BIGINT) AS chars
            |FROM documents GROUP BY lang, source
            |ORDER BY lang, source""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // Content fingerprinting: md5 of normalized text (the reference
   // fingerprints config/schema state the same way, SHA-256 at
@@ -514,7 +514,7 @@ object TextAnalysis {
             |  ${graft.Round4.sql("MIN(bits)")} AS min_bits,
             |  ${graft.Round4.sql("MAX(bits)")} AS max_bits
             |FROM pd GROUP BY source ORDER BY source""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   private val MixAlpha = 0.5   // temperature exponent (T = 1/α = 2)
   private val MixBudget = 1e6  // global token budget to allocate
@@ -793,7 +793,7 @@ object TextAnalysis {
            |  FROM sc)
            |SELECT doc_id, rk, t AS term, s4 FROM rk
            |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // Repetition ratio — the duplicate-n-gram quality rule (the Gopher
   // rules family): fraction of a document's 3-gram occurrences that
@@ -962,7 +962,7 @@ object TextAnalysis {
            |    / 10000 AS fill
            |FROM c GROUP BY lang, CAST(cum_excl // 2048 AS BIGINT)
            |ORDER BY lang, bin""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // Data-mix rebalancing — downsample every source to the size of the
   // smallest one (a balanced mix), selecting WHICH documents survive
@@ -1187,7 +1187,7 @@ object TextAnalysis {
             |CROSS JOIN n1 CROSS JOIN n2
             |WHERE b.n >= 10
             |ORDER BY pmi DESC, b.bigram LIMIT 50""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
