@@ -124,11 +124,15 @@ object Similarity {
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
         .otherwise(0)).cast("long").as("code"))
-      // hash-distribute on the bucket key once — q58's candidate
-      // self-join reuses this single exchange on both sides instead of
-      // broadcasting the whole code relation off a low post-aggregate
-      // size estimate
+      // hash-distribute on the bucket key once and PERSIST: the
+      // candidate joins read this relation from two consumers (q58's
+      // self-join sides; q118's base/delta split), and exchange reuse
+      // never fires across re-derived subtrees (r8 executed-plan
+      // audit) — an uncached plan re-ran the scan + 32 dot products +
+      // aggregation once per consumer. ~8 rows per vector, cached
+      // co-partitioned on the bucket key.
       .repartition(col("tbl"), col("code"))
+      .transform(graft.Caches.persist)
   }
 
   /** The DuckDB mirror of [[signCodes]], shared by both oracles. */
@@ -331,6 +335,109 @@ object Similarity {
             |      CAST(e2.embedding AS DOUBLE[])) > $NearDupThreshold
             |ORDER BY v1, v2""".stripMargin),
     bench = true)
+
+  // One-sided banded embedding near-dup — the 100 TB ingest shape and
+  // the HEADLINE near-dup-at-scale path (PLANS.md "embedding near-dup at
+  // scale"; q58's all-pairs self-join is the small/mid-corpus fallback,
+  // measured ~N^2 in ScaleGrowthSpec). An incoming batch ("delta" — here
+  // a deterministic 10% id-slice so a static fixture exercises the
+  // shape; in production the day's ingest) broadcasts its bucket codes
+  // against the corpus-sized base side, so per-batch cost is
+  // O(|base| + |delta|·bucket) — linear in the corpus, never corpus².
+  // ScaleGrowthSpec measures the fixed-delta growth exponent ≈ 1 and
+  // the wide-band ρ-bound variant for high-threshold corpora.
+  // Candidates verify with exact cosine ≥ the 0.4 fixture threshold;
+  // with the hyperplane fixture materialized the whole query is exact
+  // relational algebra — full DuckDB hash-match.
+  /** One-sided base×delta banded candidates + exact verify — the body
+    * of q118 with the delta predicate injectable so ScaleGrowthSpec can
+    * measure the PRODUCTION shape (fixed-size delta batch over a
+    * growing base → exponent ≈ 1) rather than the fixture-exercising
+    * 10%-slice the static catalog entry uses.
+    */
+  def oneSidedBanded(s: SparkSession, dir: String, isDelta: Column)
+      : DataFrame = {
+    val e = normed(s, dir)
+    val codes = signCodes(e)
+    val baseC = codes.filter(!isDelta)
+      .hint("shuffle_hash") // never broadcast the corpus side
+    val deltaC = codes.filter(isDelta)
+    val cand = baseC.as("b")
+      .join(broadcast(deltaC).as("d"),
+        col("b.tbl") === col("d.tbl") && col("b.code") === col("d.code"))
+      .select(col("b.vec_id").as("v1"), col("d.vec_id").as("v2"))
+      .distinct()
+    val a = e.select(col("vec_id").as("v1"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    cand.join(a, "v1").join(b, "v2")
+      .withColumn("sim", cosine(col("va"), col("vb"), col("na"),
+        col("nb")))
+      .filter(col("sim") > NearDupThreshold)
+      .select(col("v1").as("base_id"), col("v2").as("delta_id"),
+        graft.Round4(col("sim")).as("sim"))
+      .orderBy("base_id", "delta_id")
+  }
+
+  val q118EmbedNeardupBanded: QueryDef = QueryDef(
+    "q118_embed_neardup_banded",
+    (s, dir) => oneSidedBanded(s, dir, col("vec_id") % 10 === 1),
+    Some(s"""WITH $codesCte,
+            |cand AS (
+            |  SELECT DISTINCT b.vec_id AS base_id, d.vec_id AS delta_id
+            |  FROM codes b JOIN codes d
+            |    ON b.tbl = d.tbl AND b.code = d.code
+            |  WHERE b.vec_id % 10 <> 1 AND d.vec_id % 10 = 1)
+            |SELECT base_id, delta_id,
+            |  floor(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+            |        CAST(e2.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000
+            |    AS sim
+            |FROM cand
+            |JOIN embeddings e1 ON e1.vec_id = cand.base_id
+            |JOIN embeddings e2 ON e2.vec_id = cand.delta_id
+            |WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+            |      CAST(e2.embedding AS DOUBLE[])) > $NearDupThreshold
+            |ORDER BY base_id, delta_id""".stripMargin),
+    bench = true)
+
+  /** Wide-band sign-LSH self-join near-dup over CALLER-SUPPLIED
+    * hyperplanes — the adaptive-banding formulation for corpora whose
+    * near-dup threshold is high (≥ ~0.9), where B can scale with
+    * log(N) and L with N^ρ (ρ = ln(1/p₁)/ln(1/p₂)) so candidate volume
+    * stays ~N^(1+ρ) instead of N² (the q58 fixture geometry's fate at
+    * τ = 0.4 — see ScaleGrowthSpec, which measures BOTH exponents).
+    * Not a catalog entry: the driver fixtures contain no ≥0.9 pairs
+    * (verified by oracle), so the proof lives in the spec over planted
+    * corpora; the production guidance lives in PLANS.md.
+    */
+  def wideBandNeardup(e: DataFrame, planes: DataFrame, tau: Double)
+      : DataFrame = {
+    val codes = e.crossJoin(broadcast(planes))
+      .withColumn("proj",
+        graft.functions.VectorOps.dot(col("v"), col("plane")))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
+        .otherwise(0)).cast("long").as("code"))
+      .repartition(col("tbl"), col("code"))
+      .transform(graft.Caches.persist)
+      .hint("shuffle_hash")
+    val cand = codes.as("a")
+      .join(codes.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val a = e.select(col("vec_id").as("v1"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    cand.join(a, "v1").join(b, "v2")
+      .withColumn("sim", cosine(col("va"), col("vb"), col("na"),
+        col("nb")))
+      .filter(col("sim") > tau)
+      .select(col("v1"), col("v2"), col("sim"))
+  }
 
   private val PqSubDim = 8 // 64 dims → 8 subspaces × 8 dims
   private val PqNumCentroids = 16 // = tools.TrainPqCodebook.K
@@ -670,5 +777,5 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
-    q100NegativeSampling)
+    q100NegativeSampling, q118EmbedNeardupBanded)
 }

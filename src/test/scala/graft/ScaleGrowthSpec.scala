@@ -168,6 +168,46 @@ class ScaleGrowthSpec extends AnyFunSuite {
       }
       info(report.toString)
 
+      // q118's PRODUCTION shape — a FIXED-size ingest batch (the 50
+      // delta vectors planted in the first 500 ids) against a growing
+      // base corpus. Candidate volume is |delta|·bucket ∝ N/2^B and the
+      // dominant shuffle is the code relation itself (∝ N), so the
+      // fitted exponent must sit at ~1 — this, not the catalog entry's
+      // 10% fixture slice, is the 100 TB claim. Pair yield INCLUDES the
+      // ~50 planted twins (cos ≈ 1; sign-LSH recall at that angle is ~1
+      // across 8 tables) plus incidental >τ neighbors — at τ = 0.4 a
+      // fixed batch legitimately finds more neighbors in a bigger base
+      // (measured 58/102/212), so yield is bounded per unit of base
+      // growth, not constant: output size is the data's property; the
+      // scale claim is the SHUFFLE exponent.
+      {
+        val rows = dirs.map { dir =>
+          clock.quiesce(); clock.reset()
+          val out = operators.Similarity.oneSidedBanded(spark, dir,
+            col("vec_id") % 10 === 1 && col("vec_id") < 500).count()
+          clock.quiesce()
+          val sh = clock.shuffleRecords
+          Caches.clear(spark)
+          (sh, out)
+        }
+        val Seq((s1, r1), (s2, r2), (s3, r3)) = rows
+        val exp = math.log(s3.toDouble / s2) / math.log(4.0)
+        info(f"q118 fixed-delta: shuffle=$s1/$s2/$s3 exp=$exp%.2f " +
+          f"pairs=$r1/$r2/$r3")
+        assert(exp < 1.3,
+          s"q118 fixed-delta shuffle rows grow faster than linear " +
+            s"(exp $exp): $s1 -> $s2 -> $s3")
+        assert(r1 >= 48 && r2 >= 48 && r3 >= 48,
+          s"q118 fixed-delta lost planted twins (yield must cover the " +
+            s"~50 planted pairs): $r1 / $r2 / $r3")
+        // sub-linear-in-base yield growth: 4x base may at most ~3x the
+        // neighbor count of a fixed batch here; N²-style candidate
+        // leakage would blow straight past this
+        assert(r3.toDouble / r2 < 3.0,
+          s"q118 fixed-delta yield growing near-quadratically: " +
+            s"$r1 / $r2 / $r3")
+      }
+
       // hot-key diagnostic on the largest corpus: no single join key
       // absorbs the corpus. Shingle df after the q63 cap is ≤ DfCap by
       // construction; HERE we bound the raw (uncapped) hot head and
@@ -184,6 +224,118 @@ class ScaleGrowthSpec extends AnyFunSuite {
       // corpus (the q63 cap and q91 df-ordering both rely on the tail
       // being heavy, not on one degenerate key)
       assert(maxDf < 800, s"hottest raw shingle df=$maxDf at 8000 docs")
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
+
+  // ---- wide-band adaptive sign-LSH at a HIGH threshold (τ = 0.9) ----
+  //
+  // The q58 finding (exp ≈ 2 at τ = 0.4) is a property of the
+  // threshold, not of LSH: at τ = 0.9, p₁ = 1 − arccos(0.9)/π ≈ 0.857
+  // against random-pair p₂ = 0.5 gives ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.22,
+  // and scaling the band width B with log₂N (buckets stay ~constant
+  // occupancy) and table count L with N^ρ caps candidate volume at
+  // ~N^(1+ρ) ≈ N^1.2. This test RUNS that geometry over corpora with
+  // planted ~0.94-cosine twins and asserts the measured exponent and
+  // recall — the "wide adaptive bands at ≥0.9" guidance in PLANS.md,
+  // converted to measurement. (The driver's embeddings fixture has no
+  // ≥0.9 pairs — verified by the q118/q25 oracles — so this proof
+  // lives on planted corpora.)
+
+  private def wbNoise(id: Long, d: Int): Float = {
+    val h = MurmurHash3.productHash(("wb", id, d))
+    (h / Int.MaxValue.toFloat)
+  }
+
+  /** Embeddings with every 10th vector twinned at cosine ≈ 0.94
+    * (additive uniform noise at 0.36 of the base component scale).
+    */
+  private def wideCorpus(n: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_wb_$n")
+    val dim = graft.tools.GenFixtures.Dim
+    val embs = (0L until n.toLong).map { id =>
+      val v =
+        if (id % 10 == 1) {
+          val base = Array.tabulate(dim)(embComponent(id - 1, _))
+          Array.tabulate(dim)(d => base(d) + 0.36f * wbNoise(id, d))
+        } else Array.tabulate(dim)(embComponent(id, _))
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    writeSingle(embs, dir.resolve("embeddings.parquet"))
+    dir.toString
+  }
+
+  /** True twin cosine, computed driver-side from the same deterministic
+    * generators — the recall denominator counts twins ABOVE the 0.9
+    * decision threshold (a planted pair that lands under τ is not a
+    * near-dup, not a MISS).
+    */
+  private def twinCosine(id: Long): Double = {
+    val dim = graft.tools.GenFixtures.Dim
+    val a = Array.tabulate(dim)(d => embComponent(id - 1, d).toDouble)
+    val b = Array.tabulate(dim)(d =>
+      a(d) + 0.36f * wbNoise(id, d))
+    val dot = (0 until dim).map(d => a(d) * b(d)).sum
+    dot / (math.sqrt(a.map(x => x * x).sum) *
+      math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("wide-band adaptive sign-LSH at tau=0.9: B ~ log2(N), L ~ N^rho " +
+      "keeps the candidate exponent at the rho-bound (~1.2) with " +
+      "recall >= 0.8 of true >0.9 twins") {
+    import spark.implicits._
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      val scales = Seq(500, 2000, 8000)
+      val dim = graft.tools.GenFixtures.Dim
+      val measured = scales.map { n =>
+        val dir = wideCorpus(n)
+        val bBits = math.ceil(math.log(n.toDouble) / math.log(2)).toInt
+        val lTables = math.ceil(4 * math.pow(n.toDouble, 0.154)).toInt
+        val planes = (for {
+          t <- 0 until lTables; b <- 0 until bBits
+        } yield {
+          val plane = Array.tabulate(dim) { d =>
+            MurmurHash3.productHash(("pl", t, b, d)) /
+              Int.MaxValue.toDouble
+          }
+          (t, b, plane)
+        }).toDF("tbl", "bit", "plane")
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>")
+            .as("v"))
+          .withColumn("nrm",
+            graft.functions.VectorOps.l2norm(col("v")))
+        clock.quiesce(); clock.reset()
+        val found = operators.Similarity.wideBandNeardup(e, planes, 0.9)
+          .select("v1", "v2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        clock.quiesce()
+        val sh = clock.shuffleRecords
+        Caches.clear(spark)
+        val trueTwins = (0L until n.toLong)
+          .filter(id => id % 10 == 1 && twinCosine(id) > 0.9)
+          .map(id => (id - 1, id)).toSet
+        val recall =
+          trueTwins.count(found).toDouble / math.max(trueTwins.size, 1)
+        (n, sh, found.size, trueTwins.size, recall)
+      }
+      val report = measured.map { case (n, sh, f, t, r) =>
+        f"N=$n shuffle=$sh found=$f trueTwins=$t recall=$r%.2f"
+      }.mkString("; ")
+      info(report)
+      measured.foreach { case (n, _, _, t, recall) =>
+        assert(t > n / 20, s"degenerate corpus: only $t true twins at $n")
+        assert(recall >= 0.8,
+          s"wide-band recall $recall < 0.8 at N=$n ($report)")
+      }
+      val exp = math.log(measured(2)._2.toDouble / measured(1)._2) /
+        math.log(4.0)
+      info(f"wide-band shuffle-row exponent (2000->8000): $exp%.2f " +
+        "(theory: 1+rho ~ 1.2)")
+      assert(exp < 1.35,
+        s"wide-band exponent $exp above the rho-bound envelope ($report)")
     } finally spark.sparkContext.removeSparkListener(clock)
   }
 }
