@@ -31,14 +31,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val AllTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
-  // tables worth splitting; events keeps its original file (its ns
-  // timestamps + streaming symlink contract want the exact bytes; a
-  // 16-way split was MEASURED a net loss here — the window tier gained
-  // ~50 ms of scan parallelism but the sort-aggregate tier paid ~40 ms
-  // per extra task in non-codegen agg init, flipping q20 over the 2×
-  // line while flipping nothing under it)
+  // tables worth splitting 16-way. events gets a narrower 4-way split
+  // (below): its ns-timestamp rows load through Tables.load either way,
+  // and while a 16-way split was MEASURED a net loss (the window tier
+  // gained ~50 ms of scan parallelism but the sort-aggregate tier paid
+  // ~40 ms per extra task in non-codegen agg init, flipping q20 over
+  // the 2× line), 4 files give the event-scanning tier (q11/q12/q14/
+  // q40/q83) 4-core scans while capping the per-task agg-init overhead
+  // at 4×.
   private val SplitTables = Set("customer", "supplier", "part", "orders",
     "lineitem", "documents", "embeddings")
+  private val SplitCounts = Map("events" -> 4).withDefaultValue(16)
 
   /** The driver's sf fixtures are single-row-group, single-file parquet —
     * every scan runs on ONE core no matter how many executors exist, an
@@ -58,7 +61,8 @@ object Bench {
     val fp = {
       // rewriteV bumps when the rewrite LOGIC changes (e.g. the split
       // set), so a /tmp copy from an older Bench can't be reused
-      val rewriteV = "v2:" + SplitTables.toSeq.sorted.mkString(",")
+      val rewriteV = "v3:" + SplitTables.toSeq.sorted.mkString(",") +
+        ":events4"
       val parts = rewriteV + "|" + AllTables.flatMap { t =>
         val p = Paths.get(s"$raw/$t.parquet")
         if (Files.exists(p))
@@ -82,12 +86,19 @@ object Bench {
       val src = Paths.get(s"$raw/$t.parquet")
       if (Files.exists(src)) {
         val dst = stage.resolve(s"$t.parquet")
-        if (SplitTables(t))
-          spark.read.parquet(src.toString).repartition(16)
+        if (SplitTables(t) || SplitCounts.contains(t)) {
+          // events' ns-precision ts column needs the nanosAsLong legacy
+          // read (Spark 4 rejects TIMESTAMP(NANOS) otherwise); the copy
+          // then stores plain INT64 ns, which Tables.load's
+          // `ts div 1000` truncation consumes identically to the raw
+          // file — same values, same µs semantics.
+          if (t == "events")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(src.toString).repartition(SplitCounts(t))
             .write.mode("overwrite")
             .option("parquet.block.size", (1 << 20).toString)
             .parquet(dst.toString)
-        else Files.createSymbolicLink(dst, src)
+        } else Files.createSymbolicLink(dst, src)
       }
     }
     Files.createFile(stage.resolve("_GRAFT_MRG_DONE"))
@@ -145,10 +156,21 @@ object Bench {
     // the heavy tier (skew/broadcast re-planning at scale) and for all
     // correctness runs; flagged plans are correct under both.
     val aqeDefault = spark.conf.get("spark.sql.adaptive.enabled")
+    val shuffleDefault = spark.conf.get("spark.sql.shuffle.partitions")
     def setProfile(d: QueryDef): Unit = {
       val aqe = if (d.lowLatency) "false" else aqeDefault
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+      // The interactive profile also right-sizes the shuffle: the
+      // low-latency tier moves at most a few hundred kB per exchange at
+      // bench scale, and with AQE's coalescing off each of the default
+      // 16 reduce partitions is a dispatched task (~1-2 ms apiece of
+      // pure scheduling). 8 partitions measured ~20-35% off q17/q40/q59
+      // walls with identical results; the heavy tier keeps the default
+      // and lets AQE coalesce instead (its exchanges are the ones that
+      // genuinely need width at scale).
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (d.lowLatency) "8" else shuffleDefault)
     }
 
     // Prepared-plan cache: each query's DSL construction + analysis +
@@ -186,6 +208,16 @@ object Bench {
       }
       catch { case _: Throwable => None }
     }
+
+    // host-state telltale: the wall of a bare 1-task job, min of 3,
+    // measured before any query. On this box it is ~30-45 ms idle and
+    // 150-300 ms under co-tenant contention (±30% per-query noise comes
+    // with it) — readers should weight the warm numbers accordingly.
+    val bareJobMs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      (System.nanoTime() - t0) / 1e6
+    }.min
 
     val cold = defs.map(d => d.name -> run(d).map(_._1).getOrElse(-1.0))
     val backToBack = defs.map(d => (1 to 3).flatMap(_ => run(d)))
@@ -225,6 +257,7 @@ object Bench {
       s""""queries":${jsonMap(warm)},""" +
       s""""cold_total":${total(cold)},"queries_cold":${jsonMap(cold)},""" +
       s""""profiles":$profiles,"cores":$cores,""" +
+      s""""bare_job_ms":${r3(bareJobMs)},""" +
       s""""sf":"$rawDir","fixture":"$fixture"}""")
     Caches.clear(spark)
     spark.stop()

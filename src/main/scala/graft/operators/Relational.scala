@@ -388,12 +388,24 @@ object Relational {
       // rows (25 output groups), not the raw fact table. A pure-long
       // grand total would overflow around 10^19 cents·pct at the 100 TB
       // scale target.
-      perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
+      // aggregate on the INT nation key and look the name up on the
+      // 25-row aggregate afterwards: the wide pre-join rows carry a
+      // 4-byte key instead of a string through the hot hash-aggregate,
+      // and the name join touches |nation| × |groups| rows — free at
+      // any scale (nationkey → n_name is nation's primary key, so the
+      // regrouping is 1:1 with the n_name formulation the oracle uses)
+      // orders joins the per-order partials co-partitioned
+      // (shuffle_hash): both sides are order-cardinality FACT relations,
+      // and the planner's size estimate would otherwise collect all of
+      // orders to the driver for a broadcast build — serial driver wall
+      // locally, the r7 broadcast-flip OOM class at 100 TB
+      perOrder.join(o.hint("shuffle_hash"),
+          col("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
-        .join(n, c("c_nationkey") === n("n_nationkey"))
-        .groupBy(col("n_name"))
+        .groupBy(c("c_nationkey"))
         .agg(sum(col("orev").cast(DecimalType(38, 0))).as("drev"),
           sum(col("on")).as("n"))
+        .join(n, col("c_nationkey") === n("n_nationkey"))
         .select(col("n_name"),
           (col("drev").cast(DoubleType) / 10000.0).as("revenue"), col("n"))
         .orderBy("n_name")
@@ -505,7 +517,13 @@ object Relational {
       val cents = floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)
       val pct = floor((lit(1.0) - col("l_discount")) * 100 + 0.5)
         .cast(LongType)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // the orders⋈lineitem pair stays a co-partitioned exchange
+      // (shuffle_hash on the smaller, date-filtered orders side): both
+      // are facts, and the planner's post-filter estimate would
+      // otherwise broadcast orders via a serial driver collect — wrong
+      // at 100 TB (r7 OOM class) and q59's dominant local wall term
+      li.join(o.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(cents * pct).as("rev_cp"))
@@ -530,7 +548,7 @@ object Relational {
            |      > TIMESTAMP '1996-06-01 00:00:00'
            |GROUP BY o_orderkey, o_orderdate
            |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // FULL OUTER reconciliation — the missing member of the join family
   // (inner/semi/anti/left are covered elsewhere): two independently

@@ -211,26 +211,31 @@ object Similarity {
     "q45_ann_ivf",
     (s, dir) => {
       val e = normed(s, dir)
-      val cents = broadcast(graft.Fixtures.ivfCentroids(s)
-        .withColumn("cn", graft.functions.VectorOps.l2norm(col("cv"))))
-      // At extreme corpus sizes the keep=1 case can swap the window for
-      // max(struct(csim, -cid)) — partial aggregation instead of a
-      // shuffle-sort of every (vector, centroid) row. Measured equal at
-      // local scale (window 0.70 s vs aggregate 0.98 s full-query), so
-      // the window stays: one formulation for both keep values.
-      def nearest(df: DataFrame, keep: Int): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cid"))
-        df.join(cents)
-          .withColumn("csim",
-            cosine(col("v"), col("cv"), col("nrm"), col("cn")))
-          .withColumn("crnk", row_number().over(w))
-          .filter(col("crnk") <= keep)
-          .select(col("vec_id"), col("cid"))
-      }
+      // in-row coarse assignment (same kernel as q72): CentroidTopK
+      // evaluates the 16 cosines and the (csim DESC, cid ASC) top-k
+      // inside one narrow codegen'd map against the packed constant
+      // centroid table — no corpus × K join, no vec_id-keyed window
+      // sort, no centroid broadcast build job. The earlier relational
+      // spelling (cents crossJoin + row_number window) shuffled every
+      // (vector, centroid) pair on vec_id — two exchanges and a sort
+      // that grow with the corpus for a per-row-computable value.
+      val centsPacked = typedLit(graft.Fixtures
+        .ivfCentroidsPacked(s).toSeq)
+      def nearest(df: DataFrame, keep: Int): DataFrame =
+        df.select(col("vec_id"),
+          explode(graft.functions.VectorOps.centroidTopK(col("v"),
+            col("nrm"), centsPacked, keep)).as("cid"))
       val lists = nearest(e.filter(col("vec_id") >= NumQueryVecs), 1)
-      val probes = nearest(e.filter(col("vec_id") < NumQueryVecs), 2)
-        .withColumnRenamed("vec_id", "qid")
+      // the probes broadcast CARRIES the query vectors: one query-side
+      // scan builds one broadcast with (qid, cid, qv, qn), so the
+      // candidate join needs no second qid-keyed vector lookup (the
+      // earlier spelling scanned embeddings twice and ran two broadcast
+      // build jobs for the same 20 query rows)
+      val probes = e.filter(col("vec_id") < NumQueryVecs)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"),
+          explode(graft.functions.VectorOps.centroidTopK(col("v"),
+            col("nrm"), centsPacked, 2)).as("cid"))
       // no distinct needed: each corpus vector sits in exactly ONE
       // inverted list (rank-1 assignment) and a query's probe cids are
       // distinct by construction, so (qid, vec_id) cannot repeat —
@@ -240,14 +245,10 @@ object Similarity {
       // is the honest 100 TB shape too: the corpus-sized `lists` side
       // never shuffles by cid (AQE reaches the same plan from runtime
       // stats; the hint keeps the static/interactive profile identical).
-      val cand = broadcast(probes).join(lists, "cid")
-        .select(col("qid"), col("vec_id"))
-      val qv = broadcast(e.filter(col("vec_id") < NumQueryVecs)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn")))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("vec_id"))
-      cand.join(qv, "qid").join(e, "vec_id")
+      broadcast(probes).join(lists, "cid")
+        .join(e, "vec_id")
         .withColumn("sim", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)

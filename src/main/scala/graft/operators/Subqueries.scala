@@ -78,12 +78,17 @@ object Subqueries {
       val li = Tables.load(s, dir, "lineitem")
       // no .distinct() before the semi join: LEFT SEMI dedups by
       // construction, and dropping the aggregate removes a full
-      // exchange of the filtered fact keys — the filtered key column
-      // then broadcasts directly (measured ~25% faster; at scale the
-      // semi join hashes the same relation either way)
+      // exchange of the filtered fact keys. shuffle_hash pins the join
+      // off the broadcast path: the build side is a FILTERED FACT
+      // column (~half of lineitem), so the planner's low post-filter
+      // size estimate would otherwise collect hundreds of thousands of
+      // keys to the driver and hash-build them serially — measured as
+      // q40's dominant wall term locally, and the r7 broadcast-flip OOM
+      // class at 100 TB. Co-partitioned hash build is parallel at every
+      // scale.
       val late = li.filter(col("l_shipdate") >
         lit("1996-06-01 00:00:00").cast(TimestampType))
-        .select(col("l_orderkey"))
+        .select(col("l_orderkey")).hint("shuffle_hash")
       o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
