@@ -34,13 +34,83 @@ trait MediaCodec extends Serializable {
   def close(): Unit = ()
 }
 
-/** The container has no image/audio codecs, so the default codec
-  * derives deterministic fake dimensions from the byte length — the
-  * ONLY thing to swap for a real decoder; schema, partitioning and the
-  * oracle contract stay put.
+/** The container has no audio/video codecs, so the synthetic-payload
+  * codec derives deterministic fake dimensions from the byte length —
+  * the ONLY thing to swap for a real decoder; schema, partitioning and
+  * the oracle contract stay put.
   */
 final class StubCodec extends MediaCodec {
   def decode(a: MediaAsset): MediaFeatures = Multimodal.decodeStub(a)
+}
+
+/** REAL image decoder — javax.imageio (stock JDK, pure JVM): parses the
+  * actual BMP/PNG byte stream and reports the decoded dimensions.
+  *
+  * Codec state follows the [[MediaCodec]] lifecycle for real: `open()`
+  * allocates one reusable `ImageReader` per format for the partition
+  * (reader construction walks the ImageIO service registry — per-row
+  * would pay that for every image), `decode` re-points the reader at
+  * each row's bytes and reads just the header for dimensions, `close`
+  * disposes the readers. Only the factory closure ships to executors;
+  * readers are allocated partition-locally.
+  */
+final class ImageIoCodec extends MediaCodec {
+  @transient private var readers: Map[String, javax.imageio.ImageReader] =
+    null
+
+  override def open(): Unit = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    readers = Seq("bmp", "png").map { f =>
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(f)
+      require(it.hasNext, s"JDK has no $f reader")
+      f -> it.next()
+    }.toMap
+  }
+
+  def decode(a: MediaAsset): MediaFeatures = {
+    val r = readers.getOrElse(a.media_type,
+      throw new IllegalArgumentException(
+        s"ImageIoCodec: unsupported format ${a.media_type}"))
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(a.payload))
+    try {
+      r.setInput(in)
+      // header-only parse: width/height come from IHDR / BITMAPINFOHEADER
+      // without decoding pixel data — the batch-metadata pass a curation
+      // pipeline runs over billions of images
+      MediaFeatures(a.doc_id, a.media_type, a.payload.length,
+        width = r.getWidth(0), height = r.getHeight(0),
+        n_frames = r.getNumImages(false) max 1)
+    } finally {
+      r.setInput(null)
+      in.close()
+    }
+  }
+
+  override def close(): Unit = {
+    if (readers != null) readers.valuesIterator.foreach(_.dispose())
+    readers = null
+  }
+}
+
+/** Routes each asset to the right decoder by media_type: real image
+  * formats go through [[ImageIoCodec]], the synthetic audio/video/image
+  * payloads through [[StubCodec]]. One dispatch codec per partition ⇒
+  * one ImageIO reader set per partition, shared across that partition's
+  * real images.
+  */
+final class DispatchCodec extends MediaCodec {
+  private val imageio = new ImageIoCodec
+  private val stub = new StubCodec
+
+  override def open(): Unit = { imageio.open(); stub.open() }
+
+  def decode(a: MediaAsset): MediaFeatures = a.media_type match {
+    case "bmp" | "png" => imageio.decode(a)
+    case _ => stub.decode(a)
+  }
+
+  override def close(): Unit = { imageio.close(); stub.close() }
 }
 
 /** Multimodal-column plumbing (builder-prompt north star).
@@ -90,7 +160,7 @@ object Multimodal {
     }
   }
 
-  /** Fixture assets: documents' text bytes as opaque payloads with a
+  /** Synthetic assets: documents' text bytes as opaque payloads with a
     * deterministic media_type assignment.
     */
   def loadAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
@@ -104,12 +174,33 @@ object Multimodal {
       .as[MediaAsset]
   }
 
+  /** Real-image assets: actual BMP/PNG byte streams from the committed
+    * fixture (doc_id offset clear of the documents id space). The
+    * fixture also carries the encoder's true dimensions as metadata —
+    * the ORACLE reads only those, so the hash match proves
+    * [[ImageIoCodec]]'s decode of the payload bytes end-to-end.
+    */
+  val RealImageIdBase = 1000000L
+  def loadRealImageAssets(s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    s.read.parquet(graft.Fixtures.mediaImagesPath)
+      .select((col("img_id") + RealImageIdBase).as("doc_id"),
+        col("fmt").as("media_type"), col("payload"))
+      .as[MediaAsset]
+  }
+
+  /** Synthetic + real assets decoded through ONE partition-parallel
+    * decode stage with the dispatching codec.
+    */
+  def allFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] =
+    extractFeatures(
+      loadAssets(s, dir).unionByName(loadRealImageAssets(s)),
+      () => new DispatchCodec)
+
   val q35Multimodal: QueryDef = QueryDef(
     "q35_multimodal",
-    (s, dir) =>
-      extractFeatures(loadAssets(s, dir)).toDF()
-        .orderBy("doc_id"),
-    Some("""SELECT doc_id,
+    (s, dir) => allFeatures(s, dir).toDF().orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
            |  CASE WHEN doc_id % 3 = 0 THEN 'image'
            |       WHEN doc_id % 3 = 1 THEN 'audio'
            |       ELSE 'video' END AS media_type,
@@ -120,7 +211,17 @@ object Multimodal {
            |  CAST(CASE WHEN doc_id % 3 = 2
            |       THEN 1 + octet_length(encode(text)) % 7
            |       ELSE 1 END AS INTEGER) AS n_frames
-           |FROM documents ORDER BY doc_id""".stripMargin))
+           |FROM documents
+           |UNION ALL
+           |-- real images: the oracle reads the encoder's METADATA
+           |-- columns; Spark decodes the payload BYTES via ImageIoCodec
+           |SELECT ${RealImageIdBase} + img_id AS doc_id,
+           |  fmt AS media_type,
+           |  CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+           |  true_w AS width, true_h AS height,
+           |  CAST(1 AS INTEGER) AS n_frames
+           |FROM read_parquet('${graft.Fixtures.mediaImagesPath}')
+           |ORDER BY doc_id""".stripMargin))
 
   /** Resize → frame-sample as COLUMN EXPRESSIONS over the decoded
     * features: fit into a 64×64 budget preserving aspect ratio with
@@ -148,9 +249,8 @@ object Multimodal {
   val q49MediaPipeline: QueryDef = QueryDef(
     "q49_media_pipeline",
     (s, dir) =>
-      resizeAndSample(extractFeatures(loadAssets(s, dir)))
-        .orderBy("doc_id"),
-    Some("""WITH f AS (
+      resizeAndSample(allFeatures(s, dir)).orderBy("doc_id"),
+    Some(s"""WITH f AS (
            |  SELECT doc_id,
            |    CASE WHEN doc_id % 3 = 0 THEN 'image'
            |         WHEN doc_id % 3 = 1 THEN 'audio'
@@ -161,7 +261,12 @@ object Multimodal {
            |    CAST(CASE WHEN doc_id % 3 = 2
            |         THEN 1 + octet_length(encode(text)) % 7
            |         ELSE 1 END AS INTEGER) AS nf
-           |  FROM documents)
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT ${RealImageIdBase} + img_id AS doc_id,
+           |    fmt AS media_type, true_w AS w, true_h AS h,
+           |    CAST(1 AS INTEGER) AS nf
+           |  FROM read_parquet('${graft.Fixtures.mediaImagesPath}'))
            |SELECT doc_id, media_type,
            |  CAST(CASE WHEN greatest(w, h) <= 64 THEN w
            |       ELSE w * 64 // greatest(w, h) END AS INTEGER) AS out_w,

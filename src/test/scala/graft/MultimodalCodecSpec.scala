@@ -66,4 +66,49 @@ class MultimodalCodecSpec extends AnyFunSuite {
       16 + (130 / 64) % 64, 1))
     assert(Multimodal.decodeStub(vid).n_frames == 1 + 130 % 7)
   }
+
+  test("ImageIoCodec decodes real BMP and PNG bytes to the true " +
+      "dimensions (fresh encodings, independent of the fixture)") {
+    val codec = new graft.operators.ImageIoCodec
+    codec.open()
+    try {
+      for ((fmt, w, h) <- Seq(("bmp", 7, 31), ("png", 64, 3),
+        ("bmp", 80, 80), ("png", 1, 1))) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, 0x123456)
+        val out = new java.io.ByteArrayOutputStream()
+        assert(javax.imageio.ImageIO.write(img, fmt, out))
+        val f = codec.decode(MediaAsset(9L, fmt, out.toByteArray))
+        assert(f == MediaFeatures(9L, fmt, out.size(), w, h, 1),
+          s"$fmt ${w}x$h decoded as $f")
+      }
+      // corrupt bytes must raise, not return garbage features
+      intercept[Exception] {
+        codec.decode(MediaAsset(10L, "png", Array.fill(40)(7: Byte)))
+      }
+    } finally codec.close()
+  }
+
+  test("distributed decode of the committed fixture reproduces the " +
+      "encoder's metadata for every image, through the dispatch codec") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.loadRealImageAssets(spark).repartition(8),
+      () => new graft.operators.DispatchCodec)
+      .collect().map(f => f.doc_id -> f).toMap
+    val meta = spark.read.parquet(Fixtures.mediaImagesPath).collect()
+    assert(meta.length == graft.tools.GenMediaFixture.NumImages)
+    meta.foreach { r =>
+      val id = r.getAs[Long]("img_id") + Multimodal.RealImageIdBase
+      val f = feats(id)
+      assert(f.width == r.getAs[Int]("true_w") &&
+        f.height == r.getAs[Int]("true_h") &&
+        f.media_type == r.getAs[String]("fmt") &&
+        f.n_frames == 1,
+        s"img ${r.getAs[Long]("img_id")}: decoded $f vs metadata $r")
+    }
+    // the fixture is genuinely mixed-format
+    assert(meta.count(_.getAs[String]("fmt") == "bmp") > 0)
+    assert(meta.count(_.getAs[String]("fmt") == "png") > 0)
+  }
 }
