@@ -644,6 +644,53 @@ object Dedup {
         |FROM jp WHERE (d1 % 100 >= 90) <> (d2 % 100 >= 90)
         |ORDER BY base_id, delta_id""".stripMargin))
 
+  // Cross-shard dedup composition — the 100 TB orchestration of the
+  // MinHash family written as one plan over explicit shards. A corpus
+  // that size lives as shards (storage roots / ingest partitions);
+  // the composition is: (1) each shard computes shingles, signatures
+  // and band buckets SHARD-LOCALLY — no cross-shard data motion, and
+  // at deployment each shard's stage runs where its data lives;
+  // (2) the band-bucket relation (a few rows × 16 bands per doc — the
+  // only corpus-order relation that must cross shards) goes through
+  // ONE global hash exchange on the bucket key; (3) bucket collisions
+  // yield intra- AND cross-shard candidates from the same equi-join;
+  // (4) exact verification joins the shard-local set relations by doc
+  // key. The ORACLE is exactly q22's single-corpus oracle, so the hash
+  // match proves the sharded composition equals the unsharded answer —
+  // banding loses nothing across the shard boundary.
+  val q119CrossShardDedup: QueryDef = QueryDef(
+    "q119_cross_shard_dedup",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      // 2-shard split by id parity; each shard's signature relation is
+      // persisted separately (its buckets AND the verify stage read it
+      // — exchange reuse never applies, r8 audit)
+      val shardAggs = Seq(0, 1).map { p =>
+        graft.Caches.persist(
+          shingleSets(docs.filter(col("doc_id") % 2 === p))
+            .withColumn("sig",
+              graft.functions.VectorOps.minhash(col("gs"), NumHashes)))
+      }
+      // the global band-bucket exchange — the one cross-shard shuffle,
+      // persisted co-partitioned so both candidate sides read it; the
+      // hint pins the corpus-sized relation off the broadcast path
+      val buckets = graft.Caches.persist(
+          shardAggs.map(bandBuckets).reduce(_ unionByName _)
+            .repartition(col("band"), col("sig")))
+        .hint("shuffle_hash")
+      val cand = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      // verify against the union of the shard-local set relations
+      verifyPairs(cand, shardAggs.reduce(_ unionByName _))
+    },
+    Some(jaccardOracle))
+
   // Exact duplicated-SPAN detection — the character-level exact-substring
   // dedup family (the suffix-array dedup of Lee et al. "Deduplicating
   // Training Data Makes Language Models Better", approximated at fixed
@@ -969,5 +1016,5 @@ object Dedup {
     q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
     q65Decontamination, q66DedupClusters, q74IncrementalNeardup,
     q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch,
-    q106DedupClosureSql, q113ClusterKeepBest)
+    q106DedupClosureSql, q113ClusterKeepBest, q119CrossShardDedup)
 }
