@@ -159,6 +159,60 @@ object StreamingQueries {
            |     CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
            |ORDER BY click_id, purchase_id""".stripMargin))
 
+  // LEFT-OUTER stream-stream join with watermark state expiry — the
+  // outer member of the stream-join family (q50 is inner): clicks with
+  // no purchase within 10 min surface as null-extended rows once the
+  // watermark passes their match window. Emission timing makes raw
+  // output watermark-dependent at the stream TAIL: a click whose match
+  // window the final watermark never passes is still undecided when
+  // the source drains (neither matched nor expired), so the oracle-
+  // checked result restricts BOTH engines to the DECIDED cohort —
+  // clicks at least (join window + watermark delay + 1 min margin)
+  // before the slower stream's max event time. Inside that cohort
+  // streaming/batch equivalence is exact: matched rows emit on match,
+  // null rows emit on expiry, and the batch left-outer range join is
+  // the oracle. The watermark cutoff scalar is a driver-side metadata
+  // collect (same class as chunk bounds), mirrored by the oracle's
+  // scalar subquery.
+  val q120StreamJoinOuter: QueryDef = QueryDef(
+    "q120_stream_join_outer",
+    (s, dir) => {
+      val events = EventsStream.readEvents(s, dir)
+      val out = EventsStream.runToCompletion(s,
+        EventsStream.clickToPurchaseOuter(events), mode = "append")
+      val cutoff = Tables.load(s, dir, "events")
+        .agg(least(
+          max(when(col("event_type") === "click", col("ts"))),
+          max(when(col("event_type") === "purchase", col("ts"))))
+          .as("mx"))
+        .head.getTimestamp(0)
+      out.filter(col("c_ts") <=
+          lit(cutoff) - expr("interval 21 minutes"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("value"))
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""WITH m AS (
+           |  SELECT least(
+           |    max(CASE WHEN event_type = 'click'
+           |             THEN CAST(ts AS TIMESTAMP) END),
+           |    max(CASE WHEN event_type = 'purchase'
+           |             THEN CAST(ts AS TIMESTAMP) END)) AS mx
+           |  FROM events),
+           |c AS (
+           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           |  FROM events WHERE event_type = 'click'),
+           |p AS (
+           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT c.user_id, c.event_id AS click_id,
+           |  p.event_id AS purchase_id, p.value
+           |FROM c
+           |LEFT JOIN p ON c.user_id = p.user_id
+           |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+           |WHERE c.ts <= (SELECT mx FROM m) - INTERVAL 21 MINUTE
+           |ORDER BY click_id, purchase_id""".stripMargin))
+
   // Stream-static enrichment — the third Structured Streaming join
   // pattern (alongside the windowed agg and the stream-stream interval
   // join): a live event stream joined to a broadcast static dimension
@@ -386,5 +440,5 @@ object StreamingQueries {
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,
     q107StreamCuration, q110StreamHistogram, q112StreamCurationWm,
-    q114StreamFunnelBuffered)
+    q114StreamFunnelBuffered, q120StreamJoinOuter)
 }

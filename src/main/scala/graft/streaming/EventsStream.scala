@@ -120,6 +120,36 @@ object EventsStream {
     * bounded on an unbounded stream (without the time bound, stream-
     * stream inner join state grows forever).
     */
+  /** LEFT-OUTER stream-stream attribution — the q50 join completed to
+    * the outer family: every click emits, matched rows immediately,
+    * unmatched clicks as null-extended rows once the watermark passes
+    * the click's match window (no future purchase can change the
+    * outcome). That watermark-driven state expiry is what bounds the
+    * join state at ingest scale: a click's row leaves the store the
+    * moment it is decided, so state holds only the sliding
+    * (delay + window) frontier — `StreamOuterJoinSpec` drives the
+    * eviction across micro-batches and checks the store shrinks.
+    */
+  def clickToPurchaseOuter(events: DataFrame,
+      windowMinutes: Int = 10): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"interval $windowMinutes minutes"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("c_ts"),
+        col("purchase_id"), col("value"))
+  }
+
   def clickToPurchase(events: DataFrame,
       windowMinutes: Int = 10): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
