@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executed stage/job budgets for the most expensive headline queries —
+  * the CI face of Bench's `StageClock` attribution.
+  *
+  * The r8 q91 regression was exactly a silent stage-count double: a
+  * dropped persist made both self-join sides rebuild the whole index
+  * chain, correctness stayed green, and only the bench wall moved.
+  * These pins fail the build instead. Budgets are the counts the
+  * current plans execute (measured under the bench profile: AQE off +
+  * 8 shuffle partitions for lowLatency queries, adaptive otherwise) —
+  * if a change legitimately restructures a plan, re-measure and move
+  * the pin in the same commit.
+  */
+class StageBudgetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  // (query, max executed stages, max jobs) — the 10 most expensive
+  // headline queries by r9 warm wall
+  private val budgets: Seq[(String, Int, Int)] = Seq(
+    ("q61_curation", 11, 11),
+    ("q58_embed_neardup_lsh", 14, 14),
+    ("q118_embed_neardup_banded", 13, 13),
+    ("q72_ann_ivfpq", 18, 18),
+    ("q78_range_join", 5, 5),
+    ("q17_join_agg", 11, 7),
+    ("q59_ship_priority", 5, 2),
+    ("q91_dedup_jaccard_prefix", 13, 13),
+    ("q40_exists_agg", 5, 1),
+    ("q23_dedup_minhash", 9, 9))
+
+  test("the 10 most expensive headline queries keep their executed " +
+      "stage/job budgets under the bench profile") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    val co0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val sh0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val report = budgets.map { case (name, maxS, maxJ) =>
+        val d = SparkEntry.benchDefs.find(_.name == name)
+          .getOrElse(fail(s"$name is not a bench query"))
+        val aqe = (!d.lowLatency).toString
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions",
+          if (d.lowLatency) "8" else sh0)
+        Caches.clear(spark) // budgets include the cache-build stages
+        clock.quiesce(); clock.reset()
+        d.build(spark, dir).count()
+        clock.quiesce()
+        val (stages, _, _, _) = clock.snapshot()
+        val jobs = clock.jobs
+        assert(stages <= maxS,
+          s"$name executed $stages stages, budget $maxS — a shared " +
+            "relation is probably being rebuilt per consumer")
+        assert(jobs <= maxJ,
+          s"$name ran $jobs jobs, budget $maxJ")
+        f"$name%-28s stages=$stages/$maxS jobs=$jobs/$maxJ"
+      }
+      info(report.mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", co0)
+      spark.conf.set("spark.sql.shuffle.partitions", sh0)
+      Caches.clear(spark)
+      spark.sparkContext.removeSparkListener(clock)
+    }
+  }
+}
