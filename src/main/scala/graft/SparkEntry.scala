@@ -17,7 +17,8 @@ object SparkEntry {
       operators.StreamingQueries.all ++ operators.Multimodal.all ++
       operators.AsofJoin.all ++ operators.Subqueries.all ++
       operators.Skew.all ++ operators.Formats.all ++
-      operators.Intervals.all ++ operators.EventAnalytics.all
+      operators.Intervals.all ++ operators.EventAnalytics.all ++
+      operators.FrequentItems.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

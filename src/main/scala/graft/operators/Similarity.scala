@@ -776,7 +776,40 @@ object Similarity {
             |FROM pairs p JOIN e ON p.neg_id = e.vec_id
             |GROUP BY p.qid ORDER BY p.qid""".stripMargin))
 
+  // ANN quality gate — recall@k of the IVF index (q45) against the
+  // exact brute-force top-k (q26), per query: the evaluation every ANN
+  // deployment runs before trusting an index (and after retraining
+  // centroids). Composes the two production queries' own builders and
+  // oracle SQL verbatim, so the gate can never drift from what the
+  // index actually serves. Cost is the two underlying queries plus a
+  // TopK-bounded join — at any corpus scale the recall join touches
+  // query_count × k rows, nothing corpus-sized.
+  val q123AnnRecall: QueryDef = QueryDef(
+    "q123_ann_recall",
+    (s, dir) => {
+      val exact = q26AnnTopk.build(s, dir)
+        .select(col("qid"), col("neighbor"))
+      val approx = q45AnnIvf.build(s, dir)
+        .select(col("qid").as("aqid"), col("neighbor").as("aneighbor"))
+      exact.join(approx,
+          col("qid") === col("aqid") &&
+            col("neighbor") === col("aneighbor"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("aneighbor")).as("hits"))
+        .select(col("qid"), col("hits"),
+          graft.Round4(col("hits") / lit(TopK)).as("recall"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH exact AS (${q26AnnTopk.oracle.get}),
+            |approx AS (${q45AnnIvf.oracle.get})
+            |SELECT e.qid, COUNT(a.neighbor) AS hits,
+            |  floor(COUNT(a.neighbor) / ${TopK}.0 * 10000 + 0.5)
+            |    / 10000 AS recall
+            |FROM exact e LEFT JOIN approx a
+            |  ON e.qid = a.qid AND e.neighbor = a.neighbor
+            |GROUP BY e.qid ORDER BY e.qid""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
-    q100NegativeSampling, q118EmbedNeardupBanded)
+    q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall)
 }

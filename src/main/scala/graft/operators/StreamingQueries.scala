@@ -67,6 +67,23 @@ object StreamingQueries {
            |FROM sess GROUP BY user_id, sid
            |ORDER BY user_id, session_start""".stripMargin))
 
+  // STREAMING sessionization — q34's session_window run as a real
+  // Structured Streaming query (file source → watermark → merging
+  // session state → memory sink, drained to completion). The batch/
+  // stream split matters here more than for fixed windows: streaming
+  // session state merges ranges as events arrive and the watermark
+  // closes sessions (state eviction), while batch sessionizes in one
+  // sort — identical final answers is exactly the equivalence claim,
+  // and q34's gaps-and-islands SQL is the oracle for both.
+  val q121StreamSessionize: QueryDef = QueryDef(
+    "q121_stream_sessionize",
+    (s, dir) => {
+      val events = EventsStream.readEvents(s, dir)
+      EventsStream.runToCompletion(s, EventsStream.sessionAgg(events))
+        .orderBy("user_id", "session_start")
+    },
+    q34Sessionize.oracle)
+
   // Streaming keyed dedup (dropDuplicatesWithinWatermark): WHICH event
   // survives per (user_id, event_type) is arrival-order-dependent, but
   // the surviving COUNT per key is exactly the distinct-key count —
@@ -440,5 +457,5 @@ object StreamingQueries {
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,
     q107StreamCuration, q110StreamHistogram, q112StreamCurationWm,
-    q114StreamFunnelBuffered, q120StreamJoinOuter)
+    q114StreamFunnelBuffered, q120StreamJoinOuter, q121StreamSessionize)
 }

@@ -107,6 +107,26 @@ object EventsStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_w"),
         col("event_type"), col("n"), col("total"))
 
+  /** Watermarked session-window aggregation (30-min inactivity gap) —
+    * the streaming form of q34's sessionization. Unlike fixed windows,
+    * session state MERGES as events arrive: a late-but-in-watermark
+    * event can bridge two open sessions into one, so the state store
+    * holds per-key open-session ranges rather than fixed buckets, and
+    * the watermark bounds how long a session can stay open (state
+    * eviction — the unbounded-state guard at production scale). Same
+    * output columns as the batch q34, which is the equivalence oracle.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n"), col("total"))
+
   /** Watermarked exactly-once-ish keyed dedup. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events
