@@ -27,12 +27,20 @@ object Tables {
   private val schemaCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.sql.types.StructType]
 
-  /** Load one fixture table. `events.ts` is nanosecond-precision parquet,
-    * which Spark 4 rejects ([PARQUET_TYPE_ILLEGAL]) — read it as raw ns
-    * longs (legacy.parquet.nanosAsLong) and truncate to µs TimestampType
-    * with integer division (a double division would lose precision on
-    * ~1.7e18 ns epoch values). DuckDB's CAST(ts AS TIMESTAMP) truncates
-    * ns→µs the same way, keeping the two engines aligned.
+  /** Load one fixture table, normalizing `events.ts` to µs
+    * session-zone TimestampType whatever the fixture's physical
+    * encoding (the driver has regenerated it across rounds):
+    *
+    *  - nanosecond-precision parquet (Spark 4 rejects it with
+    *    [PARQUET_TYPE_ILLEGAL]) — read as raw ns longs
+    *    (legacy.parquet.nanosAsLong) and truncate to µs with integer
+    *    division (a double division would lose precision on ~1.7e18 ns
+    *    epoch values); DuckDB's CAST(ts AS TIMESTAMP) truncates ns→µs
+    *    the same way;
+    *  - native timestamp[us] (isAdjustedToUTC=false reads as
+    *    TIMESTAMP_NTZ) — a plain cast to TimestampType, which under the
+    *    session's forced UTC zone relabels the same µs instant DuckDB
+    *    sees, no arithmetic.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
@@ -41,9 +49,13 @@ object Tables {
     val schema = schemaCache.getOrElseUpdate((dir, name),
       spark.read.parquet(path).schema)
     val raw = spark.read.schema(schema).parquet(path)
-    if (name == "events")
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    if (name == "events") {
+      val tsIsRawNanos = schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      if (tsIsRawNanos)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", col("ts").cast(TimestampType))
+    } else raw
   }
 
 }

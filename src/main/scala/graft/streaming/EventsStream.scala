@@ -39,8 +39,13 @@ object EventsStream {
       try Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    // Same ts normalization as Tables.load: raw-ns fixtures divide down
+    // to µs; native timestamp[us] fixtures just relabel NTZ → session-UTC.
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts",
+      col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** Streaming view of the documents table — the text-corpus stream a
