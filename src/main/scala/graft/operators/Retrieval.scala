@@ -1,0 +1,265 @@
+package graft.operators
+
+import graft.{QueryDef, Round4, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over the documents corpus — the serving-side twin of
+  * the curation tier: BM25 keyword retrieval, hybrid keyword+vector
+  * fusion (RRF), and per-source corpus caps. These are the operations a
+  * training-data pipeline runs to assemble retrieval eval sets and to
+  * bound any one source's share of the mix (reference: the corpus-mix
+  * and quality tiers this complements are q57/q75/q115; the reference
+  * engine itself stops at relational scans — this tier is part of the
+  * beyond-reference LLM-pipeline surface SURVEY.md §2.11 claims).
+  *
+  * Scale posture, by design rather than by tuning:
+  *
+  *  - BM25 for a FIXED query-term list needs no inverted index and no
+  *    per-token explode: tf per query term is computed IN-ROW over the
+  *    token array (`size(filter(w, _ == term))`), so the corpus never
+  *    shuffles at all. The only aggregates are one 1-row pass for
+  *    (N, Σdl, df per term) — broadcast back — and the final top-k is
+  *    TakeOrderedAndProject (per-partition heap + driver merge of k
+  *    rows). At 100 TB: one scan, zero wide exchanges.
+  *  - Score arithmetic is emitted from ONE shared SQL text
+  *    ([[bm25ScoreSql]]) evaluated by both engines, all operands cast
+  *    to DOUBLE and all constants written in exponent form (`0.5e0`) —
+  *    decimal-literal typing rules differ between Spark and DuckDB
+  *    (both parse `0.5` as DECIMAL but with different
+  *    division-scale rules), doubles are IEEE-identical. Term
+  *    contributions sum in fixed left-to-right order so the two
+  *    engines round identically at the 4-dp gate.
+  *  - RRF fusion joins two rank lists each already truncated to
+  *    [[FusionDepth]] rows — constant-size relations at any corpus
+  *    scale; ranks are assigned by a window over the truncated list,
+  *    never over the corpus.
+  *  - The source cap runs as two-phase salted top-C: salt-local
+  *    row_number bounds every window partition at the shuffle, then a
+  *    global per-source pass ranks the ≤ C·salts survivors. A hot
+  *    source (half the crawl from one domain) never concentrates in
+  *    one task — the same pigeonhole trick as Skew.scala's salted agg.
+  */
+object Retrieval {
+
+  /** Fixed retrieval query: mixed document frequencies on the synthetic
+    * vocabulary (df 25..402 of 500 at sf0.01) so idf actually orders
+    * results. A production run parameterizes these; the oracle needs
+    * them pinned.
+    */
+  val QueryTerms: Seq[String] = Seq("dup", "key", "vector", "batch")
+
+  val TopN = 10
+  val FusionDepth = 50
+  val RrfK = 60
+  val SourceCap = 15
+  private val CapSalts = 32
+
+  /** Okapi BM25 (k1=1.2, b=0.75) contribution of term i, as SQL text
+    * shared verbatim by the Spark plan (`expr`) and the DuckDB oracle.
+    * Expects columns tf<i>, df<i> (integers) and n, sumdl, dl in scope.
+    * Zero-tf terms contribute exactly 0.0, so summing over the fixed
+    * term list needs no per-term presence filter.
+    */
+  private def termScoreSql(i: Int): String = {
+    val tf = s"CAST(tf$i AS DOUBLE)"
+    val df = s"CAST(df$i AS DOUBLE)"
+    s"""(ln(1e0 + (CAST(n AS DOUBLE) - $df + 0.5e0) / ($df + 0.5e0))
+       | * ($tf * 2.2e0)
+       | / ($tf + 1.2e0 * (0.25e0 + 0.75e0 * CAST(dl AS DOUBLE)
+       |     / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))""".stripMargin
+      .replaceAll("\\s+", " ").trim
+  }
+
+  /** Full BM25 score: fixed left-to-right sum of the per-term texts. */
+  private def bm25ScoreSql: String =
+    QueryTerms.indices.map(i => termScoreSql(i + 1)).mkString(" + ")
+
+  /** Per-document (dl, tf1..tfN) — all in-row, no explode. */
+  private def tfRelation(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => t =!= "").as("w"))
+    QueryTerms.zipWithIndex.foldLeft(
+      toks.select(col("doc_id"), size(col("w")).as("dl"), col("w"))) {
+      case (df, (term, i)) =>
+        df.withColumn(s"tf${i + 1}",
+          size(filter(col("w"), t => t === lit(term))))
+    }.drop("w")
+  }
+
+  /** tf relation + broadcast 1-row corpus stats (n, sumdl, df1..dfN),
+    * scored; only docs matching ≥1 query term survive.
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame = {
+    val t = tfRelation(s, dir)
+    val statCols = Seq(
+      count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
+      QueryTerms.indices.map(i =>
+        sum(when(col(s"tf${i + 1}") > 0, 1L).otherwise(0L))
+          .as(s"df${i + 1}"))
+    val stats = t.agg(statCols.head, statCols.tail: _*)
+    val anyTf = QueryTerms.indices
+      .map(i => col(s"tf${i + 1}"))
+      .reduce(_ + _)
+    t.join(broadcast(stats))
+      .filter(anyTf > 0)
+      .withColumn("score", expr(bm25ScoreSql))
+  }
+
+  /** Oracle CTE prefix computing the same tf/stats relations in DuckDB
+    * (list_filter counts are exact integers, so the engines only have
+    * to agree on the double arithmetic of the shared score text).
+    */
+  private def oracleTfCtes: String = {
+    val tfCols = QueryTerms.zipWithIndex.map { case (term, i) =>
+      s"len(list_filter(w, t -> t = '$term')) AS tf${i + 1}"
+    }.mkString(",\n|    ")
+    val dfCols = QueryTerms.indices.map(i =>
+      s"SUM(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS df${i + 1}")
+      .mkString(",\n|    ")
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, len(w) AS dl,
+       |    $tfCols
+       |  FROM tok),
+       |st AS (
+       |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+       |    $dfCols
+       |  FROM t)""".stripMargin
+  }
+
+  private def anyTfSql: String =
+    QueryTerms.indices.map(i => s"tf${i + 1}").mkString(" + ") + " > 0"
+
+  // BM25 top-k keyword retrieval for the fixed query. One corpus scan,
+  // in-row tf, broadcast stats, TakeOrderedAndProject — no wide
+  // exchange anywhere (asserted by RetrievalSpec's plan test).
+  val q124Bm25Topk: QueryDef = QueryDef(
+    "q124_bm25_topk",
+    (s, dir) =>
+      scored(s, dir)
+        .select(col("doc_id"), Round4(col("score")).as("s4"))
+        .orderBy(col("s4").desc, col("doc_id"))
+        .limit(TopN),
+    Some(s"""WITH ${oracleTfCtes}
+            |SELECT doc_id,
+            |  ${Round4.sql(bm25ScoreSql)} AS s4
+            |FROM t CROSS JOIN st
+            |WHERE ${anyTfSql}
+            |ORDER BY s4 DESC, doc_id LIMIT $TopN""".stripMargin),
+    bench = true, lowLatency = true)
+
+  // Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR'09)
+  // of the BM25 list with a vector-similarity list for one query
+  // vector (vec_id 0, joined to documents by doc_id = vec_id). Both
+  // lists truncate to FusionDepth BEFORE ranks are assigned, so the
+  // fusion join touches 2·depth rows at any corpus size; ranks order
+  // by the 4-dp-rounded score with doc_id tie-break, making the
+  // truncation boundary engine-stable.
+  val q125HybridRrf: QueryDef = QueryDef(
+    "q125_hybrid_rrf",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val text = scored(s, dir)
+        .select(col("doc_id"), Round4(col("score")).as("s4"))
+        .orderBy(col("s4").desc, col("doc_id"))
+        .limit(FusionDepth)
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("s4").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rb"))
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn")))
+      val vec = e.filter(col("vec_id") =!= 0)
+        .join(q)
+        .withColumn("sim", Round4(graft.functions.VectorOps.cosine(
+          col("qv"), col("v"), col("qn"), col("nrm"))))
+        .select(col("vec_id").as("vid"), col("sim"))
+        .orderBy(col("sim").desc, col("vid"))
+        .limit(FusionDepth)
+        .withColumn("rv", row_number().over(
+          Window.orderBy(col("sim").desc, col("vid"))))
+        .select(col("vid"), col("rv"))
+      text.join(vec, col("doc_id") === col("vid"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vid")).as("doc_id"),
+          col("rb"), col("rv"))
+        .withColumn("s4", Round4(
+          expr(s"coalesce(1e0 / ($RrfK + rb), 0e0)" +
+            s" + coalesce(1e0 / ($RrfK + rv), 0e0)")))
+        .orderBy(col("s4").desc, col("doc_id"))
+        .limit(TopN)
+    },
+    Some(s"""WITH ${oracleTfCtes},
+            |sc AS (
+            |  SELECT doc_id, ${Round4.sql(bm25ScoreSql)} AS s4
+            |  FROM t CROSS JOIN st WHERE ${anyTfSql}),
+            |tr AS (
+            |  SELECT doc_id,
+            |    ROW_NUMBER() OVER (ORDER BY s4 DESC, doc_id) AS rb
+            |  FROM (SELECT * FROM sc ORDER BY s4 DESC, doc_id
+            |        LIMIT $FusionDepth)),
+            |vs AS (
+            |  SELECT c.vec_id AS vid,
+            |    ${Round4.sql(
+             "list_cosine_similarity(CAST(q.embedding AS DOUBLE[])," +
+               " CAST(c.embedding AS DOUBLE[]))")} AS sim
+            |  FROM embeddings q JOIN embeddings c
+            |    ON q.vec_id = 0 AND c.vec_id <> 0),
+            |vr AS (
+            |  SELECT vid,
+            |    ROW_NUMBER() OVER (ORDER BY sim DESC, vid) AS rv
+            |  FROM (SELECT * FROM vs ORDER BY sim DESC, vid
+            |        LIMIT $FusionDepth))
+            |SELECT COALESCE(tr.doc_id, vr.vid) AS doc_id, rb, rv,
+            |  floor((coalesce(1e0 / ($RrfK + rb), 0e0)
+            |         + coalesce(1e0 / ($RrfK + rv), 0e0))
+            |        * 10000 + 0.5) / 10000 AS s4
+            |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vid
+            |ORDER BY s4 DESC, doc_id LIMIT $TopN""".stripMargin),
+    bench = true)
+
+  // Per-source corpus cap: keep at most SourceCap docs per source,
+  // selected content-addressed (md5 of the text, doc_id tie-break) so
+  // the retained set is reproducible across engines, reruns, and
+  // shard layouts — the same determinism contract as q60's hash
+  // sampling. Two-phase salted selection keeps every window partition
+  // bounded: phase 1 ranks within (source, salt) — salt is a hash of
+  // doc_id, so ≤ cap·salts rows per source survive regardless of how
+  // hot the source is; phase 2 ranks the survivors per source. Losing
+  // a global top-C member in phase 1 is impossible (pigeonhole: the
+  // global top-C of a source contains ≤ C rows of any salt bucket).
+  val q126SourceCap: QueryDef = QueryDef(
+    "q126_source_cap",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("h"))
+      val local = Window
+        .partitionBy(col("source"), pmod(col("doc_id"), lit(CapSalts)))
+        .orderBy(col("h"), col("doc_id"))
+      val global = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      docs
+        .withColumn("lrk", row_number().over(local))
+        .filter(col("lrk") <= SourceCap)
+        .withColumn("rk", row_number().over(global))
+        .filter(col("rk") <= SourceCap)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk")
+    },
+    Some(s"""SELECT source, rk, doc_id FROM (
+            |  SELECT source, doc_id,
+            |    ROW_NUMBER() OVER (PARTITION BY source
+            |      ORDER BY md5(text), doc_id) AS rk
+            |  FROM documents) r
+            |WHERE rk <= $SourceCap ORDER BY source, rk""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q124Bm25Topk, q125HybridRrf, q126SourceCap)
+}

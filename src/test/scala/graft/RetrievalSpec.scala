@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retrieval tier (q124/q125/q126): result invariants the DuckDB oracle
+  * can't see (plan shape, the salted-rewrite equivalence) plus score
+  * self-consistency. Exact value parity stays with the oracle gate.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q124 plan: no wide exchange of the corpus, top-k via heap") {
+    val df = Retrieval.q124Bm25Topk.build(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"stats join must broadcast, got:\n$plan")
+    // The only shuffle allowed is the 1-row stats aggregate (partials
+    // → single partition); the corpus relation itself never exchanges.
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(plan).size
+    assert(exchanges == 0,
+      s"corpus must not hash/range-shuffle, got $exchanges in:\n$plan")
+  }
+
+  test("q124 results: only matching docs, descending rounded scores") {
+    val rows = Retrieval.q124Bm25Topk.build(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= Retrieval.TopN)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    val terms = Retrieval.QueryTerms.toSet
+    val ids = rows.map(_.getLong(0)).toSet
+    val texts = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("text").collect().map(_.getString(0))
+    assert(texts.forall(t =>
+      t.toLowerCase.split(" ").exists(terms.contains)),
+      "a returned doc contains none of the query terms")
+  }
+
+  test("q125 fused score equals 1/(k+rb) + 1/(k+rv) at 4dp") {
+    val rows = Retrieval.q125HybridRrf.build(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= Retrieval.TopN)
+    rows.foreach { r =>
+      val rb = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val rv = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(rb.isDefined || rv.isDefined)
+      val expected =
+        rb.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0) +
+          rv.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0)
+      val r4 = math.floor(expected * 10000 + 0.5) / 10000
+      assert(math.abs(r4 - r.getDouble(3)) < 1e-12,
+        s"row $r: expected $r4")
+    }
+  }
+
+  test("q126 salted two-phase equals the direct per-source window") {
+    val twoPhase = Retrieval.q126SourceCap.build(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val direct = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Retrieval.SourceCap)
+      .select(col("source"), col("rk"), col("doc_id"))
+    assert(twoPhase.exceptAll(direct).isEmpty &&
+      direct.exceptAll(twoPhase).isEmpty,
+      "salted rewrite changed the retained set")
+    val over = twoPhase.groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > Retrieval.SourceCap)
+    assert(over.isEmpty, "a source exceeds the cap")
+  }
+}
