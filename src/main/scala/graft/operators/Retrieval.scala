@@ -223,7 +223,7 @@ object Retrieval {
             |        * 10000 + 0.5) / 10000 AS s4
             |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.vid
             |ORDER BY s4 DESC, doc_id LIMIT $TopN""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // Per-source corpus cap: keep at most SourceCap docs per source,
   // selected content-addressed (md5 of the text, doc_id tie-break) so
