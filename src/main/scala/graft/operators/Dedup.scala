@@ -323,17 +323,21 @@ object Dedup {
     * its band's [[RowsPerBand]] signature minima. Shared by the q23
     * self-join and the q74 one-sided (base×delta) join.
     */
-  private def bandBuckets(docAgg: DataFrame): DataFrame = {
+  private def bandBuckets(docAgg: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
     val bandCols = (0 until Bands).map { bnd =>
       val sig = xxhash64(
         (lit(bnd) +: (0 until RowsPerBand).map(r =>
           element_at(col("sig"), bnd * RowsPerBand + r + 1))): _*)
       struct(lit(bnd).as("band"), sig.as("sig"))
     }
+    // `keep` columns ride through the explode (the streaming q127 path
+    // carries the delta's set array so verification stays stream-static)
     docAgg
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.sig").as("sig"))
+      .select(col("doc_id") +: keep.map(col) :+
+        explode(array(bandCols: _*)).as("bk"): _*)
+      .select(col("doc_id") +: keep.map(col) :+
+        col("bk.band").as("band") :+ col("bk.sig").as("sig"): _*)
   }
 
   // MinHash + banded LSH candidates, exact-verify. The scale path: at
@@ -644,6 +648,78 @@ object Dedup {
         |FROM jp WHERE (d1 % 100 >= 90) <> (d2 % 100 >= 90)
         |ORDER BY base_id, delta_id""".stripMargin))
 
+  // q74's continuous-ingest form as a REAL Structured Streaming query:
+  // the delta split arrives as a document stream, and every micro-batch
+  // is checked against the static base corpus through a STREAM-STATIC
+  // band-bucket equi-join (the one standard streaming join shape the
+  // §2.9 tier didn't yet exercise — q50/q120 are stream-stream, q76 is
+  // a broadcast enrich). Per-batch work is exactly q74's one-sided
+  // join: the base side is the persisted batch relation, the stream
+  // side computes shingles/signature/bands IN-ROW (all codegen'd
+  // expressions, so they run unchanged inside micro-batch plans —
+  // no aggregation before the join), and candidates carry the delta's
+  // set array with them through the band explode, so exact verify
+  // needs no stream-stream self-join and no watermark coupling: one
+  // more stream-static join against the base's set relation finishes
+  // the pair. Multi-band candidate repeats collapse in streaming
+  // dropDuplicates state — bounded by emitted PAIRS (already
+  // threshold-survivors at the bucket level), and in production
+  // bounded further with dropDuplicatesWithinWatermark on ingest time
+  // (the q112 pattern) since a pair can only repeat within one delta
+  // batch. Output and oracle are q74's verbatim: the hash match proves
+  // stream ingest equals the batch incremental answer.
+  /** The streaming plan of q127 against an arbitrary delta document
+    * stream (columns doc_id, text) — factored out so the spec can
+    * drive it from a MemoryStream across micro-batches. `base` is the
+    * static already-ingested corpus.
+    */
+  def streamIncrementalNeardup(base: DataFrame,
+      deltaStream: DataFrame): DataFrame = {
+    graft.functions.VectorOps.register(base.sparkSession)
+    val baseAgg = graft.Caches.persist(
+      shingleSets(base)
+        .withColumn("sig",
+          graft.functions.VectorOps.minhash(col("gs"), NumHashes)))
+    val baseB = bandBuckets(baseAgg)
+      .select(col("doc_id").as("d1"), col("band"), col("sig"))
+    val baseSets = baseAgg.select(col("doc_id").as("d1"),
+      col("gs").as("gs1"), col("n").as("n1"))
+    val deltaAgg = shingleSets(deltaStream)
+      .withColumn("sig",
+        graft.functions.VectorOps.minhash(col("gs"), NumHashes))
+    // band explode that KEEPS the delta's set columns: candidates
+    // leave the join self-contained, so verification is one further
+    // stream-static join instead of a watermarked stream-stream one
+    val deltaB = bandBuckets(deltaAgg, keep = Seq("gs", "n"))
+      .select(col("doc_id").as("d2"), col("band"), col("sig"),
+        col("gs").as("gs2"), col("n").as("n2"))
+    val cand = deltaB.join(baseB, Seq("band", "sig"))
+      .select(col("d1"), col("d2"), col("gs2"), col("n2"))
+      .dropDuplicates("d1", "d2")
+    cand.join(baseSets, "d1")
+      .withColumn("c", graft.functions.VectorOps
+        .sortedLongIntersectCount(col("gs1"), col("gs2")))
+      .withColumn("jac",
+        col("c").cast(DoubleType) / (col("n1") + col("n2") - col("c")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1").as("base_id"), col("d2").as("delta_id"),
+        graft.Round4(col("jac")).as("jac"))
+  }
+
+  val q127StreamIncrementalNeardup: QueryDef = QueryDef(
+    "q127_stream_incremental_neardup",
+    (s, dir) => {
+      val isDelta = col("doc_id") % 100 >= 90
+      val verified = streamIncrementalNeardup(
+        Tables.load(s, dir, "documents").filter(!isDelta),
+        graft.streaming.EventsStream.readDocuments(s, dir)
+          .filter(isDelta))
+      graft.streaming.EventsStream
+        .runToCompletion(s, verified, mode = "append")
+        .orderBy("base_id", "delta_id")
+    },
+    q74IncrementalNeardup.oracle)
+
   // Cross-shard dedup composition — the 100 TB orchestration of the
   // MinHash family written as one plan over explicit shards. A corpus
   // that size lives as shards (storage roots / ingest partitions);
@@ -676,7 +752,7 @@ object Dedup {
       // persisted co-partitioned so both candidate sides read it; the
       // hint pins the corpus-sized relation off the broadcast path
       val buckets = graft.Caches.persist(
-          shardAggs.map(bandBuckets).reduce(_ unionByName _)
+          shardAggs.map(bandBuckets(_)).reduce(_ unionByName _)
             .repartition(col("band"), col("sig")))
         .hint("shuffle_hash")
       val cand = buckets.as("a")
@@ -1016,5 +1092,6 @@ object Dedup {
     q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
     q65Decontamination, q66DedupClusters, q74IncrementalNeardup,
     q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch,
-    q106DedupClosureSql, q113ClusterKeepBest, q119CrossShardDedup)
+    q106DedupClosureSql, q113ClusterKeepBest, q119CrossShardDedup,
+    q127StreamIncrementalNeardup)
 }
