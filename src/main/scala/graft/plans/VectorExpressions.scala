@@ -836,3 +836,110 @@ object SortedIntersectCount {
     c
   }
 }
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+  * SIGMOD'03, the MOSS scheme): polynomial hashes of every
+  * k-CODEPOINT gram (the q48 `RollingHash` arithmetic, h = Σ cp·31^j
+  * mod 1e9+7, applied per gram so a SQL oracle can reproduce it with
+  * exact integer math), then per length-`w` window of consecutive
+  * gram hashes the RIGHTMOST minimum is selected; the result is the
+  * document's DISTINCT selected hashes, SORTED ascending (ready for
+  * the sorted-long merge kernels). Guarantee: two documents sharing
+  * any substring of ≥ w + k − 1 codepoints share a fingerprint — the
+  * position-level complement of the whole-document q31/q48 hashes,
+  * and the primitive substring-level dedup/provenance builds on.
+  * Documents shorter than w + k − 1 yield an empty array (full
+  * windows only — mirrored by the oracle's window-size filter).
+  */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    Winnow.compute(a.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.Winnow.compute($a, $k, $w);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Winnow = copy(child = newChild)
+}
+
+object Winnow {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  final val Mod = 1000000007L
+
+  /** Static helper shared by eval and generated code. One pass over
+    * the codepoints (rolling gram hash), one monotonic-deque pass for
+    * the sliding rightmost-min, then sort + dedup of the selected
+    * hashes — O(n log n) per document, no allocation proportional to
+    * anything but the document.
+    */
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = text.toString
+    val strLen = str.length
+    var n = 0
+    var i = 0
+    while (i < strLen) { n += 1; i += Character.charCount(str.codePointAt(i)) }
+    if (n < k + w - 1) return new GenericArrayData(Array.empty[Long])
+    val cps = new Array[Int](n)
+    i = 0; var p = 0
+    while (i < strLen) {
+      val cp = str.codePointAt(i); cps(p) = cp; p += 1
+      i += Character.charCount(cp)
+    }
+    val nG = n - k + 1
+    val hs = new Array[Long](nG)
+    var pow = 1L // 31^(k-1) mod Mod
+    var j = 0
+    while (j < k - 1) { pow = pow * 31 % Mod; j += 1 }
+    var h = 0L
+    j = 0
+    while (j < k) { h = (h * 31 + cps(j)) % Mod; j += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nG) {
+      h = ((h - cps(i - 1) * pow % Mod + Mod) % Mod * 31 +
+        cps(i + k - 1)) % Mod
+      hs(i) = h
+      i += 1
+    }
+    // sliding rightmost-min: deque of indices, hashes strictly
+    // increasing front→back; pushing pops every back ≥ the newcomer,
+    // so ties resolve to the newer (rightmost) index
+    val deque = new Array[Int](nG)
+    var head = 0
+    var tail = 0 // exclusive
+    val selected = new Array[Boolean](nG)
+    i = 0
+    while (i < nG) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) selected(deque(head)) = true
+      i += 1
+    }
+    var cnt = 0
+    i = 0
+    while (i < nG) { if (selected(i)) cnt += 1; i += 1 }
+    val sel = new Array[Long](cnt)
+    var q = 0
+    i = 0
+    while (i < nG) { if (selected(i)) { sel(q) = hs(i); q += 1 }; i += 1 }
+    java.util.Arrays.sort(sel)
+    var wr = 0
+    i = 0
+    while (i < cnt) {
+      if (i == 0 || sel(i) != sel(i - 1)) { sel(wr) = sel(i); wr += 1 }
+      i += 1
+    }
+    val out = new Array[Any](wr)
+    i = 0
+    while (i < wr) { out(i) = sel(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
