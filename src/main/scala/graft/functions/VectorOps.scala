@@ -102,6 +102,10 @@ object VectorOps {
     reg.createOrReplaceTempFunction("graft_centroid_topk",
       exprs => CentroidTopK(exprs(0), exprs(1), exprs(2),
         intLit("graft_centroid_topk", "k")(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => graft.plans.Winnow(exprs(0),
+        intLit("graft_winnow", "k")(exprs(1)),
+        intLit("graft_winnow", "w")(exprs(2))), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -167,4 +171,12 @@ object VectorOps {
     */
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
+
+  /** Winnowing fingerprints (SIGMOD'03): distinct sorted selected
+    * k-gram hashes under window length w — see [[graft.plans.Winnow]].
+    */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 }

@@ -1189,6 +1189,78 @@ object TextAnalysis {
             |ORDER BY pmi DESC, b.bigram LIMIT 50""".stripMargin),
     bench = true, lowLatency = true)
 
+  // Winnowing substring provenance (Schleimer/Wilkerson/Aiken SIGMOD'03
+  // — the MOSS scheme; reference analog: pgferry's content-fingerprint
+  // dedup tier). Per-document fingerprints come from the native
+  // codegen'd [[graft.plans.Winnow]] expression (k-gram polynomial
+  // hashes, rightmost-min per w-window, distinct + sorted); pairs
+  // sharing ≥ WinShared fingerprints are substring-level duplicate
+  // candidates (guarantee: any shared run of ≥ w+k−1 codepoints shares
+  // a fingerprint). Scale posture is the q22/q63 inverted-index shape:
+  // fingerprints in > WinDfCap docs are boilerplate and carry no
+  // provenance signal — they're removed by a broadcast anti-join
+  // BEFORE the self-join, bounding any fingerprint's pair contribution
+  // at WinDfCap²; the capped index is hash-partitioned once, persisted,
+  // and both self-join sides read it co-partitioned (shuffle_hash
+  // pinned — broadcasting a corpus-sized index would OOM at scale).
+  // The oracle recomputes the identical fingerprints relationally:
+  // selected DISTINCT hashes = distinct per-window minima (rightmost
+  // tie-breaking affects selected POSITIONS, never the value set), so
+  // list_min per window reproduces Winnow's output exactly.
+  private val WinK = 12; private val WinW = 24
+  private val WinDfCap = 16; private val WinShared = 2
+
+  val q129WinnowProvenance: QueryDef = QueryDef(
+    "q129_winnow_provenance",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val fps = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.VectorOps.winnow(col("text"), WinK, WinW))
+            .as("fp"))
+      val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > WinDfCap).select("fp")
+      val capped = graft.Caches.persist(
+        fps.join(broadcast(hot), Seq("fp"), "left_anti")
+          .repartition(col("fp"))).hint("shuffle_hash")
+      val a = capped.select(col("doc_id").as("d1"), col("fp"))
+      val b = capped.select(col("doc_id").as("d2"), col("fp"))
+      a.join(b, Seq("fp")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .filter(col("shared_fp") >= WinShared)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH cps AS (
+            |  SELECT doc_id, list_transform(
+            |    list_filter(regexp_split_to_array(text, ''), c -> c <> ''),
+            |    c -> CAST(unicode(c) AS BIGINT)) AS cp
+            |  FROM documents),
+            |g AS (SELECT doc_id, cp, len(cp) AS n FROM cps
+            |      WHERE len(cp) >= ${WinK + WinW - 1}),
+            |gh AS (
+            |  SELECT doc_id,
+            |    list_transform(range(1, n - $WinK + 2),
+            |      i -> list_reduce(
+            |        list_prepend(CAST(0 AS BIGINT), cp[i:i+${WinK - 1}]),
+            |        (h, c) -> (h * 31 + c) % 1000000007)) AS hs,
+            |    n - $WinK + 1 AS ng
+            |  FROM g),
+            |sel AS (
+            |  SELECT doc_id, unnest(list_distinct(
+            |      list_transform(range(1, ng - $WinW + 2),
+            |        j -> list_min(hs[j:j+${WinW - 1}])))) AS fp
+            |  FROM gh),
+            |hot AS (SELECT fp FROM sel GROUP BY fp
+            |        HAVING COUNT(*) > $WinDfCap),
+            |c AS (SELECT s.doc_id, s.fp FROM sel s ANTI JOIN hot h USING (fp))
+            |SELECT d1, d2, shared_fp FROM (
+            |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+            |    COUNT(*) AS shared_fp
+            |  FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2) p
+            |WHERE shared_fp >= $WinShared ORDER BY d1, d2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
@@ -1196,5 +1268,6 @@ object TextAnalysis {
     q75MixRebalance, q77Profile, q79BigramPmi, q87CharEntropy,
     q115MixTemperature, q116LangIdProfile, q117GopherGate,
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
-    q108MixTemperature, q109Chunking, q111GlobalTiers)
+    q108MixTemperature, q109Chunking, q111GlobalTiers,
+    q129WinnowProvenance)
 }
