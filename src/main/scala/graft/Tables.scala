@@ -20,12 +20,25 @@ object Tables {
     * skip schema inference (open + footer parse) by passing the cached
     * schema to the reader — the role catalog table resolution plays on
     * a real cluster. Values are plain StructTypes with no session or
-    * plan references, so nothing pins a stopped session. The fixture
-    * files are immutable for a process lifetime (driver-generated,
-    * read-only), which is what makes a global cache sound.
+    * plan references, so nothing pins a stopped session. The cache key
+    * carries the file's size + mtime, so a fixture regenerated with a
+    * different physical encoding mid-process (the driver has re-written
+    * events.parquet's ts type across rounds) re-infers instead of
+    * reading through a stale schema.
     */
   private val schemaCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.types.StructType]
+    .empty[(String, String, Long, Long),
+      org.apache.spark.sql.types.StructType]
+
+  private def cacheKey(dir: String, name: String): (String, String,
+      Long, Long) = {
+    val p = java.nio.file.Paths.get(s"$dir/$name.parquet")
+    val (sz, mt) =
+      try (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      catch { case _: java.io.IOException => (-1L, -1L) }
+    (dir, name, sz, mt)
+  }
 
   /** Load one fixture table, normalizing `events.ts` to µs
     * session-zone TimestampType whatever the fixture's physical
@@ -46,7 +59,7 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.getOrElseUpdate((dir, name),
+    val schema = schemaCache.getOrElseUpdate(cacheKey(dir, name),
       spark.read.parquet(path).schema)
     val raw = spark.read.schema(schema).parquet(path)
     if (name == "events") {

@@ -31,13 +31,13 @@ class StageBudgetSpec extends AnyFunSuite {
     ("q91_dedup_jaccard_prefix", 13, 13),
     ("q40_exists_agg", 5, 1),
     ("q23_dedup_minhash", 9, 9),
-    // round-9 retrieval tier (q125's six stages are two constant-depth
+    // round-9 retrieval tier (q125's seven stages are two constant-depth
     // rank chains + the fuse — the budget pins that the corpus never
     // enters a rank window)
     ("q124_bm25_topk", 4, 2),
     ("q125_hybrid_rrf", 7, 4))
 
-  test("the 10 most expensive headline queries keep their executed " +
+  test("the 12 most expensive headline queries keep their executed " +
       "stage/job budgets under the bench profile") {
     val clock = new StageClock
     spark.sparkContext.addSparkListener(clock)

@@ -45,12 +45,23 @@ class StreamIncrementalNeardupSpec extends AnyFunSuite {
       input.addData((secondHalf ++ firstHalf.take(1)).toSeq: _*)
       q.processAllAvailable()
     } finally q.stop()
-    val streamed = spark.table(name)
+    // the RAW emitted table must already be duplicate-free: the
+    // redelivered doc's pairs may only appear once, so a broken
+    // cross-batch dropDuplicates state shows up as a count mismatch
+    // here — no collapsing groupBy may hide it
+    val raw = spark.table(name)
+    assert(raw.count() ==
+      raw.select("base_id", "delta_id").distinct().count(),
+      "redelivered batch emitted duplicate pairs — cross-batch " +
+        "dedup state is broken")
+    val streamed = raw
       .groupBy("base_id", "delta_id").agg(first(col("jac")).as("jac"))
 
     val batch = Dedup.streamIncrementalNeardup(base, deltaRows.toSeq
       .toDF("doc_id", "text"))
     assert(streamed.count() > 0, "no cross-split pairs — vacuous test")
+    assert(raw.count() == batch.count(),
+      "raw streamed row count diverges from the batch answer")
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty,
       "streamed multi-batch result diverges from the batch answer")
