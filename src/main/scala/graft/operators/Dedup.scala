@@ -788,19 +788,36 @@ object Dedup {
           explode(expr("sequence(1L, n_chars - 39L, 10L)")).as("i"))
         .select(col("doc_id"),
           expr("substring(text, CAST(i AS INT), 40)").as("span"))
-      // per-span distinct-doc count as a WINDOW over the span partition
-      // instead of agg + join-back: one corpus explode and one
-      // span-keyed exchange, where the join formulation exploded the
-      // corpus twice and shuffled both sides. Per-span state is the
-      // distinct-doc set — the same mass the df aggregate held; a
-      // web-scale boilerplate span concentrates either way (df-cap
-      // absorption as in q63 is the escape hatch, noted in COVERAGE).
-      pos.withColumn("nd",
-          size(collect_set(col("doc_id"))
-            .over(Window.partitionBy(col("span")))))
+      // Two-level agg + co-partitioned join-back — every stage's state
+      // is O(1) per key, and a web-scale boilerplate span never
+      // concentrates STATE anywhere:
+      //  1. groupBy(span, doc_id) spreads a hot span's rows across
+      //     ALL partitions (doc_id is in the hash key — a natural
+      //     salt), collapsing within-doc repeats with one count;
+      //  2. groupBy(span) counts distinct docs with MAP-SIDE PARTIALS
+      //     — each task ships one partial row per span, so the hot
+      //     span's exchange mass is bounded by the task count, not the
+      //     corpus (this is exactly what the round-9 window
+      //     formulation lost: window collect_set has no partial agg
+      //     and held the full distinct-doc set in one partition);
+      //  3. the join-back is span-co-partitioned with the df relation
+      //     as the ≤1-row-per-span build side (shuffle_hash pinned —
+      //     it is corpus-sized and must never broadcast); the hot span
+      //     concentrates only STREAM-side bandwidth, linear in its own
+      //     rows, with no retained state.
+      // perDocSpan feeds two consumers (the df agg and the join's
+      // probe side) — persisted so the scan + explode run once (r8
+      // audit: exchange reuse never applies to these shapes).
+      val perDocSpan = graft.Caches.persist(
+        pos.groupBy(col("span"), col("doc_id"))
+          .agg(count(lit(1)).as("cnt")))
+      val spanDf = perDocSpan.groupBy(col("span"))
+        .agg(count(lit(1)).as("nd"))
+        .hint("shuffle_hash")
+      perDocSpan.join(spanDf, Seq("span"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .agg(sum(col("cnt")).as("n_spans"),
+          sum(when(col("nd") > 1, col("cnt")).otherwise(0L)).as("n_dup"))
         .select(col("doc_id"), col("n_spans"), col("n_dup"),
           graft.Round4(col("n_dup").cast(DoubleType) / col("n_spans"))
             .as("dup_frac"))
@@ -822,7 +839,7 @@ object Dedup {
                 " / COUNT(*)")} AS dup_frac
             |FROM sh JOIN df USING (span)
             |GROUP BY 1 ORDER BY doc_id""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   /** AllPairs/PPJoin-style prefix filtering — the third member of the
     * exact-Jaccard family (q22 full inverted index, q63 df-capped),

@@ -149,13 +149,23 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "banded range join fell back to a nested loop")
   }
 
-  test("q80: span-df is a WINDOW over the span partition — ONE corpus " +
-      "explode, one span exchange, no join-back") {
+  test("q80: span-df is the two-level agg + co-partitioned join-back — " +
+      "ONE corpus explode, hot spans spread by (span, doc_id), df side " +
+      "map-side-partial'd, join never broadcast or windowed") {
     val p = plan("q80_span_dedup")
-    assert(!p.contains("Join"), "span df fell back to agg + join-back")
-    assert("Generate explode".r.findAllIn(p).size == 1,
-      "corpus exploded more than once")
-    assert("Window".r.findAllIn(p).nonEmpty)
+    assert(p.contains("ShuffledHashJoin"),
+      "join-back lost its shuffle_hash pin")
+    assert(!p.contains("BroadcastHashJoin"),
+      "corpus-sized span-df relation got broadcast — OOM at scale")
+    // perDocSpan is persisted; its two consumers each PRINT the cached
+    // plan (explode included) but the explode EXECUTES once — assert
+    // both consumers read the cache rather than re-deriving it
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "perDocSpan consumers re-derive the scan + explode instead of " +
+        "reading the persisted relation")
+    assert(!"Window".r.findAllIn(p).nonEmpty,
+      "q80 regressed to the window formulation (collect_set has no " +
+        "map-side partial agg — a boilerplate span concentrates state)")
   }
 
   test("q79: PMI unigram joins broadcast (vocabulary-sized build side); " +
