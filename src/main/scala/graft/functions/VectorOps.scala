@@ -106,6 +106,8 @@ object VectorOps {
       exprs => graft.plans.Winnow(exprs(0),
         intLit("graft_winnow", "k")(exprs(1)),
         intLit("graft_winnow", "w")(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_wav_wrap",
+      exprs => graft.plans.WavWrap(exprs.head), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -179,4 +181,8 @@ object VectorOps {
     call_function("graft_winnow", text,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))
+
+  /** Raw bytes → canonical PCM WAV container (16-bit mono 8 kHz). */
+  def wavWrap(bytes: Column): Column =
+    call_function("graft_wav_wrap", bytes)
 }

@@ -11,10 +11,22 @@ import org.apache.spark.sql.functions._
 final case class MediaAsset(
     doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Features extracted by the decoder. */
+/** Features extracted by the decoder. For images width/height are pixel
+  * dimensions and n_frames the image count; for audio width = channels,
+  * height = sample rate (Hz) and n_frames = PCM sample frames — the
+  * integer surface both decode families share.
+  */
 final case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Int,
     width: Int, height: Int, n_frames: Int)
+
+/** Full audio feature row (q130): everything [[WavCodec]] reads from
+  * the RIFF/WAVE byte stream — format fields, frame count, integer
+  * duration, and the quantized RMS over the decoded PCM samples.
+  */
+final case class AudioFeatures(
+    doc_id: Long, n_bytes: Int, channels: Int, sample_rate: Int,
+    n_frames: Long, dur_ms: Long, rms_q: Long)
 
 /** The pluggable decoder seam: expensive codec state (JNI handles,
   * FFMPEG contexts, model weights) initializes in `open()` ONCE PER
@@ -34,13 +46,79 @@ trait MediaCodec extends Serializable {
   def close(): Unit = ()
 }
 
-/** The container has no audio/video codecs, so the synthetic-payload
-  * codec derives deterministic fake dimensions from the byte length —
-  * the ONLY thing to swap for a real decoder; schema, partitioning and
-  * the oracle contract stay put.
+/** The container has no VIDEO codec (no FFMPEG), so the synthetic-
+  * payload codec derives deterministic fake dimensions from the byte
+  * length — the ONLY thing to swap for a real decoder; schema,
+  * partitioning and the oracle contract stay put. Images decode for
+  * real via [[ImageIoCodec]] and audio via [[WavCodec]]; the stub
+  * remains only for the synthetic `image`/`video` text payloads.
   */
 final class StubCodec extends MediaCodec {
   def decode(a: MediaAsset): MediaFeatures = Multimodal.decodeStub(a)
+}
+
+/** Deterministic PCM arithmetic shared by [[WavCodec]] and the fixture
+  * generator: the quantization is defined ONCE so the generator's
+  * metadata (written from the pre-encoding samples) and the codec's
+  * value (computed from the decoded byte stream) agree exactly when —
+  * and only when — the payload round-trips bit-perfectly.
+  */
+object WavMath {
+  /** floor(rms/32768 · 10⁶ + 0.5) over int16 samples, sumSq exact. */
+  def rmsQ(sumSq: Long, nSamples: Long): Long =
+    if (nSamples == 0) 0L
+    else math.floor(math.sqrt(sumSq.toDouble / nSamples.toDouble)
+      / 32768.0 * 1e6 + 0.5).toLong
+
+  /** Parse a WAV byte stream with the stock-JDK javax.sound.sampled
+    * provider: (channels, sampleRate, frames, nSamples, sumSq).
+    */
+  def parse(payload: Array[Byte])
+      : (Int, Int, Long, Long, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"WavCodec: expected 16-bit LE PCM, got $fmt")
+      val ch = fmt.getChannels
+      val rate = math.round(fmt.getSampleRate)
+      val bytes = in.readAllBytes()
+      val nSamples = bytes.length / 2
+      var sumSq = 0L
+      var i = 0
+      while (i < nSamples) {
+        val s = ((bytes(2 * i + 1).toInt << 8) |
+          (bytes(2 * i) & 0xff))
+        sumSq += s.toLong * s
+        i += 1
+      }
+      (ch, rate, nSamples.toLong / ch, nSamples.toLong, sumSq)
+    } finally in.close()
+  }
+}
+
+/** REAL audio decoder — javax.sound.sampled (stock JDK, pure JVM):
+  * parses the actual RIFF/WAVE byte stream (JDK-encoded fixture wavs
+  * AND the [[graft.plans.WavWrap]]-built synthetic containers) and
+  * reports format fields, frame count, duration and PCM RMS. Both
+  * feature surfaces share one parse.
+  */
+final class WavCodec extends MediaCodec {
+  def decode(a: MediaAsset): MediaFeatures = {
+    val (ch, rate, frames, _, _) = WavMath.parse(a.payload)
+    MediaFeatures(a.doc_id, a.media_type, a.payload.length,
+      width = ch, height = rate, n_frames = frames.toInt)
+  }
+
+  def decodeAudio(a: MediaAsset): AudioFeatures = {
+    val (ch, rate, frames, nSamples, sumSq) = WavMath.parse(a.payload)
+    AudioFeatures(a.doc_id, a.payload.length, ch, rate, frames,
+      dur_ms = frames * 1000L / rate,
+      rms_q = WavMath.rmsQ(sumSq, nSamples))
+  }
 }
 
 /** REAL image decoder — javax.imageio (stock JDK, pure JVM): parses the
@@ -94,23 +172,27 @@ final class ImageIoCodec extends MediaCodec {
 }
 
 /** Routes each asset to the right decoder by media_type: real image
-  * formats go through [[ImageIoCodec]], the synthetic audio/video/image
-  * payloads through [[StubCodec]]. One dispatch codec per partition ⇒
-  * one ImageIO reader set per partition, shared across that partition's
-  * real images.
+  * formats go through [[ImageIoCodec]], WAV payloads (the fixture's
+  * JDK-encoded wavs AND the synthetic `audio` assets, which are real
+  * [[graft.plans.WavWrap]] containers) through [[WavCodec]], and only
+  * the synthetic `image`/`video` text payloads through [[StubCodec]].
+  * One dispatch codec per partition ⇒ one ImageIO reader set per
+  * partition, shared across that partition's real images.
   */
 final class DispatchCodec extends MediaCodec {
   private val imageio = new ImageIoCodec
+  private val wav = new WavCodec
   private val stub = new StubCodec
 
-  override def open(): Unit = { imageio.open(); stub.open() }
+  override def open(): Unit = { imageio.open(); wav.open(); stub.open() }
 
   def decode(a: MediaAsset): MediaFeatures = a.media_type match {
     case "bmp" | "png" => imageio.decode(a)
+    case "audio" | "wav" => wav.decode(a)
     case _ => stub.decode(a)
   }
 
-  override def close(): Unit = { imageio.close(); stub.close() }
+  override def close(): Unit = { imageio.close(); wav.close(); stub.close() }
 }
 
 /** Multimodal-column plumbing (builder-prompt north star).
@@ -139,38 +221,60 @@ object Multimodal {
 
   /** Typed decode stage: one codec instance per partition (opened
     * before the first row, closed when the partition drains), streaming
-    * rows through it — never materializing the partition.
+    * rows through it — never materializing the partition. Generic over
+    * the output row so both feature surfaces ([[MediaFeatures]],
+    * [[AudioFeatures]]) share the one lifecycle implementation.
     */
-  def extractFeatures(assets: Dataset[MediaAsset],
-      codec: () => MediaCodec = () => new StubCodec)
-      : Dataset[MediaFeatures] = {
-    import assets.sparkSession.implicits._
+  private def decodeStage[C <: MediaCodec, O: org.apache.spark.sql.Encoder](
+      assets: Dataset[MediaAsset], codec: () => C, dec: (C, MediaAsset) => O)
+      : Dataset[O] =
     assets.mapPartitions { it =>
       val c = codec()
       c.open()
-      new Iterator[MediaFeatures] {
+      new Iterator[O] {
         private var closed = false
         def hasNext: Boolean = {
           val h = it.hasNext
           if (!h && !closed) { closed = true; c.close() }
           h
         }
-        def next(): MediaFeatures = c.decode(it.next())
+        def next(): O = dec(c, it.next())
       }
     }
+
+  def extractFeatures(assets: Dataset[MediaAsset],
+      codec: () => MediaCodec = () => new StubCodec)
+      : Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    decodeStage(assets, codec, (c: MediaCodec, a: MediaAsset) => c.decode(a))
+  }
+
+  /** Full audio-feature decode (q130) through the same seam. */
+  def extractAudioFeatures(assets: Dataset[MediaAsset])
+      : Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    decodeStage(assets, () => new WavCodec,
+      (c: WavCodec, a: MediaAsset) => c.decodeAudio(a))
   }
 
   /** Synthetic assets: documents' text bytes as opaque payloads with a
-    * deterministic media_type assignment.
+    * deterministic media_type assignment. The `audio` assets are REAL
+    * RIFF/WAVE containers ([[graft.plans.WavWrap]]: canonical PCM
+    * header + the text bytes as 16-bit mono 8 kHz samples) — they run
+    * through the genuine javax.sound decode path, and the oracle
+    * reproduces the decoded features from `octet_length(text)` alone.
     */
   def loadAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
+    graft.functions.VectorOps.register(s)
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
+        when(col("doc_id") % 3 === 1,
+          graft.functions.VectorOps.wavWrap(encode(col("text"), "UTF-8")))
+          .otherwise(encode(col("text"), "UTF-8")).as("payload"))
       .as[MediaAsset]
   }
 
@@ -189,13 +293,34 @@ object Multimodal {
       .as[MediaAsset]
   }
 
+  /** Real-WAV assets: JDK-encoded RIFF/WAVE byte streams from the
+    * committed fixture; metadata columns carry the generator's true
+    * format/frame/RMS values, so an oracle hash match proves the
+    * byte-level audio decode the same way the image fixture does.
+    */
+  val RealAudioIdBase = 2000000L
+  def loadRealAudioAssets(s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    s.read.parquet(graft.Fixtures.mediaAudioPath)
+      .select((col("aud_id") + RealAudioIdBase).as("doc_id"),
+        lit("wav").as("media_type"), col("payload"))
+      .as[MediaAsset]
+  }
+
   /** Synthetic + real assets decoded through ONE partition-parallel
     * decode stage with the dispatching codec.
     */
   def allFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] =
     extractFeatures(
-      loadAssets(s, dir).unionByName(loadRealImageAssets(s)),
+      loadAssets(s, dir).unionByName(loadRealImageAssets(s))
+        .unionByName(loadRealAudioAssets(s)),
       () => new DispatchCodec)
+
+  // synthetic-audio oracle arithmetic: WavWrap data length is the text
+  // byte length padded to even with a 2-byte floor, so every decoded
+  // feature is a closed form of octet_length(text)
+  private val WavDataLenSql =
+    "greatest(2, octet_length(encode(text)) + octet_length(encode(text)) % 2)"
 
   val q35Multimodal: QueryDef = QueryDef(
     "q35_multimodal",
@@ -204,11 +329,19 @@ object Multimodal {
            |  CASE WHEN doc_id % 3 = 0 THEN 'image'
            |       WHEN doc_id % 3 = 1 THEN 'audio'
            |       ELSE 'video' END AS media_type,
-           |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-           |  CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
-           |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER)
-           |    AS height,
-           |  CAST(CASE WHEN doc_id % 3 = 2
+           |  CAST(CASE WHEN doc_id % 3 = 1 THEN 44 + $WavDataLenSql
+           |       ELSE octet_length(encode(text)) END AS INTEGER)
+           |    AS n_bytes,
+           |  -- audio rows are REAL WavWrap containers: the decoder
+           |  -- reports channels/rate/frames (width/height/n_frames)
+           |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1
+           |       ELSE 16 + octet_length(encode(text)) % 64 END
+           |    AS INTEGER) AS width,
+           |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000
+           |       ELSE 16 + (octet_length(encode(text)) // 64) % 64 END
+           |    AS INTEGER) AS height,
+           |  CAST(CASE WHEN doc_id % 3 = 1 THEN $WavDataLenSql // 2
+           |       WHEN doc_id % 3 = 2
            |       THEN 1 + octet_length(encode(text)) % 7
            |       ELSE 1 END AS INTEGER) AS n_frames
            |FROM documents
@@ -221,6 +354,15 @@ object Multimodal {
            |  true_w AS width, true_h AS height,
            |  CAST(1 AS INTEGER) AS n_frames
            |FROM read_parquet('${graft.Fixtures.mediaImagesPath}')
+           |UNION ALL
+           |-- real wavs: metadata from the generator; Spark decodes the
+           |-- RIFF/WAVE bytes via WavCodec (javax.sound.sampled)
+           |SELECT ${RealAudioIdBase} + aud_id AS doc_id,
+           |  'wav' AS media_type,
+           |  CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+           |  true_channels AS width, true_rate AS height,
+           |  CAST(true_frames AS INTEGER) AS n_frames
+           |FROM read_parquet('${graft.Fixtures.mediaAudioPath}')
            |ORDER BY doc_id""".stripMargin))
 
   /** Resize → frame-sample as COLUMN EXPRESSIONS over the decoded
@@ -255,10 +397,14 @@ object Multimodal {
            |    CASE WHEN doc_id % 3 = 0 THEN 'image'
            |         WHEN doc_id % 3 = 1 THEN 'audio'
            |         ELSE 'video' END AS media_type,
-           |    CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS w,
-           |    CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER)
-           |      AS h,
-           |    CAST(CASE WHEN doc_id % 3 = 2
+           |    CAST(CASE WHEN doc_id % 3 = 1 THEN 1
+           |         ELSE 16 + octet_length(encode(text)) % 64 END
+           |      AS INTEGER) AS w,
+           |    CAST(CASE WHEN doc_id % 3 = 1 THEN 8000
+           |         ELSE 16 + (octet_length(encode(text)) // 64) % 64 END
+           |      AS INTEGER) AS h,
+           |    CAST(CASE WHEN doc_id % 3 = 1 THEN $WavDataLenSql // 2
+           |         WHEN doc_id % 3 = 2
            |         THEN 1 + octet_length(encode(text)) % 7
            |         ELSE 1 END AS INTEGER) AS nf
            |  FROM documents
@@ -266,7 +412,12 @@ object Multimodal {
            |  SELECT ${RealImageIdBase} + img_id AS doc_id,
            |    fmt AS media_type, true_w AS w, true_h AS h,
            |    CAST(1 AS INTEGER) AS nf
-           |  FROM read_parquet('${graft.Fixtures.mediaImagesPath}'))
+           |  FROM read_parquet('${graft.Fixtures.mediaImagesPath}')
+           |  UNION ALL
+           |  SELECT ${RealAudioIdBase} + aud_id AS doc_id,
+           |    'wav' AS media_type, true_channels AS w, true_rate AS h,
+           |    CAST(true_frames AS INTEGER) AS nf
+           |  FROM read_parquet('${graft.Fixtures.mediaAudioPath}'))
            |SELECT doc_id, media_type,
            |  CAST(CASE WHEN greatest(w, h) <= 64 THEN w
            |       ELSE w * 64 // greatest(w, h) END AS INTEGER) AS out_w,
@@ -276,5 +427,25 @@ object Multimodal {
            |    AS sampled_frames
            |FROM f ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q35Multimodal, q49MediaPipeline)
+  /** Full byte-level audio decode over the committed wav fixture: the
+    * oracle reads ONLY the generator's metadata (written from the
+    * pre-encoding samples), so the hash match proves WavCodec's parse
+    * of the RIFF/WAVE stream — format fields, frame count, integer
+    * duration, and the quantized RMS over every decoded PCM sample.
+    */
+  val q130AudioDecode: QueryDef = QueryDef(
+    "q130_audio_decode",
+    (s, dir) =>
+      extractAudioFeatures(loadRealAudioAssets(s)).toDF()
+        .orderBy("doc_id"),
+    Some(s"""SELECT ${RealAudioIdBase} + aud_id AS doc_id,
+           |  CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+           |  true_channels AS channels, true_rate AS sample_rate,
+           |  true_frames AS n_frames, true_dur_ms AS dur_ms,
+           |  true_rms_q AS rms_q
+           |FROM read_parquet('${graft.Fixtures.mediaAudioPath}')
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q35Multimodal, q49MediaPipeline,
+    q130AudioDecode)
 }

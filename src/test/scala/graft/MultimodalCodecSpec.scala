@@ -90,6 +90,73 @@ class MultimodalCodecSpec extends AnyFunSuite {
     } finally codec.close()
   }
 
+  test("WavCodec decodes real WAV bytes (fresh JDK encodings, " +
+      "independent of the fixture) and WavWrap containers round-trip") {
+    val codec = new graft.operators.WavCodec
+    codec.open()
+    try {
+      // fresh JDK-encoded wav: 3 frames stereo 16 kHz, known samples
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2,
+        true, false)
+      val samples = Array[Short](1000, -2000, 3000, -4000, 5000, -6000)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 3)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      val f = codec.decodeAudio(
+        graft.operators.MediaAsset(1L, "wav", out.toByteArray))
+      val sumSq = samples.map(s => s.toLong * s).sum
+      assert(f == graft.operators.AudioFeatures(1L, out.size(), 2, 16000,
+        3, 3 * 1000L / 16000, graft.operators.WavMath.rmsQ(sumSq, 6)))
+
+      // WavWrap container parses through the same JDK provider
+      val data = Array[Byte](1, 2, 3) // odd length → padded to 4
+      val wrapped = graft.plans.WavWrap.compute(data)
+      val g = codec.decodeAudio(
+        graft.operators.MediaAsset(2L, "audio", wrapped))
+      assert(g.channels == 1 && g.sample_rate == 8000 && g.n_frames == 2,
+        s"wrapped features: $g")
+      assert(wrapped.length == 44 + 4)
+      // empty payload still yields one decodable zero frame
+      val e = codec.decodeAudio(graft.operators.MediaAsset(3L, "audio",
+        graft.plans.WavWrap.compute(Array.empty[Byte])))
+      assert(e.n_frames == 1 && e.rms_q == 0)
+
+      // corrupt bytes must raise, not return garbage features
+      intercept[Exception] {
+        codec.decode(graft.operators.MediaAsset(4L, "wav",
+          Array.fill(40)(7: Byte)))
+      }
+    } finally codec.close()
+  }
+
+  test("distributed decode of the committed wav fixture reproduces " +
+      "the generator's metadata, through the dispatch codec") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.loadRealAudioAssets(spark).repartition(4),
+      () => new graft.operators.DispatchCodec)
+      .collect().map(f => f.doc_id -> f).toMap
+    val meta = spark.read.parquet(Fixtures.mediaAudioPath).collect()
+    assert(meta.length == graft.tools.GenAudioFixture.NumWavs)
+    meta.foreach { r =>
+      val id = r.getAs[Long]("aud_id") + Multimodal.RealAudioIdBase
+      val f = feats(id)
+      assert(f.width == r.getAs[Int]("true_channels") &&
+        f.height == r.getAs[Int]("true_rate") &&
+        f.n_frames == r.getAs[Long]("true_frames"),
+        s"wav ${r.getAs[Long]("aud_id")}: decoded $f vs metadata $r")
+    }
+    // genuinely mixed formats: both channel counts, several rates
+    assert(meta.map(_.getAs[Int]("true_channels")).distinct.length == 2)
+    assert(meta.map(_.getAs[Int]("true_rate")).distinct.length >= 3)
+  }
+
   test("distributed decode of the committed fixture reproduces the " +
       "encoder's metadata for every image, through the dispatch codec") {
     val feats = Multimodal.extractFeatures(
