@@ -408,9 +408,13 @@ object Similarity {
     * log(N) and L with N^ρ (ρ = ln(1/p₁)/ln(1/p₂)) so candidate volume
     * stays ~N^(1+ρ) instead of N² (the q58 fixture geometry's fate at
     * τ = 0.4 — see ScaleGrowthSpec, which measures BOTH exponents).
-    * Not a catalog entry: the driver fixtures contain no ≥0.9 pairs
-    * (verified by oracle), so the proof lives in the spec over planted
-    * corpora; the production guidance lives in PLANS.md.
+    * Catalog entry: q128 runs it at τ=0.9 over the committed planted
+    * corpus (the DRIVER fixtures contain no ≥0.9 pairs, so the corpus
+    * and ρ-bound plane geometry live in
+    * fixtures/neardup_embeddings.parquet + wideband_planes.parquet —
+    * [[graft.tools.GenWideBandFixture]]) with a full DuckDB hash-match
+    * oracle; ScaleGrowthSpec measures the growth exponent over scaled
+    * synthetic corpora of the same construction.
     */
   def wideBandNeardup(e: DataFrame, planes: DataFrame, tau: Double)
       : DataFrame = {
@@ -809,7 +813,53 @@ object Similarity {
             |  ON e.qid = a.qid AND e.neighbor = a.neighbor
             |GROUP BY e.qid ORDER BY e.qid""".stripMargin))
 
+  /** τ=0.9 wide-band near-dup over the committed planted corpus — the
+    * high-threshold production formulation (B = ⌈log₂N⌉ = 9 bits,
+    * L = ⌈4·N^ρ⌉ = 11 tables) as a full catalog entry: the oracle
+    * recomputes the sign codes, the banded candidate join AND the
+    * exact-cosine verify relationally, so the hash match proves the
+    * whole pipeline bit-for-bit.
+    */
+  val q128WideBandNeardup: QueryDef = QueryDef(
+    "q128_wideband_neardup",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val e = s.read.parquet(graft.Fixtures.neardupEmbeddingsPath)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+      val planes = s.read.parquet(graft.Fixtures.widebandPlanesPath)
+      wideBandNeardup(e, planes, 0.9)
+        .select(col("v1"), col("v2"), graft.Round4(col("sim")).as("sim"))
+        .orderBy("v1", "v2")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM read_parquet('${graft.Fixtures.neardupEmbeddingsPath}')),
+            |pl AS (SELECT tbl, bit, plane
+            |  FROM read_parquet('${graft.Fixtures.widebandPlanesPath}')),
+            |codes AS (
+            |  SELECT vec_id, tbl,
+            |    CAST(SUM(CASE WHEN list_inner_product(v, plane) > 0
+            |             THEN 1 << bit ELSE 0 END) AS BIGINT) AS code
+            |  FROM e CROSS JOIN pl GROUP BY vec_id, tbl),
+            |cand AS (
+            |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+            |  FROM codes a JOIN codes b
+            |    ON a.tbl = b.tbl AND a.code = b.code
+            |      AND a.vec_id < b.vec_id)
+            |SELECT v1, v2,
+            |  floor(list_cosine_similarity(e1.v, e2.v) * 10000 + 0.5)
+            |    / 10000 AS sim
+            |FROM cand
+            |JOIN e e1 ON e1.vec_id = cand.v1
+            |JOIN e e2 ON e2.vec_id = cand.v2
+            |WHERE list_cosine_similarity(e1.v, e2.v) > 0.9
+            |ORDER BY v1, v2""".stripMargin),
+    bench = true, lowLatency = true)
+
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
-    q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall)
+    q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall,
+    q128WideBandNeardup)
 }
