@@ -37,7 +37,18 @@ final class StageClock extends SparkListener {
   private var cpuTimeNs = 0L
   private var stageWallMs = 0L
   private var shuffleRecs = 0L
+  private var maxTaskShuffleReadRecs = 0L
   private var activeJobs = 0
+
+  override def onTaskEnd(
+      e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    lock.synchronized {
+      val m = e.taskMetrics
+      if (m != null) {
+        val r = m.shuffleReadMetrics.recordsRead
+        if (r > maxTaskShuffleReadRecs) maxTaskShuffleReadRecs = r
+      }
+    }
 
   override def onJobStart(e: SparkListenerJobStart): Unit =
     lock.synchronized { activeJobs += 1; jobsCount += 1 }
@@ -62,7 +73,7 @@ final class StageClock extends SparkListener {
 
   def reset(): Unit = lock.synchronized {
     stages = 0; jobsCount = 0; taskTimeMs = 0L; cpuTimeNs = 0L
-    stageWallMs = 0L; shuffleRecs = 0L
+    stageWallMs = 0L; shuffleRecs = 0L; maxTaskShuffleReadRecs = 0L
   }
 
   /** Jobs started since the last reset — each job in local mode costs a
@@ -77,6 +88,12 @@ final class StageClock extends SparkListener {
     * exponent over.
     */
   def shuffleRecords: Long = lock.synchronized(shuffleRecs)
+
+  /** Largest shuffle-read record count of any single task since the
+    * last reset — the skew diagnostic: a hot key that concentrates on
+    * one reducer shows up here long before it OOMs a real executor.
+    */
+  def maxTaskShuffleRead: Long = lock.synchronized(maxTaskShuffleReadRecs)
 
   /** Wait (bounded) until the listener bus has drained this run's
     * events: no active jobs and stable counters twice in a row.

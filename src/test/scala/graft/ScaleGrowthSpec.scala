@@ -338,4 +338,130 @@ class ScaleGrowthSpec extends AnyFunSuite {
         s"wide-band exponent $exp above the rho-bound envelope ($report)")
     } finally spark.sparkContext.removeSparkListener(clock)
   }
+
+  // ---- round-10 tier: q122 / q124 / q126 scale posture, measured ----
+
+  test("q124 BM25 and q122 heavy hitters shuffle O(1) rows in corpus " +
+      "size (stats/summary/top-k only, never the token stream)") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      val scales = Seq(500, 2000, 8000)
+      val dirs = scales.map(genCorpus)
+      // (query, absolute row ceiling at 8000 docs). The ceilings are
+      // generous multiples of the structural bounds (q124: one stats
+      // row + per-partition top-k; q122: one MG map per task + ≤511
+      // candidate partials per task) — a formulation that shuffles the
+      // token stream would blow past them by orders of magnitude
+      // (~400k token occurrences at N=8000).
+      val pins = Seq(("q124_bm25_topk", 2000L),
+        ("q122_heavy_hitters", 20000L))
+      pins.foreach { case (q, cap) =>
+        val rows = dirs.map { dir =>
+          clock.quiesce(); clock.reset()
+          SparkEntry.queries(q)(spark, dir).count()
+          clock.quiesce()
+          val sh = clock.shuffleRecords
+          Caches.clear(spark)
+          sh
+        }
+        val Seq(s1, s2, s3) = rows
+        val exp = math.log(math.max(s3, 1).toDouble / math.max(s2, 1)) /
+          math.log(4.0)
+        info(f"$q: shuffle=$s1/$s2/$s3 exp=$exp%.2f")
+        assert(exp < 0.3,
+          s"$q shuffle volume grows with the corpus (exp $exp): " +
+            s"$s1 -> $s2 -> $s3 — the token stream is leaking into " +
+              "an exchange")
+        assert(s3 < cap,
+          s"$q shuffled $s3 rows at 8000 docs (ceiling $cap)")
+      }
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
+
+  /** 90%-hot-source corpus for the q126 salted-cap skew pin. */
+  private def capCorpus(n: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_cap_$n")
+    val docs = (0L until n.toLong).map { id =>
+      val src = if (id % 10 < 9) "hot" else s"cold${id % 7}"
+      val text = docText(id, 200)
+      (id, text, "l0", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    writeSingle(docs, dir.resolve("documents.parquet"))
+    dir.toString
+  }
+
+  test("q126 salted per-source cap under a 90%-hot source: no task " +
+      "absorbs the hot source, phase-2 input bounded at cap*salts") {
+    import org.apache.spark.sql.expressions.Window
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    // AQE's partition coalescing merges these tiny shuffles into one
+    // task and would measure the coalescer, not the key distribution —
+    // the skew claim is about per-KEY concentration, so measure with
+    // static 32-partition shuffles
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    val sh0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val scales = Seq(500, 2000, 8000)
+      val measured = scales.map { n =>
+        val dir = capCorpus(n)
+        clock.quiesce(); clock.reset()
+        SparkEntry.queries("q126_source_cap")(spark, dir).count()
+        clock.quiesce()
+        val maxTask = clock.maxTaskShuffleRead
+        // The hot source has 0.9N rows. Phase 1 partitions on
+        // (source, doc_id % 32), so no phase-1 task reads more than a
+        // ~1/32 slice of it (2.5x slack: co-resident groups +
+        // salt-hash imbalance); phase 2's hot-source partition reads
+        // ≤ cap·salts = 480 survivors regardless of N. The UNSALTED
+        // formulation puts all 0.9N hot rows through ONE window task —
+        // at N=8000 that is 7200, an order of magnitude past this
+        // bound.
+        val hot = (n * 9L) / 10
+        val bound = hot * 25 / (32 * 10) + 480 + 200
+        assert(maxTask <= bound,
+          s"N=$n: a task read $maxTask shuffle rows (bound $bound) — " +
+            "the hot source is concentrating")
+        Caches.clear(spark)
+        (n, maxTask)
+      }
+      info(measured.map { case (n, m) => s"N=$n maxTaskRead=$m" }
+        .mkString("; "))
+      // the whole point: max task read must NOT track the hot source's
+      // linear growth (16x corpus step, hot 450 -> 7200)
+      assert(measured.last._2 < 2 * measured.head._2 + 480,
+        s"max task read tracks corpus growth: $measured")
+
+      // phase-2 pigeonhole: survivors per source never exceed
+      // SourceCap·CapSalts = 15·32 = 480 (constants mirrored from
+      // Retrieval.q126SourceCap) no matter how hot the source — the
+      // bound that makes the global window safe at any corpus size.
+      // Recomputed with the operator's own expressions at the largest
+      // scale.
+      val docs = spark.read
+        .parquet(s"${capCorpus(8000)}/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          md5(col("text").cast("binary")).as("h"))
+      val local = Window
+        .partitionBy(col("source"), pmod(col("doc_id"), lit(32)))
+        .orderBy(col("h"), col("doc_id"))
+      val maxSurvivors = docs
+        .withColumn("lrk", row_number().over(local))
+        .filter(col("lrk") <= 15)
+        .groupBy("source").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      info(s"max phase-2 survivors per source at N=8000: $maxSurvivors")
+      assert(maxSurvivors <= 15L * 32,
+        s"phase-1 let $maxSurvivors rows of one source through " +
+          "(pigeonhole bound 480)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.shuffle.partitions", sh0)
+      spark.sparkContext.removeSparkListener(clock)
+    }
+  }
 }

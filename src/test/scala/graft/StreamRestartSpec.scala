@@ -1,0 +1,172 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Checkpoint-restart coverage for the round-9 stateful shapes, whose
+  * state differs from the running aggregates StreamingResumeSpec
+  * proves:
+  *
+  *  - q121's MERGING session-window state (open session ranges that
+  *    can merge when a bridging event arrives — including one that
+  *    arrives only AFTER the restart);
+  *  - q127's stream-static near-dup (a persisted static base joined
+  *    per micro-batch + cross-batch pair-dedup state that must keep
+  *    swallowing redelivered docs after the restart).
+  *
+  * Both tests kill the query mid-stream (stop after a drained
+  * checkpointed run), deliver more input while "down", restart from
+  * the same checkpointLocation, and require the final answer to equal
+  * the batch computation over ALL input — with run 2 reading only the
+  * files run 1's checkpoint had not committed.
+  */
+class StreamRestartSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("q121-class merging session state survives a restart: a " +
+      "post-restart event bridges two sessions opened before the stop") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sessrs")
+    val in = root.resolve("in").toString
+    val cp = root.resolve("cp").toString
+
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def writeFile(rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit =
+      rows.toDF("user_id", "ts", "value").repartition(1)
+        .write.mode("append").parquet(in)
+
+    // complete-mode snapshots per batch; the LAST one is the answer
+    val snaps = mutable.Buffer[(Long, Seq[org.apache.spark.sql.Row])]()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("ts", "timestamp").add("value", "double")
+    def startQuery() = {
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      EventsStream.sessionAgg(events).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val rows = b.collect().toSeq
+            snaps.synchronized { snaps += id -> rows }
+            ()
+        }
+        .start()
+    }
+
+    // run 1: user 1 has one open session; user 3 has TWO open sessions
+    // ([10:00,10:30) and [10:50,11:20)) that only a later bridging
+    // event can merge (sessions merge when their gap windows overlap:
+    // an event at 10:25 is within 30 min of both 10:00 and 10:50)
+    writeFile(Seq((1L, ts("10:00"), 1.0), (1L, ts("10:20"), 2.0),
+      (3L, ts("10:00"), 5.0)))
+    writeFile(Seq((3L, ts("10:50"), 7.0), (2L, ts("09:00"), 3.0)))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val run1Batches = snaps.synchronized(snaps.size)
+    assert(run1Batches >= 2, "maxFilesPerTrigger split did not happen")
+
+    // while "down": 10:25 bridges user 3's two pre-stop sessions into
+    // one [10:00,11:20) session, 10:35 extends user 1's open session,
+    // 11:00 opens user 2's second session. 10:25 is above run 1's
+    // watermark (max ts 10:50 − 30 min = 10:20), so it is admitted —
+    // but ONLY if the restarted state still holds both open sessions.
+    writeFile(Seq((3L, ts("10:25"), 9.0), (1L, ts("10:35"), 4.0),
+      (2L, ts("11:00"), 6.0)))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      // exactly-once over the source: run 2 read only the new file
+      val run2Input = q2.recentProgress.map(_.numInputRows).sum
+      assert(run2Input == 3,
+        s"restart reprocessed committed files ($run2Input input rows)")
+    } finally q2.stop()
+
+    val finalRows = snaps.synchronized(snaps.maxBy(_._1)._2)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // the batch answer over ALL input, same aggregation
+    val batch = EventsStream.sessionAgg(spark.read.parquet(in))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(finalRows == batch,
+      s"restarted stream diverged:\n stream $finalRows\n batch  $batch")
+    // and the merge actually happened: user 3 ended with ONE session
+    // covering all three events
+    assert(finalRows.count(_._1 == 3L) == 1)
+    assert(finalRows.find(_._1 == 3L).get._3 == 3L)
+  }
+
+  test("q127-class stream-static near-dup state survives a restart: " +
+      "pair dedup keeps swallowing redelivered docs delivered after " +
+      "the restart") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_ndrs")
+    val in = root.resolve("in").toString
+    val cp = root.resolve("cp").toString
+
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val isDelta = col("doc_id") % 100 >= 90
+    val base = docs.filter(!isDelta)
+    val deltaRows = docs.filter(isDelta)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(deltaRows.length >= 2)
+    val (firstHalf, secondHalf) = deltaRows.splitAt(deltaRows.length / 2)
+
+    def writeFile(rows: Seq[(Long, String)]): Unit =
+      rows.toSeq.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(in)
+
+    val emitted = mutable.Buffer[(Long, Long, Double)]()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      Dedup.streamIncrementalNeardup(base, stream).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = b.collect()
+            emitted.synchronized {
+              emitted ++= rows.map(r =>
+                (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            }
+            ()
+        }
+        .start()
+    }
+
+    // run 1: first half of the delta, then a hard stop
+    writeFile(firstHalf.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // while "down": the second half arrives PLUS a redelivery of a
+    // run-1 doc — the restarted dropDuplicates state must swallow it
+    writeFile(secondHalf.toSeq ++ firstHalf.take(1))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val all = emitted.synchronized(emitted.toVector)
+    // no pair emitted twice across the restart boundary
+    assert(all.map(p => (p._1, p._2)).distinct.size == all.size,
+      "restart re-emitted pairs — cross-restart dedup state lost")
+    // final answer equals the single-shot batch computation
+    val batch = Dedup.streamIncrementalNeardup(base,
+        deltaRows.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(all.nonEmpty && all.toSet == batch,
+      s"restarted stream diverged: ${all.size} vs batch ${batch.size}")
+    Caches.clear(spark)
+  }
+}
