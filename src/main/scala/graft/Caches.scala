@@ -39,8 +39,10 @@ object Caches {
         it.remove()
       }
     }
-    // the packed fixture caches are session-keyed too — release them at
-    // the same explicit point so ended sessions can be collected
+    // the packed fixture + table-relation caches are session-keyed too
+    // — release them at the same explicit point so ended sessions can
+    // be collected
     Fixtures.dropSession(spark)
+    Tables.dropSession(spark)
   }
 }

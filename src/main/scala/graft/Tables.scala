@@ -56,21 +56,39 @@ object Tables {
     *    sees, no arithmetic.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/$name.parquet"
-    val schema = schemaCache.getOrElseUpdate(cacheKey(dir, name),
-      spark.read.parquet(path).schema)
-    val raw = spark.read.schema(schema).parquet(path)
-    if (name == "events") {
-      val tsIsRawNanos = schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType
-      if (tsIsRawNanos)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw.withColumn("ts", col("ts").cast(TimestampType))
-    } else raw
+    val key = cacheKey(dir, name)
+    dfCache.getOrElseUpdate((spark, key), {
+      if (name == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$dir/$name.parquet"
+      val schema = schemaCache.getOrElseUpdate(key,
+        spark.read.parquet(path).schema)
+      val raw = spark.read.schema(schema).parquet(path)
+      if (name == "events") {
+        val tsIsRawNanos = schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType
+        if (tsIsRawNanos)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw.withColumn("ts", col("ts").cast(TimestampType))
+      } else raw
+    })
   }
 
+  /** The resolved per-table DataFrame, cached per (session, file
+    * identity): repeated query builds reuse one analyzed source
+    * relation (and its file listing) instead of re-resolving the scan
+    * on every build — the catalog-resolution cache a real cluster's
+    * metastore provides, and a measurable slice of the unprepared-warm
+    * planning cost. Dropped per session from [[Caches.clear]] so ended
+    * sessions aren't pinned.
+    */
+  private val dfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, (String, String, Long, Long)), DataFrame]
+
+  private[graft] def dropSession(spark: SparkSession): Unit =
+    dfCache.keysIterator.foreach { k =>
+      if (k._1 eq spark) dfCache.remove(k)
+    }
 }
 
 /** One engine query: Spark builder + optional DuckDB oracle SQL.

@@ -389,7 +389,7 @@ object Dedup {
         .orderBy("d1", "d2")
     },
     Some(jaccardOracle),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // SimHash: 64-bit frequency-weighted token simhash; banded equi-join
   // candidates (never an all-pairs nested loop — see SimhashBands);

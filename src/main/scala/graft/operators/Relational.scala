@@ -178,7 +178,7 @@ object Relational {
            |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
            |GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag, l_linestatus""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // A5: DISTINCT (ddl.go:117-128 value-set dedup analog).
   val q08Distinct: QueryDef = QueryDef(
