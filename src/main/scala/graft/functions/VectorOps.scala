@@ -108,6 +108,8 @@ object VectorOps {
         intLit("graft_winnow", "w")(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_wav_wrap",
       exprs => graft.plans.WavWrap(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bmp_wrap",
+      exprs => graft.plans.BmpWrap(exprs.head), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -185,4 +187,8 @@ object VectorOps {
   /** Raw bytes → canonical PCM WAV container (16-bit mono 8 kHz). */
   def wavWrap(bytes: Column): Column =
     call_function("graft_wav_wrap", bytes)
+
+  /** Raw bytes → real 24-bpp BMP with closed-form dimensions. */
+  def bmpWrap(bytes: Column): Column =
+    call_function("graft_bmp_wrap", bytes)
 }

@@ -46,12 +46,15 @@ trait MediaCodec extends Serializable {
   def close(): Unit = ()
 }
 
-/** The container has no VIDEO codec (no FFMPEG), so the synthetic-
-  * payload codec derives deterministic fake dimensions from the byte
-  * length — the ONLY thing to swap for a real decoder; schema,
-  * partitioning and the oracle contract stay put. Images decode for
-  * real via [[ImageIoCodec]] and audio via [[WavCodec]]; the stub
-  * remains only for the synthetic `image`/`video` text payloads.
+/** The container has no real VIDEO codec (no FFMPEG), so the synthetic
+  * `video` text payloads derive deterministic fake dimensions from the
+  * byte length — the ONLY remaining stub: synthetic images are real
+  * [[graft.plans.BmpWrap]] BMPs, synthetic audio real
+  * [[graft.plans.WavWrap]] wavs, and the committed video FIXTURE rows
+  * are real animated GIFs frame-counted by [[ImageIoCodec]]; schema,
+  * partitioning and the oracle contract are identical across all of
+  * them, so swapping this last stub for an FFMPEG decoder changes one
+  * dispatch arm.
   */
 final class StubCodec extends MediaCodec {
   def decode(a: MediaAsset): MediaFeatures = Multimodal.decodeStub(a)
@@ -136,9 +139,19 @@ final class ImageIoCodec extends MediaCodec {
   @transient private var readers: Map[String, javax.imageio.ImageReader] =
     null
 
+  /** media_type → ImageIO format: the synthetic `image` assets are
+    * real [[graft.plans.BmpWrap]] BMP containers; `video`/`gif` are
+    * animated GIFs whose frame count is a real multi-image scan.
+    */
+  private def fmtOf(mediaType: String): String = mediaType match {
+    case "image" => "bmp"
+    case "video" | "gif" => "gif"
+    case other => other
+  }
+
   override def open(): Unit = {
     javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
-    readers = Seq("bmp", "png").map { f =>
+    readers = Seq("bmp", "png", "gif").map { f =>
       val it = javax.imageio.ImageIO.getImageReadersByFormatName(f)
       require(it.hasNext, s"JDK has no $f reader")
       f -> it.next()
@@ -146,19 +159,25 @@ final class ImageIoCodec extends MediaCodec {
   }
 
   def decode(a: MediaAsset): MediaFeatures = {
-    val r = readers.getOrElse(a.media_type,
+    val fmt = fmtOf(a.media_type)
+    val r = readers.getOrElse(fmt,
       throw new IllegalArgumentException(
         s"ImageIoCodec: unsupported format ${a.media_type}"))
     val in = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(a.payload))
     try {
       r.setInput(in)
-      // header-only parse: width/height come from IHDR / BITMAPINFOHEADER
-      // without decoding pixel data — the batch-metadata pass a curation
-      // pipeline runs over billions of images
+      // header-only parse for stills: width/height come from IHDR /
+      // BITMAPINFOHEADER without decoding pixel data — the
+      // batch-metadata pass a curation pipeline runs over billions of
+      // images. GIF frame counting is a real multi-image scan
+      // (allowSearch) — the video-frame inventory pass.
+      val frames =
+        if (fmt == "gif") r.getNumImages(true)
+        else r.getNumImages(false) max 1
       MediaFeatures(a.doc_id, a.media_type, a.payload.length,
         width = r.getWidth(0), height = r.getHeight(0),
-        n_frames = r.getNumImages(false) max 1)
+        n_frames = frames)
     } finally {
       r.setInput(null)
       in.close()
@@ -171,13 +190,15 @@ final class ImageIoCodec extends MediaCodec {
   }
 }
 
-/** Routes each asset to the right decoder by media_type: real image
-  * formats go through [[ImageIoCodec]], WAV payloads (the fixture's
-  * JDK-encoded wavs AND the synthetic `audio` assets, which are real
-  * [[graft.plans.WavWrap]] containers) through [[WavCodec]], and only
-  * the synthetic `image`/`video` text payloads through [[StubCodec]].
-  * One dispatch codec per partition ⇒ one ImageIO reader set per
-  * partition, shared across that partition's real images.
+/** Routes each asset to the right decoder by media_type: image formats
+  * — including the synthetic `image` assets, which are real
+  * [[graft.plans.BmpWrap]] BMP containers — and animated-GIF video go
+  * through [[ImageIoCodec]]; WAV payloads (the fixture's JDK-encoded
+  * wavs AND the synthetic `audio` [[graft.plans.WavWrap]] containers)
+  * through [[WavCodec]]; only the synthetic `video` text payloads
+  * remain on [[StubCodec]]. One dispatch codec per partition ⇒ one
+  * ImageIO reader set per partition, shared across that partition's
+  * real images.
   */
 final class DispatchCodec extends MediaCodec {
   private val imageio = new ImageIoCodec
@@ -187,7 +208,7 @@ final class DispatchCodec extends MediaCodec {
   override def open(): Unit = { imageio.open(); wav.open(); stub.open() }
 
   def decode(a: MediaAsset): MediaFeatures = a.media_type match {
-    case "bmp" | "png" => imageio.decode(a)
+    case "bmp" | "png" | "gif" | "image" => imageio.decode(a)
     case "audio" | "wav" => wav.decode(a)
     case _ => stub.decode(a)
   }
@@ -258,23 +279,30 @@ object Multimodal {
   }
 
   /** Synthetic assets: documents' text bytes as opaque payloads with a
-    * deterministic media_type assignment. The `audio` assets are REAL
-    * RIFF/WAVE containers ([[graft.plans.WavWrap]]: canonical PCM
-    * header + the text bytes as 16-bit mono 8 kHz samples) — they run
-    * through the genuine javax.sound decode path, and the oracle
-    * reproduces the decoded features from `octet_length(text)` alone.
+    * deterministic media_type assignment. The `image` assets are REAL
+    * BMP containers ([[graft.plans.BmpWrap]]: 24-bpp header + the text
+    * bytes cycled through the pixel rows, dimensions the closed forms
+    * of the byte length) and the `audio` assets REAL RIFF/WAVE
+    * containers ([[graft.plans.WavWrap]]) — both run through genuine
+    * JDK decode paths, and the oracle reproduces every decoded feature
+    * from `octet_length(text)` alone. Only `video` stays a raw text
+    * payload (StubCodec — no video codec in the JDK; the committed GIF
+    * fixture covers the real video decode).
     */
   def loadAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
     graft.functions.VectorOps.register(s)
+    val bytes = encode(col("text"), "UTF-8")
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("media_type"),
-        when(col("doc_id") % 3 === 1,
-          graft.functions.VectorOps.wavWrap(encode(col("text"), "UTF-8")))
-          .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+        when(col("doc_id") % 3 === 0,
+          graft.functions.VectorOps.bmpWrap(bytes))
+          .when(col("doc_id") % 3 === 1,
+            graft.functions.VectorOps.wavWrap(bytes))
+          .otherwise(bytes).as("payload"))
       .as[MediaAsset]
   }
 
@@ -307,13 +335,28 @@ object Multimodal {
       .as[MediaAsset]
   }
 
+  /** Real-video assets: animated-GIF byte streams from the committed
+    * fixture (JDK ImageIO GIF writer; true frame counts + dimensions
+    * as metadata). [[ImageIoCodec]] frame-counts the actual multi-image
+    * container — the video analog of the image/audio byte-level proofs.
+    */
+  val RealVideoIdBase = 3000000L
+  def loadRealVideoAssets(s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    s.read.parquet(graft.Fixtures.mediaVideoPath)
+      .select((col("vid_id") + RealVideoIdBase).as("doc_id"),
+        lit("gif").as("media_type"), col("payload"))
+      .as[MediaAsset]
+  }
+
   /** Synthetic + real assets decoded through ONE partition-parallel
     * decode stage with the dispatching codec.
     */
   def allFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] =
     extractFeatures(
       loadAssets(s, dir).unionByName(loadRealImageAssets(s))
-        .unionByName(loadRealAudioAssets(s)),
+        .unionByName(loadRealAudioAssets(s))
+        .unionByName(loadRealVideoAssets(s)),
       () => new DispatchCodec)
 
   // synthetic-audio oracle arithmetic: WavWrap data length is the text
@@ -322,6 +365,14 @@ object Multimodal {
   private val WavDataLenSql =
     "greatest(2, octet_length(encode(text)) + octet_length(encode(text)) % 2)"
 
+  // synthetic-image oracle arithmetic: BmpWrap dimensions are the
+  // closed forms of the text byte length, and the container size is
+  // the exact BMP layout (54-byte header + h padded 24-bpp rows)
+  private val BmpWSql = "(16 + octet_length(encode(text)) % 64)"
+  private val BmpHSql = "(16 + (octet_length(encode(text)) // 64) % 64)"
+  private val BmpBytesSql =
+    s"(54 + $BmpHSql * (((3 * $BmpWSql + 3) // 4) * 4))"
+
   val q35Multimodal: QueryDef = QueryDef(
     "q35_multimodal",
     (s, dir) => allFeatures(s, dir).toDF().orderBy("doc_id"),
@@ -329,11 +380,12 @@ object Multimodal {
            |  CASE WHEN doc_id % 3 = 0 THEN 'image'
            |       WHEN doc_id % 3 = 1 THEN 'audio'
            |       ELSE 'video' END AS media_type,
-           |  CAST(CASE WHEN doc_id % 3 = 1 THEN 44 + $WavDataLenSql
+           |  -- image/audio rows are REAL BmpWrap/WavWrap containers:
+           |  -- every decoded feature is a closed form of the byte len
+           |  CAST(CASE WHEN doc_id % 3 = 0 THEN $BmpBytesSql
+           |       WHEN doc_id % 3 = 1 THEN 44 + $WavDataLenSql
            |       ELSE octet_length(encode(text)) END AS INTEGER)
            |    AS n_bytes,
-           |  -- audio rows are REAL WavWrap containers: the decoder
-           |  -- reports channels/rate/frames (width/height/n_frames)
            |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1
            |       ELSE 16 + octet_length(encode(text)) % 64 END
            |    AS INTEGER) AS width,
@@ -363,6 +415,14 @@ object Multimodal {
            |  true_channels AS width, true_rate AS height,
            |  CAST(true_frames AS INTEGER) AS n_frames
            |FROM read_parquet('${graft.Fixtures.mediaAudioPath}')
+           |UNION ALL
+           |-- real video: animated GIFs; Spark frame-counts the actual
+           |-- multi-image container via ImageIoCodec
+           |SELECT ${RealVideoIdBase} + vid_id AS doc_id,
+           |  'gif' AS media_type,
+           |  CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+           |  true_w AS width, true_h AS height, true_frames AS n_frames
+           |FROM read_parquet('${graft.Fixtures.mediaVideoPath}')
            |ORDER BY doc_id""".stripMargin))
 
   /** Resize → frame-sample as COLUMN EXPRESSIONS over the decoded
@@ -417,7 +477,12 @@ object Multimodal {
            |  SELECT ${RealAudioIdBase} + aud_id AS doc_id,
            |    'wav' AS media_type, true_channels AS w, true_rate AS h,
            |    CAST(true_frames AS INTEGER) AS nf
-           |  FROM read_parquet('${graft.Fixtures.mediaAudioPath}'))
+           |  FROM read_parquet('${graft.Fixtures.mediaAudioPath}')
+           |  UNION ALL
+           |  SELECT ${RealVideoIdBase} + vid_id AS doc_id,
+           |    'gif' AS media_type, true_w AS w, true_h AS h,
+           |    true_frames AS nf
+           |  FROM read_parquet('${graft.Fixtures.mediaVideoPath}'))
            |SELECT doc_id, media_type,
            |  CAST(CASE WHEN greatest(w, h) <= 64 THEN w
            |       ELSE w * 64 // greatest(w, h) END AS INTEGER) AS out_w,

@@ -31,6 +31,76 @@ case class WavWrap(child: Expression) extends UnaryExpression {
       newChild: Expression): WavWrap = copy(child = newChild)
 }
 
+/** Wraps raw bytes into a REAL 24-bpp bottom-up BMP container whose
+  * dimensions are the closed-form functions of the byte length the q35
+  * oracle computes (w = 16 + n%64, h = 16 + (n/64)%64): 54-byte
+  * header + h zero-padded pixel rows filled cyclically from the bytes.
+  * Like [[WavWrap]] this turns the synthetic `image` assets into
+  * genuinely decodable payloads — [[graft.operators.ImageIoCodec]]
+  * parses the actual BITMAPINFOHEADER; total size is
+  * 54 + h·((3w+3) & ~3), also closed-form for the oracle.
+  */
+case class BmpWrap(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(a: Any): Any =
+    BmpWrap.compute(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.BmpWrap.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BmpWrap = copy(child = newChild)
+}
+
+object BmpWrap {
+  val HeaderLen = 54
+
+  def dims(n: Int): (Int, Int) = (16 + n % 64, 16 + (n / 64) % 64)
+
+  def compute(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    val (w, h) = dims(n)
+    val rowSize = (3 * w + 3) & ~3
+    val imgSize = h * rowSize
+    val out = new Array[Byte](HeaderLen + imgSize)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >>> 8) & 0xff).toByte
+      out(off + 2) = ((v >>> 16) & 0xff).toByte
+      out(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >>> 8) & 0xff).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, HeaderLen + imgSize); le32(6, 0); le32(10, HeaderLen)
+    le32(14, 40); le32(18, w); le32(22, h)
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, imgSize)
+    le32(38, 2835); le32(42, 2835); le32(46, 0); le32(50, 0)
+    // pixel rows: payload bytes cycled through the BGR triples (row
+    // padding stays zero); an empty payload leaves a black image
+    if (n > 0) {
+      var y = 0
+      var src = 0
+      while (y < h) {
+        val rowOff = HeaderLen + y * rowSize
+        var x = 0
+        while (x < 3 * w) {
+          out(rowOff + x) = data(src % n)
+          src += 1
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+}
+
 object WavWrap {
   val SampleRate = 8000
   val Channels = 1

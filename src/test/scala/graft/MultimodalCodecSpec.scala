@@ -136,6 +136,69 @@ class MultimodalCodecSpec extends AnyFunSuite {
     } finally codec.close()
   }
 
+  test("BmpWrap containers decode to the closed-form dimensions " +
+      "through the real BMP reader") {
+    val codec = new graft.operators.ImageIoCodec
+    codec.open()
+    try {
+      for (n <- Seq(0, 1, 63, 64, 130, 4095)) {
+        val data = Array.tabulate(n)(i => (i * 31 + 7).toByte)
+        val wrapped = graft.plans.BmpWrap.compute(data)
+        val (w, h) = graft.plans.BmpWrap.dims(n)
+        val rowSize = (3 * w + 3) & ~3
+        assert(wrapped.length == 54 + h * rowSize)
+        val f = codec.decode(
+          graft.operators.MediaAsset(5L, "image", wrapped))
+        assert(f.width == w && f.height == h && f.n_frames == 1,
+          s"len=$n decoded as $f (expected ${w}x$h)")
+      }
+    } finally codec.close()
+  }
+
+  test("animated-GIF frame counting is a real multi-image scan " +
+      "(fresh encodings + the committed fixture metadata)") {
+    val codec = new graft.operators.ImageIoCodec
+    codec.open()
+    try {
+      // fresh JDK-encoded animated GIF, independent of the fixture
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until 7) {
+        val img = new java.awt.image.BufferedImage(11, 5,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(f % 11, f % 5, 0x00ff00)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      val f = codec.decode(
+        graft.operators.MediaAsset(6L, "video", out.toByteArray))
+      assert(f.width == 11 && f.height == 5 && f.n_frames == 7, s"$f")
+    } finally codec.close()
+
+    val feats = Multimodal.extractFeatures(
+      Multimodal.loadRealVideoAssets(spark).repartition(4),
+      () => new graft.operators.DispatchCodec)
+      .collect().map(f => f.doc_id -> f).toMap
+    val meta = spark.read.parquet(Fixtures.mediaVideoPath).collect()
+    assert(meta.length == graft.tools.GenVideoFixture.NumVideos)
+    meta.foreach { r =>
+      val id = r.getAs[Long]("vid_id") + Multimodal.RealVideoIdBase
+      val f = feats(id)
+      assert(f.width == r.getAs[Int]("true_w") &&
+        f.height == r.getAs[Int]("true_h") &&
+        f.n_frames == r.getAs[Int]("true_frames"),
+        s"gif ${r.getAs[Long]("vid_id")}: decoded $f vs metadata $r")
+    }
+    // genuinely multi-frame corpus
+    assert(meta.map(_.getAs[Int]("true_frames")).max >= 10)
+    assert(meta.map(_.getAs[Int]("true_frames")).distinct.length >= 5)
+  }
+
   test("distributed decode of the committed wav fixture reproduces " +
       "the generator's metadata, through the dispatch codec") {
     val feats = Multimodal.extractFeatures(
