@@ -76,17 +76,19 @@ object Retrieval {
   private def bm25ScoreSql: String =
     QueryTerms.indices.map(i => termScoreSql(i + 1)).mkString(" + ")
 
-  /** Per-document (dl, tf1..tfN) — all in-row, no explode. */
+  /** Per-document (dl, tf1..tfN) — all in-row, no explode. ONE select
+    * builds every tf column (a per-term `withColumn` fold re-analyzes
+    * the growing plan once per term — measured ~40 ms of pure
+    * driver-side analysis on the unprepared-warm column).
+    */
   private def tfRelation(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(lower(col("text")), " "), t => t =!= "").as("w"))
-    QueryTerms.zipWithIndex.foldLeft(
-      toks.select(col("doc_id"), size(col("w")).as("dl"), col("w"))) {
-      case (df, (term, i)) =>
-        df.withColumn(s"tf${i + 1}",
-          size(filter(col("w"), t => t === lit(term))))
-    }.drop("w")
+    val tfCols = QueryTerms.zipWithIndex.map { case (term, i) =>
+      size(filter(col("w"), t => t === lit(term))).as(s"tf${i + 1}")
+    }
+    toks.select(col("doc_id") +: size(col("w")).as("dl") +: tfCols: _*)
   }
 
   /** tf relation + broadcast 1-row corpus stats (n, sumdl, df1..dfN),

@@ -1146,8 +1146,9 @@ object TextAnalysis {
       val ux = uni.select(col("t").as("tx"), col("c").as("cx"))
       val uy = uni.select(col("t").as("ty"), col("c").as("cy"))
       bgAll.filter(col("n") >= 10)
-        .withColumn("x", split(col("bigram"), " ").getItem(0))
-        .withColumn("y", split(col("bigram"), " ").getItem(1))
+        .select(col("bigram"), col("n"),
+          split(col("bigram"), " ").getItem(0).as("x"),
+          split(col("bigram"), " ").getItem(1).as("y"))
         .join(broadcast(ux), col("x") === col("tx"))
         .join(broadcast(uy), col("y") === col("ty"))
         .join(broadcast(n1)).join(broadcast(n2))
