@@ -18,8 +18,8 @@ class StageBudgetSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.01"
 
-  // (query, max executed stages, max jobs) — the 10 most expensive
-  // headline queries by r9 warm wall
+  // (query, max executed stages, max jobs) — the most expensive
+  // headline queries by warm wall
   private val budgets: Seq[(String, Int, Int)] = Seq(
     ("q61_curation", 11, 11),
     ("q58_embed_neardup_lsh", 14, 14),
@@ -30,14 +30,21 @@ class StageBudgetSpec extends AnyFunSuite {
     ("q59_ship_priority", 5, 2),
     ("q91_dedup_jaccard_prefix", 13, 13),
     ("q40_exists_agg", 5, 1),
-    ("q23_dedup_minhash", 9, 9),
+    // r10: interactive profile (AQE off) — 3 jobs (2 cache builds +
+    // the final), a regression to per-stage jobs fails here
+    ("q23_dedup_minhash", 9, 3),
     // round-9 retrieval tier (q125's seven stages are two constant-depth
     // rank chains + the fuse — the budget pins that the corpus never
     // enters a rank window)
     ("q124_bm25_topk", 4, 2),
-    ("q125_hybrid_rrf", 7, 4))
+    ("q125_hybrid_rrf", 7, 4),
+    // round-10 interactive-tier additions: q80's rewrite must keep its
+    // single-job profile (the two-level agg + join-back fuses under
+    // one job with AQE off); q07 is the one-exchange agg
+    ("q80_span_dedup", 6, 2),
+    ("q07_group_agg", 3, 1))
 
-  test("the 12 most expensive headline queries keep their executed " +
+  test("the 14 most expensive headline queries keep their executed " +
       "stage/job budgets under the bench profile") {
     val clock = new StageClock
     spark.sparkContext.addSparkListener(clock)
