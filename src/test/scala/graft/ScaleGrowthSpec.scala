@@ -122,7 +122,11 @@ class ScaleGrowthSpec extends AnyFunSuite {
     ("q23_dedup_minhash", 1.3, 8000L),
     ("q58_embed_neardup_lsh", 2.25, -1L),
     ("q63_dedup_jaccard_capped", 1.3, 8000L),
-    ("q91_dedup_jaccard_prefix", 1.3, 8000L))
+    ("q91_dedup_jaccard_prefix", 1.3, 8000L),
+    // winnowing substring provenance: the same inverted-index +
+    // df-cap posture as q63, keyed on sampled (~2/w of grams)
+    // fingerprint longs — linear gate like the rest of the family
+    ("q129_winnow_provenance", 1.3, -1L))
 
   test("candidate generation scales ~linearly: shuffle-row growth " +
       "exponent < 1.3 over a 4x corpus step, pair yield tracks the " +
