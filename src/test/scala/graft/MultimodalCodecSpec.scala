@@ -155,6 +155,29 @@ class MultimodalCodecSpec extends AnyFunSuite {
     } finally codec.close()
   }
 
+  test("property: BmpWrap and WavWrap containers round-trip through " +
+      "the JDK decoders for 200 random payloads") {
+    val codec = new graft.operators.ImageIoCodec
+    val wav = new graft.operators.WavCodec
+    codec.open(); wav.open()
+    try {
+      val rnd = new scala.util.Random(7)
+      for (_ <- 1 to 200) {
+        val n = rnd.nextInt(5000)
+        val data = Array.fill(n)(rnd.nextInt().toByte)
+        val (w, h) = graft.plans.BmpWrap.dims(n)
+        val bf = codec.decode(graft.operators.MediaAsset(1L, "image",
+          graft.plans.BmpWrap.compute(data)))
+        assert(bf.width == w && bf.height == h, s"len=$n: $bf")
+        val af = wav.decodeAudio(graft.operators.MediaAsset(2L, "audio",
+          graft.plans.WavWrap.compute(data)))
+        val frames = math.max(2, n + n % 2) / 2
+        assert(af.channels == 1 && af.sample_rate == 8000 &&
+          af.n_frames == frames, s"len=$n: $af")
+      }
+    } finally { codec.close(); wav.close() }
+  }
+
   test("animated-GIF frame counting is a real multi-image scan " +
       "(fresh encodings + the committed fixture metadata)") {
     val codec = new graft.operators.ImageIoCodec

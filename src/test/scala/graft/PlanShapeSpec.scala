@@ -279,4 +279,30 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "expected partial+final aggregate pair")
   }
+
+  test("q128: wide-band candidates come from the persisted " +
+      "co-partitioned code relation — shuffle_hash self-join, no " +
+      "corpus broadcast, no cartesian") {
+    val p = plan("q128_wideband_neardup")
+    assert(p.contains("ShuffledHashJoin"),
+      "banded self-join lost its shuffle_hash pin")
+    assert(!p.contains("CartesianProduct"))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "both self-join sides must read the persisted code relation")
+  }
+
+  test("q129: boilerplate fingerprints leave via a BROADCAST anti-join " +
+      "before the inverted-index self-join; the capped index is " +
+      "persisted and shuffle_hash-joined, never broadcast") {
+    val p = plan("q129_winnow_provenance")
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      (p.contains("LeftAnti") && p.contains("BroadcastHashJoin")),
+      "df-cap anti-join lost its broadcast (a sort-merge anti of the " +
+        "corpus-sized index defeats the cap's purpose)")
+    assert(p.contains("ShuffledHashJoin"),
+      "pair self-join lost its shuffle_hash pin")
+    assert(!p.contains("CartesianProduct"))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "both self-join sides must read the persisted capped index")
+  }
 }
