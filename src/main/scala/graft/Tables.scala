@@ -85,6 +85,20 @@ object Tables {
   private val dfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, (String, String, Long, Long)), DataFrame]
 
+  /** Same resolved-relation cache for an arbitrary single parquet file
+    * (the committed `fixtures/` reads) — see [[Fixtures.read]].
+    */
+  private[graft] def readCached(spark: SparkSession,
+      path: String): DataFrame = {
+    val p = java.nio.file.Paths.get(path)
+    val (sz, mt) =
+      try (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      catch { case _: java.io.IOException => (-1L, -1L) }
+    dfCache.getOrElseUpdate((spark, (path, "", sz, mt)),
+      spark.read.parquet(path))
+  }
+
   private[graft] def dropSession(spark: SparkSession): Unit =
     dfCache.keysIterator.foreach { k =>
       if (k._1 eq spark) dfCache.remove(k)

@@ -315,7 +315,7 @@ object Multimodal {
   val RealImageIdBase = 1000000L
   def loadRealImageAssets(s: SparkSession): Dataset[MediaAsset] = {
     import s.implicits._
-    s.read.parquet(graft.Fixtures.mediaImagesPath)
+    graft.Fixtures.read(s, graft.Fixtures.mediaImagesPath)
       .select((col("img_id") + RealImageIdBase).as("doc_id"),
         col("fmt").as("media_type"), col("payload"))
       .as[MediaAsset]
@@ -329,7 +329,7 @@ object Multimodal {
   val RealAudioIdBase = 2000000L
   def loadRealAudioAssets(s: SparkSession): Dataset[MediaAsset] = {
     import s.implicits._
-    s.read.parquet(graft.Fixtures.mediaAudioPath)
+    graft.Fixtures.read(s, graft.Fixtures.mediaAudioPath)
       .select((col("aud_id") + RealAudioIdBase).as("doc_id"),
         lit("wav").as("media_type"), col("payload"))
       .as[MediaAsset]
@@ -343,7 +343,7 @@ object Multimodal {
   val RealVideoIdBase = 3000000L
   def loadRealVideoAssets(s: SparkSession): Dataset[MediaAsset] = {
     import s.implicits._
-    s.read.parquet(graft.Fixtures.mediaVideoPath)
+    graft.Fixtures.read(s, graft.Fixtures.mediaVideoPath)
       .select((col("vid_id") + RealVideoIdBase).as("doc_id"),
         lit("gif").as("media_type"), col("payload"))
       .as[MediaAsset]

@@ -824,11 +824,11 @@ object Similarity {
     "q128_wideband_neardup",
     (s, dir) => {
       graft.functions.VectorOps.register(s)
-      val e = s.read.parquet(graft.Fixtures.neardupEmbeddingsPath)
+      val e = graft.Fixtures.read(s, graft.Fixtures.neardupEmbeddingsPath)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
-      val planes = s.read.parquet(graft.Fixtures.widebandPlanesPath)
+      val planes = graft.Fixtures.read(s, graft.Fixtures.widebandPlanesPath)
       wideBandNeardup(e, planes, 0.9)
         .select(col("v1"), col("v2"), graft.Round4(col("sim")).as("sim"))
         .orderBy("v1", "v2")
