@@ -334,8 +334,9 @@ object TermCounts {
     while (i < toks.length) {
       val t = toks(i)
       if (!t.isEmpty) {
-        val prev = m.get(t)
-        m.put(t, if (prev == null) 1L else prev + 1L)
+        // getOrDefault avoids the boxed-null pitfall of get() on a
+        // primitive-valued Java map (null unboxes to 0L silently)
+        m.put(t, m.getOrDefault(t, 0L) + 1L)
       }
       i += 1
     }
