@@ -303,12 +303,16 @@ object Bench {
       d.name -> (if (runs.nonEmpty) runs.min else -1.0)
     }
 
-    def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def total(kvs: Seq[(String, Double)]): Double =
-      kvs.map(_._2).filter(_ >= 0).sum
-
+    // 3-decimal (ms) precision everywhere: keeps the one JSON line
+    // compact — r9's driver-side parse failed on the raw line once
+    // ("parsed": null), and sub-ms digits carry no information at a
+    // 30 ms scheduling floor anyway
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    def total(kvs: Seq[(String, Double)]): Double =
+      r3(kvs.map(_._2).filter(_ >= 0).sum)
     // floor = wall − taskSec/cores: the share of wall clock NOT
     // explained by perfectly-parallel execution of the measured task
     // work — scheduling gaps, AQE materialization barriers, driver-side
