@@ -381,6 +381,87 @@ object Similarity {
       .orderBy("base_id", "delta_id")
   }
 
+  /** Stateless per-row sign codes from the plane fixture collected
+    * driver-side (32 tiny rows — the chunk-bounds collect class): for
+    * each table, the code is Σ (dot(v, plane) > 0) << bit computed as
+    * in-row Column arithmetic, exploded to (vec_id, tbl, code) with
+    * optional carried columns. The streaming-safe twin of
+    * [[signCodes]]: IDENTICAL dot + threshold arithmetic (same
+    * codegen'd DotProduct over the same plane doubles; integer bit-sum
+    * order is immaterial), but no groupBy — the aggregate formulation
+    * is a stateful streaming agg an append-mode ingest pipeline can't
+    * run, while this one is a pure per-row map.
+    */
+  private def inRowCodes(e: DataFrame, keep: Seq[String] = Nil)
+      : DataFrame = {
+    val planes = graft.Fixtures.lshPlanes(e.sparkSession).collect()
+    val codeCols = planes.groupBy(_.getAs[Int]("tbl")).toSeq
+      .sortBy(_._1).map { case (t, rows) =>
+        val bits = rows.sortBy(_.getAs[Int]("bit")).map { r =>
+          val plane = r.getAs[scala.collection.Seq[Double]]("plane")
+            .toArray
+          val bit = r.getAs[Int]("bit")
+          when(graft.functions.VectorOps
+            .dot(col("v"), typedLit(plane)) > 0, lit(1L << bit))
+            .otherwise(lit(0L))
+        }
+        struct(lit(t).as("tbl"),
+          bits.reduce(_ + _).cast("long").as("code"))
+      }
+    e.select(col("vec_id") +: keep.map(col) :+
+        explode(array(codeCols: _*)).as("tc"): _*)
+      .select(col("vec_id") +: keep.map(col) :+
+        col("tc.tbl").as("tbl") :+ col("tc.code").as("code"): _*)
+  }
+
+  /** The STREAMING plan of q131 against an arbitrary delta vector
+    * stream (columns vec_id, embedding) — q118's one-sided ingest
+    * shape run per micro-batch, the embedding twin of
+    * [[graft.operators.Dedup.streamIncrementalNeardup]]:
+    *
+    *  - base side: the persisted, co-partitioned [[signCodes]]
+    *    relation and vector relation (static — computed once);
+    *  - delta side: STATELESS in-row codes ([[inRowCodes]]) carrying
+    *    the delta's vector + norm through the explode, so candidate
+    *    generation is a stream-static equi-join and exact verification
+    *    one further stream-static join — no stream-stream join, no
+    *    watermark coupling;
+    *  - multi-band candidate repeats collapse in streaming
+    *    dropDuplicates state, bounded by emitted pairs (production
+    *    bounds it further with dropDuplicatesWithinWatermark on ingest
+    *    time, the q112 pattern).
+    *
+    * Output and oracle are q118's verbatim — the hash match proves
+    * stream ingest equals the batch one-sided answer.
+    */
+  def streamOneSidedBanded(s: SparkSession, dir: String,
+      isDelta: Column, deltaStream: DataFrame): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val e = normed(s, dir)
+    val baseC = signCodes(e).filter(!isDelta)
+      .hint("shuffle_hash") // never broadcast the corpus side
+    val baseVecs = e.select(col("vec_id").as("v1"), col("v").as("va"),
+      col("nrm").as("na"))
+    val deltaC = inRowCodes(
+      deltaStream
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v"))),
+      keep = Seq("v", "nrm"))
+    val cand = deltaC.as("d")
+      .join(baseC.as("b"),
+        col("b.tbl") === col("d.tbl") && col("b.code") === col("d.code"))
+      .select(col("b.vec_id").as("v1"), col("d.vec_id").as("v2"),
+        col("d.v").as("vb"), col("d.nrm").as("nb"))
+      .dropDuplicates("v1", "v2")
+    cand.join(baseVecs, "v1")
+      .withColumn("sim", cosine(col("va"), col("vb"), col("na"),
+        col("nb")))
+      .filter(col("sim") > NearDupThreshold)
+      .select(col("v1").as("base_id"), col("v2").as("delta_id"),
+        graft.Round4(col("sim")).as("sim"))
+  }
+
   val q118EmbedNeardupBanded: QueryDef = QueryDef(
     "q118_embed_neardup_banded",
     (s, dir) => oneSidedBanded(s, dir, col("vec_id") % 10 === 1),
@@ -401,6 +482,23 @@ object Similarity {
             |      CAST(e2.embedding AS DOUBLE[])) > $NearDupThreshold
             |ORDER BY base_id, delta_id""".stripMargin),
     bench = true)
+
+  // q118's continuous-ingest form as REAL Structured Streaming: the
+  // delta slice arrives as a file stream and each micro-batch runs the
+  // one-sided banded join against the persisted base — the embedding
+  // twin of q127 (text near-dup ingest). Oracle = q118's verbatim.
+  val q131StreamEmbedNeardup: QueryDef = QueryDef(
+    "q131_stream_embed_neardup",
+    (s, dir) => {
+      val isDelta = col("vec_id") % 10 === 1
+      val verified = streamOneSidedBanded(s, dir, isDelta,
+        graft.streaming.EventsStream.readEmbeddings(s, dir)
+          .filter(isDelta))
+      graft.streaming.EventsStream
+        .runToCompletion(s, verified, mode = "append")
+        .orderBy("base_id", "delta_id")
+    },
+    q118EmbedNeardupBanded.oracle)
 
   /** Wide-band sign-LSH self-join near-dup over CALLER-SUPPLIED
     * hyperplanes — the adaptive-banding formulation for corpora whose
@@ -861,5 +959,5 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
     q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall,
-    q128WideBandNeardup)
+    q128WideBandNeardup, q131StreamEmbedNeardup)
 }

@@ -67,6 +67,24 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
+  /** Streaming view of the embeddings table — the vector stream a
+    * continuous embedding-ingest pipeline consumes (q131). Same
+    * symlink-directory + explicit-schema contract as [[readDocuments]].
+    */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Paths.get(
+      s"/tmp/graft_stream_embs_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("embeddings.parquet")
+    if (!Files.exists(link))
+      try Files.createSymbolicLink(link,
+        Paths.get(s"$dir/embeddings.parquet"))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
   /** Run a streaming aggregation to completion over the static fixture
     * and return the final result as a batch DataFrame.
     *
