@@ -102,6 +102,67 @@ class StreamRestartSpec extends AnyFunSuite {
     assert(finalRows.find(_._1 == 3L).get._3 == 3L)
   }
 
+  test("q131-class streaming embedding ingest survives a restart: " +
+      "pair dedup swallows a vector redelivered after the restart") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_embrs")
+    val in = root.resolve("in").toString
+    val cp = root.resolve("cp").toString
+
+    val isDelta = col("vec_id") % 10 === 1
+    val deltaRows = Tables.load(spark, dir, "embeddings")
+      .filter(isDelta).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(deltaRows.length >= 2)
+    val (firstHalf, secondHalf) = deltaRows.splitAt(deltaRows.length / 2)
+
+    def writeFile(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toSeq.toDF("vec_id", "embedding").repartition(1)
+        .write.mode("append").parquet(in)
+
+    val emitted = mutable.Buffer[(Long, Long, Double)]()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long")
+      .add("embedding", "array<float>")
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      operators.Similarity
+        .streamOneSidedBanded(spark, dir, isDelta, stream).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = b.collect()
+            emitted.synchronized {
+              emitted ++= rows.map(r =>
+                (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            }
+            ()
+        }
+        .start()
+    }
+
+    writeFile(firstHalf.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    writeFile(secondHalf.toSeq ++ firstHalf.take(1))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val all = emitted.synchronized(emitted.toVector)
+    assert(all.map(p => (p._1, p._2)).distinct.size == all.size,
+      "restart re-emitted pairs — cross-restart dedup state lost")
+    val batch = operators.Similarity.oneSidedBanded(spark, dir, isDelta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(all.nonEmpty && all.toSet == batch,
+      s"restarted stream diverged: ${all.size} vs batch ${batch.size}")
+    Caches.clear(spark)
+  }
+
   test("q127-class stream-static near-dup state survives a restart: " +
       "pair dedup keeps swallowing redelivered docs delivered after " +
       "the restart") {
