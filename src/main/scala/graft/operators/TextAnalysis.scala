@@ -463,6 +463,34 @@ object TextAnalysis {
             |  true AS approx_p50_ok, true AS approx_p90_ok
             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** The `approx_count_distinct` swap q77's column profiler documents
+    * for 100 TB (exact multi-distinct needs an Expand of the corpus;
+    * HLL++ is one pass, mergeable, fixed-size state), actually RUN and
+    * gated q93-style: the exact per-lang distinct counts hash-match
+    * the oracle, and a boolean asserts the sketch landed within 10% of
+    * exact (at fixture cardinalities HLL++'s sparse mode is typically
+    * EXACT; the gate's job is to fail loudly if the swap ever drifts).
+    */
+  val q132DistinctApproxGate: QueryDef = QueryDef(
+    "q132_distinct_approx_gate",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("lang"), md5(col("text").cast(BinaryType)).as("fp"))
+      d.groupBy(col("lang"))
+        .agg(countDistinct(col("fp")).as("exact_distinct"),
+          approx_count_distinct(col("fp"), 0.02).as("ap"),
+          count(lit(1)).as("docs"))
+        .select(col("lang"), col("docs"), col("exact_distinct"),
+          (abs(col("ap") - col("exact_distinct")).cast(DoubleType) <=
+            col("exact_distinct").cast(DoubleType) * 0.1)
+            .as("approx_ok"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS docs,
+           |  COUNT(DISTINCT md5(text)) AS exact_distinct,
+           |  true AS approx_ok
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** Unigram cross-entropy scoring — the CCNet-style "perplexity
     * bucket" quality signal with the corpus itself as the language
     * model: each document scores the average self-information
@@ -1270,5 +1298,5 @@ object TextAnalysis {
     q115MixTemperature, q116LangIdProfile, q117GopherGate,
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers,
-    q129WinnowProvenance)
+    q129WinnowProvenance, q132DistinctApproxGate)
 }
