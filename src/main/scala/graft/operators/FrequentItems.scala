@@ -35,6 +35,26 @@ object FrequentItems {
   private val Capacity = 511     // error bound N/512 ≪ 0.5%·N threshold
   private val MinShare = 0.005   // heavy = ≥0.5% of all token occurrences
 
+  /** Pass 2 over a pass-1 summary relation (total, tok): exact counts
+    * of the ≤k candidates only, thresholded — shared by the batch q122
+    * and the streaming-sketch q133 (whose pass 1 ran as streaming
+    * state; MG merge order varies the CANDIDATE set but never the
+    * final exact ≥-threshold output).
+    */
+  def exactRecount(docs: org.apache.spark.sql.DataFrame,
+      summary: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .join(broadcast(summary), "tok")
+      .groupBy(col("tok"), col("total"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c").cast(DoubleType) >= col("total") * MinShare)
+      .select(col("tok"), col("c"),
+        graft.Round4(col("c") / col("total")).as("share"))
+      .orderBy(col("c").desc, col("tok"))
+
   val q122HeavyHitters: QueryDef = QueryDef(
     "q122_heavy_hitters",
     (s, dir) => {
@@ -48,17 +68,7 @@ object FrequentItems {
         .select(mg.toColumn)
         .select(col("_1").as("total"),
           explode(map_keys(col("_2"))).as("tok"))
-      // pass 2: exact counts of the ≤k candidates only
-      docs
-        .select(explode(split(lower(col("text")), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .join(broadcast(summary), "tok")
-        .groupBy(col("tok"), col("total"))
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c").cast(DoubleType) >= col("total") * MinShare)
-        .select(col("tok"), col("c"),
-          graft.Round4(col("c") / col("total")).as("share"))
-        .orderBy(col("c").desc, col("tok"))
+      exactRecount(docs, summary)
     },
     Some(s"""WITH tk AS (
             |  SELECT unnest(string_split(lower(text), ' ')) AS tok
@@ -72,5 +82,35 @@ object FrequentItems {
             |HAVING COUNT(*) >= (SELECT total FROM n) * $MinShare
             |ORDER BY c DESC, tok""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q122HeavyHitters)
+  // q122's SKETCH pass run as REAL Structured Streaming state: the
+  // Misra-Gries summary is a mergeable typed Aggregator, so the
+  // corpus arrives as a document stream and the (total, counters)
+  // buffer lives in streaming aggregation state, merged per
+  // micro-batch in complete mode — the continuous corpus-statistics
+  // monitor shape (vocabulary-head drift, stopword discovery over a
+  // live crawl). MG merge order varies WHICH sub-threshold candidates
+  // survive, but every true heavy hitter survives ANY order
+  // (Agarwal et al., PODS'12 mergeability), and the exact-recount
+  // pass filters the rest — so the final output is deterministic and
+  // q122's oracle applies verbatim: the hash match proves the
+  // streaming sketch state composes to the exact batch answer.
+  val q133StreamHeavyHitters: QueryDef = QueryDef(
+    "q133_stream_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val mg = new MisraGriesAggregator(Capacity)
+      val sketch = graft.streaming.EventsStream.readDocuments(s, dir)
+        .select(split(lower(col("text")), " ").as("toks"))
+        .as[Seq[String]]
+        .select(mg.toColumn)
+        .toDF()
+      val finalSummary = graft.streaming.EventsStream
+        .runToCompletion(s, sketch)
+        .select(col("_1").as("total"),
+          explode(map_keys(col("_2"))).as("tok"))
+      exactRecount(Tables.load(s, dir, "documents"), finalSummary)
+    },
+    q122HeavyHitters.oracle)
+
+  val all: Seq[QueryDef] = Seq(q122HeavyHitters, q133StreamHeavyHitters)
 }

@@ -53,6 +53,47 @@ class FrequentItemsSpec extends AnyFunSuite {
     }
   }
 
+  test("q133: the MG sketch merged across MICRO-BATCH state composes " +
+      "to exactly the batch q122 answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val texts = docs.select(col("text")).as[String].collect()
+    assert(texts.length >= 3)
+
+    val mg = new graft.functions.MisraGriesAggregator(511)
+    val input = MemoryStream[String]
+    val sketch = input.toDS()
+      .select(split(lower(col("value")), " ").as("toks"))
+      .as[Seq[String]]
+      .select(mg.toColumn).toDF()
+    val name = s"mg_stream_${System.nanoTime()}"
+    val q = sketch.writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try {
+      // three uneven batches — the merge path across streaming state
+      val (a, rest) = texts.splitAt(texts.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      for (batch <- Seq(a, b, c)) {
+        input.addData(batch.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val summary = spark.table(name)
+      .select(col("_1").as("total"),
+        explode(map_keys(col("_2"))).as("tok"))
+    val streamed = graft.operators.FrequentItems
+      .exactRecount(docs, summary).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batchAns = SparkEntry.queries("q122_heavy_hitters")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batchAns)
+    assert(streamed.nonEmpty)
+  }
+
   test("q122 equals the exact heavy-hitter set on the fixture") {
     val df = SparkEntry.queries("q122_heavy_hitters")(
       spark, "/root/testdata/sf0.001")
