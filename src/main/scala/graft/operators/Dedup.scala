@@ -244,6 +244,53 @@ object Dedup {
         .orderBy("d1", "d2"),
     Some(jaccardOracle))
 
+  // Asymmetric CONTAINMENT dedup (Broder's resemblance/containment
+  // split): C(A→B) = |A∩B| / |A| catches a short document duplicated
+  // INSIDE a longer one — the quote/aggregation/boilerplate-page case
+  // symmetric Jaccard structurally misses (a 40-token doc fully
+  // contained in a 400-token doc has J ≈ 0.1 but C = 1.0). Same
+  // inverted-index join as q22 (the pair intersection is the same
+  // quantity); the output reports the DIRECTED containment of the
+  // smaller set in the larger (max of the two directions, with the
+  // contained side identified), thresholded at 0.9. Scale posture is
+  // exactly q22's — nothing new shuffles.
+  private val ContainThreshold = 0.9
+  val q134DedupContainment: QueryDef = QueryDef(
+    "q134_dedup_containment",
+    (s, dir) => {
+      val sets = shingleSets(Tables.load(s, dir, "documents"))
+      val sh = graft.Caches.persist(
+        sets.select(col("doc_id"), col("n"), explode(col("gs")).as("g"))
+          .repartition(col("g"))).hint("shuffle_hash")
+      val a = sh.select(col("doc_id").as("d1"), col("n").as("n1"),
+        col("g"))
+      val b = sh.select(col("doc_id").as("d2"), col("n").as("n2"),
+        col("g"))
+      a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("c"), min(col("n1")).as("n1"),
+          min(col("n2")).as("n2"))
+        .withColumn("cont",
+          col("c").cast(DoubleType) / least(col("n1"), col("n2")))
+        .filter(col("cont") >= ContainThreshold)
+        .select(col("d1"), col("d2"),
+          when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+            .as("contained"),
+          graft.Round4(col("cont")).as("cont"))
+        .orderBy("d1", "d2")
+    },
+    Some(jaccardCtes + "\n" +
+      s"""SELECT d1, d2,
+         |  CASE WHEN s1.n <= s2.n THEN d1 ELSE d2 END AS contained,
+         |  floor((CAST(c AS DOUBLE) / least(s1.n, s2.n)) * 10000 + 0.5)
+         |    / 10000 AS cont
+         |FROM pc
+         |JOIN sz s1 ON pc.d1 = s1.doc_id
+         |JOIN sz s2 ON pc.d2 = s2.doc_id
+         |WHERE CAST(c AS DOUBLE) / least(s1.n, s2.n)
+         |      >= $ContainThreshold
+         |ORDER BY d1, d2""".stripMargin))
+
   // Shingles in more than DfCap documents carry no near-dup signal but
   // dominate the inverted-index join's cost (a shingle at df ~ 10⁶
   // contributes ~10¹² candidate pairs at web scale — the documented
@@ -1110,5 +1157,5 @@ object Dedup {
     q65Decontamination, q66DedupClusters, q74IncrementalNeardup,
     q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch,
     q106DedupClosureSql, q113ClusterKeepBest, q119CrossShardDedup,
-    q127StreamIncrementalNeardup)
+    q127StreamIncrementalNeardup, q134DedupContainment)
 }
