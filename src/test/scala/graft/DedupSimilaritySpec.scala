@@ -107,4 +107,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val agree = ivfpq.intersect(ivf).size.toDouble / ivf.size
     assert(agree >= 0.5, s"IVF-PQ agreement with IVF fell to $agree")
   }
+
+  test("q134 containment finds a short doc duplicated inside a long " +
+      "one that symmetric Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // short = 10 distinct-ish tokens; long = short + 90 more tokens.
+    // 3-shingle containment of short in long = 1.0; Jaccard ~ 8/98.
+    val short = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val long = short + " " + (13 to 100).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "unrelated words only"))
+      .toDF("doc_id", "text")
+
+    // run the operator's expressions inline on the local corpus
+    // (shingle sets come from the registered function)
+    graft.functions.VectorOps.register(spark)
+    val sets = docs.select(col("doc_id"),
+        graft.functions.VectorOps
+          .shingleHashes(lower(col("text")), 3).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .withColumn("n", size(col("gs")))
+    val sh = sets.select(col("doc_id"), col("n"),
+      explode(col("gs")).as("g"))
+    val a = sh.select(col("doc_id").as("d1"), col("n").as("n1"), col("g"))
+    val b = sh.select(col("doc_id").as("d2"), col("n").as("n2"), col("g"))
+    val pairs = a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("c"), min(col("n1")).as("n1"),
+        min(col("n2")).as("n2"))
+      .withColumn("jac", col("c").cast("double") /
+        (col("n1") + col("n2") - col("c")))
+      .withColumn("cont", col("c").cast("double") /
+        least(col("n1"), col("n2")))
+      .collect()
+    val p = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(p.getAs[Double]("cont") >= 0.99,
+      s"short doc should be fully contained: $p")
+    assert(p.getAs[Double]("jac") < 0.2,
+      s"symmetric Jaccard should MISS this pair at 0.8: $p")
+  }
 }
