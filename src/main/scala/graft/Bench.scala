@@ -186,7 +186,13 @@ object Bench {
     // or result reuse, only the prepared-statement pass is amortized
     // (DSL building re-analyzes the growing plan after every operator,
     // 50-200 ms on deep pipelines — work a production engine's prepared
-    // plan cache amortizes the same way).
+    // plan cache amortizes the same way). One caveat the unprepared
+    // column does NOT share: Caches.persist-ed intermediates (normed
+    // embeddings, shingle sets, sign codes) registered on a query's
+    // first run stay materialized across its warm runs, so for the
+    // persist-heavy tier "prepared warm" means "with the shared index
+    // relations resident" — the steady state of a long-lived session,
+    // stated as such in BENCH_NOTES.md.
     val prepared = scala.collection.mutable.Map[
       String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
 
@@ -250,7 +256,12 @@ object Bench {
         val (st, task, cpu, sw) = clock.snapshot()
         Some((wall, Profile(st, clock.jobs, task, cpu, sw)))
       }
-      catch { case _: Throwable => None }
+      catch {
+        // same contract as runUnprepared: a row-count mismatch from the
+        // expected-rows guard is a correctness failure, not a timing gap
+        case e: IllegalArgumentException => throw e
+        case _: Throwable => None
+      }
     }
 
     // host-state telltale: the wall of a bare 1-task job, min of 3,
@@ -266,13 +277,24 @@ object Bench {
     // UNPREPARED warm run: a fresh DSL build + analysis + optimization +
     // physical planning + full execution every time — nothing carried
     // over from any earlier run of the query except JVM/JIT/codegen-
-    // class warmth (which DuckDB's warm runs keep too). This is the
-    // DuckDB-comparable number: their warm runs re-parse and re-plan
-    // (~1 ms planner) per execution; ours re-drive the whole Catalyst
-    // pipeline. Reported alongside the prepared column so readers see
-    // exactly how much of each wall is amortizable planning.
+    // class warmth and file-METADATA caches (parquet footers/schemas —
+    // DuckDB's warm runs keep both classes too). Materialized
+    // intermediates are explicitly dropped before every sample
+    // (Caches.unpersistAll): Spark's CacheManager substitutes
+    // InMemoryRelation into any fresh build whose subtree matches a
+    // persisted plan, so WITHOUT the drop an unprepared rebuild of a
+    // persist-heavy query (q22/q58/q118/q128/q135…) would skip
+    // recomputing scans, shingle/code relations and aggregations that
+    // DuckDB's warm runs do re-execute — flattering the column. The
+    // recompute happens INSIDE the timed window (the unpersist itself
+    // is outside: dropping an entry is bookkeeping, re-deriving it is
+    // the query's work). This is the DuckDB-comparable number: their
+    // warm runs re-parse and re-plan (~1 ms planner) per execution;
+    // ours re-drive the whole Catalyst pipeline AND re-materialize
+    // every intermediate.
     def runUnprepared(d: QueryDef): Option[Double] = {
       setProfile(d)
+      Caches.unpersistAll(spark)
       val t0 = System.nanoTime()
       try {
         val n = d.build(spark, sfDir).count()
@@ -282,7 +304,12 @@ object Bench {
           case None => expectedRows(d.name) = n
         }
         Some((System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => None }
+      } catch {
+        // the expected-rows guard must fail the bench loudly — a
+        // correctness regression is not a missing timing
+        case e: IllegalArgumentException => throw e
+        case _: Throwable => None
+      }
     }
 
     val cold = defs.map(d => d.name -> run(d).map(_._1).getOrElse(-1.0))

@@ -27,10 +27,16 @@ object Caches {
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Unpersist every relation this registry holds for `spark`
-    * (non-blocking; in-flight queries recompute, nothing breaks).
+  /** Unpersist every relation this registry holds for `spark` WITHOUT
+    * touching the resolved-relation/schema caches ([[Tables]] /
+    * [[Fixtures]]). Unpersisting drops the CacheManager's logical-plan
+    * → InMemoryRelation mapping immediately, so a subsequent fresh
+    * build of the same subtree recomputes instead of silently reading
+    * the materialized copy — what Bench's unprepared column needs
+    * between samples (file METADATA stays warm, as DuckDB's catalog
+    * keeps it across its warm runs too).
     */
-  def clear(spark: SparkSession): Unit = {
+  def unpersistAll(spark: SparkSession): Unit = {
     val it = reg.iterator()
     while (it.hasNext) {
       val df = it.next()
@@ -39,6 +45,13 @@ object Caches {
         it.remove()
       }
     }
+  }
+
+  /** Unpersist every relation this registry holds for `spark`
+    * (non-blocking; in-flight queries recompute, nothing breaks).
+    */
+  def clear(spark: SparkSession): Unit = {
+    unpersistAll(spark)
     // the packed fixture + table-relation caches are session-keyed too
     // — release them at the same explicit point so ended sessions can
     // be collected

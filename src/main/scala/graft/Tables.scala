@@ -21,23 +21,47 @@ object Tables {
     * schema to the reader — the role catalog table resolution plays on
     * a real cluster. Values are plain StructTypes with no session or
     * plan references, so nothing pins a stopped session. The cache key
-    * carries the file's size + mtime, so a fixture regenerated with a
-    * different physical encoding mid-process (the driver has re-written
-    * events.parquet's ts type across rounds) re-infers instead of
-    * reading through a stale schema.
+    * carries the file's [[fileStamp]] (size + mtime + footer-tail
+    * hash), so a fixture regenerated mid-process with a different
+    * physical encoding (the driver has re-written events.parquet's ts
+    * type across rounds) re-infers instead of reading through a stale
+    * schema — even when the rewrite lands at identical byte length
+    * within the same millisecond (TablesCacheSpec).
     */
   private val schemaCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Long, Long),
+    .empty[(String, String, Long, Long, Int),
       org.apache.spark.sql.types.StructType]
 
+  /** Cheap content identity for a parquet file: (size, mtime-ms,
+    * murmur of the last ≤4 KiB). The parquet footer sits in the file
+    * tail and encodes the schema and row-group layout, so ANY
+    * regeneration that changes encoding or contents perturbs it —
+    * including a deterministic same-length rewrite inside one
+    * millisecond, which a (size, mtime) key alone serves stale. One
+    * ~4 KiB page-cache read per load call (~10 µs) buys the guarantee.
+    */
+  private[graft] def fileStamp(p: java.nio.file.Path)
+      : (Long, Long, Int) =
+    try {
+      val sz = java.nio.file.Files.size(p)
+      val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      val n = math.min(sz, 4096L).toInt
+      val tail = new Array[Byte](n)
+      val ch = java.nio.channels.FileChannel
+        .open(p, java.nio.file.StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.wrap(tail)
+        ch.position(sz - n)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      } finally ch.close()
+      (sz, mt, scala.util.hashing.MurmurHash3.bytesHash(tail))
+    } catch { case _: java.io.IOException => (-1L, -1L, 0) }
+
   private def cacheKey(dir: String, name: String): (String, String,
-      Long, Long) = {
-    val p = java.nio.file.Paths.get(s"$dir/$name.parquet")
-    val (sz, mt) =
-      try (java.nio.file.Files.size(p),
-        java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      catch { case _: java.io.IOException => (-1L, -1L) }
-    (dir, name, sz, mt)
+      Long, Long, Int) = {
+    val (sz, mt, h) =
+      fileStamp(java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    (dir, name, sz, mt, h)
   }
 
   /** Load one fixture table, normalizing `events.ts` to µs
@@ -83,19 +107,18 @@ object Tables {
     * sessions aren't pinned.
     */
   private val dfCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, (String, String, Long, Long)), DataFrame]
+    .empty[(SparkSession, (String, String, Long, Long, Int)), DataFrame]
 
   /** Same resolved-relation cache for an arbitrary single parquet file
     * (the committed `fixtures/` reads) — see [[Fixtures.read]].
+    * (TrieMap.getOrElseUpdate is atomic in 2.13; were it not, a racing
+    * first load would only allocate a duplicate unresolved relation —
+    * no correctness stake.)
     */
   private[graft] def readCached(spark: SparkSession,
       path: String): DataFrame = {
-    val p = java.nio.file.Paths.get(path)
-    val (sz, mt) =
-      try (java.nio.file.Files.size(p),
-        java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      catch { case _: java.io.IOException => (-1L, -1L) }
-    dfCache.getOrElseUpdate((spark, (path, "", sz, mt)),
+    val (sz, mt, h) = fileStamp(java.nio.file.Paths.get(path))
+    dfCache.getOrElseUpdate((spark, (path, "", sz, mt, h)),
       spark.read.parquet(path))
   }
 

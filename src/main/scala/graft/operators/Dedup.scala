@@ -720,8 +720,15 @@ object Dedup {
     * drive it from a MemoryStream across micro-batches. `base` is the
     * static already-ingested corpus.
     */
+  /** `pairDedupState = false` is the SPEC-ONLY negative control
+    * (StreamIncrementalNeardupSpec): it drops the cross-batch
+    * streaming dropDuplicates state so redelivered docs re-emit their
+    * pairs — proving the spec's raw-count assertions actually detect
+    * a broken state store. Production callers never pass it.
+    */
   def streamIncrementalNeardup(base: DataFrame,
-      deltaStream: DataFrame): DataFrame = {
+      deltaStream: DataFrame,
+      pairDedupState: Boolean = true): DataFrame = {
     graft.functions.VectorOps.register(base.sparkSession)
     val baseAgg = graft.Caches.persist(
       shingleSets(base)
@@ -740,9 +747,10 @@ object Dedup {
     val deltaB = bandBuckets(deltaAgg, keep = Seq("gs", "n"))
       .select(col("doc_id").as("d2"), col("band"), col("sig"),
         col("gs").as("gs2"), col("n").as("n2"))
-    val cand = deltaB.join(baseB, Seq("band", "sig"))
+    val candRaw = deltaB.join(baseB, Seq("band", "sig"))
       .select(col("d1"), col("d2"), col("gs2"), col("n2"))
-      .dropDuplicates("d1", "d2")
+    val cand =
+      if (pairDedupState) candRaw.dropDuplicates("d1", "d2") else candRaw
     cand.join(baseSets, "d1")
       .withColumn("c", graft.functions.VectorOps
         .sortedLongIntersectCount(col("gs1"), col("gs2")))

@@ -108,6 +108,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(agree >= 0.5, s"IVF-PQ agreement with IVF fell to $agree")
   }
 
+  test("q135 adaptive rho-bound near-dup: subset of exact pairs, " +
+      "recall >= 0.9 (vs the fixed geometry's ~0.75 design point)") {
+    val exact = SparkEntry.queries("q25_embed_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adaptive = SparkEntry.queries("q135_adaptive_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive.subsetOf(exact),
+      "verified adaptive pair outside the exact set")
+    val recall = adaptive.size.toDouble / exact.size
+    assert(recall >= 0.9, s"adaptive near-dup recall $recall below the " +
+      "1 - e^-4 = 0.98 design point's test floor")
+    val fixed = SparkEntry.queries("q58_embed_neardup_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive.size >= fixed.size,
+      s"adaptive geometry (${adaptive.size}) found fewer pairs than " +
+        s"the fixed 8x4 fallback (${fixed.size})")
+  }
+
+  test("oneShotNeardup dispatcher: small corpora take the fixed-" +
+      "geometry arm (== q58), large-N callers get the adaptive arm") {
+    val smallArm = operators.Similarity.oneShotNeardup(spark, dir, 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q58 = SparkEntry.queries("q58_embed_neardup_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(smallArm == q58,
+      "small-corpus arm diverged from the q58 fixed-geometry spelling")
+
+    // force the adaptive arm by declaring a large corpus cardinality:
+    // planes re-derive from adaptiveGeometry(n), so the result must
+    // stay inside the exact pair set with the design recall
+    val exact = SparkEntry.queries("q25_embed_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val largeArm = operators.Similarity
+      .oneShotNeardup(spark, dir, 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(largeArm.subsetOf(exact),
+      "adaptive-arm pair outside the exact set")
+    assert(largeArm.size.toDouble / exact.size >= 0.9,
+      s"adaptive-arm recall ${largeArm.size.toDouble / exact.size} " +
+        "collapsed")
+  }
+
   test("q134 containment finds a short doc duplicated inside a long " +
       "one that symmetric Jaccard misses") {
     import org.apache.spark.sql.functions._

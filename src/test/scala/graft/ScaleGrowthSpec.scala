@@ -343,6 +343,100 @@ class ScaleGrowthSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(clock)
   }
 
+  // ---- adaptive ρ-bound banding AT the q58 threshold (τ = 0.4) ----
+  //
+  // r11: the q58 finding (fixed 8×4 geometry → exp ≈ 2) is now CLOSED
+  // in-catalog, not just pinned: q135 runs wideBandNeardup with
+  // adaptiveGeometry(N, 0.4) — B = ⌈log₂N⌉, L = ⌈4·N^ρ⌉, ρ ≈ 0.664 —
+  // whose candidate volume the theory caps at ~N^1.66. This test RUNS
+  // that geometry over corpora with planted ~0.5-cosine twins (just
+  // above τ, where per-table collision is weakest and the L-table
+  // union has to do real work) and asserts the measured shuffle
+  // exponent sits at the ρ-bound, far off the fixed geometry's ≈ 2,
+  // with recall ≥ 0.95 of true >τ twins.
+
+  /** Embeddings with every 10th vector twinned at cosine ≈ 0.5
+    * (additive uniform noise at 1.73× the base component scale:
+    * cos ≈ 1/√(1+α²) = 0.50).
+    */
+  private def tau04Corpus(n: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_t4_$n")
+    val dim = graft.tools.GenFixtures.Dim
+    val embs = (0L until n.toLong).map { id =>
+      val v =
+        if (id % 10 == 1) {
+          val base = Array.tabulate(dim)(embComponent(id - 1, _))
+          Array.tabulate(dim)(d => base(d) + 1.73f * wbNoise(id, d))
+        } else Array.tabulate(dim)(embComponent(id, _))
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    writeSingle(embs, dir.resolve("embeddings.parquet"))
+    dir.toString
+  }
+
+  /** True twin cosine for [[tau04Corpus]] — recall denominator counts
+    * twins ABOVE the 0.4 threshold.
+    */
+  private def tau04TwinCosine(id: Long): Double = {
+    val dim = graft.tools.GenFixtures.Dim
+    val a = Array.tabulate(dim)(d => embComponent(id - 1, d).toDouble)
+    val b = Array.tabulate(dim)(d => a(d) + 1.73f * wbNoise(id, d))
+    val dot = (0 until dim).map(d => a(d) * b(d)).sum
+    dot / (math.sqrt(a.map(x => x * x).sum) *
+      math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("adaptive rho-bound banding at tau=0.4 (q135's geometry): " +
+      "shuffle exponent <= ~1.7 (theory 1+rho = 1.66, fixed geometry " +
+      "measures ~2) with recall >= 0.95 of true >0.4 twins") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    graft.functions.VectorOps.register(spark)
+    try {
+      val scales = Seq(250, 1000, 4000)
+      val measured = scales.map { n =>
+        val dir = tau04Corpus(n)
+        val planes = operators.Similarity.adaptivePlanes(spark,
+          n.toLong, 0.4, graft.tools.GenFixtures.Dim)
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>")
+            .as("v"))
+          .withColumn("nrm",
+            graft.functions.VectorOps.l2norm(col("v")))
+        clock.quiesce(); clock.reset()
+        val found = operators.Similarity.wideBandNeardup(e, planes, 0.4)
+          .select("v1", "v2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        clock.quiesce()
+        val sh = clock.shuffleRecords
+        Caches.clear(spark)
+        val trueTwins = (0L until n.toLong)
+          .filter(id => id % 10 == 1 && tau04TwinCosine(id) > 0.4)
+          .map(id => (id - 1, id)).toSet
+        val recall =
+          trueTwins.count(found).toDouble / math.max(trueTwins.size, 1)
+        (n, sh, found.size, trueTwins.size, recall)
+      }
+      val report = measured.map { case (n, sh, f, t, r) =>
+        f"N=$n shuffle=$sh found=$f trueTwins=$t recall=$r%.2f"
+      }.mkString("; ")
+      info(report)
+      measured.foreach { case (n, _, _, t, recall) =>
+        assert(t > n / 20, s"degenerate corpus: only $t true twins at $n")
+        assert(recall >= 0.95,
+          s"tau=0.4 adaptive recall $recall < 0.95 at N=$n ($report)")
+      }
+      val exp = math.log(measured(2)._2.toDouble / measured(1)._2) /
+        math.log(4.0)
+      info(f"tau=0.4 adaptive shuffle-row exponent (1000->4000): " +
+        f"$exp%.2f (theory: 1+rho = 1.66; fixed 8x4 geometry: ~2)")
+      assert(exp < 1.75,
+        s"tau=0.4 adaptive exponent $exp above the rho-bound envelope " +
+          s"($report)")
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
+
   // ---- round-10 tier: q122 / q124 / q126 scale posture, measured ----
 
   test("q124 BM25 and q122 heavy hitters shuffle O(1) rows in corpus " +

@@ -58,4 +58,37 @@ class StreamEmbedNeardupSpec extends AnyFunSuite {
       "streamed multi-batch result diverges from the batch answer")
     Caches.clear(spark)
   }
+
+  test("NEGATIVE CONTROL: with the cross-batch pair-dedup state " +
+      "disabled, redelivery emits duplicate pairs — the raw-count " +
+      "guard above is live, not vacuous") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val isDelta = col("vec_id") % 10 === 1
+    val deltaRows = Tables.load(spark, dir, "embeddings")
+      .filter(isDelta).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val verified = operators.Similarity.streamOneSidedBanded(
+      spark, dir, isDelta, input.toDS().toDF("vec_id", "embedding"),
+      pairDedupState = false)
+    val name = s"emb_neardup_nc_${System.nanoTime()}"
+    val q = verified.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      input.addData(deltaRows.toSeq: _*)
+      q.processAllAvailable()
+      // redeliver the ENTIRE delta: without state every pair re-emits
+      input.addData(deltaRows.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val raw = spark.table(name)
+    val distinctPairs =
+      raw.select("base_id", "delta_id").distinct().count()
+    assert(raw.count() > distinctPairs,
+      "dedup-state-off control emitted NO duplicates — the positive " +
+        "test's raw-count assertion could never fail")
+    Caches.clear(spark)
+  }
 }

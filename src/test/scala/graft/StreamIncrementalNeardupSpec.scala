@@ -67,4 +67,38 @@ class StreamIncrementalNeardupSpec extends AnyFunSuite {
       "streamed multi-batch result diverges from the batch answer")
     Caches.clear(spark)
   }
+
+  test("NEGATIVE CONTROL: with the cross-batch pair-dedup state " +
+      "disabled, redelivery emits duplicate pairs — the raw-count " +
+      "guard above is live, not vacuous") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val isDelta = col("doc_id") % 100 >= 90
+    val base = docs.filter(!isDelta)
+    val deltaRows = docs.filter(isDelta)
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val input = MemoryStream[(Long, String)]
+    val verified = Dedup.streamIncrementalNeardup(
+      base, input.toDS().toDF("doc_id", "text"), pairDedupState = false)
+    val name = s"inc_neardup_nc_${System.nanoTime()}"
+    val q = verified.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      input.addData(deltaRows.toSeq: _*)
+      q.processAllAvailable()
+      // redeliver the ENTIRE delta: without state every pair re-emits
+      input.addData(deltaRows.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val raw = spark.table(name)
+    val distinctPairs =
+      raw.select("base_id", "delta_id").distinct().count()
+    assert(raw.count() > distinctPairs,
+      "dedup-state-off control emitted NO duplicates — the positive " +
+        "test's raw-count assertion could never fail")
+    Caches.clear(spark)
+  }
 }
