@@ -495,6 +495,29 @@ object Relational {
            |                  WHERE c.c_custkey = e.user_id)
            |ORDER BY e.event_id""".stripMargin))
 
+  // q46's anti-join with a NON-EMPTY answer (VERDICT r10 item 6): the
+  // driver fixture has no true orphans, so q46 proves the empty set;
+  // here the customer side is deterministically thinned (c_custkey % 7
+  // <> 3 — same predicate in both engines) so ~1/7 of referenced users
+  // become orphans and the events-scale anti-join's non-empty path is
+  // oracle-checked too. Plan shape identical to q46: broadcast-able
+  // filtered build side, streamed fact side, no pre-distinct.
+  val q46bOrphanEventsNonEmpty: QueryDef = QueryDef(
+    "q46b_orphan_events_nonempty",
+    (s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 3)
+      e.join(c, e("user_id") === c("c_custkey"), "left_anti")
+        .select("event_id")
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id FROM events e
+           |WHERE e.user_id IS NOT NULL
+           |  AND NOT EXISTS (SELECT 1 FROM customer c
+           |                  WHERE c.c_custkey % 7 <> 3
+           |                    AND c.c_custkey = e.user_id)
+           |ORDER BY e.event_id""".stripMargin))
+
   // TPC-H Q3 shape: shipping-priority top-10 — segment-filtered
   // customer ⋈ date-filtered orders ⋈ late lineitem, revenue per order,
   // top 10 by revenue. Revenue in integer cents (see q17) so the
@@ -637,6 +660,6 @@ object Relational {
     q06SemiJoin, q07GroupAgg, q08Distinct, q09Union, q09bIntersect,
     q09cExcept, q10Scalar, q11WindowTopk, q12SortLimit, q13WindowRunning,
     q14Tumbling, q15Rollup, q16TopkPerGroup, q17JoinAgg, q18Json, q19Array,
-    q36Pivot, q46OrphanEvents, q59ShipPriority, q81ReconOuter,
-    q88CustOrderDist)
+    q36Pivot, q46OrphanEvents, q46bOrphanEventsNonEmpty, q59ShipPriority,
+    q81ReconOuter, q88CustOrderDist)
 }

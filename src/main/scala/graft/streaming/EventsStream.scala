@@ -21,23 +21,46 @@ import java.util.concurrent.atomic.AtomicInteger
 object EventsStream {
   private val nameCounter = new AtomicInteger(0)
 
+  /** Expose a single fixture file as a one-file stream directory (the
+    * file-stream source requires a directory) via a /tmp symlink dir.
+    * The dir name carries a murmur hash of the RAW fixture dir string,
+    * not just its sanitized form — two distinct dirs whose
+    * non-alphanumeric characters sanitize identically (e.g. `sf0.1` vs
+    * `sf0_1`) must NOT share a stream directory, or one would silently
+    * stream the other's fixture (ADVICE r10). An existing link is
+    * validated to resolve to the expected target: a dangling link from
+    * a deleted fixture, or a collision survivor, is replaced instead
+    * of yielding an empty/wrong stream.
+    */
+  private def streamDirFor(tag: String, dir: String, file: String)
+      : java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val h = f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+    val streamDir = Paths.get(
+      s"/tmp/graft_stream_${tag}_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_$h")
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve(file)
+    val target = Paths.get(s"$dir/$file").toAbsolutePath
+    val stale = Files.isSymbolicLink(link) &&
+      (Files.readSymbolicLink(link) != target || !Files.exists(target))
+    if (stale) Files.delete(link)
+    if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      // concurrent streaming queries (parallel Verify) may race here —
+      // losing the race is fine, the link is identical (same target)
+      try Files.createSymbolicLink(link, target)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    streamDir
+  }
+
   /** Streaming view of events.parquet with µs-normalized `ts`
     * (same normalization as Tables.load). The file-stream source requires
     * a directory, so the single fixture file is exposed through a temp
     * symlink directory.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val streamDir = Paths.get(
-      s"/tmp/graft_stream_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    // concurrent streaming queries (parallel Verify) may race here —
-    // losing the race is fine, the link is identical
-    if (!Files.exists(link))
-      try Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val streamDir = streamDirFor("src", dir, "events.parquet")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
     // Same ts normalization as Tables.load: raw-ns fixtures divide down
@@ -54,15 +77,7 @@ object EventsStream {
     * normalization needed; documents carry no event time).
     */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val streamDir = Paths.get(
-      s"/tmp/graft_stream_docs_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    Files.createDirectories(streamDir)
-    val link = streamDir.resolve("documents.parquet")
-    if (!Files.exists(link))
-      try Files.createSymbolicLink(link,
-        Paths.get(s"$dir/documents.parquet"))
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val streamDir = streamDirFor("docs", dir, "documents.parquet")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
@@ -72,15 +87,7 @@ object EventsStream {
     * symlink-directory + explicit-schema contract as [[readDocuments]].
     */
   def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val streamDir = Paths.get(
-      s"/tmp/graft_stream_embs_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    Files.createDirectories(streamDir)
-    val link = streamDir.resolve("embeddings.parquet")
-    if (!Files.exists(link))
-      try Files.createSymbolicLink(link,
-        Paths.get(s"$dir/embeddings.parquet"))
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val streamDir = streamDirFor("embs", dir, "embeddings.parquet")
     val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }

@@ -126,7 +126,15 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // winnowing substring provenance: the same inverted-index +
     // df-cap posture as q63, keyed on sampled (~2/w of grams)
     // fingerprint longs — linear gate like the rest of the family
-    ("q129_winnow_provenance", 1.3, -1L))
+    ("q129_winnow_provenance", 1.3, -1L),
+    // r11 (VERDICT r10 item 4): containment's candidate shape is
+    // q22's inverted-index join but with ASYMMETRIC hot-key exposure —
+    // a short doc's full shingle set enters every bucket its shingles
+    // hit, so a hot shingle's pair contribution is df², paid by the
+    // SMALL side. The hot-key diagnostic below bounds exactly that df;
+    // the growth gate pins that the Heaps-law tail keeps the join
+    // ~linear at realistic stopword heads
+    ("q134_dedup_containment", 1.3, 8000L))
 
   test("candidate generation scales ~linearly: shuffle-row growth " +
       "exponent < 1.3 over a 4x corpus step, pair yield tracks the " +
@@ -226,7 +234,12 @@ class ScaleGrowthSpec extends AnyFunSuite {
       // hot stopword triples repeat across docs, but even the hottest
       // raw shingle must stay a vanishing fraction of an 8000-doc
       // corpus (the q63 cap and q91 df-ordering both rely on the tail
-      // being heavy, not on one degenerate key)
+      // being heavy, not on one degenerate key). For q134 this df IS
+      // the asymmetric hot-key bound: containment joins on raw
+      // shingles and a hot key contributes df² pairs charged to the
+      // SHORT side, so maxDf² bounds any one key's contribution
+      // (< 800² = 0.64 M at 8000 docs vs the ~0.44 M total measured —
+      // no single key can dominate the join)
       assert(maxDf < 800, s"hottest raw shingle df=$maxDf at 8000 docs")
     } finally spark.sparkContext.removeSparkListener(clock)
   }

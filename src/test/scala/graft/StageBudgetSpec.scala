@@ -23,6 +23,10 @@ class StageBudgetSpec extends AnyFunSuite {
   private val budgets: Seq[(String, Int, Int)] = Seq(
     ("q61_curation", 11, 11),
     ("q58_embed_neardup_lsh", 14, 14),
+    // r11: the adaptive-geometry default near-dup — same plan family
+    // as q58 (codes build + self-join + verify), so the same budget
+    // class; a regression to per-consumer code rebuilds fails here
+    ("q135_adaptive_neardup", 12, 12),
     ("q118_embed_neardup_banded", 13, 13),
     ("q72_ann_ivfpq", 18, 18),
     ("q78_range_join", 5, 5),
@@ -44,7 +48,7 @@ class StageBudgetSpec extends AnyFunSuite {
     ("q80_span_dedup", 6, 2),
     ("q07_group_agg", 3, 1))
 
-  test("the 14 most expensive headline queries keep their executed " +
+  test("the pinned expensive headline queries keep their executed " +
       "stage/job budgets under the bench profile") {
     val clock = new StageClock
     spark.sparkContext.addSparkListener(clock)
