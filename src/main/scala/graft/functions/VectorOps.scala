@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{ByteEntropy, CentroidTopK, DotProduct, L2Norm, MinHashSignature, PqAdcSum, PqCodes, PqLut, RollingHash, ShingleHashSet, ShingleSet, SortedIntersectCount, SortedLongIntersectCount, TermCounts}
+import graft.plans.{ByteEntropy, CentroidTopK, DotProduct, L2Norm, MinHashSignature, PqAdcSum, PqCodes, PqLut, RollingHash, ShingleHashSet, ShingleSet, SignBandCodes, SortedIntersectCount, SortedLongIntersectCount, TermCounts}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -102,6 +102,27 @@ object VectorOps {
     reg.createOrReplaceTempFunction("graft_centroid_topk",
       exprs => CentroidTopK(exprs(0), exprs(1), exprs(2),
         intLit("graft_centroid_topk", "k")(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction("graft_sign_band_codes",
+      exprs => {
+        // fold the packed plane literal to a PRIMITIVE double[] once
+        // at plan construction — the expression must never touch a
+        // boxed-element ArrayData on the per-row path (see
+        // SignBandCodes' codegen note)
+        val packed = exprs(1) match {
+          case lit if lit.foldable => lit.eval(null) match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toDoubleArray()
+            case other => throw new IllegalArgumentException(
+              "graft_sign_band_codes: packed planes must be an array " +
+                s"literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_sign_band_codes: packed planes must be a literal, " +
+              "not a column")
+        }
+        SignBandCodes(exprs(0), packed,
+          intLit("graft_sign_band_codes", "bBits")(exprs(2)))
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => graft.plans.Winnow(exprs(0),
         intLit("graft_winnow", "k")(exprs(1)),
@@ -164,6 +185,11 @@ object VectorOps {
     call_function("graft_pq_lut", v, book,
       org.apache.spark.sql.functions.lit(numCentroids),
       org.apache.spark.sql.functions.lit(subDim))
+
+  /** All L sign-band LSH codes vs a packed constant plane table. */
+  def signBandCodes(v: Column, packed: Column, bBits: Int): Column =
+    call_function("graft_sign_band_codes", v, packed,
+      org.apache.spark.sql.functions.lit(bBits))
 
   /** Top-k centroid ids by cosine vs a packed constant centroid table. */
   def centroidTopK(v: Column, nrm: Column, packed: Column, k: Int): Column =

@@ -363,7 +363,13 @@ object Dedup {
         |WHERE len(string_split(lower(d.text), ' ')) BETWEEN 20 AND 80
         |  AND NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = d.doc_id)
         |GROUP BY 1, 2 ORDER BY d.lang, d.source""".stripMargin),
-    bench = true)
+    // lowLatency since r11: 7 AQE stage-materialization jobs at a
+    // ~30-45 ms bare-job floor each dominated the wall (floor share
+    // 0.70 measured); the pipeline's exchanges move <1 MB at bench
+    // scale. The adaptive profile remains the 100 TB default for the
+    // skew-prone shingle join — correctness holds under both (every
+    // correctness run uses the adaptive profile).
+    bench = true, lowLatency = true)
 
   /** (doc_id, band, sig) LSH bucket rows from a signature relation:
     * each document lands in [[Bands]] buckets keyed by an xxhash64 of

@@ -533,6 +533,16 @@ object Similarity {
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
         .otherwise(0)).cast("long").as("code"))
+    bandedSelfJoinVerify(e, codes, tau)
+  }
+
+  /** Banded candidate self-join + exact-cosine verify over any
+    * (vec_id, tbl, code) relation — the back half of
+    * [[wideBandNeardup]], shared with q135's in-row code path.
+    */
+  private def bandedSelfJoinVerify(e: DataFrame, rawCodes: DataFrame,
+      tau: Double): DataFrame = {
+    val codes = rawCodes
       .repartition(col("tbl"), col("code"))
       .transform(graft.Caches.persist)
       .hint("shuffle_hash")
@@ -647,9 +657,22 @@ object Similarity {
     "q135_adaptive_neardup",
     (s, dir) => {
       val e = normed(s, dir)
-      val planes = graft.Fixtures.read(s,
-        graft.Fixtures.adaptivePlanesTau04Path)
-      wideBandNeardup(e, planes, NearDupThreshold)
+      // codes IN-ROW (codegen'd SignBandCodes over the packed plane
+      // fixture): all 624 table codes per vector in one narrow map,
+      // exploded straight into the bucket-key repartition — no
+      // corpus × planes crossJoin, no (vec_id, tbl) hash agg over
+      // N·L·B rows. The kernel's dot is DotProduct's sequential
+      // accumulation, so codes are bit-identical to the relational
+      // spelling (the oracle recomputes them with list_inner_product).
+      // In-row is the right call exactly while the plane table packs
+      // into a task constant (~7k planes here); wideBandNeardup keeps
+      // the streaming-plane relational spelling for geometries past
+      // that (see SignBandCodes' domain note).
+      val (packed, bBits) = graft.Fixtures.adaptivePlanesPackedTau04(s)
+      val codes = e.select(col("vec_id"),
+        posexplode(graft.functions.VectorOps.signBandCodes(col("v"),
+          typedLit(packed.toSeq), bBits)).as(Seq("tbl", "code")))
+      bandedSelfJoinVerify(e, codes, NearDupThreshold)
         .select(col("v1"), col("v2"), graft.Round4(col("sim")).as("sim"))
         .orderBy("v1", "v2")
     },

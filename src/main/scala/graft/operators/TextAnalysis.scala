@@ -512,9 +512,13 @@ object TextAnalysis {
         .filter(col("t") =!= "")
       val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
         .transform(graft.Caches.persist)
-      val n = uni.agg(sum(col("c")).as("n"))
-      val perDoc = toks.join(broadcast(uni), Seq("t"))
-        .join(broadcast(n))
+      // corpus total pre-joined INTO the vocab broadcast (one extra
+      // long per row): the 1-row agg + crossJoin run inside the single
+      // broadcast-build job — r11: one broadcast build instead of two,
+      // a bare-job floor off both bench columns
+      val uniN = broadcast(
+        uni.crossJoin(uni.agg(sum(col("c")).as("n"))))
+      val perDoc = toks.join(uniN, Seq("t"))
         .groupBy(col("doc_id"), col("lang"), col("source"))
         .agg(avg(-log2(col("c").cast(DoubleType) / col("n")))
           .as("bits_per_token"))
@@ -1169,17 +1173,25 @@ object TextAnalysis {
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .transform(graft.Caches.persist)
-      val n1 = uni.agg(sum(col("c")).as("n1"))
-      val n2 = bgAll.agg(sum(col("n")).as("n2"))
-      val ux = uni.select(col("t").as("tx"), col("c").as("cx"))
-      val uy = uni.select(col("t").as("ty"), col("c").as("cy"))
+      // corpus totals as ONE broadcast (the 1-row crossJoin runs
+      // inside a single broadcast-build job, not two), and ONE shared
+      // unigram broadcast for both PMI lookups: both joins key the
+      // build side on t, so the HashedRelation broadcast modes are
+      // identical and ReuseExchange dedups the build — r11: 4
+      // broadcast-build jobs → 2, each a ~bare-job floor saved in both
+      // bench columns
+      val totals = uni.agg(sum(col("c")).as("n1"))
+        .crossJoin(bgAll.agg(sum(col("n")).as("n2")))
+      val u = broadcast(uni)
       bgAll.filter(col("n") >= 10)
         .select(col("bigram"), col("n"),
           split(col("bigram"), " ").getItem(0).as("x"),
           split(col("bigram"), " ").getItem(1).as("y"))
-        .join(broadcast(ux), col("x") === col("tx"))
-        .join(broadcast(uy), col("y") === col("ty"))
-        .join(broadcast(n1)).join(broadcast(n2))
+        .join(u.as("ux"), col("x") === col("ux.t"))
+        .join(u.as("uy"), col("y") === col("uy.t"))
+        .select(col("bigram"), col("n"), col("ux.c").as("cx"),
+          col("uy.c").as("cy"))
+        .join(broadcast(totals))
         .select(col("bigram"), col("n"),
           graft.Round4(log(
             (col("n").cast(DoubleType) / col("n2")) /

@@ -523,6 +523,81 @@ object PqCodes {
   }
 }
 
+/** All L sign-band LSH codes of one vector against a PACKED constant
+  * hyperplane table (plane (t, b) dim d at `((t*bBits)+b)*dim + d` —
+  * [[graft.Fixtures.adaptivePlanesPackedTau04]] packs the q135
+  * fixture): `out(t) = Σ_b [dot(v, plane(t,b)) > 0] << b`.
+  *
+  * Replaces the corpus × planes `crossJoin(broadcast(planes))` +
+  * `groupBy(vec_id, tbl)` spelling — an N·L·B-row join feeding a
+  * map-side hash agg — with one narrow codegen'd map per vector; the
+  * exploded (tbl, code) rows then flow STRAIGHT into the bucket-key
+  * repartition, removing the aggregation entirely. The dot uses the
+  * same sequential left-to-right accumulation as [[DotProduct]], so
+  * every sign test — and therefore every code — is bit-identical to
+  * the relational spelling and to the oracle's `list_inner_product`.
+  * (Bit-sum order is immaterial: integer adds of distinct powers of
+  * two.) Domain note: viable while the plane table packs into a
+  * constant (≲10⁶ planes, i.e. corpora to ~10⁶ vectors at τ=0.4);
+  * beyond that the relational `wideBandNeardup` spelling streams the
+  * plane relation instead.
+  */
+case class SignBandCodes(child: Expression, packed: Array[Double],
+    bBits: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    SignBandCodes.compute(a.asInstanceOf[ArrayData], packed, bBits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    // the plane table rides as a PRIMITIVE double[] in the references
+    // array — never a boxed-element ArrayData literal, whose ~10⁵-10⁶
+    // per-row element touches (this kernel reads every plane component
+    // once per input row) measured ~7× on the whole q135 query
+    val packedRef = ctx.addReferenceObj("signBandPlanes", packed,
+      "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.SignBandCodes.compute($a, " +
+        s"$packedRef, $bBits);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignBandCodes = copy(child = newChild)
+}
+
+object SignBandCodes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def compute(v: ArrayData, packed: Array[Double], bBits: Int)
+      : ArrayData = {
+    val vd = v.toDoubleArray()
+    val dim = vd.length
+    val l = packed.length / (bBits * dim)
+    val out = new Array[Any](l)
+    var t = 0
+    while (t < l) {
+      var code = 0L
+      var b = 0
+      while (b < bBits) {
+        val off = (t * bBits + b) * dim
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          dot += vd(d) * packed(off + d)
+          d += 1
+        }
+        if (dot > 0) code |= (1L << b)
+        b += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** In-row PQ query LUT: the full M×K table of quantized asymmetric
   * distances (`floor(d2·10⁶ + 0.5)` longs, entry (m, cid) at
   * `m*K + cid`) for one query vector — the companion of [[PqCodes]]

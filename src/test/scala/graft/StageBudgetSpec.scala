@@ -21,7 +21,9 @@ class StageBudgetSpec extends AnyFunSuite {
   // (query, max executed stages, max jobs) — the most expensive
   // headline queries by warm wall
   private val budgets: Seq[(String, Int, Int)] = Seq(
-    ("q61_curation", 11, 11),
+    // r11: q61 joined the interactive tier — 8 stages fuse under 2
+    // jobs (cache build + final) with AQE barriers off
+    ("q61_curation", 8, 2),
     ("q58_embed_neardup_lsh", 14, 14),
     // r11: the adaptive-geometry default near-dup — same plan family
     // as q58 (codes build + self-join + verify), so the same budget

@@ -212,4 +212,56 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .select(VectorOps.byteEntropy(col("s"))).collect()(0)
     assert(nul.isNullAt(0))
   }
+
+  test("sign band codes: bit-parity with the relational dot-threshold " +
+      "bit-sum over seeded random vectors and planes") {
+    VectorOps.register(spark)
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val bBits = 5
+    val lTables = 7
+    // planes packed ((t*bBits)+b)*dim + d — the Fixtures layout
+    val planes = Array.fill(lTables, bBits, dim)(rnd.nextGaussian())
+    val packed = (for { t <- 0 until lTables; b <- 0 until bBits;
+      d <- 0 until dim } yield planes(t)(b)(d)).toArray
+    def ref(v: Seq[Double]): Seq[Long] =
+      (0 until lTables).map { t =>
+        (0 until bBits).map { b =>
+          // same sequential accumulation as DotProduct
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += v(d) * planes(t)(b)(d); d += 1 }
+          if (dot > 0) 1L << b else 0L
+        }.sum
+      }
+    val vecs = (1 to 50).map(_ => Seq.fill(dim)(rnd.nextGaussian()))
+    val got = vecs.toDF("v")
+      .select(col("v"), VectorOps.signBandCodes(col("v"),
+        typedLit(packed.toSeq), bBits).as("codes"))
+      .as[(Seq[Double], Seq[Long])].collect().toMap
+    vecs.foreach { v =>
+      assert(got(v) == ref(v), s"codes diverged for $v")
+    }
+    // and the exploded (tbl, code) relation matches the crossJoin +
+    // groupBy spelling wideBandNeardup uses (the q135 oracle's shape)
+    val planesDf = (for { t <- 0 until lTables; b <- 0 until bBits }
+      yield (t, b, planes(t)(b).toSeq)).toDF("tbl", "bit", "plane")
+    val e = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "v")
+    val relational = e.crossJoin(broadcast(planesDf))
+      .withColumn("proj", VectorOps.dot(col("v"), col("plane")))
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
+        .otherwise(0)).cast("long").as("code"))
+    val inRow = e.select(col("vec_id"),
+      posexplode(VectorOps.signBandCodes(col("v"),
+        typedLit(packed.toSeq), bBits)).as(Seq("tbl", "code")))
+    assert(inRow.exceptAll(relational).isEmpty &&
+      relational.exceptAll(inRow).isEmpty,
+      "in-row codes diverge from the relational spelling")
+    val nul = Seq(Option.empty[Seq[Double]]).toDF("v")
+      .select(VectorOps.signBandCodes(col("v"),
+        typedLit(packed.toSeq), bBits)).collect()(0)
+    assert(nul.isNullAt(0))
+  }
 }
