@@ -197,6 +197,73 @@ object Similarity {
             |  floor(sim * 10000 + 0.5) / 10000 AS sim
             |FROM ranked WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin))
 
+  // Multi-probe sign-LSH ANN (Lv et al., "Multi-Probe LSH: Efficient
+  // Indexing for High-Dimensional Similarity Search", VLDB 2007): each
+  // query probes its own bucket PLUS every Hamming-1 neighbor (the B
+  // single-bit flips of its code) in every table — the standard trade
+  // that buys recall with query-side probes instead of more tables
+  // (index size and corpus-side cost unchanged; probe count is
+  // (B+1)·L per query, borne by the bounded query workload). A flipped
+  // bit admits exactly the candidates whose one disagreeing hyperplane
+  // is the likeliest miss. Candidates still come from the SAME keyed
+  // equi-join against the corpus code relation as q27 — only the probe
+  // side widens — so the 100 TB shape is identical. With the plane
+  // fixture materialized, probing is pure relational algebra (XOR on
+  // the code key): full DuckDB hash-match. DedupSimilaritySpec asserts
+  // recall(multi-probe) ≥ recall(single-probe q27) against the exact
+  // brute-force top-k.
+  val q136AnnMultiprobe: QueryDef = QueryDef(
+    "q136_ann_multiprobe",
+    (s, dir) => {
+      val e = normed(s, dir)
+      val codes = signCodes(e)
+      val masks = lit(0L) +: (0 until 4).map(b => lit(1L << b))
+      val probes = codes.filter(col("vec_id") < NumQueryVecs)
+        .select(col("vec_id").as("qid"), col("tbl"),
+          explode(array(masks.map(m =>
+            col("code").bitwiseXOR(m)): _*)).as("code"))
+      val c = codes.filter(col("vec_id") >= NumQueryVecs)
+      val cand = probes.join(c, Seq("tbl", "code"))
+        .select(col("qid"), col("vec_id")).distinct()
+      val qv = broadcast(e.filter(col("vec_id") < NumQueryVecs)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      cand.join(qv, "qid").join(e, "vec_id")
+        .withColumn("sim", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+          graft.Round4(col("sim")).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+    Some(s"""WITH $codesCte,
+            |probes AS (
+            |  SELECT vec_id AS qid, tbl, xor(code, CAST(m AS BIGINT))
+            |      AS code
+            |  FROM codes, (VALUES (0), (1), (2), (4), (8)) AS masks(m)
+            |  WHERE vec_id < $NumQueryVecs),
+            |cand AS (
+            |  SELECT DISTINCT p.qid, c.vec_id
+            |  FROM probes p JOIN codes c
+            |    ON p.tbl = c.tbl AND p.code = c.code
+            |  WHERE c.vec_id >= $NumQueryVecs),
+            |ranked AS (
+            |  SELECT cand.qid, cand.vec_id AS neighbor,
+            |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+            |        CAST(ce.embedding AS DOUBLE[])) AS sim,
+            |    ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+            |      list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+            |          CAST(ce.embedding AS DOUBLE[])) DESC,
+            |      cand.vec_id) AS rnk
+            |  FROM cand
+            |  JOIN embeddings qe ON qe.vec_id = cand.qid
+            |  JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+            |SELECT qid, rnk, neighbor,
+            |  floor(sim * 10000 + 0.5) / 10000 AS sim
+            |FROM ranked WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin))
+
   // IVF-style ANN: coarse-quantize every vector to its nearest centroid
   // (inverted lists), probe the query's 2 nearest lists, exact re-rank.
   // Centroids are a parquet FIXTURE both engines read
@@ -1118,5 +1185,6 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
     q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall,
-    q128WideBandNeardup, q131StreamEmbedNeardup, q135AdaptiveNeardup)
+    q128WideBandNeardup, q131StreamEmbedNeardup, q135AdaptiveNeardup,
+    q136AnnMultiprobe)
 }

@@ -69,6 +69,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH near-dup recall $recall collapsed")
   }
 
+  test("multi-probe lsh ann: candidate superset of single-probe q27, " +
+      "recall >= q27's vs brute force") {
+    val exact = SparkEntry.queries("q26_ann_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = SparkEntry.queries("q27_ann_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = SparkEntry.queries("q136_ann_multiprobe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(multi.size == exact.size)
+    val rs = single.intersect(exact).size.toDouble / exact.size
+    val rm = multi.intersect(exact).size.toDouble / exact.size
+    assert(rm >= rs,
+      s"multi-probe recall $rm fell below single-probe $rs — the " +
+        "Hamming-1 probes lost candidates")
+    assert(rm > 0.4, s"multi-probe recall $rm collapsed")
+  }
+
   test("ivf ann returns rows with nonzero recall vs brute force") {
     val exact = SparkEntry.queries("q26_ann_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
