@@ -263,5 +263,136 @@ object Retrieval {
             |  FROM documents) r
             |WHERE rk <= $SourceCap ORDER BY source, rk""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q124Bm25Topk, q125HybridRrf, q126SourceCap)
+  private val EvalEvery = 29 // eval-query slice: doc_id % 29 == 0
+  private val EvalTerms = 3  // query = the doc's top-3 tf terms
+
+  /** Single-term Okapi BM25 contribution over generic column names
+    * (tf, df, n, sumdl, dl) — same arithmetic text as [[termScoreSql]],
+    * shared verbatim by both engines; quantized to integer micro-units
+    * BEFORE the per-(query, doc) sum so the aggregate is
+    * order-insensitive (exact) in both engines — the q64 trick.
+    */
+  private def termScoreUnitsSql: String = {
+    val score =
+      s"""(ln(1e0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+         |      / (CAST(df AS DOUBLE) + 0.5e0))
+         | * (CAST(tf AS DOUBLE) * 2.2e0)
+         | / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0
+         |     * CAST(dl AS DOUBLE)
+         |     / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+        .stripMargin.replaceAll("\\s+", " ").trim
+    s"CAST(floor($score * 1000000e0 + 0.5e0) AS BIGINT)"
+  }
+
+  // Retrieval EVAL: known-item MRR — the index sanity check an eval
+  // pipeline runs before trusting a retrieval stack: for each eval doc
+  // (a deterministic corpus slice), form a query from its own top-3
+  // tf terms and measure at what rank BM25 re-finds the source doc.
+  // Output: per-query (n_matched, src_rank, rr4); the spec aggregates
+  // MRR. Scale posture:
+  //  - the corpus NEVER shuffles: the eval-query relation (≤ N/29 × 3
+  //    term rows) broadcasts; per-(doc, query-term) tf is in-row over
+  //    the token array; df for the ≤ |terms| distinct eval terms comes
+  //    from a corpus × broadcast-terms pass that aggregates map-side
+  //    to |terms| rows (no vocabulary-wide exchange);
+  //  - the known-item rank needs NO per-query sort: rank = 1 + count
+  //    of docs strictly better than the source (score desc, doc_id
+  //    tie) — a keyed aggregation over the matched set, bounded per
+  //    query by the union df of its terms;
+  //  - per-term contributions quantize to integer µunits before the
+  //    (query, doc) sum, so double addition order cannot split the
+  //    engines.
+  val q137RetrievalEval: QueryDef = QueryDef(
+    "q137_retrieval_eval",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), " "), t => t =!= "").as("w"))
+        .transform(graft.Caches.persist) // stats + df + scoring consumers
+      // top-3 terms per eval doc, relationally (tiny slice)
+      val qtf = toks.filter(col("doc_id") % EvalEvery === 0)
+        .select(col("doc_id").as("qdoc_id"), explode(col("w")).as("t"))
+        .groupBy("qdoc_id", "t").agg(count(lit(1)).as("qtf"))
+      val wq = Window.partitionBy(col("qdoc_id"))
+        .orderBy(col("qtf").desc, col("t"))
+      val qterms = qtf
+        .withColumn("trnk", row_number().over(wq))
+        .filter(col("trnk") <= EvalTerms)
+        .select(col("qdoc_id"), col("t"))
+      val terms = qterms.select(col("t")).distinct()
+      val stats = toks.agg(count(lit(1)).as("n"),
+        sum(size(col("w"))).as("sumdl"))
+      // df per eval term: corpus × broadcast terms, map-side agg to
+      // |terms| rows — in-row containment, no token explode
+      val dfRel = toks.crossJoin(broadcast(terms))
+        .filter(array_contains(col("w"), col("t")))
+        .groupBy("t").agg(count(lit(1)).as("df"))
+      // matched (query, doc) scores in integer µunits
+      val contrib = toks.crossJoin(broadcast(qterms))
+        .withColumn("tf", size(filter(col("w"),
+          x => x === col("t"))))
+        .filter(col("tf") > 0)
+        .withColumn("dl", size(col("w")))
+        .join(broadcast(dfRel), "t")
+        .join(broadcast(stats))
+        .withColumn("u", expr(termScoreUnitsSql))
+      val matched = contrib.groupBy(col("qdoc_id"), col("doc_id"))
+        .agg(sum(col("u")).as("su"))
+      val src = matched.filter(col("doc_id") === col("qdoc_id"))
+        .select(col("qdoc_id"), col("su").as("srcu"))
+      matched.join(broadcast(src), "qdoc_id")
+        .groupBy(col("qdoc_id"))
+        .agg(count(lit(1)).as("n_matched"),
+          (sum(when(col("su") > col("srcu") ||
+              (col("su") === col("srcu") &&
+                col("doc_id") < col("qdoc_id")), 1L)
+            .otherwise(0L)) + 1L).as("src_rank"))
+        .withColumn("rr4", Round4(lit(1.0) / col("src_rank")))
+        .orderBy("qdoc_id")
+    },
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id,
+            |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+            |      AS w
+            |  FROM documents),
+            |qtf AS (
+            |  SELECT qdoc_id, t, COUNT(*) AS qtf FROM (
+            |    SELECT doc_id AS qdoc_id, unnest(w) AS t FROM tok
+            |    WHERE doc_id % $EvalEvery = 0) u GROUP BY 1, 2),
+            |qterms AS (
+            |  SELECT qdoc_id, t FROM (
+            |    SELECT qdoc_id, t, ROW_NUMBER() OVER (
+            |      PARTITION BY qdoc_id ORDER BY qtf DESC, t) AS trnk
+            |    FROM qtf) r WHERE trnk <= $EvalTerms),
+            |terms AS (SELECT DISTINCT t FROM qterms),
+            |st AS (SELECT COUNT(*) AS n, SUM(len(w)) AS sumdl FROM tok),
+            |dfr AS (
+            |  SELECT t, COUNT(*) AS df
+            |  FROM tok CROSS JOIN terms
+            |  WHERE list_contains(w, t) GROUP BY t),
+            |contrib AS (
+            |  SELECT qt.qdoc_id, d.doc_id,
+            |    len(list_filter(d.w, x -> x = qt.t)) AS tf,
+            |    len(d.w) AS dl, dfr.df
+            |  FROM tok d CROSS JOIN qterms qt
+            |  JOIN dfr ON dfr.t = qt.t),
+            |m AS (
+            |  SELECT qdoc_id, doc_id,
+            |    CAST(SUM($termScoreUnitsSql) AS BIGINT) AS su
+            |  FROM contrib CROSS JOIN st WHERE tf > 0 GROUP BY 1, 2),
+            |src AS (
+            |  SELECT qdoc_id, su AS srcu FROM m WHERE doc_id = qdoc_id),
+            |ranked AS (
+            |  SELECT m.qdoc_id, COUNT(*) AS n_matched,
+            |    CAST(SUM(CASE WHEN m.su > src.srcu
+            |          OR (m.su = src.srcu AND m.doc_id < m.qdoc_id)
+            |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS src_rank
+            |  FROM m JOIN src ON m.qdoc_id = src.qdoc_id
+            |  GROUP BY m.qdoc_id)
+            |SELECT qdoc_id, n_matched, src_rank,
+            |  floor((1e0 / src_rank) * 10000 + 0.5) / 10000 AS rr4
+            |FROM ranked ORDER BY qdoc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q124Bm25Topk, q125HybridRrf, q126SourceCap,
+    q137RetrievalEval)
 }

@@ -77,4 +77,26 @@ class RetrievalSpec extends AnyFunSuite {
       .filter(col("n") > Retrieval.SourceCap)
     assert(over.isEmpty, "a source exceeds the cap")
   }
+
+  test("q137 known-item eval: ranks well-formed, a doc queried by its " +
+      "own top terms scores itself, MRR sane") {
+    val rows = SparkEntry.queries("q137_retrieval_eval")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty, "no eval queries in the slice")
+    rows.foreach { case (q, matched, rank, rr) =>
+      // the source doc always matches its own top terms, so it is in
+      // the matched set and the rank is within it
+      assert(matched >= 1 && rank >= 1 && rank <= matched,
+        s"q$q: rank $rank outside matched set $matched")
+      val expect = math.floor(1e0 / rank * 10000 + 0.5) / 10000
+      assert(math.abs(rr - expect) < 1e-12, s"q$q: rr $rr vs $expect")
+    }
+    // an index that cannot re-find a doc from the doc's own strongest
+    // terms is broken; on this corpus the measured MRR is ~0.6 — gate
+    // loosely below it so corpus regeneration noise doesn't flap
+    val mrr = rows.map(_._4).sum / rows.length
+    assert(mrr > 0.25, s"known-item MRR collapsed to $mrr")
+    Caches.clear(spark)
+  }
 }
