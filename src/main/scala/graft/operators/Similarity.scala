@@ -696,7 +696,7 @@ object Similarity {
     * the chunk-bounds metadata, not a data-path count):
     * below [[SmallCorpusBound]] the fixed 8×4 fixture planes win;
     * above it, ρ-bound [[adaptivePlanes]] keep candidates at N^1.66
-    * instead of N². OneShotNeardupSpec proves both arms against the
+    * instead of N². DedupSimilaritySpec proves both arms against the
     * exact all-pairs answer.
     */
   def oneShotNeardup(s: SparkSession, dir: String, n: Long,
