@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{ByteEntropy, CentroidTopK, DotProduct, L2Norm, MinHashSignature, PqAdcSum, PqCodes, PqLut, RollingHash, ShingleHashSet, ShingleSet, SignBandCodes, SortedIntersectCount, SortedLongIntersectCount, TermCounts}
+import graft.plans.{BigramCounts, ByteEntropy, CentroidTopK, DotProduct, L2Norm, MinHashSignature, PqAdcSum, PqCodes, PqLut, RollingHash, ShingleHashSet, ShingleSet, SignBandCodes, SortedIntersectCount, SortedLongIntersectCount, TermCounts}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -102,6 +102,8 @@ object VectorOps {
     reg.createOrReplaceTempFunction("graft_centroid_topk",
       exprs => CentroidTopK(exprs(0), exprs(1), exprs(2),
         intLit("graft_centroid_topk", "k")(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction("graft_bigram_counts",
+      exprs => BigramCounts(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sign_band_codes",
       exprs => {
         // fold the packed plane literal to a PRIMITIVE double[] once
@@ -166,6 +168,10 @@ object VectorOps {
   /** Per-doc `array<struct<t,tf>>` term frequencies, in-row. */
   def termCounts(text: Column): Column =
     call_function("graft_term_counts", text)
+
+  /** Per-doc `array<struct<t,tf>>` adjacent-bigram frequencies. */
+  def bigramCounts(text: Column): Column =
+    call_function("graft_bigram_counts", text)
 
   /** Σ_m lut[m*numCentroids + codes[m]] — PQ asymmetric-distance sum. */
   def pqAdcSum(codes: Column, lut: Column, numCentroids: Int): Column =

@@ -1152,8 +1152,17 @@ object Similarity {
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
-      val planes = graft.Fixtures.read(s, graft.Fixtures.widebandPlanesPath)
-      wideBandNeardup(e, planes, 0.9)
+      // in-row codes like q135 (r11): the 99-plane τ=0.9 fixture packs
+      // trivially, and the unprepared-warm column was paying the
+      // crossJoin + agg re-materialization (~2 jobs) per run on a
+      // sub-100 ms query. The relational spelling stays exercised by
+      // ScaleGrowthSpec's wideBandNeardup measurements at both τ.
+      val (packed, bBits) = graft.Fixtures.planesPacked(s,
+        graft.Fixtures.widebandPlanesPath)
+      val codes = e.select(col("vec_id"),
+        posexplode(graft.functions.VectorOps.signBandCodes(col("v"),
+          typedLit(packed.toSeq), bBits)).as(Seq("tbl", "code")))
+      bandedSelfJoinVerify(e, codes, 0.9)
         .select(col("v1"), col("v2"), graft.Round4(col("sim")).as("sim"))
         .orderBy("v1", "v2")
     },

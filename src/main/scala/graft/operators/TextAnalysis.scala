@@ -1154,24 +1154,29 @@ object TextAnalysis {
   val q79BigramPmi: QueryDef = QueryDef(
     "q79_bigram_pmi",
     (s, dir) => {
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), x -> x <> '')").as("w"))
+      graft.functions.VectorOps.register(s)
+      val docs = Tables.load(s, dir, "documents")
       // uni feeds ux/uy/n1 and bgAll feeds the PMI chain + n2; without
-      // materialization every consumer re-explodes the corpus
+      // materialization every consumer re-derives the corpus pass
       // (measured: 5 corpus scans in the executed plan). Both
       // relations are VOCABULARY-sized — persisting them is free at
       // any corpus scale and leaves exactly two corpus passes (one per
-      // n-gram order), the minimum this statistic needs.
-      val uni = toks.select(explode(col("w")).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("c"))
+      // n-gram order), the minimum this statistic needs. r11: both
+      // passes aggregate the in-row COUNTED maps (TermCounts /
+      // BigramCounts — same tokenize semantics as the explode
+      // spelling, integer-exact since Σ per-doc tf = global count), so
+      // the agg input shrinks from Σ tokens to Σ distinct-ngrams-per-
+      // doc rows and the honest unprepared column re-materializes a
+      // cheaper pass.
+      val uni = docs.select(explode(graft.functions.VectorOps
+          .termCounts(lower(col("text")))).as("e"))
+        .groupBy(col("e.t").as("t"))
+        .agg(sum(col("e.tf")).as("c"))
         .transform(graft.Caches.persist)
-      val bgAll = toks.filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(w) - 1)," +
-            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-          .as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("n"))
+      val bgAll = docs.select(explode(graft.functions.VectorOps
+          .bigramCounts(lower(col("text")))).as("e"))
+        .groupBy(col("e.t").as("bigram"))
+        .agg(sum(col("e.tf")).as("n"))
         .transform(graft.Caches.persist)
       // corpus totals as ONE broadcast (the 1-row crossJoin runs
       // inside a single broadcast-build job, not two), and ONE shared

@@ -352,6 +352,55 @@ object TermCounts {
   }
 }
 
+/** Per-document BIGRAM counts — [[TermCounts]]' adjacent-pair twin:
+  * `array<struct<t: "tokᵢ tokᵢ₊₁", tf>>` over the empty-dropped token
+  * sequence. Semantics match the relational spelling exactly
+  * (`filter(split(text, ' '), _ <> '')` THEN adjacency — empties are
+  * dropped BEFORE pairing, so "a  b" yields bigram "a b"). Feeding a
+  * global bigram-count agg with these rows shrinks the exchange/agg
+  * input from Σ tokens to Σ distinct-bigrams-per-doc and keeps the
+  * counting integer-exact (sum of per-doc tfs = global count).
+  */
+case class BigramCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TermCounts.OutType
+
+  override def nullSafeEval(a: Any): Any =
+    BigramCounts.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.BigramCounts.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BigramCounts = copy(child = newChild)
+}
+
+object BigramCounts {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1).filter(_.nonEmpty)
+    val m = new java.util.LinkedHashMap[String, Long]
+    var i = 0
+    while (i + 1 < toks.length) {
+      val bg = toks(i) + " " + toks(i + 1)
+      m.put(bg, m.getOrDefault(bg, 0L) + 1L)
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** |A ∩ B| of two duplicate-free ASCENDING long arrays by two-pointer
   * merge — [[SortedIntersectCount]] for the hashed-shingle form
   * ([[ShingleHashSet]] emits sorted arrays, so no `sort_array` pass is

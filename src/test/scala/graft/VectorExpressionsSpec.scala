@@ -213,6 +213,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("bigram counts: parity with the filter-split-transform " +
+      "relational spelling on seeded random texts and edge cases") {
+    VectorOps.register(spark)
+    val rnd = new scala.util.Random(13)
+    val words = Vector("a", "bb", "ccc", "dd", "e")
+    val inputs = (Seq("", "a", "a b", "a  b", " a b ", "a a a",
+      "x y x y x") ++
+      (1 to 60).map(_ => (0 to rnd.nextInt(25))
+        .map(_ => if (rnd.nextInt(6) == 0) "" else words(rnd.nextInt(5)))
+        .mkString(" "))).distinct
+    val df = inputs.toDF("s")
+    val inRow = df.select(col("s"),
+        explode(VectorOps.bigramCounts(col("s"))).as("e"))
+      .select(col("s"), col("e.t"), col("e.tf"))
+    val relational = df
+      .withColumn("w", expr("filter(split(s, ' '), x -> x <> '')"))
+      .filter(size(col("w")) >= 2)
+      .select(col("s"), explode(expr(
+        "transform(sequence(1, size(w) - 1)," +
+          " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("t"))
+      .groupBy("s", "t").agg(count(lit(1)).as("tf"))
+    assert(inRow.exceptAll(relational).isEmpty &&
+      relational.exceptAll(inRow).isEmpty,
+      "in-row bigram counts diverge from the relational spelling")
+    val nul = Seq(Option.empty[String]).toDF("s")
+      .select(VectorOps.bigramCounts(col("s"))).collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("sign band codes: bit-parity with the relational dot-threshold " +
       "bit-sum over seeded random vectors and planes") {
     VectorOps.register(spark)
