@@ -44,7 +44,11 @@ object EventsStream {
     val target = Paths.get(s"$dir/$file").toAbsolutePath
     val stale = Files.isSymbolicLink(link) &&
       (Files.readSymbolicLink(link) != target || !Files.exists(target))
-    if (stale) Files.delete(link)
+    // two sessions may both see the stale link — losing the delete
+    // race is fine, the create below settles it
+    if (stale)
+      try Files.delete(link)
+      catch { case _: java.nio.file.NoSuchFileException => () }
     if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       // concurrent streaming queries (parallel Verify) may race here —
       // losing the race is fine, the link is identical (same target)

@@ -139,4 +139,79 @@ class StreamingSinkSpec extends AnyFunSuite {
       "partition-level resume duplicated rows")
     delivered.forEach((_, b) => { b.unpersist(); () })
   }
+
+  test("exactly-once sink survives a mid-write COMMIT crash: the " +
+      "failed partition's transaction rolls back atomically (rows AND " +
+      "ledger row), redelivery completes it without duplicates") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE \"events_cr\" (\"event_id\" BIGINT, " +
+          "\"user_id\" BIGINT, \"value\" DOUBLE)")
+      conn.createStatement().execute(CopySink.ledgerDdl("crash_ledger"))
+    } finally conn.close()
+
+    // connection proxy whose FIRST commit() across the whole run
+    // throws — a sink-side crash at the worst moment (data batched,
+    // transaction about to land). Static flag is fine: local-mode
+    // executors share this JVM.
+    StreamingSinkSpec.CrashOnce.set(false)
+    val crashingConnect: () => java.sql.Connection = () => {
+      val real = DriverManager.getConnection(
+        "jdbc:derby:memory:graftstream")
+      java.lang.reflect.Proxy.newProxyInstance(
+        classOf[java.sql.Connection].getClassLoader,
+        Array[Class[_]](classOf[java.sql.Connection]),
+        (_, m, args) => {
+          if (m.getName == "commit" &&
+              StreamingSinkSpec.CrashOnce.compareAndSet(false, true))
+            throw new java.sql.SQLException("injected commit crash")
+          try m.invoke(real,
+            (if (args == null) Array.empty[AnyRef] else args): _*)
+          catch {
+            case e: java.lang.reflect.InvocationTargetException =>
+              throw e.getCause
+          }
+        }).asInstanceOf[java.sql.Connection]
+    }
+
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "value").repartition(4)
+      .persist()
+    def deliver(connect: () => java.sql.Connection): Unit =
+      CopySink.writeExactlyOnce(batch, batchId = 7L,
+        sinkId = "crash_sink", schema = null, table = "events_cr",
+        ledgerTable = "crash_ledger", connect = connect, batchSize = 100)
+
+    // first delivery: one partition's commit crashes, job fails
+    val failed = intercept[Exception] { deliver(crashingConnect) }
+    assert(failed.getMessage != null)
+    val rowsAfterCrash = count("SELECT COUNT(*) FROM \"events_cr\"")
+    val ledgerAfterCrash = count("SELECT COUNT(*) FROM \"crash_ledger\"")
+    assert(rowsAfterCrash < 1000L,
+      "the crashed partition's rows should not all be present")
+    // atomicity: ledger rows == committed partitions, and the
+    // committed partitions' rows are all-or-nothing (each partition of
+    // the 4-way repartition carries its full row set or none)
+    assert(ledgerAfterCrash < 4L,
+      "crashed partition still recorded a ledger row")
+
+    // redelivery with a healthy connection: completes ONLY the
+    // missing partition(s), no duplicates anywhere
+    deliver(() => DriverManager.getConnection(
+      "jdbc:derby:memory:graftstream"))
+    assert(count("SELECT COUNT(*) FROM \"events_cr\"") == 1000L,
+      "crash resume did not complete the batch")
+    assert(count("SELECT COUNT(DISTINCT \"event_id\") FROM " +
+      "\"events_cr\"") == 1000L, "crash resume duplicated rows")
+    assert(count("SELECT COUNT(*) FROM \"crash_ledger\"") == 4L,
+      "ledger does not record all four partitions after resume")
+    batch.unpersist()
+    ()
+  }
+}
+
+object StreamingSinkSpec {
+  /** Shared crash trigger for the commit-crash test (local-mode JVM). */
+  val CrashOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
