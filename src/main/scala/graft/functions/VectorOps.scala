@@ -129,6 +129,24 @@ object VectorOps {
       exprs => graft.plans.Winnow(exprs(0),
         intLit("graft_winnow", "k")(exprs(1)),
         intLit("graft_winnow", "w")(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      exprs => {
+        // fold the bitset literal to a PRIMITIVE long[] once at plan
+        // construction (the SignBandCodes constant-table discipline)
+        val bits = exprs(1) match {
+          case lit if lit.foldable => lit.eval(null) match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toLongArray()
+            case other => throw new IllegalArgumentException(
+              "graft_bloom_contains: bitset must be an array literal, " +
+                s"got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_contains: bitset must be a literal, not a column")
+        }
+        graft.plans.BloomContains(exprs(0), bits,
+          intLit("graft_bloom_contains", "numHashes")(exprs(2)))
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_wav_wrap",
       exprs => graft.plans.WavWrap(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bmp_wrap",
@@ -215,6 +233,12 @@ object VectorOps {
     call_function("graft_winnow", text,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))
+
+  /** Bloom membership probe of a long key against a constant bitset. */
+  def bloomContains(key: Column, bits: Array[Long], numHashes: Int): Column =
+    call_function("graft_bloom_contains", key,
+      org.apache.spark.sql.functions.typedLit(bits.toSeq),
+      org.apache.spark.sql.functions.lit(numHashes))
 
   /** Raw bytes → canonical PCM WAV container (16-bit mono 8 kHz). */
   def wavWrap(bytes: Column): Column =

@@ -562,6 +562,71 @@ object Dedup {
            |LEFT JOIN cont c ON t.doc_id = c.doc_id
            |GROUP BY t.lang ORDER BY t.lang""".stripMargin))
 
+  private val BloomBits = 1 << 20
+  private val BloomHashes = 7
+
+  // Bloom-pruned decontamination — q65's semantics at the 100 TB
+  // operating point. At scale the two sides are wildly asymmetric: eval
+  // suites are bounded (~10^6-10^8 grams) while the train corpus IS the
+  // 100 TB side, and q65's left-semi join shuffles BOTH sides' gram
+  // rows on the gram key — a full train-corpus exchange to answer a
+  // question about a fixed eval set. Here the bounded TEST side folds
+  // into a fixed-size Bloom bitset (BloomSketchAggregator: one
+  // distributed OR-merge pass, numBits/8 bytes per task on the wire
+  // regardless of cardinality), the bitset rides into the train scan as
+  // a plan constant, and train grams are pruned IN-ROW before any
+  // exchange — only grams that might be in the eval set (true overlaps
+  // + fpp·|train|) survive. The pruned subset then runs the SAME exact
+  // left-semi verify, so Bloom false positives cannot surface in the
+  // result: output ≡ q65 row for row, and the oracle is q65's verbatim
+  // — the hash match proves the pruning lossless. This is the classic
+  // Bloom join (Bloom CACM'70; Mullin IEEE-TSE'90) with the sketch
+  // built on the small side, the shape Spark's own runtime row-level
+  // filtering automates for equi-joins; built explicitly here because
+  // the semi join's train side should never reach the shuffle at all.
+  // BloomSketchSpec asserts the no-false-negative property, the fpp
+  // bound, result equality with q65, and that the filter actually
+  // prunes the fixture's train side by >90%.
+  val q138DecontamBloom: QueryDef = QueryDef(
+    "q138_decontam_bloom",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.VectorOps.register(s)
+      // same persisted 5-gram relation as q65 (identical subtree —
+      // the cache manager serves one copy to both queries)
+      val sets5 = graft.Caches.persist(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.VectorOps.shingleHashes(lower(col("text")), 5)
+            .as("gs"))
+        .filter(size(col("gs")) > 0))
+      val sh = sets5.select(col("doc_id"), col("lang"),
+        explode(col("gs")).as("g"))
+      val test = sh.filter(col("doc_id") % 100 >= 90)
+      // bitset build over the bounded test side: 2^20 bits = 128 KiB,
+      // ≥20 bits/gram at the fixture's ~50k test grams (production
+      // sizes m to the known eval-suite cardinality), k=7 → fpp < 1e-3.
+      // The head() is the broadcast-BUILD collect — a bounded sketch,
+      // same contract as a broadcast join's build side.
+      val bloom = new graft.functions.BloomSketchAggregator(
+        BloomBits, BloomHashes)
+      val bits = test.select(col("g")).as[Long]
+        .select(bloom.toColumn).head()
+      val train = sh.filter(col("doc_id") % 100 < 80).select(col("g"))
+        .filter(graft.functions.VectorOps.bloomContains(col("g"), bits,
+          BloomHashes))
+      val contaminated = test.join(train, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("c", lit(1L))
+      sets5.filter(col("doc_id") % 100 >= 90)
+        .select(col("doc_id"), col("lang"))
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("test_docs"),
+          sum(coalesce(col("c"), lit(0L))).as("contaminated"))
+        .orderBy("lang")
+    },
+    q65Decontamination.oracle)
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation — the clustering step that turns pairwise
     * near-dup PAIRS into dedup GROUPS, so "keep one doc per duplicate
@@ -1171,5 +1236,6 @@ object Dedup {
     q65Decontamination, q66DedupClusters, q74IncrementalNeardup,
     q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch,
     q106DedupClosureSql, q113ClusterKeepBest, q119CrossShardDedup,
-    q127StreamIncrementalNeardup, q134DedupContainment)
+    q127StreamIncrementalNeardup, q134DedupContainment,
+    q138DecontamBloom)
 }

@@ -1191,9 +1191,93 @@ object Similarity {
             |ORDER BY v1, v2""".stripMargin),
     bench = true, lowLatency = true)
 
+  // SemDeDup — semantic dedup by cluster-then-verify (Abbas et al.,
+  // "SemDeDup: Data-efficient learning at web-scale through semantic
+  // deduplication", arXiv:2303.09540): coarse k-means assignment
+  // restricts near-dup candidates to WITHIN-cluster pairs, turning the
+  // all-pairs O(N²) verify into Σ_c n_c² work that the operator's
+  // cluster count controls. At the SemDeDup operating point k grows
+  // with the corpus (the paper runs k=110 000 on LAION) so per-cluster
+  // size — and with it both the quadratic term and the cid hot-key
+  // width — stays bounded; the fixture's 16 trained centroids keep the
+  // oracle's cross-join assignment tractable. Contrast with the LSH
+  // family (q58/q135): clustering buys recall ONLY for pairs the
+  // quantizer co-locates (no ρ-bound guarantee), but gives the dropped
+  // set a semantic structure — duplicates are pruned where embeddings
+  // agree the content is interchangeable — and reuses an index the ANN
+  // tier already maintains (the q45/q62 centroid fixture).
+  //
+  // Shape: in-row rank-1 assignment (CentroidTopK — no corpus × K
+  // join), candidates as SLIM id pairs from the cid-keyed self-join
+  // (vectors do not ride the candidate exchange), exact cosine verify
+  // via two vec_id-keyed lookups into the persisted normed relation
+  // (q58's candidate-then-verify discipline), deterministic keep rule
+  // = lowest vec_id in any verified pair survives (the engine-stable
+  // variant of the paper's keep-one-per-group; pair-greedy like q61's
+  // drop-list). Output is the per-cluster dedup ledger.
+  val q139SemanticDedup: QueryDef = QueryDef(
+    "q139_semantic_dedup",
+    (s, dir) => {
+      val e = normed(s, dir)
+      val centsPacked = typedLit(graft.Fixtures
+        .ivfCentroidsPacked(s).toSeq)
+      // 3 consumers (two candidate sides + the accounting base):
+      // persist, or each re-runs the scan + 16-cosine assignment
+      val asn = e.select(col("vec_id"),
+        explode(graft.functions.VectorOps.centroidTopK(col("v"),
+          col("nrm"), centsPacked, 1)).as("cid"))
+        .transform(graft.Caches.persist)
+      val cand = asn.select(col("cid"), col("vec_id").as("v1"))
+        .join(asn.select(col("cid"), col("vec_id").as("v2")), "cid")
+        .filter(col("v1") < col("v2"))
+      val a = e.select(col("vec_id").as("v1"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("v2"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      val dropped = cand.join(a, "v1").join(b, "v2")
+        .filter(cosine(col("va"), col("vb"), col("na"), col("nb"))
+          > NearDupThreshold)
+        .select(col("cid"), col("v2").as("vec_id")).distinct()
+        .withColumn("d", lit(1L))
+      asn.join(dropped, Seq("cid", "vec_id"), "left_outer")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(coalesce(col("d"), lit(0L))).as("dropped"),
+          (count(lit(1)) - sum(coalesce(col("d"), lit(0L))))
+            .as("kept"))
+        .orderBy("cid")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |ce AS (SELECT cid, cv
+            |       FROM read_parquet('${graft.Fixtures.ivfCentroidsPath}')),
+            |asn AS (
+            |  SELECT e.vec_id, ce.cid,
+            |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            |      list_cosine_similarity(v, cv) DESC, ce.cid) AS crnk
+            |  FROM e CROSS JOIN ce),
+            |a AS (SELECT vec_id, cid FROM asn WHERE crnk = 1),
+            |drp AS (
+            |  SELECT DISTINCT x.cid, y.vec_id
+            |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            |  JOIN e e1 ON e1.vec_id = x.vec_id
+            |  JOIN e e2 ON e2.vec_id = y.vec_id
+            |  WHERE list_cosine_similarity(e1.v, e2.v)
+            |        > $NearDupThreshold)
+            |SELECT a.cid, COUNT(*) AS cluster_size,
+            |  CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            |       AS BIGINT) AS dropped,
+            |  CAST(COUNT(*) -
+            |       SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            |       AS BIGINT) AS kept
+            |FROM a LEFT JOIN drp d
+            |  ON a.cid = d.cid AND a.vec_id = d.vec_id
+            |GROUP BY a.cid ORDER BY a.cid""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
     q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall,
     q128WideBandNeardup, q131StreamEmbedNeardup, q135AdaptiveNeardup,
-    q136AnnMultiprobe)
+    q136AnnMultiprobe, q139SemanticDedup)
 }

@@ -205,4 +205,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p.getAs[Double]("jac") < 0.2,
       s"symmetric Jaccard should MISS this pair at 0.8: $p")
   }
+
+  test("q139 semantic dedup: ledger partitions the corpus; victims are " +
+      "a subset of the exact near-dup victims") {
+    val total = SparkEntry.queries("q25_embed_neardup")(spark, dir)
+      .sparkSession.read.parquet(s"$dir/embeddings.parquet").count()
+    val exactVictims = SparkEntry.queries("q25_embed_neardup")(spark, dir)
+      .select("v2").distinct().count()
+    val ledger = SparkEntry.queries("q139_semantic_dedup")(spark, dir)
+      .collect()
+    // every vector lands in exactly one cluster row, kept + dropped
+    // reconcile per cluster, and cluster-restricted victims can never
+    // exceed the unrestricted exact pair victims
+    assert(ledger.map(_.getAs[Long]("cluster_size")).sum == total)
+    assert(ledger.forall(r => r.getAs[Long]("kept") +
+      r.getAs[Long]("dropped") == r.getAs[Long]("cluster_size")))
+    val dropped = ledger.map(_.getAs[Long]("dropped")).sum
+    assert(dropped <= exactVictims && dropped > 0,
+      s"dropped=$dropped, exact victims=$exactVictims")
+  }
 }
