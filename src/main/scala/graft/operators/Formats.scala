@@ -113,5 +113,70 @@ object Formats {
             |   '$EvolutionDir/snap2.parquet'], union_by_name = true)
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q69JsonlScan, q73CsvScan, q98SchemaEvolution)
+  /** Hive-partitioned layout of the documents table, written once per
+    * distinct source fixture (the output dir is keyed on the source
+    * parquet's content stamp, so a driver-regenerated fixture gets a
+    * fresh layout instead of a stale one — [[graft.Tables.fileStamp]]'s
+    * contract). The write repartitions BY the partition column first:
+    * `partitionBy` alone emits one file per (task × value) — the
+    * small-files explosion that kills 100 TB listings — whereas
+    * repartition(col) gives one task per value and AQE coalesces the
+    * rest. Single-JVM lock + completion marker make concurrent builders
+    * idempotent.
+    */
+  private val layoutLock = new Object
+  private[graft] def partitionedLayout(s: org.apache.spark.sql
+      .SparkSession, dir: String): String = {
+    val (sz, mt, h) = Tables.fileStamp(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val key = f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x" +
+      s"_${sz}_${mt}_$h"
+    val out = new java.io.File(s"/tmp/graft_layout/$key")
+    val marker = new java.io.File(out, "_GRAFT_COMPLETE")
+    layoutLock.synchronized {
+      if (!marker.exists()) {
+        Tables.load(s, dir, "documents")
+          .repartition(col("lang"))
+          .write.mode("overwrite").partitionBy("lang")
+          .parquet(out.getPath)
+        marker.createNewFile()
+      }
+    }
+    out.getPath
+  }
+
+  // Partition-pruned layout read — the data-layout half of the 100 TB
+  // story the scan queries assume: a corpus partitioned on its hot
+  // filter keys (lang / source / crawl date) turns every per-slice job
+  // into a directory listing plus a scan of ONLY that slice, so scan
+  // cost tracks the slice, not the corpus. The query writes the
+  // documents table hive-partitioned by lang (once, content-keyed) and
+  // reads one language back: Catalyst resolves `lang = 'en'` against
+  // the partition VALUES at planning time — PartitionFilters in the
+  // scan node, zero data files opened outside lang=en/, and lang never
+  // read from parquet at all (it lives in the directory name;
+  // PlanShapeSpec pins all three). The oracle reads the ORIGINAL
+  // unpartitioned table with the same predicate: the hash match proves
+  // the layout round-trip lossless, which is the correctness claim a
+  // relayout job needs before the old copy is dropped.
+  val q140PartitionPrune: QueryDef = QueryDef(
+    "q140_partition_prune",
+    (s, dir) => {
+      val layout = partitionedLayout(s, dir)
+      s.read.parquet(layout)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " "))).as("tokens"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS docs,
+           |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM documents WHERE lang = 'en'
+           |GROUP BY source ORDER BY source""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q69JsonlScan, q73CsvScan,
+    q98SchemaEvolution, q140PartitionPrune)
 }

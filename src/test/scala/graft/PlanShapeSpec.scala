@@ -305,4 +305,26 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
       "both self-join sides must read the persisted capped index")
   }
+
+  test("q140: lang predicate resolves against partition VALUES — " +
+      "PartitionFilters at the scan, no data filter, lang absent " +
+      "from the parquet read schema, non-matching partitions unread") {
+    val df = SparkEntry.queries("q140_partition_prune")(spark, dir)
+    df.collect()
+    val s = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(s.partitionFilters.exists(_.toString.contains("lang")),
+      s"lang filter not in PartitionFilters: ${s.partitionFilters}")
+    assert(s.dataFilters.isEmpty,
+      s"partition predicate leaked into data filters: ${s.dataFilters}")
+    assert(!s.requiredSchema.fieldNames.contains("lang"),
+      "lang must come from the directory name, not the parquet columns")
+    // pruning actually happened: the executed scan touched strictly
+    // fewer files than the 5-language layout holds
+    val totalFiles = s.relation.location.inputFiles.length
+    val readFiles = s.metrics("numFiles").value
+    assert(readFiles < totalFiles,
+      s"no pruning: read $readFiles of $totalFiles files")
+  }
 }
