@@ -39,7 +39,7 @@ object Similarity {
     * Disk-backed at 10⁹-vector scale; the cache key is the canonical
     * plan, so all ANN queries in a session share one copy.
     */
-  private def normed(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def normed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorOps.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1215,38 +1215,44 @@ object Similarity {
   // = lowest vec_id in any verified pair survives (the engine-stable
   // variant of the paper's keep-one-per-group; pair-greedy like q61's
   // drop-list). Output is the per-cluster dedup ledger.
+  /** SemDeDup core over an arbitrary packed centroid table — q139 runs
+    * it with the trained 16-centroid fixture; ScaleGrowthSpec runs it
+    * at the paper's operating point (k ∝ N, per-cluster size constant)
+    * to MEASURE the candidate-volume exponent instead of arguing it.
+    */
+  private[graft] def semanticDedupLedger(e: DataFrame,
+      centsPacked: Seq[Double], tau: Double): DataFrame = {
+    // 3 consumers (two candidate sides + the accounting base):
+    // persist, or each re-runs the scan + K-cosine assignment
+    val packed = typedLit(centsPacked)
+    val asn = e.select(col("vec_id"),
+      explode(graft.functions.VectorOps.centroidTopK(col("v"),
+        col("nrm"), packed, 1)).as("cid"))
+      .transform(graft.Caches.persist)
+    val cand = asn.select(col("cid"), col("vec_id").as("v1"))
+      .join(asn.select(col("cid"), col("vec_id").as("v2")), "cid")
+      .filter(col("v1") < col("v2"))
+    val a = e.select(col("vec_id").as("v1"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val dropped = cand.join(a, "v1").join(b, "v2")
+      .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) > tau)
+      .select(col("cid"), col("v2").as("vec_id")).distinct()
+      .withColumn("d", lit(1L))
+    asn.join(dropped, Seq("cid", "vec_id"), "left_outer")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(coalesce(col("d"), lit(0L))).as("dropped"),
+        (count(lit(1)) - sum(coalesce(col("d"), lit(0L))))
+          .as("kept"))
+      .orderBy("cid")
+  }
+
   val q139SemanticDedup: QueryDef = QueryDef(
     "q139_semantic_dedup",
-    (s, dir) => {
-      val e = normed(s, dir)
-      val centsPacked = typedLit(graft.Fixtures
-        .ivfCentroidsPacked(s).toSeq)
-      // 3 consumers (two candidate sides + the accounting base):
-      // persist, or each re-runs the scan + 16-cosine assignment
-      val asn = e.select(col("vec_id"),
-        explode(graft.functions.VectorOps.centroidTopK(col("v"),
-          col("nrm"), centsPacked, 1)).as("cid"))
-        .transform(graft.Caches.persist)
-      val cand = asn.select(col("cid"), col("vec_id").as("v1"))
-        .join(asn.select(col("cid"), col("vec_id").as("v2")), "cid")
-        .filter(col("v1") < col("v2"))
-      val a = e.select(col("vec_id").as("v1"), col("v").as("va"),
-        col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("v2"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      val dropped = cand.join(a, "v1").join(b, "v2")
-        .filter(cosine(col("va"), col("vb"), col("na"), col("nb"))
-          > NearDupThreshold)
-        .select(col("cid"), col("v2").as("vec_id")).distinct()
-        .withColumn("d", lit(1L))
-      asn.join(dropped, Seq("cid", "vec_id"), "left_outer")
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("cluster_size"),
-          sum(coalesce(col("d"), lit(0L))).as("dropped"),
-          (count(lit(1)) - sum(coalesce(col("d"), lit(0L))))
-            .as("kept"))
-        .orderBy("cid")
-    },
+    (s, dir) => semanticDedupLedger(normed(s, dir),
+      graft.Fixtures.ivfCentroidsPacked(s).toSeq, NearDupThreshold),
     Some(s"""WITH e AS (
             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             |  FROM embeddings),

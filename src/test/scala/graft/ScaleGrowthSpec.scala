@@ -575,4 +575,65 @@ class ScaleGrowthSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(clock)
     }
   }
+
+  // ---- SemDeDup at the paper's operating point: k ∝ N clusters ----
+  //
+  // The q139 catalog entry runs the trained 16-centroid fixture (the
+  // oracle's cross-join assignment needs a small K); with K FIXED the
+  // within-cluster candidate volume is Σ n_c² ≈ N²/K — the same
+  // finding as q58's fixed geometry, quadratic in disguise. SemDeDup's
+  // actual operating point (Abbas et al. arXiv:2303.09540 run
+  // k = 110 000 on LAION) scales cluster count WITH the corpus so
+  // per-cluster size stays constant and Σ n_c² ≈ N·(N/k) ∝ N. This
+  // runs semanticDedupLedger with k = N/125 synthetic centroids over
+  // the growing corpora and converts that claim to a measured
+  // exponent, with the planted near-identical twins as the recall
+  // check (cos ≈ 1 pairs quantize to the same Voronoi cell unless
+  // they straddle a boundary).
+  test("semantic dedup at k ∝ N clusters: candidate volume ~linear, " +
+      "planted twins recovered") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      val dim = graft.tools.GenFixtures.Dim
+      val rows = Seq(500, 2000, 8000).map { n =>
+        val dir = genCorpus(n)
+        val k = math.max(4, n / 125)
+        val packed = new Array[Double](k * (dim + 1))
+        for (c <- 0 until k) {
+          val off = c * (dim + 1)
+          var acc = 0.0
+          for (d <- 0 until dim) {
+            val x = embComponent(9000000L + c, d).toDouble
+            packed(off + 1 + d) = x
+            acc += x * x
+          }
+          packed(off) = math.sqrt(acc)
+        }
+        val e = operators.Similarity.normed(spark, dir)
+        clock.quiesce(); clock.reset()
+        val ledger = operators.Similarity
+          .semanticDedupLedger(e, packed.toSeq, 0.9).collect()
+        clock.quiesce()
+        val sh = clock.shuffleRecords
+        Caches.clear(spark)
+        (sh, ledger.map(_.getAs[Long]("dropped")).sum,
+          ledger.map(_.getAs[Long]("cluster_size")).sum)
+      }
+      val Seq((s1, d1, t1), (s2, d2, t2), (s3, d3, t3)) = rows
+      val exp = math.log(s3.toDouble / s2) / math.log(4.0)
+      info(f"semdedup k∝N: shuffle=$s1/$s2/$s3 exp=$exp%.2f " +
+        f"dropped=$d1/$d2/$d3")
+      assert(t1 == 500 && t2 == 2000 && t3 == 8000,
+        s"ledger must partition every corpus: $t1/$t2/$t3")
+      assert(exp < 1.3,
+        s"semdedup candidate volume grows faster than linear at " +
+          s"k ∝ N (exp $exp): $s1 -> $s2 -> $s3")
+      // planted twins: N/10 cos≈1 pairs; quantization recall ≥ 0.8
+      Seq((d1, 500), (d2, 2000), (d3, 8000)).foreach { case (d, n) =>
+        assert(d >= n / 10 * 8 / 10 && d <= n / 10 + n / 50,
+          s"dropped=$d at N=$n (planted ${n / 10})")
+      }
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
 }
