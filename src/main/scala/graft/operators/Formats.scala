@@ -129,16 +129,21 @@ object Formats {
       .SparkSession, dir: String): String = {
     val (sz, mt, h) = Tables.fileStamp(
       java.nio.file.Paths.get(s"$dir/documents.parquet"))
-    val key = f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x" +
+    // v2: layout format version — bump when the write shape changes so
+    // an existing dir from an older format is never reused
+    val key = f"v2_${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x" +
       s"_${sz}_${mt}_$h"
     val out = new java.io.File(s"/tmp/graft_layout/$key")
     val marker = new java.io.File(out, "_GRAFT_COMPLETE")
     layoutLock.synchronized {
       if (!marker.exists()) {
-        Tables.load(s, dir, "documents")
-          .repartition(col("lang"))
-          .write.mode("overwrite").partitionBy("lang")
-          .parquet(out.getPath)
+        // LakehouseSink's partition+cluster write: repartition on the
+        // partition column (task-per-value, no task×value small-files
+        // explosion) and sort by doc_id within files so min/max footer
+        // stats stay tight on the natural range key
+        graft.sources.LakehouseSink.writePartitioned(
+          Tables.load(s, dir, "documents"), out.getPath,
+          partitionCols = Seq("lang"), clusterCols = Seq("doc_id"))
         marker.createNewFile()
       }
     }
@@ -150,15 +155,17 @@ object Formats {
   // filter keys (lang / source / crawl date) turns every per-slice job
   // into a directory listing plus a scan of ONLY that slice, so scan
   // cost tracks the slice, not the corpus. The query writes the
-  // documents table hive-partitioned by lang (once, content-keyed) and
-  // reads one language back: Catalyst resolves `lang = 'en'` against
-  // the partition VALUES at planning time — PartitionFilters in the
-  // scan node, zero data files opened outside lang=en/, and lang never
-  // read from parquet at all (it lives in the directory name;
-  // PlanShapeSpec pins all three). The oracle reads the ORIGINAL
-  // unpartitioned table with the same predicate: the hash match proves
-  // the layout round-trip lossless, which is the correctness claim a
-  // relayout job needs before the old copy is dropped.
+  // documents table through LakehouseSink.writePartitioned (hive
+  // partitions on lang, doc_id-clustered files; once per fixture,
+  // content-keyed) and reads one language back: Catalyst resolves
+  // `lang = 'en'` against the partition VALUES at planning time —
+  // PartitionFilters in the scan node, zero data files opened outside
+  // lang=en/, and lang never read from parquet at all (it lives in the
+  // directory name; PlanShapeSpec pins all three). The oracle reads
+  // the ORIGINAL unpartitioned table with the same predicate: the hash
+  // match proves the layout round-trip lossless, which is the
+  // correctness claim a relayout job needs before the old copy is
+  // dropped.
   val q140PartitionPrune: QueryDef = QueryDef(
     "q140_partition_prune",
     (s, dir) => {

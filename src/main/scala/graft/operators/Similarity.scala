@@ -1279,7 +1279,8 @@ object Similarity {
             |       AS BIGINT) AS kept
             |FROM a LEFT JOIN drp d
             |  ON a.cid = d.cid AND a.vec_id = d.vec_id
-            |GROUP BY a.cid ORDER BY a.cid""".stripMargin))
+            |GROUP BY a.cid ORDER BY a.cid""".stripMargin),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,

@@ -294,4 +294,26 @@ class VectorExpressionsSpec extends AnyFunSuite {
         typedLit(packed.toSeq), bBits)).collect()(0)
     assert(nul.isNullAt(0))
   }
+
+  test("bloom contains: codegen path agrees with the kernel probe, " +
+      "null propagates") {
+    VectorOps.register(spark)
+    val rnd = new scala.util.Random(23)
+    val bits = new Array[Long]((1 << 12) >>> 6)
+    val members = Array.fill(200)(rnd.nextLong())
+    members.foreach(graft.plans.BloomContains.set(bits, 7, _))
+    val keys = (members.toSeq ++ Seq.fill(800)(rnd.nextLong())).distinct
+    val got = keys.toDF("k")
+      .select(col("k"),
+        VectorOps.bloomContains(col("k"), bits, 7).as("hit"))
+      .as[(Long, Boolean)].collect().toMap
+    keys.foreach { k =>
+      assert(got(k) == graft.plans.BloomContains.probe(bits, 7, k),
+        s"codegen/interpretted divergence for $k")
+    }
+    assert(members.forall(got(_)), "member keys must always probe true")
+    val nul = Seq(Option.empty[java.lang.Long]).toDF("k")
+      .select(VectorOps.bloomContains(col("k"), bits, 7)).collect()(0)
+    assert(nul.isNullAt(0))
+  }
 }
