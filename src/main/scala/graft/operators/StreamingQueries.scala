@@ -453,9 +453,76 @@ object StreamingQueries {
     },
     EventAnalytics.q86Histogram.oracle)
 
+  /** Continuous-ingest decontamination — the eval-leak monitor a
+    * training pipeline keeps running while it crawls: every incoming
+    * candidate TRAIN document is checked against the bounded, static
+    * eval suite's 5-gram set, and per-language leak counts accumulate.
+    * The q138 Bloom bitset (built once over the eval grams at query
+    * construction, a plan constant) prunes the stream's grams IN-ROW
+    * inside every micro-batch plan, so only might-match grams reach the
+    * stream-static left-semi verify against the exact eval gram
+    * relation — per-batch join cost tracks the batch's true overlap,
+    * not its size, and the static side re-broadcasts bounded eval
+    * grams, never state. Leaked docs dedup across batches via
+    * streaming dropDuplicates on doc_id (the q41 state mechanism;
+    * bounded by the leaked set, which a healthy pipeline keeps tiny),
+    * then a complete-mode per-lang count. Arrival order and batch
+    * boundaries cannot change the answer: the semi verify is
+    * stateless per row, dedup is idempotent, the count is a monotone
+    * fold — so the batch oracle (train docs sharing ANY 5-gram with
+    * test, per lang) applies to any replay schedule.
+    */
+  val q141StreamDecontam: QueryDef = QueryDef(
+    "q141_stream_decontam",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      import s.implicits._
+      val sets5 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.VectorOps.shingleHashes(lower(col("text")), 5)
+            .as("gs"))
+        .filter(size(col("gs")) > 0)
+      // static side: exact eval grams (the verify relation) + bitset
+      val testG = graft.Caches.persist(
+        sets5.filter(col("doc_id") % 100 >= 90)
+          .select(explode(col("gs")).as("g")).distinct())
+      val bloom = new graft.functions.BloomSketchAggregator(1 << 20, 7)
+      val bits = testG.as[Long].select(bloom.toColumn).head()
+      val leaked = EventsStream.readDocuments(s, dir)
+        .filter(col("doc_id") % 100 < 80)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.VectorOps.shingleHashes(
+            lower(col("text")), 5)).as("g"))
+        .filter(graft.functions.VectorOps.bloomContains(col("g"), bits,
+          7))
+        .join(testG, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("lang"))
+        .dropDuplicates("doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("leaked"))
+      EventsStream.runToCompletion(s, leaked).orderBy("lang")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+           |  FROM documents
+           |  WHERE len(string_split(lower(text), ' ')) >= 5),
+           |sh AS (
+           |  SELECT DISTINCT doc_id, lang,
+           |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+           |      w[i+3] || ' ' || w[i+4] AS g
+           |  FROM (SELECT doc_id, lang, w,
+           |        unnest(range(1, len(w)-3)) AS i FROM tok) u),
+           |test AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 >= 90),
+           |leak AS (
+           |  SELECT DISTINCT doc_id, lang FROM sh
+           |  WHERE doc_id % 100 < 80 AND g IN (SELECT g FROM test))
+           |SELECT lang, COUNT(*) AS leaked
+           |FROM leak GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,
     q107StreamCuration, q110StreamHistogram, q112StreamCurationWm,
-    q114StreamFunnelBuffered, q120StreamJoinOuter, q121StreamSessionize)
+    q114StreamFunnelBuffered, q120StreamJoinOuter, q121StreamSessionize,
+    q141StreamDecontam)
 }
