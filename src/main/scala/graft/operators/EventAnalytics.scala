@@ -527,7 +527,64 @@ object EventAnalytics {
            |FROM spine LEFT JOIN daily ON spine.d = daily.d
            |ORDER BY spine.d""".stripMargin))
 
+  // Sketch-once-answer-many: per-day HLL sketches of the user set,
+  // rolled up to 7-day distinct-user counts by UNIONING sketches —
+  // the fact table is touched in ONE pass and every rolling answer
+  // (and any future ad-hoc range: month, arbitrary [a, b]) derives
+  // from day-sketch merges. This is the mergeable-summaries dashboard
+  // pattern (Agarwal et al. PODS'12; the DataSketches HLL that Spark
+  // ships): COUNT(DISTINCT) does not decompose over overlapping
+  // windows, but sketch union does, exactly — so at 100 TB the
+  // per-day sketch relation (KBs per day) replaces re-scanning a
+  // week of facts per dashboard tile. The day×day range join runs on
+  // the DAY DIMENSION (≤ corpus days squared, trivial at any scale).
+  // The exact arm exists to GATE the estimate (q44's discipline): the
+  // output carries exact rolling counts both engines compute, plus an
+  // in-query ≤5% assertion on the HLL estimate — at 100 TB the exact
+  // arm is the validation run, not the dashboard path.
+  val q142SketchReuse: QueryDef = QueryDef(
+    "q142_sketch_reuse",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      // the ONE fact pass: per-day sketches (persisted — both the
+      // rolling union and the day spine read it)
+      val daily = graft.Caches.persist(ev.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk")))
+      val days = daily.select(col("day"))
+      val est = days
+        .join(daily.select(col("day").as("d2"), col("sk")),
+          col("d2").between(date_sub(col("day"), 6), col("day")))
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          count(lit(1)).as("days_in_window"))
+      // exact arm: distinct (day, user) pairs joined to the day spine
+      val du = ev.distinct()
+      val exact = days
+        .join(du.withColumnRenamed("day", "d2"),
+          col("d2").between(date_sub(col("day"), 6), col("day")))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("exact_rolling"))
+      est.join(exact, "day")
+        .select(col("day"), col("exact_rolling"),
+          col("days_in_window"),
+          (abs(col("est") - col("exact_rolling")).cast("double") /
+            col("exact_rolling") <= 0.05).as("sketch_ok"))
+        .orderBy("day")
+    },
+    Some("""WITH ev AS (
+           |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    user_id
+           |  FROM events),
+           |days AS (SELECT DISTINCT day FROM ev)
+           |SELECT d.day, COUNT(DISTINCT e.user_id) AS exact_rolling,
+           |  CAST(COUNT(DISTINCT e.day) AS BIGINT) AS days_in_window,
+           |  true AS sketch_ok
+           |FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+           |GROUP BY d.day ORDER BY d.day""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q83Funnel, q84Decay, q85Burst, q86Histogram,
     q89Retention, q94SkewProfile, q95Scd2, q96Outliers, q97StatsAgg,
-    q101FunnelTiming, q102Cooccurrence, q104Growth, q105GapDetection)
+    q101FunnelTiming, q102Cooccurrence, q104Growth, q105GapDetection,
+    q142SketchReuse)
 }
