@@ -393,6 +393,48 @@ object Retrieval {
             |  floor((1e0 / src_rank) * 10000 + 0.5) / 10000 AS rr4
             |FROM ranked ORDER BY qdoc_id""".stripMargin))
 
+  // Positional-index phrase search — exact-adjacency "fast merge" as
+  // the standard positional-posting-list AND (Manning/Raghavan/Schütze
+  // IIR §2.4): posting rows (doc, pos) for each query term, adjacency
+  // = equi-join on (doc_id, pos) with the second term's positions
+  // shifted by one. The term filter sits BEFORE the exchange, fused
+  // into the scan, so only df(t1) + df(t2) posting rows ever shuffle —
+  // the index-lookup cost model, not the full-text rescan a
+  // LIKE-'%...%' plan pays (and substring LIKE is also WRONG at token
+  // semantics: it matches across token boundaries). At 100 TB with a
+  // PERSISTED positional index the scan stage disappears entirely and
+  // only the posting join remains; for a one-shot phrase over raw text
+  // the in-row spelling (count adjacent pairs inside the token array,
+  // zero shuffles) is the alternative — the posting join is the shape
+  // that amortizes across a query workload. The oracle spells the
+  // identical token-adjacency semantics relationally.
+  val q143PhraseSearch: QueryDef = QueryDef(
+    "q143_phrase_search",
+    (s, dir) => {
+      val post = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") === "fast" || col("tok") === "merge")
+      val t1 = post.filter(col("tok") === "fast")
+        .select(col("doc_id"), col("lang"), col("pos"))
+      val t2 = post.filter(col("tok") === "merge")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      t1.join(t2, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("occurrences"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+           |  FROM documents),
+           |hits AS (
+           |  SELECT doc_id, lang
+           |  FROM (SELECT doc_id, lang, w,
+           |        unnest(range(1, len(w))) AS i FROM tok) u
+           |  WHERE w[i] = 'fast' AND w[i+1] = 'merge')
+           |SELECT doc_id, lang, COUNT(*) AS occurrences
+           |FROM hits GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q124Bm25Topk, q125HybridRrf, q126SourceCap,
-    q137RetrievalEval)
+    q137RetrievalEval, q143PhraseSearch)
 }

@@ -48,7 +48,12 @@ class StageBudgetSpec extends AnyFunSuite {
     // single-job profile (the two-level agg + join-back fuses under
     // one job with AQE off); q07 is the one-exchange agg
     ("q80_span_dedup", 6, 2),
-    ("q07_group_agg", 3, 1))
+    ("q07_group_agg", 3, 1),
+    // r11: SemDeDup joins the headline set — the budget pins that the
+    // persisted assignment relation serves all three consumers (a
+    // regression to per-consumer rebuilds of the scan + K-cosine
+    // assignment triples the stage count)
+    ("q139_semantic_dedup", 7, 7))
 
   test("the pinned expensive headline queries keep their executed " +
       "stage/job budgets under the bench profile") {
