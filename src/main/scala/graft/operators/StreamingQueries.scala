@@ -472,34 +472,50 @@ object StreamingQueries {
     * fold — so the batch oracle (train docs sharing ANY 5-gram with
     * test, per lang) applies to any replay schedule.
     */
+  /** q141's static side: the exact eval-gram verify relation
+    * (persisted) and its Bloom bitset. Shared by the QueryDef and
+    * `StreamRestartSpec`'s kill/restart drive.
+    */
+  private[graft] def decontamStatics(s: org.apache.spark.sql
+      .SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Array[Long]) = {
+    graft.functions.VectorOps.register(s)
+    import s.implicits._
+    val testG = graft.Caches.persist(
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 100 >= 90)
+        .select(explode(graft.functions.VectorOps.shingleHashes(
+          lower(col("text")), 5)).as("g")).distinct())
+    val bloom = new graft.functions.BloomSketchAggregator(1 << 20, 7)
+    (testG, testG.as[Long].select(bloom.toColumn).head())
+  }
+
+  /** q141's per-batch pipeline over an arbitrary (doc_id, lang, text)
+    * relation — streaming or batch (every stage is batch-legal, which
+    * is what makes the batch oracle apply).
+    */
+  private[graft] def streamDecontam(
+      testG: org.apache.spark.sql.DataFrame, bits: Array[Long],
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.VectorOps.shingleHashes(
+          lower(col("text")), 5)).as("g"))
+      .filter(graft.functions.VectorOps.bloomContains(col("g"), bits, 7))
+      .join(testG, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("lang"))
+      .dropDuplicates("doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("leaked"))
+
   val q141StreamDecontam: QueryDef = QueryDef(
     "q141_stream_decontam",
     (s, dir) => {
-      graft.functions.VectorOps.register(s)
-      import s.implicits._
-      val sets5 = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          graft.functions.VectorOps.shingleHashes(lower(col("text")), 5)
-            .as("gs"))
-        .filter(size(col("gs")) > 0)
-      // static side: exact eval grams (the verify relation) + bitset
-      val testG = graft.Caches.persist(
-        sets5.filter(col("doc_id") % 100 >= 90)
-          .select(explode(col("gs")).as("g")).distinct())
-      val bloom = new graft.functions.BloomSketchAggregator(1 << 20, 7)
-      val bits = testG.as[Long].select(bloom.toColumn).head()
-      val leaked = EventsStream.readDocuments(s, dir)
-        .filter(col("doc_id") % 100 < 80)
-        .select(col("doc_id"), col("lang"),
-          explode(graft.functions.VectorOps.shingleHashes(
-            lower(col("text")), 5)).as("g"))
-        .filter(graft.functions.VectorOps.bloomContains(col("g"), bits,
-          7))
-        .join(testG, Seq("g"), "left_semi")
-        .select(col("doc_id"), col("lang"))
-        .dropDuplicates("doc_id")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("leaked"))
+      val (testG, bits) = decontamStatics(s, dir)
+      val leaked = streamDecontam(testG, bits,
+        EventsStream.readDocuments(s, dir)
+          .filter(col("doc_id") % 100 < 80))
       EventsStream.runToCompletion(s, leaked).orderBy("lang")
     },
     Some("""WITH tok AS (

@@ -230,4 +230,68 @@ class StreamRestartSpec extends AnyFunSuite {
       s"restarted stream diverged: ${all.size} vs batch ${batch.size}")
     Caches.clear(spark)
   }
+
+  test("q141-class decontamination monitor survives a restart: the " +
+      "leaked-doc dedup state swallows a doc redelivered after the " +
+      "restart and the final counts equal the batch answer") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_dcrs")
+    val in = root.resolve("in").toString
+    val cp = root.resolve("cp").toString
+
+    val (testG, bits) = operators.StreamingQueries
+      .decontamStatics(spark, dir)
+    val trainRows = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 100 < 80)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val (firstHalf, secondHalf) = trainRows.splitAt(trainRows.length / 2)
+
+    def writeFile(rows: Seq[(Long, String, String)]): Unit =
+      rows.toSeq.toDF("doc_id", "lang", "text").repartition(1)
+        .write.mode("append").parquet(in)
+
+    // complete-mode sink: keep only the LAST snapshot
+    val last = new java.util.concurrent.atomic
+      .AtomicReference[Map[String, Long]](Map.empty)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("lang", "string").add("text", "string")
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      operators.StreamingQueries.streamDecontam(testG, bits, stream)
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            last.set(b.collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap)
+            ()
+        }
+        .start()
+    }
+
+    // run 1: first half of the crawl, then a hard stop
+    writeFile(firstHalf.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // while "down": second half arrives PLUS a redelivery of a run-1
+    // doc — the restored dropDuplicates state must swallow it or the
+    // leak count double-counts
+    writeFile(secondHalf.toSeq ++ firstHalf.take(3))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batch = operators.StreamingQueries
+      .streamDecontam(testG, bits,
+        trainRows.toSeq.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch.values.sum > 0, "fixture has no leaks — test is vacuous")
+    assert(last.get() == batch,
+      s"restarted monitor diverged: ${last.get()} vs batch $batch")
+    Caches.clear(spark)
+  }
 }
