@@ -1282,9 +1282,58 @@ object Similarity {
             |GROUP BY a.cid ORDER BY a.cid""".stripMargin),
     bench = true)
 
+  // Distributed covariance of the embedding corpus — the one-pass
+  // moment-matrix aggregation behind whitening / ZCA / PCA (SemDeDup
+  // whitens before clustering; linear probes need the same XᵀX shape).
+  // MomentMatrixAggregator folds each partition into a single flat
+  // [n, Σv, upper Σvvᵀ] buffer (~17 KB at d=64) and merges by
+  // element-wise addition — the exchange carries ONE buffer per task
+  // regardless of corpus size, where the relational spelling (explode
+  // dims twice, GROUP BY (i, j)) shuffles d²/2 rows PER VECTOR — at
+  // 100 TB that is the difference between kilobytes and a corpus-dwarfing
+  // exchange. Both engines evaluate the same textbook one-pass algebra
+  // ((Σxy − ΣxΣy/n)/(n−1)); outputs quantize to integer µunits
+  // (floor(cov·10⁶ + 0.5), the q137 discipline) so the hash gate is
+  // exact. The (i, j) ↔ triangle-index map is a 2080-row constant
+  // dimension relation, broadcast. MomentMatrixSpec adds merge-order
+  // invariance and a power-iteration PCA gate on the result.
+  val q144EmbedCovariance: QueryDef = QueryDef(
+    "q144_embed_covariance",
+    (s, dir) => {
+      import s.implicits._
+      val dim = graft.tools.GenFixtures.Dim
+      val agg = new graft.functions.MomentMatrixAggregator(dim)
+      val m = Tables.load(s, dir, "embeddings")
+        .select(col("embedding").cast("array<double>").as("v"))
+        .as[Seq[Double]].select(agg.toColumn).toDF("m")
+      val pairs = (for { i <- 0 until dim; j <- i until dim } yield
+        (i, j, i * dim - i * (i - 1) / 2 + (j - i))).toDF("i", "j", "k")
+      m.select(posexplode(slice(col("m"), 2, dim * (dim + 1) / 2))
+          .as(Seq("k", "cov")))
+        .join(broadcast(pairs), "k")
+        .select(col("i"), col("j"),
+          floor(col("cov") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("cov_u"))
+        .orderBy("i", "j")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |x AS (
+           |  SELECT vec_id, i - 1 AS i, v[i] AS xi
+           |  FROM (SELECT vec_id, v, unnest(range(1, len(v)+1)) AS i
+           |        FROM e) u)
+           |SELECT a.i, b.i AS j,
+           |  CAST(floor(((SUM(a.xi * b.xi)
+           |               - SUM(a.xi) * SUM(b.xi) / COUNT(*))
+           |              / (COUNT(*) - 1)) * 1000000 + 0.5) AS BIGINT)
+           |    AS cov_u
+           |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+           |GROUP BY a.i, b.i ORDER BY a.i, j""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
     q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall,
     q128WideBandNeardup, q131StreamEmbedNeardup, q135AdaptiveNeardup,
-    q136AnnMultiprobe, q139SemanticDedup)
+    q136AnnMultiprobe, q139SemanticDedup, q144EmbedCovariance)
 }
