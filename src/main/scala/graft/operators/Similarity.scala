@@ -1331,9 +1331,66 @@ object Similarity {
            |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
            |GROUP BY a.i, b.i ORDER BY a.i, j""".stripMargin))
 
+  // PCA projection against the TRAINED component fixture — the apply
+  // half of the q144 story, under the same train-offline / apply-in-plan
+  // contract as the ANN tier (q45 centroids, q64 PQ codebooks): the
+  // expensive decomposition ran once (tools.TrainWhitener — distributed
+  // moment pass + driver-side 64×64 deflated power iteration), the
+  // committed fixture is 8 rows, and the at-scale query is ONE corpus
+  // pass of in-row dot products against the broadcast component table
+  // (centered projection = dot(v, w) − w·µ, the per-component scalar
+  // carried in the fixture so the mean vector never ships). Output is
+  // the per-component projection profile (mean ≈ 0 by construction,
+  // variance ≈ the component's eigenvalue on the training corpus —
+  // TrainWhitenerSpec gates that); at 100 TB this is the
+  // dimensionality-reduction / whitening pass embeddings take before
+  // clustering (SemDeDup whitens exactly this way) or cheap ANN.
+  val q145PcaProject: QueryDef = QueryDef(
+    "q145_pca_project",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val comps = broadcast(graft.Fixtures.pcaComponents(s)
+        .select(col("pcid"), col("w"), col("wmu")))
+      e.crossJoin(comps)
+        .select(col("pcid"),
+          (graft.functions.VectorOps.dot(col("v"), col("w"))
+            - col("wmu")).as("t"))
+        .groupBy(col("pcid"))
+        .agg(sum(col("t")).as("st"),
+          sum(col("t") * col("t")).as("stt"),
+          count(lit(1)).as("n"))
+        .select(col("pcid"),
+          floor((col("st") / col("n")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("mean_u"),
+          floor(((col("stt") - col("st") * col("st") / col("n"))
+            / (col("n") - 1)) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("var_u"))
+        .orderBy("pcid")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |c AS (SELECT pcid, w, wmu
+            |      FROM read_parquet('${graft.Fixtures.pcaComponentsPath}')),
+            |p AS (
+            |  SELECT c.pcid,
+            |    list_inner_product(e.v, c.w) - c.wmu AS t
+            |  FROM e CROSS JOIN c)
+            |SELECT pcid,
+            |  CAST(floor(SUM(t) / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+            |    AS mean_u,
+            |  CAST(floor(((SUM(t*t) - SUM(t)*SUM(t)/COUNT(*))
+            |              / (COUNT(*)-1)) * 1000000 + 0.5) AS BIGINT)
+            |    AS var_u
+            |FROM p GROUP BY pcid ORDER BY pcid""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
     q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall,
     q128WideBandNeardup, q131StreamEmbedNeardup, q135AdaptiveNeardup,
-    q136AnnMultiprobe, q139SemanticDedup, q144EmbedCovariance)
+    q136AnnMultiprobe, q139SemanticDedup, q144EmbedCovariance,
+    q145PcaProject)
 }
