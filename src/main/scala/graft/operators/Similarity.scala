@@ -1297,6 +1297,24 @@ object Similarity {
   // exact. The (i, j) ↔ triangle-index map is a 2080-row constant
   // dimension relation, broadcast. MomentMatrixSpec adds merge-order
   // invariance and a power-iteration PCA gate on the result.
+  /** One-row `[n, cov upper triangle]` relation → (i, j, cov_u) rows:
+    * posexplode over the triangle slice joined to the constant
+    * (i, j) ↔ index map. Shared by q144 (batch) and q146 (streaming).
+    */
+  private def covarianceRows(m: DataFrame, dim: Int): DataFrame = {
+    val s = m.sparkSession
+    import s.implicits._
+    val pairs = (for { i <- 0 until dim; j <- i until dim } yield
+      (i, j, i * dim - i * (i - 1) / 2 + (j - i))).toDF("i", "j", "k")
+    m.select(posexplode(slice(col("m"), 2, dim * (dim + 1) / 2))
+        .as(Seq("k", "cov")))
+      .join(broadcast(pairs), "k")
+      .select(col("i"), col("j"),
+        floor(col("cov") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("cov_u"))
+      .orderBy("i", "j")
+  }
+
   val q144EmbedCovariance: QueryDef = QueryDef(
     "q144_embed_covariance",
     (s, dir) => {
@@ -1306,15 +1324,7 @@ object Similarity {
       val m = Tables.load(s, dir, "embeddings")
         .select(col("embedding").cast("array<double>").as("v"))
         .as[Seq[Double]].select(agg.toColumn).toDF("m")
-      val pairs = (for { i <- 0 until dim; j <- i until dim } yield
-        (i, j, i * dim - i * (i - 1) / 2 + (j - i))).toDF("i", "j", "k")
-      m.select(posexplode(slice(col("m"), 2, dim * (dim + 1) / 2))
-          .as(Seq("k", "cov")))
-        .join(broadcast(pairs), "k")
-        .select(col("i"), col("j"),
-          floor(col("cov") * lit(1000000.0) + lit(0.5)).cast("long")
-            .as("cov_u"))
-        .orderBy("i", "j")
+      covarianceRows(m, dim)
     },
     Some("""WITH e AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1330,6 +1340,33 @@ object Similarity {
            |    AS cov_u
            |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
            |GROUP BY a.i, b.i ORDER BY a.i, j""".stripMargin))
+
+  // q144's moment pass as REAL Structured Streaming aggregation state —
+  // the continuous corpus-statistics monitor for the embedding tier
+  // (covariance drift is the retraining trigger for the q145 components
+  // and the q45 centroids alike). The MomentMatrixAggregator buffer is
+  // mergeable (element-wise add), so it lives in complete-mode
+  // streaming aggregation state exactly as q133 runs the Misra-Gries
+  // summary: vectors arrive as a stream, each micro-batch folds into
+  // the ~17 KB state, and the final snapshot IS the batch moment
+  // matrix up to fp summation order — absorbed by the µunit
+  // quantization, so q144's oracle applies verbatim (the hash match
+  // proves the streaming state composes to the batch covariance).
+  val q146StreamCovariance: QueryDef = QueryDef(
+    "q146_stream_covariance",
+    (s, dir) => {
+      import s.implicits._
+      val dim = graft.tools.GenFixtures.Dim
+      val agg = new graft.functions.MomentMatrixAggregator(dim)
+      val sketch = graft.streaming.EventsStream.readEmbeddings(s, dir)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .as[Seq[Double]]
+        .select(agg.toColumn)
+        .toDF("m")
+      covarianceRows(
+        graft.streaming.EventsStream.runToCompletion(s, sketch), dim)
+    },
+    q144EmbedCovariance.oracle)
 
   // PCA projection against the TRAINED component fixture — the apply
   // half of the q144 story, under the same train-offline / apply-in-plan
@@ -1392,5 +1429,5 @@ object Similarity {
     q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall,
     q128WideBandNeardup, q131StreamEmbedNeardup, q135AdaptiveNeardup,
     q136AnnMultiprobe, q139SemanticDedup, q144EmbedCovariance,
-    q145PcaProject)
+    q145PcaProject, q146StreamCovariance)
 }
