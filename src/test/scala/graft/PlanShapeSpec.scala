@@ -306,6 +306,29 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "both self-join sides must read the persisted capped index")
   }
 
+  test("q138: the Bloom probe filters the train grams BELOW the " +
+      "semi join — map-side pruning, not post-join") {
+    val p = plan("q138_decontam_bloom")
+    assert(p.toLowerCase.contains("bloomcontains"),
+      "bloom probe expression missing from the executed plan")
+    assert(p.contains("LeftSemi"), "exact semi verify missing")
+    // the probe must sit in a Filter, never after the join: the
+    // pruned side's subtree contains it before any join node
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(p.toLowerCase.indexOf("bloomcontains") > semiIdx,
+      "bloom filter not inside the semi join's build subtree")
+  }
+
+  test("q143: phrase adjacency is a keyed equi-join on (doc, pos) — " +
+      "no nested loop, no cartesian") {
+    val p = plan("q143_phrase_search")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "posting join degraded to a nested loop")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected a keyed join on (doc_id, pos)")
+  }
+
   test("q140: lang predicate resolves against partition VALUES — " +
       "PartitionFilters at the scan, no data filter, lang absent " +
       "from the parquet read schema, non-matching partitions unread") {
