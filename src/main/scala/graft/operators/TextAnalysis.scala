@@ -1307,6 +1307,149 @@ object TextAnalysis {
             |  GROUP BY 1, 2) p
             |WHERE shared_fp >= $WinShared ORDER BY d1, d2""".stripMargin))
 
+  // The capstone composition: the full training-data build as ONE
+  // Catalyst plan — quality gate → exact content dedup →
+  // Bloom-pruned decontamination against the eval split → α=0.5
+  // temperature budget per language → content-addressed selection →
+  // packing accounting. Every stage reuses semantics an isolated
+  // catalog query already proves (q107's gate, q21's keyed dedup,
+  // q138's bloom + exact-verify decontamination, q115's sqrt budget
+  // and lowest-(md5, doc_id) selection, q71's integer-exact packing),
+  // so the composed oracle is assembled from the same proven SQL
+  // pieces; what THIS entry adds is the evidence that the engine runs
+  // the entire pipeline as one declarative plan — the "switch your
+  // pipeline to this library" claim, executable. Stage relations with
+  // multiple consumers (the deduped set feeds the leak check, the
+  // anti-join and the ledger; the survivor set feeds counts, ranks and
+  // selection) persist once — at 100 TB those are the
+  // materialization points a production run writes anyway.
+  val q147TrainingPipeline: QueryDef = QueryDef(
+    "q147_training_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorOps.register(s)
+      // train candidates with token counts
+      val tr = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 100 < 80)
+        .withColumn("nt", size(split(lower(col("text")), " ")))
+      val gated = tr.filter(col("nt") >= 20 && col("nt") <= 80)
+      val wDup = Window.partitionBy(col("hh")).orderBy(col("doc_id"))
+      val ded = graft.Caches.persist(
+        gated.withColumn("hh", md5(col("text").cast(BinaryType)))
+          .withColumn("rn", row_number().over(wDup))
+          .filter(col("rn") === 1).drop("rn"))
+      // decontamination: q138's bloom prune + exact semi verify
+      val (testG, bits) = StreamingQueries.decontamStatics(s, dir)
+      val leak = ded.select(col("doc_id"),
+          explode(graft.functions.VectorOps.shingleHashes(
+            lower(col("text")), 5)).as("g"))
+        .filter(graft.functions.VectorOps.bloomContains(col("g"), bits,
+          7))
+        .join(testG, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val surv = graft.Caches.persist(
+        ded.join(leak, Seq("doc_id"), "left_anti"))
+      // α = 0.5 temperature budget per language (q115's formulation)
+      val counts = surv.groupBy(col("lang"))
+        .agg(count(lit(1)).as("survivors"))
+        .withColumn("wgt", sqrt(col("survivors").cast(DoubleType)))
+      val consts = counts.agg(sum(col("wgt")).as("sw"),
+        sum(col("survivors")).as("total"))
+      val takes = counts.join(broadcast(consts))
+        .select(col("lang"), col("survivors"),
+          least(col("survivors"), floor(
+            floor(col("total").cast(DoubleType) / 2) * col("wgt") /
+              col("sw")).cast(LongType)).as("budget"))
+      // content-addressed selection + integer-exact packing ledger
+      val wSel = Window.partitionBy(col("lang"))
+        .orderBy(col("hh"), col("doc_id"))
+      val sel = surv.withColumn("rk", row_number().over(wSel))
+        .join(broadcast(takes), Seq("lang"))
+        .filter(col("rk") <= col("budget"))
+      val packed = sel.groupBy(col("lang"))
+        .agg(count(lit(1)).as("selected"), sum(col("nt")).as("tokens"))
+        .withColumn("bins",
+          expr("(tokens + 2047) div 2048").cast(LongType))
+        .withColumn("fill", graft.Round4(col("tokens").cast(DoubleType)
+          / (col("bins").cast(DoubleType) * 2048)))
+      val gatedC = gated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("gated"))
+      val dedC = ded.groupBy(col("lang"))
+        .agg(count(lit(1)).as("deduped"))
+      gatedC.join(dedC, "lang").join(takes, "lang").join(packed, "lang")
+        .select(col("lang"), col("gated"), col("deduped"),
+          col("survivors"), col("budget"), col("selected"),
+          col("tokens"), col("bins"), col("fill"))
+        .orderBy("lang")
+    },
+    Some("""WITH tr AS (
+           |  SELECT doc_id, lang, text,
+           |    len(string_split(lower(text), ' ')) AS nt
+           |  FROM documents WHERE doc_id % 100 < 80),
+           |gated AS (SELECT * FROM tr WHERE nt BETWEEN 20 AND 80),
+           |ded AS (
+           |  SELECT doc_id, lang, text, nt, hh FROM (
+           |    SELECT *, md5(text) AS hh,
+           |      ROW_NUMBER() OVER (PARTITION BY md5(text)
+           |                         ORDER BY doc_id) AS rn
+           |    FROM gated) x WHERE rn = 1),
+           |tokq AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS w
+           |  FROM documents
+           |  WHERE len(string_split(lower(text), ' ')) >= 5),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+           |      w[i+3] || ' ' || w[i+4] AS g
+           |  FROM (SELECT doc_id, w,
+           |        unnest(range(1, len(w)-3)) AS i FROM tokq) u),
+           |testg AS (SELECT DISTINCT g FROM sh
+           |          WHERE doc_id % 100 >= 90),
+           |leak AS (
+           |  SELECT DISTINCT s.doc_id FROM sh s
+           |  JOIN ded d ON s.doc_id = d.doc_id
+           |  WHERE s.g IN (SELECT g FROM testg)),
+           |surv AS (SELECT * FROM ded
+           |         WHERE doc_id NOT IN (SELECT doc_id FROM leak)),
+           |c AS (SELECT lang, COUNT(*) AS survivors,
+           |        sqrt(CAST(COUNT(*) AS DOUBLE)) AS wgt
+           |      FROM surv GROUP BY lang),
+           |k AS (SELECT SUM(wgt) AS sw,
+           |        CAST(SUM(survivors) AS BIGINT) AS total FROM c),
+           |t AS (
+           |  SELECT lang, survivors,
+           |    least(survivors, CAST(floor(
+           |      floor(CAST(total AS DOUBLE) / 2) * wgt / sw)
+           |      AS BIGINT)) AS budget
+           |  FROM c CROSS JOIN k),
+           |r AS (
+           |  SELECT lang, doc_id, nt,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |                       ORDER BY hh, doc_id) AS rk
+           |  FROM surv),
+           |sel AS (SELECT r.lang, r.doc_id, r.nt FROM r
+           |        JOIN t ON r.lang = t.lang WHERE rk <= t.budget),
+           |p AS (
+           |  SELECT lang, COUNT(*) AS selected,
+           |    CAST(SUM(nt) AS BIGINT) AS tokens,
+           |    CAST((CAST(SUM(nt) AS BIGINT) + 2047) // 2048 AS BIGINT)
+           |      AS bins
+           |  FROM sel GROUP BY lang),
+           |gc AS (SELECT lang, COUNT(*) AS gated FROM gated
+           |       GROUP BY lang),
+           |dc AS (SELECT lang, COUNT(*) AS deduped FROM ded
+           |       GROUP BY lang)
+           |SELECT gc.lang AS lang, gc.gated, dc.deduped,
+           |  CAST(t.survivors AS BIGINT) AS survivors, t.budget,
+           |  p.selected, p.tokens, p.bins,
+           |  floor(CAST(p.tokens AS DOUBLE)
+           |        / (CAST(p.bins AS DOUBLE) * 2048)
+           |        * 10000 + 0.5) / 10000 AS fill
+           |FROM gc JOIN dc ON gc.lang = dc.lang
+           |JOIN t ON gc.lang = t.lang
+           |JOIN p ON gc.lang = p.lang
+           |ORDER BY gc.lang""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
@@ -1315,5 +1458,5 @@ object TextAnalysis {
     q115MixTemperature, q116LangIdProfile, q117GopherGate,
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers,
-    q129WinnowProvenance, q132DistinctApproxGate)
+    q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline)
 }
