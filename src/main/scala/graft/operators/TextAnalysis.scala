@@ -1448,7 +1448,8 @@ object TextAnalysis {
            |FROM gc JOIN dc ON gc.lang = dc.lang
            |JOIN t ON gc.lang = t.lang
            |JOIN p ON gc.lang = p.lang
-           |ORDER BY gc.lang""".stripMargin))
+           |ORDER BY gc.lang""".stripMargin),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
