@@ -53,7 +53,14 @@ class StageBudgetSpec extends AnyFunSuite {
     // persisted assignment relation serves all three consumers (a
     // regression to per-consumer rebuilds of the scan + K-cosine
     // assignment triples the stage count)
-    ("q139_semantic_dedup", 7, 7))
+    ("q139_semantic_dedup", 7, 7),
+    // r11 capstone — cold-path budget (the spec clears caches first,
+    // so this includes the bloom-statics build and BOTH persisted
+    // stage materializations; measured 31): pins that the deduped and
+    // survivor relations serve all their consumers from one build
+    // each — re-running the gate/dedup or decontam chain per consumer
+    // adds ~10 stages per extra consumer and blows straight past this
+    ("q147_training_pipeline", 34, 34))
 
   test("the pinned expensive headline queries keep their executed " +
       "stage/job budgets under the bench profile") {
