@@ -25,6 +25,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * False positives only ever ADD candidates to a downstream exact
   * verify; they can never change a result that re-checks exactly.
   */
+/** The ONE sizing shared by every decontamination bloom build AND
+  * probe (q138 / q141 / q147): build k and probe k must agree or the
+  * probe checks bit positions the build never set — Bloom false
+  * NEGATIVES, which (unlike false positives) the downstream exact
+  * verify cannot repair. Callers must never hardcode these.
+  */
+object BloomDefaults {
+  val NumBits: Int = 1 << 20
+  val NumHashes: Int = 7
+}
+
 final class BloomSketchAggregator(numBits: Int, numHashes: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {
   require(numBits >= 64 && (numBits & (numBits - 1)) == 0,

@@ -19,10 +19,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * a µunit-boundary flip from that residual is the same accepted risk
   * class as every other quantized-double gate in the catalog.
   *
-  * `finish` converts moments to the SAMPLE covariance upper triangle
-  * (`(Σxy − Σx·Σy/n)/(n−1)`, the textbook one-pass formula — both
-  * engines evaluate the same algebra, so a rounding gate holds), with
-  * n kept in slot 0.
+  * `finish` converts moments to `[n, mean(0..d-1), SAMPLE covariance
+  * upper triangle]` (`(Σxy − Σx·Σy/n)/(n−1)`, the textbook one-pass
+  * formula — both engines evaluate the same algebra, so a rounding
+  * gate holds). Carrying the mean keeps consumers one-pass: the PCA
+  * trainer needs µ for the centered projection and must not re-scan
+  * the corpus for sums the buffer already accumulated. Fewer than 2
+  * rows is a loud error — NaN covariances downstream would silently
+  * diverge from the oracle's empty result instead.
   */
 final class MomentMatrixAggregator(dim: Int)
     extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
@@ -56,14 +60,18 @@ final class MomentMatrixAggregator(dim: Int)
     a
   }
 
-  /** `[n, cov upper triangle row-major]` — sample covariance. */
+  /** `[n, mean(0..d-1), cov upper triangle row-major]`. */
   def finish(buf: Array[Double]): Array[Double] = {
     val n = buf(0)
-    val out = new Array[Double](1 + tri)
+    require(n >= 2.0,
+      s"MomentMatrix: sample covariance needs >= 2 rows, got ${n.toLong}")
+    val out = new Array[Double](1 + dim + tri)
     out(0) = n
     var i = 0
+    while (i < dim) { out(1 + i) = buf(1 + i) / n; i += 1 }
+    i = 0
     var k = 1 + dim
-    var o = 1
+    var o = 1 + dim
     while (i < dim) {
       var j = i
       while (j < dim) {

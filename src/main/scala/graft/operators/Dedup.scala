@@ -562,8 +562,8 @@ object Dedup {
            |LEFT JOIN cont c ON t.doc_id = c.doc_id
            |GROUP BY t.lang ORDER BY t.lang""".stripMargin))
 
-  private val BloomBits = 1 << 20
-  private val BloomHashes = 7
+  private val BloomBits = graft.functions.BloomDefaults.NumBits
+  private val BloomHashes = graft.functions.BloomDefaults.NumHashes
 
   // Bloom-pruned decontamination — q65's semantics at the 100 TB
   // operating point. At scale the two sides are wildly asymmetric: eval

@@ -121,8 +121,9 @@ object Formats {
     * `partitionBy` alone emits one file per (task × value) — the
     * small-files explosion that kills 100 TB listings — whereas
     * repartition(col) gives one task per value and AQE coalesces the
-    * rest. Single-JVM lock + completion marker make concurrent builders
-    * idempotent.
+    * rest. Concurrent builders are safe both in-process (JVM lock) and
+    * cross-process (write to a private temp dir, publish by one atomic
+    * directory rename; rename-race losers adopt the winner's copy).
     */
   private val layoutLock = new Object
   private[graft] def partitionedLayout(s: org.apache.spark.sql
@@ -134,17 +135,37 @@ object Formats {
     val key = f"v2_${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x" +
       s"_${sz}_${mt}_$h"
     val out = new java.io.File(s"/tmp/graft_layout/$key")
-    val marker = new java.io.File(out, "_GRAFT_COMPLETE")
     layoutLock.synchronized {
-      if (!marker.exists()) {
+      if (!out.exists()) {
+        // Cross-PROCESS safety (the JVM lock only covers this process):
+        // write the full layout into a private temp dir, then publish
+        // with one atomic directory rename — concurrent JVMs either
+        // see no dir or a complete one, never a half-written Overwrite
+        // interleaving. A loser of the rename race discards its copy
+        // and uses the winner's.
+        val tmp = new java.io.File(
+          s"${out.getPath}.tmp.${java.util.UUID.randomUUID()}")
         // LakehouseSink's partition+cluster write: repartition on the
         // partition column (task-per-value, no task×value small-files
         // explosion) and sort by doc_id within files so min/max footer
         // stats stay tight on the natural range key
         graft.sources.LakehouseSink.writePartitioned(
-          Tables.load(s, dir, "documents"), out.getPath,
+          Tables.load(s, dir, "documents"), tmp.getPath,
           partitionCols = Seq("lang"), clusterCols = Seq("doc_id"))
-        marker.createNewFile()
+        try
+          java.nio.file.Files.move(tmp.toPath, out.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+              _: java.nio.file.DirectoryNotEmptyException |
+              _: java.nio.file.AccessDeniedException =>
+            // another process published first — use theirs
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              java.nio.file.Files.deleteIfExists(f.toPath); ()
+            }
+            rm(tmp)
+        }
       }
     }
     out.getPath

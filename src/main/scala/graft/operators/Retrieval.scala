@@ -411,10 +411,13 @@ object Retrieval {
   val q143PhraseSearch: QueryDef = QueryDef(
     "q143_phrase_search",
     (s, dir) => {
-      val post = Tables.load(s, dir, "documents")
+      // both phrase terms' posting lists come out of ONE tokenize pass
+      // — persisted, or each join side re-runs the corpus scan +
+      // posexplode (the repo's standard multi-consumer discipline)
+      val post = graft.Caches.persist(Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
-        .filter(col("tok") === "fast" || col("tok") === "merge")
+        .filter(col("tok") === "fast" || col("tok") === "merge"))
       val t1 = post.filter(col("tok") === "fast")
         .select(col("doc_id"), col("lang"), col("pos"))
       val t2 = post.filter(col("tok") === "merge")

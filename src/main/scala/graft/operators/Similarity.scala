@@ -1297,8 +1297,8 @@ object Similarity {
   // exact. The (i, j) ↔ triangle-index map is a 2080-row constant
   // dimension relation, broadcast. MomentMatrixSpec adds merge-order
   // invariance and a power-iteration PCA gate on the result.
-  /** One-row `[n, cov upper triangle]` relation → (i, j, cov_u) rows:
-    * posexplode over the triangle slice joined to the constant
+  /** One-row `[n, mean, cov upper triangle]` relation → (i, j, cov_u)
+    * rows: posexplode over the triangle slice joined to the constant
     * (i, j) ↔ index map. Shared by q144 (batch) and q146 (streaming).
     */
   private def covarianceRows(m: DataFrame, dim: Int): DataFrame = {
@@ -1306,7 +1306,7 @@ object Similarity {
     import s.implicits._
     val pairs = (for { i <- 0 until dim; j <- i until dim } yield
       (i, j, i * dim - i * (i - 1) / 2 + (j - i))).toDF("i", "j", "k")
-    m.select(posexplode(slice(col("m"), 2, dim * (dim + 1) / 2))
+    m.select(posexplode(slice(col("m"), 2 + dim, dim * (dim + 1) / 2))
         .as(Seq("k", "cov")))
       .join(broadcast(pairs), "k")
       .select(col("i"), col("j"),

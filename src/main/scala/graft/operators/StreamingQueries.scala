@@ -486,7 +486,9 @@ object StreamingQueries {
         .filter(col("doc_id") % 100 >= 90)
         .select(explode(graft.functions.VectorOps.shingleHashes(
           lower(col("text")), 5)).as("g")).distinct())
-    val bloom = new graft.functions.BloomSketchAggregator(1 << 20, 7)
+    val bloom = new graft.functions.BloomSketchAggregator(
+      graft.functions.BloomDefaults.NumBits,
+      graft.functions.BloomDefaults.NumHashes)
     (testG, testG.as[Long].select(bloom.toColumn).head())
   }
 
@@ -502,7 +504,8 @@ object StreamingQueries {
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.VectorOps.shingleHashes(
           lower(col("text")), 5)).as("g"))
-      .filter(graft.functions.VectorOps.bloomContains(col("g"), bits, 7))
+      .filter(graft.functions.VectorOps.bloomContains(col("g"), bits,
+        graft.functions.BloomDefaults.NumHashes))
       .join(testG, Seq("g"), "left_semi")
       .select(col("doc_id"), col("lang"))
       .dropDuplicates("doc_id")

@@ -1344,7 +1344,7 @@ object TextAnalysis {
           explode(graft.functions.VectorOps.shingleHashes(
             lower(col("text")), 5)).as("g"))
         .filter(graft.functions.VectorOps.bloomContains(col("g"), bits,
-          7))
+          graft.functions.BloomDefaults.NumHashes))
         .join(testG, Seq("g"), "left_semi")
         .select(col("doc_id")).distinct()
       val surv = graft.Caches.persist(

@@ -62,26 +62,22 @@ object TrainWhitener {
   final case class Trained(comps: Seq[(Int, Array[Double], Double,
     Double)])
 
-  /** Train on (vec_id, v) vectors: one distributed moment pass + a
-    * driver-side d×d decomposition.
+  /** Train on (vec_id, v) vectors: ONE distributed moment pass (the
+    * finished buffer carries n, the mean AND the covariance triangle)
+    * + a driver-side d×d decomposition.
     */
   def train(vecs: org.apache.spark.sql.DataFrame, dim: Int,
       k: Int): Trained = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val agg = new graft.functions.MomentMatrixAggregator(dim)
-    val upper = vecs.select(col("v")).as[Seq[Double]]
+    val fin = vecs.select(col("v")).as[Seq[Double]]
       .select(agg.toColumn).head()
-    val n = upper(0)
-    // mean needs the raw Σv — recover from the moment buffer? finish()
-    // already consumed it, so take one more tiny aggregate (d sums).
-    val mu = vecs.select(posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy(col("d")).agg(sum(col("x")).as("s"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1) / n)
+    val mu = Array.tabulate(dim)(d => fin(1 + d))
     val c = Array.ofDim[Double](dim, dim)
-    var idx = 1
+    var idx = 1 + dim
     for (i <- 0 until dim; j <- i until dim) {
-      c(i)(j) = upper(idx); c(j)(i) = upper(idx); idx += 1
+      c(i)(j) = fin(idx); c(j)(i) = fin(idx); idx += 1
     }
     val eigs = topEig(c, k)
     Trained(eigs.zipWithIndex.map { case ((lambda, w), pcid) =>

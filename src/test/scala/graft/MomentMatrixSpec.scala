@@ -50,12 +50,16 @@ class MomentMatrixSpec extends AnyFunSuite {
     }
   }
 
-  test("covariance matches the textbook two-pass computation") {
+  test("covariance and mean match the textbook two-pass computation; " +
+      "fewer than 2 rows fails loudly") {
     val data = vecs(300)
     val got = covUpper(data)
     val n = data.length
     val mean = Array.tabulate(dim)(d => data.map(_(d)).sum / n)
-    var k = 1
+    for (d <- 0 until dim)
+      assert(math.abs(got(1 + d) - mean(d)) < 1e-12,
+        s"mean($d): ${got(1 + d)} vs ${mean(d)}")
+    var k = 1 + dim
     for (i <- 0 until dim; j <- i until dim) {
       val ref = data.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum /
         (n - 1)
@@ -64,6 +68,11 @@ class MomentMatrixSpec extends AnyFunSuite {
       k += 1
     }
     assert(got(0) == n.toDouble)
+    val agg = new MomentMatrixAggregator(dim)
+    intercept[IllegalArgumentException] {
+      agg.finish(vecs(1).foldLeft(agg.zero)(agg.reduce))
+    }
+    intercept[IllegalArgumentException] { agg.finish(agg.zero) }
   }
 
   test("power-iteration PCA on the emitted covariance: orthonormal " +
@@ -73,7 +82,7 @@ class MomentMatrixSpec extends AnyFunSuite {
     val upper = covUpper(data)
     // densify
     val c = Array.ofDim[Double](dim, dim)
-    var k = 1
+    var k = 1 + dim
     for (i <- 0 until dim; j <- i until dim) {
       c(i)(j) = upper(k); c(j)(i) = upper(k); k += 1
     }
@@ -83,23 +92,9 @@ class MomentMatrixSpec extends AnyFunSuite {
     def dot(a: Array[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum
     def norm(v: Array[Double]): Double = math.sqrt(dot(v, v))
-    // deflated power iteration, deterministic start
-    val eigs = scala.collection.mutable.Buffer[(Double, Array[Double])]()
-    val work = c.map(_.clone())
-    for (e <- 0 until 4) {
-      var v = Array.tabulate(dim)(d =>
-        math.sin(e + d + 1.0)) // deterministic, not orthogonal to evecs
-      for (_ <- 0 until 500) {
-        val w = mul(work, v)
-        val nw = norm(w)
-        v = w.map(_ / nw)
-      }
-      val lambda = dot(v, mul(work, v))
-      eigs += ((lambda, v))
-      // deflate: work -= lambda v vT
-      for (i <- 0 until dim; j <- 0 until dim)
-        work(i)(j) -= lambda * v(i) * v(j)
-    }
+    // the SAME implementation production uses — no private spec copy
+    // of the algorithm that could drift from it
+    val eigs = tools.TrainWhitener.topEig(c, 4)
     val lambdas = eigs.map(_._1).toSeq
     assert(lambdas.forall(_ > 0), s"non-positive eigenvalue: $lambdas")
     assert(lambdas == lambdas.sorted.reverse,

@@ -246,7 +246,21 @@ class StreamRestartSpec extends AnyFunSuite {
       .filter(col("doc_id") % 100 < 80)
       .select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)].collect().sortBy(_._1)
+    // the redelivered docs must be LEAKED docs: only rows surviving
+    // the bloom + semi filter ever reach the dropDuplicates state, so
+    // redelivering a clean doc would exercise nothing (a broken
+    // restored state would still pass). Compute the leak set exactly.
+    functions.VectorOps.register(spark)
+    val leakedIds = trainRows.toSeq.toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), explode(functions.VectorOps
+        .shingleHashes(lower(col("text")), 5)).as("g"))
+      .join(testG, Seq("g"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(leakedIds.nonEmpty, "fixture has no leaks — test is vacuous")
     val (firstHalf, secondHalf) = trainRows.splitAt(trainRows.length / 2)
+    val redeliver = firstHalf.filter(r => leakedIds(r._1)).take(2)
+    assert(redeliver.nonEmpty,
+      "no leaked doc in run 1's half — redelivery would be vacuous")
 
     def writeFile(rows: Seq[(Long, String, String)]): Unit =
       rows.toSeq.toDF("doc_id", "lang", "text").repartition(1)
@@ -278,10 +292,10 @@ class StreamRestartSpec extends AnyFunSuite {
     val q1 = startQuery()
     try q1.processAllAvailable() finally q1.stop()
 
-    // while "down": second half arrives PLUS a redelivery of a run-1
-    // doc — the restored dropDuplicates state must swallow it or the
-    // leak count double-counts
-    writeFile(secondHalf.toSeq ++ firstHalf.take(3))
+    // while "down": second half arrives PLUS a redelivery of LEAKED
+    // run-1 docs — the restored dropDuplicates state must swallow them
+    // or the leak count double-counts
+    writeFile(secondHalf.toSeq ++ redeliver.toSeq)
     val q2 = startQuery()
     try q2.processAllAvailable() finally q2.stop()
 
