@@ -576,6 +576,56 @@ class ScaleGrowthSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Bloom-join decontamination: the measured shuffle delta ------
+  //
+  // q138's claim is not a new answer but a new COST: the same result
+  // as q65 with the big (train) side pruned in-row before the semi
+  // join's exchange. At these toy sizes every relation broadcasts and
+  // NOTHING shuffles, so the at-scale regime is forced explicitly:
+  // autoBroadcastJoinThreshold = -1 models the 100 TB reality where
+  // the train gram relation can never be a build side (the r7 OOM
+  // class) and the semi join must exchange both sides on the gram
+  // key. Under that regime this measures the claim directly —
+  // identical output rows, a small fraction of q65's shuffle traffic.
+  // (On these corpora the eval split's gram set overlaps mostly
+  // through the hot-stopword head, so pruning is strong but not
+  // total; the gate is a conservative ≤ 35%.)
+  test("bloom decontamination: result identical to q65, shuffle rows " +
+      "a small fraction of the exact semi join's (broadcast off = " +
+      "the at-scale join regime)") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    val bc0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq(500, 2000, 8000).foreach { n =>
+        val dir = genCorpus(n)
+        def run(q: String): (Long, Seq[String]) = {
+          clock.quiesce(); clock.reset()
+          val rows = SparkEntry.queries(q)(spark, dir)
+            .collect().map(_.mkString("|")).toSeq
+          clock.quiesce()
+          val sh = clock.shuffleRecords
+          Caches.clear(spark)
+          (sh, rows)
+        }
+        val (shExact, outExact) = run("q65_decontamination")
+        val (shBloom, outBloom) = run("q138_decontam_bloom")
+        assert(outBloom == outExact,
+          s"bloom result diverged from exact at N=$n")
+        info(f"N=$n%5d: q65 shuffle=$shExact%7d  " +
+          f"q138 shuffle=$shBloom%7d  (${
+            100.0 * shBloom / shExact}%.0f%%)")
+        assert(shBloom <= shExact * 35 / 100,
+          s"bloom pruning ineffective at N=$n: " +
+            s"$shBloom vs $shExact shuffle rows")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
+      spark.sparkContext.removeSparkListener(clock)
+    }
+  }
+
   // ---- SemDeDup at the paper's operating point: k ∝ N clusters ----
   //
   // The q139 catalog entry runs the trained 16-centroid fixture (the
