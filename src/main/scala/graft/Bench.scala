@@ -35,6 +35,15 @@ import org.apache.spark.sql.SparkSession
   * excluded from totals).
   */
 object Bench {
+  /** Thrown ONLY by the expected-rows guards, so the catch blocks can
+    * rethrow exactly the correctness failure and keep swallowing every
+    * other per-query error into -1 — a generic IllegalArgumentException
+    * from query/analysis code (e.g. a registration builder's literal
+    * check) must not abort the whole bench run.
+    */
+  private final class RowCountMismatch(msg: String)
+    extends RuntimeException(msg)
+
   private val AllTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
   // tables worth splitting 16-way. events gets a narrower 4-way split
@@ -247,7 +256,7 @@ object Bench {
         // execution) must not report a fast time: every run of a query
         // must produce the same row count as its first
         expectedRows.get(d.name) match {
-          case Some(e) => require(n == e,
+          case Some(e) => if (n != e) throw new RowCountMismatch(
             s"${d.name}: run produced $n rows, first run produced $e")
           case None => expectedRows(d.name) = n
         }
@@ -259,7 +268,7 @@ object Bench {
       catch {
         // same contract as runUnprepared: a row-count mismatch from the
         // expected-rows guard is a correctness failure, not a timing gap
-        case e: IllegalArgumentException => throw e
+        case e: RowCountMismatch => throw e
         case _: Throwable => None
       }
     }
@@ -299,7 +308,7 @@ object Bench {
       try {
         val n = d.build(spark, sfDir).count()
         expectedRows.get(d.name) match {
-          case Some(e) => require(n == e,
+          case Some(e) => if (n != e) throw new RowCountMismatch(
             s"${d.name}: unprepared run produced $n rows, expected $e")
           case None => expectedRows(d.name) = n
         }
@@ -307,7 +316,7 @@ object Bench {
       } catch {
         // the expected-rows guard must fail the bench loudly — a
         // correctness regression is not a missing timing
-        case e: IllegalArgumentException => throw e
+        case e: RowCountMismatch => throw e
         case _: Throwable => None
       }
     }

@@ -62,15 +62,23 @@ object Retrieval {
     * Zero-tf terms contribute exactly 0.0, so summing over the fixed
     * term list needs no per-term presence filter.
     */
-  private def termScoreSql(i: Int): String = {
-    val tf = s"CAST(tf$i AS DOUBLE)"
-    val df = s"CAST(df$i AS DOUBLE)"
+  /** The ONE Okapi BM25 per-term formula text (k1 = 1.2, b = 0.75 —
+    * the k1+1 = 2.2 numerator keeps scores in the familiar range),
+    * parameterized over the tf/df column names so q124/q125 (indexed
+    * columns) and q137 (long-form rows) cannot drift: a constant tuned
+    * here reaches every consumer.
+    */
+  private def bm25TermSql(tfCol: String, dfCol: String): String = {
+    val tf = s"CAST($tfCol AS DOUBLE)"
+    val df = s"CAST($dfCol AS DOUBLE)"
     s"""(ln(1e0 + (CAST(n AS DOUBLE) - $df + 0.5e0) / ($df + 0.5e0))
        | * ($tf * 2.2e0)
        | / ($tf + 1.2e0 * (0.25e0 + 0.75e0 * CAST(dl AS DOUBLE)
        |     / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))""".stripMargin
       .replaceAll("\\s+", " ").trim
   }
+
+  private def termScoreSql(i: Int): String = bm25TermSql(s"tf$i", s"df$i")
 
   /** Full BM25 score: fixed left-to-right sum of the per-term texts. */
   private def bm25ScoreSql: String =
@@ -266,23 +274,16 @@ object Retrieval {
   private val EvalEvery = 29 // eval-query slice: doc_id % 29 == 0
   private val EvalTerms = 3  // query = the doc's top-3 tf terms
 
-  /** Single-term Okapi BM25 contribution over generic column names
-    * (tf, df, n, sumdl, dl) — same arithmetic text as [[termScoreSql]],
-    * shared verbatim by both engines; quantized to integer micro-units
-    * BEFORE the per-(query, doc) sum so the aggregate is
-    * order-insensitive (exact) in both engines — the q64 trick.
+  /** Single-term Okapi BM25 contribution over the long-form column
+    * names (tf, df, n, sumdl, dl) — the SAME [[bm25TermSql]] text
+    * q124/q125 score with (one source of truth, no second
+    * hand-maintained copy); quantized to integer micro-units BEFORE
+    * the per-(query, doc) sum so the aggregate is order-insensitive
+    * (exact) in both engines — the q64 trick.
     */
-  private def termScoreUnitsSql: String = {
-    val score =
-      s"""(ln(1e0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
-         |      / (CAST(df AS DOUBLE) + 0.5e0))
-         | * (CAST(tf AS DOUBLE) * 2.2e0)
-         | / (CAST(tf AS DOUBLE) + 1.2e0 * (0.25e0 + 0.75e0
-         |     * CAST(dl AS DOUBLE)
-         |     / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
-        .stripMargin.replaceAll("\\s+", " ").trim
-    s"CAST(floor($score * 1000000e0 + 0.5e0) AS BIGINT)"
-  }
+  private def termScoreUnitsSql: String =
+    s"CAST(floor(${bm25TermSql("tf", "df")} * 1000000e0 + 0.5e0) " +
+      "AS BIGINT)"
 
   // Retrieval EVAL: known-item MRR — the index sanity check an eval
   // pipeline runs before trusting a retrieval stack: for each eval doc

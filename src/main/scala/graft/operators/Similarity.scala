@@ -217,7 +217,11 @@ object Similarity {
     (s, dir) => {
       val e = normed(s, dir)
       val codes = signCodes(e)
-      val masks = lit(0L) +: (0 until 4).map(b => lit(1L << b))
+      // derived from the fixture geometry, never hardcoded: a LshBits
+      // bump with a regenerated fixture must widen the probe set or
+      // the "every Hamming-1 neighbor" contract silently narrows
+      val masks = lit(0L) +: (0 until graft.tools.GenFixtures.LshBits)
+        .map(b => lit(1L << b))
       val probes = codes.filter(col("vec_id") < NumQueryVecs)
         .select(col("vec_id").as("qid"), col("tbl"),
           explode(array(masks.map(m =>
@@ -242,7 +246,10 @@ object Similarity {
             |probes AS (
             |  SELECT vec_id AS qid, tbl, xor(code, CAST(m AS BIGINT))
             |      AS code
-            |  FROM codes, (VALUES (0), (1), (2), (4), (8)) AS masks(m)
+            |  FROM codes, (VALUES ${
+              (0L +: (0 until graft.tools.GenFixtures.LshBits)
+                .map(1L << _)).map(m => s"($m)").mkString(", ")
+            }) AS masks(m)
             |  WHERE vec_id < $NumQueryVecs),
             |cand AS (
             |  SELECT DISTINCT p.qid, c.vec_id
@@ -681,10 +688,22 @@ object Similarity {
   }
 
   /** Corpus-size bound below which the fixed 8×4 fixture geometry is
-    * the better one-shot near-dup plan: its candidate volume ~N²/2⁴ is
-    * cheaper than the adaptive geometry's ~4·N^1.66 until roughly
-    * N ≈ 4k, and it needs no per-corpus plane synthesis. Above the
-    * bound the quadratic loses — permanently.
+    * the better one-shot near-dup plan. The real cost model is
+    * per-vector CODING, not candidate counts: at small N the candidate
+    * join is cheap either way (a few 10⁵ pairs at N=4k under both
+    * geometries), while the adaptive arm pays B·L ≈ ⌈log₂N⌉·⌈4·N^0.664⌉
+    * plane dots per vector (~7 000 at N=4k, growing) against the fixed
+    * arm's constant 32 — so the fixed arm wins until the quadratic
+    * candidate term (~8·N²/2⁴ pairs) overtakes the coding saving,
+    * which lands in the low thousands; 4096 is that empirical
+    * crossover rounded to a power of two, not a closed-form constant.
+    * CALLERS MUST KNOW the bound also steps the RECALL class: the
+    * fixed arm's 8-table OR at τ=0.4 has ~0.75 per-pair recall at
+    * threshold (all thresholds verified exactly afterward — precision
+    * is 1 either side), the adaptive arm ~1−e⁻⁴ ≈ 0.98; below the
+    * bound, callers needing the higher recall call wideBandNeardup
+    * with adaptive geometry directly. Above the bound the quadratic
+    * loses permanently on BOTH axes.
     */
   val SmallCorpusBound = 4096L
 

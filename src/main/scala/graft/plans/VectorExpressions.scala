@@ -623,6 +623,14 @@ object SignBandCodes {
       : ArrayData = {
     val vd = v.toDoubleArray()
     val dim = vd.length
+    // a vector whose dimensionality differs from the packed fixture
+    // must fail loudly — integer-divided table counts would read
+    // across plane boundaries and emit garbage codes silently
+    if (packed.length % (bBits * dim) != 0)
+      throw new IllegalArgumentException(
+        s"SignBandCodes: packed plane table (${packed.length} doubles) " +
+          s"is not a multiple of bBits*dim = ${bBits * dim} — vector " +
+          s"dim $dim does not match the fixture's")
     val l = packed.length / (bBits * dim)
     val out = new Array[Any](l)
     var t = 0

@@ -115,6 +115,7 @@ object CopySink {
       s"${pgIdent("sink_id")} VARCHAR(128) NOT NULL, " +
       s"${pgIdent("batch_id")} BIGINT NOT NULL, " +
       s"${pgIdent("part_id")} INTEGER NOT NULL, " +
+      s"${pgIdent("n_parts")} INTEGER NOT NULL, " +
       s"PRIMARY KEY (${pgIdent("sink_id")}, ${pgIdent("batch_id")}, " +
       s"${pgIdent("part_id")}))"
   }
@@ -133,9 +134,16 @@ object CopySink {
     *
     * Correctness rests on replayed batches being DETERMINISTIC
     * (same rows in the same partitions), which Structured Streaming
-    * guarantees for checkpointed replayable sources (file, Kafka): a
-    * replay re-reads the exact offsets the checkpoint recorded.
-    * StreamingSinkSpec proves the redelivery path row-for-row.
+    * guarantees for checkpointed replayable sources (file, Kafka) —
+    * PROVIDED the partitioning config did not change across the
+    * restart. That proviso is ENFORCED, not assumed: every ledger row
+    * records the batch's total partition count, and a replay whose
+    * layout differs (someone changed maxPartitionBytes /
+    * shuffle.partitions mid-checkpoint) fails loudly BEFORE writing —
+    * the partition-granular skip would otherwise silently drop the
+    * rows that migrated out of 'done' partitions and double-write the
+    * ones that migrated in. StreamingSinkSpec proves the redelivery
+    * path row-for-row and the layout-change rejection.
     */
   def writeExactlyOnce(
       batch: DataFrame,
@@ -155,7 +163,38 @@ object CopySink {
     val checkSql = s"SELECT 1 FROM $lt WHERE ${pgIdent("sink_id")} = ? " +
       s"AND ${pgIdent("batch_id")} = ? AND ${pgIdent("part_id")} = ?"
     val markSql = s"INSERT INTO $lt (${pgIdent("sink_id")}, " +
-      s"${pgIdent("batch_id")}, ${pgIdent("part_id")}) VALUES (?, ?, ?)"
+      s"${pgIdent("batch_id")}, ${pgIdent("part_id")}, " +
+      s"${pgIdent("n_parts")}) VALUES (?, ?, ?, ?)"
+    val nParts = batch.rdd.getNumPartitions
+    // layout guard (driver-side, once per batch): if ANY ledger row
+    // exists for this batch, its recorded partition count must match
+    // the replay's — a differing layout breaks the per-partition skip
+    // semantics (silent loss + duplication), so refuse loudly
+    locally {
+      val pc = connect()
+      try {
+        val st = pc.prepareStatement(
+          s"SELECT MAX(${pgIdent("n_parts")}) FROM $lt " +
+            s"WHERE ${pgIdent("sink_id")} = ? AND " +
+            s"${pgIdent("batch_id")} = ?")
+        try {
+          st.setString(1, sinkId); st.setLong(2, batchId)
+          val rs = st.executeQuery()
+          try {
+            if (rs.next()) {
+              val stored = rs.getInt(1)
+              if (!rs.wasNull() && stored != nParts)
+                throw new IllegalStateException(
+                  s"writeExactlyOnce: batch $batchId was partially " +
+                    s"committed with $stored partitions but replays " +
+                    s"with $nParts — the partitioning config changed " +
+                    "across the restart; restore it (or drain the " +
+                    "ledger) before resuming")
+            }
+          } finally rs.close()
+        } finally st.close()
+      } finally pc.close()
+    }
     batch.foreachPartition { (rows: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val conn = connect()
@@ -184,7 +223,7 @@ object CopySink {
           val mp = conn.prepareStatement(markSql)
           try {
             mp.setString(1, sinkId); mp.setLong(2, batchId)
-            mp.setInt(3, pid)
+            mp.setInt(3, pid); mp.setInt(4, nParts)
             mp.executeUpdate()
           } finally mp.close()
         }

@@ -209,6 +209,37 @@ class StreamingSinkSpec extends AnyFunSuite {
     batch.unpersist()
     ()
   }
+
+  test("exactly-once sink refuses a replay whose partition layout " +
+      "changed: the per-partition skip would silently lose/duplicate " +
+      "rows, so a differing n_parts fails loudly before writing") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE \"events_lc\" (\"event_id\" BIGINT, " +
+          "\"user_id\" BIGINT, \"value\" DOUBLE)")
+      conn.createStatement().execute(CopySink.ledgerDdl("layout_ledger"))
+    } finally conn.close()
+    val connect: () => java.sql.Connection =
+      () => DriverManager.getConnection("jdbc:derby:memory:graftstream")
+    def deliver(parts: Int): Unit =
+      CopySink.writeExactlyOnce(
+        Tables.load(spark, "/root/testdata/sf0.001", "events")
+          .select("event_id", "user_id", "value").repartition(parts),
+        batchId = 9L, sinkId = "layout_sink", schema = null,
+        table = "events_lc", ledgerTable = "layout_ledger",
+        connect = connect, batchSize = 100)
+    deliver(4)
+    assert(count("SELECT COUNT(*) FROM \"events_lc\"") == 1000L)
+    // same layout replays fine (full skip, no duplicates)
+    deliver(4)
+    assert(count("SELECT COUNT(*) FROM \"events_lc\"") == 1000L)
+    // a replay under a CHANGED layout is refused before any write
+    val e = intercept[IllegalStateException] { deliver(2) }
+    assert(e.getMessage.contains("partitioning config changed"))
+    assert(count("SELECT COUNT(*) FROM \"events_lc\"") == 1000L,
+      "refused replay must write nothing")
+  }
 }
 
 object StreamingSinkSpec {
