@@ -626,6 +626,41 @@ class ScaleGrowthSpec extends AnyFunSuite {
     }
   }
 
+  // ---- the q147 capstone pipeline's growth exponent ----------------
+  //
+  // Every stage of the composed training-data build is keyed or
+  // broadcast-bounded (gate filter, md5-keyed dedup, bloom-pruned
+  // decontam, lang-keyed budget/rank/packing), so the WHOLE pipeline's
+  // shuffle volume must grow ~linearly — a regression in any stage
+  // (say the decontam semi join degrading to an unpruned exchange)
+  // surfaces here as a super-linear composite exponent even if each
+  // stage's own spec still passes.
+  test("q147 capstone pipeline: composite shuffle growth ~linear") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      val rows = Seq(500, 2000, 8000).map { n =>
+        val dir = genCorpus(n)
+        clock.quiesce(); clock.reset()
+        val out = SparkEntry.queries("q147_training_pipeline")(spark, dir)
+          .collect()
+        clock.quiesce()
+        val sh = clock.shuffleRecords
+        Caches.clear(spark)
+        (sh, out.map(_.getAs[Long]("selected")).sum)
+      }
+      val Seq((s1, r1), (s2, r2), (s3, r3)) = rows
+      val exp = math.log(s3.toDouble / s2) / math.log(4.0)
+      info(f"q147: shuffle=$s1/$s2/$s3 exp=$exp%.2f selected=$r1/$r2/$r3")
+      assert(exp < 1.3,
+        s"capstone pipeline shuffle grows super-linearly (exp $exp): " +
+          s"$s1 -> $s2 -> $s3")
+      // the temperature budget takes ~half the survivors at any scale
+      assert(r3 > r2 && r2 > r1 && r1 > 0,
+        s"selection not tracking corpus growth: $r1/$r2/$r3")
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
+
   // ---- SemDeDup at the paper's operating point: k ∝ N clusters ----
   //
   // The q139 catalog entry runs the trained 16-centroid fixture (the
