@@ -231,6 +231,65 @@ class StreamRestartSpec extends AnyFunSuite {
     Caches.clear(spark)
   }
 
+  test("q146-class streaming covariance state survives a restart: " +
+      "the complete-mode moment buffer restores from the checkpoint " +
+      "and the final snapshot equals the batch matrix") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft_cvrs")
+    val in = root.resolve("in").toString
+    val cp = root.resolve("cp").toString
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (h1, h2) = vecs.splitAt(vecs.length / 2)
+    def writeFile(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toSeq.toDF("vec_id", "embedding").repartition(1)
+        .write.mode("append").parquet(in)
+    val dim = tools.GenFixtures.Dim
+    val agg = new functions.MomentMatrixAggregator(dim)
+    val last = new java.util.concurrent.atomic
+      .AtomicReference[Array[Double]](null)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long").add("embedding", "array<float>")
+    def startQuery() = {
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .as[Seq[Double]]
+        .select(agg.toColumn).toDF("m")
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            last.set(b.collect()(0)
+              .getAs[scala.collection.Seq[Double]](0).toArray)
+            ()
+        }
+        .start()
+    }
+    // run 1: first half, hard stop; run 2 restores the agg buffer
+    writeFile(h1.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    writeFile(h2.toSeq)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    // if the restored buffer had been lost, the final matrix would be
+    // h2's alone — compare every slot against the full-corpus batch
+    // fold (same kernel, ~fp-order tolerance)
+    val batch = agg.finish(vecs.map(_._2.map(_.toDouble).toSeq)
+      .foldLeft(agg.zero)(agg.reduce))
+    val got = last.get()
+    assert(got != null && got.length == batch.length)
+    batch.indices.foreach { k =>
+      val scale = math.max(1.0, math.abs(batch(k)))
+      assert(math.abs(got(k) - batch(k)) / scale < 1e-9,
+        s"slot $k diverged after restart: ${got(k)} vs ${batch(k)}")
+    }
+  }
+
   test("q141-class decontamination monitor survives a restart: the " +
       "leaked-doc dedup state swallows a doc redelivered after the " +
       "restart and the final counts equal the batch answer") {
