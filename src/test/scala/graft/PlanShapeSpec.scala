@@ -329,6 +329,32 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "expected a keyed join on (doc_id, pos)")
   }
 
+  test("q147: the capstone composes with NO cartesian/nested-loop " +
+      "and reads each persisted stage relation from cache") {
+    val p = plan("q147_training_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested loops allowed are copies of the 1-row
+    // broadcast-consts join (the q115 Σ√n/total idiom — `takes` has
+    // two consumers and each re-derives the 5-row × 1-row subtree);
+    // anything more means a REAL join lost its keys
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "a pipeline stage degraded to a nested loop")
+    // the deduped set and the survivor set each serve 3 consumers —
+    // at least 4 cached reads must appear or a stage chain is being
+    // rebuilt per consumer
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      "persisted stage relations not reused across consumers")
+  }
+
+  test("q142: the fact table feeds the sketch/exact arms through " +
+      "exactly two scans; the range join runs on the day dimension") {
+    val s = scans("q142_sketch_reuse")
+      .filter(_.metadata.get("Location").exists(_.contains("events")))
+    assert(s.size <= 2,
+      s"events scanned ${s.size} times — the one-pass-per-arm " +
+        "contract broke")
+  }
+
   test("q140: lang predicate resolves against partition VALUES — " +
       "PartitionFilters at the scan, no data filter, lang absent " +
       "from the parquet read schema, non-matching partitions unread") {
