@@ -9,7 +9,7 @@ import org.apache.spark.storage.StorageLevel
   * logical plan, so repeated builds of the same query — and different
   * queries sharing a relation — reuse one cached copy; what it does
   * NOT do is ever let go: a long-lived session running the full
-  * 112-query catalog would otherwise accumulate every cached relation
+  * 150-query catalog would otherwise accumulate every cached relation
   * for its lifetime. Routing persists through here gives the session
   * owner one explicit release point — `Verify`/`Bench` call
   * [[clear]] when their run is done, and a production pipeline calls
