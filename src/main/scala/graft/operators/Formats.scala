@@ -132,9 +132,15 @@ object Formats {
       java.nio.file.Paths.get(s"$dir/documents.parquet"))
     // v2: layout format version — bump when the write shape changes so
     // an existing dir from an older format is never reused
-    val key = f"v2_${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x" +
-      s"_${sz}_${mt}_$h"
-    val out = new java.io.File(s"/tmp/graft_layout/$key")
+    val srcKey = f"v2_${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+    val key = s"${srcKey}_${sz}_${mt}_$h"
+    // per-user cache root: a world-shared /tmp/graft_layout invites
+    // permission/symlink collisions on multi-user boxes (another user
+    // pre-creating the predictable key dir poisons the cache)
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_layout_${System.getProperty("user.name", "anon")}")
+    val out = new java.io.File(root, key)
     layoutLock.synchronized {
       if (!out.exists()) {
         // Cross-PROCESS safety (the JVM lock only covers this process):
@@ -160,15 +166,30 @@ object Formats {
               _: java.nio.file.DirectoryNotEmptyException |
               _: java.nio.file.AccessDeniedException =>
             // another process published first — use theirs
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-              java.nio.file.Files.deleteIfExists(f.toPath); ()
-            }
-            rm(tmp)
+            rmTree(tmp)
+        }
+        // sweep: superseded stamps of THIS source (the fixture was
+        // regenerated, nothing queries the old stamp again) and any
+        // .tmp.<uuid> leftovers from crashed writers — without this
+        // the cache root grows one full layout per fixture rewrite
+        val tmpGraceMs = 60L * 60 * 1000 // a live concurrent writer's
+        // .tmp dir is younger than this; only crashed leftovers age out
+        Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+          val n = f.getName
+          val stale =
+            if (n.contains(".tmp."))
+              System.currentTimeMillis() - f.lastModified() > tmpGraceMs
+            else n.startsWith(s"${srcKey}_") && n != key
+          if (stale) rmTree(f)
         }
       }
     }
     out.getPath
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    java.nio.file.Files.deleteIfExists(f.toPath); ()
   }
 
   // Partition-pruned layout read — the data-layout half of the 100 TB

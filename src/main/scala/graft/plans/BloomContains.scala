@@ -40,6 +40,23 @@ case class BloomContains(child: Expression, bits: Array[Long],
         s"$numHashes, $key);")
   }
 
+  // case-class equals on Array[Long] is reference identity, which
+  // would make canonicalized-plan equality / semanticEquals /
+  // subexpression elimination / the canonical-plan persist cache miss
+  // two structurally identical probes built from separately collected
+  // bitsets (e.g. q138 and q147 building the same bloom) — compare
+  // bitset CONTENT instead
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomContains =>
+      numHashes == b.numHashes && child == b.child &&
+        java.util.Arrays.equals(bits, b.bits)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + numHashes) +
+      java.util.Arrays.hashCode(bits)
+
   override protected def withNewChildInternal(
       newChild: Expression): BloomContains = copy(child = newChild)
 }

@@ -107,7 +107,10 @@ object CopySink {
     * (sink, batch, partition). The PRIMARY KEY is load-bearing — a
     * racing duplicate attempt (speculative task, zombie executor)
     * fails its ledger INSERT and rolls back its data rows in the same
-    * transaction.
+    * transaction. `n_parts` records the batch's partition count and
+    * `n_rows` the partition's row count, so a replay can verify the
+    * row-to-partition assignment per partition (not just the count of
+    * partitions) before trusting the skip.
     */
   def ledgerDdl(ledgerTable: String): String = {
     import SchemaMapping.pgIdent
@@ -116,8 +119,21 @@ object CopySink {
       s"${pgIdent("batch_id")} BIGINT NOT NULL, " +
       s"${pgIdent("part_id")} INTEGER NOT NULL, " +
       s"${pgIdent("n_parts")} INTEGER NOT NULL, " +
+      s"${pgIdent("n_rows")} BIGINT NOT NULL, " +
       s"PRIMARY KEY (${pgIdent("sink_id")}, ${pgIdent("batch_id")}, " +
       s"${pgIdent("part_id")}))"
+  }
+
+  /** Upgrade DDL for a ledger created by a pre-`n_rows` build —
+    * referenced by the schema-outdated error message so operators have
+    * a one-statement migration path. Backfilled rows get n_rows = -1
+    * (sentinel: "count unknown, skip row-count verification"), which
+    * [[writeExactlyOnce]] honors on the skip path.
+    */
+  def ledgerMigrationDdl(ledgerTable: String): String = {
+    import SchemaMapping.pgIdent
+    s"ALTER TABLE ${pgIdent(ledgerTable)} ADD COLUMN " +
+      s"${pgIdent("n_rows")} BIGINT DEFAULT -1 NOT NULL"
   }
 
   /** Idempotent exactly-once `foreachBatch` body: each partition
@@ -136,14 +152,34 @@ object CopySink {
     * (same rows in the same partitions), which Structured Streaming
     * guarantees for checkpointed replayable sources (file, Kafka) —
     * PROVIDED the partitioning config did not change across the
-    * restart. That proviso is ENFORCED, not assumed: every ledger row
-    * records the batch's total partition count, and a replay whose
-    * layout differs (someone changed maxPartitionBytes /
-    * shuffle.partitions mid-checkpoint) fails loudly BEFORE writing —
-    * the partition-granular skip would otherwise silently drop the
-    * rows that migrated out of 'done' partitions and double-write the
-    * ones that migrated in. StreamingSinkSpec proves the redelivery
-    * path row-for-row and the layout-change rejection.
+    * restart. That proviso is enforced in two layers, neither of them
+    * complete on its own:
+    *
+    *  - a driver-side pre-check compares the replay's partition count
+    *    against the `n_parts` every ledger row recorded, failing
+    *    loudly BEFORE writing when the layout changed (changed
+    *    maxPartitionBytes / shuffle.partitions mid-checkpoint). This
+    *    check is advisory — it is TOCTOU-racy between two concurrent
+    *    drivers and blind to an equal-count layout whose
+    *    row-to-partition ASSIGNMENT shifted;
+    *  - the authoritative guard is per-partition, inside the skip
+    *    path: a skipping task re-counts its replayed rows and
+    *    verifies them against the `n_rows` its ledger row committed,
+    *    so an equal-n_parts reassignment (reordered input listing,
+    *    different split boundaries, nondeterministic upstream
+    *    shuffle) is detected at the exact partition where it would
+    *    have lost or duplicated rows. Concurrent-driver races on
+    *    fresh partitions are settled by the ledger PRIMARY KEY: the
+    *    loser's INSERT fails and its data rows roll back in the same
+    *    transaction.
+    *
+    * A same-count same-rows-per-partition PERMUTATION of row contents
+    * across equal-sized partitions is the one shape neither layer can
+    * see — "partially enforced" is the honest label; recording a
+    * per-partition content checksum would close it at the cost of
+    * hashing every replayed row. StreamingSinkSpec proves the
+    * redelivery path row-for-row, the layout-change rejection, and
+    * the row-count mismatch rejection.
     */
   def writeExactlyOnce(
       batch: DataFrame,
@@ -160,19 +196,38 @@ object CopySink {
     val lt =
       if (schema == null || schema.isEmpty) pgIdent(ledgerTable)
       else s"${pgIdent(schema)}.${pgIdent(ledgerTable)}"
-    val checkSql = s"SELECT 1 FROM $lt WHERE ${pgIdent("sink_id")} = ? " +
+    val checkSql = s"SELECT ${pgIdent("n_rows")} FROM $lt " +
+      s"WHERE ${pgIdent("sink_id")} = ? " +
       s"AND ${pgIdent("batch_id")} = ? AND ${pgIdent("part_id")} = ?"
     val markSql = s"INSERT INTO $lt (${pgIdent("sink_id")}, " +
       s"${pgIdent("batch_id")}, ${pgIdent("part_id")}, " +
-      s"${pgIdent("n_parts")}) VALUES (?, ?, ?, ?)"
+      s"${pgIdent("n_parts")}, ${pgIdent("n_rows")}) " +
+      s"VALUES (?, ?, ?, ?, ?)"
     val nParts = batch.rdd.getNumPartitions
-    // layout guard (driver-side, once per batch): if ANY ledger row
-    // exists for this batch, its recorded partition count must match
-    // the replay's — a differing layout breaks the per-partition skip
-    // semantics (silent loss + duplication), so refuse loudly
+    // advisory layout guard (driver-side, once per batch): if ANY
+    // ledger row exists for this batch, its recorded partition count
+    // must match the replay's — a differing layout breaks the
+    // per-partition skip semantics (silent loss + duplication), so
+    // refuse loudly before launching any write task. Also the schema
+    // gate: a ledger created by a pre-n_rows build fails every
+    // markSql INSERT with an opaque driver error, so detect the
+    // outdated shape here and fail with the migration statement.
     locally {
       val pc = connect()
       try {
+        val probe = pc.prepareStatement(s"SELECT * FROM $lt WHERE 1=0")
+        try {
+          val md = probe.executeQuery().getMetaData
+          val names = (1 to md.getColumnCount)
+            .map(md.getColumnName(_).toLowerCase)
+          if (!names.contains("n_rows"))
+            throw new IllegalStateException(
+              "writeExactlyOnce: ledger table is missing the n_rows " +
+                "column (created by an older build). Migrate it with: " +
+                ledgerMigrationDdl(ledgerTable) +
+                " — backfilled rows get the -1 sentinel, which skips " +
+                "row-count verification for pre-upgrade batches")
+        } finally probe.close()
         val st = pc.prepareStatement(
           s"SELECT MAX(${pgIdent("n_parts")}) FROM $lt " +
             s"WHERE ${pgIdent("sink_id")} = ? AND " +
@@ -201,31 +256,59 @@ object CopySink {
       try {
         conn.setAutoCommit(false)
         val cps = conn.prepareStatement(checkSql)
-        val done =
+        // committedRows: None → first attempt; Some(n) → this
+        // partition already committed n rows (n = -1: pre-migration
+        // ledger row, count unknown)
+        val committedRows =
           try {
             cps.setString(1, sinkId); cps.setLong(2, batchId)
             cps.setInt(3, pid)
             val rs = cps.executeQuery()
-            try rs.next() finally rs.close()
+            try {
+              if (rs.next()) Some(rs.getLong(1)) else None
+            } finally rs.close()
           } finally cps.close()
-        if (!done) {
-          val ps = conn.prepareStatement(sql)
-          try {
-            var inBatch = 0
-            while (rows.hasNext) {
-              bindRow(ps, rows.next())
-              ps.addBatch()
-              inBatch += 1
-              if (inBatch >= batchSize) { ps.executeBatch(); inBatch = 0 }
-            }
-            if (inBatch > 0) ps.executeBatch()
-          } finally ps.close()
-          val mp = conn.prepareStatement(markSql)
-          try {
-            mp.setString(1, sinkId); mp.setLong(2, batchId)
-            mp.setInt(3, pid); mp.setInt(4, nParts)
-            mp.executeUpdate()
-          } finally mp.close()
+        committedRows match {
+          case None =>
+            var written = 0L
+            val ps = conn.prepareStatement(sql)
+            try {
+              var inBatch = 0
+              while (rows.hasNext) {
+                bindRow(ps, rows.next())
+                ps.addBatch()
+                inBatch += 1
+                written += 1
+                if (inBatch >= batchSize) { ps.executeBatch(); inBatch = 0 }
+              }
+              if (inBatch > 0) ps.executeBatch()
+            } finally ps.close()
+            val mp = conn.prepareStatement(markSql)
+            try {
+              mp.setString(1, sinkId); mp.setLong(2, batchId)
+              mp.setInt(3, pid); mp.setInt(4, nParts)
+              mp.setLong(5, written)
+              mp.executeUpdate()
+            } finally mp.close()
+          case Some(expected) =>
+            // skip path: the per-partition half of the determinism
+            // guard — count the replayed rows and verify against the
+            // committed n_rows, catching an equal-n_parts layout whose
+            // row-to-partition assignment shifted (the case the
+            // driver-side count probe cannot see)
+            var replayed = 0L
+            while (rows.hasNext) { rows.next(); replayed += 1 }
+            if (expected >= 0L && replayed != expected)
+              throw new IllegalStateException(
+                s"writeExactlyOnce: partition $pid of batch $batchId " +
+                  s"committed $expected rows but replays with " +
+                  s"$replayed — the row-to-partition assignment " +
+                  "changed across the restart (reordered input " +
+                  "listing or nondeterministic upstream shuffle); " +
+                  "the partition-granular skip would lose/duplicate " +
+                  "rows, so refusing. Restore the original layout " +
+                  "(or drain the ledger and deduplicate downstream) " +
+                  "before resuming")
         }
         // data + ledger row atomically; on the skip path this just
         // ends the read-only ledger-check transaction (Derby refuses

@@ -240,6 +240,90 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(count("SELECT COUNT(*) FROM \"events_lc\"") == 1000L,
       "refused replay must write nothing")
   }
+
+  test("exactly-once sink refuses an equal-n_parts replay whose " +
+      "row-to-partition ASSIGNMENT shifted: a skipping partition " +
+      "verifies its replayed row count against the ledger's n_rows") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE \"events_ra\" (\"event_id\" BIGINT, " +
+          "\"user_id\" BIGINT, \"value\" DOUBLE)")
+      conn.createStatement().execute(CopySink.ledgerDdl("assign_ledger"))
+    } finally conn.close()
+    val connect: () => java.sql.Connection =
+      () => DriverManager.getConnection("jdbc:derby:memory:graftstream")
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "value")
+    def deliver(df: org.apache.spark.sql.DataFrame): Unit =
+      CopySink.writeExactlyOnce(df, batchId = 11L,
+        sinkId = "assign_sink", schema = null, table = "events_ra",
+        ledgerTable = "assign_ledger", connect = connect,
+        batchSize = 100)
+    deliver(base.repartition(4)) // round-robin: ~250 rows/partition
+    assert(count("SELECT COUNT(*) FROM \"events_ra\"") == 1000L)
+    // same n_parts (the driver-side count probe passes) but a hash
+    // partitioning — per-partition row counts differ from the
+    // round-robin 250s, so the per-partition n_rows check must refuse
+    // the skip
+    val e = intercept[org.apache.spark.SparkException] {
+      deliver(base.repartition(4, col("user_id")))
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else String.valueOf(t.getMessage) + " | " + rootMsg(t.getCause)
+    assert(rootMsg(e).contains("row-to-partition assignment"))
+    assert(count("SELECT COUNT(*) FROM \"events_ra\"") == 1000L,
+      "refused reassignment replay must not change the table")
+  }
+
+  test("exactly-once sink detects a pre-n_rows ledger and fails with " +
+      "the migration statement; after migration the write proceeds " +
+      "and pre-upgrade rows (n_rows = -1 sentinel) skip count checks") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE \"events_mig\" (\"event_id\" BIGINT, " +
+          "\"user_id\" BIGINT, \"value\" DOUBLE)")
+      // the r11 ledger shape: no n_rows column
+      conn.createStatement().execute(
+        "CREATE TABLE \"old_ledger\" (\"sink_id\" VARCHAR(128) NOT " +
+          "NULL, \"batch_id\" BIGINT NOT NULL, \"part_id\" INTEGER " +
+          "NOT NULL, \"n_parts\" INTEGER NOT NULL, PRIMARY KEY " +
+          "(\"sink_id\", \"batch_id\", \"part_id\"))")
+    } finally conn.close()
+    val connect: () => java.sql.Connection =
+      () => DriverManager.getConnection("jdbc:derby:memory:graftstream")
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "value").repartition(4)
+    def deliver(): Unit =
+      CopySink.writeExactlyOnce(batch, batchId = 3L,
+        sinkId = "mig_sink", schema = null, table = "events_mig",
+        ledgerTable = "old_ledger", connect = connect, batchSize = 100)
+    val e = intercept[IllegalStateException] { deliver() }
+    assert(e.getMessage.contains("n_rows"))
+    assert(e.getMessage.contains("ALTER TABLE"))
+    assert(count("SELECT COUNT(*) FROM \"events_mig\"") == 0L,
+      "outdated-ledger delivery must write nothing")
+    // apply the migration the error message prescribes → write works
+    val mc = DriverManager.getConnection(url)
+    try mc.createStatement().execute(
+      CopySink.ledgerMigrationDdl("old_ledger"))
+    finally mc.close()
+    deliver()
+    assert(count("SELECT COUNT(*) FROM \"events_mig\"") == 1000L)
+    // a pre-upgrade committed partition carries the -1 sentinel: mark
+    // one row as legacy and replay — the count check is skipped, no
+    // rejection, no duplicates
+    val sc = DriverManager.getConnection(url)
+    try sc.createStatement().execute(
+      "UPDATE \"old_ledger\" SET \"n_rows\" = -1 " +
+        "WHERE \"part_id\" = 0")
+    finally sc.close()
+    deliver()
+    assert(count("SELECT COUNT(*) FROM \"events_mig\"") == 1000L,
+      "sentinel replay must not duplicate rows")
+  }
 }
 
 object StreamingSinkSpec {
