@@ -147,6 +147,25 @@ object VectorOps {
         graft.plans.BloomContains(exprs(0), bits,
           intLit("graft_bloom_contains", "numHashes")(exprs(2)))
       }, "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_count",
+      exprs => {
+        // fold the rank-order merge arrays to PRIMITIVE int[] once at
+        // plan construction (the constant-table discipline)
+        def intArr(e: org.apache.spark.sql.catalyst.expressions
+            .Expression, arg: String): Array[Int] = e match {
+          case lit if lit.foldable => lit.eval(null) match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toIntArray()
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_count: $arg must be an int array literal, " +
+                s"got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"graft_bpe_count: $arg must be a literal, not a column")
+        }
+        graft.plans.BpeTokenCount(exprs(0), intArr(exprs(1), "left"),
+          intArr(exprs(2), "right"))
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_wav_wrap",
       exprs => graft.plans.WavWrap(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bmp_wrap",
@@ -239,6 +258,14 @@ object VectorOps {
     call_function("graft_bloom_contains", key,
       org.apache.spark.sql.functions.typedLit(bits.toSeq),
       org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Tokenizer-exact token count under a trained BPE merge table
+    * (rank-order left/right pair arrays — see [[graft.plans.BpeTokenCount]]).
+    */
+  def bpeCount(text: Column, left: Array[Int], right: Array[Int]): Column =
+    call_function("graft_bpe_count", text,
+      org.apache.spark.sql.functions.typedLit(left.toSeq),
+      org.apache.spark.sql.functions.typedLit(right.toSeq))
 
   /** Raw bytes → canonical PCM WAV container (16-bit mono 8 kHz). */
   def wavWrap(bytes: Column): Column =

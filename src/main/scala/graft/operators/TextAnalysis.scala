@@ -1451,6 +1451,62 @@ object TextAnalysis {
            |ORDER BY gc.lang""".stripMargin),
     bench = true)
 
+  /** Tokenizer-exact sequence packing — q71's fixed-budget bin
+    * assignment re-based on REAL byte-level BPE token counts (Sennrich
+    * ACL'16; trained merge fixture from [[graft.tools.TrainBpe]]).
+    * The Spark side recomputes every document's count IN-PLAN with the
+    * codegen'd [[graft.plans.BpeTokenCount]] merge loop over the raw
+    * text; the oracle packs from the fixture's committed reference
+    * counts (`n_bpe`, produced offline by the trainer's encoder). A
+    * hash match therefore proves the in-row tokenizer reproduces the
+    * reference count for every document — any single-doc deviation
+    * shifts the exclusive prefix sums and moves bin boundaries. The
+    * corpus is trained BELOW merge saturation (64 merges), so counts
+    * genuinely differ from whitespace splits (672 380 vs 270 704
+    * tokens at sf0.1) — this oracle cannot be satisfied by word
+    * counting. Plan shape is q71's: one per-lang ordered window (at
+    * 100 TB the same query runs per (lang, shard)), then a keyed agg.
+    */
+  val q148BpePack: QueryDef = QueryDef(
+    "q148_bpe_pack",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val BinTokens = 2048
+      val (ml, mr) = graft.Fixtures.bpeMerges(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      graft.Fixtures.read(s, graft.Fixtures.bpeCorpusPath)
+        .select(col("lang"), col("doc_id"),
+          graft.functions.VectorOps.bpeCount(col("text"), ml, mr)
+            .cast(LongType).as("nt"))
+        .withColumn("cum_excl",
+          coalesce(sum(col("nt")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_excl div $BinTokens"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("docs"), sum(col("nt")).as("tokens"),
+          graft.Round4(sum(col("nt")).cast(DoubleType) / BinTokens)
+            .as("fill"))
+        .orderBy("lang", "bin")
+    },
+    Some(s"""WITH d AS (
+           |  SELECT lang, doc_id, CAST(n_bpe AS BIGINT) AS nt
+           |  FROM read_parquet('${graft.Fixtures.bpeCorpusPath}')),
+           |c AS (
+           |  SELECT lang, doc_id, nt,
+           |    COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cum_excl
+           |  FROM d)
+           |SELECT lang, CAST(cum_excl // 2048 AS BIGINT) AS bin,
+           |  COUNT(*) AS docs, CAST(SUM(nt) AS BIGINT) AS tokens,
+           |  floor((CAST(SUM(nt) AS DOUBLE) / 2048) * 10000 + 0.5)
+           |    / 10000 AS fill
+           |FROM c GROUP BY lang, CAST(cum_excl // 2048 AS BIGINT)
+           |ORDER BY lang, bin""".stripMargin),
+    bench = true, lowLatency = true)
+
   val all: Seq[QueryDef] = Seq(
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
@@ -1459,5 +1515,6 @@ object TextAnalysis {
     q115MixTemperature, q116LangIdProfile, q117GopherGate,
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers,
-    q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline)
+    q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
+    q148BpePack)
 }
