@@ -1050,8 +1050,11 @@ object TextAnalysis {
   // row for row. Plan: source-count agg (tiny) → 1-row broadcast
   // consts (Σ√n, total, budget) → per-source take → broadcast join →
   // ONE source-keyed rank window over the corpus → filter. At 100 TB
-  // the window swaps for the sample-estimated threshold selection q75
-  // documents; the weights math is already scale-free.
+  // the window swaps for [[thresholdSelect]]'s sampled-threshold arm
+  // (the executable form of the swap q75 documents — q147 runs it);
+  // q115 keeps the window because its OUTPUT includes each survivor's
+  // rank, which inherently orders the selected set. The weights math
+  // is already scale-free.
   val q115MixTemperature: QueryDef = QueryDef(
     "q115_mix_temperature",
     (s, dir) => {
@@ -1307,6 +1310,117 @@ object TextAnalysis {
             |  GROUP BY 1, 2) p
             |WHERE shared_fp >= $WinShared ORDER BY d1, d2""".stripMargin))
 
+  /** Exact per-key top-`take` selection by (ord, id) WITHOUT a full
+    * per-key sort — the executable form of the 100 TB swap q75/q115
+    * document ("sample-estimated threshold selection"). Two arms,
+    * dispatched at PLAN TIME on Catalyst's size statistics for `d`
+    * (the broadcast-planning signal; the `oneShotNeardup` size-guard
+    * discipline at corpus granularity — exactly one arm is planned):
+    *
+    *  - a corpus at or below `smallBytesBound` takes the exact rank
+    *    window (a per-key sort is cheap there, and lang/source
+    *    cardinality is tiny so every key lands in one reducer
+    *    regardless);
+    *  - a larger corpus takes the threshold arm: a deterministic
+    *    content-addressed 1/`sampleMod` sample (`xxhash64(ord) % S =
+    *    0` — engine-reproducible, no RNG) is rank-windowed (1/S of the
+    *    data) to estimate the cutoff ord at rank `take`, widened by
+    *    ±`margin` sample positions into [t_lo, t_hi]. Rows strictly
+    *    below t_lo are accepted with NO sort; only the narrow
+    *    boundary band [t_lo, t_hi] is exactly ranked to fill the
+    *    remaining seats. Per-key counting then PROVES the estimate
+    *    valid (accepted ≤ take AND accepted + band ≥ take); a key
+    *    whose sample misestimated falls back to the exact window for
+    *    that key alone — so the result is the exact top-take set
+    *    ALWAYS, not with high probability, and the fallback cost is
+    *    confined to the failing key.
+    *
+    * The selection itself is a pure function of the data (lowest
+    * (ord, id) wins), so both arms return identical row sets —
+    * ThresholdSelectSpec pins arm-equality, the fallback path, and
+    * that the threshold arm's only sorts sit above the sample / band
+    * filters. Returns `d`'s columns, unranked.
+    */
+  private[graft] def thresholdSelect(
+      d: DataFrame, key: String, ord: String, id: String,
+      takes: DataFrame, // (key, take)
+      sampleMod: Int = 16, margin: Long = 8L,
+      smallBytesBound: Long = 256L << 20,
+      forceArm: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val outCols = d.columns.toSeq.map(col)
+    val wKey = Window.partitionBy(col(key)).orderBy(col(ord), col(id))
+    // Arm dispatch is a PLAN-TIME decision on Catalyst's own size
+    // statistics (the signal broadcast planning uses) — exactly one
+    // arm is planned, so the fixture-scale plan carries none of the
+    // threshold machinery and the 100 TB plan carries no full-corpus
+    // window. (A per-key mixed dispatch would plan BOTH subtrees for
+    // every caller; with key cardinality this small — languages,
+    // sources — the corpus-level switch is the right granularity.)
+    val arm = forceArm.getOrElse {
+      if (d.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(smallBytesBound)) "window"
+      else "threshold"
+    }
+    val dd = d.join(broadcast(takes), Seq(key)).filter(col("take") > 0)
+    if (arm == "window") {
+      dd.withColumn("rn__", row_number().over(wKey))
+        .filter(col("rn__") <= col("take"))
+        .select(outCols: _*)
+    } else {
+      // threshold arm — every count/threshold side relation here is
+      // key-cardinality: broadcast-sized by construction
+      val thr = broadcast(dd
+        .filter(pmod(xxhash64(col(ord)), lit(sampleMod)) === 0)
+        .withColumn("srk__", row_number().over(wKey))
+        .withColumn("lo_pos__",
+          greatest(expr(s"take div $sampleMod") - margin, lit(1L)))
+        .withColumn("hi_pos__", expr(s"take div $sampleMod") + margin)
+        .groupBy(col(key)).agg(
+          min(when(col("srk__") === col("lo_pos__"), col(ord)))
+            .as("t_lo__"),
+          min(when(col("srk__") === col("hi_pos__"), col(ord)))
+            .as("t_hi__")))
+      // LEFT join: a key whose sample came up empty still flows
+      // through (null thresholds → no free-accept, band = everything
+      // → exact window over the whole key, the correct degenerate
+      // case)
+      val classed = dd.join(thr, Seq(key), "left")
+      // strict <: equal-ord rows go to the band, where ties rank
+      // exactly
+      val accept = classed.filter(
+        col(ord) < coalesce(col("t_lo__"), lit("")))
+      val band = classed.filter(
+        col(ord) >= coalesce(col("t_lo__"), lit("")) &&
+          (col("t_hi__").isNull || col(ord) <= col("t_hi__")))
+      val validity = broadcast(
+        accept.groupBy(col(key)).agg(count(lit(1)).as("n_acc__"))
+          .join(band.groupBy(col(key)).agg(count(lit(1)).as("n_band__")),
+            Seq(key), "full")
+          .join(takes, Seq(key))
+          .select(col(key),
+            coalesce(col("n_acc__"), lit(0L)).as("n_acc__"),
+            (coalesce(col("n_acc__"), lit(0L)) <= col("take") &&
+              coalesce(col("n_acc__"), lit(0L)) +
+                coalesce(col("n_band__"), lit(0L)) >= col("take"))
+              .as("valid__")))
+      val acceptSel = accept.join(validity, Seq(key))
+        .filter(col("valid__")).select(outCols: _*)
+      val bandSel = band.join(validity, Seq(key)).filter(col("valid__"))
+        .withColumn("brn__", row_number().over(wKey))
+        .filter(col("brn__") <= col("take") - col("n_acc__"))
+        .select(outCols: _*)
+      // per-key exact fallback: fires only for a key whose sample
+      // misestimated — the result is exact ALWAYS, not w.h.p.
+      val fallback = classed.join(validity, Seq(key))
+        .filter(!col("valid__"))
+        .withColumn("rn__", row_number().over(wKey))
+        .filter(col("rn__") <= col("take"))
+        .select(outCols: _*)
+      acceptSel.unionByName(bandSel).unionByName(fallback)
+    }
+  }
+
   // The capstone composition: the full training-data build as ONE
   // Catalyst plan — quality gate → exact content dedup →
   // Bloom-pruned decontamination against the eval split → α=0.5
@@ -1326,18 +1440,23 @@ object TextAnalysis {
   val q147TrainingPipeline: QueryDef = QueryDef(
     "q147_training_pipeline",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       graft.functions.VectorOps.register(s)
       // train candidates with token counts
       val tr = Tables.load(s, dir, "documents")
         .filter(col("doc_id") % 100 < 80)
         .withColumn("nt", size(split(lower(col("text")), " ")))
       val gated = tr.filter(col("nt") >= 20 && col("nt") <= 80)
-      val wDup = Window.partitionBy(col("hh")).orderBy(col("doc_id"))
+      // exact dedup in q20/q21's min_by shape: partial min per map
+      // task, one keyed exchange of ≤ |groups| candidate structs — not
+      // a window (which would sort every row to keep rank 1 of a
+      // ~unique key)
       val ded = graft.Caches.persist(
         gated.withColumn("hh", md5(col("text").cast(BinaryType)))
-          .withColumn("rn", row_number().over(wDup))
-          .filter(col("rn") === 1).drop("rn"))
+          .groupBy(col("hh"))
+          .agg(min_by(struct(gated.columns.map(col): _*),
+            col("doc_id")).as("s__"))
+          .select((gated.columns.map(c => col(s"s__.$c")) :+
+            col("hh")): _*))
       // decontamination: q138's bloom prune + exact semi verify
       val (testG, bits) = StreamingQueries.decontamStatics(s, dir)
       val leak = ded.select(col("doc_id"),
@@ -1360,12 +1479,12 @@ object TextAnalysis {
           least(col("survivors"), floor(
             floor(col("total").cast(DoubleType) / 2) * col("wgt") /
               col("sw")).cast(LongType)).as("budget"))
-      // content-addressed selection + integer-exact packing ledger
-      val wSel = Window.partitionBy(col("lang"))
-        .orderBy(col("hh"), col("doc_id"))
-      val sel = surv.withColumn("rk", row_number().over(wSel))
-        .join(broadcast(takes), Seq("lang"))
-        .filter(col("rk") <= col("budget"))
+      // content-addressed selection + integer-exact packing ledger —
+      // through the size-guarded thresholdSelect dispatcher: the
+      // fixture corpus takes the exact window arm, a 100 TB lang takes
+      // the sampled-threshold arm with no per-lang sort
+      val sel = thresholdSelect(surv, "lang", "hh", "doc_id",
+        takes.select(col("lang"), col("budget").as("take")))
       val packed = sel.groupBy(col("lang"))
         .agg(count(lit(1)).as("selected"), sum(col("nt")).as("tokens"))
         .withColumn("bins",
