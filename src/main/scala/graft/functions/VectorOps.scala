@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BigramCounts, ByteEntropy, CentroidTopK, DotProduct, L2Norm, MinHashSignature, PqAdcSum, PqCodes, PqLut, RollingHash, ShingleHashSet, ShingleSet, SignBandCodes, SortedIntersectCount, SortedLongIntersectCount, TermCounts}
+import graft.plans.{BigramCounts, ByteEntropy, CentroidTopK, DotProduct, L2Norm, MinHashSignature, PqAdcSum, PqCodes, PqLut, RollingHash, ShingleHashSet, ShingleSet, SignBandCodes, SignBandCodesBcast, SortedIntersectCount, SortedLongIntersectCount, TermCounts}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -233,6 +233,20 @@ object VectorOps {
   def signBandCodes(v: Column, packed: Column, bBits: Int): Column =
     call_function("graft_sign_band_codes", v, packed,
       org.apache.spark.sql.functions.lit(bBits))
+
+  /** [[signBandCodes]] with the plane table riding as a BROADCAST
+    * handle — for fixtures past the task-binary comfort zone (q135's
+    * packed τ=0.4 table is ~3.5 MB; as a plan constant it serialized
+    * into every task). Takes [[graft.Fixtures.planesBroadcast]]'s
+    * (handle, fingerprint, bBits) triple; bypasses the temp-function
+    * registry because a broadcast cannot ride a SQL literal.
+    */
+  def signBandCodesBcast(v: Column,
+      planes: (org.apache.spark.broadcast.Broadcast[Array[Double]],
+        Long, Int)): Column =
+    org.apache.spark.sql.GraftShims.column(SignBandCodesBcast(
+      org.apache.spark.sql.GraftShims.expression(v),
+      planes._1, planes._2, planes._3))
 
   /** Top-k centroid ids by cosine vs a packed constant centroid table. */
   def centroidTopK(v: Column, nrm: Column, packed: Column, k: Int): Column =

@@ -678,13 +678,21 @@ object Similarity {
       : DataFrame = {
     import s.implicits._
     val (bBits, lTables) = adaptiveGeometry(n, tau)
-    (for { t <- 0 until lTables; b <- 0 until bBits } yield {
+    // generated DISTRIBUTED (spark.range → per-row tabulate): at
+    // N=10⁹, L=4·N^0.664 makes the plane relation tens of GB — a
+    // driver-side for-comprehension would materialize all of it in
+    // driver heap. Each row is a pure function of (t, b, d), so the
+    // relation is byte-identical regardless of partitioning, and
+    // identical to the committed τ=0.4 fixture the generator wrote.
+    s.range(lTables.toLong * bBits).map { id =>
+      val t = (id / bBits).toInt
+      val b = (id % bBits).toInt
       val plane = Array.tabulate(dim) { d =>
         scala.util.hashing.MurmurHash3.productHash(("ab04", t, b, d)) /
           Int.MaxValue.toDouble
       }
       (t, b, plane)
-    }).toDF("tbl", "bit", "plane")
+    }.toDF("tbl", "bit", "plane")
   }
 
   /** Corpus-size bound below which the fixed 8×4 fixture geometry is
@@ -754,10 +762,14 @@ object Similarity {
       // into a task constant (~7k planes here); wideBandNeardup keeps
       // the streaming-plane relational spelling for geometries past
       // that (see SignBandCodes' domain note).
-      val (packed, bBits) = graft.Fixtures.adaptivePlanesPackedTau04(s)
+      // the ~3.5 MB packed table rides as a BROADCAST handle (one
+      // torrent fetch per executor), not a plan constant serialized
+      // into every task binary — see SignBandCodesBcast
+      val planesBc = graft.Fixtures.planesBroadcast(s,
+        graft.Fixtures.adaptivePlanesTau04Path)
       val codes = e.select(col("vec_id"),
-        posexplode(graft.functions.VectorOps.signBandCodes(col("v"),
-          typedLit(packed.toSeq), bBits)).as(Seq("tbl", "code")))
+        posexplode(graft.functions.VectorOps.signBandCodesBcast(
+          col("v"), planesBc)).as(Seq("tbl", "code")))
       bandedSelfJoinVerify(e, codes, NearDupThreshold)
         .select(col("v1"), col("v2"), graft.Round4(col("sim")).as("sim"))
         .orderBy("v1", "v2")

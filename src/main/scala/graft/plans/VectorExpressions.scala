@@ -616,6 +616,57 @@ case class SignBandCodes(child: Expression, packed: Array[Double],
       newChild: Expression): SignBandCodes = copy(child = newChild)
 }
 
+/** [[SignBandCodes]] with the plane table shipped as a BROADCAST
+  * handle instead of an expression-tree constant. The packed q135
+  * fixture is ~3.5 MB of doubles; as a case-class field it serializes
+  * into EVERY task binary (TaskSetManager warns at >1 MiB), while a
+  * `Broadcast` serializes as a block-manager handle — executors fetch
+  * the payload once via torrent broadcast and every task on the
+  * executor shares the same array. Equality/canonicalization cannot
+  * use the handle (reference identity — two plans built from separate
+  * broadcasts of the same fixture must still match the persist cache),
+  * so the driver-computed content `fingerprint` stands in for the
+  * payload in equals/hashCode, the [[BloomContains]] discipline.
+  * [[graft.Fixtures.planesBroadcast]] caches the broadcast per
+  * (session, fixture stamp) so plan re-construction reuses one handle.
+  */
+case class SignBandCodesBcast(child: Expression,
+    planes: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    fingerprint: Long, bBits: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any =
+    SignBandCodes.compute(a.asInstanceOf[ArrayData], planes.value, bBits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    // the references array carries the Broadcast HANDLE; the payload
+    // double[] is resolved once per generated-class instance into a
+    // mutable-state field, so the per-row path still reads a primitive
+    // array (the SignBandCodes constant-table discipline)
+    val bcRef = ctx.addReferenceObj("signBandPlanesBc", planes,
+      "org.apache.spark.broadcast.Broadcast<double[]>")
+    val arr = ctx.addMutableState("double[]", "signBandPlanesArr",
+      v => s"$v = (double[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.SignBandCodes.compute($a, " +
+        s"$arr, $bBits);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: SignBandCodesBcast =>
+      child == o.child && fingerprint == o.fingerprint && bBits == o.bBits
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Long.valueOf(fingerprint),
+      Integer.valueOf(bBits))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignBandCodesBcast = copy(child = newChild)
+}
+
 object SignBandCodes {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 

@@ -14,4 +14,19 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column over an already-built Catalyst expression. The temp-function
+    * registry route (`call_function`) only admits expression arguments,
+    * so constants that must NOT ride the plan as literals — e.g. a
+    * `Broadcast` handle to a multi-MB plane table — need direct
+    * construction.
+    */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse of [[column]], for wrapping an existing Column's
+    * expression as a child of a directly-constructed one.
+    */
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
