@@ -661,6 +661,85 @@ object TextAnalysis {
            |  len(regexp_extract_all(props, '[0-9]+')) AS n_redacted
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** The three PII shapes q149 scrubs, ONE definition each reaching
+    * both engines (interpolated into the oracle SQL verbatim) — kept
+    * in the Java∩RE2 subset (no lookaround, no backreferences) so the
+    * JVM and DuckDB regex engines match identically. The shapes follow
+    * the C4/Dolma cleaning passes: RFC-loose emails, NANP-style phone
+    * layouts, dotted-quad IPv4.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhoneRe =
+    "(?:\\+[0-9]{1,2}[ -])?\\(?[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}"
+
+  // PII redaction — the standard pre-training cleaning pass (C4 / Dolma
+  // discipline) as a first-class oracle-checked operator, extending
+  // q56's numeric scrub to the three shapes real pipelines remove:
+  // emails, phone numbers, IPv4 addresses, over the planted-PII fixture
+  // corpus (the driver documents contain no PII — see GenPiiFixture,
+  // which also plants NEGATIVE decoys the regexes must not touch).
+  // Stages apply in a FIXED order (email → ip → phone), each counting
+  // its matches on the previous stage's output, so a phone pattern can
+  // never double-count digits inside an already-redacted IP; the same
+  // three-stage spelling runs verbatim in the oracle. Output is the
+  // per-lang cleaning report: doc/match counts plus an order-stable
+  // corpus digest (md5 over per-doc redacted-text md5s, doc_id order)
+  // — the hash match proves every redacted BYTE identical across
+  // engines, not just the counts. Map-only scalar work fused with the
+  // scan into one keyed aggregation: at 100 TB this is a single
+  // corpus pass with a |langs|-row result, no joins, no wide state.
+  val q149PiiRedact: QueryDef = QueryDef(
+    "q149_pii_redact",
+    (s, dir) => {
+      val s1 = graft.Fixtures.read(s, graft.Fixtures.piiDocsPath)
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+            .as("n_emails"),
+          regexp_replace(col("text"), EmailRe, "<EMAIL>").as("t1"))
+      val s2 = s1.select(col("doc_id"), col("lang"), col("n_emails"),
+        size(regexp_extract_all(col("t1"), lit(Ipv4Re), lit(0)))
+          .as("n_ips"),
+        regexp_replace(col("t1"), Ipv4Re, "<IP>").as("t2"))
+      val s3 = s2.select(col("doc_id"), col("lang"), col("n_emails"),
+        col("n_ips"),
+        size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0)))
+          .as("n_phones"),
+        md5(regexp_replace(col("t2"), PhoneRe, "<PHONE>")
+          .cast("binary")).as("h"))
+      s3.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_emails")).cast("long").as("n_emails"),
+          sum(col("n_ips")).cast("long").as("n_ips"),
+          sum(col("n_phones")).cast("long").as("n_phones"),
+          md5(concat_ws("", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("h")))),
+            x => x.getField("h"))).cast("binary")).as("fp"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH s1 AS (
+            |  SELECT doc_id, lang,
+            |    len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+            |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1
+            |  FROM read_parquet('${graft.Fixtures.piiDocsPath}')),
+            |s2 AS (
+            |  SELECT doc_id, lang, n_emails,
+            |    len(regexp_extract_all(t1, '$Ipv4Re')) AS n_ips,
+            |    regexp_replace(t1, '$Ipv4Re', '<IP>', 'g') AS t2
+            |  FROM s1),
+            |s3 AS (
+            |  SELECT doc_id, lang, n_emails, n_ips,
+            |    len(regexp_extract_all(t2, '$PhoneRe')) AS n_phones,
+            |    md5(regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g')) AS h
+            |  FROM s2)
+            |SELECT lang, COUNT(*) AS docs,
+            |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+            |  CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+            |  CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+            |  md5(string_agg(h, '' ORDER BY doc_id)) AS fp
+            |FROM s3 GROUP BY lang ORDER BY lang""".stripMargin))
+
   // Deterministic train/val/test split — the reproducible alternative
   // to rand()-based sampling: assignment is a pure function of the key
   // (doc_id mod 100 → 80/10/10), so every engine and every rerun agrees,
@@ -1635,5 +1714,5 @@ object TextAnalysis {
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers,
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
-    q148BpePack)
+    q148BpePack, q149PiiRedact)
 }
