@@ -285,6 +285,43 @@ object Retrieval {
     s"CAST(floor(${bm25TermSql("tf", "df")} * 1000000e0 + 0.5e0) " +
       "AS BIGINT)"
 
+  /** Oracle twin of [[evalTextMatched]] — the CTE chain ending at
+    * `m (qdoc_id, doc_id, su)`, shared verbatim by the q137 and q150
+    * oracles so the two evals score from one text-channel definition.
+    */
+  private def oracleEvalTextCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '')
+       |      AS w
+       |  FROM documents),
+       |qtf AS (
+       |  SELECT qdoc_id, t, COUNT(*) AS qtf FROM (
+       |    SELECT doc_id AS qdoc_id, unnest(w) AS t FROM tok
+       |    WHERE doc_id % $EvalEvery = 0) u GROUP BY 1, 2),
+       |qterms AS (
+       |  SELECT qdoc_id, t FROM (
+       |    SELECT qdoc_id, t, ROW_NUMBER() OVER (
+       |      PARTITION BY qdoc_id ORDER BY qtf DESC, t) AS trnk
+       |    FROM qtf) r WHERE trnk <= $EvalTerms),
+       |terms AS (SELECT DISTINCT t FROM qterms),
+       |st AS (SELECT COUNT(*) AS n, SUM(len(w)) AS sumdl FROM tok),
+       |dfr AS (
+       |  SELECT t, COUNT(*) AS df
+       |  FROM tok CROSS JOIN terms
+       |  WHERE list_contains(w, t) GROUP BY t),
+       |contrib AS (
+       |  SELECT qt.qdoc_id, d.doc_id,
+       |    len(list_filter(d.w, x -> x = qt.t)) AS tf,
+       |    len(d.w) AS dl, dfr.df
+       |  FROM tok d CROSS JOIN qterms qt
+       |  JOIN dfr ON dfr.t = qt.t),
+       |m AS (
+       |  SELECT qdoc_id, doc_id,
+       |    CAST(SUM($termScoreUnitsSql) AS BIGINT) AS su
+       |  FROM contrib CROSS JOIN st WHERE tf > 0 GROUP BY 1, 2)"""
+      .stripMargin
+
   // Retrieval EVAL: known-item MRR — the index sanity check an eval
   // pipeline runs before trusting a retrieval stack: for each eval doc
   // (a deterministic corpus slice), form a query from its own top-3
@@ -303,42 +340,52 @@ object Retrieval {
   //  - per-term contributions quantize to integer µunits before the
   //    (query, doc) sum, so double addition order cannot split the
   //    engines.
+  /** Per-(eval query, matched doc) BM25 score in integer µunits — the
+    * text channel shared by q137 (BM25-only MRR) and q150 (hybrid RRF
+    * MRR): eval queries are the doc_id % [[EvalEvery]] corpus slice,
+    * each query = its doc's top-[[EvalTerms]] tf terms. Returns
+    * (qdoc_id, doc_id, su).
+    */
+  private def evalTextMatched(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => t =!= "").as("w"))
+      .transform(graft.Caches.persist) // stats + df + scoring consumers
+    // top-3 terms per eval doc, relationally (tiny slice)
+    val qtf = toks.filter(col("doc_id") % EvalEvery === 0)
+      .select(col("doc_id").as("qdoc_id"), explode(col("w")).as("t"))
+      .groupBy("qdoc_id", "t").agg(count(lit(1)).as("qtf"))
+    val wq = Window.partitionBy(col("qdoc_id"))
+      .orderBy(col("qtf").desc, col("t"))
+    val qterms = qtf
+      .withColumn("trnk", row_number().over(wq))
+      .filter(col("trnk") <= EvalTerms)
+      .select(col("qdoc_id"), col("t"))
+    val terms = qterms.select(col("t")).distinct()
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("w"))).as("sumdl"))
+    // df per eval term: corpus × broadcast terms, map-side agg to
+    // |terms| rows — in-row containment, no token explode
+    val dfRel = toks.crossJoin(broadcast(terms))
+      .filter(array_contains(col("w"), col("t")))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    // matched (query, doc) scores in integer µunits
+    val contrib = toks.crossJoin(broadcast(qterms))
+      .withColumn("tf", size(filter(col("w"),
+        x => x === col("t"))))
+      .filter(col("tf") > 0)
+      .withColumn("dl", size(col("w")))
+      .join(broadcast(dfRel), "t")
+      .join(broadcast(stats))
+      .withColumn("u", expr(termScoreUnitsSql))
+    contrib.groupBy(col("qdoc_id"), col("doc_id"))
+      .agg(sum(col("u")).as("su"))
+  }
+
   val q137RetrievalEval: QueryDef = QueryDef(
     "q137_retrieval_eval",
     (s, dir) => {
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          filter(split(lower(col("text")), " "), t => t =!= "").as("w"))
-        .transform(graft.Caches.persist) // stats + df + scoring consumers
-      // top-3 terms per eval doc, relationally (tiny slice)
-      val qtf = toks.filter(col("doc_id") % EvalEvery === 0)
-        .select(col("doc_id").as("qdoc_id"), explode(col("w")).as("t"))
-        .groupBy("qdoc_id", "t").agg(count(lit(1)).as("qtf"))
-      val wq = Window.partitionBy(col("qdoc_id"))
-        .orderBy(col("qtf").desc, col("t"))
-      val qterms = qtf
-        .withColumn("trnk", row_number().over(wq))
-        .filter(col("trnk") <= EvalTerms)
-        .select(col("qdoc_id"), col("t"))
-      val terms = qterms.select(col("t")).distinct()
-      val stats = toks.agg(count(lit(1)).as("n"),
-        sum(size(col("w"))).as("sumdl"))
-      // df per eval term: corpus × broadcast terms, map-side agg to
-      // |terms| rows — in-row containment, no token explode
-      val dfRel = toks.crossJoin(broadcast(terms))
-        .filter(array_contains(col("w"), col("t")))
-        .groupBy("t").agg(count(lit(1)).as("df"))
-      // matched (query, doc) scores in integer µunits
-      val contrib = toks.crossJoin(broadcast(qterms))
-        .withColumn("tf", size(filter(col("w"),
-          x => x === col("t"))))
-        .filter(col("tf") > 0)
-        .withColumn("dl", size(col("w")))
-        .join(broadcast(dfRel), "t")
-        .join(broadcast(stats))
-        .withColumn("u", expr(termScoreUnitsSql))
-      val matched = contrib.groupBy(col("qdoc_id"), col("doc_id"))
-        .agg(sum(col("u")).as("su"))
+      val matched = evalTextMatched(s, dir)
       val src = matched.filter(col("doc_id") === col("qdoc_id"))
         .select(col("qdoc_id"), col("su").as("srcu"))
       matched.join(broadcast(src), "qdoc_id")
@@ -351,36 +398,7 @@ object Retrieval {
         .withColumn("rr4", Round4(lit(1.0) / col("src_rank")))
         .orderBy("qdoc_id")
     },
-    Some(s"""WITH tok AS (
-            |  SELECT doc_id,
-            |    list_filter(string_split(lower(text), ' '), t -> t <> '')
-            |      AS w
-            |  FROM documents),
-            |qtf AS (
-            |  SELECT qdoc_id, t, COUNT(*) AS qtf FROM (
-            |    SELECT doc_id AS qdoc_id, unnest(w) AS t FROM tok
-            |    WHERE doc_id % $EvalEvery = 0) u GROUP BY 1, 2),
-            |qterms AS (
-            |  SELECT qdoc_id, t FROM (
-            |    SELECT qdoc_id, t, ROW_NUMBER() OVER (
-            |      PARTITION BY qdoc_id ORDER BY qtf DESC, t) AS trnk
-            |    FROM qtf) r WHERE trnk <= $EvalTerms),
-            |terms AS (SELECT DISTINCT t FROM qterms),
-            |st AS (SELECT COUNT(*) AS n, SUM(len(w)) AS sumdl FROM tok),
-            |dfr AS (
-            |  SELECT t, COUNT(*) AS df
-            |  FROM tok CROSS JOIN terms
-            |  WHERE list_contains(w, t) GROUP BY t),
-            |contrib AS (
-            |  SELECT qt.qdoc_id, d.doc_id,
-            |    len(list_filter(d.w, x -> x = qt.t)) AS tf,
-            |    len(d.w) AS dl, dfr.df
-            |  FROM tok d CROSS JOIN qterms qt
-            |  JOIN dfr ON dfr.t = qt.t),
-            |m AS (
-            |  SELECT qdoc_id, doc_id,
-            |    CAST(SUM($termScoreUnitsSql) AS BIGINT) AS su
-            |  FROM contrib CROSS JOIN st WHERE tf > 0 GROUP BY 1, 2),
+    Some(s"""WITH ${oracleEvalTextCtes},
             |src AS (
             |  SELECT qdoc_id, su AS srcu FROM m WHERE doc_id = qdoc_id),
             |ranked AS (
@@ -391,6 +409,127 @@ object Retrieval {
             |  FROM m JOIN src ON m.qdoc_id = src.qdoc_id
             |  GROUP BY m.qdoc_id)
             |SELECT qdoc_id, n_matched, src_rank,
+            |  floor((1e0 / src_rank) * 10000 + 0.5) / 10000 AS rr4
+            |FROM ranked ORDER BY qdoc_id""".stripMargin))
+
+  // Hybrid-stack retrieval eval: known-item MRR through the FULL q125
+  // RRF pipeline, so retrieval-quality regression coverage spans both
+  // rankers (q137 covers BM25 alone). Eval queries are the
+  // doc_id % EvalEvery slice that has an embedding: the text query is
+  // the doc's own top-3 tf terms (q137's channel, verbatim — shared
+  // code), the vector query is the doc's own embedding (self-retrieval:
+  // the vector channel should rank the source ~1; the eval measures
+  // whether FUSION keeps the known item on top when the text channel
+  // ranks it deep — a doc strong in both lists can legitimately
+  // outrank a source weak in one). Both channels truncate to
+  // FusionDepth before ranks, exactly like q125; the fused src rank is
+  // q137's count-better-than aggregation over the fused candidate set
+  // (no corpus-wide sort on the rank side). Per-channel ranks use
+  // per-query windows over score-sorted candidates: the text side is
+  // df-bounded; the vector side is the brute-force eval baseline — a
+  // production eval swaps the q136 ANN stack in as the candidate
+  // stage, shrinking the window input from the corpus to k·probes
+  // rows, without touching the fusion or rank logic here.
+  val q150HybridEval: QueryDef = QueryDef(
+    "q150_hybrid_eval",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val matched = evalTextMatched(s, dir)
+      val wText = Window.partitionBy(col("qdoc_id"))
+        .orderBy(col("su").desc, col("doc_id"))
+      val rb = matched
+        .withColumn("rb", row_number().over(wText))
+        .filter(col("rb") <= FusionDepth)
+        .select(col("qdoc_id"), col("doc_id"), col("rb"))
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+        .transform(graft.Caches.persist) // query + corpus sides
+      val q = e.filter(col("vec_id") % EvalEvery === 0)
+        .select(col("vec_id").as("qdoc_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val wVec = Window.partitionBy(col("qdoc_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val rv = e.join(broadcast(q))
+        .withColumn("sim", Round4(graft.functions.VectorOps.cosine(
+          col("qv"), col("v"), col("qn"), col("nrm"))))
+        .select(col("qdoc_id"), col("vec_id"), col("sim"))
+        .withColumn("rv", row_number().over(wVec))
+        .filter(col("rv") <= FusionDepth)
+        .select(col("qdoc_id"), col("vec_id"), col("rv"))
+      val fused = rb.join(rv,
+          rb("qdoc_id") === rv("qdoc_id") && rb("doc_id") === rv("vec_id"),
+          "full_outer")
+        .select(coalesce(rb("qdoc_id"), rv("qdoc_id")).as("qdoc_id"),
+          coalesce(rb("doc_id"), rv("vec_id")).as("doc_id"),
+          col("rb"), col("rv"))
+        .withColumn("s4", Round4(
+          expr(s"coalesce(1e0 / ($RrfK + rb), 0e0)" +
+            s" + coalesce(1e0 / ($RrfK + rv), 0e0)")))
+      // a source that fell out of BOTH depth-50 lists fuses at 0
+      val src = fused.filter(col("doc_id") === col("qdoc_id"))
+        .select(col("qdoc_id"), col("rb").as("rb_src"),
+          col("rv").as("rv_src"), col("s4").as("srcs4"))
+      val srcFull = q.select(col("qdoc_id")).join(src, Seq("qdoc_id"), "left")
+        .select(col("qdoc_id"), col("rb_src"), col("rv_src"),
+          coalesce(col("srcs4"), lit(0.0)).as("srcs4"))
+      fused.join(broadcast(srcFull), Seq("qdoc_id"))
+        .groupBy(col("qdoc_id"))
+        .agg(count(lit(1)).as("n_cand"),
+          max(col("rb_src")).as("rb_src"),
+          max(col("rv_src")).as("rv_src"),
+          (sum(when(col("s4") > col("srcs4") ||
+              (col("s4") === col("srcs4") &&
+                col("doc_id") < col("qdoc_id")), 1L)
+            .otherwise(0L)) + 1L).as("src_rank"))
+        .withColumn("rr4", Round4(lit(1.0) / col("src_rank")))
+        .orderBy("qdoc_id")
+    },
+    Some(s"""WITH ${oracleEvalTextCtes},
+            |rbr AS (
+            |  SELECT qdoc_id, doc_id, rb FROM (
+            |    SELECT qdoc_id, doc_id, ROW_NUMBER() OVER (
+            |      PARTITION BY qdoc_id ORDER BY su DESC, doc_id) AS rb
+            |    FROM m) r WHERE rb <= $FusionDepth),
+            |e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |qv AS (
+            |  SELECT vec_id AS qdoc_id, v AS qvec FROM e
+            |  WHERE vec_id % $EvalEvery = 0),
+            |vs AS (
+            |  SELECT qv.qdoc_id, e.vec_id,
+            |    floor(list_cosine_similarity(qv.qvec, e.v) * 10000 + 0.5)
+            |      / 10000 AS sim
+            |  FROM e CROSS JOIN qv),
+            |rvr AS (
+            |  SELECT qdoc_id, vec_id, rv FROM (
+            |    SELECT qdoc_id, vec_id, ROW_NUMBER() OVER (
+            |      PARTITION BY qdoc_id ORDER BY sim DESC, vec_id) AS rv
+            |    FROM vs) r WHERE rv <= $FusionDepth),
+            |fused AS (
+            |  SELECT COALESCE(rbr.qdoc_id, rvr.qdoc_id) AS qdoc_id,
+            |    COALESCE(rbr.doc_id, rvr.vec_id) AS doc_id, rb, rv,
+            |    floor((coalesce(1e0 / ($RrfK + rb), 0e0)
+            |           + coalesce(1e0 / ($RrfK + rv), 0e0))
+            |          * 10000 + 0.5) / 10000 AS s4
+            |  FROM rbr FULL OUTER JOIN rvr
+            |    ON rbr.qdoc_id = rvr.qdoc_id AND rbr.doc_id = rvr.vec_id),
+            |srcf AS (
+            |  SELECT qv.qdoc_id, f.rb AS rb_src, f.rv AS rv_src,
+            |    COALESCE(f.s4, 0e0) AS srcs4
+            |  FROM qv LEFT JOIN fused f
+            |    ON f.qdoc_id = qv.qdoc_id AND f.doc_id = qv.qdoc_id),
+            |ranked AS (
+            |  SELECT f.qdoc_id, COUNT(*) AS n_cand,
+            |    MAX(srcf.rb_src) AS rb_src, MAX(srcf.rv_src) AS rv_src,
+            |    CAST(SUM(CASE WHEN f.s4 > srcf.srcs4
+            |          OR (f.s4 = srcf.srcs4 AND f.doc_id < f.qdoc_id)
+            |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS src_rank
+            |  FROM fused f JOIN srcf ON f.qdoc_id = srcf.qdoc_id
+            |  GROUP BY f.qdoc_id)
+            |SELECT qdoc_id, n_cand, rb_src, rv_src, src_rank,
             |  floor((1e0 / src_rank) * 10000 + 0.5) / 10000 AS rr4
             |FROM ranked ORDER BY qdoc_id""".stripMargin))
 
@@ -440,5 +579,5 @@ object Retrieval {
            |FROM hits GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q124Bm25Topk, q125HybridRrf, q126SourceCap,
-    q137RetrievalEval, q143PhraseSearch)
+    q137RetrievalEval, q143PhraseSearch, q150HybridEval)
 }

@@ -99,4 +99,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(mrr > 0.25, s"known-item MRR collapsed to $mrr")
     Caches.clear(spark)
   }
+
+  test("q150 hybrid eval: fusion keeps the known item on top even " +
+      "where the text channel ranks it deep; vector channel load-bearing") {
+    val rows = SparkEntry.queries("q150_hybrid_eval")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty, "no eval queries in the slice")
+    rows.foreach { r =>
+      val q = r.getAs[Long]("qdoc_id")
+      assert(r.getAs[Int]("rv_src") == 1,
+        s"q$q: self-retrieval must rank the source 1 in the vector " +
+          s"channel, got ${r.getAs[Int]("rv_src")}")
+      assert(r.getAs[Long]("src_rank") >= 1)
+    }
+    // the healthy stack fuses every known item to rank 1 — the gate a
+    // fusion regression (wrong k, broken rank join, channel dropped)
+    // trips immediately
+    val fusedMrr = rows.map(_.getAs[Double]("rr4")).sum / rows.length
+    assert(fusedMrr > 0.9, s"hybrid MRR collapsed to $fusedMrr")
+    // the eval is only meaningful if fusion had work to do: some text
+    // ranks must be > 1 (q137's channel alone would NOT put the source
+    // first there — fusion rescued it)
+    val deepText = rows.count(r => r.getAs[Int]("rb_src") > 1)
+    assert(deepText > 0,
+      "every text rank is already 1 — the fusion eval is vacuous")
+    Caches.clear(spark)
+  }
 }
