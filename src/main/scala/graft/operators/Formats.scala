@@ -226,6 +226,122 @@ object Formats {
            |FROM documents WHERE lang = 'en'
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** q151 extraction rules, ONE definition reaching both engines.
+    * Scripts are removed before block split (their `<` payload would
+    * corrupt tag-stripping); pages split into blocks at block-level
+    * tag boundaries; per block, visible text is tag-strip + entity
+    * decode + whitespace collapse, and the anchor-text character count
+    * drives the Kohlschütter-style link-density gate (WSDM'10
+    * boilerpipe shallow-feature result: link density + block length
+    * separate chrome from content). A block survives iff its text is
+    * ≥ [[MinBlockChars]] chars AND link chars ≤ half its text — both
+    * integer comparisons, no float thresholds to drift.
+    */
+  private val ScriptRe = "(?s)<script[^>]*>.*?</script>"
+  private val BoundaryRe =
+    "</?(?:p|div|nav|footer|h1|ul|li|head|body|html|title)[^>]*>"
+  private val AnchorRe = "<a[^>]*>([^<]*)</a>"
+  private val MinBlockChars = 30
+
+  /** Visible text of block `b` — `g` is the engine's global-replace
+    * spelling ("" for Spark, ", 'g'" for DuckDB, whose regexp_replace
+    * is first-match by default).
+    */
+  private def txtFrag(b: String, g: String): String =
+    s"trim(regexp_replace(replace(replace(replace(regexp_replace(" +
+      s"$b, '<[^>]*>', ' '$g), '&amp;', '&'), '&lt;', '<'), " +
+      s"'&gt;', '>'), ' +', ' '$g))"
+
+  private def linkSpark(b: String): String =
+    s"aggregate(regexp_extract_all($b, '$AnchorRe', 1), 0, " +
+      "(acc, x) -> acc + length(x))"
+
+  private def linkDuck(b: String): String =
+    s"COALESCE(list_sum(list_transform(regexp_extract_all(" +
+      s"$b, '$AnchorRe', 1), x -> len(x))), 0)"
+
+  // HTML→text extraction + boilerplate removal — the ingest stage
+  // upstream of every quality gate (CCNet/Dolma pipelines run exactly
+  // this before language-ID or Gopher rules ever see a byte): script
+  // removal, block segmentation, tag-strip/entity-decode, and the
+  // link-density content classifier, over the committed page fixture.
+  // Entirely in-row (split + higher-order filter/transform on the
+  // block array — no explode, no shuffle): at 100 TB this is a
+  // map-only pass fused with the scan, the same shape as the q109
+  // chunker. The extracted text feeds the q29 quality-gate metrics
+  // (token count, avg token length, stopword ratio, bucket rule) so
+  // the operator lands cleaned pages directly in the curation tier;
+  // the per-page md5 makes the oracle's hash match prove every
+  // extracted BYTE identical across engines.
+  val q151HtmlExtract: QueryDef = QueryDef(
+    "q151_html_extract",
+    (s, dir) => {
+      val kept = graft.Fixtures.read(s, graft.Fixtures.htmlPagesPath)
+        .select(col("page_id"),
+          split(regexp_replace(col("html"), ScriptRe, " "), BoundaryRe)
+            .as("blocks"))
+        .select(col("page_id"),
+          expr(s"size(filter(blocks, b -> " +
+            s"length(${txtFrag("b", "")}) > 0))").as("n_blocks"),
+          expr(s"filter(blocks, b -> " +
+            s"length(${txtFrag("b", "")}) >= $MinBlockChars AND " +
+            s"2 * ${linkSpark("b")} <= length(${txtFrag("b", "")}))")
+            .as("kept"))
+        .select(col("page_id"), col("n_blocks"),
+          size(col("kept")).as("n_kept"),
+          expr(s"array_join(transform(kept, b -> ${txtFrag("b", "")}), " +
+            "' ')").as("extracted"))
+      kept
+        .withColumn("w", split(lower(col("extracted")), " "))
+        .select(col("page_id"), col("n_blocks"), col("n_kept"),
+          size(col("w")).as("n_tokens"),
+          graft.Round4(length(col("extracted")).cast("double") /
+            size(col("w"))).as("avg_tok_len"),
+          graft.Round4(expr(
+            "size(filter(w, t -> t = 'the' OR t = 'a' OR t = 'of'))")
+            .cast("double") / size(col("w"))).as("stop_ratio"),
+          when(size(col("w")) < 20, "short")
+            .when(size(col("w")) > 80, "long")
+            .otherwise("good").as("bucket"),
+          md5(col("extracted").cast("binary")).as("h"))
+        .orderBy("page_id")
+    },
+    Some(s"""WITH b AS (
+            |  SELECT page_id,
+            |    regexp_split_to_array(
+            |      regexp_replace(html, '$ScriptRe', ' ', 'g'),
+            |      '$BoundaryRe') AS blocks
+            |  FROM read_parquet('${graft.Fixtures.htmlPagesPath}')),
+            |e AS (
+            |  SELECT page_id,
+            |    len(list_filter(blocks, b ->
+            |      len(${txtFrag("b", ", 'g'")}) > 0)) AS n_blocks,
+            |    list_filter(blocks, b ->
+            |      len(${txtFrag("b", ", 'g'")}) >= $MinBlockChars AND
+            |      2 * ${linkDuck("b")} <= len(${txtFrag("b", ", 'g'")}))
+            |      AS kept
+            |  FROM b),
+            |x AS (
+            |  SELECT page_id, n_blocks, len(kept) AS n_kept,
+            |    COALESCE(array_to_string(list_transform(kept, b ->
+            |      ${txtFrag("b", ", 'g'")}), ' '), '') AS extracted
+            |  FROM e),
+            |t AS (
+            |  SELECT page_id, n_blocks, n_kept, extracted,
+            |    string_split(lower(extracted), ' ') AS w
+            |  FROM x)
+            |SELECT page_id, n_blocks, n_kept, len(w) AS n_tokens,
+            |  floor((CAST(length(extracted) AS DOUBLE) / len(w))
+            |    * 10000 + 0.5) / 10000 AS avg_tok_len,
+            |  floor((CAST(len(list_filter(w,
+            |        t -> t = 'the' OR t = 'a' OR t = 'of')) AS DOUBLE)
+            |      / len(w)) * 10000 + 0.5) / 10000 AS stop_ratio,
+            |  CASE WHEN len(w) < 20 THEN 'short'
+            |       WHEN len(w) > 80 THEN 'long'
+            |       ELSE 'good' END AS bucket,
+            |  md5(extracted) AS h
+            |FROM t ORDER BY page_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q69JsonlScan, q73CsvScan,
-    q98SchemaEvolution, q140PartitionPrune)
+    q98SchemaEvolution, q140PartitionPrune, q151HtmlExtract)
 }
