@@ -967,6 +967,109 @@ object Dedup {
             |GROUP BY 1 ORDER BY doc_id""".stripMargin),
     bench = true, lowLatency = true)
 
+  // Variable-length exact-substring dedup — the full Lee et al. 2022
+  // ("Deduplicating Training Data Makes Language Models Better",
+  // ACL'22) semantics that q80's fixed sampled spans approximate: for
+  // each document, the MAXIMAL character ranges covered by some
+  // cross-document duplicated substring of length ≥ SpanLen, with
+  // their true variable lengths. Formulation: a char is covered iff it
+  // lies inside a duplicated SpanLen-gram (any duplicated substring of
+  // length M ≥ SpanLen is the union of its stride-1 SpanLen-windows,
+  // and every duplicated SpanLen-gram is itself a duplicated
+  // substring), so stride-1 gram df + per-doc island-merging of
+  // offsets (two grams whose offsets differ ≤ SpanLen−1 overlap in
+  // chars → one island) yields EXACTLY the suffix-array family's
+  // coverage set — as equi-joins and bounded windows instead of a
+  // partition-local suffix array with cross-shard seam repair. Scale
+  // posture: grams shuffle as 16-hex-char md5 prefixes (engine-
+  // identical, 2.5× narrower than the span text); df uses q80's
+  // two-level agg (doc_id in the first key salts hot boilerplate
+  // spans; map-side partials bound the second exchange by task count);
+  // the island windows partition per doc_id — state bounded by one
+  // document's offsets, never corpus-wide. Stride-1 is the cost Lee
+  // et al. pay too (a suffix array indexes every byte); the join-back
+  // ships only offsets of grams that survived nd > 1.
+  val q152SubstringDedup: QueryDef = QueryDef(
+    "q152_substring_dedup",
+    (s, dir) => {
+      val SpanLen = 40
+      val docs = Tables.load(s, dir, "documents")
+      val grams = docs
+        .filter(col("n_chars") >= SpanLen)
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(1L, n_chars - ${SpanLen - 1}L, 1L)"))
+            .as("i"))
+        .select(col("doc_id"), col("i"),
+          substring(md5(expr(
+            s"substring(text, CAST(i AS INT), $SpanLen)")
+            .cast("binary")), 1, 16).as("gk"))
+      val perDoc = graft.Caches.persist(grams)
+      // q80's two-level df: (gk, doc_id) first — natural salt — then
+      // map-side-partial distinct-doc counts per gram key
+      val dfRel = perDoc.select(col("gk"), col("doc_id")).distinct()
+        .groupBy(col("gk")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("gk"))
+        .hint("shuffle_hash")
+      val dup = perDoc.join(dfRel, Seq("gk"))
+        .select(col("doc_id"), col("i"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val islands = dup
+        .withColumn("brk",
+          when(col("i") - lag(col("i"), 1).over(wDoc) <= SpanLen - 1, 0)
+            .otherwise(1))
+        .withColumn("island",
+          sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val ranges = islands.groupBy(col("doc_id"), col("island"))
+        .agg((max(col("i")) - min(col("i")) + SpanLen).as("len"))
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(ranges, Seq("doc_id"), "left")
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(count(col("len")).as("n_ranges"),
+          coalesce(sum(col("len")), lit(0L)).as("dup_chars"),
+          coalesce(max(col("len")), lit(0L)).as("longest"))
+        .select(col("doc_id"), col("n_ranges"), col("dup_chars"),
+          col("longest"),
+          graft.Round4(col("dup_chars").cast(DoubleType) /
+            col("n_chars")).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, i,
+           |    substr(md5(substr(text, CAST(i AS INT), 40)), 1, 16) AS gk
+           |  FROM (SELECT doc_id, text,
+           |          unnest(range(1, n_chars - 38)) AS i
+           |        FROM documents WHERE n_chars >= 40) u),
+           |dfr AS (
+           |  SELECT gk FROM (
+           |    SELECT gk, COUNT(DISTINCT doc_id) AS nd
+           |    FROM g GROUP BY 1) c WHERE nd > 1),
+           |d AS (SELECT g.doc_id, g.i FROM g JOIN dfr USING (gk)),
+           |isl AS (
+           |  SELECT doc_id, i,
+           |    CASE WHEN i - LAG(i) OVER (
+           |        PARTITION BY doc_id ORDER BY i) <= 39
+           |      THEN 0 ELSE 1 END AS brk
+           |  FROM d),
+           |isl2 AS (
+           |  SELECT doc_id, i, SUM(brk) OVER (
+           |      PARTITION BY doc_id ORDER BY i
+           |      ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM isl),
+           |r AS (
+           |  SELECT doc_id, island, MAX(i) - MIN(i) + 40 AS len
+           |  FROM isl2 GROUP BY 1, 2)
+           |SELECT doc.doc_id, COUNT(r.len) AS n_ranges,
+           |  CAST(COALESCE(SUM(r.len), 0) AS BIGINT) AS dup_chars,
+           |  CAST(COALESCE(MAX(r.len), 0) AS BIGINT) AS longest,
+           |  floor((CAST(COALESCE(SUM(r.len), 0) AS DOUBLE) / doc.n_chars)
+           |    * 10000 + 0.5) / 10000 AS dup_frac
+           |FROM documents doc LEFT JOIN r ON r.doc_id = doc.doc_id
+           |GROUP BY doc.doc_id, doc.n_chars
+           |ORDER BY doc.doc_id""".stripMargin),
+    bench = true)
+
   /** AllPairs/PPJoin-style prefix filtering — the third member of the
     * exact-Jaccard family (q22 full inverted index, q63 df-capped),
     * and the classic literature answer to the same hot-shingle blowup:
@@ -1237,5 +1340,5 @@ object Dedup {
     q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch,
     q106DedupClosureSql, q113ClusterKeepBest, q119CrossShardDedup,
     q127StreamIncrementalNeardup, q134DedupContainment,
-    q138DecontamBloom)
+    q138DecontamBloom, q152SubstringDedup)
 }

@@ -134,7 +134,13 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // SMALL side. The hot-key diagnostic below bounds exactly that df;
     // the growth gate pins that the Heaps-law tail keeps the join
     // ~linear at realistic stopword heads
-    ("q134_dedup_containment", 1.3, 8000L))
+    ("q134_dedup_containment", 1.3, 8000L),
+    // variable-length exact-substring dedup: the widest exchange is
+    // the stride-1 gram relation feeding the df agg — rows ∝ corpus
+    // CHARS, so the exponent must sit at ~1 like the suffix-array
+    // family it reproduces (Lee et al. ACL'22); islands merge inside
+    // per-doc windows whose state is one document's offsets
+    ("q152_substring_dedup", 1.3, -1L))
 
   test("candidate generation scales ~linearly: shuffle-row growth " +
       "exponent < 1.3 over a 4x corpus step, pair yield tracks the " +
@@ -148,7 +154,13 @@ class ScaleGrowthSpec extends AnyFunSuite {
       val measured = GrowthQueries.map { case (q, expMax, yieldCap) =>
         val rows = dirs.map { dir =>
           clock.quiesce(); clock.reset()
-          val out = SparkEntry.queries(q)(spark, dir).count()
+          // collect(), not count(): under count() Catalyst prunes all
+          // unreferenced aggregates and can then ELIMINATE a final
+          // left join outright (q152's per-doc report collapses to a
+          // scan of documents — measured 501 vs 411k shuffle records),
+          // which would fit the exponent of a plan that never ran
+          val out = SparkEntry.queries(q)(spark, dir).collect().length
+            .toLong
           clock.quiesce()
           val sh = clock.shuffleRecords
           Caches.clear(spark)
