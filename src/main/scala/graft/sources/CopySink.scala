@@ -136,6 +136,61 @@ object CopySink {
       s"${pgIdent("n_rows")} BIGINT DEFAULT -1 NOT NULL"
   }
 
+  /** How a partition's data rows reach the target INSIDE the ledger
+    * transaction of [[writeExactlyOnce]]. Implementations write on the
+    * caller's open connection and return the row count; they must not
+    * commit, roll back, or close — atomicity with the ledger INSERT is
+    * the caller's commit. Serializable: instances ship to tasks.
+    */
+  trait PartitionDataWriter extends Serializable {
+    def write(conn: Connection, rows: Iterator[Row]): Long
+  }
+
+  /** Driver-agnostic batched-INSERT arm (Derby, MySQL, anything). */
+  final case class InsertDataWriter(sql: String, batchSize: Int)
+      extends PartitionDataWriter {
+    override def write(conn: Connection, rows: Iterator[Row]): Long = {
+      var written = 0L
+      val ps = conn.prepareStatement(sql)
+      try {
+        var inBatch = 0
+        while (rows.hasNext) {
+          bindRow(ps, rows.next())
+          ps.addBatch()
+          inBatch += 1
+          written += 1
+          if (inBatch >= batchSize) { ps.executeBatch(); inBatch = 0 }
+        }
+        if (inBatch > 0) ps.executeBatch()
+      } finally ps.close()
+      written
+    }
+  }
+
+  /** PostgreSQL COPY-protocol arm ([[PgCopy]] — the reference's fast
+    * path, `migrate.go:319-349`) on the ledger's open transaction:
+    * COPY inside an explicit transaction is ordinary PostgreSQL — the
+    * streamed rows become visible atomically with the ledger row at
+    * the caller's commit, so the fast path carries the identical
+    * exactly-once semantics as the INSERT arm.
+    */
+  final case class CopyDataWriter(copySql: String)
+      extends PartitionDataWriter {
+    override def write(conn: Connection, rows: Iterator[Row]): Long =
+      PgCopy.copyOnConnection(conn, rows, copySql)
+  }
+
+  /** [[writeExactlyOnce]]'s default data-arm dispatch: the COPY
+    * protocol for a PostgreSQL target URL, the batched INSERT for
+    * everything else — [[writePartitionAuto]]'s rule, relocated inside
+    * the ledger transaction.
+    */
+  def chooseWriter(targetUrl: String, schema: String, table: String,
+      cols: Seq[String], batchSize: Int): PartitionDataWriter =
+    if (PgCopy.isPostgres(targetUrl))
+      CopyDataWriter(PgCopy.copySql(schema, table, cols))
+    else InsertDataWriter(insertSql(schema, table, cols), batchSize)
+
   /** Idempotent exactly-once `foreachBatch` body: each partition
     * commits its rows AND its (sink_id, batch_id, part_id) ledger row
     * in ONE local transaction, and skips itself when the ledger row
@@ -180,6 +235,12 @@ object CopySink {
     * hashing every replayed row. StreamingSinkSpec proves the
     * redelivery path row-for-row, the layout-change rejection, and
     * the row-count mismatch rejection.
+    *
+    * The data arm is pluggable ([[PartitionDataWriter]]): a PostgreSQL
+    * `targetUrl` streams the COPY protocol inside the SAME transaction
+    * (ledger INSERT + COPY commit together — the fast path is as
+    * idempotent as the INSERT arm), anything else takes the batched
+    * INSERT; tests inject instrumented writers through `dataWriter`.
     */
   def writeExactlyOnce(
       batch: DataFrame,
@@ -189,10 +250,17 @@ object CopySink {
       table: String,
       ledgerTable: String,
       connect: () => Connection,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      targetUrl: String = "",
+      dataWriter: Option[PartitionDataWriter] = None): Unit = {
     import SchemaMapping.pgIdent
     val cols = batch.columns.toSeq
-    val sql = insertSql(schema, table, cols)
+    // data arm: explicit override > COPY for a PostgreSQL target URL >
+    // driver-agnostic batched INSERT — same dispatch as
+    // writePartitionAuto, but inside the ledger transaction
+    val writer =
+      dataWriter.getOrElse(chooseWriter(targetUrl, schema, table, cols,
+        batchSize))
     val lt =
       if (schema == null || schema.isEmpty) pgIdent(ledgerTable)
       else s"${pgIdent(schema)}.${pgIdent(ledgerTable)}"
@@ -270,19 +338,7 @@ object CopySink {
           } finally cps.close()
         committedRows match {
           case None =>
-            var written = 0L
-            val ps = conn.prepareStatement(sql)
-            try {
-              var inBatch = 0
-              while (rows.hasNext) {
-                bindRow(ps, rows.next())
-                ps.addBatch()
-                inBatch += 1
-                written += 1
-                if (inBatch >= batchSize) { ps.executeBatch(); inBatch = 0 }
-              }
-              if (inBatch > 0) ps.executeBatch()
-            } finally ps.close()
+            val written = writer.write(conn, rows)
             val mp = conn.prepareStatement(markSql)
             try {
               mp.setString(1, sinkId); mp.setLong(2, batchId)

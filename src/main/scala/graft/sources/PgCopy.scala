@@ -143,16 +143,28 @@ object PgCopy {
       connect: () => Connection,
       sql: String): Long = {
     val conn = connect()
-    try {
-      val pgConnClass = Class.forName("org.postgresql.PGConnection",
-        true, conn.getClass.getClassLoader)
-      val pgConn = conn.unwrap(pgConnClass.asInstanceOf[Class[AnyRef]])
-      val copyApi = pgConnClass.getMethod("getCopyAPI").invoke(pgConn)
-      val in = new RowsInputStream(rows)
-      val copied = copyApi.getClass
-        .getMethod("copyIn", classOf[String], classOf[java.io.InputStream])
-        .invoke(copyApi, sql, in).asInstanceOf[java.lang.Long]
-      copied.longValue()
-    } finally conn.close()
+    try copyOnConnection(conn, rows, sql)
+    finally conn.close()
+  }
+
+  /** The COPY stream on an ALREADY-OPEN connection — for callers that
+    * own the transaction (the exactly-once ledger wraps this call and
+    * its ledger INSERT in one commit). Does not commit, roll back, or
+    * close; with autocommit off, the copied rows are invisible until
+    * the caller commits.
+    */
+  def copyOnConnection(
+      conn: Connection,
+      rows: Iterator[Row],
+      sql: String): Long = {
+    val pgConnClass = Class.forName("org.postgresql.PGConnection",
+      true, conn.getClass.getClassLoader)
+    val pgConn = conn.unwrap(pgConnClass.asInstanceOf[Class[AnyRef]])
+    val copyApi = pgConnClass.getMethod("getCopyAPI").invoke(pgConn)
+    val in = new RowsInputStream(rows)
+    val copied = copyApi.getClass
+      .getMethod("copyIn", classOf[String], classOf[java.io.InputStream])
+      .invoke(copyApi, sql, in).asInstanceOf[java.lang.Long]
+    copied.longValue()
   }
 }

@@ -324,9 +324,83 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(count("SELECT COUNT(*) FROM \"events_mig\"") == 1000L,
       "sentinel replay must not duplicate rows")
   }
+
+  test("data-arm dispatch: a PostgreSQL target URL selects the COPY " +
+      "writer with the COPY-protocol SQL; anything else the INSERT arm") {
+    val cols = Seq("event_id", "value")
+    CopySink.chooseWriter("jdbc:postgresql://db:5432/x", "pub",
+        "events_eo", cols, 500) match {
+      case CopySink.CopyDataWriter(sql) =>
+        assert(sql.startsWith("COPY") && sql.contains("FROM STDIN"),
+          s"not the COPY protocol: $sql")
+        assert(sql.contains("\"pub\".\"events_eo\""))
+      case other => fail(s"postgres target chose $other")
+    }
+    CopySink.chooseWriter(url, null, "events_eo", cols, 500) match {
+      case CopySink.InsertDataWriter(sql, 500) =>
+        assert(sql.startsWith("INSERT INTO"))
+      case other => fail(s"derby target chose $other")
+    }
+  }
+
+  test("exactly-once through the pluggable data arm: the writer runs " +
+      "inside the ledger transaction and is bypassed on redelivery") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE \"events_seam\" (\"event_id\" BIGINT, " +
+          "\"user_id\" BIGINT, \"value\" DOUBLE)")
+      conn.createStatement().execute(CopySink.ledgerDdl("seam_ledger"))
+    } finally conn.close()
+    val connect = () =>
+      DriverManager.getConnection("jdbc:derby:memory:graftstream")
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "value")
+      .repartition(4).persist()
+    StreamingSinkSpec.SeamCalls.set(0)
+    StreamingSinkSpec.SeamAutoCommitSeen.set(false)
+    def deliver(): Unit = CopySink.writeExactlyOnce(batch, batchId = 21L,
+      sinkId = "seam_sink", schema = null, table = "events_seam",
+      ledgerTable = "seam_ledger", connect = connect,
+      dataWriter = Some(StreamingSinkSpec.ProbeWriter(
+        CopySink.InsertDataWriter(
+          CopySink.insertSql(null, "events_seam",
+            Seq("event_id", "user_id", "value")), 200))))
+    deliver()
+    assert(count("SELECT COUNT(*) FROM \"events_seam\"") == 1000L)
+    assert(StreamingSinkSpec.SeamCalls.get() == 4,
+      s"writer ran ${StreamingSinkSpec.SeamCalls.get()} times for 4 " +
+        "partitions")
+    assert(!StreamingSinkSpec.SeamAutoCommitSeen.get(),
+      "data arm saw autocommit=true — data rows would commit outside " +
+        "the ledger transaction")
+    // redelivery: the ledger skip path must never reach the data arm
+    deliver()
+    assert(count("SELECT COUNT(*) FROM \"events_seam\"") == 1000L,
+      "redelivery duplicated rows through the pluggable arm")
+    assert(StreamingSinkSpec.SeamCalls.get() == 4,
+      "redelivery invoked the data writer despite committed ledger rows")
+    batch.unpersist()
+  }
 }
 
 object StreamingSinkSpec {
   /** Shared crash trigger for the commit-crash test (local-mode JVM). */
   val CrashOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  val SeamCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val SeamAutoCommitSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Instrumented data arm: records each invocation and whether the
+    * connection was (wrongly) in autocommit, then delegates.
+    */
+  final case class ProbeWriter(inner: CopySink.PartitionDataWriter)
+      extends CopySink.PartitionDataWriter {
+    override def write(conn: java.sql.Connection,
+        rows: Iterator[org.apache.spark.sql.Row]): Long = {
+      SeamCalls.incrementAndGet()
+      if (conn.getAutoCommit) SeamAutoCommitSeen.set(true)
+      inner.write(conn, rows)
+    }
+  }
 }
