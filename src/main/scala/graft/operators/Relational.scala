@@ -540,14 +540,20 @@ object Relational {
       val cents = floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)
       val pct = floor((lit(1.0) - col("l_discount")) * 100 + 0.5)
         .cast(LongType)
-      // the orders⋈lineitem pair stays a co-partitioned exchange
-      // (shuffle_hash on the smaller, date-filtered orders side): both
-      // are facts, and the planner's post-filter estimate would
-      // otherwise broadcast orders via a serial driver collect — wrong
-      // at 100 TB (r7 OOM class) and q59's dominant local wall term
-      li.join(o.hint("shuffle_hash"),
+      // join ORDER is part of the plan contract: the broadcast
+      // customer filter applies to orders FIRST (a map-side semi — no
+      // exchange), so the ~1/5 BUILDING fraction is gone before the
+      // one wide exchange pair; joining li⋈o first (the naive TPC-H Q3
+      // spelling) shuffles 5× more orders rows and aggregates 5× more
+      // joined rows for identical output. The orders⋈lineitem pair
+      // stays a co-partitioned exchange (shuffle_hash on the smaller,
+      // date+segment-filtered orders side): both are facts, and the
+      // planner's post-filter estimate would otherwise broadcast
+      // orders via a serial driver collect — wrong at 100 TB (r7 OOM
+      // class) and q59's dominant local wall term
+      val oB = o.join(c, col("o_custkey") === col("c_custkey"))
+      li.join(oB.hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(cents * pct).as("rev_cp"))
         .select(col("o_orderkey"),
