@@ -376,4 +376,48 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(readFiles < totalFiles,
       s"no pruning: read $readFiles of $totalFiles files")
   }
+
+  test("q149: the PII scrub is map-only scalar work into one keyed " +
+      "agg — no joins, no window, no explode") {
+    val p = plan("q149_pii_redact")
+    assert(!p.contains("Join"), "the cleaning pass must not join")
+    assert(!p.contains("Window"), "no window in a map-only scrub")
+    assert(!p.contains("Generate"), "no explode in a map-only scrub")
+    // exactly the agg exchange + the output sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(600))
+  }
+
+  test("q151: extraction is in-row block-array work — no explode, no " +
+      "join; exactly the gate-agg-free map + output sort") {
+    val p = plan("q151_html_extract")
+    assert(!p.contains("Generate"),
+      "block processing must stay in-row (higher-order functions), " +
+        "not explode")
+    assert(!p.contains("Join"), "the extractor must not join")
+    // no aggregation at all: per-page rows map straight to the sort
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(600))
+  }
+
+  test("q152: substring dedup keeps the q80 discipline — keyed " +
+      "equi-joins only (no cartesian/nested-loop), gram df consumed " +
+      "from the persisted gram relation") {
+    val p = plan("q152_substring_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "a gram join lost its keys")
+    // grams feed the df agg AND the join-back probe from ONE cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "the gram relation is being rebuilt per consumer")
+  }
+
+  test("q150: hybrid eval's corpus-sized relations never broadcast — " +
+      "eval-query relations do; the embeddings pass is read from one " +
+      "cached build") {
+    val p = plan("q150_hybrid_eval")
+    assert(!p.contains("CartesianProduct"))
+    // the normed embeddings relation serves the query and corpus
+    // sides from the persist
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "embeddings re-scanned per consumer")
+  }
 }
