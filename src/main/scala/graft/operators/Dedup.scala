@@ -978,7 +978,8 @@ object Dedup {
   // and every duplicated SpanLen-gram is itself a duplicated
   // substring), so stride-1 gram df + per-doc island-merging of
   // offsets (two grams whose offsets differ ≤ SpanLen−1 overlap in
-  // chars → one island) yields EXACTLY the suffix-array family's
+  // chars, = SpanLen abut — one contiguous range either way) yields
+  // EXACTLY the suffix-array family's
   // coverage set — as equi-joins and bounded windows instead of a
   // partition-local suffix array with cross-shard seam repair. Scale
   // posture: grams shuffle as 16-hex-char md5 prefixes (engine-
@@ -1014,9 +1015,13 @@ object Dedup {
       val dup = perDoc.join(dfRel, Seq("gk"))
         .select(col("doc_id"), col("i"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      // merge when offset gap ≤ SpanLen: gap ≤ SpanLen−1 → the two
+      // grams' char ranges OVERLAP; gap = SpanLen exactly → they ABUT
+      // (…, i+L−1][i+L, …) — still one contiguous covered range; only
+      // gap > SpanLen leaves ≥ 1 uncovered char between ranges
       val islands = dup
         .withColumn("brk",
-          when(col("i") - lag(col("i"), 1).over(wDoc) <= SpanLen - 1, 0)
+          when(col("i") - lag(col("i"), 1).over(wDoc) <= SpanLen, 0)
             .otherwise(1))
         .withColumn("island",
           sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding,
@@ -1049,7 +1054,7 @@ object Dedup {
            |isl AS (
            |  SELECT doc_id, i,
            |    CASE WHEN i - LAG(i) OVER (
-           |        PARTITION BY doc_id ORDER BY i) <= 39
+           |        PARTITION BY doc_id ORDER BY i) <= 40
            |      THEN 0 ELSE 1 END AS brk
            |  FROM d),
            |isl2 AS (

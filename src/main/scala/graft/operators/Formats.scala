@@ -169,17 +169,24 @@ object Formats {
             rmTree(tmp)
         }
         // sweep: superseded stamps of THIS source (the fixture was
-        // regenerated, nothing queries the old stamp again) and any
+        // regenerated, nothing NEW queries the old stamp) and any
         // .tmp.<uuid> leftovers from crashed writers — without this
-        // the cache root grows one full layout per fixture rewrite
-        val tmpGraceMs = 60L * 60 * 1000 // a live concurrent writer's
-        // .tmp dir is younger than this; only crashed leftovers age out
+        // the cache root grows one full layout per fixture rewrite.
+        // BOTH classes age out behind the same grace window: a
+        // published-but-superseded layout can still be mid-scan by an
+        // already-planned reader (another process, or a lazy DataFrame
+        // in this one) — deleting it immediately fails those tasks
+        // with FileNotFound. An hour bounds any reasonable scan; the
+        // disk cost of one extra layout generation is the fixture's
+        // size, not the corpus's.
+        val graceMs = 60L * 60 * 1000
         Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
           val n = f.getName
-          val stale =
-            if (n.contains(".tmp."))
-              System.currentTimeMillis() - f.lastModified() > tmpGraceMs
-            else n.startsWith(s"${srcKey}_") && n != key
+          val aged =
+            System.currentTimeMillis() - f.lastModified() > graceMs
+          val stale = aged &&
+            (n.contains(".tmp.") ||
+              (n.startsWith(s"${srcKey}_") && n != key))
           if (stale) rmTree(f)
         }
       }

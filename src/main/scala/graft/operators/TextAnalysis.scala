@@ -671,8 +671,15 @@ object TextAnalysis {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val Ipv4Re =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  // Boundary guards are zero-width (\b — identical Java/RE2), via an
+  // alternation over the three ways a phone can open (+cc separator,
+  // literal paren, bare digits at a word boundary) because a single
+  // leading \b fails on the non-word "+"/"(" openers; the trailing \b
+  // stops the {4} group mid-digit-run. Guarded shapes that must NOT
+  // match: serials like 12345-678-9012, 13-digit hyphenated IDs,
+  // and phones with trailing digit overrun (555-123-45678).
   private val PhoneRe =
-    "(?:\\+[0-9]{1,2}[ -])?\\(?[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}"
+    "(?:\\+[0-9]{1,2}[ -]\\(?|\\(|\\b)[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}\\b"
 
   // PII redaction — the standard pre-training cleaning pass (C4 / Dolma
   // discipline) as a first-class oracle-checked operator, extending
@@ -1441,14 +1448,20 @@ object TextAnalysis {
         BigInt(smallBytesBound)) "window"
       else "threshold"
     }
-    val dd = d.join(broadcast(takes), Seq(key)).filter(col("take") > 0)
     if (arm == "window") {
+      val dd = d.join(broadcast(takes), Seq(key)).filter(col("take") > 0)
       dd.withColumn("rn__", row_number().over(wKey))
         .filter(col("rn__") <= col("take"))
         .select(outCols: _*)
     } else {
       // threshold arm — every count/threshold side relation here is
-      // key-cardinality: broadcast-sized by construction
+      // key-cardinality: broadcast-sized by construction. The joined
+      // corpus persists ONCE: the sample, accept, band, fallback and
+      // validity subtrees all read it from cache instead of
+      // re-deriving the scan+join per consumer (this arm exists for
+      // the >256 MB case, where 5 re-scans are the dominant cost).
+      val dd = graft.Caches.persist(
+        d.join(broadcast(takes), Seq(key)).filter(col("take") > 0))
       val thr = broadcast(dd
         .filter(pmod(xxhash64(col(ord)), lit(sampleMod)) === 0)
         .withColumn("srk__", row_number().over(wKey))
@@ -1463,25 +1476,35 @@ object TextAnalysis {
       // LEFT join: a key whose sample came up empty still flows
       // through (null thresholds → no free-accept, band = everything
       // → exact window over the whole key, the correct degenerate
-      // case)
+      // case). Null tests are EXPLICIT (isNull/isNotNull), never a
+      // coalesce-to-sentinel — a sentinel assumes ord's type and a
+      // non-string ord would silently drop the whole key.
       val classed = dd.join(thr, Seq(key), "left")
       // strict <: equal-ord rows go to the band, where ties rank
       // exactly
       val accept = classed.filter(
-        col(ord) < coalesce(col("t_lo__"), lit("")))
+        col("t_lo__").isNotNull && col(ord) < col("t_lo__"))
       val band = classed.filter(
-        col(ord) >= coalesce(col("t_lo__"), lit("")) &&
+        (col("t_lo__").isNull || col(ord) >= col("t_lo__")) &&
           (col("t_hi__").isNull || col(ord) <= col("t_hi__")))
+      // valid when the take boundary provably lies inside accept∪band:
+      // acc ≤ take AND (acc+band reach the take OR accept∪band is the
+      // WHOLE key — the take-≥-population case, where rows beyond t_hi
+      // don't exist and the prefix is everything)
       val validity = broadcast(
         accept.groupBy(col(key)).agg(count(lit(1)).as("n_acc__"))
           .join(band.groupBy(col(key)).agg(count(lit(1)).as("n_band__")),
             Seq(key), "full")
+          .join(dd.groupBy(col(key)).agg(count(lit(1)).as("n_tot__")),
+            Seq(key))
           .join(takes, Seq(key))
           .select(col(key),
             coalesce(col("n_acc__"), lit(0L)).as("n_acc__"),
             (coalesce(col("n_acc__"), lit(0L)) <= col("take") &&
-              coalesce(col("n_acc__"), lit(0L)) +
-                coalesce(col("n_band__"), lit(0L)) >= col("take"))
+              (coalesce(col("n_acc__"), lit(0L)) +
+                coalesce(col("n_band__"), lit(0L)) >= col("take") ||
+                coalesce(col("n_acc__"), lit(0L)) +
+                  coalesce(col("n_band__"), lit(0L)) === col("n_tot__")))
               .as("valid__")))
       val acceptSel = accept.join(validity, Seq(key))
         .filter(col("valid__")).select(outCols: _*)
@@ -1541,14 +1564,18 @@ object TextAnalysis {
         BigInt(smallBytesBound)) "window"
       else "threshold"
     }
-    val dd = d.join(broadcast(budgets), Seq(key))
-      .filter(col("budget") > 0)
     if (arm == "window") {
+      val dd = d.join(broadcast(budgets), Seq(key))
+        .filter(col("budget") > 0)
       dd.withColumn("cum__",
           coalesce(sum(col(weight)).over(wKey), lit(0L)))
         .filter(col("cum__") < col("budget"))
         .select(outCols: _*)
     } else {
+      // the joined corpus persists ONCE — sample, accept, band,
+      // fallback and validity all read the cache (see thresholdSelect)
+      val dd = graft.Caches.persist(
+        d.join(broadcast(budgets), Seq(key)).filter(col("budget") > 0))
       // scaled sample mass: E[S · sampleCum(ord)] = true mass below
       // ord — the estimate only steers the band; validity + fallback
       // make the result exact regardless of its quality
@@ -1563,28 +1590,37 @@ object TextAnalysis {
             col("budget") * (1.0 + marginFrac), col(ord))).as("t_hi__")))
       val classed = dd.join(thr, Seq(key), "left")
       // null t_lo (sample never reached the lower mark) → accept
-      // nothing, band = everything: the correct degenerate exact case
+      // nothing, band = everything: the correct degenerate exact case.
+      // Null tests are explicit isNull/isNotNull, never a
+      // coalesce-to-sentinel (type-generic in ord).
       val accept = classed.filter(
-        col(ord) < coalesce(col("t_lo__"), lit("")))
+        col("t_lo__").isNotNull && col(ord) < col("t_lo__"))
       val band = classed.filter(
-        col(ord) >= coalesce(col("t_lo__"), lit("")) &&
+        (col("t_lo__").isNull || col(ord) >= col("t_lo__")) &&
           (col("t_hi__").isNull || col(ord) <= col("t_hi__")))
+      // the whole-key disjunct compares ROW COUNTS, not masses: a
+      // zero-weight row beyond t_hi would make the mass equality hold
+      // while accept∪band is NOT the whole key — the window arm would
+      // select that row (its exclusive cum < budget) and the arms
+      // would diverge
       val masses = broadcast(
         accept.groupBy(col(key))
-          .agg(sum(col(weight)).as("acc_mass__"))
+          .agg(sum(col(weight)).as("acc_mass__"),
+            count(lit(1)).as("n_acc__"))
           .join(band.groupBy(col(key))
-            .agg(sum(col(weight)).as("band_mass__")), Seq(key), "full")
+            .agg(sum(col(weight)).as("band_mass__"),
+              count(lit(1)).as("n_band__")), Seq(key), "full")
           .join(dd.groupBy(col(key))
-            .agg(sum(col(weight)).as("total_mass__")), Seq(key))
+            .agg(count(lit(1)).as("n_tot__")), Seq(key))
           .join(budgets, Seq(key))
           .select(col(key),
             coalesce(col("acc_mass__"), lit(0L)).as("acc_mass__"),
             (coalesce(col("acc_mass__"), lit(0L)) <= col("budget") &&
               (coalesce(col("acc_mass__"), lit(0L)) +
                 coalesce(col("band_mass__"), lit(0L)) >= col("budget") ||
-                coalesce(col("acc_mass__"), lit(0L)) +
-                  coalesce(col("band_mass__"), lit(0L)) ===
-                  col("total_mass__"))).as("valid__")))
+                coalesce(col("n_acc__"), lit(0L)) +
+                  coalesce(col("n_band__"), lit(0L)) === col("n_tot__")))
+              .as("valid__")))
       val acceptSel = accept.join(masses, Seq(key))
         .filter(col("valid__")).select(outCols: _*)
       val bandSel = band.join(masses, Seq(key)).filter(col("valid__"))

@@ -64,21 +64,10 @@ object CopySink {
     var written = 0L
     try {
       conn.setAutoCommit(false)
-      val ps = conn.prepareStatement(sql)
-      try {
-        var inBatch = 0
-        while (rows.hasNext) {
-          bindRow(ps, rows.next())
-          ps.addBatch()
-          inBatch += 1
-          written += 1
-          if (inBatch >= batchSize) {
-            ps.executeBatch(); inBatch = 0
-          }
-        }
-        if (inBatch > 0) ps.executeBatch()
-        conn.commit()
-      } finally ps.close()
+      // ONE batching loop in this file: the seam arm is the core, this
+      // wrapper only owns connection + transaction lifecycle
+      written = InsertDataWriter(sql, batchSize).write(conn, rows)
+      conn.commit()
     } catch {
       case e: Throwable =>
         try conn.rollback() catch { case _: Throwable => () }

@@ -34,7 +34,10 @@ object GenPiiFixture {
   private val Domains = Seq("example", "mail", "corp", "data", "test")
   private val Tlds = Seq("com", "org", "net", "io")
   private val Decoys = Seq("v1.2.3", "2024-01-15", "3.14", "12345",
-    "build 4567", "1.2.3")
+    "build 4567", "1.2.3",
+    // phone-adjacent shapes the boundary guards must reject: a
+    // hyphenated serial and a trailing-digit overrun
+    "12345-678-9012", "555-123-45678")
 
   private def h(tag: String, doc: Long, i: Int): Int =
     MurmurHash3.productHash((tag, doc, i))

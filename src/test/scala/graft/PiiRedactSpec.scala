@@ -54,8 +54,8 @@ class PiiRedactSpec extends AnyFunSuite {
     // the staged regex pass emitting per-doc hashes
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-    val phone =
-      "(?:\\+[0-9]{1,2}[ -])?\\(?[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}"
+    val phone = "(?:\\+[0-9]{1,2}[ -]\\(?|\\(|\\b)" +
+      "[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}\\b"
     val perDoc = Fixtures.read(spark, Fixtures.piiDocsPath)
       .select(col("doc_id"),
         regexp_replace(regexp_replace(regexp_replace(col("text"),
