@@ -1075,6 +1075,153 @@ object Dedup {
            |ORDER BY doc.doc_id""".stripMargin),
     bench = true)
 
+  // The APPLY form of q152 — the transform Lee et al. actually run:
+  // cut every cross-document duplicated character range from all but
+  // ONE owner and emit the cleaned text. Ownership is deterministic
+  // and relational: each duplicated gram's cluster keeper is the
+  // LOWEST doc_id containing it, a position is cut iff some covering
+  // duplicated gram has a lower-id owner elsewhere — so the keeper of
+  // every cluster retains its copy verbatim, exact-duplicate docs
+  // clean to the empty string on all but the first, and within-doc
+  // repeats inside the keeper survive (cross-doc semantics, matching
+  // q152's df definition). Cut offsets island-merge exactly like
+  // q152's coverage ranges; the kept text is the complement spliced
+  // relationally (gaps-and-islands segments: between-range pieces via
+  // a per-doc lag window + the tail piece + the untouched-doc case),
+  // concatenated order-stably. The per-doc md5 makes the oracle hash
+  // match prove every cleaned BYTE identical across engines. Scale
+  // posture = q152's (keyed equi-joins on 16-hex gram prefixes,
+  // two-level salted df agg, per-doc windows) plus one docs-sized
+  // segment splice — no new shuffle class.
+  val q154SubstringDedupApply: QueryDef = QueryDef(
+    "q154_substring_dedup_apply",
+    (s, dir) => {
+      val SpanLen = 40
+      val docs = Tables.load(s, dir, "documents")
+      val grams = graft.Caches.persist(docs
+        .filter(col("n_chars") >= SpanLen)
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(1L, n_chars - ${SpanLen - 1}L, 1L)"))
+            .as("i"))
+        .select(col("doc_id"), col("i"),
+          substring(md5(expr(
+            s"substring(text, CAST(i AS INT), $SpanLen)")
+            .cast("binary")), 1, 16).as("gk")))
+      // duplicated grams with their keeper: two-level like q152, plus
+      // min(doc_id) in the same pass
+      val gm = grams.select(col("gk"), col("doc_id")).distinct()
+        .groupBy(col("gk"))
+        .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("min_doc"))
+        .filter(col("nd") > 1)
+        .select(col("gk"), col("min_doc"))
+        .hint("shuffle_hash")
+      val cut = grams.join(gm, Seq("gk"))
+        .filter(col("min_doc") < col("doc_id"))
+        .select(col("doc_id"), col("i"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val ranges = graft.Caches.persist(cut
+        .withColumn("brk",
+          when(col("i") - lag(col("i"), 1).over(wDoc) <= SpanLen, 0)
+            .otherwise(1))
+        .withColumn("island",
+          sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("i")).as("s"),
+          (max(col("i")) + (SpanLen - 1)).as("e")))
+      val wRange = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      val segsBetween = ranges
+        .withColumn("ss",
+          coalesce(lag(col("e"), 1).over(wRange) + 1, lit(1L)))
+        .select(col("doc_id"), col("ss"), (col("s") - 1).as("se"))
+      val segsTail = ranges.groupBy(col("doc_id"))
+        .agg((max(col("e")) + 1).as("ss"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .select(col("doc_id"), col("ss"), col("n_chars").as("se"))
+      val segsUntouched = docs
+        .join(ranges.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(1L).as("ss"), col("n_chars").as("se"))
+      val segs = segsBetween.unionByName(segsTail)
+        .unionByName(segsUntouched)
+        .filter(col("ss") <= col("se"))
+      val nCuts = ranges.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_cuts"))
+      docs.select(col("doc_id"), col("text"), col("n_chars"))
+        .join(segs, Seq("doc_id"), "left") // fully-cut docs keep no segs
+        .withColumn("piece", expr(
+          "substring(text, CAST(ss AS INT), CAST(se - ss + 1 AS INT))"))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(coalesce(sum(col("se") - col("ss") + 1), lit(0L))
+          .as("kept_chars"),
+          md5(concat_ws("", transform(
+            array_sort(collect_list(struct(col("ss"), col("piece")))),
+            x => x.getField("piece"))).cast("binary")).as("h"))
+        .join(nCuts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+          (col("n_chars") - col("kept_chars")).as("cut_chars"),
+          col("kept_chars"), col("h"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, i,
+           |    substr(md5(substr(text, CAST(i AS INT), 40)), 1, 16) AS gk
+           |  FROM (SELECT doc_id, text,
+           |          unnest(range(1, n_chars - 38)) AS i
+           |        FROM documents WHERE n_chars >= 40) u),
+           |gm AS (
+           |  SELECT gk, MIN(doc_id) AS min_doc FROM (
+           |    SELECT DISTINCT gk, doc_id FROM g) dd
+           |  GROUP BY gk HAVING COUNT(*) > 1),
+           |cut AS (
+           |  SELECT g.doc_id, g.i FROM g JOIN gm USING (gk)
+           |  WHERE gm.min_doc < g.doc_id),
+           |isl AS (
+           |  SELECT doc_id, i,
+           |    CASE WHEN i - LAG(i) OVER (
+           |        PARTITION BY doc_id ORDER BY i) <= 40
+           |      THEN 0 ELSE 1 END AS brk
+           |  FROM cut),
+           |isl2 AS (
+           |  SELECT doc_id, i, SUM(brk) OVER (
+           |      PARTITION BY doc_id ORDER BY i
+           |      ROWS UNBOUNDED PRECEDING) AS island
+           |  FROM isl),
+           |r AS (
+           |  SELECT doc_id, island, MIN(i) AS s, MAX(i) + 39 AS e
+           |  FROM isl2 GROUP BY 1, 2),
+           |segs AS (
+           |  SELECT doc_id,
+           |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s) + 1,
+           |      1) AS ss,
+           |    s - 1 AS se
+           |  FROM r
+           |  UNION ALL
+           |  SELECT r.doc_id, MAX(r.e) + 1, MAX(doc.n_chars)
+           |  FROM r JOIN documents doc USING (doc_id) GROUP BY r.doc_id
+           |  UNION ALL
+           |  SELECT doc_id, 1, n_chars FROM documents
+           |  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM r)),
+           |cln AS (
+           |  SELECT d.doc_id, d.n_chars,
+           |    COALESCE(SUM(s2.se - s2.ss + 1), 0) AS kept_chars,
+           |    md5(COALESCE(string_agg(
+           |      substr(d.text, CAST(s2.ss AS INT),
+           |             CAST(s2.se - s2.ss + 1 AS INT)),
+           |      '' ORDER BY s2.ss), '')) AS h
+           |  FROM documents d
+           |  LEFT JOIN (SELECT * FROM segs WHERE ss <= se) s2
+           |    ON d.doc_id = s2.doc_id
+           |  GROUP BY d.doc_id, d.n_chars),
+           |nc AS (SELECT doc_id, COUNT(*) AS n_cuts FROM r GROUP BY 1)
+           |SELECT cln.doc_id,
+           |  CAST(COALESCE(nc.n_cuts, 0) AS BIGINT) AS n_cuts,
+           |  CAST(cln.n_chars - cln.kept_chars AS BIGINT) AS cut_chars,
+           |  CAST(cln.kept_chars AS BIGINT) AS kept_chars, cln.h
+           |FROM cln LEFT JOIN nc ON cln.doc_id = nc.doc_id
+           |ORDER BY cln.doc_id""".stripMargin))
+
   /** AllPairs/PPJoin-style prefix filtering — the third member of the
     * exact-Jaccard family (q22 full inverted index, q63 df-capped),
     * and the classic literature answer to the same hot-shingle blowup:
@@ -1345,5 +1492,5 @@ object Dedup {
     q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch,
     q106DedupClosureSql, q113ClusterKeepBest, q119CrossShardDedup,
     q127StreamIncrementalNeardup, q134DedupContainment,
-    q138DecontamBloom, q152SubstringDedup)
+    q138DecontamBloom, q152SubstringDedup, q154SubstringDedupApply)
 }

@@ -140,7 +140,10 @@ class ScaleGrowthSpec extends AnyFunSuite {
     // CHARS, so the exponent must sit at ~1 like the suffix-array
     // family it reproduces (Lee et al. ACL'22); islands merge inside
     // per-doc windows whose state is one document's offsets
-    ("q152_substring_dedup", 1.3, -1L))
+    ("q152_substring_dedup", 1.3, -1L),
+    // the APPLY form adds one docs-sized segment splice on top of
+    // q152's gram machinery — same linear gate
+    ("q154_substring_dedup_apply", 1.3, -1L))
 
   test("candidate generation scales ~linearly: shuffle-row growth " +
       "exponent < 1.3 over a 4x corpus step, pair yield tracks the " +
