@@ -430,10 +430,32 @@ object Retrieval {
   // production eval swaps the q136 ANN stack in as the candidate
   // stage, shrinking the window input from the corpus to k·probes
   // rows, without touching the fusion or rank logic here.
-  val q150HybridEval: QueryDef = QueryDef(
-    "q150_hybrid_eval",
-    (s, dir) => {
-      graft.functions.VectorOps.register(s)
+  /** The normed embeddings relation + its eval-query slice — shared by
+    * q150/q155's vector channels.
+    */
+  private def evalEmbeddings(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+      .transform(graft.Caches.persist) // query + corpus sides
+    val q = e.filter(col("vec_id") % EvalEvery === 0)
+      .select(col("vec_id").as("qdoc_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    (e, q)
+  }
+
+  /** Hybrid known-item eval core, parameterized over the VECTOR
+    * channel's scored relation (qdoc_id, vec_id, sim — 4-dp rounded):
+    * q150 feeds it brute-force cosine over the whole corpus (the eval
+    * baseline), q155 feeds it only the q136 multi-probe LSH
+    * candidates' exact scores (the production candidate stage). The
+    * text channel, depth truncation, RRF fusion, and count-better-than
+    * rank logic are IDENTICAL by construction.
+    */
+  private def hybridEvalCore(s: SparkSession, dir: String,
+      q: DataFrame, vecScored: DataFrame): DataFrame = {
       val matched = evalTextMatched(s, dir)
       val wText = Window.partitionBy(col("qdoc_id"))
         .orderBy(col("su").desc, col("doc_id"))
@@ -441,20 +463,9 @@ object Retrieval {
         .withColumn("rb", row_number().over(wText))
         .filter(col("rb") <= FusionDepth)
         .select(col("qdoc_id"), col("doc_id"), col("rb"))
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
-        .transform(graft.Caches.persist) // query + corpus sides
-      val q = e.filter(col("vec_id") % EvalEvery === 0)
-        .select(col("vec_id").as("qdoc_id"), col("v").as("qv"),
-          col("nrm").as("qn"))
       val wVec = Window.partitionBy(col("qdoc_id"))
         .orderBy(col("sim").desc, col("vec_id"))
-      val rv = e.join(broadcast(q))
-        .withColumn("sim", Round4(graft.functions.VectorOps.cosine(
-          col("qv"), col("v"), col("qn"), col("nrm"))))
-        .select(col("qdoc_id"), col("vec_id"), col("sim"))
+      val rv = vecScored
         .withColumn("rv", row_number().over(wVec))
         .filter(col("rv") <= FusionDepth)
         .select(col("qdoc_id"), col("vec_id"), col("rv"))
@@ -485,53 +496,132 @@ object Retrieval {
             .otherwise(0L)) + 1L).as("src_rank"))
         .withColumn("rr4", Round4(lit(1.0) / col("src_rank")))
         .orderBy("qdoc_id")
+  }
+
+  /** Hybrid-eval oracle SQL, parameterized over the CTEs producing
+    * `vs (qdoc_id, vec_id, sim)` — the SQL twin of [[hybridEvalCore]]'s
+    * vecScored parameter. Everything from the per-channel ranks down
+    * is ONE shared text for q150 and q155.
+    */
+  private def hybridEvalOracle(vsCtes: String): String =
+    s"""WITH ${oracleEvalTextCtes},
+       |rbr AS (
+       |  SELECT qdoc_id, doc_id, rb FROM (
+       |    SELECT qdoc_id, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY qdoc_id ORDER BY su DESC, doc_id) AS rb
+       |    FROM m) r WHERE rb <= $FusionDepth),
+       |$vsCtes,
+       |rvr AS (
+       |  SELECT qdoc_id, vec_id, rv FROM (
+       |    SELECT qdoc_id, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY qdoc_id ORDER BY sim DESC, vec_id) AS rv
+       |    FROM vs) r WHERE rv <= $FusionDepth),
+       |fused AS (
+       |  SELECT COALESCE(rbr.qdoc_id, rvr.qdoc_id) AS qdoc_id,
+       |    COALESCE(rbr.doc_id, rvr.vec_id) AS doc_id, rb, rv,
+       |    floor((coalesce(1e0 / ($RrfK + rb), 0e0)
+       |           + coalesce(1e0 / ($RrfK + rv), 0e0))
+       |          * 10000 + 0.5) / 10000 AS s4
+       |  FROM rbr FULL OUTER JOIN rvr
+       |    ON rbr.qdoc_id = rvr.qdoc_id AND rbr.doc_id = rvr.vec_id),
+       |srcf AS (
+       |  SELECT qv.qdoc_id, f.rb AS rb_src, f.rv AS rv_src,
+       |    COALESCE(f.s4, 0e0) AS srcs4
+       |  FROM qv LEFT JOIN fused f
+       |    ON f.qdoc_id = qv.qdoc_id AND f.doc_id = qv.qdoc_id),
+       |ranked AS (
+       |  SELECT f.qdoc_id, COUNT(*) AS n_cand,
+       |    MAX(srcf.rb_src) AS rb_src, MAX(srcf.rv_src) AS rv_src,
+       |    CAST(SUM(CASE WHEN f.s4 > srcf.srcs4
+       |          OR (f.s4 = srcf.srcs4 AND f.doc_id < f.qdoc_id)
+       |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS src_rank
+       |  FROM fused f JOIN srcf ON f.qdoc_id = srcf.qdoc_id
+       |  GROUP BY f.qdoc_id)
+       |SELECT qdoc_id, n_cand, rb_src, rv_src, src_rank,
+       |  floor((1e0 / src_rank) * 10000 + 0.5) / 10000 AS rr4
+       |FROM ranked ORDER BY qdoc_id""".stripMargin
+
+  val q150HybridEval: QueryDef = QueryDef(
+    "q150_hybrid_eval",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val (e, q) = evalEmbeddings(s, dir)
+      val vecScored = e.join(broadcast(q))
+        .withColumn("sim", Round4(graft.functions.VectorOps.cosine(
+          col("qv"), col("v"), col("qn"), col("nrm"))))
+        .select(col("qdoc_id"), col("vec_id"), col("sim"))
+      hybridEvalCore(s, dir, q, vecScored)
     },
-    Some(s"""WITH ${oracleEvalTextCtes},
-            |rbr AS (
-            |  SELECT qdoc_id, doc_id, rb FROM (
-            |    SELECT qdoc_id, doc_id, ROW_NUMBER() OVER (
-            |      PARTITION BY qdoc_id ORDER BY su DESC, doc_id) AS rb
-            |    FROM m) r WHERE rb <= $FusionDepth),
-            |e AS (
-            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            |  FROM embeddings),
-            |qv AS (
-            |  SELECT vec_id AS qdoc_id, v AS qvec FROM e
-            |  WHERE vec_id % $EvalEvery = 0),
-            |vs AS (
-            |  SELECT qv.qdoc_id, e.vec_id,
-            |    floor(list_cosine_similarity(qv.qvec, e.v) * 10000 + 0.5)
-            |      / 10000 AS sim
-            |  FROM e CROSS JOIN qv),
-            |rvr AS (
-            |  SELECT qdoc_id, vec_id, rv FROM (
-            |    SELECT qdoc_id, vec_id, ROW_NUMBER() OVER (
-            |      PARTITION BY qdoc_id ORDER BY sim DESC, vec_id) AS rv
-            |    FROM vs) r WHERE rv <= $FusionDepth),
-            |fused AS (
-            |  SELECT COALESCE(rbr.qdoc_id, rvr.qdoc_id) AS qdoc_id,
-            |    COALESCE(rbr.doc_id, rvr.vec_id) AS doc_id, rb, rv,
-            |    floor((coalesce(1e0 / ($RrfK + rb), 0e0)
-            |           + coalesce(1e0 / ($RrfK + rv), 0e0))
-            |          * 10000 + 0.5) / 10000 AS s4
-            |  FROM rbr FULL OUTER JOIN rvr
-            |    ON rbr.qdoc_id = rvr.qdoc_id AND rbr.doc_id = rvr.vec_id),
-            |srcf AS (
-            |  SELECT qv.qdoc_id, f.rb AS rb_src, f.rv AS rv_src,
-            |    COALESCE(f.s4, 0e0) AS srcs4
-            |  FROM qv LEFT JOIN fused f
-            |    ON f.qdoc_id = qv.qdoc_id AND f.doc_id = qv.qdoc_id),
-            |ranked AS (
-            |  SELECT f.qdoc_id, COUNT(*) AS n_cand,
-            |    MAX(srcf.rb_src) AS rb_src, MAX(srcf.rv_src) AS rv_src,
-            |    CAST(SUM(CASE WHEN f.s4 > srcf.srcs4
-            |          OR (f.s4 = srcf.srcs4 AND f.doc_id < f.qdoc_id)
-            |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS src_rank
-            |  FROM fused f JOIN srcf ON f.qdoc_id = srcf.qdoc_id
-            |  GROUP BY f.qdoc_id)
-            |SELECT qdoc_id, n_cand, rb_src, rv_src, src_rank,
-            |  floor((1e0 / src_rank) * 10000 + 0.5) / 10000 AS rr4
-            |FROM ranked ORDER BY qdoc_id""".stripMargin))
+    Some(hybridEvalOracle(
+      s"""e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id AS qdoc_id, v AS qvec FROM e
+         |  WHERE vec_id % $EvalEvery = 0),
+         |vs AS (
+         |  SELECT qv.qdoc_id, e.vec_id,
+         |    floor(list_cosine_similarity(qv.qvec, e.v) * 10000 + 0.5)
+         |      / 10000 AS sim
+         |  FROM e CROSS JOIN qv)""".stripMargin)))
+
+  // The PRODUCTION arm of the hybrid eval — the documented q150 swap,
+  // executable: the vector channel's candidates come from the q136
+  // multi-probe sign-LSH stack (Lv et al. VLDB'07 Hamming-1 probes;
+  // exact cosine computed ONLY on candidates) instead of brute-force
+  // corpus × queries. The text channel, fusion, and rank logic are the
+  // SAME code and the SAME oracle text as q150 (hybridEvalCore /
+  // hybridEvalOracle) — only the vs relation differs, so comparing
+  // q155's MRR against q150's measures exactly the recall the ANN
+  // candidate stage costs the fused ranking, nothing else. The source
+  // doc is always its own candidate (its code collides with itself in
+  // every table), so self-retrieval stays intact; what the ANN arm can
+  // lose is OTHER docs that would have outranked or tied the source.
+  val q155HybridEvalAnn: QueryDef = QueryDef(
+    "q155_hybrid_eval_ann",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val (e, q) = evalEmbeddings(s, dir)
+      val codes = Similarity.signCodes(e)
+      val masks = lit(0L) +: (0 until graft.tools.GenFixtures.LshBits)
+        .map(b => lit(1L << b))
+      val probes = codes.filter(col("vec_id") % EvalEvery === 0)
+        .select(col("vec_id").as("qdoc_id"), col("tbl"),
+          explode(array(masks.map(m =>
+            col("code").bitwiseXOR(m)): _*)).as("code"))
+      val cand = probes.join(codes, Seq("tbl", "code"))
+        .select(col("qdoc_id"), col("vec_id")).distinct()
+      val vecScored = cand.join(broadcast(q), Seq("qdoc_id"))
+        .join(e, Seq("vec_id"))
+        .withColumn("sim", Round4(graft.functions.VectorOps.cosine(
+          col("qv"), col("v"), col("qn"), col("nrm"))))
+        .select(col("qdoc_id"), col("vec_id"), col("sim"))
+      hybridEvalCore(s, dir, q, vecScored)
+    },
+    Some(hybridEvalOracle(
+      s"""${Similarity.codesCte},
+         |qv AS (
+         |  SELECT vec_id AS qdoc_id, v AS qvec FROM e
+         |  WHERE vec_id % $EvalEvery = 0),
+         |probes AS (
+         |  SELECT vec_id AS qdoc_id, tbl,
+         |    xor(code, CAST(m AS BIGINT)) AS code
+         |  FROM codes, (VALUES ${
+            (0L +: (0 until graft.tools.GenFixtures.LshBits)
+              .map(1L << _)).map(m => s"($m)").mkString(", ")
+          }) AS masks(m)
+         |  WHERE vec_id % $EvalEvery = 0),
+         |cand AS (
+         |  SELECT DISTINCT p.qdoc_id, c.vec_id
+         |  FROM probes p JOIN codes c
+         |    ON p.tbl = c.tbl AND p.code = c.code),
+         |vs AS (
+         |  SELECT cand.qdoc_id, cand.vec_id,
+         |    floor(list_cosine_similarity(qv.qvec, ce.v) * 10000 + 0.5)
+         |      / 10000 AS sim
+         |  FROM cand
+         |  JOIN qv ON qv.qdoc_id = cand.qdoc_id
+         |  JOIN e ce ON ce.vec_id = cand.vec_id)""".stripMargin)))
 
   // Positional-index phrase search — exact-adjacency "fast merge" as
   // the standard positional-posting-list AND (Manning/Raghavan/Schütze
@@ -579,5 +669,6 @@ object Retrieval {
            |FROM hits GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q124Bm25Topk, q125HybridRrf, q126SourceCap,
-    q137RetrievalEval, q143PhraseSearch, q150HybridEval)
+    q137RetrievalEval, q143PhraseSearch, q150HybridEval,
+    q155HybridEvalAnn)
 }

@@ -116,7 +116,7 @@ object Similarity {
     * pre-join shuffle of vector components); the only exchange is the
     * groupBy assembling 4 sign bits per (vec_id, table) into a code.
     */
-  private def signCodes(e: DataFrame): DataFrame = {
+  private[operators] def signCodes(e: DataFrame): DataFrame = {
     val planes = broadcast(graft.Fixtures.lshPlanes(e.sparkSession))
     e.crossJoin(planes)
       .withColumn("proj",
@@ -136,7 +136,7 @@ object Similarity {
   }
 
   /** The DuckDB mirror of [[signCodes]], shared by both oracles. */
-  private val codesCte: String =
+  private[operators] val codesCte: String =
     s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),

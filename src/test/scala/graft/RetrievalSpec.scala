@@ -125,4 +125,28 @@ class RetrievalSpec extends AnyFunSuite {
       "every text rank is already 1 — the fusion eval is vacuous")
     Caches.clear(spark)
   }
+
+  test("q155: the ANN candidate stage preserves the fused known-item " +
+      "quality on the fixture — self-retrieval intact, per-query " +
+      "reciprocal ranks equal to the brute-force arm's") {
+    val brute = SparkEntry.queries("q150_hybrid_eval")(spark, dir)
+      .collect().map(r =>
+        r.getAs[Long]("qdoc_id") -> r.getAs[Double]("rr4")).toMap
+    val ann = SparkEntry.queries("q155_hybrid_eval_ann")(spark, dir)
+      .collect()
+    assert(ann.length == brute.size, "arms disagree on the eval slice")
+    ann.foreach { r =>
+      val q = r.getAs[Long]("qdoc_id")
+      assert(r.getAs[Int]("rv_src") == 1,
+        s"q$q: the source must be its own ANN candidate (its code " +
+          "collides with itself in every table)")
+      // on this fixture the Hamming-1 probes recover enough of the
+      // depth-50 list that the fused rank is unchanged; a probe-stage
+      // regression (mask set narrowed, bucket join broken) shows up
+      // here as a recall drop before any production eval would see it
+      assert(r.getAs[Double]("rr4") == brute(q),
+        s"q$q: ANN arm fused rank diverged from brute force")
+    }
+    Caches.clear(spark)
+  }
 }
