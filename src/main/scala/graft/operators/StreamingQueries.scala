@@ -538,10 +538,53 @@ object StreamingQueries {
            |SELECT lang, COUNT(*) AS leaked
            |FROM leak GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // Streaming PII-scrub monitor — q149's cleaning pass running inside
+  // every micro-batch (the q141 discipline: each stage is batch-legal,
+  // so the batch oracle applies verbatim to the drained stream): a
+  // continuous ingest pipeline scrubs text before anything downstream
+  // persists it, and this monitor is the per-language accounting of
+  // what the scrub touched. Per-batch work is STATELESS row-local
+  // regex arithmetic; the only streaming state is the per-lang running
+  // counters (O(langs)) — the per-doc digest q149 adds in batch is
+  // deliberately absent (it would hold one hash per document in state,
+  // unbounded at 100 TB). StreamRestartSpec proves the counter state
+  // restores across a kill/restart; oracle = q149's counts columns.
+  val q156StreamPiiRedact: QueryDef = QueryDef(
+    "q156_stream_pii_redact",
+    (s, dir) => {
+      val counts = TextAnalysis.piiScrubCounts(
+        EventsStream.readPiiDocs(s))
+      EventsStream.runToCompletion(s, counts).orderBy("lang")
+    },
+    Some(s"""WITH s1 AS (
+            |  SELECT lang,
+            |    len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+            |      AS n_emails,
+            |    regexp_replace(text, '${TextAnalysis.EmailRe}',
+            |      '<EMAIL>', 'g') AS t1
+            |  FROM read_parquet('${graft.Fixtures.piiDocsPath}')),
+            |s2 AS (
+            |  SELECT lang, n_emails,
+            |    len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Re}'))
+            |      AS n_ips,
+            |    regexp_replace(t1, '${TextAnalysis.Ipv4Re}',
+            |      '<IP>', 'g') AS t2
+            |  FROM s1),
+            |s3 AS (
+            |  SELECT lang, n_emails, n_ips,
+            |    len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}'))
+            |      AS n_phones
+            |  FROM s2)
+            |SELECT lang, COUNT(*) AS docs,
+            |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+            |  CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+            |  CAST(SUM(n_phones) AS BIGINT) AS n_phones
+            |FROM s3 GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,
     q107StreamCuration, q110StreamHistogram, q112StreamCurationWm,
     q114StreamFunnelBuffered, q120StreamJoinOuter, q121StreamSessionize,
-    q141StreamDecontam)
+    q141StreamDecontam, q156StreamPiiRedact)
 }

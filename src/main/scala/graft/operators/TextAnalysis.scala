@@ -668,9 +668,37 @@ object TextAnalysis {
     * the C4/Dolma cleaning passes: RFC-loose emails, NANP-style phone
     * layouts, dotted-quad IPv4.
     */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Ipv4Re =
+  private[operators] val EmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val Ipv4Re =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** q149's staged match counts over an arbitrary (lang, text)
+    * relation, as per-lang totals — every stage is batch-legal column
+    * arithmetic + one keyed agg, which is what lets q156 run the SAME
+    * pipeline inside streaming micro-batches (the q141 discipline) and
+    * still share q149's oracle semantics. Counts only: the per-doc
+    * digest q149 adds would hold one hash per document in streaming
+    * state — unbounded; the monitor keeps per-lang counters, O(langs).
+    */
+  private[graft] def piiScrubCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        regexp_replace(col("text"), EmailRe, "<EMAIL>").as("t1"))
+      .select(col("lang"), col("n_emails"),
+        size(regexp_extract_all(col("t1"), lit(Ipv4Re), lit(0)))
+          .as("n_ips"),
+        regexp_replace(col("t1"), Ipv4Re, "<IP>").as("t2"))
+      .select(col("lang"), col("n_emails"), col("n_ips"),
+        size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0)))
+          .as("n_phones"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_emails")).cast("long").as("n_emails"),
+        sum(col("n_ips")).cast("long").as("n_ips"),
+        sum(col("n_phones")).cast("long").as("n_phones"))
   // Boundary guards are zero-width (\b — identical Java/RE2), via an
   // alternation over the three ways a phone can open (+cc separator,
   // literal paren, bare digits at a word boundary) because a single
@@ -678,7 +706,7 @@ object TextAnalysis {
   // stops the {4} group mid-digit-run. Guarded shapes that must NOT
   // match: serials like 12345-678-9012, 13-digit hyphenated IDs,
   // and phones with trailing digit overrun (555-123-45678).
-  private val PhoneRe =
+  private[operators] val PhoneRe =
     "(?:\\+[0-9]{1,2}[ -]\\(?|\\(|\\b)[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}\\b"
 
   // PII redaction — the standard pre-training cleaning pass (C4 / Dolma

@@ -96,6 +96,18 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
+  /** Streaming view of the planted-PII fixture corpus — the document
+    * stream q156's cleaning monitor consumes. Same symlink-directory +
+    * explicit-schema contract as [[readDocuments]].
+    */
+  def readPiiDocs(spark: SparkSession): DataFrame = {
+    val path = java.nio.file.Paths.get(graft.Fixtures.piiDocsPath)
+    val streamDir = streamDirFor("pii", path.getParent.toString,
+      path.getFileName.toString)
+    val schema = spark.read.parquet(graft.Fixtures.piiDocsPath).schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
   /** Run a streaming aggregation to completion over the static fixture
     * and return the final result as a batch DataFrame.
     *

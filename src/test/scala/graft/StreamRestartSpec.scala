@@ -367,4 +367,66 @@ class StreamRestartSpec extends AnyFunSuite {
       s"restarted monitor diverged: ${last.get()} vs batch $batch")
     Caches.clear(spark)
   }
+
+  test("q156-class PII-scrub monitor survives a restart: per-lang " +
+      "counters restore from the checkpoint and the final counts " +
+      "equal the batch answer over the full corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_piirs")
+    val in = root.resolve("in").toString
+    val cp = root.resolve("cp").toString
+    val all = Fixtures.read(spark, Fixtures.piiDocsPath)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val (firstHalf, secondHalf) = all.splitAt(all.length / 2)
+
+    def writeFile(rows: Seq[(Long, String, String)]): Unit =
+      rows.toSeq.toDF("doc_id", "lang", "text").repartition(1)
+        .write.mode("append").parquet(in)
+
+    val last = new java.util.concurrent.atomic
+      .AtomicReference[Map[String, (Long, Long, Long, Long)]](Map.empty)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("lang", "string").add("text", "string")
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.operators.TextAnalysis.piiScrubCounts(stream)
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            last.set(b.collect().map(r => r.getString(0) ->
+              ((r.getLong(1), r.getLong(2), r.getLong(3),
+                r.getLong(4)))).toMap)
+            ()
+        }
+        .start()
+    }
+
+    writeFile(firstHalf.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val mid = last.get()
+    assert(mid.nonEmpty && mid.values.map(_._1).sum ==
+      firstHalf.length, "run 1 counted the wrong doc total")
+
+    // restart: run 2's counters must RESUME from run 1's state, not
+    // from zero — the second half alone would undercount every lang
+    writeFile(secondHalf.toSeq)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batch = graft.operators.TextAnalysis.piiScrubCounts(
+      Fixtures.read(spark, Fixtures.piiDocsPath))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(batch.values.map(_._2).sum > 0,
+      "fixture plants no emails — test is vacuous")
+    assert(last.get() == batch,
+      s"restarted scrub monitor diverged: ${last.get()} vs $batch")
+    Caches.clear(spark)
+  }
 }
