@@ -832,6 +832,81 @@ object TextAnalysis {
            |        * 10000 + 0.5) / 10000 AS rate
            |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
+  /** q157's manifest pipeline, parameterized by the epoch seed — the
+    * spec re-runs it at a different seed to prove the epoch-reshuffle
+    * contract (shard populations stable, only intra-shard order moves).
+    */
+  private[graft] def shardManifest(s: SparkSession, dir: String,
+      seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val NShards = 8
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("text").cast(BinaryType)).as("fp"))
+      .withColumn("ord",
+        md5(concat(lit(seed + "|"), col("fp")).cast(BinaryType)))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(fp, 1, 2), 16, 10) AS BIGINT)")
+          % NShards)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    base
+      .withColumn("rk", row_number().over(w))
+      .withColumn("ph",
+        expr("CAST(conv(substring(md5(CAST(concat(CAST(rk AS STRING), " +
+          "':', fp) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        bit_xor(col("ph")).as("order_digest"))
+      .orderBy("shard")
+  }
+
+  // Deterministic training-order shuffle + shard manifest — the
+  // pipeline-FINAL step between selection/packing (q71/q147/q148) and
+  // a training run: every document gets a stable content-addressed
+  // shard and a seeded pseudo-random position inside it, and the
+  // manifest proves the ORDER, not just the membership. Mechanics, all
+  // engine-identical hex (the q60 contract — no rand(), no engine
+  // hash): shard = first md5(text) byte mod 8, so placement follows
+  // BYTES (exact duplicates co-locate; reruns, repartitioning, and
+  // epoch changes never move a document); intra-shard order =
+  // md5(seed | fp) — a new seed string is a fresh uniform permutation
+  // of each shard with ZERO data movement, exactly how an epoch
+  // reshuffle should work at 100 TB (cf. the global-shuffle discipline
+  // of the C4 build, Raffel et al. JMLR'20; shard-manifest layouts as
+  // in the public WebDataset design). The per-shard rank window IS the
+  // sort the sharded write performs anyway (repartition by shard +
+  // sortWithinPartitions(ord) — at cluster scale a range partition on
+  // (shard, ord)); the order digest embeds each rank into a per-row
+  // hash and folds with bit_xor — order-SENSITIVE yet commutative, so
+  // it map-side-combines and never overflows, unlike a sum or a
+  // sequential hash chain. Reference analog: the ordered deterministic
+  // reads of SURVEY §2 O1/O2, carried through to training-data layout.
+  val q157TrainShards: QueryDef = QueryDef(
+    "q157_train_shards",
+    (s, dir) => shardManifest(s, dir, "epoch0"),
+    Some("""WITH base AS (
+           |  SELECT doc_id, n_chars, md5(text) AS fp,
+           |    md5('epoch0|' || md5(text)) AS ord,
+           |    CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 8
+           |      AS shard
+           |  FROM documents),
+           |rk AS (
+           |  SELECT shard, n_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY shard
+           |      ORDER BY ord, doc_id) AS rk, fp
+           |  FROM base),
+           |ph AS (
+           |  SELECT shard, n_chars,
+           |    CAST('0x' || substr(md5(CAST(rk AS VARCHAR) || ':' || fp),
+           |      1, 15) AS BIGINT) AS ph
+           |  FROM rk)
+           |SELECT shard, COUNT(*) AS docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+           |  bit_xor(ph) AS order_digest
+           |FROM ph GROUP BY shard ORDER BY shard""".stripMargin))
+
   // Exact distribution quantiles of per-document token counts by
   // language — the corpus-length profile every data-mix decision reads
   // (truncation budget, packing efficiency, outlier cut). Spark's
@@ -2002,5 +2077,5 @@ object TextAnalysis {
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers,
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
-    q148BpePack, q149PiiRedact, q153PipelineBpe)
+    q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards)
 }
