@@ -420,4 +420,15 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
       "embeddings re-scanned per consumer")
   }
+
+  test("q157: ONE data exchange (on shard) serves both the order " +
+      "window and the manifest aggregate — the agg reuses the " +
+      "window's partitioning; the only other exchange sorts the " +
+      "8 manifest rows") {
+    val p = plan("q157_train_shards")
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1200))
+    assert(!p.contains("Window Window"), "unexpected second window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "manifest agg lost its map-side partial")
+  }
 }
