@@ -1455,10 +1455,133 @@ object Similarity {
             |    AS var_u
             |FROM p GROUP BY pcid ORDER BY pcid""".stripMargin))
 
+  // Int8 scalar quantization (SQ8) recall eval — the storage format
+  // between full-precision brute force (q26) and product quantization
+  // (q64/q72): per-vector symmetric scale mx/127, codes in [-127,127],
+  // 8× smaller than the float64 corpus resident in memory (cf. the SQ8
+  // quantizer family surveyed in Jégou et al. TPAMI'11 — SQ is PQ's
+  // one-subvector, 256-centroid-uniform degenerate case). Cosine of the
+  // QUANTIZED vectors is scale-free (the per-vector scales cancel in
+  // dot/|a||b|), so ranking needs only the integer dot and integer
+  // norms — the Spark side folds them in exact BIGINT arithmetic
+  // (zip_with/aggregate), the oracle's double fold is exact too (all
+  // magnitudes ≤ 127²·64 ≈ 2²⁰ ≪ 2⁵³). The eval emits per-query
+  // recall@k of the quantized ranking against the exact one plus the
+  // mean |cosine error| over the quantized top-k — the two numbers
+  // that decide whether a corpus can ship as SQ8 (with exact re-rank
+  // of the short list, the production discipline) or needs fp32. ONE
+  // persisted scored relation serves both rank windows; everything
+  // else is the q26 broadcast-query join shape.
+  val q158AnnSq8Recall: QueryDef = QueryDef(
+    "q158_ann_sq8_recall",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = normed(s, dir)
+      val coded = e
+        .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("q8", expr(
+          "CASE WHEN mx = 0D THEN transform(v, x -> 0L) ELSE " +
+            "transform(v, x -> CAST(floor(x * 127D / mx + 0.5D) " +
+            "AS BIGINT)) END"))
+        .withColumn("qn2",
+          expr("aggregate(q8, 0L, (a, x) -> a + x * x)"))
+      val qs = broadcast(coded.filter(col("vec_id") < NumQueryVecs)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("q8").as("qq8"),
+          col("qn2").as("qqn2")))
+      val cs = coded.filter(col("vec_id") >= NumQueryVecs)
+      val scored = qs.join(cs)
+        .withColumn("sim",
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("qdot", expr(
+          "aggregate(zip_with(qq8, q8, (x, y) -> x * y), 0L, " +
+            "(a, x) -> a + x)"))
+        .withColumn("simq",
+          when(col("qqn2") === 0L || col("qn2") === 0L, lit(0d))
+            .otherwise(col("qdot").cast("double") /
+              sqrt((col("qqn2") * col("qn2")).cast("double"))))
+        .select(col("qid"), col("vec_id"), col("sim"), col("simq"))
+        .transform(graft.Caches.persist) // exact + quantized windows
+      val wEx = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val wSq = Window.partitionBy(col("qid"))
+        .orderBy(col("simq").desc, col("vec_id"))
+      val ex = scored.withColumn("re", row_number().over(wEx))
+        .filter(col("re") <= TopK).select(col("qid"), col("vec_id"))
+      val sq = scored.withColumn("rs", row_number().over(wSq))
+        .filter(col("rs") <= TopK)
+        .select(col("qid"), col("vec_id"), col("sim"), col("simq"))
+      val hits = ex
+        .join(sq.select(col("qid"), col("vec_id"), lit(1).as("m")),
+          Seq("qid", "vec_id"), "left")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("m"), lit(0))).cast("long").as("hits"))
+      val err = sq.groupBy(col("qid"))
+        .agg(avg(abs(col("sim") - col("simq"))).as("qe"))
+      hits.join(err, Seq("qid"))
+        .select(col("qid"), col("hits"),
+          graft.Round4(col("hits").cast("double") / TopK).as("recall"),
+          graft.Round4(col("qe")).as("qerr"))
+        .orderBy("qid")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |m AS (
+            |  SELECT vec_id, v,
+            |    list_aggregate(list_transform(v, x -> abs(x)), 'max')
+            |      AS mx
+            |  FROM e),
+            |c AS (
+            |  SELECT vec_id, v,
+            |    CASE WHEN mx = 0 THEN
+            |        list_transform(v, x -> CAST(0 AS BIGINT))
+            |      ELSE list_transform(v, x ->
+            |        CAST(floor(x * 127 / mx + 0.5) AS BIGINT)) END
+            |      AS q8
+            |  FROM m),
+            |c2 AS (
+            |  SELECT vec_id, v, q8,
+            |    CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT)
+            |      AS qn2
+            |  FROM c),
+            |j AS (
+            |  SELECT q.vec_id AS qid, t.vec_id AS vid,
+            |    list_cosine_similarity(q.v, t.v) AS sim,
+            |    CASE WHEN q.qn2 = 0 OR t.qn2 = 0 THEN 0e0
+            |      ELSE CAST(list_dot_product(q.q8, t.q8) AS DOUBLE)
+            |        / sqrt(CAST(q.qn2 * t.qn2 AS DOUBLE)) END AS simq
+            |  FROM c2 q JOIN c2 t
+            |    ON q.vec_id < $NumQueryVecs AND t.vec_id >= $NumQueryVecs),
+            |ex AS (
+            |  SELECT qid, vid FROM (
+            |    SELECT qid, vid, ROW_NUMBER() OVER (
+            |      PARTITION BY qid ORDER BY sim DESC, vid) AS re
+            |    FROM j) z WHERE re <= $TopK),
+            |sq AS (
+            |  SELECT qid, vid, sim, simq FROM (
+            |    SELECT qid, vid, sim, simq, ROW_NUMBER() OVER (
+            |      PARTITION BY qid ORDER BY simq DESC, vid) AS rs
+            |    FROM j) z WHERE rs <= $TopK),
+            |h AS (
+            |  SELECT ex.qid,
+            |    CAST(SUM(CASE WHEN sq.vid IS NULL THEN 0 ELSE 1 END)
+            |      AS BIGINT) AS hits
+            |  FROM ex LEFT JOIN sq
+            |    ON ex.qid = sq.qid AND ex.vid = sq.vid
+            |  GROUP BY ex.qid),
+            |er AS (SELECT qid, AVG(ABS(sim - simq)) AS qe
+            |       FROM sq GROUP BY qid)
+            |SELECT h.qid, h.hits,
+            |  ${graft.Round4.sql(s"CAST(h.hits AS DOUBLE) / $TopK")}
+            |    AS recall,
+            |  ${graft.Round4.sql("er.qe")} AS qerr
+            |FROM h JOIN er ON h.qid = er.qid ORDER BY h.qid""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
     q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall,
     q128WideBandNeardup, q131StreamEmbedNeardup, q135AdaptiveNeardup,
     q136AnnMultiprobe, q139SemanticDedup, q144EmbedCovariance,
-    q145PcaProject, q146StreamCovariance)
+    q145PcaProject, q146StreamCovariance, q158AnnSq8Recall)
 }

@@ -224,4 +224,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dropped <= exactVictims && dropped > 0,
       s"dropped=$dropped, exact victims=$exactVictims")
   }
+
+  test("q158 SQ8: quantized ranking is near-lossless (mean recall " +
+      "high, cosine error tiny) and codes stay inside int8 range") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q158_ann_sq8_recall")(spark, dir)
+      .collect()
+    assert(r.nonEmpty)
+    val meanRecall = r.map(_.getAs[Double]("recall")).sum / r.length
+    assert(meanRecall >= 0.9, s"SQ8 mean recall $meanRecall")
+    assert(r.forall(_.getAs[Double]("qerr") <= 0.01),
+      "SQ8 cosine error above 1e-2 — quantizer broken")
+    // the codes themselves: |q8| ≤ 127 for every component
+    val over = Tables.load(spark, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("mx") > 0d)
+      .withColumn("bad", expr(
+        "exists(v, x -> abs(CAST(floor(x * 127D / mx + 0.5D) " +
+          "AS BIGINT)) > 127L)"))
+      .filter(col("bad")).count()
+    assert(over == 0L, s"$over vectors quantize outside int8 range")
+  }
 }
