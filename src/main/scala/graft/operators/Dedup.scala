@@ -562,6 +562,79 @@ object Dedup {
            |LEFT JOIN cont c ON t.doc_id = c.doc_id
            |GROUP BY t.lang ORDER BY t.lang""".stripMargin))
 
+  // Graded train→eval contamination overlap — the eval-contamination
+  // REPORT behind q65's boolean: per held-out document, the fraction
+  // of its distinct 5-grams that appear anywhere in the train split,
+  // bucketed at the standard clean/partial/dirty cut points (the
+  // per-document "dirtiness" accounting of the GPT-3 appendix-C /
+  // PaLM-style contamination studies — a graded overlap decides
+  // whether to drop the eval item or discount its score; the boolean
+  // only says that SOMETHING overlapped). Same gram contract as
+  // q65/q138 (hashed word 5-grams — the membership key is an 8-byte
+  // long, never the gram text); the per-doc accounting is one keyed
+  // left join from eval grams to the distinct train-gram relation +
+  // one keyed agg — linear in corpus grams, and at 100 TB the q138
+  // Bloom prune drops the never-hit eval grams before this join the
+  // same way it does for the boolean.
+  val q159ContamOverlap: QueryDef = QueryDef(
+    "q159_contam_overlap",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.VectorOps.shingleHashes(lower(col("text")), 5)
+            .as("gs"))
+        .filter(size(col("gs")) > 0)
+        .select(col("doc_id"), col("lang"), explode(col("gs")).as("g"))
+        .transform(graft.Caches.persist) // train + eval consumers
+      val train = sh.filter(col("doc_id") % 100 < 80)
+        .select(col("g")).distinct()
+        .withColumn("hit", lit(1L))
+        .hint("shuffle_hash")
+      val evalG = sh.filter(col("doc_id") % 100 >= 90)
+        .select(col("doc_id"), col("lang"), col("g")).distinct()
+      evalG.join(train, Seq("g"), "left_outer")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("ov",
+          graft.Round4(col("n_hit").cast(DoubleType) / col("n_grams")))
+        .select(col("doc_id"), col("lang"), col("n_grams"), col("n_hit"),
+          col("ov"),
+          when(col("ov") < 0.1, "clean")
+            .when(col("ov") < 0.8, "partial")
+            .otherwise("dirty").as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+            |  FROM documents
+            |  WHERE len(string_split(lower(text), ' ')) >= 5),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, lang,
+            |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+            |      w[i+3] || ' ' || w[i+4] AS g
+            |  FROM (SELECT doc_id, lang, w,
+            |        unnest(range(1, len(w)-3)) AS i FROM tok) u),
+            |train AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 < 80),
+            |ev AS (SELECT doc_id, lang, g FROM sh
+            |       WHERE doc_id % 100 >= 90),
+            |agg AS (
+            |  SELECT ev.doc_id, ev.lang, COUNT(*) AS n_grams,
+            |    CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+            |         AS BIGINT) AS n_hit
+            |  FROM ev LEFT JOIN train tr ON ev.g = tr.g
+            |  GROUP BY ev.doc_id, ev.lang)
+            |SELECT doc_id, lang, n_grams, n_hit,
+            |  ${graft.Round4.sql("CAST(n_hit AS DOUBLE) / n_grams")}
+            |    AS ov,
+            |  CASE WHEN ${graft.Round4.sql(
+              "CAST(n_hit AS DOUBLE) / n_grams")} < 0.1 THEN 'clean'
+            |       WHEN ${graft.Round4.sql(
+              "CAST(n_hit AS DOUBLE) / n_grams")} < 0.8 THEN 'partial'
+            |       ELSE 'dirty' END AS bucket
+            |FROM agg ORDER BY doc_id""".stripMargin))
+
   private val BloomBits = graft.functions.BloomDefaults.NumBits
   private val BloomHashes = graft.functions.BloomDefaults.NumHashes
 
@@ -1492,5 +1565,6 @@ object Dedup {
     q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch,
     q106DedupClosureSql, q113ClusterKeepBest, q119CrossShardDedup,
     q127StreamIncrementalNeardup, q134DedupContainment,
-    q138DecontamBloom, q152SubstringDedup, q154SubstringDedupApply)
+    q138DecontamBloom, q152SubstringDedup, q154SubstringDedupApply,
+    q159ContamOverlap)
 }

@@ -246,4 +246,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .filter(col("bad")).count()
     assert(over == 0L, s"$over vectors quantize outside int8 range")
   }
+
+  test("q159 graded overlap is consistent with q65's boolean: per " +
+      "lang, docs with nonzero overlap = q65's contaminated count") {
+    import org.apache.spark.sql.functions._
+    val graded = SparkEntry.queries("q159_contam_overlap")(spark, dir)
+      .groupBy(col("lang"))
+      .agg(sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("nz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bool = SparkEntry.queries("q65_decontamination")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("contaminated")).toMap
+    assert(graded.keySet === bool.keySet)
+    for ((lang, nz) <- graded)
+      assert(nz === bool(lang),
+        s"$lang: graded nonzero $nz != boolean ${bool(lang)}")
+  }
 }
