@@ -668,7 +668,111 @@ object Retrieval {
            |SELECT doc_id, lang, COUNT(*) AS occurrences
            |FROM hits GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin))
 
+  // nDCG@10 — the graded-relevance eval the reciprocal-rank family
+  // (q137/q150/q155) cannot express: MRR only knows WHERE the one
+  // known item landed; nDCG grades the whole ranked page
+  // (Järvelin & Kekäläinen TOIS'02). Relevance is derived, not
+  // annotated (the standard proxy move): the query doc itself is the
+  // grade-2 known item, every other SAME-SOURCE doc is grade 1 —
+  // whether the ranker surfaces the query's cluster, not just the
+  // query. Float discipline: every DCG weight 1/log2(r+1) and every
+  // IDCG prefix sum is emitted as ONE scale-9 DECIMAL literal
+  // interpolated into BOTH engines' expressions (computed once in
+  // Scala below), so the per-query sums are exact decimal arithmetic
+  // end to end — no transcendental, no float summation order, no
+  // cast-rounding divergence anywhere before the final Round4.
+  private val NdcgK = 10
+  private val dcgW: IndexedSeq[BigDecimal] = (1 to NdcgK).map { r =>
+    BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+  }
+  private val dcgCase: String =
+    "CASE rb " + (1 to NdcgK)
+      .map(r => s"WHEN $r THEN ${dcgW(r - 1).underlying.toPlainString}")
+      .mkString(" ") + " END"
+  // S(k) = Σ_{i=2..k} w_i — the grade-1 part of the ideal DCG when
+  // k−1 grade-1 docs follow the grade-2 known item at rank 1
+  // (toPlainString: BigDecimal 0 at scale 9 would otherwise print
+  // "0E-9", which neither SQL parser accepts as a decimal literal)
+  private val idcgCase: String =
+    "CASE k " + (1 to NdcgK).map { k =>
+      val s = (2 to k).map(i => dcgW(i - 1))
+        .foldLeft(BigDecimal(0).setScale(9))(_ + _)
+      s"WHEN $k THEN ${s.underlying.toPlainString}"
+    }.mkString(" ") + " END"
+
+  val q160NdcgEval: QueryDef = QueryDef(
+    "q160_ndcg_eval",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val srcCnt = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("scnt"))
+      val qs = docs.filter(col("doc_id") % EvalEvery === 0)
+        .join(srcCnt, "source")
+        .select(col("doc_id").as("qdoc_id"),
+          col("source").as("qsource"), (col("scnt") - 1L).as("n_rel"))
+      val w = Window.partitionBy(col("qdoc_id"))
+        .orderBy(col("su").desc, col("doc_id"))
+      val top = evalTextMatched(s, dir)
+        .withColumn("rb", row_number().over(w))
+        .filter(col("rb") <= NdcgK)
+      val graded = top.join(broadcast(qs), Seq("qdoc_id"))
+        .join(docs.select(col("doc_id"), col("source").as("dsource")),
+          Seq("doc_id"))
+        .withColumn("g",
+          when(col("doc_id") === col("qdoc_id"), 3L)
+            .when(col("dsource") === col("qsource"), 1L)
+            .otherwise(0L))
+        .withColumn("contrib", expr(s"g * ($dcgCase)"))
+      val dcg = graded.groupBy(col("qdoc_id"))
+        .agg(sum(col("contrib")).as("dcg"))
+      qs.join(dcg, Seq("qdoc_id"), "left")
+        .withColumn("k", least(col("n_rel") + 1L, lit(NdcgK.toLong)))
+        .withColumn("idcg",
+          expr(s"CAST(3.000000000 AS DECIMAL(10, 9)) + ($idcgCase)"))
+        .select(col("qdoc_id"), col("n_rel"),
+          graft.Round4(coalesce(col("dcg"), lit(0)).cast("double"))
+            .as("dcg4"),
+          graft.Round4(coalesce(col("dcg"), lit(0)).cast("double") /
+            col("idcg").cast("double")).as("ndcg4"))
+        .orderBy("qdoc_id")
+    },
+    Some(s"""WITH ${oracleEvalTextCtes},
+            |top AS (
+            |  SELECT qdoc_id, doc_id, rb FROM (
+            |    SELECT qdoc_id, doc_id, ROW_NUMBER() OVER (
+            |      PARTITION BY qdoc_id ORDER BY su DESC, doc_id) AS rb
+            |    FROM m) r WHERE rb <= $NdcgK),
+            |sc AS (SELECT source, COUNT(*) AS scnt FROM documents
+            |       GROUP BY source),
+            |qs AS (
+            |  SELECT d.doc_id AS qdoc_id, d.source AS qsource,
+            |    sc.scnt - 1 AS n_rel,
+            |    LEAST(sc.scnt, $NdcgK) AS k
+            |  FROM documents d JOIN sc ON d.source = sc.source
+            |  WHERE d.doc_id % $EvalEvery = 0),
+            |gr AS (
+            |  SELECT t.qdoc_id,
+            |    (CASE WHEN t.doc_id = t.qdoc_id THEN 3
+            |          WHEN dd.source = qs.qsource THEN 1
+            |          ELSE 0 END) * ($dcgCase) AS contrib
+            |  FROM top t
+            |  JOIN qs ON t.qdoc_id = qs.qdoc_id
+            |  JOIN documents dd ON t.doc_id = dd.doc_id),
+            |dc AS (SELECT qdoc_id, SUM(contrib) AS dcg FROM gr
+            |       GROUP BY qdoc_id)
+            |SELECT qs.qdoc_id, CAST(qs.n_rel AS BIGINT) AS n_rel,
+            |  ${graft.Round4.sql("CAST(COALESCE(dc.dcg, 0) AS DOUBLE)")}
+            |    AS dcg4,
+            |  ${graft.Round4.sql(
+              "CAST(COALESCE(dc.dcg, 0) AS DOUBLE) / " +
+                "CAST(CAST(3.000000000 AS DECIMAL(10, 9)) + " +
+                s"($idcgCase) AS DOUBLE)")} AS ndcg4
+            |FROM qs LEFT JOIN dc ON qs.qdoc_id = dc.qdoc_id
+            |ORDER BY qs.qdoc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q124Bm25Topk, q125HybridRrf, q126SourceCap,
     q137RetrievalEval, q143PhraseSearch, q150HybridEval,
-    q155HybridEvalAnn)
+    q155HybridEvalAnn, q160NdcgEval)
 }

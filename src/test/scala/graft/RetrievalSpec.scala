@@ -149,4 +149,28 @@ class RetrievalSpec extends AnyFunSuite {
     }
     Caches.clear(spark)
   }
+
+  test("q160 nDCG: values in (0,1], and a query whose known item " +
+      "q137 puts at text rank 1 carries at least the grade-2 " +
+      "contribution 3·w1 in its DCG") {
+    val ndcg = SparkEntry.queries("q160_ndcg_eval")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("qdoc_id") ->
+        ((r.getAs[Double]("dcg4"), r.getAs[Double]("ndcg4")))).toMap
+    assert(ndcg.nonEmpty)
+    ndcg.values.foreach { case (dcg, n) =>
+      assert(n >= 0.0 && n <= 1.0, s"ndcg $n out of range")
+      assert(dcg >= 0.0)
+    }
+    val rank1 = SparkEntry.queries("q137_retrieval_eval")(spark, dir)
+      .collect()
+      .filter(_.getAs[Long]("src_rank") == 1L)
+      .map(_.getAs[Long]("qdoc_id"))
+    assert(rank1.nonEmpty, "no rank-1 known items — text stack broken")
+    rank1.foreach { q =>
+      assert(ndcg(q)._1 >= 3.0,
+        s"q$q: known item at rank 1 but dcg ${ndcg(q)._1} < 3.0")
+    }
+    Caches.clear(spark)
+  }
 }
