@@ -1292,6 +1292,89 @@ object TextAnalysis {
            |JOIN t ON r.source = t.source
            |WHERE rn <= t.take ORDER BY r.source, rn""".stripMargin))
 
+  // DoReMi-style domain reweighting — the loss-aware mix update that
+  // static temperature mixes (q108/q115) cannot express: domains whose
+  // text the reference model finds HARDER than the corpus average get
+  // up-weighted (Xie et al., DoReMi, NeurIPS'23: α_i ∝ α_ref,i ·
+  // exp(η · excess_loss_i), here η = 1, α_ref = the domain's token
+  // share). The proxy-model per-domain loss is stood in for by the
+  // corpus's own unigram cross-entropy (q99's bits-per-token, here
+  // token-weighted per source) — honestly a stand-in: a production run
+  // plugs per-domain held-out losses from the proxy model into the
+  // SAME relational update, which is the part an engine owns. Cost:
+  // one corpus token pass joined against the broadcast unigram model,
+  // ONE keyed agg to |sources| rows, then pure arithmetic on that tiny
+  // relation (self-agg cross joins, never a corpus-sized exchange).
+  // The token allocation derives from the ROUNDED weight so the floor
+  // at the budget boundary cannot diverge on an engine's last ulp.
+  val q161DomainReweight: QueryDef = QueryDef(
+    "q161_domain_reweight",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("t"))
+        .filter(col("t") =!= "")
+      val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val uniN = broadcast(uni.crossJoin(uni.agg(sum(col("c")).as("n"))))
+      val per = toks.join(uniN, Seq("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("toks"),
+          sum(-log2(col("c").cast(DoubleType) / col("n"))).as("sb"))
+        .transform(graft.Caches.persist) // tiny; self-agg consumers
+      val tot = broadcast(per.agg(sum(col("toks")).as("tt"),
+        sum(col("sb")).as("tsb")))
+      val w = per.crossJoin(tot)
+        .withColumn("share", col("toks").cast(DoubleType) / col("tt"))
+        .withColumn("bits", col("sb") / col("toks"))
+        .withColumn("excess",
+          greatest(lit(0d), col("bits") - col("tsb") / col("tt")))
+        .withColumn("wr", col("share") * exp(col("excess")))
+        .transform(graft.Caches.persist)
+      val z = broadcast(w.agg(sum(col("wr")).as("z")))
+      w.crossJoin(z)
+        .withColumn("weight4", graft.Round4(col("wr") / col("z")))
+        .select(col("source"), col("toks"),
+          graft.Round4(col("share")).as("share4"),
+          graft.Round4(col("bits")).as("bits4"),
+          graft.Round4(col("excess")).as("excess4"),
+          col("weight4"),
+          floor(lit(MixBudget) * col("weight4") + 0.5d).cast("long")
+            .as("alloc_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT source, t FROM (
+            |    SELECT source, unnest(string_split(lower(text), ' '))
+            |      AS t
+            |    FROM documents) u WHERE t <> ''),
+            |uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+            |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+            |per AS (
+            |  SELECT source, COUNT(*) AS toks,
+            |    SUM(-LOG2(CAST(uni.c AS DOUBLE) / n.n)) AS sb
+            |  FROM toks JOIN uni USING (t) CROSS JOIN n
+            |  GROUP BY source),
+            |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS tt,
+            |               SUM(sb) AS tsb FROM per),
+            |w AS (
+            |  SELECT source, toks,
+            |    CAST(toks AS DOUBLE) / tt AS share,
+            |    sb / toks AS bits,
+            |    GREATEST(0, sb / toks - tsb / tt) AS excess,
+            |    CAST(toks AS DOUBLE) / tt
+            |      * EXP(GREATEST(0, sb / toks - tsb / tt)) AS wr
+            |  FROM per CROSS JOIN tot),
+            |z AS (SELECT SUM(wr) AS z FROM w)
+            |SELECT source, CAST(toks AS BIGINT) AS toks,
+            |  ${graft.Round4.sql("share")} AS share4,
+            |  ${graft.Round4.sql("bits")} AS bits4,
+            |  ${graft.Round4.sql("excess")} AS excess4,
+            |  ${graft.Round4.sql("wr / z.z")} AS weight4,
+            |  CAST(FLOOR(${MixBudget.toLong}
+            |    * (${graft.Round4.sql("wr / z.z")}) + 0.5) AS BIGINT)
+            |    AS alloc_tokens
+            |FROM w CROSS JOIN z ORDER BY source""".stripMargin))
+
   // Column profiling — the ANALYZE-style statistics pass every engine
   // ships (null rate, distinct count, min/max per column), computed in
   // ONE scan: all per-column aggregates run in a single agg (Catalyst
@@ -2077,5 +2160,6 @@ object TextAnalysis {
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers,
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
-    q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards)
+    q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
+    q161DomainReweight)
 }
