@@ -1375,6 +1375,75 @@ object TextAnalysis {
             |    AS alloc_tokens
             |FROM w CROSS JOIN z ORDER BY source""".stripMargin))
 
+  // CCNet-style language-model perplexity buckets — the famous
+  // head/middle/tail split (Wenzek et al., CCNet, LREC'20): within
+  // each language, documents are bucketed by LM perplexity tertiles;
+  // "head" (lowest perplexity = most Wikipedia-like) feeds the
+  // highest-quality tier, and many pipelines train only on head +
+  // middle. The LM is stood in by the corpus's own unigram model
+  // (q99's bits-per-token) — the same train-offline/apply-in-plan
+  // contract as TrainCentroids/TrainBpe would carry a real KenLM.
+  // Shape: one corpus token pass → per-doc bits → per-lang EXACT
+  // interpolated tertile cutpoints (Spark `percentile` ≡ oracle
+  // quantile_cont, q67's precedent) broadcast back over the per-doc
+  // relation → stateless CASE bucketing + one keyed agg. At 100 TB
+  // the exact percentile swaps to the approx sketch (q93's note) and
+  // everything downstream is unchanged — cutpoints are a
+  // langs×2-value broadcast either way.
+  val q162CcnetBuckets: QueryDef = QueryDef(
+    "q162_ccnet_buckets",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("t"))
+        .filter(col("t") =!= "")
+      val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val uniN = broadcast(uni.crossJoin(uni.agg(sum(col("c")).as("n"))))
+      val perDoc = toks.join(uniN, Seq("t"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(avg(-log2(col("c").cast(DoubleType) / col("n")))
+          .as("bits"))
+        .transform(graft.Caches.persist) // cutpoint + bucket consumers
+      val cuts = perDoc.groupBy(col("lang"))
+        .agg(expr("percentile(bits, array(1.0D / 3, 2.0D / 3))")
+          .as("cu"))
+      perDoc.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("bits") <= col("cu")(0), "head")
+            .when(col("bits") <= col("cu")(1), "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("docs"),
+          graft.Round4(min(col("bits"))).as("min_bits"),
+          graft.Round4(max(col("bits"))).as("max_bits"))
+        .orderBy("lang", "bucket")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, lang, t FROM (
+            |    SELECT doc_id, lang,
+            |      unnest(string_split(lower(text), ' ')) AS t
+            |    FROM documents) u WHERE t <> ''),
+            |uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+            |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+            |pd AS (
+            |  SELECT toks.doc_id, toks.lang,
+            |    AVG(-LOG2(CAST(uni.c AS DOUBLE) / n.n)) AS bits
+            |  FROM toks JOIN uni USING (t) CROSS JOIN n
+            |  GROUP BY 1, 2),
+            |cu AS (
+            |  SELECT lang, quantile_cont(bits, 1.0 / 3) AS c1,
+            |         quantile_cont(bits, 2.0 / 3) AS c2
+            |  FROM pd GROUP BY lang)
+            |SELECT pd.lang,
+            |  CASE WHEN bits <= c1 THEN 'head'
+            |       WHEN bits <= c2 THEN 'middle'
+            |       ELSE 'tail' END AS bucket,
+            |  COUNT(*) AS docs,
+            |  ${graft.Round4.sql("MIN(bits)")} AS min_bits,
+            |  ${graft.Round4.sql("MAX(bits)")} AS max_bits
+            |FROM pd JOIN cu ON pd.lang = cu.lang
+            |GROUP BY 1, 2 ORDER BY pd.lang, bucket""".stripMargin))
+
   // Column profiling — the ANALYZE-style statistics pass every engine
   // ships (null rate, distinct count, min/max per column), computed in
   // ONE scan: all per-column aggregates run in a single agg (Catalyst
@@ -2161,5 +2230,5 @@ object TextAnalysis {
     q108MixTemperature, q109Chunking, q111GlobalTiers,
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
     q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
-    q161DomainReweight)
+    q161DomainReweight, q162CcnetBuckets)
 }
