@@ -1444,6 +1444,101 @@ object TextAnalysis {
             |FROM pd JOIN cu ON pd.lang = cu.lang
             |GROUP BY 1, 2 ORDER BY pd.lang, bucket""".stripMargin))
 
+  // DSIR-style importance-weighted selection (Xie et al., "Data
+  // Selection for Language Models via Importance Resampling",
+  // NeurIPS'23): score every raw document by how much more likely a
+  // TARGET-domain language model finds its tokens than the raw-corpus
+  // model — w(x) = p_target(x)/p_raw(x), here the per-token average
+  // log2 ratio under unigram models (DSIR's hashed-ngram features at
+  // their n=1 point; the target slice is the src0 sub-corpus, the
+  // "give me more like THIS" reference a real run points at
+  // Wikipedia). Target counts are Laplace-smoothed over the raw
+  // vocabulary (raw-only tokens would otherwise hit log 0); raw
+  // counts need no smoothing (every corpus token has c ≥ 1).
+  // Selection = score above the corpus's 80th percentile — the q111
+  // broadcast-cutpoint discipline, so the at-scale swap is the same
+  // approx-sketch one-liner. Output is the per-source acceptance
+  // audit: the target source must dominate its own reference
+  // distribution (pinned in DsirSelectSpec) — if it doesn't, the
+  // ratio is inverted or a model is misnormalized. Cost: one corpus
+  // token pass against ONE broadcast unigram relation carrying both
+  // models' counts, one doc-sized agg, tiny-relation cutpoint.
+  val q163DsirSelect: QueryDef = QueryDef(
+    "q163_dsir_select",
+    (s, dir) => {
+      val TargetSrc = "src0"
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .transform(graft.Caches.persist) // raw-model + scoring passes
+      val raw = toks.groupBy(col("t")).agg(count(lit(1)).as("cr"))
+      val tgt = toks.filter(col("source") === TargetSrc)
+        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      val consts = raw.agg(sum(col("cr")).as("nr"),
+        count(lit(1)).as("v"))
+        .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+      val model = broadcast(raw
+        .join(tgt, Seq("t"), "left_outer")
+        .select(col("t"), col("cr"),
+          coalesce(col("ct"), lit(0L)).as("ct"))
+        .crossJoin(consts))
+      val perDoc = toks.join(model, Seq("t"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(avg(
+          log2((col("ct") + 1L).cast(DoubleType) /
+            (col("nt") + col("v")).cast(DoubleType)) -
+            log2(col("cr").cast(DoubleType) / col("nr").cast(DoubleType)))
+          .as("iw"))
+        .transform(graft.Caches.persist) // cutpoint + audit consumers
+      val cut = broadcast(perDoc.agg(
+        expr("percentile(iw, 0.8D)").as("c80")))
+      perDoc.crossJoin(cut)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          graft.Round4(avg(col("iw"))).as("avg_iw"),
+          sum(when(col("iw") > col("c80"), 1L).otherwise(0L))
+            .as("selected"))
+        .select(col("source"), col("docs"), col("avg_iw"),
+          col("selected"),
+          graft.Round4(col("selected").cast(DoubleType) / col("docs"))
+            .as("sel_rate"))
+        .orderBy("source")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, source, t FROM (
+            |    SELECT doc_id, source,
+            |      unnest(string_split(lower(text), ' ')) AS t
+            |    FROM documents) u WHERE t <> ''),
+            |raw AS (SELECT t, COUNT(*) AS cr FROM toks GROUP BY 1),
+            |tgt AS (SELECT t, COUNT(*) AS ct FROM toks
+            |        WHERE source = 'src0' GROUP BY 1),
+            |co AS (
+            |  SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+            |    CAST(COUNT(*) AS BIGINT) AS v,
+            |    (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt
+            |  FROM raw),
+            |model AS (
+            |  SELECT raw.t, raw.cr, COALESCE(tgt.ct, 0) AS ct,
+            |    co.nr, co.v, co.nt
+            |  FROM raw LEFT JOIN tgt ON raw.t = tgt.t CROSS JOIN co),
+            |pd AS (
+            |  SELECT toks.doc_id, toks.source,
+            |    AVG(LOG2(CAST(ct + 1 AS DOUBLE) / (nt + v))
+            |        - LOG2(CAST(cr AS DOUBLE) / nr)) AS iw
+            |  FROM toks JOIN model ON toks.t = model.t
+            |  GROUP BY 1, 2),
+            |cu AS (SELECT quantile_cont(iw, 0.8) AS c80 FROM pd)
+            |SELECT source, COUNT(*) AS docs,
+            |  ${graft.Round4.sql("AVG(iw)")} AS avg_iw,
+            |  CAST(SUM(CASE WHEN iw > cu.c80 THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS selected,
+            |  ${graft.Round4.sql(
+              "CAST(SUM(CASE WHEN iw > cu.c80 THEN 1 ELSE 0 END) " +
+                "AS DOUBLE) / COUNT(*)")} AS sel_rate
+            |FROM pd CROSS JOIN cu
+            |GROUP BY source ORDER BY source""".stripMargin))
+
   // Column profiling — the ANALYZE-style statistics pass every engine
   // ships (null rate, distinct count, min/max per column), computed in
   // ONE scan: all per-column aggregates run in a single agg (Catalyst
@@ -2230,5 +2325,5 @@ object TextAnalysis {
     q108MixTemperature, q109Chunking, q111GlobalTiers,
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
     q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
-    q161DomainReweight, q162CcnetBuckets)
+    q161DomainReweight, q162CcnetBuckets, q163DsirSelect)
 }
