@@ -509,6 +509,26 @@ object Dedup {
   // contaminated ids distinct; per-lang accounting. Only documents with
   // ≥ 5 tokens can carry a 5-shingle, so shorter docs are outside both
   // the test count and the check — stated in the oracle's WHERE too.
+  /** ONE shared oracle text for the word-5-gram + train-split contract
+    * (tok/sh/train CTEs) consumed by q65 (boolean decontamination, and
+    * through it q138's Bloom arm) and q159 (graded overlap) — the
+    * anti-drift discipline `oracleEvalTextCtes` set for the retrieval
+    * evals: a tokenization or split change edits one string or none.
+    */
+  private val fiveGramOracleCtes: String =
+    """tok AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+      |  FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 5),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |      w[i+3] || ' ' || w[i+4] AS g
+      |  FROM (SELECT doc_id, lang, w,
+      |        unnest(range(1, len(w)-3)) AS i FROM tok) u),
+      |train AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 < 80)"""
+      .stripMargin
+
   val q65Decontamination: QueryDef = QueryDef(
     "q65_decontamination",
     (s, dir) => {
@@ -540,27 +560,17 @@ object Dedup {
           sum(coalesce(col("c"), lit(0L))).as("contaminated"))
         .orderBy("lang")
     },
-    Some("""WITH tok AS (
-           |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
-           |  FROM documents
-           |  WHERE len(string_split(lower(text), ' ')) >= 5),
-           |sh AS (
-           |  SELECT DISTINCT doc_id, lang,
-           |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-           |      w[i+3] || ' ' || w[i+4] AS g
-           |  FROM (SELECT doc_id, lang, w,
-           |        unnest(range(1, len(w)-3)) AS i FROM tok) u),
-           |train AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 < 80),
-           |test AS (SELECT doc_id, lang, g FROM sh
-           |         WHERE doc_id % 100 >= 90),
-           |cont AS (SELECT DISTINCT doc_id FROM test
-           |         WHERE g IN (SELECT g FROM train))
-           |SELECT t.lang, COUNT(*) AS test_docs,
-           |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-           |       AS BIGINT) AS contaminated
-           |FROM (SELECT DISTINCT doc_id, lang FROM test) t
-           |LEFT JOIN cont c ON t.doc_id = c.doc_id
-           |GROUP BY t.lang ORDER BY t.lang""".stripMargin))
+    Some(s"""WITH $fiveGramOracleCtes,
+            |test AS (SELECT doc_id, lang, g FROM sh
+            |         WHERE doc_id % 100 >= 90),
+            |cont AS (SELECT DISTINCT doc_id FROM test
+            |         WHERE g IN (SELECT g FROM train))
+            |SELECT t.lang, COUNT(*) AS test_docs,
+            |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            |       AS BIGINT) AS contaminated
+            |FROM (SELECT DISTINCT doc_id, lang FROM test) t
+            |LEFT JOIN cont c ON t.doc_id = c.doc_id
+            |GROUP BY t.lang ORDER BY t.lang""".stripMargin))
 
   // Graded train→eval contamination overlap — the eval-contamination
   // REPORT behind q65's boolean: per held-out document, the fraction
@@ -606,17 +616,7 @@ object Dedup {
             .otherwise("dirty").as("bucket"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH tok AS (
-            |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
-            |  FROM documents
-            |  WHERE len(string_split(lower(text), ' ')) >= 5),
-            |sh AS (
-            |  SELECT DISTINCT doc_id, lang,
-            |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-            |      w[i+3] || ' ' || w[i+4] AS g
-            |  FROM (SELECT doc_id, lang, w,
-            |        unnest(range(1, len(w)-3)) AS i FROM tok) u),
-            |train AS (SELECT DISTINCT g FROM sh WHERE doc_id % 100 < 80),
+    Some(s"""WITH $fiveGramOracleCtes,
             |ev AS (SELECT doc_id, lang, g FROM sh
             |       WHERE doc_id % 100 >= 90),
             |agg AS (

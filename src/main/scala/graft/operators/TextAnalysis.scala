@@ -491,6 +491,41 @@ object TextAnalysis {
            |  true AS approx_ok
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Corpus token relation (doc_id, lang, source, t) every
+    * unigram-model consumer (q99/q161/q162/q163) starts from; Catalyst
+    * prunes the key columns a consumer doesn't use.
+    */
+  private def unigramToks(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+
+  /** Broadcast unigram model (t, c, n): the count relation PERSISTS
+    * (vocab-sized — the q99 discipline: cache the small relation,
+    * re-scan the corpus) and the corpus total pre-joins inside the
+    * same broadcast build, so deriving the model costs ONE corpus
+    * tokenize pass, not one per self-aggregation.
+    */
+  private def unigramModel(toks: DataFrame): DataFrame = {
+    val uni = graft.Caches.persist(
+      toks.groupBy(col("t")).agg(count(lit(1)).as("c")))
+    broadcast(uni.crossJoin(uni.agg(sum(col("c")).as("n"))))
+  }
+
+  /** The oracle twin of [[unigramToks]]+[[unigramModel]]: ONE shared
+    * toks/uni/n CTE text for every unigram-model oracle, so the
+    * tokenization contract cannot drift between its consumers.
+    */
+  private val unigramOracleCtes: String =
+    """toks AS (
+      |  SELECT doc_id, lang, source, t FROM (
+      |    SELECT doc_id, lang, source,
+      |      unnest(string_split(lower(text), ' ')) AS t
+      |    FROM documents) u WHERE t <> ''),
+      |uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni)""".stripMargin
+
   /** Unigram cross-entropy scoring — the CCNet-style "perplexity
     * bucket" quality signal with the corpus itself as the language
     * model: each document scores the average self-information
@@ -506,18 +541,12 @@ object TextAnalysis {
   val q99UnigramXent: QueryDef = QueryDef(
     "q99_unigram_xent",
     (s, dir) => {
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(split(lower(col("text")), " ")).as("t"))
-        .filter(col("t") =!= "")
-      val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
-        .transform(graft.Caches.persist)
+      val toks = unigramToks(s, dir)
       // corpus total pre-joined INTO the vocab broadcast (one extra
       // long per row): the 1-row agg + crossJoin run inside the single
       // broadcast-build job — r11: one broadcast build instead of two,
       // a bare-job floor off both bench columns
-      val uniN = broadcast(
-        uni.crossJoin(uni.agg(sum(col("c")).as("n"))))
+      val uniN = unigramModel(toks)
       val perDoc = toks.join(uniN, Seq("t"))
         .groupBy(col("doc_id"), col("lang"), col("source"))
         .agg(avg(-log2(col("c").cast(DoubleType) / col("n")))
@@ -529,13 +558,7 @@ object TextAnalysis {
           graft.Round4(max(col("bits_per_token"))).as("max_bits"))
         .orderBy("source")
     },
-    Some(s"""WITH toks AS (
-            |  SELECT doc_id, source, t FROM (
-            |    SELECT doc_id, source,
-            |      unnest(string_split(lower(text), ' ')) AS t
-            |    FROM documents) u WHERE t <> ''),
-            |uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
-            |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    Some(s"""WITH $unigramOracleCtes,
             |pd AS (
             |  SELECT toks.doc_id, toks.source,
             |    AVG(-LOG2(CAST(uni.c AS DOUBLE) / n.n)) AS bits
@@ -1310,12 +1333,8 @@ object TextAnalysis {
   val q161DomainReweight: QueryDef = QueryDef(
     "q161_domain_reweight",
     (s, dir) => {
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("source"),
-          explode(split(lower(col("text")), " ")).as("t"))
-        .filter(col("t") =!= "")
-      val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
-      val uniN = broadcast(uni.crossJoin(uni.agg(sum(col("c")).as("n"))))
+      val toks = unigramToks(s, dir)
+      val uniN = unigramModel(toks)
       val per = toks.join(uniN, Seq("t"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("toks"),
@@ -1342,13 +1361,7 @@ object TextAnalysis {
             .as("alloc_tokens"))
         .orderBy("source")
     },
-    Some(s"""WITH toks AS (
-            |  SELECT source, t FROM (
-            |    SELECT source, unnest(string_split(lower(text), ' '))
-            |      AS t
-            |    FROM documents) u WHERE t <> ''),
-            |uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
-            |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    Some(s"""WITH $unigramOracleCtes,
             |per AS (
             |  SELECT source, COUNT(*) AS toks,
             |    SUM(-LOG2(CAST(uni.c AS DOUBLE) / n.n)) AS sb
@@ -1393,54 +1406,56 @@ object TextAnalysis {
   val q162CcnetBuckets: QueryDef = QueryDef(
     "q162_ccnet_buckets",
     (s, dir) => {
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          explode(split(lower(col("text")), " ")).as("t"))
-        .filter(col("t") =!= "")
-      val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
-      val uniN = broadcast(uni.crossJoin(uni.agg(sum(col("c")).as("n"))))
+      val toks = unigramToks(s, dir)
+      val uniN = unigramModel(toks)
+      // per-doc bits floor to integer µbits BEFORE the cutpoint /
+      // bucket comparisons — q137's µunit discipline: the one rounding
+      // happens per doc, then every downstream compare (cutpoint
+      // interpolation inputs, bucket boundaries) runs on
+      // engine-identical integers instead of order-sensitive double
+      // sums, so a doc within an ulp of a cut cannot flip buckets
+      // between engines
       val perDoc = toks.join(uniN, Seq("t"))
         .groupBy(col("doc_id"), col("lang"))
-        .agg(avg(-log2(col("c").cast(DoubleType) / col("n")))
-          .as("bits"))
+        .agg(floor(avg(-log2(col("c").cast(DoubleType) / col("n")))
+          * 1e6 + 0.5d).as("bu"))
         .transform(graft.Caches.persist) // cutpoint + bucket consumers
       val cuts = perDoc.groupBy(col("lang"))
-        .agg(expr("percentile(bits, array(1.0D / 3, 2.0D / 3))")
+        .agg(expr("percentile(bu, array(1.0D / 3, 2.0D / 3))")
           .as("cu"))
       perDoc.join(broadcast(cuts), Seq("lang"))
         .withColumn("bucket",
-          when(col("bits") <= col("cu")(0), "head")
-            .when(col("bits") <= col("cu")(1), "middle")
+          when(col("bu") <= col("cu")(0), "head")
+            .when(col("bu") <= col("cu")(1), "middle")
             .otherwise("tail"))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("docs"),
-          graft.Round4(min(col("bits"))).as("min_bits"),
-          graft.Round4(max(col("bits"))).as("max_bits"))
+          graft.Round4(min(col("bu")).cast(DoubleType) / 1e6)
+            .as("min_bits"),
+          graft.Round4(max(col("bu")).cast(DoubleType) / 1e6)
+            .as("max_bits"))
         .orderBy("lang", "bucket")
     },
-    Some(s"""WITH toks AS (
-            |  SELECT doc_id, lang, t FROM (
-            |    SELECT doc_id, lang,
-            |      unnest(string_split(lower(text), ' ')) AS t
-            |    FROM documents) u WHERE t <> ''),
-            |uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
-            |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    Some(s"""WITH $unigramOracleCtes,
             |pd AS (
             |  SELECT toks.doc_id, toks.lang,
-            |    AVG(-LOG2(CAST(uni.c AS DOUBLE) / n.n)) AS bits
+            |    CAST(FLOOR(AVG(-LOG2(CAST(uni.c AS DOUBLE) / n.n))
+            |      * 1000000 + 0.5) AS BIGINT) AS bu
             |  FROM toks JOIN uni USING (t) CROSS JOIN n
             |  GROUP BY 1, 2),
             |cu AS (
-            |  SELECT lang, quantile_cont(bits, 1.0 / 3) AS c1,
-            |         quantile_cont(bits, 2.0 / 3) AS c2
+            |  SELECT lang, quantile_cont(bu, 1.0 / 3) AS c1,
+            |         quantile_cont(bu, 2.0 / 3) AS c2
             |  FROM pd GROUP BY lang)
             |SELECT pd.lang,
-            |  CASE WHEN bits <= c1 THEN 'head'
-            |       WHEN bits <= c2 THEN 'middle'
+            |  CASE WHEN bu <= c1 THEN 'head'
+            |       WHEN bu <= c2 THEN 'middle'
             |       ELSE 'tail' END AS bucket,
             |  COUNT(*) AS docs,
-            |  ${graft.Round4.sql("MIN(bits)")} AS min_bits,
-            |  ${graft.Round4.sql("MAX(bits)")} AS max_bits
+            |  ${graft.Round4.sql("CAST(MIN(bu) AS DOUBLE) / 1000000")}
+            |    AS min_bits,
+            |  ${graft.Round4.sql("CAST(MAX(bu) AS DOUBLE) / 1000000")}
+            |    AS max_bits
             |FROM pd JOIN cu ON pd.lang = cu.lang
             |GROUP BY 1, 2 ORDER BY pd.lang, bucket""".stripMargin))
 
@@ -1467,11 +1482,13 @@ object TextAnalysis {
     "q163_dsir_select",
     (s, dir) => {
       val TargetSrc = "src0"
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          explode(split(lower(col("text")), " ")).as("t"))
-        .filter(col("t") =!= "")
-        .transform(graft.Caches.persist) // raw-model + scoring passes
+      // toks persists here (unlike q99/q161/q162): THREE consumers —
+      // raw counts, target counts, scoring — would otherwise be three
+      // corpus tokenize passes; at 100 TB this persist trades a
+      // corpus-sized disk-backed cache for one scan, a documented
+      // judgment call (the alternative: re-scan, keep only the two
+      // vocab-sized count relations cached)
+      val toks = graft.Caches.persist(unigramToks(s, dir))
       val raw = toks.groupBy(col("t")).agg(count(lit(1)).as("cr"))
       val tgt = toks.filter(col("source") === TargetSrc)
         .groupBy(col("t")).agg(count(lit(1)).as("ct"))
@@ -1483,21 +1500,24 @@ object TextAnalysis {
         .select(col("t"), col("cr"),
           coalesce(col("ct"), lit(0L)).as("ct"))
         .crossJoin(consts))
+      // µunit importance weights (q137 discipline): one floor per doc,
+      // then the cutpoint and the selection compare integers
       val perDoc = toks.join(model, Seq("t"))
         .groupBy(col("doc_id"), col("source"))
-        .agg(avg(
+        .agg(floor(avg(
           log2((col("ct") + 1L).cast(DoubleType) /
             (col("nt") + col("v")).cast(DoubleType)) -
             log2(col("cr").cast(DoubleType) / col("nr").cast(DoubleType)))
-          .as("iw"))
+          * 1e6 + 0.5d).as("iwu"))
         .transform(graft.Caches.persist) // cutpoint + audit consumers
       val cut = broadcast(perDoc.agg(
-        expr("percentile(iw, 0.8D)").as("c80")))
+        expr("percentile(iwu, 0.8D)").as("c80")))
       perDoc.crossJoin(cut)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"),
-          graft.Round4(avg(col("iw"))).as("avg_iw"),
-          sum(when(col("iw") > col("c80"), 1L).otherwise(0L))
+          graft.Round4(avg(col("iwu").cast(DoubleType) / 1e6))
+            .as("avg_iw"),
+          sum(when(col("iwu") > col("c80"), 1L).otherwise(0L))
             .as("selected"))
         .select(col("source"), col("docs"), col("avg_iw"),
           col("selected"),
@@ -1505,36 +1525,33 @@ object TextAnalysis {
             .as("sel_rate"))
         .orderBy("source")
     },
-    Some(s"""WITH toks AS (
-            |  SELECT doc_id, source, t FROM (
-            |    SELECT doc_id, source,
-            |      unnest(string_split(lower(text), ' ')) AS t
-            |    FROM documents) u WHERE t <> ''),
-            |raw AS (SELECT t, COUNT(*) AS cr FROM toks GROUP BY 1),
+    Some(s"""WITH $unigramOracleCtes,
             |tgt AS (SELECT t, COUNT(*) AS ct FROM toks
             |        WHERE source = 'src0' GROUP BY 1),
             |co AS (
-            |  SELECT CAST(SUM(cr) AS BIGINT) AS nr,
-            |    CAST(COUNT(*) AS BIGINT) AS v,
+            |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
             |    (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt
-            |  FROM raw),
+            |  FROM uni),
             |model AS (
-            |  SELECT raw.t, raw.cr, COALESCE(tgt.ct, 0) AS ct,
-            |    co.nr, co.v, co.nt
-            |  FROM raw LEFT JOIN tgt ON raw.t = tgt.t CROSS JOIN co),
+            |  SELECT uni.t, uni.c AS cr, COALESCE(tgt.ct, 0) AS ct,
+            |    n.n AS nr, co.v, co.nt
+            |  FROM uni LEFT JOIN tgt ON uni.t = tgt.t
+            |  CROSS JOIN n CROSS JOIN co),
             |pd AS (
             |  SELECT toks.doc_id, toks.source,
-            |    AVG(LOG2(CAST(ct + 1 AS DOUBLE) / (nt + v))
-            |        - LOG2(CAST(cr AS DOUBLE) / nr)) AS iw
+            |    CAST(FLOOR(AVG(LOG2(CAST(ct + 1 AS DOUBLE) / (nt + v))
+            |        - LOG2(CAST(cr AS DOUBLE) / nr))
+            |      * 1000000 + 0.5) AS BIGINT) AS iwu
             |  FROM toks JOIN model ON toks.t = model.t
             |  GROUP BY 1, 2),
-            |cu AS (SELECT quantile_cont(iw, 0.8) AS c80 FROM pd)
+            |cu AS (SELECT quantile_cont(iwu, 0.8) AS c80 FROM pd)
             |SELECT source, COUNT(*) AS docs,
-            |  ${graft.Round4.sql("AVG(iw)")} AS avg_iw,
-            |  CAST(SUM(CASE WHEN iw > cu.c80 THEN 1 ELSE 0 END)
+            |  ${graft.Round4.sql("AVG(CAST(iwu AS DOUBLE) / 1000000)")}
+            |    AS avg_iw,
+            |  CAST(SUM(CASE WHEN iwu > cu.c80 THEN 1 ELSE 0 END)
             |    AS BIGINT) AS selected,
             |  ${graft.Round4.sql(
-              "CAST(SUM(CASE WHEN iw > cu.c80 THEN 1 ELSE 0 END) " +
+              "CAST(SUM(CASE WHEN iwu > cu.c80 THEN 1 ELSE 0 END) " +
                 "AS DOUBLE) / COUNT(*)")} AS sel_rate
             |FROM pd CROSS JOIN cu
             |GROUP BY source ORDER BY source""".stripMargin))
