@@ -143,7 +143,13 @@ class ScaleGrowthSpec extends AnyFunSuite {
     ("q152_substring_dedup", 1.3, -1L),
     // the APPLY form adds one docs-sized segment splice on top of
     // q152's gram machinery — same linear gate
-    ("q154_substring_dedup_apply", 1.3, -1L))
+    ("q154_substring_dedup_apply", 1.3, -1L),
+    // graded contamination overlap: q65's hashed-5-gram cost class —
+    // distinct eval grams left-join the distinct train grams, both
+    // keyed on 8-byte hashes; rows ∝ corpus grams, so the exponent
+    // must sit at ~1 like the boolean arm it grades (result rows =
+    // eval docs, linear by the split definition)
+    ("q159_contam_overlap", 1.3, -1L))
 
   test("candidate generation scales ~linearly: shuffle-row growth " +
       "exponent < 1.3 over a 4x corpus step, pair yield tracks the " +
