@@ -2210,6 +2210,56 @@ object TextAnalysis {
            |ORDER BY lang, bin""".stripMargin),
     bench = true, lowLatency = true)
 
+  // Tokenizer fertility / compression report — the standard
+  // tokenizer-quality eval (Rust et al., "How Good is Your
+  // Tokenizer?", ACL'21): per language, chars-per-token (compression)
+  // and tokens-per-word (fertility). High fertility on a language
+  // means the vocabulary under-serves it — its documents cost more
+  // sequence length per word, which skews every token-denominated
+  // budget (q148/q153) against it; this report is how that gets
+  // caught before training. Token counts run the REAL in-plan
+  // byte-level BPE encoder (the q148 contract) while the oracle reads
+  // the fixture's committed reference counts — so the hash match
+  // re-proves encoder fidelity through a second aggregate shape.
+  // Map-only per-doc work + one keyed agg to |langs| rows.
+  val q164TokenizerFertility: QueryDef = QueryDef(
+    "q164_tokenizer_fertility",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val (ml, mr) = graft.Fixtures.bpeMerges(s)
+      graft.Fixtures.read(s, graft.Fixtures.bpeCorpusPath)
+        .select(col("lang"),
+          graft.functions.VectorOps.bpeCount(col("text"), ml, mr)
+            .cast(LongType).as("nt"),
+          length(col("text")).cast(LongType).as("nb"),
+          size(filter(split(col("text"), " "), t => t =!= ""))
+            .cast(LongType).as("nw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("nt")).as("tokens"),
+          sum(col("nb")).as("chars"),
+          sum(col("nw")).as("words"))
+        .select(col("lang"), col("docs"), col("tokens"),
+          graft.Round4(col("chars").cast(DoubleType) / col("tokens"))
+            .as("chars_per_tok"),
+          graft.Round4(col("tokens").cast(DoubleType) / col("words"))
+            .as("fertility"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT lang, CAST(n_bpe AS BIGINT) AS nt,
+            |    CAST(length(text) AS BIGINT) AS nb,
+            |    CAST(len(list_filter(string_split(text, ' '),
+            |      x -> x <> '')) AS BIGINT) AS nw
+            |  FROM read_parquet('${graft.Fixtures.bpeCorpusPath}'))
+            |SELECT lang, COUNT(*) AS docs,
+            |  CAST(SUM(nt) AS BIGINT) AS tokens,
+            |  ${graft.Round4.sql(
+              "CAST(SUM(nb) AS DOUBLE) / SUM(nt)")} AS chars_per_tok,
+            |  ${graft.Round4.sql(
+              "CAST(SUM(nt) AS DOUBLE) / SUM(nw)")} AS fertility
+            |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
+
   // Token-exact curation composition — the q147 capstone's BUDGET
   // CONSUMERS re-based on real byte-level BPE token counts (closing
   // the r11 finding that every downstream budget counted whitespace
@@ -2342,5 +2392,6 @@ object TextAnalysis {
     q108MixTemperature, q109Chunking, q111GlobalTiers,
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
     q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
-    q161DomainReweight, q162CcnetBuckets, q163DsirSelect)
+    q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
+    q164TokenizerFertility)
 }
