@@ -36,4 +36,33 @@ class DsirSelectSpec extends AnyFunSuite {
       s"global selection $frac not ~20% — cutpoint broken")
     Caches.clear(spark)
   }
+
+  test("q161 DoReMi update: weights normalize to 1, zero-excess " +
+      "domains keep ~their share, positive-excess domains up-weight") {
+    val rows = SparkEntry.queries("q161_domain_reweight")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Double]("share4"),
+        r.getAs[Double]("excess4"), r.getAs[Double]("weight4")))
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_._4).sum
+    assert(math.abs(wSum - 1.0) < 0.01,
+      s"weights sum to $wSum, not ~1")
+    rows.foreach { case (src, share, excess, weight) =>
+      if (excess == 0.0)
+        // exp(0) = 1: weight = share / Z with Z ≥ 1, so never above
+        // share (beyond rounding)
+        assert(weight <= share + 2e-4,
+          s"$src: zero-excess domain up-weighted ($share -> $weight)")
+      else
+        // positive excess must not DOWN-weight relative to a
+        // zero-excess domain of the same share: weight/share ratio at
+        // or above the zero-excess ratio 1/Z. Tolerance 5e-3: both
+        // ratio terms are 4dp-rounded ~0.05 values, so the quotient
+        // carries ~±2e-3 of rounding noise alone
+        assert(weight / share > rows.filter(_._3 == 0.0)
+          .map(r => r._4 / r._2).max - 5e-3,
+          s"$src: positive excess but relative weight fell")
+    }
+    Caches.clear(spark)
+  }
 }
