@@ -1276,15 +1276,27 @@ object TextAnalysis {
       val d = graft.Caches.persist(Tables.load(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           md5(col("text").cast(BinaryType)).as("h")))
+      // √cnt weights floor to integer µunits ONCE per source, and the
+      // take is pure integer arithmetic after that. The old double
+      // spelling (floor(budget·w/sw) with w, sw doubles) sat EXACTLY
+      // on an integer boundary whenever per-source counts tie — this
+      // fixture's uniform generator makes that the common case, and
+      // the r12 sf0.1 sweep caught Spark's order-sensitive Σ√cnt
+      // flooring to 125 where DuckDB's floored to 124. sqrt is
+      // IEEE-correctly-rounded in both engines, so wu is
+      // engine-identical; everything downstream is exact. (BIGINT
+      // headroom: budget·wu ≤ 9.2e18 holds through ~10¹¹ docs at this
+      // µscale; beyond that drop the scale a decade.)
       val counts = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
-        .withColumn("w", sqrt(col("cnt").cast(DoubleType)))
-      val consts = counts.agg(sum(col("w")).as("sw"),
+        .withColumn("wu",
+          floor(sqrt(col("cnt").cast(DoubleType)) * 1e6 + 0.5d)
+            .cast(LongType))
+      val consts = counts.agg(sum(col("wu")).as("swu"),
         sum(col("cnt")).as("total"))
       val takes = counts.join(broadcast(consts))
         .select(col("source"), col("cnt"),
-          least(col("cnt"), floor(
-            floor(col("total").cast(DoubleType) / 2) * col("w") /
-              col("sw")).cast(LongType)).as("take"))
+          least(col("cnt"),
+            expr("((total div 2) * wu) div swu")).as("take"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
       d.withColumn("rn", row_number().over(w))
@@ -1296,15 +1308,14 @@ object TextAnalysis {
     Some("""WITH h AS (
            |  SELECT source, doc_id, md5(text) AS h FROM documents),
            |c AS (SELECT source, COUNT(*) AS cnt,
-           |        sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+           |        CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))
+           |          * 1000000 + 0.5) AS BIGINT) AS wu
            |      FROM documents GROUP BY source),
-           |k AS (SELECT SUM(w) AS sw,
+           |k AS (SELECT CAST(SUM(wu) AS BIGINT) AS swu,
            |        CAST(SUM(cnt) AS BIGINT) AS total FROM c),
            |t AS (
            |  SELECT source, cnt,
-           |    least(cnt, CAST(floor(
-           |      floor(CAST(total AS DOUBLE) / 2) * w / sw) AS BIGINT))
-           |      AS take
+           |    least(cnt, ((total // 2) * wu) // swu) AS take
            |  FROM c CROSS JOIN k),
            |r AS (
            |  SELECT source, doc_id,
@@ -2052,17 +2063,21 @@ object TextAnalysis {
         .select(col("doc_id")).distinct()
       val surv = graft.Caches.persist(
         ded.join(leak, Seq("doc_id"), "left_anti"))
-      // α = 0.5 temperature budget per language (q115's formulation)
+      // α = 0.5 temperature budget per language (q115's formulation —
+      // incl. its r12 µunit weights: √survivors floors to integer
+      // µunits once, the budget is integer arithmetic after, so tied
+      // per-lang counts can never park the floor on an ulp boundary)
       val counts = surv.groupBy(col("lang"))
         .agg(count(lit(1)).as("survivors"))
-        .withColumn("wgt", sqrt(col("survivors").cast(DoubleType)))
-      val consts = counts.agg(sum(col("wgt")).as("sw"),
+        .withColumn("wu",
+          floor(sqrt(col("survivors").cast(DoubleType)) * 1e6 + 0.5d)
+            .cast(LongType))
+      val consts = counts.agg(sum(col("wu")).as("swu"),
         sum(col("survivors")).as("total"))
       val takes = counts.join(broadcast(consts))
         .select(col("lang"), col("survivors"),
-          least(col("survivors"), floor(
-            floor(col("total").cast(DoubleType) / 2) * col("wgt") /
-              col("sw")).cast(LongType)).as("budget"))
+          least(col("survivors"),
+            expr("((total div 2) * wu) div swu")).as("budget"))
       // content-addressed selection + integer-exact packing ledger —
       // through the size-guarded thresholdSelect dispatcher: the
       // fixture corpus takes the exact window arm, a 100 TB lang takes
@@ -2115,15 +2130,14 @@ object TextAnalysis {
            |surv AS (SELECT * FROM ded
            |         WHERE doc_id NOT IN (SELECT doc_id FROM leak)),
            |c AS (SELECT lang, COUNT(*) AS survivors,
-           |        sqrt(CAST(COUNT(*) AS DOUBLE)) AS wgt
+           |        CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))
+           |          * 1000000 + 0.5) AS BIGINT) AS wu
            |      FROM surv GROUP BY lang),
-           |k AS (SELECT SUM(wgt) AS sw,
+           |k AS (SELECT CAST(SUM(wu) AS BIGINT) AS swu,
            |        CAST(SUM(survivors) AS BIGINT) AS total FROM c),
            |t AS (
            |  SELECT lang, survivors,
-           |    least(survivors, CAST(floor(
-           |      floor(CAST(total AS DOUBLE) / 2) * wgt / sw)
-           |      AS BIGINT)) AS budget
+           |    least(survivors, ((total // 2) * wu) // swu) AS budget
            |  FROM c CROSS JOIN k),
            |r AS (
            |  SELECT lang, doc_id, nt,
@@ -2303,17 +2317,20 @@ object TextAnalysis {
             col("doc_id")).as("s__"))
           .select((gated.columns.map(c => col(s"s__.$c")) :+
             col("hh")): _*))
+      // q115's r12 µunit weights: √mass floors to integer µunits once,
+      // the budget is integer arithmetic after — no ulp-boundary floor
       val counts = ded.groupBy(col("lang"))
         .agg(count(lit(1)).as("deduped"),
           sum(col("nt")).as("lang_tokens"))
-        .withColumn("wgt", sqrt(col("lang_tokens").cast(DoubleType)))
-      val consts = counts.agg(sum(col("wgt")).as("sw"),
+        .withColumn("wu",
+          floor(sqrt(col("lang_tokens").cast(DoubleType)) * 1e6 + 0.5d)
+            .cast(LongType))
+      val consts = counts.agg(sum(col("wu")).as("swu"),
         sum(col("lang_tokens")).as("total"))
       val takes = counts.join(broadcast(consts))
         .select(col("lang"), col("deduped"), col("lang_tokens"),
-          least(col("lang_tokens"), floor(
-            floor(col("total").cast(DoubleType) / 2) * col("wgt") /
-              col("sw")).cast(LongType)).as("tok_budget"))
+          least(col("lang_tokens"),
+            expr("((total div 2) * wu) div swu")).as("tok_budget"))
       // token-budget prefix through the size-guarded weighted
       // dispatcher: the fixture corpus plans the exact window arm, a
       // 100 TB lang plans the sampled-threshold arm with no per-lang
@@ -2347,15 +2364,15 @@ object TextAnalysis {
             |c AS (
             |  SELECT lang, COUNT(*) AS deduped,
             |    CAST(SUM(nt) AS BIGINT) AS lang_tokens,
-            |    sqrt(CAST(SUM(nt) AS DOUBLE)) AS wgt
+            |    CAST(floor(sqrt(CAST(SUM(nt) AS DOUBLE))
+            |      * 1000000 + 0.5) AS BIGINT) AS wu
             |  FROM ded GROUP BY lang),
-            |k AS (SELECT SUM(wgt) AS sw,
+            |k AS (SELECT CAST(SUM(wu) AS BIGINT) AS swu,
             |        CAST(SUM(lang_tokens) AS BIGINT) AS total FROM c),
             |t AS (
             |  SELECT lang, deduped, lang_tokens,
-            |    least(lang_tokens, CAST(floor(
-            |      floor(CAST(total AS DOUBLE) / 2) * wgt / sw)
-            |      AS BIGINT)) AS tok_budget
+            |    least(lang_tokens, ((total // 2) * wu) // swu)
+            |      AS tok_budget
             |  FROM c CROSS JOIN k),
             |r AS (
             |  SELECT lang, doc_id, nt, hh,
