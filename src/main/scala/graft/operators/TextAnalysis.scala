@@ -1567,6 +1567,178 @@ object TextAnalysis {
             |FROM pd CROSS JOIN cu
             |GROUP BY source ORDER BY source""".stripMargin))
 
+  // Modern selection-pipeline capstone — the 2023-era data-curation
+  // stack composed as ONE Catalyst plan, complementing q147's classic
+  // build (gate → dedup → decontam → budget → pack): CCNet perplexity
+  // gate (q162: drop each language's hardest tertile) → DSIR
+  // importance selection (q163: keep survivors above the 80th-pct
+  // log-ratio vs the src0 reference) → α=0.5 TOKEN budget per
+  // language (q115/q153's µunit integer arithmetic) →
+  // content-addressed greedy token-prefix selection (q153's cum_excl
+  // semantics on md5 order) → 2048-token packing ledger. The
+  // composition discipline that makes it one plan and not five jobs:
+  // BOTH per-doc metrics (µbits for the gate, µunit log-ratio for
+  // DSIR) fold in a SINGLE corpus token pass against ONE combined
+  // broadcast model relation (raw counts + smoothed target counts +
+  // constants) — the second metric costs zero extra scans or
+  // exchanges; every cutpoint is a broadcast scalar/langs-sized
+  // relation; all comparisons are integers (µunit discipline
+  // throughout — no ulp boundary anywhere in the plan).
+  val q165ModernPipeline: QueryDef = QueryDef(
+    "q165_modern_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val TargetSrc = "src0"
+      val toks = graft.Caches.persist(unigramToks(s, dir))
+      val raw = toks.groupBy(col("t")).agg(count(lit(1)).as("cr"))
+      val tgt = toks.filter(col("source") === TargetSrc)
+        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      val consts = raw.agg(sum(col("cr")).as("nr"),
+        count(lit(1)).as("v"))
+        .crossJoin(tgt.agg(sum(col("ct")).as("ntt")))
+      val model = broadcast(raw
+        .join(tgt, Seq("t"), "left_outer")
+        .select(col("t"), col("cr"),
+          coalesce(col("ct"), lit(0L)).as("ct"))
+        .crossJoin(consts))
+      // ONE pass: µbits (gate metric), µunit log-ratio (DSIR metric),
+      // and the whitespace token count (budget denomination)
+      val perDoc = graft.Caches.persist(toks.join(model, Seq("t"))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(
+          floor(avg(-log2(col("cr").cast(DoubleType) / col("nr")))
+            * 1e6 + 0.5d).as("bu"),
+          floor(avg(
+            log2((col("ct") + 1L).cast(DoubleType) /
+              (col("ntt") + col("v")).cast(DoubleType)) -
+              log2(col("cr").cast(DoubleType) /
+                col("nr").cast(DoubleType)))
+            * 1e6 + 0.5d).as("iwu"),
+          count(lit(1)).as("nt")))
+      // CCNet gate: keep head+middle of each language
+      val cuts = perDoc.groupBy(col("lang"))
+        .agg(expr("percentile(bu, 2.0D / 3)").as("c2"))
+      val gated = perDoc.join(broadcast(cuts), Seq("lang"))
+        .filter(col("bu") <= col("c2"))
+        .transform(graft.Caches.persist) // dsir cut + keep + counts
+      // DSIR selection over the gated survivors
+      val c80 = broadcast(gated.agg(
+        expr("percentile(iwu, 0.8D)").as("c80")))
+      val kept = gated.crossJoin(c80).filter(col("iwu") > col("c80"))
+        .join(Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(col("text").cast(BinaryType)).as("hh")), Seq("doc_id"))
+        .transform(graft.Caches.persist) // budget counts + selection
+      // α=0.5 token budget in µunit integer arithmetic
+      val counts = kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("dsir_kept"),
+          sum(col("nt")).as("lang_tokens"))
+        .withColumn("wu",
+          floor(sqrt(col("lang_tokens").cast(DoubleType)) * 1e6 + 0.5d)
+            .cast(LongType))
+      val kconsts = counts.agg(sum(col("wu")).as("swu"),
+        sum(col("lang_tokens")).as("total"))
+      val takes = counts.join(broadcast(kconsts))
+        .select(col("lang"), col("dsir_kept"), col("lang_tokens"),
+          least(col("lang_tokens"),
+            expr("((total div 2) * wu) div swu")).as("tok_budget"))
+      // content-addressed greedy token prefix (q153 semantics)
+      val wSel = Window.partitionBy(col("lang"))
+        .orderBy(col("hh"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sel = kept
+        .withColumn("cum_excl",
+          coalesce(sum(col("nt")).over(wSel), lit(0L)))
+        .join(broadcast(takes.select(col("lang"),
+          col("tok_budget"))), Seq("lang"))
+        .filter(col("cum_excl") < col("tok_budget"))
+      val packed = sel.groupBy(col("lang"))
+        .agg(count(lit(1)).as("selected"),
+          sum(col("nt")).as("sel_tokens"),
+          expr("CAST((sum(nt) + 2047) div 2048 AS BIGINT)").as("bins"))
+      val gatedC = gated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("gated"))
+      val totalC = perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"))
+      totalC.join(gatedC, "lang").join(takes, "lang")
+        .join(packed, "lang")
+        .select(col("lang"), col("docs"), col("gated"),
+          col("dsir_kept"), col("lang_tokens"), col("tok_budget"),
+          col("selected"), col("sel_tokens"), col("bins"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH $unigramOracleCtes,
+            |tgt AS (SELECT t, COUNT(*) AS ct FROM toks
+            |        WHERE source = 'src0' GROUP BY 1),
+            |co AS (
+            |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+            |    (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS ntt
+            |  FROM uni),
+            |model AS (
+            |  SELECT uni.t, uni.c AS cr, COALESCE(tgt.ct, 0) AS ct,
+            |    n.n AS nr, co.v, co.ntt
+            |  FROM uni LEFT JOIN tgt ON uni.t = tgt.t
+            |  CROSS JOIN n CROSS JOIN co),
+            |pd AS (
+            |  SELECT toks.doc_id, toks.lang, toks.source,
+            |    CAST(FLOOR(AVG(-LOG2(CAST(cr AS DOUBLE) / nr))
+            |      * 1000000 + 0.5) AS BIGINT) AS bu,
+            |    CAST(FLOOR(AVG(LOG2(CAST(ct + 1 AS DOUBLE) / (ntt + v))
+            |        - LOG2(CAST(cr AS DOUBLE) / nr))
+            |      * 1000000 + 0.5) AS BIGINT) AS iwu,
+            |    COUNT(*) AS nt
+            |  FROM toks JOIN model ON toks.t = model.t
+            |  GROUP BY 1, 2, 3),
+            |cu AS (SELECT lang, quantile_cont(bu, 2.0 / 3) AS c2
+            |       FROM pd GROUP BY lang),
+            |gated AS (
+            |  SELECT pd.* FROM pd JOIN cu ON pd.lang = cu.lang
+            |  WHERE bu <= c2),
+            |c80 AS (SELECT quantile_cont(iwu, 0.8) AS c80 FROM gated),
+            |kept AS (
+            |  SELECT g.*, md5(d.text) AS hh
+            |  FROM gated g CROSS JOIN c80
+            |  JOIN documents d ON g.doc_id = d.doc_id
+            |  WHERE g.iwu > c80.c80),
+            |c AS (
+            |  SELECT lang, COUNT(*) AS dsir_kept,
+            |    CAST(SUM(nt) AS BIGINT) AS lang_tokens,
+            |    CAST(floor(sqrt(CAST(SUM(nt) AS DOUBLE))
+            |      * 1000000 + 0.5) AS BIGINT) AS wu
+            |  FROM kept GROUP BY lang),
+            |k AS (SELECT CAST(SUM(wu) AS BIGINT) AS swu,
+            |        CAST(SUM(lang_tokens) AS BIGINT) AS total FROM c),
+            |t AS (
+            |  SELECT lang, dsir_kept, lang_tokens,
+            |    least(lang_tokens, ((total // 2) * wu) // swu)
+            |      AS tok_budget
+            |  FROM c CROSS JOIN k),
+            |r AS (
+            |  SELECT lang, doc_id, nt, hh,
+            |    COALESCE(SUM(nt) OVER (PARTITION BY lang
+            |      ORDER BY hh, doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |      AS cum_excl
+            |  FROM kept),
+            |sel AS (SELECT r.* FROM r JOIN t ON r.lang = t.lang
+            |        WHERE cum_excl < t.tok_budget),
+            |p AS (
+            |  SELECT lang, COUNT(*) AS selected,
+            |    CAST(SUM(nt) AS BIGINT) AS sel_tokens,
+            |    CAST((CAST(SUM(nt) AS BIGINT) + 2047) // 2048
+            |      AS BIGINT) AS bins
+            |  FROM sel GROUP BY lang),
+            |gc AS (SELECT lang, COUNT(*) AS gated FROM gated
+            |       GROUP BY lang),
+            |tc AS (SELECT lang, COUNT(*) AS docs FROM pd GROUP BY lang)
+            |SELECT tc.lang, tc.docs, gc.gated, t.dsir_kept,
+            |  t.lang_tokens, t.tok_budget, p.selected, p.sel_tokens,
+            |  p.bins
+            |FROM tc JOIN gc ON tc.lang = gc.lang
+            |JOIN t ON tc.lang = t.lang
+            |JOIN p ON tc.lang = p.lang
+            |ORDER BY tc.lang""".stripMargin))
+
   // Column profiling — the ANALYZE-style statistics pass every engine
   // ships (null rate, distinct count, min/max per column), computed in
   // ONE scan: all per-column aggregates run in a single agg (Catalyst
@@ -2410,5 +2582,5 @@ object TextAnalysis {
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
     q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
     q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
-    q164TokenizerFertility)
+    q164TokenizerFertility, q165ModernPipeline)
 }

@@ -421,6 +421,20 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "embeddings re-scanned per consumer")
   }
 
+  test("q165: the modern-selection capstone composes with NO " +
+      "cartesian/nested-loop joins, and the combined gate+DSIR " +
+      "metric relation is cached (both metrics from one token pass)") {
+    val p = plan("q165_modern_pipeline")
+    // the q147 discipline: cartesian absence is the scale-killer
+    // guard (BroadcastNestedLoopJoin appears, but only as the 1-row
+    // const/cutpoint broadcasts — the plan STRING repeats cached
+    // subtrees, so a text count can't distinguish them)
+    assert(!p.contains("CartesianProduct"),
+      "q165 planned a cartesian join")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "stage relations not persisted — metrics recompute per consumer")
+  }
+
   test("q157: ONE data exchange (on shard) serves both the order " +
       "window and the manifest aggregate — the agg reuses the " +
       "window's partitioning; the only other exchange sorts the " +
