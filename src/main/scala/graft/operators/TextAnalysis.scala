@@ -1642,16 +1642,12 @@ object TextAnalysis {
         .select(col("lang"), col("dsir_kept"), col("lang_tokens"),
           least(col("lang_tokens"),
             expr("((total div 2) * wu) div swu")).as("tok_budget"))
-      // content-addressed greedy token prefix (q153 semantics)
-      val wSel = Window.partitionBy(col("lang"))
-        .orderBy(col("hh"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val sel = kept
-        .withColumn("cum_excl",
-          coalesce(sum(col("nt")).over(wSel), lit(0L)))
-        .join(broadcast(takes.select(col("lang"),
-          col("tok_budget"))), Seq("lang"))
-        .filter(col("cum_excl") < col("tok_budget"))
+      // content-addressed greedy token prefix — through the
+      // size-guarded dispatcher (q153's discipline): the fixture
+      // corpus plans the exact window arm, a 100 TB lang plans the
+      // sampled-threshold arm with no per-lang full sort
+      val sel = thresholdSelectTokens(kept, "lang", "hh", "doc_id",
+        "nt", takes.select(col("lang"), col("tok_budget").as("budget")))
       val packed = sel.groupBy(col("lang"))
         .agg(count(lit(1)).as("selected"),
           sum(col("nt")).as("sel_tokens"),
