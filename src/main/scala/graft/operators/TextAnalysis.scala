@@ -526,6 +526,80 @@ object TextAnalysis {
       |uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni)""".stripMargin
 
+  /** α = 0.5 temperature-budget takes — ONE shared spelling for every
+    * budget site (q115/q147/q153/q165; see q115's flake note): √mass
+    * floors to integer µunits once per key (sqrt is correctly rounded
+    * per IEEE in both engines, so wu is genuinely engine-identical),
+    * and the take is exact integer arithmetic after — the budget
+    * product runs in DECIMAL(38,0) with an integral `div`, never a
+    * rounded division, so it is exact at any corpus size (a pure
+    * BIGINT product overflows near 10⁹ tokens of per-key mass).
+    * Returns `counts` with `budgetCol` appended.
+    */
+  private def alphaBudget(counts: DataFrame, massCol: String,
+      budgetCol: String): DataFrame = {
+    val c = counts.withColumn("wu__",
+      floor(sqrt(col(massCol).cast(DoubleType)) * 1e6 + 0.5d)
+        .cast(LongType))
+    val k = c.agg(sum(col("wu__")).as("swu__"),
+      sum(col(massCol)).as("total__"))
+    c.crossJoin(broadcast(k))
+      .withColumn(budgetCol,
+        least(col(massCol), expr(
+          "(CAST(total__ div 2 AS DECIMAL(38, 0)) * wu__) div swu__")))
+      .drop("wu__", "swu__", "total__")
+  }
+
+  /** The oracle twin of [[alphaBudget]], as text fragments each budget
+    * oracle interpolates (one definition of the µunit + HUGEINT
+    * spelling): `wu` column expression for the c CTE, the k CTE, and
+    * the take expression (LEAST applies before the BIGINT cast so an
+    * out-of-BIGINT intermediate can never be the final value).
+    */
+  private def alphaWuSql(mass: String): String =
+    s"CAST(floor(sqrt(CAST($mass AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+  private def alphaKCte(mass: String): String =
+    "k AS (SELECT CAST(SUM(wu) AS BIGINT) AS swu, " +
+      s"CAST(SUM($mass) AS BIGINT) AS total FROM c)"
+  private def alphaTakeSql(mass: String): String =
+    s"CAST(least(CAST($mass AS HUGEINT), " +
+      "((CAST(total AS HUGEINT) // 2) * wu) // swu) AS BIGINT)"
+
+  /** Broadcast DSIR model (t, cr, ct, nr, v, ntt) shared by
+    * q163/q165: raw unigram counts, Laplace-smoothed target-slice
+    * counts, and the normalizing constants, in ONE relation so the
+    * smoothing contract (ct+1)/(ntt+v) has a single definition.
+    */
+  private def dsirModel(toks: DataFrame, targetSrc: String): DataFrame = {
+    val raw = toks.groupBy(col("t")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("source") === targetSrc)
+      .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    val consts = raw.agg(sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("ntt")))
+    broadcast(raw.join(tgt, Seq("t"), "left_outer")
+      .select(col("t"), col("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(consts))
+  }
+
+  /** The oracle twin of [[dsirModel]] (tgt/co/model CTE text on top of
+    * [[unigramOracleCtes]]) — one definition, interpolated by both
+    * consumers.
+    */
+  private val dsirModelOracleCtes: String =
+    """tgt AS (SELECT t, COUNT(*) AS ct FROM toks
+      |        WHERE source = 'src0' GROUP BY 1),
+      |co AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+      |    (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS ntt
+      |  FROM uni),
+      |model AS (
+      |  SELECT uni.t, uni.c AS cr, COALESCE(tgt.ct, 0) AS ct,
+      |    n.n AS nr, co.v, co.ntt
+      |  FROM uni LEFT JOIN tgt ON uni.t = tgt.t
+      |  CROSS JOIN n CROSS JOIN co)""".stripMargin
+
   /** Unigram cross-entropy scoring — the CCNet-style "perplexity
     * bucket" quality signal with the corpus itself as the language
     * model: each document scores the average self-information
@@ -1276,27 +1350,14 @@ object TextAnalysis {
       val d = graft.Caches.persist(Tables.load(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           md5(col("text").cast(BinaryType)).as("h")))
-      // √cnt weights floor to integer µunits ONCE per source, and the
-      // take is pure integer arithmetic after that. The old double
-      // spelling (floor(budget·w/sw) with w, sw doubles) sat EXACTLY
-      // on an integer boundary whenever per-source counts tie — this
+      // ONE shared µunit budget spelling — see [[alphaBudget]]. The
+      // old double spelling (floor(budget·√n/Σ√n)) sat EXACTLY on an
+      // integer boundary whenever per-source counts tie — this
       // fixture's uniform generator makes that the common case, and
-      // the r12 sf0.1 sweep caught Spark's order-sensitive Σ√cnt
-      // flooring to 125 where DuckDB's floored to 124. sqrt is
-      // IEEE-correctly-rounded in both engines, so wu is
-      // engine-identical; everything downstream is exact. (BIGINT
-      // headroom: budget·wu ≤ 9.2e18 holds through ~10¹¹ docs at this
-      // µscale; beyond that drop the scale a decade.)
+      // an r12 sf0.1 sweep caught Spark's order-sensitive Σ√cnt
+      // flooring to 125 where DuckDB's floored to 124.
       val counts = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
-        .withColumn("wu",
-          floor(sqrt(col("cnt").cast(DoubleType)) * 1e6 + 0.5d)
-            .cast(LongType))
-      val consts = counts.agg(sum(col("wu")).as("swu"),
-        sum(col("cnt")).as("total"))
-      val takes = counts.join(broadcast(consts))
-        .select(col("source"), col("cnt"),
-          least(col("cnt"),
-            expr("((total div 2) * wu) div swu")).as("take"))
+      val takes = alphaBudget(counts, "cnt", "take")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
       d.withColumn("rn", row_number().over(w))
@@ -1305,18 +1366,15 @@ object TextAnalysis {
         .select(col("source"), col("rn"), col("doc_id"))
         .orderBy("source", "rn")
     },
-    Some("""WITH h AS (
-           |  SELECT source, doc_id, md5(text) AS h FROM documents),
-           |c AS (SELECT source, COUNT(*) AS cnt,
-           |        CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))
-           |          * 1000000 + 0.5) AS BIGINT) AS wu
-           |      FROM documents GROUP BY source),
-           |k AS (SELECT CAST(SUM(wu) AS BIGINT) AS swu,
-           |        CAST(SUM(cnt) AS BIGINT) AS total FROM c),
-           |t AS (
-           |  SELECT source, cnt,
-           |    least(cnt, ((total // 2) * wu) // swu) AS take
-           |  FROM c CROSS JOIN k),
+    Some(s"""WITH h AS (
+            |  SELECT source, doc_id, md5(text) AS h FROM documents),
+            |c AS (SELECT source, COUNT(*) AS cnt,
+            |        ${alphaWuSql("COUNT(*)")} AS wu
+            |      FROM documents GROUP BY source),
+            |${alphaKCte("cnt")},
+            |t AS (
+            |  SELECT source, cnt, ${alphaTakeSql("cnt")} AS take
+            |  FROM c CROSS JOIN k),
            |r AS (
            |  SELECT source, doc_id,
            |    ROW_NUMBER() OVER (PARTITION BY source
@@ -1420,12 +1478,14 @@ object TextAnalysis {
       val toks = unigramToks(s, dir)
       val uniN = unigramModel(toks)
       // per-doc bits floor to integer µbits BEFORE the cutpoint /
-      // bucket comparisons — q137's µunit discipline: the one rounding
-      // happens per doc, then every downstream compare (cutpoint
-      // interpolation inputs, bucket boundaries) runs on
-      // engine-identical integers instead of order-sensitive double
-      // sums, so a doc within an ulp of a cut cannot flip buckets
-      // between engines
+      // bucket comparisons — q137's µunit discipline: the ONE
+      // remaining float surface is this per-doc floor (the AVG inside
+      // is still an order-sensitive double sum, so a doc whose
+      // avg·1e6+0.5 sits within an ulp of an integer can still round
+      // differently — a ~1e-10-wide window per doc); every compare
+      // AFTER it (cutpoint interpolation inputs, bucket boundaries)
+      // runs on integers, which is where the old spelling exposed
+      // every doc to every cut on raw doubles
       val perDoc = toks.join(uniN, Seq("t"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(floor(avg(-log2(col("c").cast(DoubleType) / col("n")))
@@ -1500,24 +1560,14 @@ object TextAnalysis {
       // judgment call (the alternative: re-scan, keep only the two
       // vocab-sized count relations cached)
       val toks = graft.Caches.persist(unigramToks(s, dir))
-      val raw = toks.groupBy(col("t")).agg(count(lit(1)).as("cr"))
-      val tgt = toks.filter(col("source") === TargetSrc)
-        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
-      val consts = raw.agg(sum(col("cr")).as("nr"),
-        count(lit(1)).as("v"))
-        .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
-      val model = broadcast(raw
-        .join(tgt, Seq("t"), "left_outer")
-        .select(col("t"), col("cr"),
-          coalesce(col("ct"), lit(0L)).as("ct"))
-        .crossJoin(consts))
+      val model = dsirModel(toks, TargetSrc)
       // µunit importance weights (q137 discipline): one floor per doc,
       // then the cutpoint and the selection compare integers
       val perDoc = toks.join(model, Seq("t"))
         .groupBy(col("doc_id"), col("source"))
         .agg(floor(avg(
           log2((col("ct") + 1L).cast(DoubleType) /
-            (col("nt") + col("v")).cast(DoubleType)) -
+            (col("ntt") + col("v")).cast(DoubleType)) -
             log2(col("cr").cast(DoubleType) / col("nr").cast(DoubleType)))
           * 1e6 + 0.5d).as("iwu"))
         .transform(graft.Caches.persist) // cutpoint + audit consumers
@@ -1537,20 +1587,10 @@ object TextAnalysis {
         .orderBy("source")
     },
     Some(s"""WITH $unigramOracleCtes,
-            |tgt AS (SELECT t, COUNT(*) AS ct FROM toks
-            |        WHERE source = 'src0' GROUP BY 1),
-            |co AS (
-            |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
-            |    (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt
-            |  FROM uni),
-            |model AS (
-            |  SELECT uni.t, uni.c AS cr, COALESCE(tgt.ct, 0) AS ct,
-            |    n.n AS nr, co.v, co.nt
-            |  FROM uni LEFT JOIN tgt ON uni.t = tgt.t
-            |  CROSS JOIN n CROSS JOIN co),
+            |$dsirModelOracleCtes,
             |pd AS (
             |  SELECT toks.doc_id, toks.source,
-            |    CAST(FLOOR(AVG(LOG2(CAST(ct + 1 AS DOUBLE) / (nt + v))
+            |    CAST(FLOOR(AVG(LOG2(CAST(ct + 1 AS DOUBLE) / (ntt + v))
             |        - LOG2(CAST(cr AS DOUBLE) / nr))
             |      * 1000000 + 0.5) AS BIGINT) AS iwu
             |  FROM toks JOIN model ON toks.t = model.t
@@ -1582,25 +1622,16 @@ object TextAnalysis {
   // broadcast model relation (raw counts + smoothed target counts +
   // constants) — the second metric costs zero extra scans or
   // exchanges; every cutpoint is a broadcast scalar/langs-sized
-  // relation; all comparisons are integers (µunit discipline
-  // throughout — no ulp boundary anywhere in the plan).
+  // relation; every comparison after the per-doc µunit floors is
+  // integer (the floors themselves are the only residual float
+  // rounding — see q162's note on the narrowed-but-nonzero window).
   val q165ModernPipeline: QueryDef = QueryDef(
     "q165_modern_pipeline",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val TargetSrc = "src0"
       val toks = graft.Caches.persist(unigramToks(s, dir))
-      val raw = toks.groupBy(col("t")).agg(count(lit(1)).as("cr"))
-      val tgt = toks.filter(col("source") === TargetSrc)
-        .groupBy(col("t")).agg(count(lit(1)).as("ct"))
-      val consts = raw.agg(sum(col("cr")).as("nr"),
-        count(lit(1)).as("v"))
-        .crossJoin(tgt.agg(sum(col("ct")).as("ntt")))
-      val model = broadcast(raw
-        .join(tgt, Seq("t"), "left_outer")
-        .select(col("t"), col("cr"),
-          coalesce(col("ct"), lit(0L)).as("ct"))
-        .crossJoin(consts))
+      val model = dsirModel(toks, TargetSrc)
       // ONE pass: µbits (gate metric), µunit log-ratio (DSIR metric),
       // and the whitespace token count (budget denomination)
       val perDoc = graft.Caches.persist(toks.join(model, Seq("t"))
@@ -1629,19 +1660,11 @@ object TextAnalysis {
           .select(col("doc_id"),
             md5(col("text").cast(BinaryType)).as("hh")), Seq("doc_id"))
         .transform(graft.Caches.persist) // budget counts + selection
-      // α=0.5 token budget in µunit integer arithmetic
+      // α=0.5 token budget — the ONE shared µunit spelling
       val counts = kept.groupBy(col("lang"))
         .agg(count(lit(1)).as("dsir_kept"),
           sum(col("nt")).as("lang_tokens"))
-        .withColumn("wu",
-          floor(sqrt(col("lang_tokens").cast(DoubleType)) * 1e6 + 0.5d)
-            .cast(LongType))
-      val kconsts = counts.agg(sum(col("wu")).as("swu"),
-        sum(col("lang_tokens")).as("total"))
-      val takes = counts.join(broadcast(kconsts))
-        .select(col("lang"), col("dsir_kept"), col("lang_tokens"),
-          least(col("lang_tokens"),
-            expr("((total div 2) * wu) div swu")).as("tok_budget"))
+      val takes = alphaBudget(counts, "lang_tokens", "tok_budget")
       // content-addressed greedy token prefix — through the
       // size-guarded dispatcher (q153's discipline): the fixture
       // corpus plans the exact window arm, a 100 TB lang plans the
@@ -1656,25 +1679,25 @@ object TextAnalysis {
         .agg(count(lit(1)).as("gated"))
       val totalC = perDoc.groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"))
-      totalC.join(gatedC, "lang").join(takes, "lang")
-        .join(packed, "lang")
-        .select(col("lang"), col("docs"), col("gated"),
-          col("dsir_kept"), col("lang_tokens"), col("tok_budget"),
-          col("selected"), col("sel_tokens"), col("bins"))
+      // LEFT joins from the full per-lang universe: a language whose
+      // gated docs all fall below the global DSIR cutpoint (or whose
+      // budget floors to 0) must still report its funnel counts with
+      // zeros, not vanish from the audit
+      totalC.join(gatedC, Seq("lang"), "left")
+        .join(takes, Seq("lang"), "left")
+        .join(packed, Seq("lang"), "left")
+        .select(col("lang"), col("docs"),
+          coalesce(col("gated"), lit(0L)).as("gated"),
+          coalesce(col("dsir_kept"), lit(0L)).as("dsir_kept"),
+          coalesce(col("lang_tokens"), lit(0L)).as("lang_tokens"),
+          coalesce(col("tok_budget"), lit(0L)).as("tok_budget"),
+          coalesce(col("selected"), lit(0L)).as("selected"),
+          coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
+          coalesce(col("bins"), lit(0L)).as("bins"))
         .orderBy("lang")
     },
     Some(s"""WITH $unigramOracleCtes,
-            |tgt AS (SELECT t, COUNT(*) AS ct FROM toks
-            |        WHERE source = 'src0' GROUP BY 1),
-            |co AS (
-            |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
-            |    (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS ntt
-            |  FROM uni),
-            |model AS (
-            |  SELECT uni.t, uni.c AS cr, COALESCE(tgt.ct, 0) AS ct,
-            |    n.n AS nr, co.v, co.ntt
-            |  FROM uni LEFT JOIN tgt ON uni.t = tgt.t
-            |  CROSS JOIN n CROSS JOIN co),
+            |$dsirModelOracleCtes,
             |pd AS (
             |  SELECT toks.doc_id, toks.lang, toks.source,
             |    CAST(FLOOR(AVG(-LOG2(CAST(cr AS DOUBLE) / nr))
@@ -1699,15 +1722,12 @@ object TextAnalysis {
             |c AS (
             |  SELECT lang, COUNT(*) AS dsir_kept,
             |    CAST(SUM(nt) AS BIGINT) AS lang_tokens,
-            |    CAST(floor(sqrt(CAST(SUM(nt) AS DOUBLE))
-            |      * 1000000 + 0.5) AS BIGINT) AS wu
+            |    ${alphaWuSql("SUM(nt)")} AS wu
             |  FROM kept GROUP BY lang),
-            |k AS (SELECT CAST(SUM(wu) AS BIGINT) AS swu,
-            |        CAST(SUM(lang_tokens) AS BIGINT) AS total FROM c),
+            |${alphaKCte("lang_tokens")},
             |t AS (
             |  SELECT lang, dsir_kept, lang_tokens,
-            |    least(lang_tokens, ((total // 2) * wu) // swu)
-            |      AS tok_budget
+            |    ${alphaTakeSql("lang_tokens")} AS tok_budget
             |  FROM c CROSS JOIN k),
             |r AS (
             |  SELECT lang, doc_id, nt, hh,
@@ -1727,12 +1747,17 @@ object TextAnalysis {
             |gc AS (SELECT lang, COUNT(*) AS gated FROM gated
             |       GROUP BY lang),
             |tc AS (SELECT lang, COUNT(*) AS docs FROM pd GROUP BY lang)
-            |SELECT tc.lang, tc.docs, gc.gated, t.dsir_kept,
-            |  t.lang_tokens, t.tok_budget, p.selected, p.sel_tokens,
-            |  p.bins
-            |FROM tc JOIN gc ON tc.lang = gc.lang
-            |JOIN t ON tc.lang = t.lang
-            |JOIN p ON tc.lang = p.lang
+            |SELECT tc.lang, tc.docs,
+            |  CAST(COALESCE(gc.gated, 0) AS BIGINT) AS gated,
+            |  CAST(COALESCE(t.dsir_kept, 0) AS BIGINT) AS dsir_kept,
+            |  CAST(COALESCE(t.lang_tokens, 0) AS BIGINT) AS lang_tokens,
+            |  CAST(COALESCE(t.tok_budget, 0) AS BIGINT) AS tok_budget,
+            |  CAST(COALESCE(p.selected, 0) AS BIGINT) AS selected,
+            |  CAST(COALESCE(p.sel_tokens, 0) AS BIGINT) AS sel_tokens,
+            |  CAST(COALESCE(p.bins, 0) AS BIGINT) AS bins
+            |FROM tc LEFT JOIN gc ON tc.lang = gc.lang
+            |LEFT JOIN t ON tc.lang = t.lang
+            |LEFT JOIN p ON tc.lang = p.lang
             |ORDER BY tc.lang""".stripMargin))
 
   // Column profiling — the ANALYZE-style statistics pass every engine
@@ -2231,21 +2256,11 @@ object TextAnalysis {
         .select(col("doc_id")).distinct()
       val surv = graft.Caches.persist(
         ded.join(leak, Seq("doc_id"), "left_anti"))
-      // α = 0.5 temperature budget per language (q115's formulation —
-      // incl. its r12 µunit weights: √survivors floors to integer
-      // µunits once, the budget is integer arithmetic after, so tied
-      // per-lang counts can never park the floor on an ulp boundary)
+      // α = 0.5 temperature budget per language — the ONE shared
+      // µunit spelling ([[alphaBudget]]; q115's flake note)
       val counts = surv.groupBy(col("lang"))
         .agg(count(lit(1)).as("survivors"))
-        .withColumn("wu",
-          floor(sqrt(col("survivors").cast(DoubleType)) * 1e6 + 0.5d)
-            .cast(LongType))
-      val consts = counts.agg(sum(col("wu")).as("swu"),
-        sum(col("survivors")).as("total"))
-      val takes = counts.join(broadcast(consts))
-        .select(col("lang"), col("survivors"),
-          least(col("survivors"),
-            expr("((total div 2) * wu) div swu")).as("budget"))
+      val takes = alphaBudget(counts, "survivors", "budget")
       // content-addressed selection + integer-exact packing ledger —
       // through the size-guarded thresholdSelect dispatcher: the
       // fixture corpus takes the exact window arm, a 100 TB lang takes
@@ -2268,8 +2283,8 @@ object TextAnalysis {
           col("tokens"), col("bins"), col("fill"))
         .orderBy("lang")
     },
-    Some("""WITH tr AS (
-           |  SELECT doc_id, lang, text,
+    Some(s"""WITH tr AS (
+            |  SELECT doc_id, lang, text,
            |    len(string_split(lower(text), ' ')) AS nt
            |  FROM documents WHERE doc_id % 100 < 80),
            |gated AS (SELECT * FROM tr WHERE nt BETWEEN 20 AND 80),
@@ -2298,14 +2313,12 @@ object TextAnalysis {
            |surv AS (SELECT * FROM ded
            |         WHERE doc_id NOT IN (SELECT doc_id FROM leak)),
            |c AS (SELECT lang, COUNT(*) AS survivors,
-           |        CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))
-           |          * 1000000 + 0.5) AS BIGINT) AS wu
+           |        ${alphaWuSql("COUNT(*)")} AS wu
            |      FROM surv GROUP BY lang),
-           |k AS (SELECT CAST(SUM(wu) AS BIGINT) AS swu,
-           |        CAST(SUM(survivors) AS BIGINT) AS total FROM c),
+           |${alphaKCte("survivors")},
            |t AS (
            |  SELECT lang, survivors,
-           |    least(survivors, ((total // 2) * wu) // swu) AS budget
+           |    ${alphaTakeSql("survivors")} AS budget
            |  FROM c CROSS JOIN k),
            |r AS (
            |  SELECT lang, doc_id, nt,
@@ -2485,20 +2498,11 @@ object TextAnalysis {
             col("doc_id")).as("s__"))
           .select((gated.columns.map(c => col(s"s__.$c")) :+
             col("hh")): _*))
-      // q115's r12 µunit weights: √mass floors to integer µunits once,
-      // the budget is integer arithmetic after — no ulp-boundary floor
+      // the ONE shared µunit budget spelling ([[alphaBudget]])
       val counts = ded.groupBy(col("lang"))
         .agg(count(lit(1)).as("deduped"),
           sum(col("nt")).as("lang_tokens"))
-        .withColumn("wu",
-          floor(sqrt(col("lang_tokens").cast(DoubleType)) * 1e6 + 0.5d)
-            .cast(LongType))
-      val consts = counts.agg(sum(col("wu")).as("swu"),
-        sum(col("lang_tokens")).as("total"))
-      val takes = counts.join(broadcast(consts))
-        .select(col("lang"), col("deduped"), col("lang_tokens"),
-          least(col("lang_tokens"),
-            expr("((total div 2) * wu) div swu")).as("tok_budget"))
+      val takes = alphaBudget(counts, "lang_tokens", "tok_budget")
       // token-budget prefix through the size-guarded weighted
       // dispatcher: the fixture corpus plans the exact window arm, a
       // 100 TB lang plans the sampled-threshold arm with no per-lang
@@ -2532,15 +2536,12 @@ object TextAnalysis {
             |c AS (
             |  SELECT lang, COUNT(*) AS deduped,
             |    CAST(SUM(nt) AS BIGINT) AS lang_tokens,
-            |    CAST(floor(sqrt(CAST(SUM(nt) AS DOUBLE))
-            |      * 1000000 + 0.5) AS BIGINT) AS wu
+            |    ${alphaWuSql("SUM(nt)")} AS wu
             |  FROM ded GROUP BY lang),
-            |k AS (SELECT CAST(SUM(wu) AS BIGINT) AS swu,
-            |        CAST(SUM(lang_tokens) AS BIGINT) AS total FROM c),
+            |${alphaKCte("lang_tokens")},
             |t AS (
             |  SELECT lang, deduped, lang_tokens,
-            |    least(lang_tokens, ((total // 2) * wu) // swu)
-            |      AS tok_budget
+            |    ${alphaTakeSql("lang_tokens")} AS tok_budget
             |  FROM c CROSS JOIN k),
             |r AS (
             |  SELECT lang, doc_id, nt, hh,

@@ -47,6 +47,13 @@ class DsirSelectSpec extends AnyFunSuite {
     val wSum = rows.map(_._4).sum
     assert(math.abs(wSum - 1.0) < 0.01,
       s"weights sum to $wSum, not ~1")
+    // reference ratio 1/Z from the zero-excess domains; compare as
+    // weight − share·ref (differences of 4dp-rounded values, ±1e-4
+    // noise each) instead of ratios of rounded values, whose noise
+    // blows up as 1/share for small shares
+    val zeroExcess = rows.filter(_._3 == 0.0).filter(_._2 > 0.0)
+    assert(zeroExcess.nonEmpty, "no zero-excess domain to anchor Z")
+    val refRatio = zeroExcess.map(r => r._4 / r._2).max
     rows.foreach { case (src, share, excess, weight) =>
       if (excess == 0.0)
         // exp(0) = 1: weight = share / Z with Z ≥ 1, so never above
@@ -54,14 +61,9 @@ class DsirSelectSpec extends AnyFunSuite {
         assert(weight <= share + 2e-4,
           s"$src: zero-excess domain up-weighted ($share -> $weight)")
       else
-        // positive excess must not DOWN-weight relative to a
-        // zero-excess domain of the same share: weight/share ratio at
-        // or above the zero-excess ratio 1/Z. Tolerance 5e-3: both
-        // ratio terms are 4dp-rounded ~0.05 values, so the quotient
-        // carries ~±2e-3 of rounding noise alone
-        assert(weight / share > rows.filter(_._3 == 0.0)
-          .map(r => r._4 / r._2).max - 5e-3,
-          s"$src: positive excess but relative weight fell")
+        assert(weight - share * refRatio > -5e-4,
+          s"$src: positive excess but weight $weight fell below " +
+            s"share·(1/Z) = ${share * refRatio}")
     }
     Caches.clear(spark)
   }
