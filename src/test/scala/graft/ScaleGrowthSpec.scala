@@ -83,7 +83,10 @@ class ScaleGrowthSpec extends AnyFunSuite {
     val vocab = math.max(50, (8 * math.pow(n, 0.75)).toInt)
     val docs = (0L until n.toLong).map { id =>
       val text = corpusText(id, vocab)
-      (id, text, s"l${id % 3}", s"s${id % 2}", text.length.toLong)
+      // source names match the fixture corpus's ("src0"…) so the
+      // DSIR-family queries (q163/q165) — whose target slice is
+      // source = 'src0' — are measurable on these corpora too
+      (id, text, s"l${id % 3}", s"src${id % 2}", text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     writeSingle(docs, dir.resolve("documents.parquet"))
     val dim = graft.tools.GenFixtures.Dim
@@ -677,6 +680,40 @@ class ScaleGrowthSpec extends AnyFunSuite {
         s"capstone pipeline shuffle grows super-linearly (exp $exp): " +
           s"$s1 -> $s2 -> $s3")
       // the temperature budget takes ~half the survivors at any scale
+      assert(r3 > r2 && r2 > r1 && r1 > 0,
+        s"selection not tracking corpus growth: $r1/$r2/$r3")
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
+
+  // ---- the q165 modern capstone's growth exponent ------------------
+  //
+  // CCNet gate → DSIR select → µunit token budget → prefix select →
+  // pack, as one plan: the dominant exchange is the single corpus
+  // token pass into the per-doc metric agg (both metrics ride it), so
+  // the composite must grow ~linearly like q147's — a regression in
+  // the combined-model join or a metric falling out of the shared
+  // pass shows up here as a super-linear composite.
+  test("q165 modern capstone: composite shuffle growth ~linear, " +
+      "selection tracks corpus growth") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      val rows = Seq(500, 2000, 8000).map { n =>
+        val dir = genCorpus(n)
+        clock.quiesce(); clock.reset()
+        val out = SparkEntry.queries("q165_modern_pipeline")(spark, dir)
+          .collect()
+        clock.quiesce()
+        val sh = clock.shuffleRecords
+        Caches.clear(spark)
+        (sh, out.map(_.getAs[Long]("selected")).sum)
+      }
+      val Seq((s1, r1), (s2, r2), (s3, r3)) = rows
+      val exp = math.log(s3.toDouble / s2) / math.log(4.0)
+      info(f"q165: shuffle=$s1/$s2/$s3 exp=$exp%.2f selected=$r1/$r2/$r3")
+      assert(exp < 1.3,
+        s"modern capstone shuffle grows super-linearly (exp $exp): " +
+          s"$s1 -> $s2 -> $s3")
       assert(r3 > r2 && r2 > r1 && r1 > 0,
         s"selection not tracking corpus growth: $r1/$r2/$r3")
     } finally spark.sparkContext.removeSparkListener(clock)
