@@ -288,23 +288,28 @@ object EventAnalytics {
 
   /** Robust outlier accounting: events beyond `median ± 3·MAD` per
     * type — the data-quality rule that survives heavy tails where
-    * mean/stddev break. Two exact-percentile passes (median of values,
-    * then median of absolute deviations) joined back by the 5-key
-    * group — both joins broadcast group-cardinality relations, the
-    * fact table shuffles once per pass. At 100 TB the same shape runs
-    * on `percentile_approx` (the q93-gated swap).
+    * mean/stddev break. Two median passes (median of values, then
+    * median of absolute deviations) joined back by the 5-key group —
+    * both joins broadcast group-cardinality relations, the fact table
+    * shuffles once per pass. Both medians run through
+    * [[Cutpoints.cutpointOf]]: exact `percentile` at this scale, the
+    * sketch-banded exact arm (no per-group value buffer) at 100 TB —
+    * bit-equal either way (CutpointSpec).
     */
   val q96Outliers: QueryDef = QueryDef(
     "q96_outliers",
     (s, dir) => {
       val e = Tables.load(s, dir, "events")
         .select(col("event_type"), col("value"))
-      val med = e.groupBy("event_type")
-        .agg(expr("percentile(value, 0.5D)").as("m"))
-      val mad = e.join(broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(expr("percentile(abs(value - m), 0.5D)").as("mad"),
-          first(col("m")).as("m"))
+      val med = Cutpoints.cutpointOf(
+        e, Seq("event_type"), "value", Seq(0.5))
+        .withColumnRenamed("cut0", "m")
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("ad__", abs(col("value") - col("m")))
+      val mad = Cutpoints.cutpointOf(
+        dev, Seq("event_type"), "ad__", Seq(0.5))
+        .withColumnRenamed("cut0", "mad")
+        .join(med, "event_type")
       e.join(broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),

@@ -368,10 +368,11 @@ object TextAnalysis {
     * broadcast back (a 1-row BNLJ, not an exchange of the corpus), and
     * tier assignment becomes a stateless per-row CASE — one narrow
     * corpus pass, no global sort, no window anywhere in the plan
-    * (`PlanShapeSpec` asserts both). At 100 TB the exact `percentile`
-    * cutpoint aggregate swaps to `percentile_approx` (mergeable GK
-    * sketch, q93 runs that swap under a bracketing gate); the
-    * broadcast-CASE stage is unchanged.
+    * (`PlanShapeSpec` asserts both). The cutpoint aggregate runs
+    * through [[Cutpoints.cutpointOf]]: exact `percentile` at this
+    * scale, the sketch-banded EXACT arm (mergeable GK sketch + exact
+    * boundary-band fix-up, bit-equal results) at 100 TB; the
+    * broadcast-CASE stage is unchanged either way.
     *
     * Semantics note: quartile EDGES differ from q92's ntile on
     * purpose — ntile balances COUNTS (ties split across tiers),
@@ -385,13 +386,13 @@ object TextAnalysis {
       val d = Tables.load(s, dir, "documents")
         .withColumn("nt",
           size(split(lower(col("text")), " ")).cast(DoubleType))
-      val cuts = d.agg(
-        expr("percentile(nt, array(0.25D, 0.5D, 0.75D))").as("c"))
+      val cuts = Cutpoints.cutpointOf(
+        d, Nil, "nt", Seq(0.25, 0.5, 0.75))
       d.crossJoin(broadcast(cuts))
         .withColumn("tier",
-          when(col("nt") <= col("c")(0), 1)
-            .when(col("nt") <= col("c")(1), 2)
-            .when(col("nt") <= col("c")(2), 3)
+          when(col("nt") <= col("cut0"), 1)
+            .when(col("nt") <= col("cut1"), 2)
+            .when(col("nt") <= col("cut2"), 3)
             .otherwise(4))
         .groupBy(col("tier"), col("lang"))
         .agg(count(lit(1)).as("docs"),
@@ -1468,10 +1469,13 @@ object TextAnalysis {
   // Shape: one corpus token pass → per-doc bits → per-lang EXACT
   // interpolated tertile cutpoints (Spark `percentile` ≡ oracle
   // quantile_cont, q67's precedent) broadcast back over the per-doc
-  // relation → stateless CASE bucketing + one keyed agg. At 100 TB
-  // the exact percentile swaps to the approx sketch (q93's note) and
-  // everything downstream is unchanged — cutpoints are a
-  // langs×2-value broadcast either way.
+  // relation → stateless CASE bucketing + one keyed agg. The
+  // cutpoints run through [[Cutpoints.cutpointOf]], the size-guarded
+  // dispatcher: the fixture corpus plans the exact percentile arm, a
+  // 100 TB corpus plans the sketch-banded arm whose only corpus-wide
+  // aggregate is a mergeable GK sketch (no per-group value buffer) —
+  // both arms bit-equal (CutpointSpec), and downstream is unchanged
+  // either way: cutpoints are a langs×2-value broadcast.
   val q162CcnetBuckets: QueryDef = QueryDef(
     "q162_ccnet_buckets",
     (s, dir) => {
@@ -1491,13 +1495,12 @@ object TextAnalysis {
         .agg(floor(avg(-log2(col("c").cast(DoubleType) / col("n")))
           * 1e6 + 0.5d).as("bu"))
         .transform(graft.Caches.persist) // cutpoint + bucket consumers
-      val cuts = perDoc.groupBy(col("lang"))
-        .agg(expr("percentile(bu, array(1.0D / 3, 2.0D / 3))")
-          .as("cu"))
+      val cuts = Cutpoints.cutpointOf(
+        perDoc, Seq("lang"), "bu", Seq(1.0 / 3, 2.0 / 3))
       perDoc.join(broadcast(cuts), Seq("lang"))
         .withColumn("bucket",
-          when(col("bu") <= col("cu")(0), "head")
-            .when(col("bu") <= col("cu")(1), "middle")
+          when(col("bu") <= col("cut0"), "head")
+            .when(col("bu") <= col("cut1"), "middle")
             .otherwise("tail"))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("docs"),
@@ -1571,8 +1574,11 @@ object TextAnalysis {
             log2(col("cr").cast(DoubleType) / col("nr").cast(DoubleType)))
           * 1e6 + 0.5d).as("iwu"))
         .transform(graft.Caches.persist) // cutpoint + audit consumers
-      val cut = broadcast(perDoc.agg(
-        expr("percentile(iwu, 0.8D)").as("c80")))
+      // global 80th-pct cutpoint through the size-guarded dispatcher
+      // (exact arm at fixture scale, sketch-banded exact arm at 100 TB)
+      val cut = broadcast(Cutpoints.cutpointOf(
+        perDoc, Nil, "iwu", Seq(0.8))
+        .withColumnRenamed("cut0", "c80"))
       perDoc.crossJoin(cut)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"),
@@ -1646,15 +1652,19 @@ object TextAnalysis {
                 col("nr").cast(DoubleType)))
             * 1e6 + 0.5d).as("iwu"),
           count(lit(1)).as("nt")))
-      // CCNet gate: keep head+middle of each language
-      val cuts = perDoc.groupBy(col("lang"))
-        .agg(expr("percentile(bu, 2.0D / 3)").as("c2"))
+      // CCNet gate: keep head+middle of each language — cutpoints
+      // through the size-guarded dispatcher (exact arm here, sketch-
+      // banded exact arm at 100 TB; CutpointSpec pins bit-equality)
+      val cuts = Cutpoints.cutpointOf(
+        perDoc, Seq("lang"), "bu", Seq(2.0 / 3))
+        .withColumnRenamed("cut0", "c2")
       val gated = perDoc.join(broadcast(cuts), Seq("lang"))
         .filter(col("bu") <= col("c2"))
         .transform(graft.Caches.persist) // dsir cut + keep + counts
       // DSIR selection over the gated survivors
-      val c80 = broadcast(gated.agg(
-        expr("percentile(iwu, 0.8D)").as("c80")))
+      val c80 = broadcast(Cutpoints.cutpointOf(
+        gated, Nil, "iwu", Seq(0.8))
+        .withColumnRenamed("cut0", "c80"))
       val kept = gated.crossJoin(c80).filter(col("iwu") > col("c80"))
         .join(Tables.load(s, dir, "documents")
           .select(col("doc_id"),
@@ -2007,15 +2017,18 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val outCols = d.columns.toSeq.map(col)
     val wKey = Window.partitionBy(col(key)).orderBy(col(ord), col(id))
-    // Arm dispatch is a PLAN-TIME decision on Catalyst's own size
-    // statistics (the signal broadcast planning uses) — exactly one
-    // arm is planned, so the fixture-scale plan carries none of the
-    // threshold machinery and the 100 TB plan carries no full-corpus
-    // window. (A per-key mixed dispatch would plan BOTH subtrees for
-    // every caller; with key cardinality this small — languages,
-    // sources — the corpus-level switch is the right granularity.)
+    // Arm dispatch is a PLAN-TIME decision on the sum of the plan's
+    // REAL leaf input sizes ([[graft.PlanSize.leafInputBytes]] —
+    // propagated Catalyst estimates multiply garbage through
+    // join/explode chains and mis-dispatch fixture-scale inputs to the
+    // threshold arm) — exactly one arm is planned, so the
+    // fixture-scale plan carries none of the threshold machinery and
+    // the 100 TB plan carries no full-corpus window. (A per-key mixed
+    // dispatch would plan BOTH subtrees for every caller; with key
+    // cardinality this small — languages, sources — the corpus-level
+    // switch is the right granularity.)
     val arm = forceArm.getOrElse {
-      if (d.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      if (graft.PlanSize.leafInputBytes(d) <=
         BigInt(smallBytesBound)) "window"
       else "threshold"
     }
@@ -2131,7 +2144,7 @@ object TextAnalysis {
     val wKey = Window.partitionBy(col(key)).orderBy(col(ord), col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
     val arm = forceArm.getOrElse {
-      if (d.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      if (graft.PlanSize.leafInputBytes(d) <=
         BigInt(smallBytesBound)) "window"
       else "threshold"
     }
