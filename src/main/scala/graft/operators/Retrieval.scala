@@ -673,7 +673,7 @@ object Retrieval {
   // known item landed; nDCG grades the whole ranked page
   // (Järvelin & Kekäläinen TOIS'02). Relevance is derived, not
   // annotated (the standard proxy move): the query doc itself is the
-  // grade-2 known item, every other SAME-SOURCE doc is grade 1 —
+  // grade-3 known item, every other SAME-SOURCE doc is grade 1 —
   // whether the ranker surfaces the query's cluster, not just the
   // query. Float discipline: every DCG weight 1/log2(r+1) and every
   // IDCG prefix sum is emitted as ONE scale-9 DECIMAL literal
@@ -691,7 +691,8 @@ object Retrieval {
       .map(r => s"WHEN $r THEN ${dcgW(r - 1).underlying.toPlainString}")
       .mkString(" ") + " END"
   // S(k) = Σ_{i=2..k} w_i — the grade-1 part of the ideal DCG when
-  // k−1 grade-1 docs follow the grade-2 known item at rank 1
+  // k−1 grade-1 docs follow the grade-3 known item at rank 1 (whose
+  // w_1 = 1 contributes the 3.000000000 literal both engines add)
   // (toPlainString: BigDecimal 0 at scale 9 would otherwise print
   // "0E-9", which neither SQL parser accepts as a decimal literal)
   private val idcgCase: String =

@@ -2122,15 +2122,21 @@ object TextAnalysis {
     *    accepted with NO sort (their exact mass comes from a plain
     *    agg); only the boundary band is exactly ranked to extend the
     *    prefix to the budget. Validity is PROVEN per key
-    *    (acceptMass ≤ budget AND (acceptMass + bandMass ≥ budget OR
-    *    accept∪band is the whole key)); a misestimating key falls back
-    *    to its exact window — the result equals the window arm ALWAYS.
+    *    (acceptMass < budget — STRICT, see below — AND
+    *    (acceptMass + bandMass ≥ budget OR accept∪band is the whole
+    *    key)); a misestimating key falls back to its exact window —
+    *    the result equals the window arm ALWAYS, for any weights ≥ 0.
     *
     * Exactness argument: accepted rows all precede band rows in
     * (ord, id) order, so a selected row's true exclusive prefix mass
     * is acceptMass + its exclusive mass WITHIN the band; rows beyond
     * t_hi have prefix mass ≥ acceptMass + bandMass ≥ budget under the
     * validity condition, so the window arm would reject them too.
+    * The strict acceptMass < budget bound is what covers weight-0
+    * rows: an accept row's exclusive prefix mass is ≤ acceptMass with
+    * equality possible only at weight 0, and the window arm's strict
+    * `cum < budget` must still keep it — at acceptMass == budget it
+    * wouldn't, so that boundary goes to the exact fallback.
     */
   private[graft] def thresholdSelectTokens(
       d: DataFrame, key: String, ord: String, id: String,
@@ -2186,7 +2192,15 @@ object TextAnalysis {
       // zero-weight row beyond t_hi would make the mass equality hold
       // while accept∪band is NOT the whole key — the window arm would
       // select that row (its exclusive cum < budget) and the arms
-      // would diverge
+      // would diverge.
+      // acc_mass must be STRICTLY below the budget: an accept row's
+      // exclusive prefix mass can EQUAL acc_mass when its own weight
+      // is 0 (the window arm's strict `cum < budget` drops it while
+      // accept rows pass unconditionally) — the acc_mass == budget
+      // boundary therefore goes to the exact per-key fallback, which
+      // is what makes the arm-equality claim hold for ANY weights ≥ 0,
+      // not just weights ≥ 1 (ThresholdSelectTokensSpec plants the
+      // zero-weight divergence case).
       val masses = broadcast(
         accept.groupBy(col(key))
           .agg(sum(col(weight)).as("acc_mass__"),
@@ -2199,7 +2213,7 @@ object TextAnalysis {
           .join(budgets, Seq(key))
           .select(col(key),
             coalesce(col("acc_mass__"), lit(0L)).as("acc_mass__"),
-            (coalesce(col("acc_mass__"), lit(0L)) <= col("budget") &&
+            (coalesce(col("acc_mass__"), lit(0L)) < col("budget") &&
               (coalesce(col("acc_mass__"), lit(0L)) +
                 coalesce(col("band_mass__"), lit(0L)) >= col("budget") ||
                 coalesce(col("n_acc__"), lit(0L)) +

@@ -151,7 +151,7 @@ class RetrievalSpec extends AnyFunSuite {
   }
 
   test("q160 nDCG: values in (0,1], and a query whose known item " +
-      "q137 puts at text rank 1 carries at least the grade-2 " +
+      "q137 puts at text rank 1 carries at least the grade-3 " +
       "contribution 3·w1 in its DCG") {
     val ndcg = SparkEntry.queries("q160_ndcg_eval")(spark, dir)
       .collect()

@@ -49,6 +49,41 @@ class ThresholdSelectTokensSpec extends AnyFunSuite
     }
   }
 
+  test("zero-weight row at the acc_mass == budget boundary: arms stay " +
+      "equal (the strict acc_mass < budget validity bound)") {
+    import spark.implicits._
+    // Construct the divergence case the ≤ bound allowed: a SAMPLED ord
+    // s1 carrying exactly the budget, an UNSAMPLED zero-weight ord u
+    // above it, and a SAMPLED ord s2 above both. The sample's scaled
+    // mass puts t_lo at s2, so accept = {s1, u} with acc_mass ==
+    // budget; u's exclusive cumulative mass == budget, which the
+    // window arm's strict `cum < budget` drops — only the strict
+    // validity bound (→ exact fallback) keeps the arms equal.
+    val pool = (0 until 200).map(i => f"k$i%03d")
+    val sampled = spark.createDataset(pool).toDF("o")
+      .withColumn("s", pmod(xxhash64(col("o")), lit(16)) === 0)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val sOrds = pool.filter(sampled)
+    val uOrds = pool.filterNot(sampled)
+    // s1 < u < s2 lexicographically
+    val s1 = sOrds.head
+    val u = uOrds.find(_ > s1).get
+    val s2 = sOrds.find(_ > u).get
+    val budget = 10L
+    val d = Seq(("k", s1, 1L, budget), ("k", u, 2L, 0L),
+      ("k", s2, 3L, 7L)).toDF("lang", "hh", "doc_id", "nt")
+    val b = Seq(("k", budget)).toDF("lang", "budget")
+    val win = TextAnalysis.thresholdSelectTokens(d, "lang", "hh",
+      "doc_id", "nt", b, forceArm = Some("window"))
+    val thr = TextAnalysis.thresholdSelectTokens(d, "lang", "hh",
+      "doc_id", "nt", b, sampleMod = 16, marginFrac = 0.25,
+      forceArm = Some("threshold"))
+    assert(keySet(win) == Set(("k", 1L)),
+      "window arm must drop the zero-weight boundary row")
+    assert(keySet(thr) == keySet(win),
+      "threshold arm diverged on the zero-weight boundary")
+  }
+
   test("a misestimating sample (coarse sample, zero margin) falls " +
       "back per key and stays exact") {
     val b = budgetsOf(0.4)
