@@ -109,6 +109,7 @@ object CopySink {
       s"${pgIdent("part_id")} INTEGER NOT NULL, " +
       s"${pgIdent("n_parts")} INTEGER NOT NULL, " +
       s"${pgIdent("n_rows")} BIGINT NOT NULL, " +
+      s"${pgIdent("content_ck")} BIGINT, " +
       s"PRIMARY KEY (${pgIdent("sink_id")}, ${pgIdent("batch_id")}, " +
       s"${pgIdent("part_id")}))"
   }
@@ -123,6 +124,45 @@ object CopySink {
     import SchemaMapping.pgIdent
     s"ALTER TABLE ${pgIdent(ledgerTable)} ADD COLUMN " +
       s"${pgIdent("n_rows")} BIGINT DEFAULT -1 NOT NULL"
+  }
+
+  /** Upgrade DDL for a ledger created by a pre-`content_ck` build
+    * (r12). The column is NULLABLE on purpose: NULL is the "checksum
+    * unknown, skip content verification" sentinel pre-upgrade rows
+    * get for free from the ALTER's backfill — unlike n_rows, no long
+    * value can serve as a sentinel (every 64-bit value is a valid
+    * checksum).
+    */
+  def ledgerChecksumMigrationDdl(ledgerTable: String): String = {
+    import SchemaMapping.pgIdent
+    s"ALTER TABLE ${pgIdent(ledgerTable)} ADD COLUMN " +
+      s"${pgIdent("content_ck")} BIGINT"
+  }
+
+  /** Canonical per-row content hash for the ledger checksum: FNV-1a 64
+    * over a field-delimited rendering (NUL for SQL NULL — distinct
+    * from the string "null"; binary columns as hex — Array.toString
+    * would be an identity hash, different every JVM). A partition's
+    * checksum is the WRAPPING SUM of its row hashes: order-insensitive
+    * (commutative — a benign intra-partition reorder of the same
+    * multiset is not a content change) yet multiplicity-sensitive
+    * (a row swapped for a duplicate of another shifts the sum).
+    */
+  def rowCk(row: Row): Long = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < row.length) {
+      row.get(i) match {
+        case null => sb.append(0.toChar)
+        case b: Array[Byte] =>
+          var j = 0
+          while (j < b.length) { sb.append(f"${b(j)}%02x"); j += 1 }
+        case v => sb.append(String.valueOf(v))
+      }
+      sb.append(1.toChar)
+      i += 1
+    }
+    SchemaMapping.fnv1a64(sb.toString)
   }
 
   /** How a partition's data rows reach the target INSIDE the ledger
@@ -217,13 +257,18 @@ object CopySink {
     *    loser's INSERT fails and its data rows roll back in the same
     *    transaction.
     *
-    * A same-count same-rows-per-partition PERMUTATION of row contents
-    * across equal-sized partitions is the one shape neither layer can
-    * see — "partially enforced" is the honest label; recording a
-    * per-partition content checksum would close it at the cost of
-    * hashing every replayed row. StreamingSinkSpec proves the
-    * redelivery path row-for-row, the layout-change rejection, and
-    * the row-count mismatch rejection.
+    * The third layer closes the residual the first two cannot see — a
+    * same-count same-rows-per-partition PERMUTATION of row contents
+    * across equal-sized partitions: every committing partition records
+    * a content checksum ([[rowCk]] — order-insensitive commutative sum
+    * of per-row hashes) in its ledger row, and a skipping partition
+    * re-hashes its replayed rows and verifies. The cost is hashing
+    * each row once per write/replay (cheap next to the JDBC round
+    * trip); pre-upgrade ledger rows carry NULL (checksum unknown) and
+    * skip content verification, the n_rows = -1 discipline.
+    * StreamingSinkSpec proves the redelivery path row-for-row, the
+    * layout-change rejection, the row-count mismatch rejection, and
+    * the equal-count content-permutation rejection.
     *
     * The data arm is pluggable ([[PartitionDataWriter]]): a PostgreSQL
     * `targetUrl` streams the COPY protocol inside the SAME transaction
@@ -253,13 +298,15 @@ object CopySink {
     val lt =
       if (schema == null || schema.isEmpty) pgIdent(ledgerTable)
       else s"${pgIdent(schema)}.${pgIdent(ledgerTable)}"
-    val checkSql = s"SELECT ${pgIdent("n_rows")} FROM $lt " +
+    val checkSql = s"SELECT ${pgIdent("n_rows")}, " +
+      s"${pgIdent("content_ck")} FROM $lt " +
       s"WHERE ${pgIdent("sink_id")} = ? " +
       s"AND ${pgIdent("batch_id")} = ? AND ${pgIdent("part_id")} = ?"
     val markSql = s"INSERT INTO $lt (${pgIdent("sink_id")}, " +
       s"${pgIdent("batch_id")}, ${pgIdent("part_id")}, " +
-      s"${pgIdent("n_parts")}, ${pgIdent("n_rows")}) " +
-      s"VALUES (?, ?, ?, ?, ?)"
+      s"${pgIdent("n_parts")}, ${pgIdent("n_rows")}, " +
+      s"${pgIdent("content_ck")}) " +
+      s"VALUES (?, ?, ?, ?, ?, ?)"
     val nParts = batch.rdd.getNumPartitions
     // advisory layout guard (driver-side, once per batch): if ANY
     // ledger row exists for this batch, its recorded partition count
@@ -284,6 +331,14 @@ object CopySink {
                 ledgerMigrationDdl(ledgerTable) +
                 " — backfilled rows get the -1 sentinel, which skips " +
                 "row-count verification for pre-upgrade batches")
+          if (!names.contains("content_ck"))
+            throw new IllegalStateException(
+              "writeExactlyOnce: ledger table is missing the " +
+                "content_ck column (created by a pre-checksum build). " +
+                "Migrate it with: " +
+                ledgerChecksumMigrationDdl(ledgerTable) +
+                " — backfilled rows get NULL, which skips content " +
+                "verification for pre-upgrade batches")
         } finally probe.close()
         val st = pc.prepareStatement(
           s"SELECT MAX(${pgIdent("n_parts")}) FROM $lt " +
@@ -313,36 +368,49 @@ object CopySink {
       try {
         conn.setAutoCommit(false)
         val cps = conn.prepareStatement(checkSql)
-        // committedRows: None → first attempt; Some(n) → this
+        // committed: None → first attempt; Some((n, ck)) → this
         // partition already committed n rows (n = -1: pre-migration
-        // ledger row, count unknown)
-        val committedRows =
+        // ledger row, count unknown) with content checksum ck
+        // (None: pre-checksum ledger row, content unknown)
+        val committed =
           try {
             cps.setString(1, sinkId); cps.setLong(2, batchId)
             cps.setInt(3, pid)
             val rs = cps.executeQuery()
             try {
-              if (rs.next()) Some(rs.getLong(1)) else None
+              if (rs.next()) {
+                val n = rs.getLong(1)
+                val ckv = rs.getLong(2)
+                Some((n, if (rs.wasNull()) None else Some(ckv)))
+              } else None
             } finally rs.close()
           } finally cps.close()
-        committedRows match {
+        committed match {
           case None =>
-            val written = writer.write(conn, rows)
+            // hash while streaming: the checksum folds over the same
+            // single pass the data arm consumes
+            var ck = 0L
+            val hashed = rows.map { r => ck += rowCk(r); r }
+            val written = writer.write(conn, hashed)
             val mp = conn.prepareStatement(markSql)
             try {
               mp.setString(1, sinkId); mp.setLong(2, batchId)
               mp.setInt(3, pid); mp.setInt(4, nParts)
-              mp.setLong(5, written)
+              mp.setLong(5, written); mp.setLong(6, ck)
               mp.executeUpdate()
             } finally mp.close()
-          case Some(expected) =>
+          case Some((expected, expectedCk)) =>
             // skip path: the per-partition half of the determinism
-            // guard — count the replayed rows and verify against the
-            // committed n_rows, catching an equal-n_parts layout whose
-            // row-to-partition assignment shifted (the case the
-            // driver-side count probe cannot see)
+            // guard — count AND re-hash the replayed rows, verifying
+            // both against the ledger row: the count catches an
+            // equal-n_parts layout whose row-to-partition assignment
+            // shifted sizes, the checksum the equal-count content
+            // PERMUTATION neither count can see
             var replayed = 0L
-            while (rows.hasNext) { rows.next(); replayed += 1 }
+            var rck = 0L
+            while (rows.hasNext) {
+              rck += rowCk(rows.next()); replayed += 1
+            }
             if (expected >= 0L && replayed != expected)
               throw new IllegalStateException(
                 s"writeExactlyOnce: partition $pid of batch $batchId " +
@@ -354,6 +422,18 @@ object CopySink {
                   "rows, so refusing. Restore the original layout " +
                   "(or drain the ledger and deduplicate downstream) " +
                   "before resuming")
+            if (expectedCk.exists(_ != rck))
+              throw new IllegalStateException(
+                s"writeExactlyOnce: partition $pid of batch $batchId " +
+                  s"replays with ${replayed} rows matching the " +
+                  "committed count, but the content checksum differs " +
+                  "— the replay permuted row contents across " +
+                  "equal-sized partitions (nondeterministic upstream " +
+                  "shuffle or changed input order); the " +
+                  "partition-granular skip would lose/duplicate rows, " +
+                  "so refusing. Restore the original layout (or drain " +
+                  "the ledger and deduplicate downstream) before " +
+                  "resuming")
         }
         // data + ledger row atomically; on the skip path this just
         // ends the read-only ledger-check transaction (Derby refuses

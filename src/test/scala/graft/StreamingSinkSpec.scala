@@ -305,11 +305,20 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ALTER TABLE"))
     assert(count("SELECT COUNT(*) FROM \"events_mig\"") == 0L,
       "outdated-ledger delivery must write nothing")
-    // apply the migration the error message prescribes → write works
+    // apply the migration the error message prescribes; the gate then
+    // finds the NEXT missing column (content_ck, the r13 shape) and
+    // prescribes its own migration — after both, the write works
     val mc = DriverManager.getConnection(url)
     try mc.createStatement().execute(
       CopySink.ledgerMigrationDdl("old_ledger"))
     finally mc.close()
+    val e2 = intercept[IllegalStateException] { deliver() }
+    assert(e2.getMessage.contains("content_ck"))
+    assert(e2.getMessage.contains("ALTER TABLE"))
+    val mc2 = DriverManager.getConnection(url)
+    try mc2.createStatement().execute(
+      CopySink.ledgerChecksumMigrationDdl("old_ledger"))
+    finally mc2.close()
     deliver()
     assert(count("SELECT COUNT(*) FROM \"events_mig\"") == 1000L)
     // a pre-upgrade committed partition carries the -1 sentinel: mark
@@ -317,8 +326,8 @@ class StreamingSinkSpec extends AnyFunSuite {
     // rejection, no duplicates
     val sc = DriverManager.getConnection(url)
     try sc.createStatement().execute(
-      "UPDATE \"old_ledger\" SET \"n_rows\" = -1 " +
-        "WHERE \"part_id\" = 0")
+      "UPDATE \"old_ledger\" SET \"n_rows\" = -1, " +
+        "\"content_ck\" = NULL WHERE \"part_id\" = 0")
     finally sc.close()
     deliver()
     assert(count("SELECT COUNT(*) FROM \"events_mig\"") == 1000L,
