@@ -63,6 +63,15 @@ object Cutpoints {
     * `percentile(value, array(ps))` on every arm. `keys` may be empty
     * (global cutpoints — one output row).
     *
+    * Contract note (empty/all-null input): a key group whose `value`s
+    * are all NULL produces NO output row, and in the global
+    * (keys-empty) case an empty or all-null input yields ZERO rows —
+    * unlike a bare `d.agg(percentile(...))`, which emits one row with
+    * NULL cuts. Callers that left-join the cutpoints or expect a
+    * guaranteed row must handle the empty relation (current callers
+    * cross-join against a fact side that is empty exactly when this
+    * is).
+    *
     * `forceArm`: None = plan-time size dispatch; Some("exact") /
     * Some("approx") pin an arm; Some("fallback") runs the approx arm
     * with validity forced false on every key — the spec's lever for

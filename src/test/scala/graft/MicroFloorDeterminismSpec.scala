@@ -17,7 +17,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * in COVERAGE.md — this spec only makes a landing loud.
   */
 class MicroFloorDeterminismSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
+  // The sweep mutates spark.sql.shuffle.partitions and unpersists its
+  // caches between iterations. Both are SESSION-scoped, so run on a
+  // child session (newSession: own conf + own Caches registrations,
+  // shared SparkContext): a concurrently-running suite on the shared
+  // SparkTestSession never observes the mutated conf or loses caches.
+  private lazy val spark = SparkTestSession.spark.newSession()
   private val dir = "/root/testdata/sf0.01"
 
   private def rows(qname: String): Seq[Seq[Any]] = {

@@ -334,6 +334,53 @@ class StreamingSinkSpec extends AnyFunSuite {
       "sentinel replay must not duplicate rows")
   }
 
+  test("rowCk rendering is injective: delimiter bytes inside string " +
+      "data and NULL-vs-sentinel-string cannot alias rows") {
+    import org.apache.spark.sql.Row
+    // field-boundary realignment: same concatenation, different split
+    assert(CopySink.rowCk(Row("ab", "c")) !=
+      CopySink.rowCk(Row("a", "bc")))
+    assert(CopySink.rowCk(Row("ab", "")) != CopySink.rowCk(Row("a", "b")))
+    // SQL NULL vs every string value, including the old in-band markers
+    assert(CopySink.rowCk(Row(null, "x")) != CopySink.rowCk(Row(" ", "x")))
+    assert(CopySink.rowCk(Row(null)) != CopySink.rowCk(Row("")))
+    assert(CopySink.rowCk(Row(null)) != CopySink.rowCk(Row("N;")))
+    // a string that LOOKS like a length-prefixed rendering of two fields
+    assert(CopySink.rowCk(Row("1:a;1:b")) != CopySink.rowCk(Row("a", "b")))
+    // equal rows still hash equal
+    assert(CopySink.rowCk(Row("ab", "c")) ==
+      CopySink.rowCk(Row("ab", "c")))
+  }
+
+  test("rowCk temporal hashing is timezone-invariant: a replay on a " +
+      "JVM with a different default TZ sees the same checksum") {
+    import org.apache.spark.sql.Row
+    val ts = java.sql.Timestamp.valueOf("2026-03-08 02:30:00.123456789")
+    val dt = java.sql.Date.valueOf("2026-03-08")
+    val tz0 = java.util.TimeZone.getDefault
+    val ck = try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      // re-materialize from the same epoch under the new default TZ,
+      // the way a different-TZ JVM's JDBC driver would surface them
+      (CopySink.rowCk(Row(new java.sql.Timestamp(ts.getTime) {
+        setNanos(ts.getNanos) }, new java.sql.Date(dt.getTime))),
+        java.util.TimeZone.getDefault)
+    } finally java.util.TimeZone.setDefault(tz0)
+    val ck2 = try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+      CopySink.rowCk(Row(new java.sql.Timestamp(ts.getTime) {
+        setNanos(ts.getNanos) }, new java.sql.Date(dt.getTime)))
+    } finally java.util.TimeZone.setDefault(tz0)
+    assert(ck._1 == ck2,
+      "temporal checksum must not depend on the JVM default timezone")
+    // nanos beyond the millisecond still participate (injectivity)
+    val t1 = new java.sql.Timestamp(1000L); t1.setNanos(123000001)
+    val t2 = new java.sql.Timestamp(1000L); t2.setNanos(123000002)
+    assert(CopySink.rowCk(Row(t1)) != CopySink.rowCk(Row(t2)))
+  }
+
   test("data-arm dispatch: a PostgreSQL target URL selects the COPY " +
       "writer with the COPY-protocol SQL; anything else the INSERT arm") {
     val cols = Seq("event_id", "value")
