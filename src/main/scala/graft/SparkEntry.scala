@@ -18,7 +18,8 @@ object SparkEntry {
       operators.AsofJoin.all ++ operators.Subqueries.all ++
       operators.Skew.all ++ operators.Formats.all ++
       operators.Intervals.all ++ operators.EventAnalytics.all ++
-      operators.FrequentItems.all ++ operators.Retrieval.all
+      operators.FrequentItems.all ++ operators.Retrieval.all ++
+      operators.Classifier.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -166,6 +166,32 @@ object VectorOps {
         graft.plans.BpeTokenCount(exprs(0), intArr(exprs(1), "left"),
           intArr(exprs(2), "right"))
       }, "built-in")
+    reg.createOrReplaceTempFunction("graft_hashed_logit",
+      exprs => {
+        // fold the weight table to a PRIMITIVE long[] once at plan
+        // construction (the constant-table discipline)
+        val w = exprs(1) match {
+          case lit if lit.foldable => lit.eval(null) match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toLongArray()
+            case other => throw new IllegalArgumentException(
+              "graft_hashed_logit: weights must be a long array " +
+                s"literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_hashed_logit: weights must be a literal, not a column")
+        }
+        val bias = exprs(2) match {
+          case lit if lit.foldable => lit.eval(null) match {
+            case n: Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_hashed_logit: bias must be a long literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_hashed_logit: bias must be a literal, not a column")
+        }
+        graft.plans.HashedLogit(exprs(0), w, bias)
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_wav_wrap",
       exprs => graft.plans.WavWrap(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bmp_wrap",
@@ -280,6 +306,16 @@ object VectorOps {
     call_function("graft_bpe_count", text,
       org.apache.spark.sql.functions.typedLit(left.toSeq),
       org.apache.spark.sql.functions.typedLit(right.toSeq))
+
+  /** Integer µunit logit of the trained hashed-unigram quality
+    * classifier (µunit weight table + bias — see
+    * [[graft.plans.HashedLogit]] / [[graft.Fixtures.qualityClassifier]]).
+    */
+  def hashedLogit(text: Column, weights: Array[Long],
+      biasMu: Long): Column =
+    call_function("graft_hashed_logit", text,
+      org.apache.spark.sql.functions.typedLit(weights.toSeq),
+      org.apache.spark.sql.functions.lit(biasMu))
 
   /** Raw bytes → canonical PCM WAV container (16-bit mono 8 kHz). */
   def wavWrap(bytes: Column): Column =

@@ -1152,84 +1152,116 @@ object TextAnalysis {
            |FROM tok t JOIN d ON t.doc_id = d.doc_id
            |ORDER BY t.doc_id""".stripMargin))
 
+  /** Per-document Gopher-rule signal frame shared by the q117 gate,
+    * the distilled-classifier trainer
+    * ([[graft.tools.TrainQualityClassifier]] — the teacher labels),
+    * and q166's agreement report: doc_id, lang, source, ltext
+    * (lowercased text), nt, stops, uniq, awl, the four rule booleans
+    * and their conjunction `pass`. ONE Spark helper + ONE oracle CTE
+    * chain ([[GopherDocSql]]) so the gate and every consumer of its
+    * labels cannot drift. Rule math is engine-exact by construction:
+    * counts and boolean sums are integers; the repetition bound is
+    * cross-multiplied into integer space (1 − uniq/total ≤ 0.2 ⇔
+    * 5·uniq ≥ 4·total — no float at the decision boundary); the only
+    * float compare (mean word length) is one IEEE division computed
+    * identically in both engines. Per-doc work is in-row (codegen'd
+    * ShingleSet for uniq) — unused columns prune at the consumer.
+    */
+  private[graft] def gopherDoc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val w = split(lower(col("text")), " ")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        lower(col("text")).as("ltext"),
+        size(w).as("nt"),
+        (array_contains(w, "the").cast(IntegerType) +
+          array_contains(w, "a").cast(IntegerType) +
+          array_contains(w, "of").cast(IntegerType)).as("stops"),
+        size(graft.functions.VectorOps.shingles(lower(col("text")), 3))
+          .as("uniq"))
+      .withColumn("r_len", col("nt") >= 20 && col("nt") <= 80)
+      .withColumn("awl", col("n_chars").cast(DoubleType) / col("nt"))
+      .withColumn("r_awl", col("awl") >= 3.0 && col("awl") <= 10.0)
+      .withColumn("r_stop", col("stops") >= 2)
+      .withColumn("r_rep", col("nt") > 2 &&
+        lit(5) * col("uniq") >= lit(4) * (col("nt") - 2))
+      .withColumn("pass", col("r_len") && col("r_awl") &&
+        col("r_stop") && col("r_rep"))
+  }
+
+  /** [[gopherDoc]]'s oracle half: CTE chain ending in `gd` with the
+    * same per-doc columns (booleans included). Interpolate after WITH.
+    */
+  private[graft] val GopherDocSql: String =
+    """tok AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
+      |        FROM tok WHERE len(w) >= 3) u),
+      |u AS (SELECT doc_id, COUNT(*) AS uniq FROM sh GROUP BY doc_id),
+      |gd AS (
+      |  SELECT doc_id, lang, source, n_chars, nt, stops, uniq, awl,
+      |    r_len, r_awl, r_stop, r_rep,
+      |    (r_len AND r_awl AND r_stop AND r_rep) AS pass
+      |  FROM (
+      |    SELECT t.doc_id, t.lang, t.source, t.n_chars,
+      |      len(t.w) AS nt,
+      |      (CASE WHEN list_contains(t.w, 'the') THEN 1 ELSE 0 END +
+      |       CASE WHEN list_contains(t.w, 'a') THEN 1 ELSE 0 END +
+      |       CASE WHEN list_contains(t.w, 'of') THEN 1 ELSE 0 END)
+      |        AS stops,
+      |      COALESCE(u.uniq, 0) AS uniq,
+      |      CAST(t.n_chars AS DOUBLE) / len(t.w) AS awl,
+      |      (len(t.w) BETWEEN 20 AND 80) AS r_len,
+      |      (CAST(t.n_chars AS DOUBLE) / len(t.w) >= 3.0 AND
+      |       CAST(t.n_chars AS DOUBLE) / len(t.w) <= 10.0) AS r_awl,
+      |      (CASE WHEN list_contains(t.w, 'the') THEN 1 ELSE 0 END +
+      |       CASE WHEN list_contains(t.w, 'a') THEN 1 ELSE 0 END +
+      |       CASE WHEN list_contains(t.w, 'of') THEN 1 ELSE 0 END) >= 2
+      |        AS r_stop,
+      |      (len(t.w) > 2 AND
+      |       5 * COALESCE(u.uniq, 0) >= 4 * (len(t.w) - 2)) AS r_rep
+      |    FROM tok t LEFT JOIN u ON t.doc_id = u.doc_id) q)""".stripMargin
+
   // Composite quality gate — the Gopher-rules family AS A GATE (the
   // filter a curation pipeline actually applies before training),
   // composing the individually-proven signals: token-count window,
   // mean-word-length window, stopword presence, duplicate-3-gram
   // repetition. Per-(lang, source) accounting of every rule plus the
-  // conjunction, so a mix owner sees WHICH rule bites where. Rule math
-  // is engine-exact by construction: counts and boolean sums are
-  // integers; the repetition bound is cross-multiplied into integer
-  // space (1 − uniq/total ≤ 0.2 ⇔ 5·uniq ≥ 4·total — no float at the
-  // decision boundary); the only float compare (mean word length) is
-  // one IEEE division computed identically in both engines. Per-doc
-  // work is in-row (codegen'd ShingleSet for uniq); one keyed agg.
+  // conjunction, so a mix owner sees WHICH rule bites where. Per-doc
+  // signals come from the shared [[gopherDoc]] helper (one keyed agg
+  // on top); determinism rationale lives on the helper.
   val q117GopherGate: QueryDef = QueryDef(
     "q117_gopher_gate",
     (s, dir) => {
-      graft.functions.VectorOps.register(s)
-      val w = split(lower(col("text")), " ")
-      val d = Tables.load(s, dir, "documents")
-        .select(col("lang"), col("source"), col("n_chars"),
-          size(w).as("nt"),
-          (array_contains(w, "the").cast(IntegerType) +
-            array_contains(w, "a").cast(IntegerType) +
-            array_contains(w, "of").cast(IntegerType)).as("stops"),
-          size(graft.functions.VectorOps.shingles(lower(col("text")), 3))
-            .as("uniq"))
-        .withColumn("r_len",
-          col("nt") >= 20 && col("nt") <= 80)
-        .withColumn("awl", col("n_chars").cast(DoubleType) / col("nt"))
-        .withColumn("r_awl", col("awl") >= 3.0 && col("awl") <= 10.0)
-        .withColumn("r_stop", col("stops") >= 2)
-        .withColumn("r_rep", col("nt") > 2 &&
-          lit(5) * col("uniq") >= lit(4) * (col("nt") - 2))
       def cnt(c: Column, name: String) =
         sum(when(c, 1L).otherwise(0L)).as(name)
-      d.groupBy(col("lang"), col("source"))
+      gopherDoc(s, dir).groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("docs"),
           cnt(col("r_len"), "pass_len"),
           cnt(col("r_awl"), "pass_awl"),
           cnt(col("r_stop"), "pass_stop"),
           cnt(col("r_rep"), "pass_rep"),
-          cnt(col("r_len") && col("r_awl") && col("r_stop") &&
-            col("r_rep"), "pass_all"))
+          cnt(col("pass"), "pass_all"))
         .orderBy("lang", "source")
     },
-    Some("""WITH tok AS (
-           |  SELECT doc_id, lang, source, n_chars,
-           |    string_split(lower(text), ' ') AS w
-           |  FROM documents),
-           |sh AS (
-           |  SELECT DISTINCT doc_id,
-           |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-           |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
-           |        FROM tok WHERE len(w) >= 3) u),
-           |u AS (SELECT doc_id, COUNT(*) AS uniq FROM sh GROUP BY doc_id),
-           |r AS (
-           |  SELECT t.lang, t.source,
-           |    len(t.w) AS nt,
-           |    (CASE WHEN list_contains(t.w, 'the') THEN 1 ELSE 0 END +
-           |     CASE WHEN list_contains(t.w, 'a') THEN 1 ELSE 0 END +
-           |     CASE WHEN list_contains(t.w, 'of') THEN 1 ELSE 0 END)
-           |      AS stops,
-           |    COALESCE(u.uniq, 0) AS uniq,
-           |    CAST(t.n_chars AS DOUBLE) / len(t.w) AS awl
-           |  FROM tok t LEFT JOIN u ON t.doc_id = u.doc_id)
+    Some(s"""WITH $GopherDocSql
            |SELECT lang, source, COUNT(*) AS docs,
-           |  CAST(SUM(CASE WHEN nt BETWEEN 20 AND 80
-           |       THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
-           |  CAST(SUM(CASE WHEN awl >= 3.0 AND awl <= 10.0
-           |       THEN 1 ELSE 0 END) AS BIGINT) AS pass_awl,
-           |  CAST(SUM(CASE WHEN stops >= 2
-           |       THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
-           |  CAST(SUM(CASE WHEN nt > 2 AND 5 * uniq >= 4 * (nt - 2)
-           |       THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep,
-           |  CAST(SUM(CASE WHEN nt BETWEEN 20 AND 80
-           |       AND awl >= 3.0 AND awl <= 10.0 AND stops >= 2
-           |       AND nt > 2 AND 5 * uniq >= 4 * (nt - 2)
-           |       THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
-           |FROM r GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+           |  CAST(SUM(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS pass_len,
+           |  CAST(SUM(CASE WHEN r_awl THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS pass_awl,
+           |  CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS pass_stop,
+           |  CAST(SUM(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS pass_rep,
+           |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS pass_all
+           |FROM gd GROUP BY lang, source ORDER BY lang, source""".stripMargin))
 
   // Sequence packing — assign documents to fixed-token-budget context
   // bins (the pretraining "packing" step that turns a corpus into
