@@ -1558,7 +1558,88 @@ object Dedup {
         |  SELECT a, LEAST(MIN(b), a) AS comp FROM reach GROUP BY a)
         |GROUP BY comp ORDER BY comp""".stripMargin))
 
+  // Line-level dedup — the RefinedWeb / CCNet "line-wise correction"
+  // (Penedo et al. arXiv:2306.01116 §3; Wenzek et al. LREC'20): a
+  // LINE that appears in >= K distinct documents is boilerplate
+  // (cookie banners, nav bars, footers) and every occurrence is
+  // removed from every document; the per-doc remainder is re-joined
+  // in original line order. Per doc: line counts before/removed and
+  // an md5 digest of the cleaned text — the hash match proves every
+  // surviving BYTE and the splice order, not just counts. Shape: one
+  // line-keyed exchange builds the document-frequency relation
+  // (in-row array_distinct first, so within-doc repeats don't inflate
+  // df), one line-keyed left_anti join drops boilerplate occurrences
+  // (the boilerplate side is df-filtered and TINY by nature — AQE
+  // broadcasts it locally; at web scale it stays a keyed shuffle join
+  // and the q138 Bloom front composes in front of it unchanged), one
+  // doc-keyed agg re-assembles. All three exchanges are linear in
+  // corpus lines — no pairwise anything.
+  val q167LineDedup: QueryDef = QueryDef(
+    "q167_line_dedup",
+    (s, dir) => {
+      val K = graft.tools.GenLineFixture.Threshold
+      val base = graft.Fixtures.read(s, graft.Fixtures.lineCorpusPath)
+      val bp = base
+        .select(explode(array_distinct(split(col("text"), "\n")))
+          .as("line"))
+        .groupBy("line").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= K)
+        .select("line")
+      val kept = base
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+        .join(bp, Seq("line"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("lines_kept"),
+          concat_ws("\n",
+            transform(
+              array_sort(collect_list(struct(col("idx"), col("line")))),
+              x => x.getField("line"))).as("clean"))
+      base
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), "\n")).cast(LongType)
+            .as("lines_before"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("lines_before"),
+          (col("lines_before") - coalesce(col("lines_kept"), lit(0L)))
+            .as("lines_removed"),
+          md5(coalesce(col("clean"), lit("")).cast(BinaryType))
+            .as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+           |  SELECT doc_id, lang, text,
+           |    string_split(text, chr(10)) AS ls
+           |  FROM read_parquet('${graft.Fixtures.lineCorpusPath}')),
+           |l AS (
+           |  SELECT doc_id, ls[i] AS line, i
+           |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1))
+           |          AS i
+           |        FROM d) u),
+           |df AS (
+           |  SELECT line, COUNT(*) AS df
+           |  FROM (SELECT DISTINCT doc_id, line FROM l) dl
+           |  GROUP BY line),
+           |bp AS (SELECT line FROM df
+           |       WHERE df >= ${graft.tools.GenLineFixture.Threshold}),
+           |kept AS (
+           |  SELECT l.doc_id, l.line, l.i FROM l
+           |  WHERE l.line NOT IN (SELECT line FROM bp)),
+           |agg AS (
+           |  SELECT doc_id, COUNT(*) AS lines_kept,
+           |    string_agg(line, chr(10) ORDER BY i) AS clean
+           |  FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id, d.lang,
+           |  CAST(len(d.ls) AS BIGINT) AS lines_before,
+           |  CAST(len(d.ls) - COALESCE(agg.lines_kept, 0) AS BIGINT)
+           |    AS lines_removed,
+           |  md5(COALESCE(agg.clean, '')) AS clean_md5
+           |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+           |ORDER BY d.doc_id""".stripMargin),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
+    q167LineDedup,
     q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
     q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
     q65Decontamination, q66DedupClusters, q74IncrementalNeardup,
