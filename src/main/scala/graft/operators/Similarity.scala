@@ -1578,7 +1578,60 @@ object Similarity {
             |  ${graft.Round4.sql("er.qe")} AS qerr
             |FROM h JOIN er ON h.qid = er.qid ORDER BY h.qid""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
+  // Embedding-space decontamination — the SEMANTIC arm of the eval-
+  // leakage family (q65/q138/q159 are the n-gram arm): an eval item
+  // is contaminated if ANY train document sits above a cosine
+  // threshold, which catches paraphrased/reformatted leakage n-gram
+  // overlap misses (the embedding-similarity decontamination run for
+  // phi/Platypus-class model cards). Split = the q57 rule on vec_id
+  // (eval = last decile). Shape is q26's one-sided brute-force scan —
+  // the CORRECT at-scale shape for this op, because eval suites are
+  // bounded (thousands) while train is the 100 TB side: eval
+  // broadcasts, train scans ONCE with all per-row work in-row, and
+  // the per-eval rank window runs over |eval|-keyed groups. The q118
+  // banded-LSH candidate stage composes in front unchanged when even
+  // one scan is too expensive. Per-eval output (nearest train doc +
+  // sim + verdict) is what a decontam audit files, not just a count.
+  val q171SemanticDecontam: QueryDef = QueryDef(
+    "q171_semantic_decontam",
+    (s, dir) => {
+      val e = normed(s, dir)
+      val eval0 = broadcast(e.filter(col("vec_id") % 100 >= 90)
+        .select(col("vec_id").as("eval_id"), col("v").as("qv"),
+          col("nrm").as("qn")))
+      val train = e.filter(col("vec_id") % 100 < 90)
+      val w = Window.partitionBy(col("eval_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      eval0.join(train)
+        .withColumn("sim",
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("eval_id"), col("vec_id").as("nn_train_id"),
+          graft.Round4(col("sim")).as("max_sim"),
+          when(col("sim") >= NearDupThreshold, 1).otherwise(0)
+            .as("contaminated"))
+        .orderBy("eval_id")
+    },
+    Some(s"""SELECT eval_id, nn_train_id,
+            |  floor(sim * 10000 + 0.5) / 10000 AS max_sim,
+            |  CASE WHEN sim >= $NearDupThreshold THEN 1 ELSE 0 END
+            |    AS contaminated
+            |FROM (
+            |  SELECT q.vec_id AS eval_id, t.vec_id AS nn_train_id,
+            |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            |        CAST(t.embedding AS DOUBLE[])) AS sim,
+            |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            |          CAST(t.embedding AS DOUBLE[])) DESC, t.vec_id)
+            |      AS rnk
+            |  FROM embeddings q JOIN embeddings t
+            |    ON q.vec_id % 100 >= 90 AND t.vec_id % 100 < 90) sub
+            |WHERE rnk = 1 ORDER BY eval_id""".stripMargin),
+    bench = true, lowLatency = true)
+
+  val all: Seq[QueryDef] = Seq(q171SemanticDecontam,
+    q25EmbedNeardup, q26AnnTopk, q27AnnLsh,
     q45AnnIvf, q58EmbedNeardupLsh, q62IvfListStats, q64AnnPq, q72AnnIvfPq,
     q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall,
     q128WideBandNeardup, q131StreamEmbedNeardup, q135AdaptiveNeardup,

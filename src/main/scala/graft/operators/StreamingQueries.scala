@@ -581,7 +581,73 @@ object StreamingQueries {
             |  CAST(SUM(n_phones) AS BIGINT) AS n_phones
             |FROM s3 GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q33StreamTumbling, q34Sessionize,
+  // Streaming quality-classifier gate — q166's distilled model as a
+  // CONTINUOUS-ingest monitor (the shape a crawl pipeline actually
+  // deploys the classifier in: score every arriving document, watch
+  // keep rates and teacher disagreement per language drift): documents
+  // arrive as a real file-stream source, the gopher rule columns and
+  // the codegen'd HashedLogit score are STATELESS in-row work fused
+  // into each micro-batch plan, and streaming state is O(langs)
+  // complete-mode counters (the q156 state discipline — per-doc data
+  // never enters the state store). Batch boundaries are provably
+  // irrelevant: per-row scoring is stateless and the counters are
+  // associative, so the batch q166-rollup oracle applies to any
+  // delivery schedule.
+  val q172StreamQualityGate: QueryDef = QueryDef(
+    "q172_stream_quality_gate",
+    (s, dir) => {
+      val (w, bias, thr) = graft.Fixtures.qualityClassifier(s)
+      val scored = TextAnalysis
+        .gopherCols(s, EventsStream.readDocuments(s, dir))
+        .withColumn("kept",
+          graft.functions.VectorOps.hashedLogit(
+            Classifier.featureText, w, bias) > thr)
+      def cnt(c: org.apache.spark.sql.Column, name: String) =
+        sum(when(c, 1L).otherwise(0L)).as(name)
+      val agg = scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          cnt(col("kept"), "kept"),
+          cnt(col("pass"), "teacher_pass"),
+          cnt(col("kept") && !col("pass"), "false_pos"),
+          cnt(!col("kept") && col("pass"), "false_neg"))
+      EventsStream.runToCompletion(s, agg).orderBy("lang")
+    },
+    Some(s"""WITH ${TextAnalysis.GopherDocSql},
+           |${Classifier.FeatureTextSql},
+           |w AS (SELECT bucket, w_mu
+           |      FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
+           |      WHERE bucket >= 0),
+           |b AS (SELECT w_mu AS bias
+           |      FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
+           |      WHERE bucket = -1),
+           |th AS (SELECT w_mu AS thr
+           |       FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
+           |       WHERE bucket = -2),
+           |tk AS (SELECT doc_id, unnest(string_split(ftext, ' ')) AS tk
+           |       FROM ft),
+           |f AS (SELECT doc_id,
+           |        CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) %
+           |          ${graft.tools.TrainQualityClassifier.Dim} AS bucket
+           |      FROM tk),
+           |sc AS (SELECT f.doc_id, SUM(w.w_mu) AS s
+           |       FROM f JOIN w USING (bucket) GROUP BY 1),
+           |lg AS (SELECT gd.lang, gd.pass,
+           |         (COALESCE(sc.s, 0) + (SELECT bias FROM b)) >
+           |           (SELECT thr FROM th) AS kept
+           |       FROM gd LEFT JOIN sc ON gd.doc_id = sc.doc_id)
+           |SELECT lang, COUNT(*) AS docs,
+           |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS kept,
+           |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS teacher_pass,
+           |  CAST(SUM(CASE WHEN kept AND NOT pass THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS false_pos,
+           |  CAST(SUM(CASE WHEN NOT kept AND pass THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS false_neg
+           |FROM lg GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q172StreamQualityGate,
+    q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,
     q107StreamCuration, q110StreamHistogram, q112StreamCurationWm,

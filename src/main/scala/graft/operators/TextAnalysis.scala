@@ -1167,10 +1167,17 @@ object TextAnalysis {
     * identically in both engines. Per-doc work is in-row (codegen'd
     * ShingleSet for uniq) — unused columns prune at the consumer.
     */
-  private[graft] def gopherDoc(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def gopherDoc(s: SparkSession, dir: String): DataFrame =
+    gopherCols(s, Tables.load(s, dir, "documents"))
+
+  /** [[gopherDoc]] over ANY documents-shaped relation (needs doc_id,
+    * lang, source, n_chars, text) — the streaming gate (q172) applies
+    * the same rule columns to a micro-batch plan.
+    */
+  private[graft] def gopherCols(s: SparkSession, d: DataFrame): DataFrame = {
     graft.functions.VectorOps.register(s)
     val w = split(lower(col("text")), " ")
-    Tables.load(s, dir, "documents")
+    d
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         lower(col("text")).as("ltext"),
         size(w).as("nt"),
@@ -2627,7 +2634,182 @@ object TextAnalysis {
             |FROM g JOIN t ON g.lang = t.lang JOIN p ON g.lang = p.lang
             |ORDER BY g.lang""".stripMargin))
 
+  // Zipf-law fit of the per-language vocabulary head — the corpus
+  // health check a data report leads with (a crawl slice whose token
+  // distribution stops looking Zipfian is boilerplate- or
+  // spam-dominated; Zipf 1949, Piantadosi PBR'14 review): least-
+  // squares slope of ln(freq) on ln(rank) over each language's top-200
+  // terms. Engine determinism is the µunit discipline applied to a
+  // REGRESSION: ln(rank) and ln(freq) floor to integer µunits once
+  // per term (the only floats; one narrow rounding window per floor,
+  // the documented q162-class residual), every regression sum
+  // (Σx, Σy, Σxy, Σx²) is then EXACT integer arithmetic in any
+  // aggregation order, and slope/intercept are one identical double
+  // division at the end. Magnitudes: x ≤ ln(200)·10⁶, y ≤ ln(N)·10⁶
+  // — k·Σxy stays ~2.4·10¹⁸ < 2⁶³ at any corpus size because k is
+  // capped at 200. Shape: one token-keyed agg (map-side combined,
+  // vocab-sized output), a per-lang top-k head (rank window over the
+  // vocab relation locally; TakeOrdered per lang at 100 TB), one tiny
+  // keyed agg.
+  val q169ZipfFit: QueryDef = QueryDef(
+    "q169_zipf_fit",
+    (s, dir) => {
+      val K = 200
+      val freq = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(lower(col("text")), " ")).as("t"))
+        .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("f").desc, col("t"))
+      val mu = freq.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("lang"),
+          floor(log(col("rk").cast(DoubleType)) * 1e6 + 0.5)
+            .cast(LongType).as("x"),
+          floor(log(col("f").cast(DoubleType)) * 1e6 + 0.5)
+            .cast(LongType).as("y"))
+      mu.groupBy(col("lang"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("k") >= 2)
+        .select(col("lang"), col("k"),
+          graft.Round4(
+            (col("k") * col("sxy") - col("sx") * col("sy"))
+              .cast(DoubleType) /
+              (col("k") * col("sxx") - col("sx") * col("sx"))
+                .cast(DoubleType)).as("slope"),
+          graft.Round4(
+            ((col("sy").cast(DoubleType) -
+              (col("k") * col("sxy") - col("sx") * col("sy"))
+                .cast(DoubleType) /
+                (col("k") * col("sxx") - col("sx") * col("sx"))
+                  .cast(DoubleType) * col("sx").cast(DoubleType)) /
+              col("k").cast(DoubleType)) / 1e6).as("intercept"))
+        .orderBy("lang")
+    },
+    Some("""WITH tok AS (
+           |  SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+           |  FROM documents),
+           |freq AS (
+           |  SELECT lang, t, COUNT(*) AS f FROM tok GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT lang, f,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |                       ORDER BY f DESC, t) AS rk
+           |  FROM freq),
+           |mu AS (
+           |  SELECT lang,
+           |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5)
+           |         AS BIGINT) AS x,
+           |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000 + 0.5)
+           |         AS BIGINT) AS y
+           |  FROM rk WHERE rk <= 200),
+           |ag AS (
+           |  SELECT lang, COUNT(*) AS k,
+           |    SUM(x) AS sx, SUM(y) AS sy,
+           |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           |  FROM mu GROUP BY lang)
+           |SELECT lang, k,
+           |  floor((CAST(k * sxy - sx * sy AS DOUBLE) /
+           |         CAST(k * sxx - sx * sx AS DOUBLE))
+           |        * 10000 + 0.5) / 10000 AS slope,
+           |  floor((((CAST(sy AS DOUBLE) -
+           |           CAST(k * sxy - sx * sy AS DOUBLE) /
+           |           CAST(k * sxx - sx * sx AS DOUBLE) *
+           |           CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE))
+           |         / 1000000.0) * 10000 + 0.5) / 10000 AS intercept
+           |FROM ag WHERE k >= 2 ORDER BY lang""".stripMargin),
+    bench = true, lowLatency = true)
+
+  // Population-stability-index drift monitor — the metric a dataset
+  // owner watches between two corpus versions / splits (standard in
+  // production ML monitoring; PSI = the symmetrized discrete KL
+  // J-divergence, Jeffreys 1946): per language, the token-count
+  // distribution of the q57 train split vs the validation split over
+  // 10 fixed-width integer bins, PSI = Σ_bins (pa−pb)·ln(pa/pb) with
+  // Laplace smoothing so empty bins are defined. Determinism: bin
+  // assignment is integer (`nt div 10`, capped), the per-bin
+  // contribution takes ONE µunit floor from exact integer counts
+  // (identical double op order both engines), and the 10-bin sum is
+  // integer. A full lang×bin spine (generated relation) makes the
+  // smoothing terms of EMPTY bins explicit — PSI over only-observed
+  // bins understates drift. Shape: one (lang,bin)-keyed histogram agg
+  // (map-side combined to ¦langs¦×10 rows), everything after runs on
+  // the tiny spine.
+  val q170PsiDrift: QueryDef = QueryDef(
+    "q170_psi_drift",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 100 < 90)
+        .select(col("lang"),
+          (col("doc_id") % 100 < 80).as("isA"),
+          least(expr("size(split(text, ' ')) div 10"), lit(9L))
+            .as("bin"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+      val spine = counts.select("lang").distinct()
+        .crossJoin(s.range(0, 10).select(col("id").as("bin")))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      val f = spine.join(counts, Seq("lang", "bin"), "left")
+        .select(col("lang"), col("bin"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .withColumn("na", sum(col("ca")).over(wl))
+        .withColumn("nb", sum(col("cb")).over(wl))
+      val pa = (col("ca") + lit(1.0)) / (col("na") + lit(10))
+      val pb = (col("cb") + lit(1.0)) / (col("nb") + lit(10))
+      f.withColumn("cmu",
+          floor((pa - pb) * log(pa / pb) * 1e6 + 0.5).cast(LongType))
+        .groupBy(col("lang"))
+        .agg(max(col("na")).as("n_train"), max(col("nb")).as("n_val"),
+          sum(col("cmu")).as("psi_mu"))
+        .select(col("lang"), col("n_train"), col("n_val"),
+          graft.Round4(col("psi_mu") / lit(1e6)).as("psi"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (
+           |  SELECT lang,
+           |    (doc_id % 100 < 80) AS isa,
+           |    LEAST(len(string_split(text, ' ')) // 10, 9) AS bin
+           |  FROM documents WHERE doc_id % 100 < 90),
+           |c AS (
+           |  SELECT lang, bin,
+           |    SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+           |    SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS cb
+           |  FROM d GROUP BY 1, 2),
+           |sp AS (
+           |  SELECT l.lang, b.bin
+           |  FROM (SELECT DISTINCT lang FROM d) l
+           |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b),
+           |f AS (
+           |  SELECT sp.lang, sp.bin,
+           |    CAST(COALESCE(c.ca, 0) AS BIGINT) AS ca,
+           |    CAST(COALESCE(c.cb, 0) AS BIGINT) AS cb
+           |  FROM sp LEFT JOIN c ON sp.lang = c.lang AND sp.bin = c.bin),
+           |t AS (
+           |  SELECT lang, bin, ca, cb,
+           |    CAST(SUM(ca) OVER (PARTITION BY lang) AS BIGINT) AS na,
+           |    CAST(SUM(cb) OVER (PARTITION BY lang) AS BIGINT) AS nb
+           |  FROM f),
+           |m AS (
+           |  SELECT lang, na, nb,
+           |    CAST(floor((((ca + 1.0) / (na + 10) -
+           |                 (cb + 1.0) / (nb + 10)) *
+           |                ln(((ca + 1.0) / (na + 10)) /
+           |                   ((cb + 1.0) / (nb + 10))))
+           |               * 1000000 + 0.5) AS BIGINT) AS cmu
+           |  FROM t)
+           |SELECT lang, MAX(na) AS n_train, MAX(nb) AS n_val,
+           |  floor((SUM(cmu) / 1000000.0) * 10000 + 0.5) / 10000 AS psi
+           |FROM m GROUP BY lang ORDER BY lang""".stripMargin),
+    bench = true, lowLatency = true)
+
   val all: Seq[QueryDef] = Seq(
+    q169ZipfFit, q170PsiDrift,
     q28LangId, q29Quality, q30TokenStats, q31Fingerprint, q32UuidFormat,
     q47BpeTokens, q48RollingHash, q56Redact, q57Split, q60SampleHash,
     q67TokenQuantiles, q68Tfidf, q70Repetition, q71PackBins,

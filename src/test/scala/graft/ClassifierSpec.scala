@@ -74,6 +74,24 @@ class ClassifierSpec extends AnyFunSuite {
     assert(agree >= 0.9, f"agreement $agree%.3f below 0.9")
   }
 
+  test("streaming gate (q172) equals the batch report rolled up by " +
+      "lang — stateless scoring + associative counters make batch " +
+      "boundaries irrelevant") {
+    val stream = SparkEntry.queries("q172_stream_quality_gate")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val batch = SparkEntry.queries("q166_quality_classifier")(spark, dir)
+      .groupBy("lang")
+      .agg(sum("docs").as("docs"), sum("kept").as("kept"),
+        sum("teacher_pass").as("tp"), sum("false_pos").as("fp"),
+        sum("false_neg").as("fn"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(stream == batch)
+  }
+
   test("applying the classifier is map-only: one hash exchange (the " +
       "report agg) in the executed plan, no explode, no join") {
     val p = SparkEntry.queries("q166_quality_classifier")(spark, dir)
