@@ -190,6 +190,42 @@ final class ImageIoCodec extends MediaCodec {
   }
 }
 
+/** Per-image perceptual-hash row (q173). */
+final case class ImageHashRow(img_id: Long, ah: Long)
+
+/** Full-pixel decode + 64-bit average perceptual hash — the feature
+  * extractor of the image near-dup pass (q173). Unlike
+  * [[ImageIoCodec]]'s header-only metadata parse, this DECODES PIXELS
+  * (`ImageIO.read`) and folds them through the integer-exact
+  * [[graft.functions.ImageHash.aHash64]]; the codec seam keeps the
+  * reader state per-partition like every real decoder.
+  */
+final class AHashCodec extends MediaCodec {
+  override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  private def read(a: MediaAsset): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(a.payload))
+    require(img != null, s"undecodable image payload for ${a.doc_id}")
+    img
+  }
+
+  def decode(a: MediaAsset): MediaFeatures = {
+    val img = read(a)
+    MediaFeatures(a.doc_id, a.media_type, a.payload.length,
+      img.getWidth, img.getHeight, 1)
+  }
+
+  def decodeAHash(a: MediaAsset): ImageHashRow = {
+    val img = read(a)
+    val ah = graft.functions.ImageHash.aHash64((x, y) => {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    }, img.getWidth, img.getHeight)
+    ImageHashRow(a.doc_id, ah)
+  }
+}
+
 /** Routes each asset to the right decoder by media_type: image formats
   * — including the synthetic `image` assets, which are real
   * [[graft.plans.BmpWrap]] BMP containers — and animated-GIF video go
@@ -511,6 +547,73 @@ object Multimodal {
            |FROM read_parquet('${graft.Fixtures.mediaAudioPath}')
            |ORDER BY doc_id""".stripMargin))
 
+  /** Real-BMP near-dup corpus as assets (committed fixture with
+    * generator-side expected hashes — see
+    * [[graft.tools.GenImageDedupFixture]]).
+    */
+  def loadNeardupImageAssets(s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    graft.Fixtures.read(s, graft.Fixtures.mediaNeardupImagesPath)
+      .select(col("img_id").as("doc_id"), lit("bmp").as("media_type"),
+        col("payload"))
+      .as[MediaAsset]
+  }
+
+  /** The decoded perceptual-hash relation q173 + its spec share. */
+  private[graft] def imageHashes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    decodeStage(loadNeardupImageAssets(s), () => new AHashCodec,
+      (c: AHashCodec, a: MediaAsset) => c.decodeAHash(a)).toDF()
+  }
+
+  // Image near-dup via perceptual hash — MULTIMODAL dedup, the image
+  // twin of the text tier (the role aHash/pHash dedup plays in
+  // LAION-class image corpus builds): REAL pixel decode
+  // (ImageIO.read through the per-partition codec seam) → integer-
+  // exact 64-bit aHash in-row → the q24 banded-Hamming candidate
+  // join (16 bands × 4 bits: pigeonhole-exact recall within Hamming
+  // 15, so the ≤10 threshold loses nothing and NO pairwise join ever
+  // forms) → distance filter. The oracle recomputes the pair
+  // relation from the fixture's generator-side `ah` column — brute
+  // force over the committed hashes, equal to the banded plan by the
+  // recall guarantee — while ImageDedupSpec separately pins decoded
+  // hash ≡ committed hash per image (byte-level decode fidelity).
+  val q173ImageNeardup: QueryDef = QueryDef(
+    "q173_image_neardup",
+    (s, dir) => {
+      val Threshold = 10
+      val bands = imageHashes(s).select(col("img_id"), col("ah"),
+        explode(array((0 until 16).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ah"), b * 4).bitwiseAND(lit(15L))
+              .as("chunk"))): _*)).as("bk"))
+        .select(col("img_id"), col("ah"),
+          col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+      // one hash exchange on the bucket key, both self-join sides
+      // co-partitioned (the q24 discipline)
+      val br = graft.Caches.persist(
+          bands.repartition(col("band"), col("chunk")))
+        .hint("shuffle_hash")
+      br.as("a")
+        .join(br.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("i1"), col("b.img_id").as("i2"),
+          bit_count(col("a.ah").bitwiseXOR(col("b.ah"))).as("dist"))
+        .distinct()
+        .filter(col("dist") <= Threshold)
+        .orderBy("i1", "i2")
+    },
+    Some(s"""WITH a AS (
+           |  SELECT img_id, ah
+           |  FROM read_parquet('${graft.Fixtures.mediaNeardupImagesPath}'))
+           |SELECT x.img_id AS i1, y.img_id AS i2,
+           |  CAST(bit_count(xor(x.ah, y.ah)) AS INTEGER) AS dist
+           |FROM a x JOIN a y ON x.img_id < y.img_id
+           |WHERE bit_count(xor(x.ah, y.ah)) <= 10
+           |ORDER BY i1, i2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q35Multimodal, q49MediaPipeline,
-    q130AudioDecode)
+    q130AudioDecode, q173ImageNeardup)
 }
