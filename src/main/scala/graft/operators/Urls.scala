@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** Canonicalize a URL column — pure per-row Column expressions
-    * (map-only, codegen'd; no UDF, no parser object).
+  /** The (clean host, canonical form) pair — one shared expression
+    * tree so callers that need BOTH never re-parse the canonical
+    * string (re-deriving host via `substring_index(canon, '/', 1)` is
+    * wrong when the trailing-slash rule empties a root path and a
+    * query survives: `http://h.io/?id=1` → canon `h.io?id=1` has no
+    * '/', so the re-parse would return `h.io?id=1` as the host).
     */
-  def canonical(url: Column): Column = {
+  def canonicalParts(url: Column): (Column, Column) = {
     val ns = regexp_replace(regexp_replace(url, "#.*$", ""),
       "(?i)^https?://", "")
     val rawHost = substring_index(ns, "/", 1)
@@ -40,10 +44,22 @@ object Urls {
       substr(rest, instr(rest, "?") + 1)).otherwise(lit(""))
     val params = array_sort(filter(split(query, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|sessionid)=")))
-    concat(host, path,
+    val canon = concat(host, path,
       when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
         .otherwise(lit("")))
+    (host, canon)
   }
+
+  /** Canonicalize a URL column — pure per-row Column expressions
+    * (map-only, codegen'd; no UDF, no parser object).
+    */
+  def canonical(url: Column): Column = canonicalParts(url)._2
+
+  /** The cleaned host alone (lowercased, `www.`/default-port
+    * stripped) — carry THIS into per-domain rollups, never a re-parse
+    * of the canonical string.
+    */
+  def hostOf(url: Column): Column = canonicalParts(url)._1
 
   // Dedup by canonical URL over the committed crawl manifest: one
   // in-row canonicalization pass + ONE canonical-keyed agg (keeper =
@@ -55,9 +71,10 @@ object Urls {
   val q168UrlDedup: QueryDef = QueryDef(
     "q168_url_dedup",
     (s, dir) => {
+      val (hostC, canonC) = canonicalParts(col("url"))
       graft.Fixtures.read(s, graft.Fixtures.urlCorpusPath)
-        .withColumn("canon", canonical(col("url")))
-        .withColumn("host", substring_index(col("canon"), "/", 1))
+        .withColumn("canon", canonC)
+        .withColumn("host", hostC)
         .groupBy(col("canon"), col("host"))
         .agg(min(col("doc_id")).as("keep_doc"),
           count(lit(1)).as("n_aliases"))

@@ -355,26 +355,38 @@ class StreamingSinkSpec extends AnyFunSuite {
   test("rowCk temporal hashing is timezone-invariant: a replay on a " +
       "JVM with a different default TZ sees the same checksum") {
     import org.apache.spark.sql.Row
-    val ts = java.sql.Timestamp.valueOf("2026-03-08 02:30:00.123456789")
-    val dt = java.sql.Date.valueOf("2026-03-08")
-    val tz0 = java.util.TimeZone.getDefault
-    val ck = try {
-      java.util.TimeZone.setDefault(
-        java.util.TimeZone.getTimeZone("America/New_York"))
-      // re-materialize from the same epoch under the new default TZ,
-      // the way a different-TZ JVM's JDBC driver would surface them
-      (CopySink.rowCk(Row(new java.sql.Timestamp(ts.getTime) {
-        setNanos(ts.getNanos) }, new java.sql.Date(dt.getTime))),
-        java.util.TimeZone.getDefault)
-    } finally java.util.TimeZone.setDefault(tz0)
-    val ck2 = try {
-      java.util.TimeZone.setDefault(
-        java.util.TimeZone.getTimeZone("Asia/Tokyo"))
-      CopySink.rowCk(Row(new java.sql.Timestamp(ts.getTime) {
-        setNanos(ts.getNanos) }, new java.sql.Date(dt.getTime)))
-    } finally java.util.TimeZone.setDefault(tz0)
-    assert(ck._1 == ck2,
+    import java.time.{Instant, LocalDate, ZoneId}
+    // Pure: rowCk(row, zone) takes the interpreting zone as a
+    // parameter, so no JVM-global TimeZone.setDefault (which would
+    // race concurrently-running suites that read temporal values).
+    val ny = ZoneId.of("America/New_York")
+    val tokyo = ZoneId.of("Asia/Tokyo")
+    val instant = Instant.parse("2026-03-08T07:30:00.123456789Z")
+    val logical = LocalDate.of(2026, 3, 8)
+    // Each JVM materializes the SAME logical values its own way: the
+    // timestamp from the same epoch; the DATE as the java.sql.Date
+    // whose local components (in that JVM's zone) equal the logical
+    // date — i.e. different millis per zone (how Spark surfaces
+    // DateType). The checksums must still agree.
+    def surface(zone: ZoneId): Row = {
+      val t = new java.sql.Timestamp(instant.toEpochMilli)
+      t.setNanos(instant.getNano)
+      val dMillis = logical.atStartOfDay(zone).toInstant.toEpochMilli
+      Row(t, new java.sql.Date(dMillis))
+    }
+    assert(CopySink.rowCk(surface(ny), ny) ==
+      CopySink.rowCk(surface(tokyo), tokyo),
       "temporal checksum must not depend on the JVM default timezone")
+    // the java8API=true surface forms (Instant/LocalDate) hash the
+    // SAME as the java.sql forms of the same logical values
+    assert(CopySink.rowCk(Row(instant, logical), ny) ==
+      CopySink.rowCk(surface(ny), ny),
+      "java.time and java.sql surfaces of one logical value must " +
+        "share a checksum (spark.sql.datetime.java8API.enabled flip)")
+    // distinct instants must not collide across the two spellings
+    val other = Instant.parse("2026-03-08T07:30:01.123456789Z")
+    assert(CopySink.rowCk(Row(instant), ny) !=
+      CopySink.rowCk(Row(other), ny))
     // nanos beyond the millisecond still participate (injectivity)
     val t1 = new java.sql.Timestamp(1000L); t1.setNanos(123000001)
     val t2 = new java.sql.Timestamp(1000L); t2.setNanos(123000002)

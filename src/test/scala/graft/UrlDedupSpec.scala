@@ -59,6 +59,25 @@ class UrlDedupSpec extends AnyFunSuite {
     assert(canon("http://h.io/p?") == "h.io/p")
   }
 
+  test("root path + surviving query: host must come from " +
+      "canonicalParts, not a re-parse of the canonical string") {
+    // http://h.io/?id=1 — the trailing-slash rule empties the path,
+    // so canon = 'h.io?id=1' contains no '/'; substring_index(canon,
+    // '/', 1) would wrongly return 'h.io?id=1' as the host. The
+    // carried host expression stays clean.
+    val (hostC, canonC) = operators.Urls.canonicalParts(lit("http://h.io/?id=1"))
+    val row = spark.range(1)
+      .select(hostC.as("h"), canonC.as("c")).collect()(0)
+    assert(row.getString(1) == "h.io?id=1")
+    assert(row.getString(0) == "h.io",
+      s"host re-derivation bug: got '${row.getString(0)}'")
+    // same check through hostOf, the public helper rollups should use
+    val h2 = spark.range(1)
+      .select(operators.Urls.hostOf(lit("https://WWW.H.io:443/?id=1")).as("h"))
+      .collect()(0).getString(0)
+    assert(h2 == "h.io")
+  }
+
   test("map-only plan: one hash exchange (the canonical-keyed agg)") {
     val p = SparkEntry.queries("q168_url_dedup")(spark, dir)
       .queryExecution.executedPlan.toString
