@@ -121,82 +121,25 @@ object Formats {
     * `partitionBy` alone emits one file per (task × value) — the
     * small-files explosion that kills 100 TB listings — whereas
     * repartition(col) gives one task per value and AQE coalesces the
-    * rest. Concurrent builders are safe both in-process (JVM lock) and
-    * cross-process (write to a private temp dir, publish by one atomic
-    * directory rename; rename-race losers adopt the winner's copy).
+    * rest. Build-once / atomic-publish / sweep mechanics live in the
+    * shared [[graft.sources.ArtifactCache]] (q174's ANN index reuses
+    * them verbatim).
     */
-  private val layoutLock = new Object
   private[graft] def partitionedLayout(s: org.apache.spark.sql
       .SparkSession, dir: String): String = {
-    val (sz, mt, h) = Tables.fileStamp(
+    val stamp = Tables.fileStamp(
       java.nio.file.Paths.get(s"$dir/documents.parquet"))
     // v2: layout format version — bump when the write shape changes so
     // an existing dir from an older format is never reused
     val srcKey = f"v2_${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
-    val key = s"${srcKey}_${sz}_${mt}_$h"
-    // per-user cache root: a world-shared /tmp/graft_layout invites
-    // permission/symlink collisions on multi-user boxes (another user
-    // pre-creating the predictable key dir poisons the cache)
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_layout_${System.getProperty("user.name", "anon")}")
-    val out = new java.io.File(root, key)
-    layoutLock.synchronized {
-      if (!out.exists()) {
-        // Cross-PROCESS safety (the JVM lock only covers this process):
-        // write the full layout into a private temp dir, then publish
-        // with one atomic directory rename — concurrent JVMs either
-        // see no dir or a complete one, never a half-written Overwrite
-        // interleaving. A loser of the rename race discards its copy
-        // and uses the winner's.
-        val tmp = new java.io.File(
-          s"${out.getPath}.tmp.${java.util.UUID.randomUUID()}")
-        // LakehouseSink's partition+cluster write: repartition on the
-        // partition column (task-per-value, no task×value small-files
-        // explosion) and sort by doc_id within files so min/max footer
-        // stats stay tight on the natural range key
-        graft.sources.LakehouseSink.writePartitioned(
-          Tables.load(s, dir, "documents"), tmp.getPath,
-          partitionCols = Seq("lang"), clusterCols = Seq("doc_id"))
-        try
-          java.nio.file.Files.move(tmp.toPath, out.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-              _: java.nio.file.DirectoryNotEmptyException |
-              _: java.nio.file.AccessDeniedException =>
-            // another process published first — use theirs
-            rmTree(tmp)
-        }
-        // sweep: superseded stamps of THIS source (the fixture was
-        // regenerated, nothing NEW queries the old stamp) and any
-        // .tmp.<uuid> leftovers from crashed writers — without this
-        // the cache root grows one full layout per fixture rewrite.
-        // BOTH classes age out behind the same grace window: a
-        // published-but-superseded layout can still be mid-scan by an
-        // already-planned reader (another process, or a lazy DataFrame
-        // in this one) — deleting it immediately fails those tasks
-        // with FileNotFound. An hour bounds any reasonable scan; the
-        // disk cost of one extra layout generation is the fixture's
-        // size, not the corpus's.
-        val graceMs = 60L * 60 * 1000
-        Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
-          val n = f.getName
-          val aged =
-            System.currentTimeMillis() - f.lastModified() > graceMs
-          val stale = aged &&
-            (n.contains(".tmp.") ||
-              (n.startsWith(s"${srcKey}_") && n != key))
-          if (stale) rmTree(f)
-        }
-      }
-    }
-    out.getPath
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    java.nio.file.Files.deleteIfExists(f.toPath); ()
+    graft.sources.ArtifactCache.artifact(srcKey, stamp, tmp =>
+      // LakehouseSink's partition+cluster write: repartition on the
+      // partition column (task-per-value, no task×value small-files
+      // explosion) and sort by doc_id within files so min/max footer
+      // stats stay tight on the natural range key
+      graft.sources.LakehouseSink.writePartitioned(
+        Tables.load(s, dir, "documents"), tmp,
+        partitionCols = Seq("lang"), clusterCols = Seq("doc_id")))
   }
 
   // Partition-pruned layout read — the data-layout half of the 100 TB

@@ -330,37 +330,117 @@ object Similarity {
           graft.Round4(col("sim")).as("sim"))
         .orderBy("qid", "rnk")
     },
-    Some(s"""WITH e AS (
-            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            |  FROM embeddings),
-            |ce AS (SELECT cid, cv
-            |       FROM read_parquet('${graft.Fixtures.ivfCentroidsPath}')),
-            |asn AS (
-            |  SELECT e.vec_id, ce.cid,
-            |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-            |      list_cosine_similarity(v, cv) DESC, ce.cid) AS crnk
-            |  FROM e CROSS JOIN ce),
-            |lists AS (SELECT vec_id, cid FROM asn
-            |          WHERE crnk = 1 AND vec_id >= $NumQueryVecs),
-            |probes AS (SELECT vec_id AS qid, cid FROM asn
-            |           WHERE crnk <= 2 AND vec_id < $NumQueryVecs),
-            |cand AS (
-            |  SELECT DISTINCT probes.qid, lists.vec_id
-            |  FROM probes JOIN lists USING (cid)),
-            |ranked AS (
-            |  SELECT cand.qid, cand.vec_id AS neighbor,
-            |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-            |        CAST(ne.embedding AS DOUBLE[])) AS sim,
-            |    ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
-            |      list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-            |          CAST(ne.embedding AS DOUBLE[])) DESC,
-            |      cand.vec_id) AS rnk
-            |  FROM cand
-            |  JOIN embeddings qe ON qe.vec_id = cand.qid
-            |  JOIN embeddings ne ON ne.vec_id = cand.vec_id)
-            |SELECT qid, rnk, neighbor,
-            |  floor(sim * 10000 + 0.5) / 10000 AS sim
-            |FROM ranked WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin),
+    Some(ivfTopkOracleSql),
+    bench = true, lowLatency = true)
+
+  /** ONE oracle text for q45 (build-and-query) AND q174 (serve from
+    * the persisted index): the served result is DEFINED as identical
+    * to querying a freshly built index, so the two entries sharing one
+    * oracle is the equivalence claim itself.
+    */
+  private lazy val ivfTopkOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |ce AS (SELECT cid, cv
+       |       FROM read_parquet('${graft.Fixtures.ivfCentroidsPath}')),
+       |asn AS (
+       |  SELECT e.vec_id, ce.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_cosine_similarity(v, cv) DESC, ce.cid) AS crnk
+       |  FROM e CROSS JOIN ce),
+       |lists AS (SELECT vec_id, cid FROM asn
+       |          WHERE crnk = 1 AND vec_id >= $NumQueryVecs),
+       |probes AS (SELECT vec_id AS qid, cid FROM asn
+       |           WHERE crnk <= 2 AND vec_id < $NumQueryVecs),
+       |cand AS (
+       |  SELECT DISTINCT probes.qid, lists.vec_id
+       |  FROM probes JOIN lists USING (cid)),
+       |ranked AS (
+       |  SELECT cand.qid, cand.vec_id AS neighbor,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |        CAST(ne.embedding AS DOUBLE[])) AS sim,
+       |    ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+       |      list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |          CAST(ne.embedding AS DOUBLE[])) DESC,
+       |      cand.vec_id) AS rnk
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.qid
+       |  JOIN embeddings ne ON ne.vec_id = cand.vec_id)
+       |SELECT qid, rnk, neighbor,
+       |  floor(sim * 10000 + 0.5) / 10000 AS sim
+       |FROM ranked WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+
+  /** Persisted IVF index artifact for the corpus at `dir` — the
+    * "build the index ONCE, serve every query from it" contract a
+    * production vector store runs (FAISS-style IVF build step;
+    * Johnson et al., IEEE Big Data'19): per corpus vector its rank-1
+    * inverted-list assignment plus the exact vector and norm, written
+    * hive-partitioned BY `cid` (one directory per inverted list,
+    * vec_id-clustered files) through [[graft.sources.LakehouseSink]].
+    * Cache identity via [[graft.sources.ArtifactCache]]: keyed on the
+    * embeddings parquet's content stamp AND the centroid fixture's
+    * footer hash, so a regenerated corpus or a retrained codebook
+    * rebuilds; a same-content re-serve reuses the artifact across
+    * sessions (q155's recompute-codes-per-session cost gone).
+    */
+  private[graft] def annIndexLayout(s: SparkSession, dir: String): String = {
+    graft.functions.VectorOps.register(s)
+    val eStamp = Tables.fileStamp(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    val cStamp = Tables.fileStamp(
+      java.nio.file.Paths.get(graft.Fixtures.ivfCentroidsPath))
+    val srcKey = f"annv1_${scala.util.hashing.MurmurHash3
+      .stringHash(dir)}%08x_${cStamp._3}%08x"
+    graft.sources.ArtifactCache.artifact(srcKey, eStamp, tmp => {
+      val e = normed(s, dir).filter(col("vec_id") >= NumQueryVecs)
+      val centsPacked = typedLit(graft.Fixtures
+        .ivfCentroidsPacked(s).toSeq)
+      graft.sources.LakehouseSink.writePartitioned(
+        e.select(col("vec_id"), col("v"), col("nrm"),
+          explode(graft.functions.VectorOps.centroidTopK(col("v"),
+            col("nrm"), centsPacked, 1)).as("cid")),
+        tmp, partitionCols = Seq("cid"), clusterCols = Seq("vec_id"))
+    })
+  }
+
+  // ANN served from the PERSISTED index — the production read path
+  // (q45 is the build-and-query form; this is what every query after
+  // the first pays): candidates come from the index artifact alone,
+  // never a corpus re-scan or a re-assignment pass. The query side
+  // computes its 2 probe lists in-row against the packed centroid
+  // table and broadcasts (qid, cid, qv, qn); the index side is a
+  // parquet scan of the cid-partitioned layout, so Catalyst's dynamic
+  // partition pruning (from the broadcast probes) reads ONLY the
+  // probed inverted-list directories — at 10⁹ vectors the per-query
+  // I/O is probes/K of the index, the IVF contract. Exact re-rank
+  // runs on the index's own stored vectors (doubles round-trip
+  // parquet bit-exactly, so serve ≡ build-and-query — they share one
+  // oracle). AnnIndexSpec pins the no-corpus-candidate plan shape +
+  // the partition-pruned scan.
+  val q174AnnServed: QueryDef = QueryDef(
+    "q174_ann_served",
+    (s, dir) => {
+      val idx = s.read.parquet(annIndexLayout(s, dir))
+      val centsPacked = typedLit(graft.Fixtures
+        .ivfCentroidsPacked(s).toSeq)
+      val probes = normed(s, dir).filter(col("vec_id") < NumQueryVecs)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"),
+          explode(graft.functions.VectorOps.centroidTopK(col("v"),
+            col("nrm"), centsPacked, 2)).as("cid"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      broadcast(probes).join(idx, "cid")
+        .withColumn("sim",
+          cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+          graft.Round4(col("sim")).as("sim"))
+        .orderBy("qid", "rnk")
+    },
+    Some(ivfTopkOracleSql),
     bench = true, lowLatency = true)
 
   // LSH-bucketed embedding near-dup with the FIXED 8-table × 4-bit
@@ -1636,5 +1716,6 @@ object Similarity {
     q100NegativeSampling, q118EmbedNeardupBanded, q123AnnRecall,
     q128WideBandNeardup, q131StreamEmbedNeardup, q135AdaptiveNeardup,
     q136AnnMultiprobe, q139SemanticDedup, q144EmbedCovariance,
-    q145PcaProject, q146StreamCovariance, q158AnnSq8Recall)
+    q145PcaProject, q146StreamCovariance, q158AnnSq8Recall,
+    q174AnnServed)
 }
