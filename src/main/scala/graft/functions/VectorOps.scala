@@ -166,6 +166,23 @@ object VectorOps {
         graft.plans.BpeTokenCount(exprs(0), intArr(exprs(1), "left"),
           intArr(exprs(2), "right"))
       }, "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_ids",
+      exprs => {
+        def intArr(e: org.apache.spark.sql.catalyst.expressions
+            .Expression, arg: String): Array[Int] = e match {
+          case lit if lit.foldable => lit.eval(null) match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toIntArray()
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_ids: $arg must be an int array literal, " +
+                s"got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"graft_bpe_ids: $arg must be a literal, not a column")
+        }
+        graft.plans.BpeEncodeIds(exprs(0), intArr(exprs(1), "left"),
+          intArr(exprs(2), "right"))
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_hashed_logit",
       exprs => {
         // fold the weight table to a PRIMITIVE long[] once at plan
@@ -304,6 +321,14 @@ object VectorOps {
     */
   def bpeCount(text: Column, left: Array[Int], right: Array[Int]): Column =
     call_function("graft_bpe_count", text,
+      org.apache.spark.sql.functions.typedLit(left.toSeq),
+      org.apache.spark.sql.functions.typedLit(right.toSeq))
+
+  /** Tokenizer-exact token-ID sequence under a trained BPE merge table
+    * (see [[graft.plans.BpeEncodeIds]]).
+    */
+  def bpeIds(text: Column, left: Array[Int], right: Array[Int]): Column =
+    call_function("graft_bpe_ids", text,
       org.apache.spark.sql.functions.typedLit(left.toSeq),
       org.apache.spark.sql.functions.typedLit(right.toSeq))
 

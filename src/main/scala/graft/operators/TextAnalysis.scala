@@ -1005,6 +1005,82 @@ object TextAnalysis {
            |  bit_xor(ph) AS order_digest
            |FROM ph GROUP BY shard ORDER BY shard""".stripMargin))
 
+  /** q175's manifest pipeline, parameterized by the epoch seed (the
+    * spec's epoch-reshuffle contract, as for [[shardManifest]]).
+    */
+  private[graft] def tokenShardManifest(s: SparkSession,
+      seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.register(s)
+    val NShards = 8
+    val (ml, mr) = graft.Fixtures.bpeMerges(s)
+    val base = graft.Fixtures.read(s, graft.Fixtures.bpeCorpusPath)
+      .select(col("doc_id"),
+        graft.functions.VectorOps.bpeIds(col("text"), ml, mr).as("ids"),
+        md5(col("text").cast(BinaryType)).as("fp"))
+      .withColumn("ord",
+        md5(concat(lit(seed + "|"), col("fp")).cast(BinaryType)))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(fp, 1, 2), 16, 10) AS BIGINT)")
+          % NShards)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    base
+      .withColumn("rk", row_number().over(w))
+      .withColumn("idstr",
+        array_join(transform(col("ids"), _.cast("string")), ":"))
+      .withColumn("ph",
+        expr("CAST(conv(substring(md5(CAST(concat(CAST(rk AS STRING), " +
+          "':', idstr) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(col("ids"))).cast("long").as("tokens"),
+        bit_xor(col("ph")).as("ids_digest"))
+      .orderBy("shard")
+  }
+
+  // Token-ID shard emission — q157's manifest with the BYTES a
+  // training run actually consumes: every document's REAL byte-level
+  // BPE token-id sequence, computed in-plan by the codegen'd
+  // [[graft.plans.BpeEncodeIds]] merge loop, sharded and ordered by
+  // q157's content-addressed rules, with the per-shard digest folding
+  // each document's (rank, full id sequence). The oracle renders the
+  // fixture's COMMITTED reference ids (`bpe_ids`, the trainer's own
+  // encoder — the q148 contract one level stronger): a hash match
+  // proves the in-row encoder reproduces the reference SEQUENCE
+  // id-for-id per document, not merely its length (two wrong merges
+  // that cancel in count cannot cancel in the digest). Same plan
+  // shape as q157 — one shard-keyed exchange + per-shard rank window
+  // (= the sort the sharded write performs anyway) + keyed agg; the
+  // id arrays never shuffle more than once, and at 100 TB the same
+  // plan writes the shards themselves (repartition(shard) +
+  // sortWithinPartitions(ord) through LakehouseSink) with the
+  // manifest as its audit.
+  val q175TokenShards: QueryDef = QueryDef(
+    "q175_token_shards",
+    (s, dir) => tokenShardManifest(s, "epoch0"),
+    Some(s"""WITH base AS (
+           |  SELECT doc_id, bpe_ids, md5(text) AS fp,
+           |    md5('epoch0|' || md5(text)) AS ord,
+           |    CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 8
+           |      AS shard
+           |  FROM read_parquet('${graft.Fixtures.bpeCorpusPath}')),
+           |rk AS (
+           |  SELECT shard, bpe_ids,
+           |    ROW_NUMBER() OVER (PARTITION BY shard
+           |      ORDER BY ord, doc_id) AS rk
+           |  FROM base),
+           |ph AS (
+           |  SELECT shard, len(bpe_ids) AS nt,
+           |    CAST('0x' || substr(md5(CAST(rk AS VARCHAR) || ':' ||
+           |      array_to_string(bpe_ids, ':')), 1, 15) AS BIGINT)
+           |      AS ph
+           |  FROM rk)
+           |SELECT shard, COUNT(*) AS docs,
+           |  CAST(SUM(nt) AS BIGINT) AS tokens,
+           |  bit_xor(ph) AS ids_digest
+           |FROM ph GROUP BY shard ORDER BY shard""".stripMargin))
+
   // Exact distribution quantiles of per-document token counts by
   // language — the corpus-length profile every data-mix decision reads
   // (truncation budget, packing efficiency, outlier cut). Spark's
@@ -2820,5 +2896,5 @@ object TextAnalysis {
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
     q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
     q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
-    q164TokenizerFertility, q165ModernPipeline)
+    q164TokenizerFertility, q165ModernPipeline, q175TokenShards)
 }

@@ -68,11 +68,16 @@ object TrainBpe {
     }.toDF("rank", "left", "right", "new_id", "token")
 
     val table = new Bpe.Table(left, right)
+    // n_bpe (count) and bpe_ids (full id sequence) are BOTH committed:
+    // q148 proves the in-plan counter against n_bpe; q175 proves the
+    // in-plan ENCODER id-for-id against bpe_ids (count equality can't
+    // catch two wrong merges that cancel — sequence equality can)
     val corpus = docs.toSeq.map { r =>
       val text = r.getAs[String]("text")
+      val ids = Bpe.tokenIds(text, table)
       (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
-        r.getAs[String]("source"), text, Bpe.countTokens(text, table))
-    }.toDF("doc_id", "lang", "source", "text", "n_bpe")
+        r.getAs[String]("source"), text, ids.length, ids.toSeq)
+    }.toDF("doc_id", "lang", "source", "text", "n_bpe", "bpe_ids")
 
     def writeSingle(df: org.apache.spark.sql.DataFrame,
         dest: String): Unit = {
