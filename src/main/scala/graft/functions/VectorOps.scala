@@ -332,6 +332,17 @@ object VectorOps {
       org.apache.spark.sql.functions.typedLit(left.toSeq),
       org.apache.spark.sql.functions.typedLit(right.toSeq))
 
+  /** struct(bu, iwu, nt) per-document CCNet/DSIR score under a frozen
+    * unigram model handle (see [[graft.plans.UnigramDsirScore]]) —
+    * direct construction: a model-table handle cannot ride a SQL
+    * literal, the [[signBandCodesBcast]] route.
+    */
+  def unigramDsirScore(text: Column,
+      model: graft.plans.DsirModelTable): Column =
+    org.apache.spark.sql.GraftShims.column(
+      graft.plans.UnigramDsirScore(
+        org.apache.spark.sql.GraftShims.expression(text), model))
+
   /** Integer µunit logit of the trained hashed-unigram quality
     * classifier (µunit weight table + bias — see
     * [[graft.plans.HashedLogit]] / [[graft.Fixtures.qualityClassifier]]).

@@ -646,7 +646,90 @@ object StreamingQueries {
            |       AS BIGINT) AS false_neg
            |FROM lg GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q172StreamQualityGate,
+  // Streaming arm of the modern selection capstone — q165's CCNet
+  // gate + DSIR selection as a CONTINUOUS-ingest pipeline (the
+  // deployment shape: model and cutpoints are FROZEN artifacts
+  // trained on a reference corpus; arriving documents score, gate and
+  // select statelessly). The per-doc metrics that batch spells as
+  // explode → join(model) → groupBy(doc_id) — unbounded per-doc state
+  // inside micro-batches — run instead through the codegen'd in-row
+  // [[graft.plans.UnigramDsirScore]] (model table on the references
+  // array, the HashedLogit/BpeTokenCount discipline), so each
+  // micro-batch plan is map-only scoring + integer compares against
+  // driver-collected cutpoint literals (langs-sized + one scalar —
+  // the "broadcast cutpoints from the static model" contract), and
+  // streaming state is O(langs) complete-mode counters (q156/q172).
+  // Stateless scoring + associative counters make batch boundaries
+  // provably irrelevant, so the batch gate+select rollup is the
+  // oracle verbatim; the budget/packing stages deliberately STAY
+  // batch (they need the full ordered corpus — exactly the split a
+  // production pipeline makes between its streaming filter tier and
+  // its batch selection job).
+  val q176StreamSelect: QueryDef = QueryDef(
+    "q176_stream_select",
+    (s, dir) => {
+      val model = TextAnalysis.dsirModelTable(s, dir)
+      // frozen cutpoints: derived ONCE from the static corpus with
+      // the SAME in-row scorer the stream runs (scorer-internal
+      // consistency — the gate compare and its cutpoint share one
+      // float-rounding surface)
+      val staticScored = graft.Caches.persist(TextAnalysis.dsirScored(
+        Tables.load(s, dir, "documents"), model))
+      val cuts = Cutpoints.cutpointOf(
+          staticScored, Seq("lang"), "bu", Seq(2.0 / 3))
+        .withColumnRenamed("cut0", "c2").collect()
+        .map(r => r.getAs[String]("lang") -> r.getAs[Double]("c2"))
+        .toMap
+      val c80 = Cutpoints.cutpointOf(
+        staticScored.withColumn("c2",
+            coalesce(cuts.map { case (l, c) =>
+              when(col("lang") === l, lit(c)) }.toSeq: _*))
+          .filter(col("bu") <= col("c2")),
+        Nil, "iwu", Seq(0.8)).collect()(0).getAs[Double]("cut0")
+      val c2Expr = coalesce((cuts.map { case (l, c) =>
+        when(col("lang") === l, lit(c)) }.toSeq :+
+        lit(Double.NegativeInfinity)): _*)
+      val scored = TextAnalysis.dsirScored(
+          EventsStream.readDocuments(s, dir), model)
+        .withColumn("gated", col("bu") <= c2Expr)
+        .withColumn("sel", col("gated") && col("iwu") > lit(c80))
+      val agg = scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("gated"), 1L).otherwise(0L)).as("gated"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("selected"),
+          sum(when(col("sel"), col("nt")).otherwise(0L))
+            .as("sel_tokens"))
+      EventsStream.runToCompletion(s, agg).orderBy("lang")
+    },
+    Some(s"""WITH ${TextAnalysis.unigramOracleCtes},
+            |${TextAnalysis.dsirModelOracleCtes},
+            |pd AS (
+            |  SELECT toks.doc_id, toks.lang,
+            |    CAST(FLOOR(AVG(-LOG2(CAST(cr AS DOUBLE) / nr))
+            |      * 1000000 + 0.5) AS BIGINT) AS bu,
+            |    CAST(FLOOR(AVG(LOG2(CAST(ct + 1 AS DOUBLE) / (ntt + v))
+            |        - LOG2(CAST(cr AS DOUBLE) / nr))
+            |      * 1000000 + 0.5) AS BIGINT) AS iwu,
+            |    COUNT(*) AS nt
+            |  FROM toks JOIN model ON toks.t = model.t
+            |  GROUP BY 1, 2),
+            |cu AS (SELECT lang, quantile_cont(bu, 2.0 / 3) AS c2
+            |       FROM pd GROUP BY lang),
+            |gated AS (
+            |  SELECT pd.* FROM pd JOIN cu ON pd.lang = cu.lang
+            |  WHERE bu <= c2),
+            |c80 AS (SELECT quantile_cont(iwu, 0.8) AS c80 FROM gated)
+            |SELECT pd.lang, COUNT(*) AS docs,
+            |  CAST(SUM(CASE WHEN bu <= cu.c2 THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS gated,
+            |  CAST(SUM(CASE WHEN bu <= cu.c2 AND iwu > c80.c80
+            |           THEN 1 ELSE 0 END) AS BIGINT) AS selected,
+            |  CAST(SUM(CASE WHEN bu <= cu.c2 AND iwu > c80.c80
+            |           THEN nt ELSE 0 END) AS BIGINT) AS sel_tokens
+            |FROM pd JOIN cu ON pd.lang = cu.lang CROSS JOIN c80
+            |GROUP BY pd.lang ORDER BY pd.lang""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q172StreamQualityGate, q176StreamSelect,
     q33StreamTumbling, q34Sessionize,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,

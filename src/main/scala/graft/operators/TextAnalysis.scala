@@ -518,7 +518,7 @@ object TextAnalysis {
     * toks/uni/n CTE text for every unigram-model oracle, so the
     * tokenization contract cannot drift between its consumers.
     */
-  private val unigramOracleCtes: String =
+  private[operators] val unigramOracleCtes: String =
     """toks AS (
       |  SELECT doc_id, lang, source, t FROM (
       |    SELECT doc_id, lang, source,
@@ -584,11 +584,43 @@ object TextAnalysis {
       .crossJoin(consts))
   }
 
+  /** Frozen [[graft.plans.DsirModelTable]] for the corpus at `dir` —
+    * the SAME model relation [[dsirModel]] broadcasts, collected once
+    * into the in-row scorer's lookup handle (vocab-sized by the same
+    * argument that makes the relational broadcast legal; at 100 TB
+    * this is the trained top-K-vocab artifact a streaming deployment
+    * ships, the CCNet-KenLM contract). Consumed by the streaming gate
+    * (q176), whose micro-batches cannot run the explode →
+    * groupBy(doc_id) spelling without unbounded per-doc state.
+    */
+  private[graft] def dsirModelTable(s: SparkSession,
+      dir: String): graft.plans.DsirModelTable = {
+    val toks = unigramToks(s, dir)
+    val rows = dsirModel(toks, "src0").collect()
+    val (nr, v, ntt) = (rows.head.getAs[Long]("nr"),
+      rows.head.getAs[Long]("v"), rows.head.getAs[Long]("ntt"))
+    graft.plans.DsirModelTable.build(
+      rows.map(r => (r.getAs[String]("t"), r.getAs[Long]("cr"),
+        r.getAs[Long]("ct"))).toSeq, nr, v, ntt)
+  }
+
+  /** (lang, bu, iwu, nt) per document via the IN-ROW scorer — the
+    * stateless twin of q162/q163's per-doc relations. Documents with
+    * zero in-vocabulary tokens drop, mirroring the inner model join.
+    */
+  private[graft] def dsirScored(df: DataFrame,
+      model: graft.plans.DsirModelTable): DataFrame =
+    df.withColumn("sc__",
+        graft.functions.VectorOps.unigramDsirScore(col("text"), model))
+      .select(col("lang"), col("sc__.bu").as("bu"),
+        col("sc__.iwu").as("iwu"), col("sc__.nt").as("nt"))
+      .filter(col("nt") > 0L)
+
   /** The oracle twin of [[dsirModel]] (tgt/co/model CTE text on top of
     * [[unigramOracleCtes]]) — one definition, interpolated by both
     * consumers.
     */
-  private val dsirModelOracleCtes: String =
+  private[operators] val dsirModelOracleCtes: String =
     """tgt AS (SELECT t, COUNT(*) AS ct FROM toks
       |        WHERE source = 'src0' GROUP BY 1),
       |co AS (
