@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -665,40 +666,57 @@ object StreamingQueries {
   // batch (they need the full ordered corpus — exactly the split a
   // production pipeline makes between its streaming filter tier and
   // its batch selection job).
+  /** The frozen artifacts a deployed q176 filter tier ships: the
+    * collected model handle, the per-lang gate cutpoint expression,
+    * and the global DSIR cutpoint — derived ONCE from the static
+    * corpus with the SAME in-row scorer the stream runs
+    * (scorer-internal consistency: the gate compare and its cutpoint
+    * share one float-rounding surface).
+    */
+  private[graft] def frozenSelectArtifacts(s: SparkSession,
+      dir: String): (graft.plans.DsirModelTable,
+        org.apache.spark.sql.Column, Double) = {
+    val model = TextAnalysis.dsirModelTable(s, dir)
+    val staticScored = graft.Caches.persist(TextAnalysis.dsirScored(
+      Tables.load(s, dir, "documents"), model))
+    val cuts = Cutpoints.cutpointOf(
+        staticScored, Seq("lang"), "bu", Seq(2.0 / 3))
+      .withColumnRenamed("cut0", "c2").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("c2"))
+      .toMap
+    val c2Expr = coalesce((cuts.map { case (l, c) =>
+      when(col("lang") === l, lit(c)) }.toSeq :+
+      lit(Double.NegativeInfinity)): _*)
+    val c80 = Cutpoints.cutpointOf(
+      staticScored.filter(col("bu") <= c2Expr),
+      Nil, "iwu", Seq(0.8)).collect()(0).getAs[Double]("cut0")
+    (model, c2Expr, c80)
+  }
+
+  /** Score + gate + select + per-lang counters over `docs` (batch or
+    * stream — every stage is stateless row work, the counters
+    * associative). One definition for q176, its batch twin, and the
+    * restart spec.
+    */
+  private[graft] def selectGateAgg(docs: DataFrame,
+      model: graft.plans.DsirModelTable,
+      c2Expr: org.apache.spark.sql.Column, c80: Double): DataFrame =
+    TextAnalysis.dsirScored(docs, model)
+      .withColumn("gated", col("bu") <= c2Expr)
+      .withColumn("sel", col("gated") && col("iwu") > lit(c80))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("gated"), 1L).otherwise(0L)).as("gated"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("selected"),
+        sum(when(col("sel"), col("nt")).otherwise(0L))
+          .as("sel_tokens"))
+
   val q176StreamSelect: QueryDef = QueryDef(
     "q176_stream_select",
     (s, dir) => {
-      val model = TextAnalysis.dsirModelTable(s, dir)
-      // frozen cutpoints: derived ONCE from the static corpus with
-      // the SAME in-row scorer the stream runs (scorer-internal
-      // consistency — the gate compare and its cutpoint share one
-      // float-rounding surface)
-      val staticScored = graft.Caches.persist(TextAnalysis.dsirScored(
-        Tables.load(s, dir, "documents"), model))
-      val cuts = Cutpoints.cutpointOf(
-          staticScored, Seq("lang"), "bu", Seq(2.0 / 3))
-        .withColumnRenamed("cut0", "c2").collect()
-        .map(r => r.getAs[String]("lang") -> r.getAs[Double]("c2"))
-        .toMap
-      val c80 = Cutpoints.cutpointOf(
-        staticScored.withColumn("c2",
-            coalesce(cuts.map { case (l, c) =>
-              when(col("lang") === l, lit(c)) }.toSeq: _*))
-          .filter(col("bu") <= col("c2")),
-        Nil, "iwu", Seq(0.8)).collect()(0).getAs[Double]("cut0")
-      val c2Expr = coalesce((cuts.map { case (l, c) =>
-        when(col("lang") === l, lit(c)) }.toSeq :+
-        lit(Double.NegativeInfinity)): _*)
-      val scored = TextAnalysis.dsirScored(
-          EventsStream.readDocuments(s, dir), model)
-        .withColumn("gated", col("bu") <= c2Expr)
-        .withColumn("sel", col("gated") && col("iwu") > lit(c80))
-      val agg = scored.groupBy(col("lang"))
-        .agg(count(lit(1)).as("docs"),
-          sum(when(col("gated"), 1L).otherwise(0L)).as("gated"),
-          sum(when(col("sel"), 1L).otherwise(0L)).as("selected"),
-          sum(when(col("sel"), col("nt")).otherwise(0L))
-            .as("sel_tokens"))
+      val (model, c2Expr, c80) = frozenSelectArtifacts(s, dir)
+      val agg = selectGateAgg(
+        EventsStream.readDocuments(s, dir), model, c2Expr, c80)
       EventsStream.runToCompletion(s, agg).orderBy("lang")
     },
     Some(s"""WITH ${TextAnalysis.unigramOracleCtes},

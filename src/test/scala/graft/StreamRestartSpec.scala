@@ -429,4 +429,71 @@ class StreamRestartSpec extends AnyFunSuite {
       s"restarted scrub monitor diverged: ${last.get()} vs $batch")
     Caches.clear(spark)
   }
+
+  test("q176-class selection gate survives a restart: per-lang " +
+      "funnel counters restore from the checkpoint and the final " +
+      "counts equal the batch answer over the full corpus") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val root = java.nio.file.Files.createTempDirectory("graft_selrs")
+    val in = root.resolve("in").toString
+    val cp = root.resolve("cp").toString
+    // frozen artifacts derive once, shared by both runs and the batch
+    // twin — exactly the deployment contract (model + cutpoints are
+    // static; only documents stream)
+    val (model, c2Expr, c80) = graft.operators.StreamingQueries
+      .frozenSelectArtifacts(spark, dir)
+    val all = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val (firstHalf, secondHalf) = all.splitAt(all.length / 2)
+
+    def writeFile(rows: Seq[(Long, String, String)]): Unit =
+      rows.toSeq.toDF("doc_id", "lang", "text").repartition(1)
+        .write.mode("append").parquet(in)
+
+    val last = new java.util.concurrent.atomic
+      .AtomicReference[Map[String, (Long, Long, Long, Long)]](Map.empty)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("lang", "string").add("text", "string")
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.operators.StreamingQueries
+        .selectGateAgg(stream, model, c2Expr, c80)
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            last.set(b.collect().map(r => r.getString(0) ->
+              ((r.getLong(1), r.getLong(2), r.getLong(3),
+                r.getLong(4)))).toMap)
+            ()
+        }
+        .start()
+    }
+
+    writeFile(firstHalf.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(last.get().nonEmpty, "run 1 produced no counters")
+
+    // restart: run 2 must RESUME the funnel counters, not restart
+    // from zero — the second half alone undercounts every lang
+    writeFile(secondHalf.toSeq)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batch = graft.operators.StreamingQueries.selectGateAgg(
+      Tables.load(spark, dir, "documents"), model, c2Expr, c80)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(batch.values.map(_._3).sum > 0,
+      "no documents selected — test is vacuous")
+    assert(last.get() == batch,
+      s"restarted selection gate diverged: ${last.get()} vs $batch")
+    Caches.clear(spark)
+  }
 }
