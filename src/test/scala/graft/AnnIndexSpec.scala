@@ -47,6 +47,48 @@ class AnnIndexSpec extends AnyFunSuite {
       "index must hold each corpus vector exactly once")
   }
 
+  test("multi-probe serve from the persisted postings == " +
+      "build-and-query (q136), row for row; both artifacts in the plan") {
+    val served = SparkEntry.queries("q177_multiprobe_served")(spark, dir)
+    val builtRows = SparkEntry.queries("q136_ann_multiprobe")(spark, dir)
+      .collect().map(_.toSeq)
+    val servedRows = served.collect().map(_.toSeq)
+    assert(servedRows.nonEmpty)
+    assert(servedRows.toSeq == builtRows.toSeq)
+    // candidates come from the postings artifact, vectors from the
+    // SHARED vector store — two persisted-layout scans (plan strings
+    // truncate the full key dir, so count the cache-root marker)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("graft_layout".r.findAllIn(plan).size >= 2,
+      "serve must scan BOTH the postings artifact and the vector " +
+        s"store:\n${plan.take(1200)}")
+  }
+
+  test("postings artifact: every (corpus vector, table) row present " +
+      "with the code the in-session kernel computes") {
+    val postings = spark.read.parquet(
+      operators.Similarity.signIndexLayout(spark, dir))
+    val n = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") >= NumQueryVecs).count()
+    val nTables = Fixtures.lshPlanes(spark)
+      .select("tbl").distinct().count()
+    assert(postings.count() == n * nTables,
+      "one postings row per (corpus vector, table)")
+    // recompute codes live and compare — a stale artifact (old
+    // planes, dropped rows) diverges
+    val live = operators.Similarity.signCodes(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm",
+          graft.functions.VectorOps.l2norm(col("v")))
+        .filter(col("vec_id") >= NumQueryVecs))
+      .select(col("vec_id"), col("tbl"), col("code").as("live_code"))
+    val bad = postings.join(live, Seq("vec_id", "tbl"))
+      .filter(col("code") =!= col("live_code")).count()
+    assert(bad == 0L, s"$bad postings rows with drifted codes")
+  }
+
   test("serve plan: dynamic partition pruning into the cid-partitioned " +
       "index scan, no cartesian product") {
     val plan = SparkEntry.queries("q174_ann_served")(spark, dir)
