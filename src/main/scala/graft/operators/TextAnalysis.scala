@@ -1113,6 +1113,73 @@ object TextAnalysis {
            |  bit_xor(ph) AS ids_digest
            |FROM ph GROUP BY shard ORDER BY shard""".stripMargin))
 
+  // Packed-sequence emission — the step AFTER q148's packing ledger:
+  // the actual fixed-length training rows. q148 assigns whole
+  // documents to bins by starting offset (bins overflow at
+  // boundaries); real sequence packing SPLITS at the boundary so
+  // every emitted row is exactly SeqLen tokens (GPT-style
+  // concatenate-and-chunk; the T5/GPT-3 "packing" recipe): each
+  // token's global per-lang offset (doc cum_excl + position) div
+  // 2048 is its sequence, and the per-sequence digest folds the ids
+  // IN OFFSET ORDER, so a hash match proves every sequence's exact
+  // token content and order against the committed reference ids.
+  // Plan: per-lang doc window (q148's) → posexplode to token rows →
+  // ONE (lang, bin)-keyed agg whose collect_list state is bounded by
+  // SeqLen (never corpus-sized). Token-level rows are the honest
+  // cost: this is the job that WRITES the training file, linear in
+  // corpus tokens, keyed exchanges only. n_docs per sequence is the
+  // attention-boundary metadata a packed-sequence loader needs
+  // (document-causal masking).
+  val q178PackedSequences: QueryDef = QueryDef(
+    "q178_packed_sequences",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorOps.register(s)
+      val SeqLen = 2048
+      val (ml, mr) = graft.Fixtures.bpeMerges(s)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d = graft.Fixtures.read(s, graft.Fixtures.bpeCorpusPath)
+        .select(col("lang"), col("doc_id"),
+          graft.functions.VectorOps.bpeIds(col("text"), ml, mr)
+            .as("ids"))
+        .withColumn("nt", size(col("ids")).cast(LongType))
+        .withColumn("cum_excl",
+          coalesce(sum(col("nt")).over(w), lit(0L)))
+      d.select(col("lang"), col("doc_id"), col("cum_excl"),
+          posexplode(col("ids")).as(Seq("pos", "id")))
+        .withColumn("off", col("cum_excl") + col("pos"))
+        .withColumn("bin", expr(s"off div $SeqLen"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          md5(array_join(
+            transform(array_sort(collect_list(
+              struct(col("off"), col("id")))), x =>
+              x.getField("id").cast("string")), ":")
+            .cast(BinaryType)).as("seq_digest"))
+        .orderBy("lang", "bin")
+    },
+    Some(s"""WITH d AS (
+           |  SELECT lang, doc_id, bpe_ids AS ids,
+           |    CAST(len(bpe_ids) AS BIGINT) AS nt
+           |  FROM read_parquet('${graft.Fixtures.bpeCorpusPath}')),
+           |c AS (
+           |  SELECT lang, doc_id, ids,
+           |    COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cum_excl
+           |  FROM d),
+           |tok AS (
+           |  SELECT lang, doc_id, cum_excl + i - 1 AS off, ids[i] AS id
+           |  FROM c, unnest(range(1, len(ids) + 1)) AS u(i))
+           |SELECT lang, CAST(off // 2048 AS BIGINT) AS bin,
+           |  COUNT(*) AS n_tokens,
+           |  COUNT(DISTINCT doc_id) AS n_docs,
+           |  md5(string_agg(CAST(id AS VARCHAR), ':' ORDER BY off))
+           |    AS seq_digest
+           |FROM tok GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin))
+
   // Exact distribution quantiles of per-document token counts by
   // language — the corpus-length profile every data-mix decision reads
   // (truncation budget, packing efficiency, outlier cut). Spark's
@@ -2928,5 +2995,6 @@ object TextAnalysis {
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
     q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
     q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
-    q164TokenizerFertility, q165ModernPipeline, q175TokenShards)
+    q164TokenizerFertility, q165ModernPipeline, q175TokenShards,
+    q178PackedSequences)
 }
