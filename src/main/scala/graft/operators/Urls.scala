@@ -116,5 +116,73 @@ object Urls {
            |FROM n GROUP BY canon, host ORDER BY canon""".stripMargin),
     bench = true, lowLatency = true)
 
-  val all: Seq[QueryDef] = Seq(q168UrlDedup)
+  // Domain-suffix blocklist filter — the URL-tier gate every crawl
+  // pipeline runs next to canonicalization (Dolma/CCNet-class domain
+  // deny lists; RefinedWeb §3.1 URL filtering): a document is blocked
+  // iff ANY dot-suffix of its cleaned host (`a.b.example.com` →
+  // {a.b.example.com, b.example.com, example.com, com}) appears in
+  // the blocklist, so one listed registrable domain covers every
+  // subdomain. The suffix set builds IN-ROW (split + transform/slice
+  // over ≤ label-count elements — codegen'd list ops, no UDF); the
+  // per-domain audit is an explode + broadcast-able equi-join LEFT
+  // from the blocklist (a listed domain that matches nothing must
+  // report 0 — silently dropping it hides a stale list); the
+  // retention row checks membership in-row via arrays_overlap against
+  // the frozen list (the blocklist is a tiny committed artifact — at
+  // a production list size the overlap literal becomes a broadcast
+  // Bloom front, the q138 swap, with the explode+join arm unchanged).
+  // One corpus scan feeds both consumers via the persist cache.
+  val q179DomainBlocklist: QueryDef = QueryDef(
+    "q179_domain_blocklist",
+    (s, dir) => {
+      val block = graft.Fixtures.read(s,
+        graft.Fixtures.domainBlocklistPath)
+      val domains = block.collect().map(_.getString(0)).toSeq
+      val corpus = graft.Fixtures.read(s, graft.Fixtures.urlCorpusPath)
+        .withColumn("host", hostOf(col("url")))
+        .withColumn("labels", split(col("host"), "\\."))
+        .withColumn("sufs",
+          transform(sequence(lit(1), size(col("labels"))), i =>
+            array_join(slice(col("labels"), i,
+              size(col("labels")) - i + 1), ".")))
+        .transform(graft.Caches.persist) // per-domain + kept consumers
+      val perDomain = block.join(
+          corpus.select(col("doc_id"), explode(col("sufs")).as("domain")),
+          Seq("domain"), "left")
+        .groupBy(col("domain"))
+        .agg(count(col("doc_id")).as("n_docs"))
+      val kept = corpus
+        .filter(!arrays_overlap(col("sufs"), typedLit(domains)))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("__kept__").as("domain"), col("n_docs"))
+      perDomain.unionByName(kept).orderBy("domain")
+    },
+    Some(s"""WITH b AS (SELECT domain
+           |           FROM read_parquet('${graft.Fixtures.domainBlocklistPath}')),
+           |u AS (
+           |  SELECT doc_id,
+           |    regexp_replace(regexp_replace(
+           |      lower(split_part(regexp_replace(regexp_replace(url,
+           |        '#.*$$', ''), '(?i)^https?://', ''), '/', 1)),
+           |      '^www\\.', ''), ':(80|443)$$', '') AS host
+           |  FROM read_parquet('${graft.Fixtures.urlCorpusPath}')),
+           |s AS (SELECT doc_id, string_split(host, '.') AS labels
+           |      FROM u),
+           |sf AS (
+           |  SELECT doc_id, array_to_string(labels[i:], '.') AS domain
+           |  FROM s, unnest(range(1, len(labels) + 1)) AS r(i)),
+           |pd AS (
+           |  SELECT b.domain, COUNT(sf.doc_id) AS n_docs
+           |  FROM b LEFT JOIN sf ON sf.domain = b.domain
+           |  GROUP BY 1),
+           |kept AS (
+           |  SELECT '__kept__' AS domain, COUNT(*) AS n_docs FROM u
+           |  WHERE doc_id NOT IN (
+           |    SELECT doc_id FROM sf
+           |    WHERE domain IN (SELECT domain FROM b)))
+           |SELECT domain, n_docs FROM pd
+           |UNION ALL SELECT domain, n_docs FROM kept
+           |ORDER BY domain""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q168UrlDedup, q179DomainBlocklist)
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.tools.{GenBlocklistFixture, GenUrlFixture}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q179 domain-suffix blocklist: per-domain counts recompute from the
+  * URL generator's emission rules (exact, TLD-suffix, overlapping
+  * parent, zero-match decoy), retention closes the ledger, and the
+  * match is by dot-LABEL suffix — a blocklist entry must never match
+  * mid-label ("site.org" does not block "news-site.org").
+  */
+class BlocklistSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001" // unused by the fixture read
+
+  private def isLabelSuffix(domain: String, host: String): Boolean = {
+    val hl = host.split('.')
+    val dl = domain.split('.')
+    dl.length <= hl.length && hl.takeRight(dl.length).sameElements(dl)
+  }
+
+  test("per-domain counts and retention recompute from the emission " +
+      "rules; decoy reports 0; parent suffix multi-matches") {
+    val got = SparkEntry.queries("q179_domain_blocklist")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pages = (0L until GenUrlFixture.NumCanon.toLong).map { b =>
+      val host = GenUrlFixture.canonicalOf(b).takeWhile(c =>
+        c != '/' && c != '?')
+      (host, GenUrlFixture.aliasCount(b).toLong)
+    }
+    val total = pages.map(_._2).sum
+    GenBlocklistFixture.Domains.foreach { d =>
+      val exp = pages.filter(p => isLabelSuffix(d, p._1)).map(_._2).sum
+      assert(got.get(d) == Some(exp),
+        s"domain $d: got ${got.get(d)}, expected $exp")
+    }
+    assert(got("tracker.invalid") == 0L, "decoy must report 0")
+    // 'org' (parent) covers BOTH exact .org entries — multi-match
+    assert(got("org") ==
+      got("news-site.org") + got("archive-mirror.org"))
+    val blocked = pages.filter(p => GenBlocklistFixture.Domains
+      .exists(isLabelSuffix(_, p._1))).map(_._2).sum
+    assert(got("__kept__") == total - blocked,
+      s"retention ledger: kept ${got("__kept__")} + blocked $blocked " +
+        s"!= total $total")
+    assert(got("__kept__") > 0 && blocked > 0,
+      "fixture must exercise both outcomes")
+  }
+
+  test("suffix match is by dot label, never mid-label substring") {
+    val sufs = spark.range(1)
+      .select(operators.Urls.hostOf(lit("http://news-site.org/x"))
+        .as("host"))
+      .withColumn("labels", split(col("host"), "\\."))
+      .select(transform(sequence(lit(1), size(col("labels"))), i =>
+        array_join(slice(col("labels"), i,
+          size(col("labels")) - i + 1), ".")).as("sufs"))
+      .collect()(0).getSeq[String](0)
+    assert(sufs.toSet == Set("news-site.org", "org"),
+      s"suffix set wrong: $sufs")
+    assert(!sufs.contains("site.org"),
+      "mid-label substring must not be a suffix")
+  }
+}
