@@ -184,5 +184,114 @@ object Urls {
            |UNION ALL SELECT domain, n_docs FROM kept
            |ORDER BY domain""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q168UrlDedup, q179DomainBlocklist)
+  // Crawl-tier capstone — the URL stages composed as ONE Catalyst
+  // plan, the q147/q153/q165 capstone discipline applied to the layer
+  // that runs BEFORE any byte of content is fetched at scale:
+  // canonicalize (q168's rules) → domain-suffix blocklist gate
+  // (q179's, cheapest-first: a blocked URL never reaches dedup) →
+  // dedup-by-canonical among survivors (q168's keeper) → per-domain
+  // frontier audit (total / blocked / kept / unique pages). All
+  // per-row work is one in-row pass (canonical form, clean host,
+  // suffix set, blocked flag) persisted once for the two aggregation
+  // consumers; exchanges are the host-keyed count agg and the
+  // (host, canon)-keyed dedup agg — the same keyed-linear shapes the
+  // component queries pin individually. The LEFT join keeps
+  // fully-blocked domains in the audit with unique_pages = 0 (a
+  // domain the gate zeroed must still report, not vanish).
+  val q180CrawlPipeline: QueryDef = QueryDef(
+    "q180_crawl_pipeline",
+    (s, dir) => {
+      val domains = graft.Fixtures.read(s,
+        graft.Fixtures.domainBlocklistPath)
+        .collect().map(_.getString(0)).toSeq
+      val (hostC, canonC) = canonicalParts(col("url"))
+      val base = graft.Fixtures.read(s, graft.Fixtures.urlCorpusPath)
+        .withColumn("host", hostC)
+        .withColumn("canon", canonC)
+        .withColumn("labels", split(col("host"), "\\."))
+        .withColumn("blocked", arrays_overlap(
+          transform(sequence(lit(1), size(col("labels"))), i =>
+            array_join(slice(col("labels"), i,
+              size(col("labels")) - i + 1), ".")),
+          typedLit(domains)))
+        .transform(graft.Caches.persist) // count + dedup consumers
+      val perHost = base.groupBy(col("host"))
+        .agg(count(lit(1)).as("total_urls"),
+          sum(when(col("blocked"), 1L).otherwise(0L))
+            .as("blocked_urls"),
+          sum(when(!col("blocked"), 1L).otherwise(0L))
+            .as("kept_urls"))
+      val uniq = base.filter(!col("blocked"))
+        .groupBy(col("host"), col("canon"))
+        .agg(min(col("doc_id")).as("keep_doc"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("unique_pages"))
+      perHost.join(uniq, Seq("host"), "left")
+        .select(col("host"), col("total_urls"), col("blocked_urls"),
+          col("kept_urls"),
+          coalesce(col("unique_pages"), lit(0L)).as("unique_pages"))
+        .orderBy("host")
+    },
+    Some(s"""WITH b AS (SELECT domain
+           |           FROM read_parquet('${graft.Fixtures.domainBlocklistPath}')),
+           |c AS (
+           |  SELECT doc_id,
+           |    regexp_replace(regexp_replace(url, '#.*$$', ''),
+           |      '(?i)^https?://', '') AS ns
+           |  FROM read_parquet('${graft.Fixtures.urlCorpusPath}')),
+           |h AS (
+           |  SELECT doc_id,
+           |    regexp_replace(regexp_replace(
+           |      lower(split_part(ns, '/', 1)), '^www\\.', ''),
+           |      ':(80|443)$$', '') AS host,
+           |    substr(ns, length(split_part(ns, '/', 1)) + 1) AS rest
+           |  FROM c),
+           |p AS (
+           |  SELECT doc_id, host,
+           |    regexp_replace(split_part(rest, '?', 1), '/$$', '')
+           |      AS path,
+           |    CASE WHEN strpos(rest, '?') > 0
+           |         THEN substr(rest, strpos(rest, '?') + 1)
+           |         ELSE '' END AS q
+           |  FROM h),
+           |n AS (
+           |  SELECT doc_id, host,
+           |    host || path ||
+           |    CASE WHEN len(ps) > 0
+           |         THEN '?' || array_to_string(ps, '&')
+           |         ELSE '' END AS canon
+           |  FROM (SELECT doc_id, host, path,
+           |          list_sort(list_filter(string_split(q, '&'),
+           |            x -> x <> '' AND NOT regexp_matches(x,
+           |              '^(utm_[a-z]+|fbclid|sessionid)='))) AS ps
+           |        FROM p) f),
+           |g AS (
+           |  SELECT n.*,
+           |    EXISTS (
+           |      SELECT 1
+           |      FROM unnest(range(1,
+           |        len(string_split(n.host, '.')) + 1)) AS r(i)
+           |      WHERE array_to_string(
+           |          string_split(n.host, '.')[i:], '.')
+           |        IN (SELECT domain FROM b)) AS blocked
+           |  FROM n),
+           |ph AS (
+           |  SELECT host, COUNT(*) AS total_urls,
+           |    CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS blocked_urls,
+           |    CAST(SUM(CASE WHEN NOT blocked THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS kept_urls
+           |  FROM g GROUP BY host),
+           |uq AS (
+           |  SELECT host, COUNT(*) AS unique_pages
+           |  FROM (SELECT host, canon FROM g WHERE NOT blocked
+           |        GROUP BY host, canon) d
+           |  GROUP BY host)
+           |SELECT ph.host, ph.total_urls, ph.blocked_urls,
+           |  ph.kept_urls, COALESCE(uq.unique_pages, 0) AS unique_pages
+           |FROM ph LEFT JOIN uq ON ph.host = uq.host
+           |ORDER BY ph.host""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q168UrlDedup, q179DomainBlocklist,
+    q180CrawlPipeline)
 }

@@ -48,6 +48,44 @@ class BlocklistSpec extends AnyFunSuite {
       "fixture must exercise both outcomes")
   }
 
+  test("q180 crawl capstone: per-domain frontier audit recomputes " +
+      "from the emission rules; fully-blocked domains stay in the " +
+      "report with unique_pages = 0") {
+    val got = SparkEntry.queries("q180_crawl_pipeline")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // fold the generator's pages by host, applying gate + dedup
+    case class H(var total: Long = 0, var blocked: Long = 0,
+      var kept: Long = 0, var canons: Set[String] = Set.empty)
+    val byHost = scala.collection.mutable.Map.empty[String, H]
+    (0L until GenUrlFixture.NumCanon.toLong).foreach { b =>
+      val canon = GenUrlFixture.canonicalOf(b)
+      val host = canon.takeWhile(c => c != '/' && c != '?')
+      val n = GenUrlFixture.aliasCount(b).toLong
+      val h = byHost.getOrElseUpdate(host, H())
+      h.total += n
+      val isBlocked = GenBlocklistFixture.Domains
+        .exists(isLabelSuffix(_, host))
+      if (isBlocked) h.blocked += n
+      else { h.kept += n; h.canons += canon }
+    }
+    assert(got.keySet == byHost.keySet.toSet)
+    byHost.foreach { case (host, h) =>
+      assert(got(host) ==
+        ((h.total, h.blocked, h.kept, h.canons.size.toLong)),
+        s"host $host: ${got(host)} vs (${h.total}, ${h.blocked}, " +
+          s"${h.kept}, ${h.canons.size})")
+    }
+    // the gate must fully zero at least one domain, and that domain
+    // must still report (the LEFT-join contract)
+    val zeroed = got.filter { case (_, (_, _, kept, _)) => kept == 0 }
+    assert(zeroed.nonEmpty, "fixture must fully block some domain")
+    zeroed.foreach { case (host, (_, _, _, uniq)) =>
+      assert(uniq == 0L, s"$host blocked but unique_pages = $uniq")
+    }
+  }
+
   test("suffix match is by dot label, never mid-label substring") {
     val sufs = spark.range(1)
       .select(operators.Urls.hostOf(lit("http://news-site.org/x"))
