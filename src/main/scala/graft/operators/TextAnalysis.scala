@@ -905,6 +905,62 @@ object TextAnalysis {
             |  md5(string_agg(h, '' ORDER BY doc_id)) AS fp
             |FROM s3 GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q181's three corruption detectors — ONE Java∩RE2 pattern each
+    * (the q149 regex discipline), shared verbatim with the oracle.
+    * Unicode via `\\x{..}` escapes so neither source file nor SQL
+    * text carries raw control bytes.
+    */
+  private[graft] val ReplRe = "\\x{FFFD}"
+  private[graft] val CtrlRe =
+    "[\\x{1}-\\x{8}\\x{B}\\x{C}\\x{E}-\\x{1F}]"
+  private[graft] val MojiRe =
+    "Ã[\\x{80}-\\x{BF}]|â€™|â€œ"
+
+  // Encoding-corruption (mojibake) quality signal — the detection half
+  // of the ftfy-class cleaning stage every web pipeline runs (fix or
+  // drop; cf. the "fixes text for you" heuristics, Speer 2019, and
+  // C4/Dolma's invalid-unicode drops): per document, counts of (a)
+  // U+FFFD replacement characters (a decoder already gave up), (b) C0
+  // control characters outside \t\n\r (binary contamination), (c) the
+  // classic UTF-8-read-as-Latin-1/cp1252 sequences ("Ã" + continuation
+  // range, "â€™"/"â€œ" — double-encoding artifacts). Detection over a
+  // planted fixture with no ground-truth columns; per-lang rollup with
+  // dirty-doc counts. Map-only + one keyed agg — at 100 TB this fuses
+  // with the scan like every gate metric, and the DROP arm is the same
+  // filter the rollup's dirty flag already computes.
+  val q181EncodingQuality: QueryDef = QueryDef(
+    "q181_encoding_quality",
+    (s, dir) =>
+      graft.Fixtures.read(s, graft.Fixtures.mojiDocsPath)
+        .select(col("lang"),
+          size(regexp_extract_all(col("text"), lit(ReplRe), lit(0)))
+            .as("n_repl"),
+          size(regexp_extract_all(col("text"), lit(CtrlRe), lit(0)))
+            .as("n_ctrl"),
+          size(regexp_extract_all(col("text"), lit(MojiRe), lit(0)))
+            .as("n_moji"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("n_repl") + col("n_ctrl") + col("n_moji") > 0,
+            1L).otherwise(0L)).as("dirty_docs"),
+          sum(col("n_repl")).cast("long").as("n_repl"),
+          sum(col("n_ctrl")).cast("long").as("n_ctrl"),
+          sum(col("n_moji")).cast("long").as("n_moji"))
+        .orderBy("lang"),
+    Some(s"""WITH d AS (
+            |  SELECT lang,
+            |    len(regexp_extract_all(text, '$ReplRe')) AS n_repl,
+            |    len(regexp_extract_all(text, '$CtrlRe')) AS n_ctrl,
+            |    len(regexp_extract_all(text, '$MojiRe')) AS n_moji
+            |  FROM read_parquet('${graft.Fixtures.mojiDocsPath}'))
+            |SELECT lang, COUNT(*) AS docs,
+            |  CAST(SUM(CASE WHEN n_repl + n_ctrl + n_moji > 0
+            |           THEN 1 ELSE 0 END) AS BIGINT) AS dirty_docs,
+            |  CAST(SUM(n_repl) AS BIGINT) AS n_repl,
+            |  CAST(SUM(n_ctrl) AS BIGINT) AS n_ctrl,
+            |  CAST(SUM(n_moji) AS BIGINT) AS n_moji
+            |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
+
   // Deterministic train/val/test split — the reproducible alternative
   // to rand()-based sampling: assignment is a pure function of the key
   // (doc_id mod 100 → 80/10/10), so every engine and every rerun agrees,
@@ -2996,5 +3052,5 @@ object TextAnalysis {
     q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
     q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
     q164TokenizerFertility, q165ModernPipeline, q175TokenShards,
-    q178PackedSequences)
+    q178PackedSequences, q181EncodingQuality)
 }
