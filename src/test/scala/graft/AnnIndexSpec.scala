@@ -89,6 +89,27 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(bad == 0L, s"$bad postings rows with drifted codes")
   }
 
+  test("index maintenance: compact on a fragmented copy of the ANN " +
+      "artifact merges debris and preserves content exactly") {
+    val layout = operators.Similarity.annIndexLayout(spark, dir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_annc").toString + "/idx"
+    // micro-batch-style debris: many small files per cid directory
+    spark.read.parquet(layout).repartition(9)
+      .write.partitionBy("cid").parquet(tmp)
+    val before = spark.read.parquet(tmp)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val rep = sources.LakehouseSink.compact(spark, tmp,
+      clusterCols = Seq("vec_id"))
+    assert(rep.partitionsCompacted > 0 &&
+      rep.filesAfter < rep.filesBefore,
+      s"expected debris merge: $rep")
+    val after = spark.read.parquet(tmp)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(after.toSeq == before.toSeq,
+      "compaction must preserve the index byte-for-byte")
+  }
+
   test("serve plan: dynamic partition pruning into the cid-partitioned " +
       "index scan, no cartesian product") {
     val plan = SparkEntry.queries("q174_ann_served")(spark, dir)
