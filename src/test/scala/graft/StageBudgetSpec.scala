@@ -60,7 +60,12 @@ class StageBudgetSpec extends AnyFunSuite {
     // survivor relations serve all their consumers from one build
     // each — re-running the gate/dedup or decontam chain per consumer
     // adds ~10 stages per extra consumer and blows straight past this
-    ("q147_training_pipeline", 34, 34))
+    ("q147_training_pipeline", 34, 34),
+    // r15: the served-index read path (0.82× DuckDB) — the budget
+    // pins that serving never rebuilds or re-scans the corpus (an
+    // artifact-cache regression shows up as the build's write stages
+    // re-entering every serve)
+    ("q174_ann_served", 7, 5))
 
   test("the pinned expensive headline queries keep their executed " +
       "stage/job budgets under the bench profile") {
