@@ -265,6 +265,58 @@ class ScaleGrowthSpec extends AnyFunSuite {
       // (< 800² = 0.64 M at 8000 docs vs the ~0.44 M total measured —
       // no single key can dominate the join)
       assert(maxDf < 800, s"hottest raw shingle df=$maxDf at 8000 docs")
+
+      // q178's packing core over the same growing corpora — the
+      // token-level explode is the job's honest cost (it writes the
+      // training rows), so the widest exchange is ∝ corpus TOKENS and
+      // the exponent must sit at ~1; the per-(lang, bin) agg state is
+      // bounded by the 2048-token sequence, so bins (result rows)
+      // grow linearly with the corpus too. Ids derive in-plan from
+      // the tokens (the BPE table is a fixture constant, irrelevant
+      // to growth).
+      {
+        import org.apache.spark.sql.expressions.Window
+        val rows = dirs.map { dir =>
+          clock.quiesce(); clock.reset()
+          val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val d = spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("lang"), col("doc_id"),
+              transform(filter(split(col("text"), " "), _ =!= ""),
+                t => pmod(hash(t), lit(1000))).as("ids"))
+            .withColumn("nt", size(col("ids")).cast("long"))
+            .withColumn("cum_excl",
+              coalesce(sum(col("nt")).over(w), lit(0L)))
+          val out = d.select(col("lang"), col("doc_id"),
+              col("cum_excl"),
+              posexplode(col("ids")).as(Seq("pos", "id")))
+            .withColumn("off", col("cum_excl") + col("pos"))
+            .withColumn("bin", expr("off div 2048"))
+            .groupBy(col("lang"), col("bin"))
+            .agg(count(lit(1)).as("n_tokens"),
+              md5(array_join(
+                transform(array_sort(collect_list(
+                  struct(col("off"), col("id")))), x =>
+                  x.getField("id").cast("string")), ":")
+                .cast("binary")).as("seq_digest"))
+            .collect().length.toLong
+          clock.quiesce()
+          val sh = clock.shuffleRecords
+          Caches.clear(spark)
+          (sh, out)
+        }
+        val Seq((s1, b1), (s2, b2), (s3, b3)) = rows
+        val exp = math.log(s3.toDouble / s2) / math.log(4.0)
+        info(f"q178 packing core: shuffle=$s1/$s2/$s3 exp=$exp%.2f " +
+          f"bins=$b1/$b2/$b3")
+        assert(exp < 1.3,
+          s"packing-core shuffle rows grow faster than linear " +
+            s"(exp $exp): $s1 -> $s2 -> $s3")
+        assert(b3 > b2 && b2 >= b1 && b1 > 0,
+          s"bin count must track corpus tokens: $b1 / $b2 / $b3")
+        assert(b3.toDouble / b2 > 3.0 && b3.toDouble / b2 < 5.0,
+          s"4x tokens must give ~4x sequences: $b2 -> $b3")
+      }
     } finally spark.sparkContext.removeSparkListener(clock)
   }
 
