@@ -747,8 +747,52 @@ object StreamingQueries {
             |FROM pd JOIN cu ON pd.lang = cu.lang CROSS JOIN c80
             |GROUP BY pd.lang ORDER BY pd.lang""".stripMargin))
 
+  // Streaming crawl frontier — q180's URL tier as continuous ingest
+  // (the shape a crawler's URL-dispatch tier actually runs: every
+  // discovered link canonicalizes, gates against the frozen deny
+  // list, and checks the frontier's SEEN-SET before a fetch is ever
+  // scheduled). Two streaming passes over the manifest: (1) per-host
+  // raw counters — stateless in-row dress (Urls.crawlDress, shared
+  // verbatim with the batch capstone) + O(hosts) complete-mode
+  // counters; (2) the frontier itself — `dropDuplicates(canon)`,
+  // whose state is the canonical seen-set BY DESIGN (that set IS the
+  // crawl frontier's data structure; at web scale it lives in the
+  // RocksDB state store keyed by canonical hash, size ∝ unique pages
+  // — unlike an accidental unbounded aggregation, a frontier that
+  // forgets seen URLs re-fetches the web). First-seen rows drain in
+  // append mode and roll up batch-side. The drained audit equals the
+  // batch capstone's — they share ONE oracle.
+  val q182StreamCrawlFrontier: QueryDef = QueryDef(
+    "q182_stream_crawl_frontier",
+    (s, dir) => {
+      val domains = graft.Fixtures.read(s,
+        graft.Fixtures.domainBlocklistPath)
+        .collect().map(_.getString(0)).toSeq
+      val counters = Urls.crawlDress(EventsStream.readUrls(s), domains)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("total_urls"),
+          sum(when(col("blocked"), 1L).otherwise(0L))
+            .as("blocked_urls"),
+          sum(when(!col("blocked"), 1L).otherwise(0L))
+            .as("kept_urls"))
+      val a = EventsStream.runToCompletion(s, counters)
+      val firstSeen = Urls.crawlDress(EventsStream.readUrls(s), domains)
+        .filter(!col("blocked"))
+        .select(col("host"), col("canon"))
+        .dropDuplicates("canon")
+      val b = EventsStream.runToCompletion(s, firstSeen, mode = "append")
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("unique_pages"))
+      a.join(b, Seq("host"), "left")
+        .select(col("host"), col("total_urls"), col("blocked_urls"),
+          col("kept_urls"),
+          coalesce(col("unique_pages"), lit(0L)).as("unique_pages"))
+        .orderBy("host")
+    },
+    Some(Urls.crawlAuditOracleSql))
+
   val all: Seq[QueryDef] = Seq(q172StreamQualityGate, q176StreamSelect,
-    q33StreamTumbling, q34Sessionize,
+    q33StreamTumbling, q34Sessionize, q182StreamCrawlFrontier,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,
     q107StreamCuration, q110StreamHistogram, q112StreamCurationWm,

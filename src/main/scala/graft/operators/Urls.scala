@@ -184,6 +184,93 @@ object Urls {
            |UNION ALL SELECT domain, n_docs FROM kept
            |ORDER BY domain""".stripMargin))
 
+  /** host + canonical + blocked columns in ONE in-row pass — one
+    * definition for the batch capstone (q180) and the streaming
+    * frontier (q182), so the gate rules cannot drift between the two
+    * arms. Stateless per-row Column work: legal verbatim inside a
+    * micro-batch plan.
+    */
+  private[graft] def crawlDress(
+      df: org.apache.spark.sql.DataFrame,
+      domains: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val (hostC, canonC) = canonicalParts(col("url"))
+    df.withColumn("host", hostC)
+      .withColumn("canon", canonC)
+      .withColumn("labels", split(col("host"), "\\."))
+      .withColumn("blocked", arrays_overlap(
+        transform(sequence(lit(1), size(col("labels"))), i =>
+          array_join(slice(col("labels"), i,
+            size(col("labels")) - i + 1), ".")),
+        typedLit(domains)))
+      .drop("labels")
+  }
+
+  /** ONE oracle text for q180 (batch capstone) AND q182 (streaming
+    * frontier): the drained stream's audit is DEFINED as the batch
+    * answer — sharing the oracle is the equivalence claim, the
+    * q174/q177 pattern.
+    */
+  private[operators] lazy val crawlAuditOracleSql: String =
+    s"""WITH b AS (SELECT domain
+       |           FROM read_parquet('${graft.Fixtures.domainBlocklistPath}')),
+       |c AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(url, '#.*$$', ''),
+       |      '(?i)^https?://', '') AS ns
+       |  FROM read_parquet('${graft.Fixtures.urlCorpusPath}')),
+       |h AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(
+       |      lower(split_part(ns, '/', 1)), '^www\\.', ''),
+       |      ':(80|443)$$', '') AS host,
+       |    substr(ns, length(split_part(ns, '/', 1)) + 1) AS rest
+       |  FROM c),
+       |p AS (
+       |  SELECT doc_id, host,
+       |    regexp_replace(split_part(rest, '?', 1), '/$$', '')
+       |      AS path,
+       |    CASE WHEN strpos(rest, '?') > 0
+       |         THEN substr(rest, strpos(rest, '?') + 1)
+       |         ELSE '' END AS q
+       |  FROM h),
+       |n AS (
+       |  SELECT doc_id, host,
+       |    host || path ||
+       |    CASE WHEN len(ps) > 0
+       |         THEN '?' || array_to_string(ps, '&')
+       |         ELSE '' END AS canon
+       |  FROM (SELECT doc_id, host, path,
+       |          list_sort(list_filter(string_split(q, '&'),
+       |            x -> x <> '' AND NOT regexp_matches(x,
+       |              '^(utm_[a-z]+|fbclid|sessionid)='))) AS ps
+       |        FROM p) f),
+       |g AS (
+       |  SELECT n.*,
+       |    EXISTS (
+       |      SELECT 1
+       |      FROM unnest(range(1,
+       |        len(string_split(n.host, '.')) + 1)) AS r(i)
+       |      WHERE array_to_string(
+       |          string_split(n.host, '.')[i:], '.')
+       |        IN (SELECT domain FROM b)) AS blocked
+       |  FROM n),
+       |ph AS (
+       |  SELECT host, COUNT(*) AS total_urls,
+       |    CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS blocked_urls,
+       |    CAST(SUM(CASE WHEN NOT blocked THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS kept_urls
+       |  FROM g GROUP BY host),
+       |uq AS (
+       |  SELECT host, COUNT(*) AS unique_pages
+       |  FROM (SELECT host, canon FROM g WHERE NOT blocked
+       |        GROUP BY host, canon) d
+       |  GROUP BY host)
+       |SELECT ph.host, ph.total_urls, ph.blocked_urls,
+       |  ph.kept_urls, COALESCE(uq.unique_pages, 0) AS unique_pages
+       |FROM ph LEFT JOIN uq ON ph.host = uq.host
+       |ORDER BY ph.host""".stripMargin
+
   // Crawl-tier capstone — the URL stages composed as ONE Catalyst
   // plan, the q147/q153/q165 capstone discipline applied to the layer
   // that runs BEFORE any byte of content is fetched at scale:
@@ -204,16 +291,8 @@ object Urls {
       val domains = graft.Fixtures.read(s,
         graft.Fixtures.domainBlocklistPath)
         .collect().map(_.getString(0)).toSeq
-      val (hostC, canonC) = canonicalParts(col("url"))
-      val base = graft.Fixtures.read(s, graft.Fixtures.urlCorpusPath)
-        .withColumn("host", hostC)
-        .withColumn("canon", canonC)
-        .withColumn("labels", split(col("host"), "\\."))
-        .withColumn("blocked", arrays_overlap(
-          transform(sequence(lit(1), size(col("labels"))), i =>
-            array_join(slice(col("labels"), i,
-              size(col("labels")) - i + 1), ".")),
-          typedLit(domains)))
+      val base = crawlDress(
+        graft.Fixtures.read(s, graft.Fixtures.urlCorpusPath), domains)
         .transform(graft.Caches.persist) // count + dedup consumers
       val perHost = base.groupBy(col("host"))
         .agg(count(lit(1)).as("total_urls"),
@@ -232,65 +311,7 @@ object Urls {
           coalesce(col("unique_pages"), lit(0L)).as("unique_pages"))
         .orderBy("host")
     },
-    Some(s"""WITH b AS (SELECT domain
-           |           FROM read_parquet('${graft.Fixtures.domainBlocklistPath}')),
-           |c AS (
-           |  SELECT doc_id,
-           |    regexp_replace(regexp_replace(url, '#.*$$', ''),
-           |      '(?i)^https?://', '') AS ns
-           |  FROM read_parquet('${graft.Fixtures.urlCorpusPath}')),
-           |h AS (
-           |  SELECT doc_id,
-           |    regexp_replace(regexp_replace(
-           |      lower(split_part(ns, '/', 1)), '^www\\.', ''),
-           |      ':(80|443)$$', '') AS host,
-           |    substr(ns, length(split_part(ns, '/', 1)) + 1) AS rest
-           |  FROM c),
-           |p AS (
-           |  SELECT doc_id, host,
-           |    regexp_replace(split_part(rest, '?', 1), '/$$', '')
-           |      AS path,
-           |    CASE WHEN strpos(rest, '?') > 0
-           |         THEN substr(rest, strpos(rest, '?') + 1)
-           |         ELSE '' END AS q
-           |  FROM h),
-           |n AS (
-           |  SELECT doc_id, host,
-           |    host || path ||
-           |    CASE WHEN len(ps) > 0
-           |         THEN '?' || array_to_string(ps, '&')
-           |         ELSE '' END AS canon
-           |  FROM (SELECT doc_id, host, path,
-           |          list_sort(list_filter(string_split(q, '&'),
-           |            x -> x <> '' AND NOT regexp_matches(x,
-           |              '^(utm_[a-z]+|fbclid|sessionid)='))) AS ps
-           |        FROM p) f),
-           |g AS (
-           |  SELECT n.*,
-           |    EXISTS (
-           |      SELECT 1
-           |      FROM unnest(range(1,
-           |        len(string_split(n.host, '.')) + 1)) AS r(i)
-           |      WHERE array_to_string(
-           |          string_split(n.host, '.')[i:], '.')
-           |        IN (SELECT domain FROM b)) AS blocked
-           |  FROM n),
-           |ph AS (
-           |  SELECT host, COUNT(*) AS total_urls,
-           |    CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
-           |      AS blocked_urls,
-           |    CAST(SUM(CASE WHEN NOT blocked THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS kept_urls
-           |  FROM g GROUP BY host),
-           |uq AS (
-           |  SELECT host, COUNT(*) AS unique_pages
-           |  FROM (SELECT host, canon FROM g WHERE NOT blocked
-           |        GROUP BY host, canon) d
-           |  GROUP BY host)
-           |SELECT ph.host, ph.total_urls, ph.blocked_urls,
-           |  ph.kept_urls, COALESCE(uq.unique_pages, 0) AS unique_pages
-           |FROM ph LEFT JOIN uq ON ph.host = uq.host
-           |ORDER BY ph.host""".stripMargin))
+    Some(crawlAuditOracleSql))
 
   val all: Seq[QueryDef] = Seq(q168UrlDedup, q179DomainBlocklist,
     q180CrawlPipeline)

@@ -100,6 +100,18 @@ object EventsStream {
     * stream q156's cleaning monitor consumes. Same symlink-directory +
     * explicit-schema contract as [[readDocuments]].
     */
+  /** Streaming view of the committed crawl manifest — the URL stream
+    * a continuous frontier (q182) consumes. Same symlink-directory +
+    * explicit-schema contract as [[readPiiDocs]].
+    */
+  def readUrls(spark: SparkSession): DataFrame = {
+    val path = java.nio.file.Paths.get(graft.Fixtures.urlCorpusPath)
+    val streamDir = streamDirFor("urls", path.getParent.toString,
+      path.getFileName.toString)
+    val schema = spark.read.parquet(graft.Fixtures.urlCorpusPath).schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
   def readPiiDocs(spark: SparkSession): DataFrame = {
     val path = java.nio.file.Paths.get(graft.Fixtures.piiDocsPath)
     val streamDir = streamDirFor("pii", path.getParent.toString,

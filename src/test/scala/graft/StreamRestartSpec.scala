@@ -5,6 +5,7 @@ import graft.streaming.EventsStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** Checkpoint-restart coverage for the round-9 stateful shapes, whose
   * state differs from the running aggregates StreamingResumeSpec
@@ -494,6 +495,77 @@ class StreamRestartSpec extends AnyFunSuite {
       "no documents selected — test is vacuous")
     assert(last.get() == batch,
       s"restarted selection gate diverged: ${last.get()} vs $batch")
+    Caches.clear(spark)
+  }
+
+  test("q182-class crawl frontier survives a restart: the canonical " +
+      "seen-set restores from the checkpoint, so aliases of " +
+      "pre-restart pages never re-emit") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_furls")
+    val in = root.resolve("in").toString
+    val cp = root.resolve("cp").toString
+    val domains = Fixtures.read(spark, Fixtures.domainBlocklistPath)
+      .collect().map(_.getString(0)).toSeq
+    val all = Fixtures.read(spark, Fixtures.urlCorpusPath)
+      .select(col("doc_id"), col("lang"), col("url"))
+      .as[(Long, String, String)].collect()
+    // interleave halves by parity so MOST multi-alias pages span the
+    // restart boundary — the strongest exercise of state restoration
+    val firstHalf = all.filter(_._1 % 2 == 0)
+    val secondHalf = all.filter(_._1 % 2 == 1)
+
+    def writeFile(rows: Seq[(Long, String, String)]): Unit =
+      rows.toSeq.toDF("doc_id", "lang", "url").repartition(1)
+        .write.mode("append").parquet(in)
+
+    val emitted = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[String]()
+    val emissions = new java.util.concurrent.atomic.AtomicLong(0)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("lang", "string").add("url", "string")
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.operators.Urls.crawlDress(stream, domains)
+        .filter(!col("blocked"))
+        .select(col("canon"))
+        .dropDuplicates("canon")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = b.collect().map(_.getString(0))
+            emissions.addAndGet(rows.length.toLong)
+            rows.foreach(emitted.add)
+            ()
+        }
+        .start()
+    }
+
+    writeFile(firstHalf.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(emissions.get() > 0, "run 1 emitted nothing")
+
+    writeFile(secondHalf.toSeq)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // batch truth: unique kept canonicals over the full corpus
+    val expected = graft.operators.Urls.crawlDress(
+      Fixtures.read(spark, Fixtures.urlCorpusPath), domains)
+      .filter(!col("blocked"))
+      .select("canon").distinct().collect().map(_.getString(0)).toSet
+    assert(emitted.asScala.toSet == expected,
+      s"frontier emitted ${emitted.size} canonicals vs " +
+        s"${expected.size} expected")
+    // NO re-emission: total emissions equal distinct canonicals — a
+    // from-zero restart would re-emit every spanning page's canonical
+    assert(emissions.get() == expected.size.toLong,
+      s"${emissions.get()} emissions for ${expected.size} unique " +
+        "pages — seen-set state did not restore across the restart")
     Caches.clear(spark)
   }
 }
