@@ -166,6 +166,8 @@ object VectorOps {
         graft.plans.BpeTokenCount(exprs(0), intArr(exprs(1), "left"),
           intArr(exprs(2), "right"))
       }, "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => graft.plans.NfcNormalize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_ids",
       exprs => {
         def intArr(e: org.apache.spark.sql.catalyst.expressions
@@ -323,6 +325,9 @@ object VectorOps {
     call_function("graft_bpe_count", text,
       org.apache.spark.sql.functions.typedLit(left.toSeq),
       org.apache.spark.sql.functions.typedLit(right.toSeq))
+
+  /** Unicode NFC normalization (see [[graft.plans.NfcNormalize]]). */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
 
   /** Tokenizer-exact token-ID sequence under a trained BPE merge table
     * (see [[graft.plans.BpeEncodeIds]]).

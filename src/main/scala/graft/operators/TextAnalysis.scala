@@ -961,6 +961,53 @@ object TextAnalysis {
             |  CAST(SUM(n_moji) AS BIGINT) AS n_moji
             |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // Unicode NFC normalization pass — the canonicalization every text
+  // pipeline runs BEFORE hashing or dedup (Dolma/CCNet normalize
+  // early: "café" spelled precomposed and decomposed are byte-distinct
+  // strings that split exact-dedup classes and skew char metrics until
+  // composed). The codegen'd in-row [[graft.plans.NfcNormalize]]
+  // (isNormalized quick-check fast path — the common already-NFC row
+  // costs one scan, zero copies) against DuckDB's nfc_normalize — both
+  // implement the Unicode-standard composition, and the per-lang
+  // ordered digest over NORMALIZED text proves byte-for-byte agreement
+  // on every document, not just the counters. Map-only + one keyed
+  // agg; non_nfc_docs / chars_folded are the audit a relayout job
+  // reads before swapping the normalized copy in.
+  val q183NfcNormalize: QueryDef = QueryDef(
+    "q183_nfc_normalize",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val n = graft.Fixtures.read(s, graft.Fixtures.nfcDocsPath)
+        .select(col("doc_id"), col("lang"), col("text"),
+          graft.functions.VectorOps.nfc(col("text")).as("norm"))
+        .select(col("lang"), col("doc_id"),
+          when(col("text") =!= col("norm"), 1L).otherwise(0L)
+            .as("non_nfc"),
+          (length(col("text")) - length(col("norm"))).cast(LongType)
+            .as("delta"),
+          md5(col("norm").cast(BinaryType)).as("h"))
+      n.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("non_nfc")).as("non_nfc_docs"),
+          sum(col("delta")).as("chars_folded"),
+          md5(concat_ws("", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("h")))),
+            x => x.getField("h"))).cast(BinaryType)).as("fp"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, lang,
+            |    CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0
+            |      END AS non_nfc,
+            |    len(text) - len(nfc_normalize(text)) AS delta,
+            |    md5(nfc_normalize(text)) AS h
+            |  FROM read_parquet('${graft.Fixtures.nfcDocsPath}'))
+            |SELECT lang, COUNT(*) AS docs,
+            |  CAST(SUM(non_nfc) AS BIGINT) AS non_nfc_docs,
+            |  CAST(SUM(delta) AS BIGINT) AS chars_folded,
+            |  md5(string_agg(h, '' ORDER BY doc_id)) AS fp
+            |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
+
   // Deterministic train/val/test split — the reproducible alternative
   // to rand()-based sampling: assignment is a pure function of the key
   // (doc_id mod 100 → 80/10/10), so every engine and every rerun agrees,
@@ -3052,5 +3099,5 @@ object TextAnalysis {
     q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
     q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
     q164TokenizerFertility, q165ModernPipeline, q175TokenShards,
-    q178PackedSequences, q181EncodingQuality)
+    q178PackedSequences, q181EncodingQuality, q183NfcNormalize)
 }

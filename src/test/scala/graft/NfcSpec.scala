@@ -1,0 +1,64 @@
+package graft
+
+import graft.tools.GenNfcFixture
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q183 NFC pass: the per-lang audit recomputes from the generator's
+  * emission rules (every decomposed word folds exactly one combining
+  * mark; precomposed text never counts — the false-positive guard),
+  * and the kernel is correct and idempotent on the planted pairs.
+  */
+class NfcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001" // unused by the fixture read
+
+  test("per-lang rollup equals the generator's planted counts") {
+    val got = SparkEntry.queries("q183_nfc_normalize")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    case class L(var docs: Long = 0, var nn: Long = 0, var cf: Long = 0)
+    val exp = scala.collection.mutable.Map.empty[String, L]
+    (0L until GenNfcFixture.NumDocs.toLong).foreach { d =>
+      val l = exp.getOrElseUpdate(GenNfcFixture.langOf(d), L())
+      val (de, _) = GenNfcFixture.planted(d)
+      l.docs += 1
+      if (de.nonEmpty) l.nn += 1
+      // each decomposed word carries exactly one combining mark that
+      // folds into its base on composition
+      l.cf += de.size
+    }
+    assert(got.keySet == exp.keySet.toSet)
+    exp.foreach { case (lang, l) =>
+      assert(got(lang) == ((l.docs, l.nn, l.cf)),
+        s"$lang: ${got(lang)} vs planted (${l.docs}, ${l.nn}, ${l.cf})")
+    }
+    assert(exp.values.map(_.nn).sum > 0, "fixture must plant NFD docs")
+    // precomposed-only docs (class 2) exist and must NOT be flagged —
+    // covered by the exact equality above, asserted explicitly here
+    val class2 = (0L until GenNfcFixture.NumDocs.toLong)
+      .filter(d => math.floorMod(d, 4) == 2)
+    assert(class2.nonEmpty)
+  }
+
+  test("kernel: decomposed composes to the precomposed spelling, " +
+      "idempotent, already-NFC strings return the SAME object " +
+      "(zero-copy fast path)") {
+    GenNfcFixture.AccentWords.foreach { case (pre, de) =>
+      assert(pre != de, "fixture pair must be byte-distinct")
+      val composed = graft.plans.NfcNormalize.nfc(
+        UTF8String.fromString(de)).toString
+      assert(composed == pre, s"NFC($de) = $composed, expected $pre")
+      val u = UTF8String.fromString(pre)
+      assert(graft.plans.NfcNormalize.nfc(u) eq u,
+        "already-normalized input must take the zero-copy path")
+    }
+    // and through the column expression (codegen path)
+    val r = spark.range(1).select(
+      graft.functions.VectorOps.nfc(
+        lit(GenNfcFixture.AccentWords.head._2)).as("n"))
+      .collect()(0).getString(0)
+    assert(r == GenNfcFixture.AccentWords.head._1)
+  }
+}
