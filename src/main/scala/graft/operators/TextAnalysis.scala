@@ -1008,6 +1008,41 @@ object TextAnalysis {
             |  md5(string_agg(h, '' ORDER BY doc_id)) AS fp
             |FROM d GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // Normalization-aware exact dedup (q183 ∘ q21) — WHY the NFC pass
+  // runs before hashing: the fixture's planted NFD twins are
+  // byte-distinct from their precomposed originals, so raw md5 dedup
+  // keeps both copies; keying on md5(NFC(text)) folds each twin onto
+  // its original. The per-lang audit reports both distinct counts —
+  // folded_dups is exactly the duplicate volume a pipeline that skips
+  // normalization silently ships. Same one-scan keyed-agg shape as
+  // q21; the nfc kernel fuses in-row.
+  val q184NfcDedup: QueryDef = QueryDef(
+    "q184_nfc_dedup",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      graft.Fixtures.read(s, graft.Fixtures.nfcDocsPath)
+        .select(col("lang"),
+          md5(col("text").cast(BinaryType)).as("hr"),
+          md5(graft.functions.VectorOps.nfc(col("text"))
+            .cast(BinaryType)).as("hn"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          countDistinct(col("hr")).as("distinct_raw"),
+          countDistinct(col("hn")).as("distinct_norm"),
+          (countDistinct(col("hr")) - countDistinct(col("hn")))
+            .as("folded_dups"))
+        .orderBy("lang")
+    },
+    Some(s"""SELECT lang, COUNT(*) AS docs,
+            |  COUNT(DISTINCT md5(text)) AS distinct_raw,
+            |  COUNT(DISTINCT md5(nfc_normalize(text)))
+            |    AS distinct_norm,
+            |  COUNT(DISTINCT md5(text)) -
+            |    COUNT(DISTINCT md5(nfc_normalize(text)))
+            |    AS folded_dups
+            |FROM read_parquet('${graft.Fixtures.nfcDocsPath}')
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
   // Deterministic train/val/test split — the reproducible alternative
   // to rand()-based sampling: assignment is a pure function of the key
   // (doc_id mod 100 → 80/10/10), so every engine and every rerun agrees,
@@ -3099,5 +3134,5 @@ object TextAnalysis {
     q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
     q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
     q164TokenizerFertility, q165ModernPipeline, q175TokenShards,
-    q178PackedSequences, q181EncodingQuality, q183NfcNormalize)
+    q178PackedSequences, q181EncodingQuality, q183NfcNormalize, q184NfcDedup)
 }

@@ -14,9 +14,12 @@ import scala.util.hashing.MurmurHash3
   *
   * Classes by `doc_id mod 4`: 0 — pure ASCII (already NFC); 1 — 1–3
   * decomposed accent words (normalization CHANGES the text, one
-  * combining mark folds per word); 2 — the same accent words
-  * precomposed (already NFC — a detector keying on "has accents"
-  * instead of "is normalized" false-positives here); 3 — one of each.
+  * combining mark folds per word); 2 — accent words precomposed
+  * (already NFC — a detector keying on "has accents" instead of "is
+  * normalized" false-positives here); 3 — the NFD TWIN of doc d−1
+  * (class 2): same salad, same picks, decomposed spelling —
+  * byte-distinct raw, byte-identical after NFC, same lang (the
+  * planted signal q184's normalization-aware dedup must fold).
   */
 object GenNfcFixture {
   val NumDocs = 240
@@ -35,28 +38,40 @@ object GenNfcFixture {
   private def h(tag: String, d: Long, i: Int): Int =
     MurmurHash3.productHash((tag, d, i))
 
+  /** Class-3 docs are NFD TWINS of their class-2 predecessor (same
+    * salad, same accent picks in the same order, decomposed spelling)
+    * — byte-distinct raw, byte-IDENTICAL after NFC, and deliberately
+    * same-lang so the per-lang dedup audit (q184) stays closed.
+    */
+  private def baseOf(d: Long): Long =
+    if (math.floorMod(d, 4) == 3) d - 1 else d
+
   def langOf(d: Long): String =
-    Langs(math.floorMod(h("lg", d, 0), Langs.size))
+    Langs(math.floorMod(h("lg", baseOf(d), 0), Langs.size))
 
   /** (decomposed words, precomposed words) planted in doc d. */
   def planted(d: Long): (Seq[String], Seq[String]) = {
-    def pick(tag: String, n: Int, f: ((String, String)) => String) =
+    def pick(b: Long, tag: String, n: Int,
+        f: ((String, String)) => String) =
       (0 until n).map(i => f(AccentWords(
-        math.floorMod(h(tag, d, i), AccentWords.size))))
+        math.floorMod(h(tag, b, i), AccentWords.size))))
     math.floorMod(d, 4) match {
-      case 1 => (pick("de", 1 + math.floorMod(h("nd", d, 0), 3), _._2),
-        Seq.empty)
+      case 1 => (pick(d, "de", 1 + math.floorMod(h("nd", d, 0), 3),
+        _._2), Seq.empty)
       case 2 => (Seq.empty,
-        pick("pr", 1 + math.floorMod(h("np", d, 0), 3), _._1))
-      case 3 => (pick("de", 1, _._2), pick("pr", 1, _._1))
+        pick(d, "pr", 1 + math.floorMod(h("np", d, 0), 3), _._1))
+      case 3 => // the twin: d-1's picks, decomposed spelling
+        (pick(d - 1, "pr", 1 + math.floorMod(h("np", d - 1, 0), 3),
+          _._2), Seq.empty)
       case _ => (Seq.empty, Seq.empty)
     }
   }
 
   def textOf(d: Long): String = {
-    val nw = 6 + math.floorMod(h("nw", d, 0), 8)
+    val b = baseOf(d)
+    val nw = 6 + math.floorMod(h("nw", b, 0), 8)
     val salad = (0 until nw)
-      .map(i => Words(math.floorMod(h("w", d, i), Words.size)))
+      .map(i => Words(math.floorMod(h("w", b, i), Words.size)))
       .mkString(" ")
     val (de, pre) = planted(d)
     (salad +: (de ++ pre)).mkString(" ")

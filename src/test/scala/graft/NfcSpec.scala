@@ -42,6 +42,32 @@ class NfcSpec extends AnyFunSuite {
     assert(class2.nonEmpty)
   }
 
+  test("q184 normalization-aware dedup: every planted NFD twin folds " +
+      "onto its original; raw dedup keeps both (the duplicate volume " +
+      "an unnormalized pipeline ships)") {
+    val got = SparkEntry.queries("q184_nfc_dedup")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // honest recomputation from the emission rules, including any
+    // accidental salad collisions (don't assume planted-only dups)
+    import java.text.Normalizer
+    val byLang = (0L until GenNfcFixture.NumDocs.toLong)
+      .map(d => (GenNfcFixture.langOf(d), GenNfcFixture.textOf(d)))
+      .groupBy(_._1)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, ds) =>
+      val texts = ds.map(_._2)
+      val raw = texts.distinct.size.toLong
+      val norm = texts.map(Normalizer.normalize(_,
+        Normalizer.Form.NFC)).distinct.size.toLong
+      assert(got(lang) == ((texts.size.toLong, raw, norm, raw - norm)),
+        s"$lang: ${got(lang)} vs (${texts.size}, $raw, $norm, " +
+          s"${raw - norm})")
+      assert(raw > norm, s"$lang plants no folding twins")
+    }
+  }
+
   test("kernel: decomposed composes to the precomposed spelling, " +
       "idempotent, already-NFC strings return the SAME object " +
       "(zero-copy fast path)") {
