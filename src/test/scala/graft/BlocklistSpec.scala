@@ -86,6 +86,17 @@ class BlocklistSpec extends AnyFunSuite {
     }
   }
 
+  test("plans: blocklist join is broadcast-class (no cartesian / " +
+      "nested-loop product in q179 or q180)") {
+    Seq("q179_domain_blocklist", "q180_crawl_pipeline").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(600)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(600)}")
+    }
+  }
+
   test("suffix match is by dot label, never mid-label substring") {
     val sufs = spark.range(1)
       .select(operators.Urls.hostOf(lit("http://news-site.org/x"))

@@ -42,6 +42,14 @@ class MojibakeSpec extends AnyFunSuite {
       && exp.values.map(_.m).sum > 0)
   }
 
+  test("plan: map-only + one lang-keyed exchange, no join") {
+    val p = SparkEntry.queries("q181_encoding_quality")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      p.take(600))
+    assert(!p.contains("Join"), p.take(600))
+  }
+
   test("crafted negatives: legal whitespace and plain accented text " +
       "do not count as corruption") {
     def counts(text: String): (Int, Int, Int) = {

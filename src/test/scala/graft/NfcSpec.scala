@@ -68,6 +68,18 @@ class NfcSpec extends AnyFunSuite {
     }
   }
 
+  test("plans: q183/q184 are map-only + one lang-keyed exchange, " +
+      "no join") {
+    Seq("q183_nfc_normalize", "q184_nfc_dedup").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // q184's countDistinct expands but stays within two exchanges
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"$q: ${p.take(600)}")
+      assert(!p.contains("Join"), s"$q: ${p.take(600)}")
+    }
+  }
+
   test("kernel: decomposed composes to the precomposed spelling, " +
       "idempotent, already-NFC strings return the SAME object " +
       "(zero-copy fast path)") {
