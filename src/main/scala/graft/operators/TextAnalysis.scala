@@ -1043,6 +1043,105 @@ object TextAnalysis {
             |FROM read_parquet('${graft.Fixtures.nfcDocsPath}')
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // Corpus datasheet capstone — the "data card" table every released
+  // dataset ships (Datasheets for Datasets, Gebru et al. CACM'21;
+  // Dolma/FineWeb release reports): one long-format (metric, value)
+  // relation composing the proven stage aggregates — volume (docs /
+  // tokens / chars / langs / sources), redundancy (exact-dup docs),
+  // quality (Gopher pass count + µunit rate from the SHARED gopherDoc
+  // helper — no rule drift vs q117/q166), split accounting (q57's
+  // pure-function rule), and the median document length through the
+  // size-guarded cutpoint dispatcher (exact arm here, sketch arm at
+  // 100 TB). Every value is BIGINT — rates ride as µunit integers, so
+  // the whole card hash-compares exactly. Shape: ONE dressed corpus
+  // scan persisted for the count metrics + the gopher pass (its own
+  // shingle pass, the q117 cost) + a union of 1-row aggregates — at
+  // 100 TB this is the report job a release pipeline runs nightly.
+  val q185CorpusDatasheet: QueryDef = QueryDef(
+    "q185_corpus_datasheet",
+    (s, dir) => {
+      val base = graft.Caches.persist(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"),
+            size(split(lower(col("text")), " ")).cast(LongType)
+              .as("nt"),
+            md5(col("text").cast(BinaryType)).as("h")))
+      val gd = graft.Caches.persist(gopherDoc(s, dir)
+        .select(col("doc_id"), col("pass")))
+      def one(name: String, agg: DataFrame): DataFrame =
+        agg.toDF("v").select(lit(name).as("metric"),
+          col("v").cast(LongType).as("value"))
+      val counts = base.agg(
+        count(lit(1)).as("docs"),
+        countDistinct(col("lang")).as("langs"),
+        countDistinct(col("source")).as("sources"),
+        sum(col("nt")).as("tokens"),
+        sum(col("n_chars")).cast(LongType).as("chars"),
+        (count(lit(1)) - countDistinct(col("h"))).as("dups"))
+        .transform(graft.Caches.persist)
+      val passes = gd.agg(
+        sum(when(col("pass"), 1L).otherwise(0L)).as("p"),
+        count(lit(1)).as("n"))
+      val p50 = Cutpoints.cutpointOf(base, Nil, "nt", Seq(0.5))
+      Seq(
+        one("chars_total", counts.select(col("chars"))),
+        one("docs_total", counts.select(col("docs"))),
+        one("exact_dup_docs", counts.select(col("dups"))),
+        one("gopher_pass_docs", passes.select(col("p"))),
+        one("gopher_pass_rate_mu", passes.select(
+          floor(col("p").cast(DoubleType) / col("n") * 1e6 + 0.5d))),
+        one("langs_distinct", counts.select(col("langs"))),
+        one("sources_distinct", counts.select(col("sources"))),
+        one("split_test_docs", base
+          .filter(col("doc_id") % 100 >= 90).agg(count(lit(1)))),
+        one("split_train_docs", base
+          .filter(col("doc_id") % 100 < 80).agg(count(lit(1)))),
+        one("split_val_docs", base
+          .filter(col("doc_id") % 100 >= 80 && col("doc_id") % 100 < 90)
+          .agg(count(lit(1)))),
+        one("token_p50_mu", p50.select(
+          floor(col("cut0") * 1e6 + 0.5d))),
+        one("tokens_total", counts.select(col("tokens"))))
+        .reduce(_.unionByName(_))
+        .orderBy("metric")
+    },
+    Some(s"""WITH $GopherDocSql,
+            |base AS (
+            |  SELECT doc_id, lang, source, n_chars,
+            |    CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+            |      AS nt,
+            |    md5(text) AS h
+            |  FROM documents)
+            |SELECT 'chars_total' AS metric,
+            |  CAST(SUM(n_chars) AS BIGINT) AS value FROM base
+            |UNION ALL SELECT 'docs_total', COUNT(*) FROM base
+            |UNION ALL SELECT 'exact_dup_docs',
+            |  COUNT(*) - COUNT(DISTINCT h) FROM base
+            |UNION ALL SELECT 'gopher_pass_docs',
+            |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+            |  FROM gd
+            |UNION ALL SELECT 'gopher_pass_rate_mu',
+            |  CAST(FLOOR(CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END)
+            |    AS DOUBLE) / COUNT(*) * 1000000 + 0.5) AS BIGINT)
+            |  FROM gd
+            |UNION ALL SELECT 'langs_distinct',
+            |  COUNT(DISTINCT lang) FROM base
+            |UNION ALL SELECT 'sources_distinct',
+            |  COUNT(DISTINCT source) FROM base
+            |UNION ALL SELECT 'split_test_docs', COUNT(*) FROM base
+            |  WHERE doc_id % 100 >= 90
+            |UNION ALL SELECT 'split_train_docs', COUNT(*) FROM base
+            |  WHERE doc_id % 100 < 80
+            |UNION ALL SELECT 'split_val_docs', COUNT(*) FROM base
+            |  WHERE doc_id % 100 >= 80 AND doc_id % 100 < 90
+            |UNION ALL SELECT 'token_p50_mu',
+            |  CAST(FLOOR(quantile_cont(CAST(nt AS DOUBLE), 0.5)
+            |    * 1000000 + 0.5) AS BIGINT) FROM base
+            |UNION ALL SELECT 'tokens_total',
+            |  CAST(SUM(nt) AS BIGINT) FROM base
+            |ORDER BY metric""".stripMargin))
+
   // Deterministic train/val/test split — the reproducible alternative
   // to rand()-based sampling: assignment is a pure function of the key
   // (doc_id mod 100 → 80/10/10), so every engine and every rerun agrees,
@@ -1512,7 +1611,7 @@ object TextAnalysis {
   /** [[gopherDoc]]'s oracle half: CTE chain ending in `gd` with the
     * same per-doc columns (booleans included). Interpolate after WITH.
     */
-  private[graft] val GopherDocSql: String =
+  private[graft] lazy val GopherDocSql: String =
     """tok AS (
       |  SELECT doc_id, lang, source, n_chars,
       |    string_split(lower(text), ' ') AS w
@@ -3134,5 +3233,6 @@ object TextAnalysis {
     q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
     q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
     q164TokenizerFertility, q165ModernPipeline, q175TokenShards,
-    q178PackedSequences, q181EncodingQuality, q183NfcNormalize, q184NfcDedup)
+    q178PackedSequences, q181EncodingQuality, q183NfcNormalize, q184NfcDedup,
+    q185CorpusDatasheet)
 }
