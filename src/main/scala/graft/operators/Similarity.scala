@@ -298,9 +298,12 @@ object Similarity {
       java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
     val pStamp = Tables.fileStamp(
       java.nio.file.Paths.get(graft.Fixtures.lshPlanesPath))
+    // plane-fixture dependency folds into the stamp (see
+    // annIndexLayout: superseded-geometry artifacts must sweep)
+    val stamp = (eStamp._1, eStamp._2, eStamp._3 ^ pStamp._3)
     val srcKey = f"signv1_${scala.util.hashing.MurmurHash3
-      .stringHash(dir)}%08x_${pStamp._3}%08x"
-    graft.sources.ArtifactCache.artifact(srcKey, eStamp, tmp =>
+      .stringHash(dir)}%08x"
+    graft.sources.ArtifactCache.artifact(srcKey, stamp, tmp =>
       graft.sources.LakehouseSink.writePartitioned(
         signCodes(normed(s, dir).filter(col("vec_id") >= NumQueryVecs))
           .select(col("vec_id"), col("code"), col("tbl")),
@@ -473,9 +476,14 @@ object Similarity {
       java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
     val cStamp = Tables.fileStamp(
       java.nio.file.Paths.get(graft.Fixtures.ivfCentroidsPath))
+    // the codebook dependency folds into the STAMP, not the srcKey:
+    // the sweep collects superseded stamps of one srcKey, so a
+    // retrained codebook's old artifacts age out instead of lingering
+    // forever under a key prefix nothing matches anymore
+    val stamp = (eStamp._1, eStamp._2, eStamp._3 ^ cStamp._3)
     val srcKey = f"annv1_${scala.util.hashing.MurmurHash3
-      .stringHash(dir)}%08x_${cStamp._3}%08x"
-    graft.sources.ArtifactCache.artifact(srcKey, eStamp, tmp => {
+      .stringHash(dir)}%08x"
+    graft.sources.ArtifactCache.artifact(srcKey, stamp, tmp => {
       val e = normed(s, dir).filter(col("vec_id") >= NumQueryVecs)
       val centsPacked = typedLit(graft.Fixtures
         .ivfCentroidsPacked(s).toSeq)
