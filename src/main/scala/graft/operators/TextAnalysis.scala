@@ -1043,6 +1043,83 @@ object TextAnalysis {
             |FROM read_parquet('${graft.Fixtures.nfcDocsPath}')
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // Vocabulary pruning / rare-token suppression — the classic LM
+  // vocab-truncation step (keep the top-V vocabulary, rewrite every
+  // out-of-vocabulary token to `<unk>` — the construction every
+  // count-based LM and the CCNet-class cleaning stacks apply before
+  // modeling; also the k-anonymity-flavored suppression that keeps
+  // rare, possibly-identifying strings out of a release). Vocabulary
+  // = top-V by (count DESC, token ASC) — a deterministic truncation,
+  // collected once as the frozen artifact a production run ships
+  // (cutpoint/classifier-weight class). The rewrite is ENTIRELY
+  // in-row (filter + transform + array_contains against the V-token
+  // literal — no explode, no join, no per-doc reassembly exchange);
+  // cost is the information-theoretic two passes (one tokenize to
+  // build the vocab, one re-scan to rewrite). The per-lang ordered
+  // digest over rewritten text proves every substitution
+  // byte-for-byte.
+  /** q186's vocabulary budget — small enough that every fixture
+    * language carries genuine OOV mass at all three scales (TopV=40
+    * kept the whole 61-token synthetic vocabulary and made the
+    * operator vacuous).
+    */
+  private[graft] val VocabPruneTopV = 25
+
+  val q186VocabPrune: QueryDef = QueryDef(
+    "q186_vocab_prune",
+    (s, dir) => {
+      val TopV = VocabPruneTopV
+      val toks = unigramToks(s, dir)
+      val kept = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(TopV)
+        .collect().map(_.getString(0)).toSeq
+      val keptLit = typedLit(kept)
+      val words = filter(split(lower(col("text")), " "),
+        x => x =!= "")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(words).cast(LongType).as("nt"),
+          size(filter(words, x => !array_contains(keptLit, x)))
+            .cast(LongType).as("nrep"),
+          md5(array_join(transform(words, x =>
+            when(array_contains(keptLit, x), x)
+              .otherwise(lit("<unk>"))), " ")
+            .cast(BinaryType)).as("h"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("nt")).as("tokens"),
+          sum(col("nrep")).as("replaced"),
+          floor(sum(col("nrep")).cast(DoubleType) / sum(col("nt"))
+            * 1e6 + 0.5d).cast(LongType).as("replaced_rate_mu"),
+          md5(concat_ws("", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("h")))),
+            x => x.getField("h"))).cast(BinaryType)).as("fp"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH $unigramOracleCtes,
+            |kl AS (SELECT list(t) AS kept
+            |       FROM (SELECT t FROM uni
+            |             ORDER BY c DESC, t LIMIT $VocabPruneTopV) k),
+            |rew AS (
+            |  SELECT doc_id, lang, len(w) AS nt,
+            |    len(list_filter(w,
+            |      x -> NOT list_contains(kl.kept, x))) AS nrep,
+            |    md5(array_to_string(list_transform(w,
+            |      x -> CASE WHEN list_contains(kl.kept, x) THEN x
+            |           ELSE '<unk>' END), ' ')) AS h
+            |  FROM (SELECT doc_id, lang,
+            |          list_filter(string_split(lower(text), ' '),
+            |            x -> x <> '') AS w
+            |        FROM documents) d
+            |  CROSS JOIN kl)
+            |SELECT lang, COUNT(*) AS docs,
+            |  CAST(SUM(nt) AS BIGINT) AS tokens,
+            |  CAST(SUM(nrep) AS BIGINT) AS replaced,
+            |  CAST(FLOOR(CAST(SUM(nrep) AS DOUBLE) / SUM(nt)
+            |    * 1000000 + 0.5) AS BIGINT) AS replaced_rate_mu,
+            |  md5(string_agg(h, '' ORDER BY doc_id)) AS fp
+            |FROM rew GROUP BY lang ORDER BY lang""".stripMargin))
+
   // Corpus datasheet capstone — the "data card" table every released
   // dataset ships (Datasheets for Datasets, Gebru et al. CACM'21;
   // Dolma/FineWeb release reports): one long-format (metric, value)
@@ -3234,5 +3311,5 @@ object TextAnalysis {
     q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
     q164TokenizerFertility, q165ModernPipeline, q175TokenShards,
     q178PackedSequences, q181EncodingQuality, q183NfcNormalize, q184NfcDedup,
-    q185CorpusDatasheet)
+    q185CorpusDatasheet, q186VocabPrune)
 }
