@@ -635,6 +635,86 @@ object Dedup {
             |       ELSE 'dirty' END AS bucket
             |FROM agg ORDER BY doc_id""".stripMargin))
 
+  // Cross-source provenance overlap matrix — the "which crawl sources
+  // duplicate each other" report a corpus datasheet cites next to the
+  // per-source rollups (q185): for every pair of sources, how many
+  // distinct word 5-grams they share and the Jaccard of their gram
+  // sets. Common Crawl dumps overlap release-to-release, web corpora
+  // re-crawl the same sites, and a high pairwise Jaccard tells the
+  // curator one source is (mostly) a re-packaging of another — drop it
+  // BEFORE paying per-document dedup over the union. Same gram
+  // contract as q65/q159 (hashed word 5-grams; the pair key is an
+  // 8-byte long, never the gram text). Plan: one corpus shingle pass →
+  // distinct (source, gram) — per-gram rows are capped at the source
+  // count S, so the g-keyed self-join emits ≤ S² rows per gram (S is a
+  // catalog-sized constant: tens of sources, not corpus-sized) and the
+  // matrix itself is ≤ S(S-1)/2 rows; per-source gram totals are an
+  // S-row relation broadcast back for the Jaccard denominator. Every
+  // exchange is keyed on the gram hash and linear in distinct corpus
+  // grams — the same cost class as the q65 decontamination join.
+  val q187SourceOverlap: QueryDef = QueryDef(
+    "q187_source_overlap",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      // persisted: three consumers (per-source totals + both sides of
+      // the self-join) would each re-run the corpus shingle pass —
+      // same audit finding as q65's sets5.
+      val sg = graft.Caches.persist(Tables.load(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.VectorOps.shingleHashes(lower(col("text")), 5)
+            .as("gs"))
+        .filter(size(col("gs")) > 0)
+        .select(col("source"), explode(col("gs")).as("g"))
+        .distinct())
+      val totals = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // anti-broadcast on the self-join: both sides are the distinct
+      // corpus-gram index (corpus-sized at 100 TB) — shuffle_hash keys
+      // them on g instead of collecting one side to the driver.
+      val shared = sg.select(col("source").as("src_a"), col("g"))
+        .hint("shuffle_hash")
+        .join(sg.select(col("source").as("src_b"), col("g")), Seq("g"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(broadcast(totals.select(col("source").as("src_a"),
+          col("n").as("na"))), Seq("src_a"))
+        .join(broadcast(totals.select(col("source").as("src_b"),
+          col("n").as("nb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("shared"),
+          graft.Round4(col("shared").cast(DoubleType) /
+            (col("na") + col("nb") - col("shared"))).as("jac"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, source,
+            |    string_split(lower(text), ' ') AS w
+            |  FROM documents
+            |  WHERE len(string_split(lower(text), ' ')) >= 5),
+            |sh AS (
+            |  SELECT DISTINCT source,
+            |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+            |      w[i+3] || ' ' || w[i+4] AS g
+            |  FROM (SELECT doc_id, source, w,
+            |        unnest(range(1, len(w)-3)) AS i FROM tok) u),
+            |tot AS (SELECT source, COUNT(*) AS n FROM sh
+            |        GROUP BY source),
+            |pair AS (
+            |  SELECT a.source AS src_a, b.source AS src_b,
+            |    COUNT(*) AS shared
+            |  FROM sh a JOIN sh b
+            |    ON a.g = b.g AND a.source < b.source
+            |  GROUP BY 1, 2)
+            |SELECT p.src_a, p.src_b, p.shared,
+            |  ${graft.Round4.sql(
+              "CAST(p.shared AS DOUBLE) / (ta.n + tb.n - p.shared)")}
+            |    AS jac
+            |FROM pair p
+            |JOIN tot ta ON p.src_a = ta.source
+            |JOIN tot tb ON p.src_b = tb.source
+            |ORDER BY p.src_a, p.src_b""".stripMargin),
+    bench = true)
+
   private val BloomBits = graft.functions.BloomDefaults.NumBits
   private val BloomHashes = graft.functions.BloomDefaults.NumHashes
 
@@ -1647,5 +1727,5 @@ object Dedup {
     q106DedupClosureSql, q113ClusterKeepBest, q119CrossShardDedup,
     q127StreamIncrementalNeardup, q134DedupContainment,
     q138DecontamBloom, q152SubstringDedup, q154SubstringDedupApply,
-    q159ContamOverlap)
+    q159ContamOverlap, q187SourceOverlap)
 }
