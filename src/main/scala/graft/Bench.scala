@@ -368,13 +368,27 @@ object Bench {
 
     val fixture =
       if (sfDir == rawDir) "raw" else "multi_row_group_rewrite"
+    // TWO stdout lines, diagnostics FIRST and the metric line LAST —
+    // deliberately. The driver stores only the last ~2 KB of output
+    // and parses the metric line out of that window; with profiles +
+    // the unprepared/cold maps folded INTO the metric line it had
+    // grown past 4 KB, so every round since r9 recorded
+    // "parsed": null (BENCH_r9..r14) and the driver graded bench
+    // blind. The metric line now carries only the contract keys +
+    // scalar totals (~1.4 KB at 45 queries) and prints last so the
+    // whole line always lands inside the tail window; the per-query
+    // unprepared/cold columns and stage profiles move to a "diag"
+    // line that greps for '"metric"' skip.
+    println(s"""{"diag":"bench_detail",""" +
+      s""""queries_unprepared":${jsonMap(unprepared)},""" +
+      s""""queries_cold":${jsonMap(cold)},""" +
+      s""""profiles":$profiles,""" +
+      s""""bare_job_ms":${r3(bareJobMs)}}""")
     println(s"""{"metric":"total","value":${total(warm)},"unit":"sec",""" +
       s""""queries":${jsonMap(warm)},""" +
       s""""unprepared_total":${total(unprepared)},""" +
-      s""""queries_unprepared":${jsonMap(unprepared)},""" +
-      s""""cold_total":${total(cold)},"queries_cold":${jsonMap(cold)},""" +
-      s""""profiles":$profiles,"cores":$cores,""" +
-      s""""bare_job_ms":${r3(bareJobMs)},""" +
+      s""""cold_total":${total(cold)},""" +
+      s""""cores":$cores,""" +
       s""""sf":"$rawDir","fixture":"$fixture"}""")
     Caches.clear(spark)
     spark.stop()
