@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Skew.all ++ operators.Formats.all ++
       operators.Intervals.all ++ operators.EventAnalytics.all ++
       operators.FrequentItems.all ++ operators.Retrieval.all ++
-      operators.Classifier.all ++ operators.Urls.all
+      operators.Classifier.all ++ operators.Urls.all ++
+      operators.Bitext.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

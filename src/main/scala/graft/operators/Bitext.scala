@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+
+/** Margin-based bitext mining — the parallel-corpus mining stage of
+  * multilingual training-data pipelines (Artetxe & Schwenk, ACL'19
+  * "Margin-based Parallel Corpus Mining"; the method behind CCMatrix /
+  * NLLB's mined bitext). Plain nearest-neighbor cosine over-retrieves
+  * for "hub" vectors whose neighborhood is globally dense; the ratio
+  * margin normalizes each candidate pair's cosine by the mean cosine
+  * of both endpoints' k-NN neighborhoods, and a pair is mined only
+  * when it is its source vector's best margin AND the reverse
+  * direction agrees (mutual-best — the intersection strategy of the
+  * paper, which dominated forward-only mining on BUCC).
+  *
+  * The reference engine has no cross-lingual tier (its curation stops
+  * at per-document scoring, `/root/reference` has no embedding joins
+  * at all), so this is part of the pipeline tier the survey adds on
+  * top; it reuses the embeddings fixture by splitting it into two
+  * deterministic pools (even vec_id = source side, odd = target side
+  * — a stand-in for two monolingual embedding spaces).
+  *
+  * Determinism contract (the repo-wide µunit discipline): each
+  * pairwise cosine is floored to integer µunits ONCE — cosine is
+  * DotProduct/L2Norm's sequential fold, bit-identical to the oracle's
+  * `list_inner_product`/sqrt spelling — and every downstream value
+  * (top-k neighborhood sums, the margin ratio, rankings, the
+  * mutual-best check) is exact BIGINT arithmetic, so Spark and DuckDB
+  * cannot drift: margin_µ = (2k·µcos·10⁶) div (Σtop-k fwd + Σtop-k
+  * bwd), integer division on positives (truncation ≡ floor in both
+  * engines; the µcos>0 guard keeps the numerator positive).
+  *
+  * Scale posture: the all-pairs µcos relation is the small-corpus arm
+  * (both fixture pools ≤ [[Similarity.SmallCorpusBound]]; one
+  * broadcast of the target pool, every later exchange keyed on sx or
+  * ty and linear in the pair count). At production scale the pair
+  * generation swaps to IVF multi-probe candidate retrieval run in
+  * both directions (the q136/q177 machinery: probe nprobe nearest
+  * centroid lists per query, cosine only within probed lists) and the
+  * margin denominators become candidate-restricted top-k — exactly
+  * how CCMatrix runs the same formula under FAISS. Everything from
+  * the µcos relation down (window top-k, keyed joins, mutual check)
+  * is shape-identical under either candidate generator.
+  */
+object Bitext {
+
+  /** Neighborhood size for the margin denominator (k of the ratio
+    * margin; the paper uses 4 on BUCC).
+    */
+  val MarginK = 4
+
+  /** Core miner over two pools of (id, v, nrm) rows. Returns one row
+    * per source vector that has a positive-cosine candidate:
+    * (src_id, tgt_id, margin_u, mutual). Exposed for specs.
+    */
+  private[graft] def mineMargin(x: DataFrame, y: DataFrame,
+      k: Int = MarginK): DataFrame = {
+    val xs = x.select(col("id").as("sx"), col("v").as("xv"),
+      col("nrm").as("xn"))
+    val ys = y.select(col("id").as("ty"), col("v").as("yv"),
+      col("nrm").as("yn"))
+    // one float→integer floor per pair; all arithmetic below is BIGINT
+    val p = xs.crossJoin(broadcast(ys))
+      .withColumn("ucos",
+        floor(graft.functions.VectorOps.cosine(col("xv"), col("yv"),
+          col("xn"), col("yn")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select("sx", "ty", "ucos")
+      .transform(graft.Caches.persist)
+    val wf = Window.partitionBy("sx").orderBy(col("ucos").desc, col("ty"))
+    val wb = Window.partitionBy("ty").orderBy(col("ucos").desc, col("sx"))
+    val kx = p.withColumn("r", row_number().over(wf))
+      .filter(col("r") <= k).groupBy("sx").agg(sum("ucos").as("sfwd"))
+    val ky = p.withColumn("r", row_number().over(wb))
+      .filter(col("r") <= k).groupBy("ty").agg(sum("ucos").as("sbwd"))
+    // margin in µunits: cos / ((avg fwd k-NN cos)/2 + (avg bwd)/2)
+    //                 = 2k·µcos / (Σfwd + Σbwd), scaled by 10⁶.
+    // numerator ≤ 2k·10⁶·10⁶ = 8·10¹² — no BIGINT overflow risk.
+    val m = p.filter(col("ucos") > 0)
+      .join(kx, "sx").join(ky, "ty")
+      .filter(col("sfwd") + col("sbwd") > 0)
+      .withColumn("margin_u",
+        expr(s"(${2 * k} * ucos * 1000000) div (sfwd + sbwd)"))
+      .select("sx", "ty", "margin_u")
+      .transform(graft.Caches.persist)
+    val fw = Window.partitionBy("sx").orderBy(col("margin_u").desc, col("ty"))
+    val bw = Window.partitionBy("ty").orderBy(col("margin_u").desc, col("sx"))
+    val fwd = m.withColumn("r", row_number().over(fw))
+      .filter(col("r") === 1).select("sx", "ty", "margin_u")
+    val bwd = m.withColumn("r", row_number().over(bw))
+      .filter(col("r") === 1)
+      .select(col("sx").as("bsx"), col("ty").as("bty"))
+    fwd.join(bwd,
+        fwd("sx") === bwd("bsx") && fwd("ty") === bwd("bty"), "left")
+      .select(col("sx").as("src_id"), col("ty").as("tgt_id"),
+        col("margin_u"),
+        when(col("bsx").isNotNull, lit(1)).otherwise(lit(0)).as("mutual"))
+  }
+
+  val q188BitextMargin: QueryDef = QueryDef(
+    "q188_bitext_margin",
+    (s, dir) => {
+      val e = Similarity.normed(s, dir)
+      val x = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("v"), col("nrm"))
+      val y = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("v"), col("nrm"))
+      mineMargin(x, y).orderBy("src_id")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |n AS (SELECT vec_id, v,
+            |    sqrt(list_inner_product(v, v)) AS nrm FROM e),
+            |p AS (
+            |  SELECT x.vec_id AS sx, y.vec_id AS ty,
+            |    CAST(floor(list_inner_product(x.v, y.v) / (x.nrm * y.nrm)
+            |      * 1000000.0 + 0.5) AS BIGINT) AS ucos
+            |  FROM n x JOIN n y
+            |    ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+            |kx AS (SELECT sx, SUM(ucos) AS sfwd FROM (
+            |    SELECT sx, ucos, ROW_NUMBER() OVER (PARTITION BY sx
+            |      ORDER BY ucos DESC, ty) AS r FROM p) t
+            |  WHERE r <= $MarginK GROUP BY sx),
+            |ky AS (SELECT ty, SUM(ucos) AS sbwd FROM (
+            |    SELECT ty, ucos, ROW_NUMBER() OVER (PARTITION BY ty
+            |      ORDER BY ucos DESC, sx) AS r FROM p) t
+            |  WHERE r <= $MarginK GROUP BY ty),
+            |m AS (
+            |  SELECT p.sx, p.ty,
+            |    (${2 * MarginK} * p.ucos * 1000000) // (kx.sfwd + ky.sbwd)
+            |      AS margin_u
+            |  FROM p JOIN kx USING (sx) JOIN ky USING (ty)
+            |  WHERE p.ucos > 0 AND kx.sfwd + ky.sbwd > 0),
+            |fwd AS (SELECT sx, ty, margin_u FROM (
+            |    SELECT sx, ty, margin_u, ROW_NUMBER() OVER (
+            |      PARTITION BY sx ORDER BY margin_u DESC, ty) AS r
+            |    FROM m) t WHERE r = 1),
+            |bwd AS (SELECT sx, ty FROM (
+            |    SELECT sx, ty, ROW_NUMBER() OVER (
+            |      PARTITION BY ty ORDER BY margin_u DESC, sx) AS r
+            |    FROM m) t WHERE r = 1)
+            |SELECT f.sx AS src_id, f.ty AS tgt_id, f.margin_u,
+            |  CASE WHEN b.sx IS NOT NULL THEN 1 ELSE 0 END AS mutual
+            |FROM fwd f LEFT JOIN bwd b ON f.sx = b.sx AND f.ty = b.ty
+            |ORDER BY src_id""".stripMargin),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q188BitextMargin)
+}

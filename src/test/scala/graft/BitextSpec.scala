@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Margin-based bitext mining (q188): semantics against an independent
+  * in-memory reimplementation, plus the operator's defining behavior —
+  * hub vectors with dense backward neighborhoods lose to lower-cosine
+  * partners with sparse neighborhoods (raw nearest-neighbor would pick
+  * the hub; the margin must not).
+  */
+class BitextSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def pool(vs: Seq[(Long, Array[Double])]): DataFrame = {
+    graft.functions.VectorOps.register(spark)
+    import spark.implicits._
+    vs.toDF("id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+      .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+  }
+
+  /** Independent reimplementation of the whole miner in plain Scala,
+    * mirroring the engine's arithmetic order exactly (sequential dot /
+    * norm folds, one µunit floor per pair, BIGINT everything after).
+    */
+  private def mineRef(xs: Seq[(Long, Array[Double])],
+      ys: Seq[(Long, Array[Double])],
+      k: Int): Seq[(Long, Long, Long, Int)] = {
+    def nrm(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      math.sqrt(s)
+    }
+    def ucos(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      math.floor(d / (nrm(a) * nrm(b)) * 1000000.0 + 0.5).toLong
+    }
+    val p = for ((sx, xv) <- xs; (ty, yv) <- ys)
+      yield (sx, ty, ucos(xv, yv))
+    def topkSum(rows: Seq[(Long, Long)]): Long =
+      rows.sortBy { case (tie, u) => (-u, tie) }.take(k).map(_._2).sum
+    val sfwd = p.groupBy(_._1).map { case (sx, rs) =>
+      sx -> topkSum(rs.map(r => (r._2, r._3))) }
+    val sbwd = p.groupBy(_._2).map { case (ty, rs) =>
+      ty -> topkSum(rs.map(r => (r._1, r._3))) }
+    val m = p.collect { case (sx, ty, u)
+        if u > 0 && sfwd(sx) + sbwd(ty) > 0 =>
+      (sx, ty, 2 * k * u * 1000000L / (sfwd(sx) + sbwd(ty)))
+    }
+    val fwd = m.groupBy(_._1).map { case (_, rs) =>
+      rs.minBy { case (_, ty, mu) => (-mu, ty) } }
+    val bwd = m.groupBy(_._2).map { case (_, rs) =>
+      rs.minBy { case (sx, _, mu) => (-mu, sx) } }.map(r => (r._1, r._2)).toSet
+    fwd.toSeq.sortBy(_._1).map { case (sx, ty, mu) =>
+      (sx, ty, mu, if (bwd((sx, ty))) 1 else 0) }
+  }
+
+  private def mined(x: DataFrame, y: DataFrame): Seq[(Long, Long, Long, Int)] =
+    operators.Bitext.mineMargin(x, y).orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+
+  test("matches an independent reimplementation on a seeded random pool") {
+    val rnd = new scala.util.Random(188)
+    def vecs(n: Int, base: Long): Seq[(Long, Array[Double])] =
+      (0 until n).map(i =>
+        (base + i, Array.fill(16)(rnd.nextGaussian())))
+    val xs = vecs(20, 0L)
+    val ys = vecs(20, 100L)
+    assert(mined(pool(xs), pool(ys)) ==
+      mineRef(xs, ys, operators.Bitext.MarginK))
+  }
+
+  test("planted translation pair is mined as mutual best") {
+    val rnd = new scala.util.Random(7)
+    def noise() = Array.fill(8)(rnd.nextGaussian())
+    val twin = noise()
+    // x0 and y0 share a direction up to tiny noise; everything else
+    // is independent noise, so (0, 100) must be the mutual-best pair.
+    val xs = (0L, twin.map(_ + rnd.nextGaussian() * 0.01)) +:
+      (1 to 5).map(i => (i.toLong, noise()))
+    val ys = (100L, twin.map(_ + rnd.nextGaussian() * 0.01)) +:
+      (1 to 5).map(i => (100L + i, noise()))
+    val out = mined(pool(xs), pool(ys))
+    val p0 = out.find(_._1 == 0L).get
+    assert(p0._2 == 100L && p0._4 == 1,
+      s"planted pair not mined mutual-best: $p0")
+  }
+
+  test("hub with dense backward neighborhood loses to the sparse partner") {
+    // Target pool: a hub h every source is near, and a partner t only
+    // x9 is near. cos(x9, h) > cos(x9, t), but h's backward top-k is
+    // ~0.97 avg while t's is sparse, so the MARGIN prefers t — the
+    // Artetxe & Schwenk correction that raw nearest-neighbor misses.
+    val h = Array(1.0, 0.0, 0.0)
+    val t = Array(0.0, 1.0, 0.0)
+    // eight hub-hugging sources establish h's dense neighborhood
+    val hug = (0 until 8).map { i =>
+      val a = 0.1 + 0.01 * i
+      (i.toLong * 2, Array(math.cos(a), 0.0, math.sin(a)))
+    }
+    // x9: cos to h = cos(20°) ≈ 0.94, cos to t = cos(30°) ≈ 0.87
+    val x9 = (18L, Array(math.cos(math.toRadians(20)),
+      math.cos(math.toRadians(70)), 0.0))
+    val xs = hug :+ x9
+    val ys = Seq((101L, h), (103L, t),
+      // filler targets far from everything, so top-k sums are defined
+      (105L, Array(0.0, 0.0, 1.0)), (107L, Array(-1.0, 0.1, 0.1)),
+      (109L, Array(0.1, -1.0, 0.2)))
+    val out = mined(pool(xs), pool(ys))
+    val rawBest = 101L // by construction: cos(x9,h) > cos(x9,t)
+    val x9row = out.find(_._1 == 18L).get
+    assert(x9row._2 == 103L && x9row._2 != rawBest,
+      s"margin did not penalize the hub: $x9row")
+    assert(x9row._4 == 1, "partner pair should be mutual")
+  }
+
+  test("non-mutual forward best is flagged mutual=0") {
+    // y201 prefers x0 (closest), but x2's forward best is also y201
+    // while y201's backward best stays x0 → x2's row must be mutual=0.
+    val xs = Seq(
+      (0L, Array(1.0, 0.0, 0.05, 0.0)),
+      (2L, Array(0.9, 0.1, 0.0, 0.2)),
+      (4L, Array(0.0, 1.0, 0.0, 0.0)),
+      (6L, Array(0.0, 0.0, 1.0, 0.0)),
+      (8L, Array(0.3, 0.3, 0.3, 0.9)))
+    val ys = Seq(
+      (201L, Array(1.0, 0.0, 0.0, 0.0)),
+      (203L, Array(0.0, 1.0, 0.1, 0.0)),
+      (205L, Array(0.0, 0.1, 1.0, 0.0)),
+      (207L, Array(0.2, 0.2, 0.2, 1.0)),
+      (209L, Array(-1.0, 0.0, 0.0, 0.1)))
+    val out = mined(pool(xs), pool(ys))
+    val ref = mineRef(xs, ys, operators.Bitext.MarginK)
+    assert(out == ref)
+    val x0 = out.find(_._1 == 0L).get
+    val x2 = out.find(_._1 == 2L).get
+    assert(x0._2 == 201L && x0._4 == 1)
+    assert(x2._2 == 201L && x2._4 == 0,
+      s"x2's forward-best is contested and must not be mutual: $x2")
+  }
+}
