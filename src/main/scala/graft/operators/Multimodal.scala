@@ -226,6 +226,41 @@ final class AHashCodec extends MediaCodec {
   }
 }
 
+/** Per-clip fingerprint row (q189). */
+final case class AudioFpRow(aud_id: Long, fp: Long)
+
+/** Full-PCM decode + 64-bit energy-delta fingerprint — the feature
+  * extractor of the audio near-dup pass (q189), the audio twin of
+  * [[AHashCodec]]: parses the RIFF/WAVE byte stream (javax.sound,
+  * stock JDK) to raw 16-bit samples and folds them through the
+  * integer-exact [[graft.functions.AudioFingerprint.fp64]].
+  */
+final class FingerprintCodec extends MediaCodec {
+  private val wav = new WavCodec
+
+  def decode(a: MediaAsset): MediaFeatures = wav.decode(a)
+
+  def decodeFp(a: MediaAsset): AudioFpRow = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(a.payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+        fmt.getChannels == 1,
+        s"FingerprintCodec: expected mono 16-bit LE PCM, got $fmt")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      require(n >= graft.functions.AudioFingerprint.ClipSamples,
+        s"clip ${a.doc_id} too short for fingerprinting: $n samples")
+      val fp = graft.functions.AudioFingerprint.fp64(t =>
+        (bytes(2 * t + 1).toInt << 8) | (bytes(2 * t) & 0xff))
+      AudioFpRow(a.doc_id, fp)
+    } finally in.close()
+  }
+}
+
 /** Routes each asset to the right decoder by media_type: image formats
   * — including the synthetic `image` assets, which are real
   * [[graft.plans.BmpWrap]] BMP containers — and animated-GIF video go
@@ -614,6 +649,71 @@ object Multimodal {
            |WHERE bit_count(xor(x.ah, y.ah)) <= 10
            |ORDER BY i1, i2""".stripMargin))
 
+  /** Real-WAV near-dup corpus as assets (committed fixture with
+    * generator-side expected fingerprints — see
+    * [[graft.tools.GenAudioDedupFixture]]).
+    */
+  def loadNeardupAudioAssets(s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    graft.Fixtures.read(s, graft.Fixtures.mediaNeardupAudioPath)
+      .select(col("aud_id").as("doc_id"), lit("wav").as("media_type"),
+        col("payload"))
+      .as[MediaAsset]
+  }
+
+  /** The decoded fingerprint relation q189 + its spec share. */
+  private[graft] def audioFingerprints(s: SparkSession): DataFrame = {
+    import s.implicits._
+    decodeStage(loadNeardupAudioAssets(s), () => new FingerprintCodec,
+      (c: FingerprintCodec, a: MediaAsset) => c.decodeFp(a)).toDF()
+  }
+
+  // Audio near-dup via energy-delta fingerprint — the audio twin of
+  // q173 (the role acoustic fingerprints play in audio corpus dedup,
+  // Haitsma & Kalker CBMI'02): REAL RIFF/WAVE decode (javax.sound
+  // through the per-partition codec seam) → integer-exact 64-bit
+  // fingerprint in-row → the same 16-band × 4-bit Hamming candidate
+  // join as q173 (pigeonhole-exact recall within Hamming 15, so the
+  // ≤10 threshold loses nothing and NO pairwise join ever forms) →
+  // distance filter. The oracle recomputes the pair relation from the
+  // fixture's generator-side `fp` column — brute force over the
+  // committed fingerprints, equal to the banded plan by the recall
+  // guarantee — while AudioDedupSpec separately pins decoded
+  // fingerprint ≡ committed fp per clip (byte-level decode fidelity).
+  val q189AudioNeardup: QueryDef = QueryDef(
+    "q189_audio_neardup",
+    (s, dir) => {
+      val Threshold = 10
+      val bands = audioFingerprints(s).select(col("aud_id"), col("fp"),
+        explode(array((0 until 16).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("fp"), b * 4).bitwiseAND(lit(15L))
+              .as("chunk"))): _*)).as("bk"))
+        .select(col("aud_id"), col("fp"),
+          col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+      val br = graft.Caches.persist(
+          bands.repartition(col("band"), col("chunk")))
+        .hint("shuffle_hash")
+      br.as("a")
+        .join(br.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.aud_id") < col("b.aud_id"))
+        .select(col("a.aud_id").as("a1"), col("b.aud_id").as("a2"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("dist"))
+        .distinct()
+        .filter(col("dist") <= Threshold)
+        .orderBy("a1", "a2")
+    },
+    Some(s"""WITH a AS (
+           |  SELECT aud_id, fp
+           |  FROM read_parquet('${graft.Fixtures.mediaNeardupAudioPath}'))
+           |SELECT x.aud_id AS a1, y.aud_id AS a2,
+           |  CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS dist
+           |FROM a x JOIN a y ON x.aud_id < y.aud_id
+           |WHERE bit_count(xor(x.fp, y.fp)) <= 10
+           |ORDER BY a1, a2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q35Multimodal, q49MediaPipeline,
-    q130AudioDecode, q173ImageNeardup)
+    q130AudioDecode, q173ImageNeardup, q189AudioNeardup)
 }
