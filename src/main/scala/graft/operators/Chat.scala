@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.QueryDef
+
+/** Instruction-data (chat) curation — the stage ShareGPT/LMSYS-class
+  * fine-tuning corpora run before any pretraining-style dedup applies:
+  * conversations arrive as a messages-array JSON document, and the
+  * pipeline must (a) parse + validate the ROLE SCHEMA (an optional
+  * leading system message, then strict user/assistant alternation
+  * ending on an assistant reply — turns that violate it break chat
+  * templates at training time), (b) report per-conversation turn/
+  * volume stats, and (c) dedup at PROMPT level: the same opening user
+  * prompt with different completions still over-weights popular
+  * questions and leaks eval prompts, so dedup keys on the normalized
+  * first user message, not the whole document (Longpre et al.'23 data
+  * measurements; the practice in OpenAssistant/LMSYS releases).
+  *
+  * The reference engine has no document-structure tier at all (its
+  * JSON surface is scalar extraction, `/root/reference` pgferry maps
+  * JSON columns 1:1) — this is part of the training-data layer the
+  * survey adds. Everything is in-row array work over the parsed
+  * struct (no explode — a conversation's turns never cross rows), so
+  * both queries are map-only + one keyed exchange at 100 TB.
+  *
+  * Validation logic, shared by both queries and mirrored verbatim in
+  * the oracle CTE: roles all in {system,user,assistant}; system
+  * allowed at index 1 only; after stripping it, length ≥ 2, first =
+  * user, last = assistant, and NO equal adjacent pair — over the
+  * two-symbol alphabet that remains, adjacent-distinct IS alternation.
+  */
+object Chat {
+
+  private val MsgSchema: StructType = StructType.fromDDL(
+    "messages ARRAY<STRUCT<role: STRING, content: STRING>>")
+
+  /** Parsed + validated per-conversation relation (one row per
+    * conversation; `m` = messages array, `valid` ∈ {0,1}).
+    */
+  private[graft] def dressed(s: SparkSession): DataFrame = {
+    val m = from_json(col("convo"), MsgSchema).getField("messages")
+    val roles = transform(col("m"), x => x.getField("role"))
+    val stripLen = greatest(size(col("roles")) - 1, lit(0))
+    val stripped = when(get(col("roles"), lit(0)) === "system",
+      slice(col("roles"), lit(2), stripLen)).otherwise(col("roles"))
+    val adjLen = greatest(size(col("s")) - 1, lit(0))
+    val sameAdj = size(filter(
+      zip_with(slice(col("s"), lit(1), adjLen),
+        slice(col("s"), lit(2), adjLen), (a, b) => a === b),
+      x => x))
+    val valid =
+      size(filter(col("roles"), r =>
+        !(r === "system" || r === "user" || r === "assistant"))) === 0 &&
+      size(filter(slice(col("roles"), lit(2), stripLen),
+        r => r === "system")) === 0 &&
+      size(col("s")) >= 2 &&
+      get(col("s"), lit(0)) === "user" &&
+      get(col("s"), size(col("s")) - 1) === "assistant" &&
+      sameAdj === 0
+    graft.Fixtures.read(s, graft.Fixtures.chatConvosPath)
+      .withColumn("m", m)
+      .withColumn("roles", roles)
+      .withColumn("s", stripped)
+      .withColumn("valid", when(valid, lit(1)).otherwise(lit(0)))
+  }
+
+  private def roleChars(role: String): Column =
+    aggregate(
+      transform(filter(col("m"), x => x.getField("role") === role),
+        x => length(x.getField("content")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Shared oracle CTE: the same parse + validation in DuckDB's
+    * JSON→STRUCT cast + list ops (lazy: interpolated into both
+    * oracles — see the verify-skill init-order note).
+    */
+  private lazy val dressedSql: String =
+    s"""c AS (
+       |  SELECT conv_id, source,
+       |    CAST(convo AS STRUCT(
+       |      messages STRUCT(role VARCHAR, content VARCHAR)[])).messages
+       |      AS m
+       |  FROM read_parquet('${graft.Fixtures.chatConvosPath}')),
+       |r AS (
+       |  SELECT conv_id, source, m,
+       |    list_transform(m, x -> x.role) AS roles
+       |  FROM c),
+       |st AS (
+       |  SELECT conv_id, source, m, roles,
+       |    CASE WHEN roles[1] = 'system' THEN roles[2:] ELSE roles END AS s
+       |  FROM r),
+       |d AS (
+       |  SELECT conv_id, source, m, roles, s,
+       |    CASE WHEN
+       |      len(list_filter(roles,
+       |        x -> x NOT IN ('system','user','assistant'))) = 0
+       |      AND len(list_filter(roles[2:], x -> x = 'system')) = 0
+       |      AND len(s) >= 2
+       |      AND s[1] = 'user'
+       |      AND s[-1] = 'assistant'
+       |      AND len(list_filter(list_zip(s[:-2], s[2:]),
+       |        p -> p[1] = p[2])) = 0
+       |    THEN 1 ELSE 0 END AS valid
+       |  FROM st)""".stripMargin
+
+  // Per-conversation parse/validate/stats relation — the audit the
+  // curation run reports before dropping anything.
+  val q190ChatStats: QueryDef = QueryDef(
+    "q190_chat_stats",
+    (s, dir) =>
+      dressed(s).select(
+        col("conv_id"), col("source"),
+        size(col("m")).as("n_msgs"),
+        size(filter(col("m"), x => x.getField("role") === "user"))
+          .as("n_user"),
+        size(filter(col("m"), x => x.getField("role") === "assistant"))
+          .as("n_assistant"),
+        when(get(col("roles"), lit(0)) === "system", lit(1))
+          .otherwise(lit(0)).as("has_system"),
+        roleChars("user").as("user_chars"),
+        roleChars("assistant").as("assistant_chars"),
+        col("valid"))
+        .orderBy("conv_id"),
+    Some(s"""WITH $dressedSql
+            |SELECT conv_id, source,
+            |  CAST(len(m) AS INTEGER) AS n_msgs,
+            |  CAST(len(list_filter(m, x -> x.role = 'user'))
+            |    AS INTEGER) AS n_user,
+            |  CAST(len(list_filter(m, x -> x.role = 'assistant'))
+            |    AS INTEGER) AS n_assistant,
+            |  CASE WHEN roles[1] = 'system' THEN 1 ELSE 0 END
+            |    AS has_system,
+            |  CAST(coalesce(list_aggregate(
+            |    list_transform(list_filter(m, x -> x.role = 'user'),
+            |      x -> len(x.content)), 'sum'), 0) AS BIGINT)
+            |    AS user_chars,
+            |  CAST(coalesce(list_aggregate(
+            |    list_transform(list_filter(m, x -> x.role = 'assistant'),
+            |      x -> len(x.content)), 'sum'), 0) AS BIGINT)
+            |    AS assistant_chars,
+            |  valid
+            |FROM d ORDER BY conv_id""".stripMargin))
+
+  // Prompt-level dedup among VALID conversations: key = md5 of the
+  // normalized (lower, trim, whitespace-collapsed) first user message;
+  // keep = earliest conv_id per key (min-agg + join back — the q20
+  // min_by discipline, NOT a window over a ~unique key).
+  val q191ChatDedup: QueryDef = QueryDef(
+    "q191_chat_dedup",
+    (s, dir) => {
+      val firstUser = get(
+        transform(filter(col("m"), x => x.getField("role") === "user"),
+          x => x.getField("content")), lit(0))
+      val base = dressed(s).filter(col("valid") === 1)
+        .withColumn("prompt_key", md5(lower(trim(
+          regexp_replace(firstUser, "\\s+", " ")))))
+        .select("conv_id", "source", "prompt_key")
+        .transform(graft.Caches.persist)
+      val keepers = base.groupBy("prompt_key")
+        .agg(min("conv_id").as("keeper"))
+      base.join(keepers, "prompt_key")
+        .select(col("conv_id"), col("source"), col("prompt_key"),
+          when(col("conv_id") === col("keeper"), lit(1)).otherwise(lit(0))
+            .as("keep"))
+        .orderBy("conv_id")
+    },
+    Some(s"""WITH $dressedSql,
+            |k AS (
+            |  SELECT conv_id, source,
+            |    md5(lower(trim(regexp_replace(
+            |      list_transform(list_filter(m, x -> x.role = 'user'),
+            |        x -> x.content)[1], '\\s+', ' ', 'g'))))
+            |      AS prompt_key
+            |  FROM d WHERE valid = 1)
+            |SELECT conv_id, source, prompt_key,
+            |  CASE WHEN conv_id = MIN(conv_id)
+            |    OVER (PARTITION BY prompt_key) THEN 1 ELSE 0 END AS keep
+            |FROM k ORDER BY conv_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q190ChatStats, q191ChatDedup)
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.tools.GenChatFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q190/q191 instruction-data curation: validation and dedup semantics
+  * recomputed from the fixture generator's emission rules.
+  */
+class ChatSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001" // unused by the fixture read
+
+  private lazy val stats =
+    SparkEntry.queries("q190_chat_stats")(spark, dir).collect()
+      .map(r => r.getAs[Long]("conv_id") -> r).toMap
+
+  test("committed fixture matches the generator rules (no stale parquet)") {
+    val committed = Fixtures.read(spark, Fixtures.chatConvosPath)
+      .collect()
+      .map(r => (r.getAs[Long]("conv_id"),
+        r.getAs[String]("source"), r.getAs[String]("convo")))
+      .sortBy(_._1)
+    assert(committed.length == GenChatFixture.NumConvos)
+    committed.foreach { case (c, src, j) =>
+      assert(src == GenChatFixture.source(c))
+      assert(j == GenChatFixture.json(c),
+        s"conv $c: committed JSON drifted from generator rules")
+    }
+  }
+
+  test("validity matches the planted violation map exactly") {
+    (0L until GenChatFixture.NumConvos.toLong).foreach { c =>
+      val expected = if (GenChatFixture.violation(c) == -1) 1 else 0
+      val got = stats(c).getAs[Int]("valid")
+      assert(got == expected,
+        s"conv $c (violation ${GenChatFixture.violation(c)}): valid=$got")
+    }
+    // every violation type actually occurs in the fixture
+    val types = (0L until GenChatFixture.NumConvos.toLong)
+      .map(GenChatFixture.violation).toSet
+    assert(types == Set(-1, 0, 1, 2, 3))
+  }
+
+  test("turn stats recompute from the generator's turn lists") {
+    (0L until GenChatFixture.NumConvos.toLong).foreach { c =>
+      val ts = GenChatFixture.turns(c)
+      val r = stats(c)
+      assert(r.getAs[Int]("n_msgs") == ts.length)
+      assert(r.getAs[Int]("n_user") == ts.count(_._1 == "user"))
+      assert(r.getAs[Int]("n_assistant") == ts.count(_._1 == "assistant"))
+      assert(r.getAs[Int]("has_system") ==
+        (if (ts.head._1 == "system") 1 else 0))
+      assert(r.getAs[Long]("user_chars") ==
+        ts.filter(_._1 == "user").map(_._2.length.toLong).sum)
+      assert(r.getAs[Long]("assistant_chars") ==
+        ts.filter(_._1 == "assistant").map(_._2.length.toLong).sum)
+    }
+  }
+
+  test("prompt dedup keeps exactly the earliest valid conversation " +
+      "per planted prompt group") {
+    val out = SparkEntry.queries("q191_chat_dedup")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("conv_id"), r.getAs[String]("prompt_key"),
+        r.getAs[Int]("keep")))
+    val validIds = (0L until GenChatFixture.NumConvos.toLong)
+      .filter(GenChatFixture.violation(_) == -1)
+    assert(out.map(_._1).sorted.toSeq == validIds)
+    // group by the PLANTED prompt index and check keep flags + keys
+    val byPrompt = validIds.groupBy(GenChatFixture.promptIdx)
+    val keyOf = out.map(r => r._1 -> r._2).toMap
+    val keepOf = out.map(r => r._1 -> r._3).toMap
+    byPrompt.foreach { case (p, ids) =>
+      assert(ids.map(keyOf).toSet.size == 1,
+        s"prompt $p: members disagree on the key")
+      ids.foreach { id =>
+        assert(keepOf(id) == (if (id == ids.min) 1 else 0),
+          s"prompt $p conv $id: wrong keep flag")
+      }
+    }
+    // distinct prompts have distinct keys (no md5 folding across plants)
+    assert(byPrompt.keys.map(p => keyOf(byPrompt(p).head)).toSet.size ==
+      byPrompt.size)
+    // the fixture actually plants duplicates
+    assert(byPrompt.values.exists(_.size >= 2))
+  }
+}
