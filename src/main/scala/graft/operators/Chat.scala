@@ -180,5 +180,43 @@ object Chat {
             |    OVER (PARTITION BY prompt_key) THEN 1 ELSE 0 END AS keep
             |FROM k ORDER BY conv_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q190ChatStats, q191ChatDedup)
+  // Chat-template rendering + tokenizer-exact accounting: turn each
+  // VALID conversation into the training string (role-tagged turns,
+  // the ChatML-shaped assembly every SFT pipeline runs) and count its
+  // tokens with the real in-plan BPE merge loop. Oracle = the same
+  // rendering re-assembled in SQL (md5 proves byte-identical strings)
+  // joined to the fixture's generator-side reference counts — the
+  // q148 pattern: a hash match proves the in-plan render AND the
+  // merge loop conversation-for-conversation.
+  val q192ChatRender: QueryDef = QueryDef(
+    "q192_chat_render",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val (ml, mr) = graft.Fixtures.bpeMerges(s)
+      val rendered = array_join(
+        transform(col("m"), x => concat(lit("<|"),
+          x.getField("role"), lit("|>"), x.getField("content"))), "")
+      dressed(s).filter(col("valid") === 1)
+        .withColumn("rendered", rendered)
+        .select(col("conv_id"), col("source"),
+          md5(col("rendered")).as("render_md5"),
+          graft.functions.VectorOps.bpeCount(col("rendered"), ml, mr)
+            .cast("long").as("n_tokens"))
+        .orderBy("conv_id")
+    },
+    Some(s"""WITH $dressedSql,
+            |ren AS (
+            |  SELECT conv_id, source,
+            |    array_to_string(list_transform(m,
+            |      x -> '<|' || x.role || '|>' || x.content), '')
+            |      AS rendered
+            |  FROM d WHERE valid = 1)
+            |SELECT r.conv_id, r.source, md5(r.rendered) AS render_md5,
+            |  CAST(f.ref_tokens AS BIGINT) AS n_tokens
+            |FROM ren r JOIN read_parquet(
+            |  '${graft.Fixtures.chatConvosPath}') f
+            |  ON r.conv_id = f.conv_id
+            |ORDER BY r.conv_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q190ChatStats, q191ChatDedup, q192ChatRender)
 }

@@ -90,15 +90,27 @@ object GenChatFixture {
     turns(c).map { case (r, t) => s"""{"role":"$r","content":"$t"}""" }
       .mkString("""{"messages":[""", ",", "]}")
 
+  /** Chat-template rendering of conversation c — the exact string
+    * q192 assembles in-plan (and the oracle re-assembles in SQL).
+    */
+  def rendered(c: Long): String =
+    turns(c).map { case (r, t) => s"<|$r|>$t" }.mkString
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.build("graft-gen-chat", Some("4"))
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    // reference token counts of the rendered template under the
+    // committed BPE merges — the q148 oracle pattern: the q192 hash
+    // match proves the in-plan render + merge loop per conversation
+    val (ml, mr) = Fixtures.bpeMerges(spark)
+    val table = new graft.functions.Bpe.Table(ml, mr)
     val rows = (0L until NumConvos.toLong).map { c =>
-      (c, source(c), json(c))
+      (c, source(c), json(c),
+        graft.functions.Bpe.countTokens(rendered(c), table).toLong)
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-chat")
-    rows.toDF("conv_id", "source", "convo")
+    rows.toDF("conv_id", "source", "convo", "ref_tokens")
       .coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     val part = new java.io.File(tmp.toString).listFiles()

@@ -15,17 +15,35 @@ class ChatSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("conv_id") -> r).toMap
 
   test("committed fixture matches the generator rules (no stale parquet)") {
+    val (ml, mr) = Fixtures.bpeMerges(spark)
+    val table = new graft.functions.Bpe.Table(ml, mr)
     val committed = Fixtures.read(spark, Fixtures.chatConvosPath)
       .collect()
-      .map(r => (r.getAs[Long]("conv_id"),
-        r.getAs[String]("source"), r.getAs[String]("convo")))
+      .map(r => (r.getAs[Long]("conv_id"), r.getAs[String]("source"),
+        r.getAs[String]("convo"), r.getAs[Long]("ref_tokens")))
       .sortBy(_._1)
     assert(committed.length == GenChatFixture.NumConvos)
-    committed.foreach { case (c, src, j) =>
+    committed.foreach { case (c, src, j, ref) =>
       assert(src == GenChatFixture.source(c))
       assert(j == GenChatFixture.json(c),
         s"conv $c: committed JSON drifted from generator rules")
+      assert(ref == graft.functions.Bpe.countTokens(
+        GenChatFixture.rendered(c), table).toLong,
+        s"conv $c: committed ref_tokens drifted")
     }
+  }
+
+  test("q192 renders exactly the valid conversations with distinct " +
+      "templates and positive token counts") {
+    val out = SparkEntry.queries("q192_chat_render")(spark, dir).collect()
+    val validIds = (0L until GenChatFixture.NumConvos.toLong)
+      .filter(GenChatFixture.violation(_) == -1)
+    assert(out.map(_.getAs[Long]("conv_id")).sorted.toSeq == validIds)
+    // completions are conversation-unique, so full renders never
+    // collide even when opening prompts are planted duplicates
+    assert(out.map(_.getAs[String]("render_md5")).distinct.length ==
+      out.length)
+    assert(out.forall(_.getAs[Long]("n_tokens") > 0))
   }
 
   test("validity matches the planted violation map exactly") {
