@@ -292,6 +292,54 @@ object Formats {
             |  md5(extracted) AS h
             |FROM t ORDER BY page_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q69JsonlScan, q73CsvScan,
+  // Fill-in-the-middle transformation (Bavarian et al.'22 "Efficient
+  // Training of Language Models to Fill in the Middle") — the corpus
+  // rewrite code-model pretraining applies to ~half its documents:
+  // split each selected document into (prefix, middle, suffix) and
+  // re-order as PSM with sentinel tags, so the model learns infilling
+  // from an autoregressive objective. Deterministic contract shared
+  // verbatim with the oracle: selection by doc_id parity (the paper's
+  // 50% FIM rate made reproducible), character pivots at ⌊n/3⌋ and
+  // ⌊2n/3⌋ (integer division on non-negative lengths — truncation ≡
+  // floor in both engines), md5 over the rendered string proves the
+  // rewrite byte-for-byte. Map-only: the transform fuses with the
+  // scan at 100 TB; the only exchange is the output sort.
+  val q193DocFim: QueryDef = QueryDef(
+    "q193_doc_fim",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("p", expr("length(text) div 3"))
+        .withColumn("q", expr("(2 * length(text)) div 3"))
+        .withColumn("rendered", expr(
+          """CASE WHEN doc_id % 2 = 0 THEN
+            |  concat('<|fim_pre|>', substring(text, 1, p),
+            |         '<|fim_suf|>', substring(text, q + 1),
+            |         '<|fim_mid|>', substring(text, p + 1, q - p))
+            |ELSE text END""".stripMargin))
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("CASE WHEN doc_id % 2 = 0 THEN 'fim' ELSE 'plain' END")
+            .as("mode"),
+          md5(col("rendered")).as("render_md5"),
+          length(col("rendered")).as("n_chars"))
+        .orderBy("doc_id"),
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang, source, text,
+           |    len(text) // 3 AS p, (2 * len(text)) // 3 AS q
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, lang, source,
+           |    CASE WHEN doc_id % 2 = 0 THEN
+           |      '<|fim_pre|>' || substr(text, 1, p) ||
+           |      '<|fim_suf|>' || substr(text, q + 1) ||
+           |      '<|fim_mid|>' || substr(text, p + 1, q - p)
+           |    ELSE text END AS rendered
+           |  FROM d)
+           |SELECT doc_id, lang, source,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'fim' ELSE 'plain' END AS mode,
+           |  md5(rendered) AS render_md5,
+           |  CAST(len(rendered) AS INTEGER) AS n_chars
+           |FROM r ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q193DocFim, q69JsonlScan, q73CsvScan,
     q98SchemaEvolution, q140PartitionPrune, q151HtmlExtract)
 }
