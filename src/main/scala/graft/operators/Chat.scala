@@ -37,10 +37,13 @@ object Chat {
   private val MsgSchema: StructType = StructType.fromDDL(
     "messages ARRAY<STRUCT<role: STRING, content: STRING>>")
 
-  /** Parsed + validated per-conversation relation (one row per
-    * conversation; `m` = messages array, `valid` ∈ {0,1}).
+  /** Parse + validate any relation carrying a `convo` JSON column —
+    * stateless in-row work, so the SAME definition dresses the batch
+    * fixture read (q190–q192) and each streaming micro-batch (q194).
+    * Adds `m` (messages), `roles`, `s` (system-stripped roles), one
+    * 0/1 flag per failure mode, and their conjunction `valid`.
     */
-  private[graft] def dressed(s: SparkSession): DataFrame = {
+  private[graft] def dress(df: DataFrame): DataFrame = {
     val m = from_json(col("convo"), MsgSchema).getField("messages")
     val roles = transform(col("m"), x => x.getField("role"))
     val stripLen = greatest(size(col("roles")) - 1, lit(0))
@@ -51,21 +54,32 @@ object Chat {
       zip_with(slice(col("s"), lit(1), adjLen),
         slice(col("s"), lit(2), adjLen), (a, b) => a === b),
       x => x))
-    val valid =
-      size(filter(col("roles"), r =>
-        !(r === "system" || r === "user" || r === "assistant"))) === 0 &&
-      size(filter(slice(col("roles"), lit(2), stripLen),
-        r => r === "system")) === 0 &&
-      size(col("s")) >= 2 &&
-      get(col("s"), lit(0)) === "user" &&
-      get(col("s"), size(col("s")) - 1) === "assistant" &&
-      sameAdj === 0
-    graft.Fixtures.read(s, graft.Fixtures.chatConvosPath)
-      .withColumn("m", m)
+    df.withColumn("m", m)
       .withColumn("roles", roles)
       .withColumn("s", stripped)
-      .withColumn("valid", when(valid, lit(1)).otherwise(lit(0)))
+      .withColumn("bad_role", when(
+        size(filter(col("roles"), r =>
+          !(r === "system" || r === "user" || r === "assistant"))) > 0,
+        lit(1)).otherwise(lit(0)))
+      .withColumn("misplaced_system", when(
+        size(filter(slice(col("roles"), lit(2),
+          greatest(size(col("roles")) - 1, lit(0))),
+          r => r === "system")) > 0, lit(1)).otherwise(lit(0)))
+      .withColumn("bad_ends", when(
+        size(col("s")) >= 2 &&
+          get(col("s"), lit(0)) === "user" &&
+          get(col("s"), size(col("s")) - 1) === "assistant",
+        lit(0)).otherwise(lit(1)))
+      .withColumn("non_alt",
+        when(sameAdj > 0, lit(1)).otherwise(lit(0)))
+      .withColumn("valid", when(
+        col("bad_role") + col("misplaced_system") + col("bad_ends") +
+          col("non_alt") === 0, lit(1)).otherwise(lit(0)))
   }
+
+  /** The dressed batch fixture relation (q190–q192). */
+  private[graft] def dressed(s: SparkSession): DataFrame =
+    dress(graft.Fixtures.read(s, graft.Fixtures.chatConvosPath))
 
   private def roleChars(role: String): Column =
     aggregate(
@@ -77,7 +91,7 @@ object Chat {
     * JSON→STRUCT cast + list ops (lazy: interpolated into both
     * oracles — see the verify-skill init-order note).
     */
-  private lazy val dressedSql: String =
+  private[graft] lazy val dressedSql: String =
     s"""c AS (
        |  SELECT conv_id, source,
        |    CAST(convo AS STRUCT(
@@ -92,19 +106,24 @@ object Chat {
        |  SELECT conv_id, source, m, roles,
        |    CASE WHEN roles[1] = 'system' THEN roles[2:] ELSE roles END AS s
        |  FROM r),
-       |d AS (
+       |fl AS (
        |  SELECT conv_id, source, m, roles, s,
-       |    CASE WHEN
-       |      len(list_filter(roles,
-       |        x -> x NOT IN ('system','user','assistant'))) = 0
-       |      AND len(list_filter(roles[2:], x -> x = 'system')) = 0
-       |      AND len(s) >= 2
-       |      AND s[1] = 'user'
-       |      AND s[-1] = 'assistant'
-       |      AND len(list_filter(list_zip(s[:-2], s[2:]),
-       |        p -> p[1] = p[2])) = 0
-       |    THEN 1 ELSE 0 END AS valid
-       |  FROM st)""".stripMargin
+       |    CASE WHEN len(list_filter(roles,
+       |        x -> x NOT IN ('system','user','assistant'))) > 0
+       |      THEN 1 ELSE 0 END AS bad_role,
+       |    CASE WHEN len(list_filter(roles[2:], x -> x = 'system')) > 0
+       |      THEN 1 ELSE 0 END AS misplaced_system,
+       |    CASE WHEN len(s) >= 2 AND s[1] = 'user'
+       |        AND s[-1] = 'assistant'
+       |      THEN 0 ELSE 1 END AS bad_ends,
+       |    CASE WHEN len(list_filter(list_zip(s[:-2], s[2:]),
+       |        p -> p[1] = p[2])) > 0
+       |      THEN 1 ELSE 0 END AS non_alt
+       |  FROM st),
+       |d AS (
+       |  SELECT *, CASE WHEN bad_role + misplaced_system + bad_ends +
+       |      non_alt = 0 THEN 1 ELSE 0 END AS valid
+       |  FROM fl)""".stripMargin
 
   // Per-conversation parse/validate/stats relation — the audit the
   // curation run reports before dropping anything.

@@ -791,7 +791,41 @@ object StreamingQueries {
     },
     Some(Urls.crawlAuditOracleSql))
 
-  val all: Seq[QueryDef] = Seq(q172StreamQualityGate, q176StreamSelect,
+  // Streaming chat-ingest gate — q190's role-schema validation as a
+  // CONTINUOUS monitor (the shape an SFT data intake actually runs:
+  // conversations arrive from collection endpoints, the gate scores
+  // each against the chat-template contract and watches per-source
+  // failure-mode rates). The dressing is Chat.dress — ONE definition
+  // with the batch arm, stateless in-row list ops per micro-batch —
+  // and streaming state is O(sources) complete-mode counters (the
+  // q156/q172 state discipline: no per-conversation data enters the
+  // state store). Batch boundaries are provably irrelevant: dressing
+  // is stateless and the counters associative, so the batch oracle
+  // over the same fixture applies to any delivery schedule.
+  val q194StreamChatGate: QueryDef = QueryDef(
+    "q194_stream_chat_gate",
+    (s, dir) => {
+      val dressedStream = Chat.dress(EventsStream.readChatConvos(s))
+      val agg = dressedStream.groupBy(col("source"))
+        .agg(count(lit(1)).as("convos"),
+          sum(col("valid")).as("valid"),
+          sum(col("bad_role")).as("bad_role"),
+          sum(col("misplaced_system")).as("misplaced_system"),
+          sum(col("bad_ends")).as("bad_ends"),
+          sum(col("non_alt")).as("non_alt"))
+      EventsStream.runToCompletion(s, agg).orderBy("source")
+    },
+    Some(s"""WITH ${Chat.dressedSql}
+            |SELECT source, COUNT(*) AS convos,
+            |  CAST(SUM(valid) AS BIGINT) AS valid,
+            |  CAST(SUM(bad_role) AS BIGINT) AS bad_role,
+            |  CAST(SUM(misplaced_system) AS BIGINT) AS misplaced_system,
+            |  CAST(SUM(bad_ends) AS BIGINT) AS bad_ends,
+            |  CAST(SUM(non_alt) AS BIGINT) AS non_alt
+            |FROM d GROUP BY source ORDER BY source""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q194StreamChatGate,
+    q172StreamQualityGate, q176StreamSelect,
     q33StreamTumbling, q34Sessionize, q182StreamCrawlFrontier,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
     q76StreamEnrich, q82StreamThreshold, q90StreamFunnel,

@@ -100,6 +100,18 @@ object EventsStream {
     * stream q156's cleaning monitor consumes. Same symlink-directory +
     * explicit-schema contract as [[readDocuments]].
     */
+  /** Streaming view of the committed chat-conversation fixture — the
+    * conversation stream q194's ingest gate consumes. Same
+    * symlink-directory + explicit-schema contract as [[readPiiDocs]].
+    */
+  def readChatConvos(spark: SparkSession): DataFrame = {
+    val path = java.nio.file.Paths.get(graft.Fixtures.chatConvosPath)
+    val streamDir = streamDirFor("chat", path.getParent.toString,
+      path.getFileName.toString)
+    val schema = spark.read.parquet(graft.Fixtures.chatConvosPath).schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
   /** Streaming view of the committed crawl manifest — the URL stream
     * a continuous frontier (q182) consumes. Same symlink-directory +
     * explicit-schema contract as [[readPiiDocs]].
