@@ -119,5 +119,70 @@ object Classifier {
            |ORDER BY lang, source""".stripMargin),
     bench = true, lowLatency = true)
 
-  val all: Seq[QueryDef] = Seq(q166QualityClassifier)
+  // Isotonic score calibration + reliability report: apply the
+  // committed PAV step function (TrainCalibrator — Zadrozny & Elkan
+  // KDD'02) to every document's µunit logit and report, per step,
+  // how many documents land there and the teacher's empirical pass
+  // rate — the reliability table a mix owner reads before trusting
+  // "keep above p% quality-probability" cuts. Assignment is "largest
+  // lo_mu ≤ score": a ≤-join against the bounded block table (a model
+  // artifact — dozens of rows regardless of corpus size, broadcast
+  // class) + max_by, all BIGINT, no float anywhere. Empirical rates
+  // quantize as exact integer ratios (⌊10⁶·pos/docs⌋), so both
+  // engines agree bit-for-bit.
+  val q195ScoreCalibration: QueryDef = QueryDef(
+    "q195_score_calibration",
+    (s, dir) => {
+      val (w, bias, _) = graft.Fixtures.qualityClassifier(s)
+      val bp = broadcast(
+        graft.Fixtures.read(s, graft.Fixtures.scoreCalibratorPath)
+          .select("lo_mu", "cal_mu"))
+      val scored = TextAnalysis.gopherDoc(s, dir)
+        .select(col("doc_id"), col("pass"),
+          graft.functions.VectorOps.hashedLogit(featureText, w, bias)
+            .as("s_mu"))
+      scored.join(bp, col("s_mu") >= col("lo_mu"))
+        .groupBy(col("doc_id"), col("pass"))
+        .agg(max(col("lo_mu")).as("lo_mu"),
+          expr("max_by(cal_mu, lo_mu)").as("cal_mu"))
+        .groupBy(col("lo_mu"), col("cal_mu"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("teacher_pos"))
+        .withColumn("emp_mu", expr("(teacher_pos * 1000000) div docs"))
+        .orderBy("lo_mu")
+    },
+    Some(s"""WITH ${TextAnalysis.GopherDocSql},
+           |$FeatureTextSql,
+           |w AS (SELECT bucket, w_mu
+           |      FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
+           |      WHERE bucket >= 0),
+           |b AS (SELECT w_mu AS bias
+           |      FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
+           |      WHERE bucket = -1),
+           |tk AS (SELECT doc_id, unnest(string_split(ftext, ' ')) AS tk
+           |       FROM ft),
+           |f AS (SELECT doc_id,
+           |        CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) %
+           |          ${graft.tools.TrainQualityClassifier.Dim} AS bucket
+           |      FROM tk),
+           |sc AS (SELECT f.doc_id, SUM(w.w_mu) AS s
+           |       FROM f JOIN w USING (bucket) GROUP BY 1),
+           |sm AS (SELECT gd.doc_id, gd.pass,
+           |         COALESCE(sc.s, 0) + (SELECT bias FROM b) AS s_mu
+           |       FROM gd LEFT JOIN sc ON gd.doc_id = sc.doc_id),
+           |bp AS (SELECT lo_mu, cal_mu
+           |       FROM read_parquet('${graft.Fixtures.scoreCalibratorPath}')),
+           |asg AS (SELECT sm.doc_id, sm.pass,
+           |          MAX(bp.lo_mu) AS lo_mu,
+           |          arg_max(bp.cal_mu, bp.lo_mu) AS cal_mu
+           |        FROM sm JOIN bp ON sm.s_mu >= bp.lo_mu
+           |        GROUP BY sm.doc_id, sm.pass)
+           |SELECT lo_mu, cal_mu, COUNT(*) AS docs,
+           |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS teacher_pos,
+           |  (CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000) // COUNT(*) AS emp_mu
+           |FROM asg GROUP BY lo_mu, cal_mu ORDER BY lo_mu""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q166QualityClassifier, q195ScoreCalibration)
 }
