@@ -93,21 +93,21 @@ object Chat {
     */
   private[graft] lazy val dressedSql: String =
     s"""c AS (
-       |  SELECT conv_id, source,
+       |  SELECT conv_id, source, rating,
        |    CAST(convo AS STRUCT(
        |      messages STRUCT(role VARCHAR, content VARCHAR)[])).messages
        |      AS m
        |  FROM read_parquet('${graft.Fixtures.chatConvosPath}')),
        |r AS (
-       |  SELECT conv_id, source, m,
+       |  SELECT conv_id, source, rating, m,
        |    list_transform(m, x -> x.role) AS roles
        |  FROM c),
        |st AS (
-       |  SELECT conv_id, source, m, roles,
+       |  SELECT conv_id, source, rating, m, roles,
        |    CASE WHEN roles[1] = 'system' THEN roles[2:] ELSE roles END AS s
        |  FROM r),
        |fl AS (
-       |  SELECT conv_id, source, m, roles, s,
+       |  SELECT conv_id, source, rating, m, roles, s,
        |    CASE WHEN len(list_filter(roles,
        |        x -> x NOT IN ('system','user','assistant'))) > 0
        |      THEN 1 ELSE 0 END AS bad_role,
@@ -163,6 +163,22 @@ object Chat {
             |  valid
             |FROM d ORDER BY conv_id""".stripMargin))
 
+  /** md5 of the normalized first user message — ONE definition for the
+    * dedup key (q191) and the preference-pair grouping key (q196).
+    */
+  private def promptKey: Column = {
+    val firstUser = get(
+      transform(filter(col("m"), x => x.getField("role") === "user"),
+        x => x.getField("content")), lit(0))
+    md5(lower(trim(regexp_replace(firstUser, "\\s+", " "))))
+  }
+
+  /** The oracle spelling of [[promptKey]], applied to the `d` CTE. */
+  private val PromptKeySql: String =
+    """md5(lower(trim(regexp_replace(
+      |      list_transform(list_filter(m, x -> x.role = 'user'),
+      |        x -> x.content)[1], '\s+', ' ', 'g'))))""".stripMargin
+
   // Prompt-level dedup among VALID conversations: key = md5 of the
   // normalized (lower, trim, whitespace-collapsed) first user message;
   // keep = earliest conv_id per key (min-agg + join back — the q20
@@ -170,12 +186,8 @@ object Chat {
   val q191ChatDedup: QueryDef = QueryDef(
     "q191_chat_dedup",
     (s, dir) => {
-      val firstUser = get(
-        transform(filter(col("m"), x => x.getField("role") === "user"),
-          x => x.getField("content")), lit(0))
       val base = dressed(s).filter(col("valid") === 1)
-        .withColumn("prompt_key", md5(lower(trim(
-          regexp_replace(firstUser, "\\s+", " ")))))
+        .withColumn("prompt_key", promptKey)
         .select("conv_id", "source", "prompt_key")
         .transform(graft.Caches.persist)
       val keepers = base.groupBy("prompt_key")
@@ -189,15 +201,55 @@ object Chat {
     Some(s"""WITH $dressedSql,
             |k AS (
             |  SELECT conv_id, source,
-            |    md5(lower(trim(regexp_replace(
-            |      list_transform(list_filter(m, x -> x.role = 'user'),
-            |        x -> x.content)[1], '\\s+', ' ', 'g'))))
-            |      AS prompt_key
+            |    $PromptKeySql AS prompt_key
             |  FROM d WHERE valid = 1)
             |SELECT conv_id, source, prompt_key,
             |  CASE WHEN conv_id = MIN(conv_id)
             |    OVER (PARTITION BY prompt_key) THEN 1 ELSE 0 END AS keep
             |FROM k ORDER BY conv_id""".stripMargin))
+
+  // DPO preference-pair construction (Rafailov et al. NeurIPS'23; the
+  // data-prep step behind every DPO/RLHF-lite run): within each
+  // prompt group of VALID conversations, pair the highest-rated
+  // completion (chosen) with the lowest-rated (rejected). Groups
+  // whose ratings all tie carry no preference signal and emit
+  // nothing — the standard rule. Deterministic argmax/argmin without
+  // floats or structs: the selection key is rating·10⁶ ∓ conv_id
+  // (conv_id < 10⁶ by construction), so ties break toward the
+  // smaller conv_id on both sides — one integer expression both
+  // engines evaluate identically. One prompt-keyed agg; output
+  // bounded by the prompt-pool size.
+  val q196DpoPairs: QueryDef = QueryDef(
+    "q196_dpo_pairs",
+    (s, dir) =>
+      dressed(s).filter(col("valid") === 1)
+        .withColumn("prompt_key", promptKey)
+        .select("conv_id", "rating", "prompt_key")
+        .groupBy("prompt_key")
+        .agg(count(lit(1)).as("n_candidates"),
+          expr("max_by(conv_id, rating * 1000000 - conv_id)")
+            .as("chosen_conv"),
+          max("rating").as("chosen_rating"),
+          expr("min_by(conv_id, rating * 1000000 + conv_id)")
+            .as("rejected_conv"),
+          min("rating").as("rejected_rating"))
+        .filter(col("chosen_rating") > col("rejected_rating"))
+        .orderBy("prompt_key"),
+    Some(s"""WITH $dressedSql,
+            |k AS (
+            |  SELECT conv_id, rating,
+            |    $PromptKeySql AS prompt_key
+            |  FROM d WHERE valid = 1)
+            |SELECT prompt_key, COUNT(*) AS n_candidates,
+            |  arg_max(conv_id, rating * 1000000 - conv_id)
+            |    AS chosen_conv,
+            |  MAX(rating) AS chosen_rating,
+            |  arg_min(conv_id, rating * 1000000 + conv_id)
+            |    AS rejected_conv,
+            |  MIN(rating) AS rejected_rating
+            |FROM k GROUP BY prompt_key
+            |HAVING MAX(rating) > MIN(rating)
+            |ORDER BY prompt_key""".stripMargin))
 
   // Chat-template rendering + tokenizer-exact accounting: turn each
   // VALID conversation into the training string (role-tagged turns,
@@ -237,5 +289,6 @@ object Chat {
             |  ON r.conv_id = f.conv_id
             |ORDER BY r.conv_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q190ChatStats, q191ChatDedup, q192ChatRender)
+  val all: Seq[QueryDef] = Seq(q190ChatStats, q191ChatDedup, q192ChatRender,
+    q196DpoPairs)
 }

@@ -49,6 +49,11 @@ object GenChatFixture {
     if (v < 4) v else -1
   }
 
+  /** Annotator preference rating in 0..9 — the per-completion quality
+    * signal DPO pair construction (q196) ranks within a prompt group.
+    */
+  def rating(c: Long): Int = math.floorMod(mix64(c * 5 + 6), 10L).toInt
+
   def words(seed: Long, n: Int): String =
     (0 until n).map(i =>
       f"w${math.floorMod(mix64(seed * 31 + i), 64L)}%02d").mkString(" ")
@@ -107,10 +112,11 @@ object GenChatFixture {
     val table = new graft.functions.Bpe.Table(ml, mr)
     val rows = (0L until NumConvos.toLong).map { c =>
       (c, source(c), json(c),
-        graft.functions.Bpe.countTokens(rendered(c), table).toLong)
+        graft.functions.Bpe.countTokens(rendered(c), table).toLong,
+        rating(c))
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-chat")
-    rows.toDF("conv_id", "source", "convo", "ref_tokens")
+    rows.toDF("conv_id", "source", "convo", "ref_tokens", "rating")
       .coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     val part = new java.io.File(tmp.toString).listFiles()

@@ -33,6 +33,43 @@ class ChatSpec extends AnyFunSuite {
     }
   }
 
+  test("q196 pairs the highest- and lowest-rated valid completions per " +
+      "prompt group, skipping all-tied groups") {
+    val out = SparkEntry.queries("q196_dpo_pairs")(spark, dir).collect()
+      .map(r => r.getAs[String]("prompt_key") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("chosen_conv"),
+          r.getAs[Int]("chosen_rating"), r.getAs[Long]("rejected_conv"),
+          r.getAs[Int]("rejected_rating"))).toMap
+    val validIds = (0L until GenChatFixture.NumConvos.toLong)
+      .filter(GenChatFixture.violation(_) == -1)
+    val byPrompt = validIds.groupBy(GenChatFixture.promptIdx)
+    // recompute keys via q191's output (shared definition)
+    val keyOf = SparkEntry.queries("q191_chat_dedup")(spark, dir)
+      .collect().map(r => r.getAs[Long]("conv_id") ->
+        r.getAs[String]("prompt_key")).toMap
+    var pairs = 0
+    byPrompt.foreach { case (p, ids) =>
+      val rs = ids.map(c => c -> GenChatFixture.rating(c))
+      val key = keyOf(ids.head)
+      if (rs.map(_._2).distinct.size <= 1) {
+        assert(!out.contains(key), s"prompt $p: all-tied group emitted")
+      } else {
+        pairs += 1
+        val (n, cc, cr, rc, rr) = out(key)
+        assert(n == ids.size)
+        val maxR = rs.map(_._2).max
+        val minR = rs.map(_._2).min
+        assert(cr == maxR && rr == minR)
+        assert(cc == rs.filter(_._2 == maxR).map(_._1).min,
+          s"prompt $p: chosen tie-break wrong")
+        assert(rc == rs.filter(_._2 == minR).map(_._1).min,
+          s"prompt $p: rejected tie-break wrong")
+        assert(cc != rc)
+      }
+    }
+    assert(pairs > 0 && out.size == pairs)
+  }
+
   test("q192 renders exactly the valid conversations with distinct " +
       "templates and positive token counts") {
     val out = SparkEntry.queries("q192_chat_render")(spark, dir).collect()
