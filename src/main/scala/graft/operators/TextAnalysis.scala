@@ -2920,6 +2920,69 @@ object TextAnalysis {
     * counting. Plan shape is q71's: one per-lang ordered window (at
     * 100 TB the same query runs per (lang, shard)), then a keyed agg.
     */
+  /** Padding-waste report (q197) — the measurement that motivates
+    * sequence packing (q71/q148/q178): batch documents naively
+    * (doc_id order, fixed batch size B=16 per lang), pad each batch
+    * to its longest member, and report per lang how many token slots
+    * the padding burns. This is the table every efficient-training
+    * writeup opens with (padding fractions of 30–60% under naive
+    * batching are why packed/sorted batching exists — e.g. Krell et
+    * al.'21 "Efficient sequence packing"). Token counts come from the
+    * in-plan BPE merge loop; the oracle re-derives the identical
+    * report from the committed `n_bpe` reference counts, so the hash
+    * match re-proves the encoder AND the batching arithmetic. All
+    * integer: waste_mu = ⌊10⁶·(padded − real)/padded⌋. Plan shape is
+    * q148's (one per-lang ordered window → two keyed aggs); at 100 TB
+    * the same report runs per (lang, shard) with shard-local windows.
+    */
+  val q197PaddingWaste: QueryDef = QueryDef(
+    "q197_padding_waste",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val B = 16
+      val (ml, mr) = graft.Fixtures.bpeMerges(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      graft.Fixtures.read(s, graft.Fixtures.bpeCorpusPath)
+        .select(col("lang"), col("doc_id"),
+          graft.functions.VectorOps.bpeCount(col("text"), ml, mr)
+            .cast(LongType).as("nt"))
+        .withColumn("batch",
+          expr(s"(row_number() OVER (PARTITION BY lang ORDER BY doc_id)"
+            + s" - 1) div $B"))
+        .groupBy(col("lang"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"), max(col("nt")).as("max_nt"),
+          sum(col("nt")).as("real_tokens"))
+        .withColumn("padded", col("n_docs") * col("max_nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("batches"),
+          sum(col("real_tokens")).as("real_tokens"),
+          sum(col("padded")).as("padded_tokens"))
+        .withColumn("waste_mu", expr(
+          "((padded_tokens - real_tokens) * 1000000) div padded_tokens"))
+        .orderBy("lang")
+      // (the per-lang window is the q148 contract: fixture-scale
+      // convenience; production partitions by (lang, shard))
+    },
+    Some(s"""WITH d AS (
+           |  SELECT lang, doc_id, CAST(n_bpe AS BIGINT) AS nt,
+           |    (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+           |      - 1) // 16 AS batch
+           |  FROM read_parquet('${graft.Fixtures.bpeCorpusPath}')),
+           |b AS (
+           |  SELECT lang, batch, COUNT(*) AS n_docs, MAX(nt) AS max_nt,
+           |    CAST(SUM(nt) AS BIGINT) AS real_tokens
+           |  FROM d GROUP BY lang, batch),
+           |l AS (
+           |  SELECT lang, COUNT(*) AS batches,
+           |    CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
+           |    CAST(SUM(n_docs * max_nt) AS BIGINT) AS padded_tokens
+           |  FROM b GROUP BY lang)
+           |SELECT lang, batches, real_tokens, padded_tokens,
+           |  ((padded_tokens - real_tokens) * 1000000) // padded_tokens
+           |    AS waste_mu
+           |FROM l ORDER BY lang""".stripMargin))
+
   val q148BpePack: QueryDef = QueryDef(
     "q148_bpe_pack",
     (s, dir) => {
@@ -3307,7 +3370,7 @@ object TextAnalysis {
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers,
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
-    q148BpePack, q149PiiRedact, q153PipelineBpe, q157TrainShards,
+    q148BpePack, q197PaddingWaste, q149PiiRedact, q153PipelineBpe, q157TrainShards,
     q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
     q164TokenizerFertility, q165ModernPipeline, q175TokenShards,
     q178PackedSequences, q181EncodingQuality, q183NfcNormalize, q184NfcDedup,
