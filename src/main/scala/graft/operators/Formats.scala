@@ -338,7 +338,8 @@ object Formats {
            |  CASE WHEN doc_id % 2 = 0 THEN 'fim' ELSE 'plain' END AS mode,
            |  md5(rendered) AS render_md5,
            |  CAST(len(rendered) AS INTEGER) AS n_chars
-           |FROM r ORDER BY doc_id""".stripMargin))
+           |FROM r ORDER BY doc_id""".stripMargin),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(q193DocFim, q69JsonlScan, q73CsvScan,
     q98SchemaEvolution, q140PartitionPrune, q151HtmlExtract)
