@@ -53,23 +53,86 @@ object Bitext {
     */
   val MarginK = 4
 
+  /** Probes per query vector in the IVF-multiprobe candidate arm. */
+  val NProbe = 2
+
+  /** µcos over ALL cross-pool pairs — the exact small-corpus arm
+    * (pools ≤ [[Similarity.SmallCorpusBound]]): one broadcast of the
+    * target pool, one float→integer floor per pair.
+    */
+  private def allPairsUcos(x: DataFrame, y: DataFrame): DataFrame =
+    x.select(col("id").as("sx"), col("v").as("xv"), col("nrm").as("xn"))
+      .crossJoin(broadcast(y.select(col("id").as("ty"),
+        col("v").as("yv"), col("nrm").as("yn"))))
+      .withColumn("ucos", ucosCol)
+      .select("sx", "ty", "ucos")
+
+  private def ucosCol =
+    floor(graft.functions.VectorOps.cosine(col("xv"), col("yv"),
+      col("xn"), col("yn")) * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** µcos over IVF-MULTIPROBE candidates — the production arm, run in
+    * BOTH directions the way CCMatrix runs the same formula under
+    * FAISS: each pool assigns rank-1 to an inverted list (in-row
+    * codegen'd [[graft.plans.CentroidTopK]], the q45/q139 kernel) and
+    * each vector probes its [[NProbe]] nearest lists in the OPPOSITE
+    * pool; a pair is a candidate when either endpoint probes the
+    * other's list. Every exchange is keyed on the centroid id and
+    * linear in Σ|list|·|probers-per-list| — never pool². Margin
+    * denominators downstream become candidate-restricted top-k, the
+    * standard approximation (near-identical pairs share a rank-1
+    * centroid, so translation candidates are recalled structurally;
+    * BitextSpec pins planted recovery).
+    */
+  private[graft] def probedUcos(s: SparkSession, x: DataFrame,
+      y: DataFrame, nprobe: Int = NProbe): DataFrame = {
+    val cents = typedLit(graft.Fixtures.ivfCentroidsPacked(s).toSeq)
+    def cids(df: DataFrame, k: Int): DataFrame =
+      df.select(col("id"), col("v"), col("nrm"),
+        explode(graft.functions.VectorOps.centroidTopK(
+          col("v"), col("nrm"), cents, k)).as("cid"))
+    def xSide(df: DataFrame) = df.select(col("id").as("sx"),
+      col("v").as("xv"), col("nrm").as("xn"), col("cid"))
+    def ySide(df: DataFrame) = df.select(col("id").as("ty"),
+      col("v").as("yv"), col("nrm").as("yn"), col("cid"))
+    val fwd = xSide(cids(x, nprobe)).join(ySide(cids(y, 1)), "cid")
+    val bwd = xSide(cids(x, 1)).join(ySide(cids(y, nprobe)), "cid")
+    fwd.unionByName(bwd)
+      .select(col("sx"), col("ty"), col("xv"), col("xn"),
+        col("yv"), col("yn"))
+      .dropDuplicates("sx", "ty")
+      .withColumn("ucos", ucosCol)
+      .select("sx", "ty", "ucos")
+  }
+
   /** Core miner over two pools of (id, v, nrm) rows. Returns one row
     * per source vector that has a positive-cosine candidate:
     * (src_id, tgt_id, margin_u, mutual). Exposed for specs.
     */
   private[graft] def mineMargin(x: DataFrame, y: DataFrame,
-      k: Int = MarginK): DataFrame = {
-    val xs = x.select(col("id").as("sx"), col("v").as("xv"),
-      col("nrm").as("xn"))
-    val ys = y.select(col("id").as("ty"), col("v").as("yv"),
-      col("nrm").as("yn"))
-    // one float→integer floor per pair; all arithmetic below is BIGINT
-    val p = xs.crossJoin(broadcast(ys))
-      .withColumn("ucos",
-        floor(graft.functions.VectorOps.cosine(col("xv"), col("yv"),
-          col("xn"), col("yn")) * lit(1000000.0) + lit(0.5)).cast("long"))
-      .select("sx", "ty", "ucos")
-      .transform(graft.Caches.persist)
+      k: Int = MarginK): DataFrame =
+    marginFromPairs(allPairsUcos(x, y), k)
+
+  /** The miner over multiprobe candidates — the large-arm spelling. */
+  private[graft] def mineMarginProbed(s: SparkSession, x: DataFrame,
+      y: DataFrame, k: Int = MarginK,
+      nprobe: Int = NProbe): DataFrame =
+    marginFromPairs(probedUcos(s, x, y, nprobe), k)
+
+  /** API-level dispatcher (the [[Similarity.oneShotNeardup]]
+    * contract): `n` is the caller's pool cardinality — a catalog/
+    * manifest fact at production scale. Below
+    * [[Similarity.SmallCorpusBound]] the exact all-pairs arm wins
+    * (and is what the q188 oracle pins at every driver scale); above
+    * it the multiprobe arm keeps candidates off the pool² path.
+    */
+  def mine(s: SparkSession, x: DataFrame, y: DataFrame, n: Long,
+      k: Int = MarginK): DataFrame =
+    if (n <= Similarity.SmallCorpusBound) mineMargin(x, y, k)
+    else mineMarginProbed(s, x, y, k)
+
+  private def marginFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val p = pairs.transform(graft.Caches.persist)
     val wf = Window.partitionBy("sx").orderBy(col("ucos").desc, col("ty"))
     val wb = Window.partitionBy("ty").orderBy(col("ucos").desc, col("sx"))
     val kx = p.withColumn("r", row_number().over(wf))

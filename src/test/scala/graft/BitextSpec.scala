@@ -117,6 +117,43 @@ class BitextSpec extends AnyFunSuite {
     assert(x9row._4 == 1, "partner pair should be mutual")
   }
 
+  test("multiprobe large arm: planted twins recalled as mutual pairs, " +
+      "no cartesian in the plan, dispatcher picks arms by pool size") {
+    // 64-dim pools (the centroid fixture's dim) with planted twins:
+    // near-identical cross-pool vectors share a rank-1 centroid, so
+    // the candidate join recalls them structurally at any nprobe ≥ 1
+    val rnd = new scala.util.Random(964)
+    def noise() = Array.fill(64)(rnd.nextGaussian())
+    val twins = (0 until 15).map(_ => noise())
+    val xs = twins.zipWithIndex.map { case (t, i) =>
+      (i.toLong * 2, t.map(_ + rnd.nextGaussian() * 0.01)) } ++
+      (15 until 60).map(i => (i.toLong * 2, noise()))
+    val ys = twins.zipWithIndex.map { case (t, i) =>
+      (1000L + i, t.map(_ + rnd.nextGaussian() * 0.01)) } ++
+      (15 until 60).map(i => (1000L + i, noise()))
+    val (px, py) = (pool(xs), pool(ys))
+    val probed = operators.Bitext.mineMarginProbed(spark, px, py)
+    val rows = probed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    (0 until 15).foreach { i =>
+      val row = rows.find(_._1 == i.toLong * 2)
+      assert(row.exists(r => r._2 == 1000L + i && r._3 == 1),
+        s"twin $i not mined mutual by the probed arm: $row")
+    }
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    // dispatcher: small n → exact arm output; large n → probed output
+    assert(operators.Bitext.mine(spark, px, py, n = 60)
+      .orderBy("src_id").collect().toSeq ==
+      operators.Bitext.mineMargin(px, py)
+        .orderBy("src_id").collect().toSeq)
+    assert(operators.Bitext.mine(spark, px, py,
+        n = operators.Similarity.SmallCorpusBound + 1)
+      .orderBy("src_id").collect().toSeq ==
+      probed.orderBy("src_id").collect().toSeq)
+  }
+
   test("non-mutual forward best is flagged mutual=0") {
     // y201 prefers x0 (closest), but x2's forward best is also y201
     // while y201's backward best stays x0 → x2's row must be mutual=0.
