@@ -85,8 +85,12 @@ object Bitext {
     * BitextSpec pins planted recovery).
     */
   private[graft] def probedUcos(s: SparkSession, x: DataFrame,
-      y: DataFrame, nprobe: Int = NProbe): DataFrame = {
-    val cents = typedLit(graft.Fixtures.ivfCentroidsPacked(s).toSeq)
+      y: DataFrame, nprobe: Int = NProbe,
+      packed: Seq[Double] = null): DataFrame = {
+    // centroid count is the caller's k ∝ N operating point at scale
+    // (the q139 contract); the committed fixture is the default
+    val cents = typedLit(Option(packed)
+      .getOrElse(graft.Fixtures.ivfCentroidsPacked(s).toSeq))
     def cids(df: DataFrame, k: Int): DataFrame =
       df.select(col("id"), col("v"), col("nrm"),
         explode(graft.functions.VectorOps.centroidTopK(
@@ -115,9 +119,9 @@ object Bitext {
 
   /** The miner over multiprobe candidates — the large-arm spelling. */
   private[graft] def mineMarginProbed(s: SparkSession, x: DataFrame,
-      y: DataFrame, k: Int = MarginK,
-      nprobe: Int = NProbe): DataFrame =
-    marginFromPairs(probedUcos(s, x, y, nprobe), k)
+      y: DataFrame, k: Int = MarginK, nprobe: Int = NProbe,
+      packed: Seq[Double] = null): DataFrame =
+    marginFromPairs(probedUcos(s, x, y, nprobe, packed), k)
 
   /** API-level dispatcher (the [[Similarity.oneShotNeardup]]
     * contract): `n` is the caller's pool cardinality — a catalog/
