@@ -341,6 +341,68 @@ object Formats {
            |FROM r ORDER BY doc_id""".stripMargin),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q193DocFim, q69JsonlScan, q73CsvScan,
+  // Span-corruption transform (Raffel et al. JMLR'20 §3.1.4 — the T5
+  // denoising objective; UL2's R-denoiser): mask ~1/7 of 3-token
+  // groups per document, replace each masked span with a sentinel in
+  // the INPUT and emit `sentinel + original tokens` as the TARGET.
+  // Deterministic contract shared verbatim with the oracle: group g =
+  // pos div 3 masked iff (doc_id·3 + g) mod 7 = 3 (pure integer
+  // arithmetic — doc-dependent, reproducible, no RNG state to ship);
+  // sentinels carry the group index so spans are unique without a
+  // running ordinal. md5 over input and target proves both rewrites
+  // byte-for-byte. Map-only in-row array work — the transform fuses
+  // with the scan at 100 TB, like q193.
+  val q198SpanCorruption: QueryDef = QueryDef(
+    "q198_span_corruption",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("inp", expr(
+          """array_join(filter(transform(toks, (x, i) ->
+            |  CASE WHEN (doc_id * 3 + i div 3) % 7 = 3
+            |    THEN CASE WHEN i % 3 = 0
+            |      THEN concat('<extra_id_', i div 3, '>') ELSE '' END
+            |    ELSE x END), t -> t != ''), ' ')""".stripMargin))
+        .withColumn("tgt", expr(
+          """array_join(filter(transform(toks, (x, i) ->
+            |  CASE WHEN (doc_id * 3 + i div 3) % 7 = 3
+            |    THEN CASE WHEN i % 3 = 0
+            |      THEN concat('<extra_id_', i div 3, '> ', x) ELSE x END
+            |    ELSE '' END), t -> t != ''), ' ')""".stripMargin))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).as("n_tokens"),
+          expr("size(filter(transform(toks, (x, i) -> " +
+            "(doc_id * 3 + i div 3) % 7 = 3), b -> b))").as("n_masked"),
+          md5(col("inp")).as("input_md5"),
+          md5(col("tgt")).as("target_md5"))
+        .orderBy("doc_id"),
+    Some("""WITH z AS (
+           |  SELECT doc_id, lang,
+           |    list_zip(string_split(text, ' '),
+           |      range(0, len(string_split(text, ' ')))) AS zt
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, lang, len(zt) AS n_tokens,
+           |    coalesce(array_to_string(list_filter(list_transform(zt,
+           |      p -> CASE WHEN (doc_id * 3 + p[2] // 3) % 7 = 3
+           |        THEN CASE WHEN p[2] % 3 = 0
+           |          THEN '<extra_id_' || (p[2] // 3) || '>' ELSE '' END
+           |        ELSE p[1] END), t -> t != ''), ' '), '') AS inp,
+           |    coalesce(array_to_string(list_filter(list_transform(zt,
+           |      p -> CASE WHEN (doc_id * 3 + p[2] // 3) % 7 = 3
+           |        THEN CASE WHEN p[2] % 3 = 0
+           |          THEN '<extra_id_' || (p[2] // 3) || '> ' || p[1]
+           |          ELSE p[1] END
+           |        ELSE '' END), t -> t != ''), ' '), '') AS tgt,
+           |    len(list_filter(zt,
+           |      p -> (doc_id * 3 + p[2] // 3) % 7 = 3)) AS n_masked
+           |  FROM z)
+           |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+           |  CAST(n_masked AS INTEGER) AS n_masked,
+           |  md5(inp) AS input_md5, md5(tgt) AS target_md5
+           |FROM r ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q193DocFim, q198SpanCorruption,
+    q69JsonlScan, q73CsvScan,
     q98SchemaEvolution, q140PartitionPrune, q151HtmlExtract)
 }
