@@ -445,4 +445,44 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "manifest agg lost its map-side partial")
   }
+
+  test("q193/q198: the FIM and span-corruption rewrites are map-only — " +
+      "the ONLY exchange is the output sort, no join of any kind") {
+    Seq("q193_doc_fim", "q198_span_corruption").foreach { q =>
+      val p = plan(q)
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$q: ${p.take(900)}")
+      assert(!p.contains("Join"), s"$q grew a join: ${p.take(900)}")
+    }
+  }
+
+  test("q190: chat parse/validate is in-row — no explode, no join; " +
+      "the only exchange is the output sort") {
+    val p = plan("q190_chat_stats")
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(900))
+    assert(!p.contains("Generate"), s"turns leaked across rows: " +
+      p.take(900))
+    assert(!p.contains("Join"), p.take(900))
+  }
+
+  test("q195: calibration's inner side is the bounded block table — " +
+      "the nested-loop join builds on the BROADCAST artifact, never " +
+      "the corpus") {
+    val p = plan("q195_score_calibration")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    // the <=-join against the step table is broadcast-NLJ by design;
+    // what must never happen is the corpus side becoming the build
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(900))
+    val builds = "BroadcastExchange".r.findAllIn(p).size
+    assert(builds >= 1, p.take(900))
+  }
+
+  test("q188: every post-pair stage is a keyed exchange (sx/ty " +
+      "windows + joins), bounded count") {
+    val p = plan("q188_bitext_margin")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    // the all-pairs arm broadcasts the target pool once; everything
+    // downstream exchanges on sx or ty
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 12,
+      p.take(1200))
+  }
 }
