@@ -251,6 +251,54 @@ object Chat {
             |HAVING MAX(rating) > MIN(rating)
             |ORDER BY prompt_key""".stripMargin))
 
+  // SFT prompt decontamination — the instruction-tier twin of q65:
+  // pretraining decontam matches n-grams, but SFT releases screen
+  // PROMPTS against benchmark prompt sets (the normalized opening
+  // user message IS the unit of leakage — a training prompt equal to
+  // an eval prompt leaks the benchmark even under a different
+  // completion). The eval set here is the first [[NumEvalPrompts]]
+  // prompt-pool entries — bounded by construction (benchmarks are
+  // thousands of prompts, broadcast class; at larger sets the Bloom
+  // front of q138 composes in front, unchanged). One in-row
+  // normalized-prompt compare against the broadcast literal + one
+  // source-keyed agg.
+  val NumEvalPrompts = 10
+
+  val q199ChatDecontam: QueryDef = QueryDef(
+    "q199_chat_decontam",
+    (s, dir) => {
+      val evalTexts = (0 until NumEvalPrompts)
+        .map(graft.tools.GenChatFixture.promptText)
+      val norm = lower(trim(regexp_replace(get(
+        transform(filter(col("m"), x => x.getField("role") === "user"),
+          x => x.getField("content")), lit(0)), "\\s+", " ")))
+      dressed(s).filter(col("valid") === 1)
+        .withColumn("contaminated",
+          when(norm.isin(evalTexts: _*), lit(1)).otherwise(lit(0)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("convos"),
+          sum(col("contaminated")).as("contaminated"),
+          sum(lit(1L) - col("contaminated")).as("kept"))
+        .orderBy("source")
+    },
+    Some({
+      val evalList = (0 until NumEvalPrompts)
+        .map(p => s"'${graft.tools.GenChatFixture.promptText(p)}'")
+        .mkString(", ")
+      s"""WITH $dressedSql,
+         |k AS (
+         |  SELECT source,
+         |    CASE WHEN lower(trim(regexp_replace(
+         |      list_transform(list_filter(m, x -> x.role = 'user'),
+         |        x -> x.content)[1], '\\s+', ' ', 'g')))
+         |      IN ($evalList) THEN 1 ELSE 0 END AS contaminated
+         |  FROM d WHERE valid = 1)
+         |SELECT source, COUNT(*) AS convos,
+         |  CAST(SUM(contaminated) AS BIGINT) AS contaminated,
+         |  CAST(SUM(1 - contaminated) AS BIGINT) AS kept
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    }))
+
   // Chat-template rendering + tokenizer-exact accounting: turn each
   // VALID conversation into the training string (role-tagged turns,
   // the ChatML-shaped assembly every SFT pipeline runs) and count its
@@ -290,5 +338,5 @@ object Chat {
             |ORDER BY r.conv_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q190ChatStats, q191ChatDedup, q192ChatRender,
-    q196DpoPairs)
+    q196DpoPairs, q199ChatDecontam)
 }

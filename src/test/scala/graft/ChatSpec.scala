@@ -70,6 +70,25 @@ class ChatSpec extends AnyFunSuite {
     assert(pairs > 0 && out.size == pairs)
   }
 
+  test("q199 flags exactly the valid conversations whose prompt index " +
+      "falls in the eval pool") {
+    val out = SparkEntry.queries("q199_chat_decontam")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("convos"), r.getAs[Long]("contaminated"),
+          r.getAs[Long]("kept"))).toMap
+    val expected = (0L until GenChatFixture.NumConvos.toLong)
+      .filter(GenChatFixture.violation(_) == -1)
+      .groupBy(GenChatFixture.source)
+      .map { case (src, ids) =>
+        val contam = ids.count(c => GenChatFixture.promptIdx(c) <
+          operators.Chat.NumEvalPrompts)
+        src -> (ids.size.toLong, contam.toLong,
+          (ids.size - contam).toLong)
+      }
+    assert(out == expected)
+    assert(out.values.map(_._2).sum > 0, "no contamination planted")
+  }
+
   test("q192 renders exactly the valid conversations with distinct " +
       "templates and positive token counts") {
     val out = SparkEntry.queries("q192_chat_render")(spark, dir).collect()
