@@ -337,6 +337,93 @@ object Chat {
             |  ON r.conv_id = f.conv_id
             |ORDER BY r.conv_id""".stripMargin))
 
+  // SFT data-build capstone — the whole instruction tier as ONE
+  // composed Catalyst plan (the q147/q165 capstone discipline applied
+  // to fine-tuning data): role-schema gate → prompt-level dedup
+  // (earliest keeper) → eval-prompt decontamination → chat-template
+  // render → in-plan BPE token count → greedy sequential packing into
+  // 2048-token bins per source, with a per-bin content digest so the
+  // output is a shippable shard manifest, not a report. The oracle
+  // recomposes every stage in SQL, reading the committed reference
+  // counts for the tokenizer stage (the q148/q192 contract) — a hash
+  // match proves gate ∘ dedup ∘ decontam ∘ render ∘ encode ∘ pack
+  // end-to-end, conversation-for-conversation.
+  val q200SftPipeline: QueryDef = QueryDef(
+    "q200_sft_pipeline",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val BinTokens = 2048
+      val (ml, mr) = graft.Fixtures.bpeMerges(s)
+      val evalTexts = (0 until NumEvalPrompts)
+        .map(graft.tools.GenChatFixture.promptText)
+      val norm = lower(trim(regexp_replace(get(
+        transform(filter(col("m"), x => x.getField("role") === "user"),
+          x => x.getField("content")), lit(0)), "\\s+", " ")))
+      val rendered = array_join(
+        transform(col("m"), x => concat(lit("<|"),
+          x.getField("role"), lit("|>"), x.getField("content"))), "")
+      val base = dressed(s).filter(col("valid") === 1)
+        .withColumn("prompt_key", promptKey)
+        .withColumn("pnorm", norm)
+        .select("conv_id", "source", "prompt_key", "pnorm", "m")
+        .transform(graft.Caches.persist)
+      val keepers = base.groupBy("prompt_key")
+        .agg(min("conv_id").as("keeper"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("conv_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      base.join(keepers, "prompt_key")
+        .filter(col("conv_id") === col("keeper") &&
+          !col("pnorm").isin(evalTexts: _*))
+        .withColumn("nt", graft.functions.VectorOps
+          .bpeCount(rendered, ml, mr).cast("long"))
+        .withColumn("cum_excl",
+          coalesce(sum(col("nt")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_excl div $BinTokens"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("convos"), sum(col("nt")).as("tokens"),
+          md5(array_join(transform(sort_array(collect_list(
+            col("conv_id"))), _.cast("string")), ",")).as("digest"))
+        .orderBy("source", "bin")
+    },
+    Some({
+      val evalList = (0 until NumEvalPrompts)
+        .map(p => s"'${graft.tools.GenChatFixture.promptText(p)}'")
+        .mkString(", ")
+      s"""WITH $dressedSql,
+         |k AS (
+         |  SELECT conv_id, source, m,
+         |    $PromptKeySql AS prompt_key,
+         |    lower(trim(regexp_replace(
+         |      list_transform(list_filter(m, x -> x.role = 'user'),
+         |        x -> x.content)[1], '\\s+', ' ', 'g'))) AS pnorm
+         |  FROM d WHERE valid = 1),
+         |kp AS (
+         |  SELECT *, MIN(conv_id) OVER (PARTITION BY prompt_key)
+         |    AS keeper FROM k),
+         |kept AS (
+         |  SELECT kp.conv_id, kp.source,
+         |    CAST(f.ref_tokens AS BIGINT) AS nt
+         |  FROM kp JOIN read_parquet(
+         |    '${graft.Fixtures.chatConvosPath}') f
+         |    ON kp.conv_id = f.conv_id
+         |  WHERE kp.conv_id = kp.keeper AND kp.pnorm NOT IN ($evalList)),
+         |c2 AS (
+         |  SELECT conv_id, source, nt,
+         |    COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY conv_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_excl
+         |  FROM kept)
+         |SELECT source, CAST(cum_excl // 2048 AS BIGINT) AS bin,
+         |  COUNT(*) AS convos, CAST(SUM(nt) AS BIGINT) AS tokens,
+         |  md5(string_agg(CAST(conv_id AS VARCHAR), ','
+         |    ORDER BY conv_id)) AS digest
+         |FROM c2 GROUP BY source, CAST(cum_excl // 2048 AS BIGINT)
+         |ORDER BY source, bin""".stripMargin
+    }),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q190ChatStats, q191ChatDedup, q192ChatRender,
-    q196DpoPairs, q199ChatDecontam)
+    q196DpoPairs, q199ChatDecontam, q200SftPipeline)
 }

@@ -89,6 +89,29 @@ class ChatSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum > 0, "no contamination planted")
   }
 
+  test("q200 capstone funnel: packed conversations are exactly the " +
+      "deduped, decontaminated valid set; token totals conserve") {
+    val out = SparkEntry.queries("q200_sft_pipeline")(spark, dir)
+      .collect()
+    val validIds = (0L until GenChatFixture.NumConvos.toLong)
+      .filter(GenChatFixture.violation(_) == -1)
+    val kept = validIds.groupBy(GenChatFixture.promptIdx)
+      .filter { case (p, _) => p >= operators.Chat.NumEvalPrompts }
+      .values.map(_.min).toSeq
+    assert(out.map(_.getAs[Long]("convos")).sum == kept.size)
+    val refTokens = Fixtures.read(spark, Fixtures.chatConvosPath)
+      .select("conv_id", "ref_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getAs[Long]("tokens")).sum ==
+      kept.map(refTokens).sum, "token conservation broke in the funnel")
+    // bins are dense per source starting at 0
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted
+      assert(bins.toSeq == (0L until bins.length.toLong).toSeq,
+        s"$src bins: ${bins.toSeq}")
+    }
+  }
+
   test("q192 renders exactly the valid conversations with distinct " +
       "templates and positive token counts") {
     val out = SparkEntry.queries("q192_chat_render")(spark, dir).collect()
