@@ -261,6 +261,58 @@ final class FingerprintCodec extends MediaCodec {
   }
 }
 
+/** Per-clip video fingerprint row (q201). */
+final case class VideoFpRow(vid_id: Long, fp: Long)
+
+/** Multi-frame GIF decode + frame-sampled majority-fold fingerprint —
+  * the feature extractor of the video near-dup pass (q201), the video
+  * member of the [[AHashCodec]]/[[FingerprintCodec]] triad: reads the
+  * animated-GIF container frame by frame (ImageIO multi-image scan,
+  * per-partition reader state), aHashes every 2nd frame and folds by
+  * strict per-bit majority ([[graft.functions.VideoHash]]).
+  */
+final class VideoHashCodec extends MediaCodec {
+  @transient private var reader: javax.imageio.ImageReader = null
+
+  override def open(): Unit = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(it.hasNext, "JDK has no gif reader")
+    reader = it.next()
+  }
+
+  def decode(a: MediaAsset): MediaFeatures = {
+    val hs = frameHashes(a)
+    MediaFeatures(a.doc_id, a.media_type, a.payload.length, 0, 0,
+      hs.length)
+  }
+
+  private def frameHashes(a: MediaAsset): Seq[Long] = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(a.payload))
+    try {
+      reader.setInput(in)
+      val n = reader.getNumImages(true)
+      graft.functions.VideoHash.sampledFrames(n).map { f =>
+        val img = reader.read(f)
+        graft.functions.ImageHash.aHash64((x, y) => {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        }, img.getWidth, img.getHeight)
+      }
+    } finally {
+      reader.setInput(null)
+      in.close()
+    }
+  }
+
+  def decodeFp(a: MediaAsset): VideoFpRow =
+    VideoFpRow(a.doc_id,
+      graft.functions.VideoHash.majorityFold(frameHashes(a)))
+
+  override def close(): Unit = if (reader != null) reader.dispose()
+}
+
 /** Routes each asset to the right decoder by media_type: image formats
   * — including the synthetic `image` assets, which are real
   * [[graft.plans.BmpWrap]] BMP containers — and animated-GIF video go
@@ -714,6 +766,72 @@ object Multimodal {
            |WHERE bit_count(xor(x.fp, y.fp)) <= 10
            |ORDER BY a1, a2""".stripMargin))
 
+  /** Real-GIF near-dup corpus as assets (committed fixture with
+    * generator-side expected clip fingerprints — see
+    * [[graft.tools.GenVideoDedupFixture]]).
+    */
+  def loadNeardupVideoAssets(s: SparkSession): Dataset[MediaAsset] = {
+    import s.implicits._
+    graft.Fixtures.read(s, graft.Fixtures.mediaNeardupVideoPath)
+      .select(col("vid_id").as("doc_id"), lit("gif").as("media_type"),
+        col("payload"))
+      .as[MediaAsset]
+  }
+
+  /** The decoded clip-fingerprint relation q201 + its spec share. */
+  private[graft] def videoFingerprints(s: SparkSession): DataFrame = {
+    import s.implicits._
+    decodeStage(loadNeardupVideoAssets(s), () => new VideoHashCodec,
+      (c: VideoHashCodec, a: MediaAsset) => c.decodeFp(a)).toDF()
+  }
+
+  // Video near-dup via frame-sampled majority-fold fingerprint — the
+  // video member of the multimodal dedup triad (q173 image, q189
+  // audio): REAL animated-GIF multi-frame decode (ImageIO through the
+  // per-partition codec seam) → integer-exact per-frame aHash on
+  // every 2nd frame → strict per-bit majority fold (robust to the
+  // trims/re-encodes video near-dups actually carry) → the same
+  // 16-band × 4-bit Hamming candidate join → distance filter. The
+  // oracle recomputes the pair relation from the fixture's
+  // generator-side `fp` column (brute force, equal to the banded plan
+  // by the pigeonhole recall guarantee); VideoDedupSpec separately
+  // pins decoded fingerprint ≡ committed fp per clip — byte-level
+  // container decode fidelity the generator also gates at build time.
+  val q201VideoNeardup: QueryDef = QueryDef(
+    "q201_video_neardup",
+    (s, dir) => {
+      val Threshold = 10
+      val bands = videoFingerprints(s).select(col("vid_id"), col("fp"),
+        explode(array((0 until 16).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("fp"), b * 4).bitwiseAND(lit(15L))
+              .as("chunk"))): _*)).as("bk"))
+        .select(col("vid_id"), col("fp"),
+          col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+      val br = graft.Caches.persist(
+          bands.repartition(col("band"), col("chunk")))
+        .hint("shuffle_hash")
+      br.as("a")
+        .join(br.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.vid_id") < col("b.vid_id"))
+        .select(col("a.vid_id").as("v1"), col("b.vid_id").as("v2"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("dist"))
+        .distinct()
+        .filter(col("dist") <= Threshold)
+        .orderBy("v1", "v2")
+    },
+    Some(s"""WITH a AS (
+           |  SELECT vid_id, fp
+           |  FROM read_parquet('${graft.Fixtures.mediaNeardupVideoPath}'))
+           |SELECT x.vid_id AS v1, y.vid_id AS v2,
+           |  CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS dist
+           |FROM a x JOIN a y ON x.vid_id < y.vid_id
+           |WHERE bit_count(xor(x.fp, y.fp)) <= 10
+           |ORDER BY v1, v2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q35Multimodal, q49MediaPipeline,
-    q130AudioDecode, q173ImageNeardup, q189AudioNeardup)
+    q130AudioDecode, q173ImageNeardup, q189AudioNeardup,
+    q201VideoNeardup)
 }
