@@ -2920,6 +2920,79 @@ object TextAnalysis {
     * counting. Plan shape is q71's: one per-lang ordered window (at
     * 100 TB the same query runs per (lang, shard)), then a keyed agg.
     */
+  /** Epoch-repetition schedule (q202) — the data-constrained planning
+    * stage (Muennighoff et al. NeurIPS'23 "Scaling Data-Constrained
+    * Language Models": repeating data is ~as good as fresh data up to
+    * ~4 epochs, then returns decay fast): given a compute budget of
+    * [[EpochBudgetMult]]× the corpus's total tokens and per-source
+    * shares flattened by a square-root temperature (the q108/q115
+    * mixing move — small sources get MORE than proportional budget,
+    * which is what creates the repetition question), report per
+    * source the allocated budget, the epoch count under the 4-epoch
+    * cap, and the budget STRANDED by the cap (the tokens a real
+    * schedule redistributes). Everything integer after ONE correctly-
+    * rounded sqrt per source (the repo's single-floor discipline):
+    * weight_mu = ⌊√U·10³⌋-shares, epochs_mu = min(4·10⁶,
+    * B·10⁶ div U). One corpus agg + broadcast 1-row totals — the q99
+    * shape.
+    */
+  val EpochBudgetMult = 4
+  val EpochCapMu = 4000000L
+
+  val q202EpochSchedule: QueryDef = QueryDef(
+    "q202_epoch_schedule",
+    (s, dir) => {
+      val counts = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          size(split(lower(col("text")), " ")).cast(LongType).as("nt"))
+        .groupBy("lang").agg(sum("nt").as("u"))
+        .withColumn("r", floor(sqrt(col("u").cast(DoubleType))
+          * lit(1000.0)).cast(LongType))
+        .transform(graft.Caches.persist)
+      val tot = broadcast(counts.agg(
+        sum(col("u")).as("utot"), sum(col("r")).as("rtot")))
+      counts.crossJoin(tot)
+        .withColumn("weight_mu", expr("(r * 1000000) div rtot"))
+        .withColumn("budget_tokens",
+          expr(s"($EpochBudgetMult * utot * weight_mu) div 1000000"))
+        .withColumn("epochs_mu", least(lit(EpochCapMu),
+          expr("(budget_tokens * 1000000) div u")))
+        .withColumn("served_tokens", expr("(u * epochs_mu) div 1000000"))
+        .withColumn("stranded_tokens",
+          col("budget_tokens") - col("served_tokens"))
+        .select(col("lang"), col("u").as("unique_tokens"),
+          col("weight_mu"), col("budget_tokens"), col("epochs_mu"),
+          col("served_tokens"), col("stranded_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH c AS (
+           |  SELECT lang,
+           |    CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+           |      AS u
+           |  FROM documents GROUP BY lang),
+           |r AS (
+           |  SELECT lang, u,
+           |    CAST(floor(sqrt(CAST(u AS DOUBLE)) * 1000.0) AS BIGINT)
+           |      AS r
+           |  FROM c),
+           |t AS (SELECT CAST(SUM(u) AS BIGINT) AS utot,
+           |             CAST(SUM(r) AS BIGINT) AS rtot FROM r),
+           |w AS (
+           |  SELECT lang, u, (r * 1000000) // t.rtot AS weight_mu,
+           |    ($EpochBudgetMult * t.utot * ((r * 1000000) // t.rtot))
+           |      // 1000000 AS budget_tokens
+           |  FROM r, t),
+           |e AS (
+           |  SELECT lang, u, weight_mu, budget_tokens,
+           |    LEAST($EpochCapMu,
+           |      (budget_tokens * 1000000) // u) AS epochs_mu
+           |  FROM w)
+           |SELECT lang, u AS unique_tokens, weight_mu, budget_tokens,
+           |  epochs_mu, (u * epochs_mu) // 1000000 AS served_tokens,
+           |  budget_tokens - (u * epochs_mu) // 1000000
+           |    AS stranded_tokens
+           |FROM e ORDER BY lang""".stripMargin))
+
   /** Padding-waste report (q197) — the measurement that motivates
     * sequence packing (q71/q148/q178): batch documents naively
     * (doc_id order, fixed batch size B=16 per lang), pad each batch
@@ -3370,7 +3443,7 @@ object TextAnalysis {
     q92QualityTiers, q93TokenQuantilesApprox, q99UnigramXent,
     q108MixTemperature, q109Chunking, q111GlobalTiers,
     q129WinnowProvenance, q132DistinctApproxGate, q147TrainingPipeline,
-    q148BpePack, q197PaddingWaste, q149PiiRedact, q153PipelineBpe, q157TrainShards,
+    q148BpePack, q197PaddingWaste, q202EpochSchedule, q149PiiRedact, q153PipelineBpe, q157TrainShards,
     q161DomainReweight, q162CcnetBuckets, q163DsirSelect,
     q164TokenizerFertility, q165ModernPipeline, q175TokenShards,
     q178PackedSequences, q181EncodingQuality, q183NfcNormalize, q184NfcDedup,
