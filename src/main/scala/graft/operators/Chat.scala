@@ -81,6 +81,19 @@ object Chat {
   private[graft] def dressed(s: SparkSession): DataFrame =
     dress(graft.Fixtures.read(s, graft.Fixtures.chatConvosPath))
 
+  /** Per-source gate counters over any conversation relation — ONE
+    * definition for q194's streaming aggregation, its batch oracle
+    * shape, and the restart spec (the piiScrubCounts contract).
+    */
+  private[graft] def gateCounts(df: DataFrame): DataFrame =
+    dress(df).groupBy(col("source"))
+      .agg(count(lit(1)).as("convos"),
+        sum(col("valid")).as("valid"),
+        sum(col("bad_role")).as("bad_role"),
+        sum(col("misplaced_system")).as("misplaced_system"),
+        sum(col("bad_ends")).as("bad_ends"),
+        sum(col("non_alt")).as("non_alt"))
+
   private def roleChars(role: String): Column =
     aggregate(
       transform(filter(col("m"), x => x.getField("role") === role),

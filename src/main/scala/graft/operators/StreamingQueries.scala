@@ -805,14 +805,7 @@ object StreamingQueries {
   val q194StreamChatGate: QueryDef = QueryDef(
     "q194_stream_chat_gate",
     (s, dir) => {
-      val dressedStream = Chat.dress(EventsStream.readChatConvos(s))
-      val agg = dressedStream.groupBy(col("source"))
-        .agg(count(lit(1)).as("convos"),
-          sum(col("valid")).as("valid"),
-          sum(col("bad_role")).as("bad_role"),
-          sum(col("misplaced_system")).as("misplaced_system"),
-          sum(col("bad_ends")).as("bad_ends"),
-          sum(col("non_alt")).as("non_alt"))
+      val agg = Chat.gateCounts(EventsStream.readChatConvos(s))
       EventsStream.runToCompletion(s, agg).orderBy("source")
     },
     Some(s"""WITH ${Chat.dressedSql}

@@ -568,4 +568,66 @@ class StreamRestartSpec extends AnyFunSuite {
         "pages — seen-set state did not restore across the restart")
     Caches.clear(spark)
   }
+
+  test("q194-class chat-ingest gate survives a restart: per-source " +
+      "failure-mode counters restore from the checkpoint and the " +
+      "final counts equal the batch answer over the full fixture") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_chatrs")
+    val in = root.resolve("in").toString
+    val cp = root.resolve("cp").toString
+    val all = Fixtures.read(spark, Fixtures.chatConvosPath)
+      .select(col("conv_id"), col("source"), col("convo"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    // split by PARITY so both halves carry every source and several
+    // violation classes — a from-zero restart can't pass by accident
+    val (firstHalf, secondHalf) = all.partition(_._1 % 2 == 0)
+
+    def writeFile(rows: Seq[(Long, String, String)]): Unit =
+      rows.toSeq.toDF("conv_id", "source", "convo").repartition(1)
+        .write.mode("append").parquet(in)
+
+    val last = new java.util.concurrent.atomic
+      .AtomicReference[Map[String, Seq[Long]]](Map.empty)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("conv_id", "long").add("source", "string")
+      .add("convo", "string")
+    def startQuery() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      operators.Chat.gateCounts(stream)
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            last.set(b.collect().map(r => r.getString(0) ->
+              (1 to 6).map(r.getLong)).toMap)
+            ()
+        }
+        .start()
+    }
+
+    writeFile(firstHalf.toSeq)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(last.get().values.map(_.head).sum == firstHalf.length,
+      "run 1 counted the wrong conversation total")
+
+    // restart: counters must RESUME from run 1's state, not zero
+    writeFile(secondHalf.toSeq)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batch = operators.Chat.gateCounts(
+      Fixtures.read(spark, Fixtures.chatConvosPath))
+      .collect().map(r => r.getString(0) ->
+        (1 to 6).map(r.getLong)).toMap
+    assert(batch.values.map(_(1)).sum > 0 &&
+      batch.values.map(v => v.head - v(1)).sum > 0,
+      "fixture lacks valid or invalid conversations — test is vacuous")
+    assert(last.get() == batch,
+      s"restarted chat gate diverged: ${last.get()} vs $batch")
+    Caches.clear(spark)
+  }
 }
