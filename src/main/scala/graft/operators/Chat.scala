@@ -179,7 +179,7 @@ object Chat {
   /** md5 of the normalized first user message — ONE definition for the
     * dedup key (q191) and the preference-pair grouping key (q196).
     */
-  private def promptKey: Column = {
+  private[graft] def promptKey: Column = {
     val firstUser = get(
       transform(filter(col("m"), x => x.getField("role") === "user"),
         x => x.getField("content")), lit(0))
@@ -187,7 +187,7 @@ object Chat {
   }
 
   /** The oracle spelling of [[promptKey]], applied to the `d` CTE. */
-  private val PromptKeySql: String =
+  private[graft] val PromptKeySql: String =
     """md5(lower(trim(regexp_replace(
       |      list_transform(list_filter(m, x -> x.role = 'user'),
       |        x -> x.content)[1], '\s+', ' ', 'g'))))""".stripMargin

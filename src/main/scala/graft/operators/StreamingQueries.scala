@@ -817,7 +817,68 @@ object StreamingQueries {
             |  CAST(SUM(non_alt) AS BIGINT) AS non_alt
             |FROM d GROUP BY source ORDER BY source""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q194StreamChatGate,
+  // Streaming SFT intake with a DEDUPED PROMPT LEDGER — the third
+  // streaming-state shape of the chat tier (q194 keeps O(sources)
+  // counters; q182's frontier keeps a seen-SET; this keeps a keyed
+  // min_by LEDGER): conversations arrive continuously, each micro-
+  // batch validates and renders statelessly (Chat.dress + the q192
+  // template + in-plan BPE count), and the streaming aggregation
+  // maintains per prompt_key the EARLIEST conversation with its
+  // source and token count — the deduped intake ledger a continuous
+  // SFT collection actually serves training from. min_by aggregation
+  // state is one row per unique prompt (bounded by the prompt space,
+  // not arrivals) and, unlike arrival-order dropDuplicates, its
+  // answer is DELIVERY-SCHEDULE-INVARIANT — which is exactly what
+  // makes the batch oracle apply to any replay. The per-source
+  // rollup runs batch-side on the drained ledger (the q182 move).
+  val q203StreamSftIntake: QueryDef = QueryDef(
+    "q203_stream_sft_intake",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val (ml, mr) = graft.Fixtures.bpeMerges(s)
+      val rendered = array_join(
+        transform(col("m"), x => concat(lit("<|"),
+          x.getField("role"), lit("|>"), x.getField("content"))), "")
+      val ledger = Chat.dress(EventsStream.readChatConvos(s))
+        .filter(col("valid") === 1)
+        .withColumn("nt",
+          graft.functions.VectorOps.bpeCount(rendered, ml, mr)
+            .cast("long"))
+        .groupBy(Chat.promptKey.as("prompt_key"))
+        .agg(min(col("conv_id")).as("keeper"),
+          expr("min_by(source, conv_id)").as("source"),
+          expr("min_by(nt, conv_id)").as("kept_nt"),
+          count(lit(1)).as("candidates"))
+      EventsStream.runToCompletion(s, ledger)
+        .groupBy("source")
+        .agg(count(lit(1)).as("unique_prompts"),
+          sum(col("kept_nt")).as("kept_tokens"),
+          sum(col("candidates")).as("candidates"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${Chat.dressedSql},
+            |k AS (
+            |  SELECT conv_id, source,
+            |    ${Chat.PromptKeySql} AS prompt_key
+            |  FROM d WHERE valid = 1),
+            |led AS (
+            |  SELECT prompt_key,
+            |    arg_min(conv_id, conv_id) AS keeper,
+            |    arg_min(source, conv_id) AS source,
+            |    COUNT(*) AS candidates
+            |  FROM k GROUP BY prompt_key),
+            |lt AS (
+            |  SELECT led.source, f.ref_tokens AS kept_nt,
+            |    led.candidates
+            |  FROM led JOIN read_parquet(
+            |    '${graft.Fixtures.chatConvosPath}') f
+            |    ON led.keeper = f.conv_id)
+            |SELECT source, COUNT(*) AS unique_prompts,
+            |  CAST(SUM(kept_nt) AS BIGINT) AS kept_tokens,
+            |  CAST(SUM(candidates) AS BIGINT) AS candidates
+            |FROM lt GROUP BY source ORDER BY source""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q194StreamChatGate, q203StreamSftIntake,
     q172StreamQualityGate, q176StreamSelect,
     q33StreamTumbling, q34Sessionize, q182StreamCrawlFrontier,
     q41StreamDedup, q43Sliding, q44ApproxDistinct, q50StreamJoin,
