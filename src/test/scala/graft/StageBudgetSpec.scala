@@ -65,7 +65,15 @@ class StageBudgetSpec extends AnyFunSuite {
     // pins that serving never rebuilds or re-scans the corpus (an
     // artifact-cache regression shows up as the build's write stages
     // re-entering every serve)
-    ("q174_ann_served", 7, 5))
+    ("q174_ann_served", 7, 5),
+    // r15 late additions: q188's budget pins that the persisted pair
+    // relation serves all four margin consumers (top-k sums ×2 +
+    // margin windows ×2) from one build; q193 must stay a single
+    // map-only job; q200's budget pins the one-build funnel (dressed
+    // base persisted, dedup agg + window + manifest agg)
+    ("q188_bitext_margin", 17, 17),
+    ("q193_doc_fim", 2, 2),
+    ("q200_sft_pipeline", 10, 10))
 
   test("the pinned expensive headline queries keep their executed " +
       "stage/job budgets under the bench profile") {
