@@ -2932,12 +2932,17 @@ object TextAnalysis {
     * cap, and the budget STRANDED by the cap (the tokens a real
     * schedule redistributes). Everything integer after ONE correctly-
     * rounded sqrt per source (the repo's single-floor discipline):
-    * weight_mu = ⌊√U·10³⌋-shares, epochs_mu = min(4·10⁶,
-    * B·10⁶ div U). One corpus agg + broadcast 1-row totals — the q99
+    * weight_mu = ⌊√U·10³⌋-shares, epochs_milli = min(4·10³,
+    * B·10³ div U). Epochs and the waste rate quantize in MILLI-units
+    * deliberately: with per-lang token counts at the 100 TB scale
+    * (~10¹⁴), a µunit spelling's B·10⁶ intermediate overflows BIGINT
+    * (~4·10²⁰ > 2⁶³), while every milli intermediate stays ≤ ~10¹⁷ —
+    * and 10⁻³ epochs is far below any schedule's actionable
+    * granularity. One corpus agg + broadcast 1-row totals — the q99
     * shape.
     */
   val EpochBudgetMult = 4
-  val EpochCapMu = 4000000L
+  val EpochCapMilli = 4000L
 
   val q202EpochSchedule: QueryDef = QueryDef(
     "q202_epoch_schedule",
@@ -2955,13 +2960,13 @@ object TextAnalysis {
         .withColumn("weight_mu", expr("(r * 1000000) div rtot"))
         .withColumn("budget_tokens",
           expr(s"($EpochBudgetMult * utot * weight_mu) div 1000000"))
-        .withColumn("epochs_mu", least(lit(EpochCapMu),
-          expr("(budget_tokens * 1000000) div u")))
-        .withColumn("served_tokens", expr("(u * epochs_mu) div 1000000"))
+        .withColumn("epochs_milli", least(lit(EpochCapMilli),
+          expr("(budget_tokens * 1000) div u")))
+        .withColumn("served_tokens", expr("(u * epochs_milli) div 1000"))
         .withColumn("stranded_tokens",
           col("budget_tokens") - col("served_tokens"))
         .select(col("lang"), col("u").as("unique_tokens"),
-          col("weight_mu"), col("budget_tokens"), col("epochs_mu"),
+          col("weight_mu"), col("budget_tokens"), col("epochs_milli"),
           col("served_tokens"), col("stranded_tokens"))
         .orderBy("lang")
     },
@@ -2984,12 +2989,12 @@ object TextAnalysis {
            |  FROM r, t),
            |e AS (
            |  SELECT lang, u, weight_mu, budget_tokens,
-           |    LEAST($EpochCapMu,
-           |      (budget_tokens * 1000000) // u) AS epochs_mu
+           |    LEAST($EpochCapMilli,
+           |      (budget_tokens * 1000) // u) AS epochs_milli
            |  FROM w)
            |SELECT lang, u AS unique_tokens, weight_mu, budget_tokens,
-           |  epochs_mu, (u * epochs_mu) // 1000000 AS served_tokens,
-           |  budget_tokens - (u * epochs_mu) // 1000000
+           |  epochs_milli, (u * epochs_milli) // 1000 AS served_tokens,
+           |  budget_tokens - (u * epochs_milli) // 1000
            |    AS stranded_tokens
            |FROM e ORDER BY lang""".stripMargin))
 
@@ -3004,7 +3009,9 @@ object TextAnalysis {
     * in-plan BPE merge loop; the oracle re-derives the identical
     * report from the committed `n_bpe` reference counts, so the hash
     * match re-proves the encoder AND the batching arithmetic. All
-    * integer: waste_mu = ⌊10⁶·(padded − real)/padded⌋. Plan shape is
+    * integer: waste_milli = ⌊10³·(padded − real)/padded⌋ — milli, not
+    * µ, so the (padded−real)·multiplier intermediate cannot overflow
+    * BIGINT at 100 TB per-lang token counts. Plan shape is
     * q148's (one per-lang ordered window → two keyed aggs); at 100 TB
     * the same report runs per (lang, shard) with shard-local windows.
     */
@@ -3031,8 +3038,8 @@ object TextAnalysis {
         .agg(count(lit(1)).as("batches"),
           sum(col("real_tokens")).as("real_tokens"),
           sum(col("padded")).as("padded_tokens"))
-        .withColumn("waste_mu", expr(
-          "((padded_tokens - real_tokens) * 1000000) div padded_tokens"))
+        .withColumn("waste_milli", expr(
+          "((padded_tokens - real_tokens) * 1000) div padded_tokens"))
         .orderBy("lang")
       // (the per-lang window is the q148 contract: fixture-scale
       // convenience; production partitions by (lang, shard))
@@ -3052,8 +3059,8 @@ object TextAnalysis {
            |    CAST(SUM(n_docs * max_nt) AS BIGINT) AS padded_tokens
            |  FROM b GROUP BY lang)
            |SELECT lang, batches, real_tokens, padded_tokens,
-           |  ((padded_tokens - real_tokens) * 1000000) // padded_tokens
-           |    AS waste_mu
+           |  ((padded_tokens - real_tokens) * 1000) // padded_tokens
+           |    AS waste_milli
            |FROM l ORDER BY lang""".stripMargin))
 
   val q148BpePack: QueryDef = QueryDef(

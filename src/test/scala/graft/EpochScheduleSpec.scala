@@ -13,27 +13,31 @@ class EpochScheduleSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q202_epoch_schedule")(
       spark, "/root/testdata/sf0.01").collect()
     assert(rows.length >= 2)
-    val cap = operators.TextAnalysis.EpochCapMu
+    val cap = operators.TextAnalysis.EpochCapMilli
     rows.foreach { r =>
       val (u, w, b, e, served, stranded) = (
         r.getAs[Long]("unique_tokens"), r.getAs[Long]("weight_mu"),
-        r.getAs[Long]("budget_tokens"), r.getAs[Long]("epochs_mu"),
+        r.getAs[Long]("budget_tokens"), r.getAs[Long]("epochs_milli"),
         r.getAs[Long]("served_tokens"), r.getAs[Long]("stranded_tokens"))
       assert(e <= cap && e > 0)
       assert(served + stranded == b, s"budget leaks: $r")
-      assert(served == u * e / 1000000L)
+      assert(served == u * e / 1000L)
       assert(w > 0 && b > 0)
     }
     // the cap must ENGAGE for the small languages and NOT for the
     // dominant one — otherwise the fixture never exercises the branch
-    assert(rows.exists(r => r.getAs[Long]("epochs_mu") == cap &&
+    assert(rows.exists(r => r.getAs[Long]("epochs_milli") == cap &&
       r.getAs[Long]("stranded_tokens") > 0), "cap never engaged")
-    assert(rows.exists(r => r.getAs[Long]("epochs_mu") < cap &&
-      r.getAs[Long]("stranded_tokens") <= 1), "no lang under budget")
+    // under-cap langs strand only QUANTIZATION residue (< one
+    // milli-epoch of tokens), never cap-class budget
+    assert(rows.exists(r => r.getAs[Long]("epochs_milli") < cap &&
+      r.getAs[Long]("stranded_tokens") <
+        r.getAs[Long]("unique_tokens") / 1000 + 1),
+      "no lang under budget")
     // sqrt flattening: the token-richest lang gets the LOWEST epochs
     val byU = rows.sortBy(_.getAs[Long]("unique_tokens"))
-    assert(byU.last.getAs[Long]("epochs_mu") ==
-      rows.map(_.getAs[Long]("epochs_mu")).min,
+    assert(byU.last.getAs[Long]("epochs_milli") ==
+      rows.map(_.getAs[Long]("epochs_milli")).min,
       "flattening direction inverted")
   }
 }
