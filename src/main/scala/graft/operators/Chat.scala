@@ -350,6 +350,106 @@ object Chat {
             |  ON r.conv_id = f.conv_id
             |ORDER BY r.conv_id""".stripMargin))
 
+  // Context-window truncation (q204) — the fitting policy every SFT
+  // trainer applies when a conversation outgrows the training context:
+  // KEEP the system message, then the LONGEST SUFFIX of turns whose
+  // tokens (with system) fit the budget, never dropping the final
+  // exchange (drop-oldest-first — chat models are trained and served
+  // with recency-keeping truncation). Token counts come from the
+  // in-plan BPE merge loop applied PER TURN inside a higher-order
+  // transform; the oracle runs the identical suffix arithmetic over
+  // the fixture's committed per-turn reference counts, so the hash
+  // match proves per-turn encode AND the policy. The suffix search is
+  // in-row prefix sums over ≤13-element arrays (monotone, so the cut
+  // index is just a count of prefixes below the required drop) — no
+  // explode, no join; map-only at 100 TB.
+  val TruncateBudget = 128L
+
+  val q204ChatTruncate: QueryDef = QueryDef(
+    "q204_chat_truncate",
+    (s, dir) => {
+      graft.functions.VectorOps.register(s)
+      val (ml, mr) = graft.Fixtures.bpeMerges(s)
+      val turnNt = transform(col("m"), x =>
+        graft.functions.VectorOps.bpeCount(
+          concat(lit("<|"), x.getField("role"), lit("|>"),
+            x.getField("content")), ml, mr).cast("long"))
+      dressed(s).filter(col("valid") === 1)
+        .withColumn("tnt", turnNt)
+        .withColumn("has_sys",
+          when(get(col("roles"), lit(0)) === "system", 1).otherwise(0))
+        .withColumn("sys_nt",
+          when(col("has_sys") === 1, get(col("tnt"), lit(0)))
+            .otherwise(lit(0L)))
+        .withColumn("rest", when(col("has_sys") === 1,
+          slice(col("tnt"), lit(2), greatest(size(col("tnt")) - 1,
+            lit(0)))).otherwise(col("tnt")))
+        .withColumn("total_rest",
+          aggregate(col("rest"), lit(0L), (a, x) => a + x))
+        // pre(i) = tokens of the FIRST i rest-turns, i = 0..n
+        .withColumn("pre", transform(
+          sequence(lit(0), size(col("rest"))),
+          i => aggregate(slice(col("rest"), lit(1), i), lit(0L),
+            (a, x) => a + x)))
+        .withColumn("needed",
+          greatest(col("sys_nt") + col("total_rest") - TruncateBudget,
+            lit(0L)))
+        // smallest i with pre(i) >= needed, capped to keep the final turn
+        .withColumn("cut", least(
+          size(filter(col("pre"), p => p < col("needed"))),
+          greatest(size(col("rest")) - 1, lit(0))))
+        .select(col("conv_id"), col("source"),
+          size(col("m")).as("n_turns"),
+          (size(col("rest")) - col("cut") + col("has_sys"))
+            .as("n_kept"),
+          (col("sys_nt") + col("total_rest") -
+            get(col("pre"), col("cut"))).as("tokens_kept"),
+          get(col("pre"), col("cut")).as("tokens_dropped"),
+          when(col("cut") > 0, 1).otherwise(0).as("truncated"))
+        .orderBy("conv_id")
+    },
+    Some(s"""WITH $dressedSql,
+            |f AS (
+            |  SELECT d.conv_id, d.source, d.roles, len(d.m) AS n_turns,
+            |    CAST(fx.ref_turn_tokens AS BIGINT[]) AS tnt
+            |  FROM d JOIN read_parquet(
+            |    '${graft.Fixtures.chatConvosPath}') fx
+            |    ON d.conv_id = fx.conv_id
+            |  WHERE d.valid = 1),
+            |g AS (
+            |  SELECT conv_id, source, n_turns,
+            |    CASE WHEN roles[1] = 'system' THEN 1 ELSE 0 END
+            |      AS has_sys,
+            |    CASE WHEN roles[1] = 'system' THEN tnt[1] ELSE 0 END
+            |      AS sys_nt,
+            |    CASE WHEN roles[1] = 'system' THEN tnt[2:] ELSE tnt END
+            |      AS rest
+            |  FROM f),
+            |h AS (
+            |  SELECT *,
+            |    coalesce(list_aggregate(rest, 'sum'), 0) AS total_rest,
+            |    list_transform(range(0, len(rest) + 1), i ->
+            |      coalesce(list_aggregate(rest[:i], 'sum'), 0)) AS pre
+            |  FROM g),
+            |x AS (
+            |  SELECT *,
+            |    GREATEST(sys_nt + total_rest - $TruncateBudget, 0)
+            |      AS needed
+            |  FROM h),
+            |y AS (
+            |  SELECT *,
+            |    LEAST(len(list_filter(pre, p -> p < needed)),
+            |      GREATEST(len(rest) - 1, 0)) AS cut
+            |  FROM x)
+            |SELECT conv_id, source,
+            |  CAST(n_turns AS INTEGER) AS n_turns,
+            |  CAST(len(rest) - cut + has_sys AS INTEGER) AS n_kept,
+            |  CAST(sys_nt + total_rest - pre[cut + 1] AS BIGINT)
+            |    AS tokens_kept,
+            |  CAST(pre[cut + 1] AS BIGINT) AS tokens_dropped,
+            |  CASE WHEN cut > 0 THEN 1 ELSE 0 END AS truncated
+            |FROM y ORDER BY conv_id""".stripMargin))
+
   // SFT data-build capstone — the whole instruction tier as ONE
   // composed Catalyst plan (the q147/q165 capstone discipline applied
   // to fine-tuning data): role-schema gate → prompt-level dedup
@@ -438,5 +538,5 @@ object Chat {
     bench = true)
 
   val all: Seq[QueryDef] = Seq(q190ChatStats, q191ChatDedup, q192ChatRender,
-    q196DpoPairs, q199ChatDecontam, q200SftPipeline)
+    q196DpoPairs, q199ChatDecontam, q200SftPipeline, q204ChatTruncate)
 }

@@ -111,12 +111,19 @@ object GenChatFixture {
     val (ml, mr) = Fixtures.bpeMerges(spark)
     val table = new graft.functions.Bpe.Table(ml, mr)
     val rows = (0L until NumConvos.toLong).map { c =>
+      // per-turn reference counts: the BPE pre-token regex cannot form
+      // a run spanning a turn joint (content ends alphanumeric, every
+      // turn render starts with '<' — different classes), so these sum
+      // EXACTLY to the whole-render count; ChatSpec pins the identity
       (c, source(c), json(c),
         graft.functions.Bpe.countTokens(rendered(c), table).toLong,
-        rating(c))
+        rating(c),
+        turns(c).map { case (r, t) =>
+          graft.functions.Bpe.countTokens(s"<|$r|>$t", table).toLong })
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-chat")
-    rows.toDF("conv_id", "source", "convo", "ref_tokens", "rating")
+    rows.toDF("conv_id", "source", "convo", "ref_tokens", "rating",
+      "ref_turn_tokens")
       .coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     val part = new java.io.File(tmp.toString).listFiles()

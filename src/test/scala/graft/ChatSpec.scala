@@ -31,6 +31,50 @@ class ChatSpec extends AnyFunSuite {
         GenChatFixture.rendered(c), table).toLong,
         s"conv $c: committed ref_tokens drifted")
     }
+    // per-turn counts reproduce AND sum exactly to the whole-render
+    // count — the additivity identity q204's truncation arithmetic
+    // rests on (pre-token runs cannot span turn joints)
+    val turnTok = Fixtures.read(spark, Fixtures.chatConvosPath)
+      .select("conv_id", "ref_tokens", "ref_turn_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2)))
+    turnTok.foreach { case (c, whole, per) =>
+      assert(per == GenChatFixture.turns(c).map { case (r, t) =>
+        graft.functions.Bpe.countTokens(s"<|$r|>$t", table).toLong },
+        s"conv $c: committed per-turn counts drifted")
+      assert(per.sum == whole,
+        s"conv $c: per-turn counts don't sum to the render count")
+    }
+  }
+
+  test("q204 keeps the recency suffix within budget (or the final turn " +
+      "when even that overflows) and conserves tokens") {
+    val out = SparkEntry.queries("q204_chat_truncate")(spark, dir)
+      .collect()
+    val refTurns = Fixtures.read(spark, Fixtures.chatConvosPath)
+      .select("conv_id", "ref_turn_tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out.nonEmpty)
+    var truncated = 0
+    out.foreach { r =>
+      val c = r.getAs[Long]("conv_id")
+      val kept = r.getAs[Long]("tokens_kept")
+      val dropped = r.getAs[Long]("tokens_dropped")
+      assert(kept + dropped == refTurns(c).sum,
+        s"conv $c: token conservation broke")
+      if (r.getAs[Int]("truncated") == 1) {
+        truncated += 1
+        // maximality: keeping ONE more turn would overflow the budget
+        assert(kept <= operators.Chat.TruncateBudget ||
+          r.getAs[Int]("n_kept") <=
+            (if (GenChatFixture.hasSystem(c)) 2 else 1),
+          s"conv $c: over budget without the final-turn fallback")
+      } else {
+        assert(kept <= operators.Chat.TruncateBudget)
+        assert(dropped == 0L)
+      }
+    }
+    assert(truncated > 0, "budget never binds — test is vacuous")
   }
 
   test("q196 pairs the highest- and lowest-rated valid completions per " +
