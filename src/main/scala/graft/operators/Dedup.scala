@@ -133,7 +133,7 @@ object Dedup {
        |       GROUP BY 1, 2)""".stripMargin
   }
 
-  private val jaccardCtes: String = jaccardCtesFor(None)
+  private[graft] val jaccardCtes: String = jaccardCtesFor(None)
 
   private def jaccardSelect(ctes: String): String = ctes + "\n" +
     """SELECT d1, d2, floor((CAST(c AS DOUBLE)/(s1.n + s2.n - c)) * 10000 + 0.5) / 10000 AS jac
@@ -870,6 +870,57 @@ object Dedup {
         |  COUNT(*) OVER (PARTITION BY cluster) AS members,
         |  CASE WHEN v = cluster THEN 1 ELSE 0 END AS keep
         |FROM lab ORDER BY doc_id""".stripMargin))
+
+  // Leakage-free train/test split (q205) — the eval-hygiene
+  // composition every careful release runs (the reason GPT-3's
+  // dedup-based decontamination exists, Brown et al. §4; codified in
+  // later data cards): a per-document split lets near-duplicates
+  // straddle train/test, silently inflating eval — so the split must
+  // key on the NEAR-DUP CLUSTER, not the document. Composition:
+  // q66's exact-Jaccard connected components → every document joins
+  // its component label (singletons = their own cluster) → the q57
+  // id-split rule applied to the CLUSTER REPRESENTATIVE, so members
+  // co-assign by construction. The oracle recomputes the closure with
+  // q66's recursive CTE; LeakfreeSplitSpec additionally proves the
+  // property the relation guarantees (zero clusters straddling) and
+  // that the naive per-doc split DOES leak on this corpus — the
+  // motivation made measurable.
+  val q205LeakfreeSplit: QueryDef = QueryDef(
+    "q205_leakfree_split",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val comp = connectedComponents(exactJaccardPairs(docs))
+        .select(col("v").as("doc_id"), col("lbl"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("split",
+          when(col("cluster") % 100 < 80, "train").otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("cluster"), col("split"),
+          when(col("lbl").isNotNull, 1).otherwise(0).as("clustered"))
+        .orderBy("doc_id")
+    },
+    Some(jaccardCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      """pairs AS (
+        |  SELECT d1, d2 FROM pc
+        |  JOIN sz s1 ON pc.d1 = s1.doc_id
+        |  JOIN sz s2 ON pc.d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.8),
+        |und AS (SELECT d1 AS v, d2 AS u FROM pairs
+        |        UNION SELECT d2, d1 FROM pairs),
+        |reach(v, u) AS (
+        |  SELECT v, u FROM und
+        |  UNION
+        |  SELECT r.v, e.u FROM reach r JOIN und e ON r.u = e.v),
+        |lab AS (SELECT v, least(v, MIN(u)) AS cluster
+        |        FROM reach GROUP BY v)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(lab.cluster, d.doc_id) AS cluster,
+        |  CASE WHEN COALESCE(lab.cluster, d.doc_id) % 100 < 80
+        |    THEN 'train' ELSE 'test' END AS split,
+        |  CASE WHEN lab.v IS NOT NULL THEN 1 ELSE 0 END AS clustered
+        |FROM documents d LEFT JOIN lab ON d.doc_id = lab.v
+        |ORDER BY d.doc_id""".stripMargin))
 
   // Incremental near-dup — the shape a CONTINUOUSLY-ingesting pipeline
   // runs: a new batch (delta, the deterministic q57/q65 10% split)
@@ -1722,7 +1773,8 @@ object Dedup {
     q167LineDedup,
     q20DedupKeyed, q21DedupExact, q22DedupJaccard, q23DedupMinhash,
     q24DedupSimhash, q61Curation, q63DedupJaccardCapped,
-    q65Decontamination, q66DedupClusters, q74IncrementalNeardup,
+    q65Decontamination, q66DedupClusters, q205LeakfreeSplit,
+    q74IncrementalNeardup,
     q80SpanDedup, q91DedupJaccardPrefix, q103FuzzyNameMatch,
     q106DedupClosureSql, q113ClusterKeepBest, q119CrossShardDedup,
     q127StreamIncrementalNeardup, q134DedupContainment,
