@@ -862,58 +862,59 @@ class ScaleGrowthSpec extends AnyFunSuite {
   // exponent, with the planted near-identical twins as the recall
   // check (cos ≈ 1 pairs quantize to the same Voronoi cell unless
   // they straddle a boundary).
-  test("bitext multiprobe arm at k ∝ N centroids: shuffle volume " +
+  test("bitext multiprobe arm at k ∝ N centroids: candidate volume " +
       "~linear, planted cross-pool twins mined mutual") {
     import org.apache.spark.sql.functions.col
-    val clock = new StageClock
-    spark.sparkContext.addSparkListener(clock)
-    try {
+    // gate on the CANDIDATE PAIR COUNT, not shuffle records: pair
+    // volume is the actual scale claim AND is deterministic, while
+    // shuffle-record counts inflate when a concurrently-running suite
+    // calls Caches.clear between a persisted relation's consumers
+    // (observed: the same plan measured exp 1.28 solo, 1.48 under the
+    // full concurrent suite — pure recompute noise)
+    val rows = Seq(500, 2000, 8000).map { n =>
+      val dir = genCorpus(n)
+      val k = math.max(4, n / 125)
       val dim = graft.tools.GenFixtures.Dim
-      val rows = Seq(500, 2000, 8000).map { n =>
-        val dir = genCorpus(n)
-        val k = math.max(4, n / 125)
-        val packed = new Array[Double](k * (dim + 1))
-        for (c <- 0 until k) {
-          val off = c * (dim + 1)
-          var acc = 0.0
-          for (d <- 0 until dim) {
-            val x = embComponent(7700000L + c, d).toDouble
-            packed(off + 1 + d) = x
-            acc += x * x
-          }
-          packed(off) = math.sqrt(acc)
+      val packed = new Array[Double](k * (dim + 1))
+      for (c <- 0 until k) {
+        val off = c * (dim + 1)
+        var acc = 0.0
+        for (d <- 0 until dim) {
+          val x = embComponent(7700000L + c, d).toDouble
+          packed(off + 1 + d) = x
+          acc += x * x
         }
-        val e = operators.Similarity.normed(spark, dir)
-        val x = e.filter(col("vec_id") % 2 === 0)
-          .select(col("vec_id").as("id"), col("v"), col("nrm"))
-        val y = e.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("id"), col("v"), col("nrm"))
-        clock.quiesce(); clock.reset()
-        val mined = operators.Bitext
-          .mineMarginProbed(spark, x, y, packed = packed.toSeq)
-          .collect()
-        clock.quiesce()
-        val sh = clock.shuffleRecords
-        Caches.clear(spark)
-        // planted twins straddle the parity split: (10m, 10m+1)
-        val mutual = mined.filter(_.getInt(3) == 1)
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val planted = (0 until n / 10)
-          .map(m => (m.toLong * 10, m.toLong * 10 + 1))
-        (sh, planted.count(mutual), planted.size)
+        packed(off) = math.sqrt(acc)
       }
-      val Seq((s1, r1, p1), (s2, r2, p2), (s3, r3, p3)) = rows
-      val exp = math.log(s3.toDouble / s2) / math.log(4.0)
-      info(f"bitext multiprobe: shuffle=$s1/$s2/$s3 exp=$exp%.2f " +
-        f"twin recall=$r1/$p1 $r2/$p2 $r3/$p3")
-      assert(exp < 1.3,
-        s"bitext candidate volume grows faster than linear at k ∝ N " +
-          s"(exp $exp): $s1 -> $s2 -> $s3")
-      Seq((r1, p1), (r2, p2), (r3, p3)).foreach { case (r, p) =>
-        assert(r == p,
-          s"planted cross-pool twins escaped the probed arm: $r/$p")
-      }
-    } finally spark.sparkContext.removeSparkListener(clock)
+      val e = operators.Similarity.normed(spark, dir)
+      val x = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("v"), col("nrm"))
+      val y = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("v"), col("nrm"))
+      val cands = operators.Bitext
+        .probedUcos(spark, x, y, packed = packed.toSeq).count()
+      val mined = operators.Bitext
+        .mineMarginProbed(spark, x, y, packed = packed.toSeq)
+        .collect()
+      Caches.clear(spark)
+      // planted twins straddle the parity split: (10m, 10m+1)
+      val mutual = mined.filter(_.getInt(3) == 1)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val planted = (0 until n / 10)
+        .map(m => (m.toLong * 10, m.toLong * 10 + 1))
+      (cands, planted.count(mutual), planted.size)
+    }
+    val Seq((s1, r1, p1), (s2, r2, p2), (s3, r3, p3)) = rows
+    val exp = math.log(s3.toDouble / s2) / math.log(4.0)
+    info(f"bitext multiprobe: candidates=$s1/$s2/$s3 exp=$exp%.2f " +
+      f"twin recall=$r1/$p1 $r2/$p2 $r3/$p3")
+    assert(exp < 1.3,
+      s"bitext candidate volume grows faster than linear at k ∝ N " +
+        s"(exp $exp): $s1 -> $s2 -> $s3")
+    Seq((r1, p1), (r2, p2), (r3, p3)).foreach { case (r, p) =>
+      assert(r == p,
+        s"planted cross-pool twins escaped the probed arm: $r/$p")
+    }
   }
 
   test("semantic dedup at k ∝ N clusters: candidate volume ~linear, " +
