@@ -176,15 +176,19 @@ object Chat {
             |  valid
             |FROM d ORDER BY conv_id""".stripMargin))
 
-  /** md5 of the normalized first user message — ONE definition for the
-    * dedup key (q191) and the preference-pair grouping key (q196).
+  /** Normalized (lower, trim, whitespace-collapsed) first user
+    * message — ONE definition for the dedup key (q191/q196/q200/q203
+    * via [[promptKey]]) and the decontam compares (q199/q200).
     */
-  private[graft] def promptKey: Column = {
+  private[graft] def normFirstUserPrompt: Column = {
     val firstUser = get(
       transform(filter(col("m"), x => x.getField("role") === "user"),
         x => x.getField("content")), lit(0))
-    md5(lower(trim(regexp_replace(firstUser, "\\s+", " "))))
+    lower(trim(regexp_replace(firstUser, "\\s+", " ")))
   }
+
+  /** md5 of [[normFirstUserPrompt]]. */
+  private[graft] def promptKey: Column = md5(normFirstUserPrompt)
 
   /** The oracle spelling of [[promptKey]], applied to the `d` CTE. */
   private[graft] val PromptKeySql: String =
@@ -282,12 +286,10 @@ object Chat {
     (s, dir) => {
       val evalTexts = (0 until NumEvalPrompts)
         .map(graft.tools.GenChatFixture.promptText)
-      val norm = lower(trim(regexp_replace(get(
-        transform(filter(col("m"), x => x.getField("role") === "user"),
-          x => x.getField("content")), lit(0)), "\\s+", " ")))
       dressed(s).filter(col("valid") === 1)
         .withColumn("contaminated",
-          when(norm.isin(evalTexts: _*), lit(1)).otherwise(lit(0)))
+          when(normFirstUserPrompt.isin(evalTexts: _*), lit(1))
+            .otherwise(lit(0)))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("convos"),
           sum(col("contaminated")).as("contaminated"),
@@ -353,9 +355,11 @@ object Chat {
   // Context-window truncation (q204) — the fitting policy every SFT
   // trainer applies when a conversation outgrows the training context:
   // KEEP the system message, then the LONGEST SUFFIX of turns whose
-  // tokens (with system) fit the budget, never dropping the final
-  // exchange (drop-oldest-first — chat models are trained and served
-  // with recency-keeping truncation). Token counts come from the
+  // tokens (with system) fit the budget, never dropping the FINAL
+  // TURN (drop-oldest-first — chat models are trained and served with
+  // recency-keeping truncation; when even the final user+assistant
+  // pair overflows, only the final turn survives — the fallback the
+  // spec pins). Token counts come from the
   // in-plan BPE merge loop applied PER TURN inside a higher-order
   // transform; the oracle runs the identical suffix arithmetic over
   // the fixture's committed per-turn reference counts, so the hash
@@ -469,15 +473,12 @@ object Chat {
       val (ml, mr) = graft.Fixtures.bpeMerges(s)
       val evalTexts = (0 until NumEvalPrompts)
         .map(graft.tools.GenChatFixture.promptText)
-      val norm = lower(trim(regexp_replace(get(
-        transform(filter(col("m"), x => x.getField("role") === "user"),
-          x => x.getField("content")), lit(0)), "\\s+", " ")))
       val rendered = array_join(
         transform(col("m"), x => concat(lit("<|"),
           x.getField("role"), lit("|>"), x.getField("content"))), "")
       val base = dressed(s).filter(col("valid") === 1)
-        .withColumn("prompt_key", promptKey)
-        .withColumn("pnorm", norm)
+        .withColumn("pnorm", normFirstUserPrompt)
+        .withColumn("prompt_key", md5(col("pnorm")))
         .select("conv_id", "source", "prompt_key", "pnorm", "m")
         .transform(graft.Caches.persist)
       val keepers = base.groupBy("prompt_key")

@@ -54,6 +54,28 @@ object Classifier {
       |      ELSE -1 END AS VARCHAR) AS ftext
       |  FROM gd JOIN documents d ON gd.doc_id = d.doc_id)""".stripMargin
 
+  /** Shared oracle CTE chain for the hashed-logit score: weights/bias
+    * from the committed fixture + md5-bucket features over `ft` +
+    * the per-doc µunit score — ONE spelling for q166 and q195 (the
+    * FeatureTextSql/dressedSql hoisting precedent). Yields `sc(doc_id,
+    * s)` and `b(bias)`; interpolate after GopherDocSql + FeatureTextSql.
+    */
+  private val ScoreSql: String =
+    s"""w AS (SELECT bucket, w_mu
+       |      FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
+       |      WHERE bucket >= 0),
+       |b AS (SELECT w_mu AS bias
+       |      FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
+       |      WHERE bucket = -1),
+       |tk AS (SELECT doc_id, unnest(string_split(ftext, ' ')) AS tk
+       |       FROM ft),
+       |f AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) %
+       |          ${graft.tools.TrainQualityClassifier.Dim} AS bucket
+       |      FROM tk),
+       |sc AS (SELECT f.doc_id, SUM(w.w_mu) AS s
+       |       FROM f JOIN w USING (bucket) GROUP BY 1)""".stripMargin
+
   // Distilled quality-classifier gate + teacher-agreement report: per
   // (lang, source), how many documents the trained classifier keeps
   // (µunit logit above the trained operating-point threshold —
@@ -85,23 +107,10 @@ object Classifier {
     },
     Some(s"""WITH ${TextAnalysis.GopherDocSql},
            |$FeatureTextSql,
-           |w AS (SELECT bucket, w_mu
-           |      FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
-           |      WHERE bucket >= 0),
-           |b AS (SELECT w_mu AS bias
-           |      FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
-           |      WHERE bucket = -1),
+           |$ScoreSql,
            |th AS (SELECT w_mu AS thr
            |       FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
            |       WHERE bucket = -2),
-           |tk AS (SELECT doc_id, unnest(string_split(ftext, ' ')) AS tk
-           |       FROM ft),
-           |f AS (SELECT doc_id,
-           |        CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) %
-           |          ${graft.tools.TrainQualityClassifier.Dim} AS bucket
-           |      FROM tk),
-           |sc AS (SELECT f.doc_id, SUM(w.w_mu) AS s
-           |       FROM f JOIN w USING (bucket) GROUP BY 1),
            |lg AS (SELECT gd.lang, gd.source, gd.pass,
            |         (COALESCE(sc.s, 0) + (SELECT bias FROM b)) >
            |           (SELECT thr FROM th) AS kept
@@ -153,20 +162,7 @@ object Classifier {
     },
     Some(s"""WITH ${TextAnalysis.GopherDocSql},
            |$FeatureTextSql,
-           |w AS (SELECT bucket, w_mu
-           |      FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
-           |      WHERE bucket >= 0),
-           |b AS (SELECT w_mu AS bias
-           |      FROM read_parquet('${graft.Fixtures.qualityClassifierPath}')
-           |      WHERE bucket = -1),
-           |tk AS (SELECT doc_id, unnest(string_split(ftext, ' ')) AS tk
-           |       FROM ft),
-           |f AS (SELECT doc_id,
-           |        CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) %
-           |          ${graft.tools.TrainQualityClassifier.Dim} AS bucket
-           |      FROM tk),
-           |sc AS (SELECT f.doc_id, SUM(w.w_mu) AS s
-           |       FROM f JOIN w USING (bucket) GROUP BY 1),
+           |$ScoreSql,
            |sm AS (SELECT gd.doc_id, gd.pass,
            |         COALESCE(sc.s, 0) + (SELECT bias FROM b) AS s_mu
            |       FROM gd LEFT JOIN sc ON gd.doc_id = sc.doc_id),

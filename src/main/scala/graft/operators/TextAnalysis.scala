@@ -2958,8 +2958,16 @@ object TextAnalysis {
         sum(col("u")).as("utot"), sum(col("r")).as("rtot")))
       counts.crossJoin(tot)
         .withColumn("weight_mu", expr("(r * 1000000) div rtot"))
-        .withColumn("budget_tokens",
-          expr(s"($EpochBudgetMult * utot * weight_mu) div 1000000"))
+        // ⌊M·utot·w/10⁶⌋ via the exact base-split of the division
+        // (N div 10⁶ = (N div 10³) div 10³; the first step separates
+        // the multiple-of-10³ term exactly), so no intermediate
+        // exceeds ~4·10¹⁷ at 100 TB token counts — the direct
+        // M·utot·w product is the ~4·10²⁰ overflow the milli-unit
+        // note above rules out
+        .withColumn("budget_tokens", expr(
+          s"(($EpochBudgetMult * utot) * (weight_mu div 1000) + " +
+            s"(($EpochBudgetMult * utot) * (weight_mu % 1000)) div 1000)" +
+            " div 1000"))
         .withColumn("epochs_milli", least(lit(EpochCapMilli),
           expr("(budget_tokens * 1000) div u")))
         .withColumn("served_tokens", expr("(u * epochs_milli) div 1000"))
@@ -2982,11 +2990,16 @@ object TextAnalysis {
            |  FROM c),
            |t AS (SELECT CAST(SUM(u) AS BIGINT) AS utot,
            |             CAST(SUM(r) AS BIGINT) AS rtot FROM r),
-           |w AS (
+           |w0 AS (
            |  SELECT lang, u, (r * 1000000) // t.rtot AS weight_mu,
-           |    ($EpochBudgetMult * t.utot * ((r * 1000000) // t.rtot))
-           |      // 1000000 AS budget_tokens
+           |    $EpochBudgetMult * t.utot AS a
            |  FROM r, t),
+           |w AS (
+           |  SELECT lang, u, weight_mu,
+           |    (a * (weight_mu // 1000) +
+           |      (a * (weight_mu % 1000)) // 1000) // 1000
+           |      AS budget_tokens
+           |  FROM w0),
            |e AS (
            |  SELECT lang, u, weight_mu, budget_tokens,
            |    LEAST($EpochCapMilli,

@@ -96,13 +96,10 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
-  /** Streaming view of the planted-PII fixture corpus — the document
-    * stream q156's cleaning monitor consumes. Same symlink-directory +
-    * explicit-schema contract as [[readDocuments]].
-    */
   /** Streaming view of the committed chat-conversation fixture — the
-    * conversation stream q194's ingest gate consumes. Same
-    * symlink-directory + explicit-schema contract as [[readPiiDocs]].
+    * conversation stream q194's ingest gate and q203's intake ledger
+    * consume. Same symlink-directory + explicit-schema contract as
+    * [[readPiiDocs]].
     */
   def readChatConvos(spark: SparkSession): DataFrame = {
     val path = java.nio.file.Paths.get(graft.Fixtures.chatConvosPath)
@@ -124,6 +121,10 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
+  /** Streaming view of the planted-PII fixture corpus — the document
+    * stream q156's cleaning monitor consumes. Same symlink-directory +
+    * explicit-schema contract as [[readDocuments]].
+    */
   def readPiiDocs(spark: SparkSession): DataFrame = {
     val path = java.nio.file.Paths.get(graft.Fixtures.piiDocsPath)
     val streamDir = streamDirFor("pii", path.getParent.toString,

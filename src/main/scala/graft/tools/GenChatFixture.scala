@@ -30,12 +30,7 @@ object GenChatFixture {
   val NumPrompts = 120
   private val SourceNames = Array("sharegpt", "synth", "forum")
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix64(z0: Long): Long = Mix64(z0)
 
   def source(c: Long): String = SourceNames((c % 3).toInt)
   def hasSystem(c: Long): Boolean = math.floorMod(mix64(c * 5 + 1), 3) == 0

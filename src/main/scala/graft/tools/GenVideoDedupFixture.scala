@@ -43,12 +43,7 @@ object GenVideoDedupFixture {
   val Threshold = 10
   val Dim = 64
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix64(z0: Long): Long = Mix64(z0)
 
   def copyCount(b: Long): Int =
     1 + math.floorMod(mix64(b * 13 + 9), 3).toInt
