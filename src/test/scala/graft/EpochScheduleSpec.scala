@@ -9,6 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class EpochScheduleSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("the overflow-safe budget spelling equals ⌊a·w/10⁶⌋ exactly " +
+      "(BigInt reference, seeded property sweep over 100 TB magnitudes)") {
+    val rnd = new scala.util.Random(202)
+    (1 to 500).foreach { _ =>
+      // a up to 4·10¹⁴ (EpochBudgetMult × 100 TB-scale token totals),
+      // w a µunit weight — exactly the domain where the naive a·w
+      // product exceeds 2⁶³
+      val a = math.abs(rnd.nextLong()) % 400000000000000L
+      val w = math.abs(rnd.nextLong()) % 1000001L
+      val split = (a * (w / 1000) + (a * (w % 1000)) / 1000) / 1000
+      val ref = (BigInt(a) * BigInt(w) / BigInt(1000000)).toLong
+      assert(split == ref, s"a=$a w=$w: $split != $ref")
+    }
+  }
+
   test("schedule invariants: cap, conservation, sqrt flattening") {
     val rows = SparkEntry.queries("q202_epoch_schedule")(
       spark, "/root/testdata/sf0.01").collect()
