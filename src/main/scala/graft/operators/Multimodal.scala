@@ -831,7 +831,62 @@ object Multimodal {
            |WHERE bit_count(xor(x.fp, y.fp)) <= 10
            |ORDER BY v1, v2""".stripMargin))
 
+  // Streaming media-ingest near-dup — the q127/q131 continuous-ingest
+  // discipline on the MEDIA tier (the deployment shape: clips arrive
+  // from collection, each micro-batch decodes + fingerprints
+  // STATELESSLY through the same codec seam as batch, and candidates
+  // come from a stream-static banded join against the already-ingested
+  // base's bucket relation — no base×base pair ever forms, no
+  // stream-stream state). Multi-band candidate repeats collapse in
+  // streaming dropDuplicates state, bounded by emitted pairs (the
+  // q127 argument). Output and oracle are the batch delta×base pair
+  // relation from the committed fingerprints — the hash match proves
+  // stream ingest equals the batch incremental answer.
+  val q206StreamMediaNeardup: QueryDef = QueryDef(
+    "q206_stream_media_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val Threshold = 10
+      def bandsOf(df: DataFrame, idAs: String, fpAs: String): DataFrame =
+        df.select(col("vid_id").as(idAs), col("fp").as(fpAs),
+          explode(array((0 until 16).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("fp"), b * 4).bitwiseAND(lit(15L))
+                .as("chunk"))): _*)).as("bk"))
+          .select(col(idAs), col(fpAs),
+            col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+      val base = graft.Caches.persist(bandsOf(
+        videoFingerprints(s).filter(col("vid_id") % 2 === 0),
+        "base_id", "base_fp"))
+      val deltaAssets = graft.streaming.EventsStream.readNeardupVideo(s)
+        .filter(col("vid_id") % 2 === 1)
+        .select(col("vid_id").as("doc_id"), lit("gif").as("media_type"),
+          col("payload"))
+        .as[MediaAsset]
+      val deltaFp = decodeStage(deltaAssets, () => new VideoHashCodec,
+        (c: VideoHashCodec, a: MediaAsset) => c.decodeFp(a)).toDF()
+      val pairs = bandsOf(deltaFp, "delta_id", "delta_fp")
+        .join(base, Seq("band", "chunk"))
+        .dropDuplicates("base_id", "delta_id")
+        .withColumn("dist",
+          bit_count(col("base_fp").bitwiseXOR(col("delta_fp"))))
+        .filter(col("dist") <= Threshold)
+        .select(col("base_id"), col("delta_id"), col("dist"))
+      graft.streaming.EventsStream
+        .runToCompletion(s, pairs, mode = "append")
+        .orderBy("base_id", "delta_id")
+    },
+    Some(s"""WITH a AS (
+           |  SELECT vid_id, fp
+           |  FROM read_parquet('${graft.Fixtures.mediaNeardupVideoPath}'))
+           |SELECT e.vid_id AS base_id, o.vid_id AS delta_id,
+           |  CAST(bit_count(xor(e.fp, o.fp)) AS INTEGER) AS dist
+           |FROM a e JOIN a o
+           |  ON e.vid_id % 2 = 0 AND o.vid_id % 2 = 1
+           |WHERE bit_count(xor(e.fp, o.fp)) <= 10
+           |ORDER BY base_id, delta_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q35Multimodal, q49MediaPipeline,
     q130AudioDecode, q173ImageNeardup, q189AudioNeardup,
-    q201VideoNeardup)
+    q201VideoNeardup, q206StreamMediaNeardup)
 }

@@ -121,6 +121,19 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
+  /** Streaming view of the committed near-dup VIDEO fixture — the
+    * media-asset stream q206's continuous ingest dedup consumes. Same
+    * symlink-directory + explicit-schema contract as [[readPiiDocs]].
+    */
+  def readNeardupVideo(spark: SparkSession): DataFrame = {
+    val path = java.nio.file.Paths.get(graft.Fixtures.mediaNeardupVideoPath)
+    val streamDir = streamDirFor("vidnd", path.getParent.toString,
+      path.getFileName.toString)
+    val schema =
+      spark.read.parquet(graft.Fixtures.mediaNeardupVideoPath).schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
   /** Streaming view of the planted-PII fixture corpus — the document
     * stream q156's cleaning monitor consumes. Same symlink-directory +
     * explicit-schema contract as [[readDocuments]].
