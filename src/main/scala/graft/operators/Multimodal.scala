@@ -842,36 +842,48 @@ object Multimodal {
   // q127 argument). Output and oracle are the batch delta×base pair
   // relation from the committed fingerprints — the hash match proves
   // stream ingest equals the batch incremental answer.
+  /** The q206 core over an arbitrary delta asset stream — factored
+    * out so the spec can drive it from a MemoryStream across
+    * micro-batches. `base` is the already-fingerprinted ingested
+    * corpus (vid_id, fp).
+    */
+  private[graft] def streamMediaNeardup(base: DataFrame,
+      deltaAssets: Dataset[MediaAsset]): DataFrame = {
+    import base.sparkSession.implicits._
+    val Threshold = 10
+    def bandsOf(df: DataFrame, idAs: String, fpAs: String): DataFrame =
+      df.select(col("vid_id").as(idAs), col("fp").as(fpAs),
+        explode(array((0 until 16).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("fp"), b * 4).bitwiseAND(lit(15L))
+              .as("chunk"))): _*)).as("bk"))
+        .select(col(idAs), col(fpAs),
+          col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val baseB = graft.Caches.persist(
+      bandsOf(base, "base_id", "base_fp"))
+    val deltaFp = decodeStage(deltaAssets, () => new VideoHashCodec,
+      (c: VideoHashCodec, a: MediaAsset) => c.decodeFp(a)).toDF()
+    bandsOf(deltaFp, "delta_id", "delta_fp")
+      .join(baseB, Seq("band", "chunk"))
+      .dropDuplicates("base_id", "delta_id")
+      .withColumn("dist",
+        bit_count(col("base_fp").bitwiseXOR(col("delta_fp"))))
+      .filter(col("dist") <= Threshold)
+      .select(col("base_id"), col("delta_id"), col("dist"))
+  }
+
   val q206StreamMediaNeardup: QueryDef = QueryDef(
     "q206_stream_media_neardup",
     (s, dir) => {
       import s.implicits._
-      val Threshold = 10
-      def bandsOf(df: DataFrame, idAs: String, fpAs: String): DataFrame =
-        df.select(col("vid_id").as(idAs), col("fp").as(fpAs),
-          explode(array((0 until 16).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("fp"), b * 4).bitwiseAND(lit(15L))
-                .as("chunk"))): _*)).as("bk"))
-          .select(col(idAs), col(fpAs),
-            col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-      val base = graft.Caches.persist(bandsOf(
-        videoFingerprints(s).filter(col("vid_id") % 2 === 0),
-        "base_id", "base_fp"))
       val deltaAssets = graft.streaming.EventsStream.readNeardupVideo(s)
         .filter(col("vid_id") % 2 === 1)
         .select(col("vid_id").as("doc_id"), lit("gif").as("media_type"),
           col("payload"))
         .as[MediaAsset]
-      val deltaFp = decodeStage(deltaAssets, () => new VideoHashCodec,
-        (c: VideoHashCodec, a: MediaAsset) => c.decodeFp(a)).toDF()
-      val pairs = bandsOf(deltaFp, "delta_id", "delta_fp")
-        .join(base, Seq("band", "chunk"))
-        .dropDuplicates("base_id", "delta_id")
-        .withColumn("dist",
-          bit_count(col("base_fp").bitwiseXOR(col("delta_fp"))))
-        .filter(col("dist") <= Threshold)
-        .select(col("base_id"), col("delta_id"), col("dist"))
+      val pairs = streamMediaNeardup(
+        videoFingerprints(s).filter(col("vid_id") % 2 === 0),
+        deltaAssets)
       graft.streaming.EventsStream
         .runToCompletion(s, pairs, mode = "append")
         .orderBy("base_id", "delta_id")
