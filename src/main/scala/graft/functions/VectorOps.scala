@@ -15,6 +15,8 @@ object VectorOps {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2norm",
       exprs => L2Norm(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_quantize_micro",
+      exprs => graft.plans.QuantizeMicro(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_rolling_hash",
       exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_entropy",
@@ -219,6 +221,13 @@ object VectorOps {
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def l2norm(a: Column): Column = call_function("graft_l2norm", a)
+
+  /** `floor(x·10⁶ + 0.5)` per component, kept as doubles — see
+    * [[graft.plans.QuantizeMicro]] for the exact-integer-in-double
+    * cross-engine determinism contract.
+    */
+  def quantizeMicro(a: Column): Column =
+    call_function("graft_quantize_micro", a)
   def rollingHash(s: Column): Column =
     call_function("graft_rolling_hash", s)
 

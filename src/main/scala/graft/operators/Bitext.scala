@@ -24,15 +24,24 @@ import graft.QueryDef
   * deterministic pools (even vec_id = source side, odd = target side
   * — a stand-in for two monolingual embedding spaces).
   *
-  * Determinism contract (the repo-wide µunit discipline): each
-  * pairwise cosine is floored to integer µunits ONCE — cosine is
-  * DotProduct/L2Norm's sequential fold, bit-identical to the oracle's
-  * `list_inner_product`/sqrt spelling — and every downstream value
-  * (top-k neighborhood sums, the margin ratio, rankings, the
-  * mutual-best check) is exact BIGINT arithmetic, so Spark and DuckDB
-  * cannot drift: margin_µ = (2k·µcos·10⁶) div (Σtop-k fwd + Σtop-k
-  * bwd), integer division on positives (truncation ≡ floor in both
-  * engines; the µcos>0 guard keeps the numerator positive).
+  * Determinism contract (the repo-wide µunit discipline, hardened in
+  * r16): components are µ-quantized FIRST —
+  * `q_i = floor(x_i·10⁶ + 0.5)`, [[graft.plans.QuantizeMicro]] — so
+  * the dot and norm² folds run over integer-valued doubles whose
+  * products and partial sums all sit far below 2⁵³. IEEE doubles are
+  * exact there, which makes the folds independent of summation order,
+  * FMA contraction, and vectorization — the r15 driver red row came
+  * from exactly that gap: a raw float fold (`list_inner_product` in a
+  * different DuckDB build vs Spark's generated Java loop) crossing
+  * the engine boundary. After quantization the only float ops left
+  * are two sqrts, one multiply, one divide, one multiply and one add
+  * — each a single correctly-rounded scalar op on identical inputs,
+  * bit-identical in any IEEE-754 environment. µcos is floored to
+  * integer µunits ONCE and every downstream value (top-k neighborhood
+  * sums, the margin ratio, rankings, the mutual-best check) is exact
+  * BIGINT arithmetic: margin_µ = (2k·µcos·10⁶) div (Σtop-k fwd +
+  * Σtop-k bwd), integer division on positives (truncation ≡ floor in
+  * both engines; the µcos>0 guard keeps the numerator positive).
   *
   * Scale posture: the all-pairs µcos relation is the small-corpus arm
   * (both fixture pools ≤ [[Similarity.SmallCorpusBound]]; one
@@ -44,7 +53,9 @@ import graft.QueryDef
   * margin denominators become candidate-restricted top-k — exactly
   * how CCMatrix runs the same formula under FAISS. Everything from
   * the µcos relation down (window top-k, keyed joins, mutual check)
-  * is shape-identical under either candidate generator.
+  * is shape-identical under either candidate generator; q188b
+  * oracle-checks the probed arm end-to-end by spelling the same
+  * candidate set relationally in SQL (the q45/q136 pattern).
   */
 object Bitext {
 
@@ -56,19 +67,34 @@ object Bitext {
   /** Probes per query vector in the IVF-multiprobe candidate arm. */
   val NProbe = 2
 
+  /** Adds the quantized columns the determinism contract folds over:
+    * qv = µ-quantized component array (integer-valued doubles),
+    * qn = L2 norm of qv (sqrt of an exact integer — correctly
+    * rounded, hence engine-independent). Input needs (v); (nrm) is
+    * kept if present for the candidate-generation arm.
+    */
+  private[graft] def qrel(df: DataFrame): DataFrame =
+    df.withColumn("qv", graft.functions.VectorOps.quantizeMicro(col("v")))
+      .withColumn("qn", graft.functions.VectorOps.l2norm(col("qv")))
+
   /** µcos over ALL cross-pool pairs — the exact small-corpus arm
     * (pools ≤ [[Similarity.SmallCorpusBound]]): one broadcast of the
-    * target pool, one float→integer floor per pair.
+    * target pool, one exact-integer fold + float→integer floor per
+    * pair.
     */
   private def allPairsUcos(x: DataFrame, y: DataFrame): DataFrame =
-    x.select(col("id").as("sx"), col("v").as("xv"), col("nrm").as("xn"))
+    x.select(col("id").as("sx"), col("qv").as("xq"), col("qn").as("xn"))
       .crossJoin(broadcast(y.select(col("id").as("ty"),
-        col("v").as("yv"), col("nrm").as("yn"))))
+        col("qv").as("yq"), col("qn").as("yn"))))
       .withColumn("ucos", ucosCol)
       .select("sx", "ty", "ucos")
 
+  /** floor(qdot/(qnx·qny)·10⁶ + 0.5): the association must stay
+    * dot/(na*nb) — the oracle spells the identical tree, so every op
+    * is one correctly-rounded scalar on identical inputs.
+    */
   private def ucosCol =
-    floor(graft.functions.VectorOps.cosine(col("xv"), col("yv"),
+    floor(graft.functions.VectorOps.cosine(col("xq"), col("yq"),
       col("xn"), col("yn")) * lit(1000000.0) + lit(0.5)).cast("long")
 
   /** µcos over IVF-MULTIPROBE candidates — the production arm, run in
@@ -82,7 +108,9 @@ object Bitext {
     * denominators downstream become candidate-restricted top-k, the
     * standard approximation (near-identical pairs share a rank-1
     * centroid, so translation candidates are recalled structurally;
-    * BitextSpec pins planted recovery).
+    * BitextSpec pins planted recovery). Candidate GENERATION ranks on
+    * the raw vectors (scale-invariant cosine vs the centroid fixture,
+    * like q45); the µcos VALUES fold over the quantized columns.
     */
   private[graft] def probedUcos(s: SparkSession, x: DataFrame,
       y: DataFrame, nprobe: Int = NProbe,
@@ -92,26 +120,27 @@ object Bitext {
     val cents = typedLit(Option(packed)
       .getOrElse(graft.Fixtures.ivfCentroidsPacked(s).toSeq))
     def cids(df: DataFrame, k: Int): DataFrame =
-      df.select(col("id"), col("v"), col("nrm"),
+      df.select(col("id"), col("qv"), col("qn"),
         explode(graft.functions.VectorOps.centroidTopK(
           col("v"), col("nrm"), cents, k)).as("cid"))
     def xSide(df: DataFrame) = df.select(col("id").as("sx"),
-      col("v").as("xv"), col("nrm").as("xn"), col("cid"))
+      col("qv").as("xq"), col("qn").as("xn"), col("cid"))
     def ySide(df: DataFrame) = df.select(col("id").as("ty"),
-      col("v").as("yv"), col("nrm").as("yn"), col("cid"))
+      col("qv").as("yq"), col("qn").as("yn"), col("cid"))
     val fwd = xSide(cids(x, nprobe)).join(ySide(cids(y, 1)), "cid")
     val bwd = xSide(cids(x, 1)).join(ySide(cids(y, nprobe)), "cid")
     fwd.unionByName(bwd)
-      .select(col("sx"), col("ty"), col("xv"), col("xn"),
-        col("yv"), col("yn"))
+      .select(col("sx"), col("ty"), col("xq"), col("xn"),
+        col("yq"), col("yn"))
       .dropDuplicates("sx", "ty")
       .withColumn("ucos", ucosCol)
       .select("sx", "ty", "ucos")
   }
 
-  /** Core miner over two pools of (id, v, nrm) rows. Returns one row
-    * per source vector that has a positive-cosine candidate:
-    * (src_id, tgt_id, margin_u, mutual). Exposed for specs.
+  /** Core miner over two pools of (id, v, nrm, qv, qn) rows ([[qrel]]
+    * output). Returns one row per source vector that has a
+    * positive-cosine candidate: (src_id, tgt_id, margin_u, mutual).
+    * Exposed for specs.
     */
   private[graft] def mineMargin(x: DataFrame, y: DataFrame,
       k: Int = MarginK): DataFrame =
@@ -167,54 +196,120 @@ object Bitext {
         when(col("bsx").isNotNull, lit(1)).otherwise(lit(0)).as("mutual"))
   }
 
+  /** The two fixture pools as [[qrel]] relations, split from the
+    * shared normed corpus (even vec_id = source, odd = target).
+    */
+  private def pools(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = qrel(Similarity.normed(s, dir))
+    (e.filter(col("vec_id") % 2 === 0)
+       .select(col("vec_id").as("id"), col("v"), col("nrm"),
+         col("qv"), col("qn")),
+     e.filter(col("vec_id") % 2 === 1)
+       .select(col("vec_id").as("id"), col("v"), col("nrm"),
+         col("qv"), col("qn")))
+  }
+
+  /** Shared oracle prefix: quantized pools and the exact µcos
+    * expression. `list_inner_product` over integer-valued doubles is
+    * exact however the engine folds it; the scalar tail mirrors the
+    * Spark tree op-for-op (dot / (xn*yn) * 1e6 + 0.5, floor).
+    */
+  private def oracleQuantCte: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, v,
+       |    list_transform(v, x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |  FROM e),
+       |n AS (SELECT vec_id, v, qv,
+       |    sqrt(list_inner_product(qv, qv)) AS qn FROM q)""".stripMargin
+
+  private def oracleMarginTail(k: Int): String =
+    s"""kx AS (SELECT sx, SUM(ucos) AS sfwd FROM (
+       |    SELECT sx, ucos, ROW_NUMBER() OVER (PARTITION BY sx
+       |      ORDER BY ucos DESC, ty) AS r FROM p) t
+       |  WHERE r <= $k GROUP BY sx),
+       |ky AS (SELECT ty, SUM(ucos) AS sbwd FROM (
+       |    SELECT ty, ucos, ROW_NUMBER() OVER (PARTITION BY ty
+       |      ORDER BY ucos DESC, sx) AS r FROM p) t
+       |  WHERE r <= $k GROUP BY ty),
+       |m AS (
+       |  SELECT p.sx, p.ty,
+       |    (${2 * k} * p.ucos * 1000000) // (kx.sfwd + ky.sbwd)
+       |      AS margin_u
+       |  FROM p JOIN kx USING (sx) JOIN ky USING (ty)
+       |  WHERE p.ucos > 0 AND kx.sfwd + ky.sbwd > 0),
+       |fwd AS (SELECT sx, ty, margin_u FROM (
+       |    SELECT sx, ty, margin_u, ROW_NUMBER() OVER (
+       |      PARTITION BY sx ORDER BY margin_u DESC, ty) AS r
+       |    FROM m) t WHERE r = 1),
+       |bwd AS (SELECT sx, ty FROM (
+       |    SELECT sx, ty, ROW_NUMBER() OVER (
+       |      PARTITION BY ty ORDER BY margin_u DESC, sx) AS r
+       |    FROM m) t WHERE r = 1)
+       |SELECT f.sx AS src_id, f.ty AS tgt_id, f.margin_u,
+       |  CASE WHEN b.sx IS NOT NULL THEN 1 ELSE 0 END AS mutual
+       |FROM fwd f LEFT JOIN bwd b ON f.sx = b.sx AND f.ty = b.ty
+       |ORDER BY src_id""".stripMargin
+
   val q188BitextMargin: QueryDef = QueryDef(
     "q188_bitext_margin",
     (s, dir) => {
-      val e = Similarity.normed(s, dir)
-      val x = e.filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id").as("id"), col("v"), col("nrm"))
-      val y = e.filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("id"), col("v"), col("nrm"))
+      val (x, y) = pools(s, dir)
       mineMargin(x, y).orderBy("src_id")
     },
-    Some(s"""WITH e AS (
-            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            |  FROM embeddings),
-            |n AS (SELECT vec_id, v,
-            |    sqrt(list_inner_product(v, v)) AS nrm FROM e),
+    Some(s"""$oracleQuantCte,
             |p AS (
             |  SELECT x.vec_id AS sx, y.vec_id AS ty,
-            |    CAST(floor(list_inner_product(x.v, y.v) / (x.nrm * y.nrm)
+            |    CAST(floor(list_inner_product(x.qv, y.qv)
+            |        / (x.qn * y.qn)
             |      * 1000000.0 + 0.5) AS BIGINT) AS ucos
             |  FROM n x JOIN n y
             |    ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
-            |kx AS (SELECT sx, SUM(ucos) AS sfwd FROM (
-            |    SELECT sx, ucos, ROW_NUMBER() OVER (PARTITION BY sx
-            |      ORDER BY ucos DESC, ty) AS r FROM p) t
-            |  WHERE r <= $MarginK GROUP BY sx),
-            |ky AS (SELECT ty, SUM(ucos) AS sbwd FROM (
-            |    SELECT ty, ucos, ROW_NUMBER() OVER (PARTITION BY ty
-            |      ORDER BY ucos DESC, sx) AS r FROM p) t
-            |  WHERE r <= $MarginK GROUP BY ty),
-            |m AS (
-            |  SELECT p.sx, p.ty,
-            |    (${2 * MarginK} * p.ucos * 1000000) // (kx.sfwd + ky.sbwd)
-            |      AS margin_u
-            |  FROM p JOIN kx USING (sx) JOIN ky USING (ty)
-            |  WHERE p.ucos > 0 AND kx.sfwd + ky.sbwd > 0),
-            |fwd AS (SELECT sx, ty, margin_u FROM (
-            |    SELECT sx, ty, margin_u, ROW_NUMBER() OVER (
-            |      PARTITION BY sx ORDER BY margin_u DESC, ty) AS r
-            |    FROM m) t WHERE r = 1),
-            |bwd AS (SELECT sx, ty FROM (
-            |    SELECT sx, ty, ROW_NUMBER() OVER (
-            |      PARTITION BY ty ORDER BY margin_u DESC, sx) AS r
-            |    FROM m) t WHERE r = 1)
-            |SELECT f.sx AS src_id, f.ty AS tgt_id, f.margin_u,
-            |  CASE WHEN b.sx IS NOT NULL THEN 1 ELSE 0 END AS mutual
-            |FROM fwd f LEFT JOIN bwd b ON f.sx = b.sx AND f.ty = b.ty
-            |ORDER BY src_id""".stripMargin),
+            |${oracleMarginTail(MarginK)}""".stripMargin),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q188BitextMargin)
+  /** q188b: the PRODUCTION arm oracle-checked end-to-end. The probed
+    * candidate set is spelled relationally in SQL exactly as the
+    * engine computes it (rank-1 list assignment + nprobe probes per
+    * vector vs the committed centroid fixture, both directions — the
+    * q45/q136 pattern), so the candidate-restricted margin
+    * denominators are pinned, not just recall-gated.
+    */
+  val q188bBitextMarginProbed: QueryDef = QueryDef(
+    "q188b_bitext_margin_probed",
+    (s, dir) => {
+      val (x, y) = pools(s, dir)
+      mineMarginProbed(s, x, y).orderBy("src_id")
+    },
+    Some(s"""$oracleQuantCte,
+            |ce AS (SELECT cid, cv
+            |       FROM read_parquet('${graft.Fixtures.ivfCentroidsPath}')),
+            |asn AS (
+            |  SELECT n.vec_id, ce.cid,
+            |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+            |      list_cosine_similarity(v, cv) DESC, ce.cid) AS crnk
+            |  FROM n CROSS JOIN ce),
+            |cand AS (
+            |  SELECT DISTINCT sx, ty FROM (
+            |    SELECT a.vec_id AS sx, b.vec_id AS ty
+            |    FROM asn a JOIN asn b ON a.cid = b.cid
+            |      AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+            |      AND a.crnk <= $NProbe AND b.crnk = 1
+            |    UNION ALL
+            |    SELECT a.vec_id AS sx, b.vec_id AS ty
+            |    FROM asn a JOIN asn b ON a.cid = b.cid
+            |      AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+            |      AND a.crnk = 1 AND b.crnk <= $NProbe) u),
+            |p AS (
+            |  SELECT c.sx, c.ty,
+            |    CAST(floor(list_inner_product(x.qv, y.qv)
+            |        / (x.qn * y.qn)
+            |      * 1000000.0 + 0.5) AS BIGINT) AS ucos
+            |  FROM cand c
+            |  JOIN n x ON x.vec_id = c.sx
+            |  JOIN n y ON y.vec_id = c.ty),
+            |${oracleMarginTail(MarginK)}""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q188BitextMargin, q188bBitextMarginProbed)
 }

@@ -2924,14 +2924,16 @@ object TextAnalysis {
     * stage (Muennighoff et al. NeurIPS'23 "Scaling Data-Constrained
     * Language Models": repeating data is ~as good as fresh data up to
     * ~4 epochs, then returns decay fast): given a compute budget of
-    * [[EpochBudgetMult]]× the corpus's total tokens and per-source
+    * [[EpochBudgetMult]]× the corpus's total tokens and per-LANG
     * shares flattened by a square-root temperature (the q108/q115
-    * mixing move — small sources get MORE than proportional budget,
-    * which is what creates the repetition question), report per
-    * source the allocated budget, the epoch count under the 4-epoch
-    * cap, and the budget STRANDED by the cap (the tokens a real
-    * schedule redistributes). Everything integer after ONE correctly-
-    * rounded sqrt per source (the repo's single-floor discipline):
+    * mixing move — small languages get MORE than proportional budget,
+    * which is what creates the repetition question; lang is the
+    * fixture's grouping key — a production run swaps in any source
+    * taxonomy column), report per lang the allocated budget, the
+    * epoch count under the 4-epoch cap, and the budget STRANDED by
+    * the cap (the tokens a real schedule redistributes). Everything
+    * integer after ONE correctly-rounded sqrt per lang (the repo's
+    * single-floor discipline):
     * weight_mu = ⌊√U·10³⌋-shares, epochs_milli = min(4·10³,
     * B·10³ div U). Epochs and the waste rate quantize in MILLI-units
     * deliberately: with per-lang token counts at the 100 TB scale

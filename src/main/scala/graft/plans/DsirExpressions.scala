@@ -64,7 +64,13 @@ object UnigramDsirScore {
     * discipline documents).
     */
   def compute(text: UTF8String, t: DsirModelTable): InternalRow = {
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // lowercase via UTF8String — the SAME implementation Spark's
+    // lower() uses (UTF8_BINARY collation path), so the in-row scorer
+    // and the relational twin (unigramToks / SQL lower()) cannot
+    // diverge on locale/Unicode-sensitive code points (İ, ß, final
+    // sigma); JVM String.toLowerCase(Locale.ROOT) does NOT make that
+    // guarantee
+    val s = text.toLowerCase.toString
     var sumBits = 0.0
     var sumLr = 0.0
     var n = 0L

@@ -89,6 +89,58 @@ case class L2Norm(child: Expression)
       newChild: Expression): L2Norm = copy(child = newChild)
 }
 
+/** Per-component µ-quantization: `q_i = floor(x_i·10⁶ + 0.5)`, kept
+  * as doubles. This is the cross-engine determinism primitive behind
+  * the bitext-margin contract (q188): once every component is an
+  * integer-valued double with |q_i| ≤ ~10⁷, every product fits 10¹⁴
+  * and every 64-dim dot/norm² fold stays far below 2⁵³ — so
+  * [[DotProduct]]/[[L2Norm]] over quantized arrays are EXACT integer
+  * arithmetic in IEEE doubles, immune to summation order, FMA
+  * contraction, and vectorization differences between engines
+  * (DuckDB's `list_inner_product` loop vs Spark's generated Java).
+  * The only non-exact ops left in a quantized cosine are single
+  * scalar sqrt/mul/div, each correctly rounded on identical inputs
+  * and therefore bit-identical everywhere.
+  *
+  * The quantization itself is deterministic for the same reason: a
+  * float32→double cast is exact, and `x·10⁶ + 0.5` then `floor` are
+  * three correctly-rounded scalar ops.
+  *
+  * Contract: |x_i| ≤ 11 and dim ≤ 64 keep 64·(x·10⁶)² < 2⁵³ (unit-ish
+  * embedding components are far inside this; callers with wilder
+  * scales must pre-normalize).
+  */
+case class QuantizeMicro(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    QuantizeMicro.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.QuantizeMicro.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeMicro = copy(child = newChild)
+}
+
+object QuantizeMicro {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(arr.getDouble(i) * 1000000.0 + 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Polynomial rolling hash over a string's code points:
   * `h := (h*31 + cp) mod 1e9+7` — the incremental-hash primitive a
   * Rabin-Karp content chunker builds on. Replaces the

@@ -48,11 +48,15 @@ object ArtifactCache {
           java.nio.file.Files.move(tmp.toPath, out.toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
-          case _: java.nio.file.FileAlreadyExistsException |
+          case e @ (_: java.nio.file.FileAlreadyExistsException |
               _: java.nio.file.DirectoryNotEmptyException |
-              _: java.nio.file.AccessDeniedException =>
-            // another process published first — use theirs
+              _: java.nio.file.AccessDeniedException) =>
+            // benign only when another process really published first;
+            // a genuine permission/quota failure must surface HERE with
+            // its cause, not as an opaque downstream read of a missing
+            // path
             rmTree(tmp)
+            if (!out.exists()) throw e
         }
         val graceMs = 60L * 60 * 1000
         Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
