@@ -422,6 +422,18 @@ final class SparkTableLoader(
     sourceTables.map(st => SchemaMapping.pgName(st.name,
       cfg.snakeCaseIdentifiers) -> st).toMap
 
+  /** Axis-order capability for S5 scan rewrites — probed once over a
+    * short-lived driver-side connection, and only when a MySQL →
+    * PostGIS job can need it (reference `source_mysql.go:64-79`).
+    */
+  private lazy val scanCaps: graft.sources.ScanCaps =
+    if (dialect.name == "mysql" && cfg.typeOptions.usePostGis &&
+        sourceTables.exists(st =>
+          dialect.needsScanRewrite(st.columns, cfg.typeOptions))) {
+      val c = java.sql.DriverManager.getConnection(srcUrl)
+      try graft.sources.ScanCaps.probe(c) finally c.close()
+    } else graft.sources.ScanCaps()
+
   private def chunkKey(st: SourceTable): Option[String] =
     st.indexes.find(_.isPrimary).map(_.columns).collect {
       case Seq(single) => st.columns.find(_.name == single)
@@ -487,9 +499,18 @@ final class SparkTableLoader(
       return 0L
     // transform projection (reference migrate.go:459-466): the
     // config-selected per-column transforms run between scan and sink
+    // S5: when any column's scan expression differs from the plain
+    // quoted name, the relation becomes a rewritten derived table —
+    // the source engine renders CLR/spatial values in target form
+    val scanQuery =
+      if (dialect.needsScanRewrite(st.columns, cfg.typeOptions, scanCaps))
+        Some(dialect.scanSql(st.name, st.columns,
+          cfg.typeOptions, scanCaps))
+      else None
     val df = graft.functions.Transforms.applyTo(
       JdbcSource.readWithPredicates(spark, dialect,
-        JdbcSource.ReadSpec(cfg.sourceUrl, st.name, key),
+        JdbcSource.ReadSpec(cfg.sourceUrl, st.name, key,
+          scanQuery = scanQuery),
         if (allPreds.isEmpty) Array.empty else todo.map(_._1)),
       st.columns, dialect.name, cfg.typeOptions)
     val targetUrl = cfg.targetUrl

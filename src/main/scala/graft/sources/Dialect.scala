@@ -23,6 +23,35 @@ final case class SourceColumn(
 /** Mapped result: Spark type for the engine + PG DDL type for the sink. */
 final case class MappedType(spark: DataType, pg: String)
 
+/** Probed source-server capabilities that change scan-expression
+  * shape. `axisOrderExpr`: MySQL ≥ 8.0 accepts
+  * `ST_AsWKB(g, 'axis-order=long-lat')` (MariaDB and 5.7 don't);
+  * the reference defaults to TRUE when the probe hasn't run
+  * (`source_mysql.go:81-86`) and probes with a live
+  * `SELECT ST_AsWKB(ST_GeomFromText('POINT(0 0)'), 'axis-order=…')`
+  * (`source_mysql.go:71-79`) — [[ScanCaps.probe]] is the same test.
+  */
+final case class ScanCaps(axisOrderExpr: Boolean = true)
+
+object ScanCaps {
+  /** Live-probe the axis-order capability on an open connection —
+    * the reference's detection, verbatim semantics: supported iff the
+    * probe statement executes.
+    */
+  def probe(conn: java.sql.Connection): ScanCaps = {
+    val ok =
+      try {
+        val st = conn.createStatement()
+        try {
+          st.executeQuery("SELECT ST_AsWKB(ST_GeomFromText(" +
+            "'POINT(0 0)'), 'axis-order=long-lat')").close()
+          true
+        } finally st.close()
+      } catch { case _: java.sql.SQLException => false }
+    ScanCaps(axisOrderExpr = ok)
+  }
+}
+
 /** The full `[type_mapping]` option surface of the reference
   * (`config.go:66-92`), with the reference's defaults
   * (`config.go:340-360`). `enumMode` empty = source-defaulted
@@ -149,6 +178,34 @@ trait SourceDialect {
     */
   def scanSql(table: String, cols: Seq[String]): String =
     s"SELECT ${cols.map(quote).mkString(", ")} FROM ${quote(table)}"
+
+  /** S5 — per-column SELECT expression for the scan (reference
+    * `migrate.go:492-531` columnSelectExpr): most columns are the
+    * plain quoted name, but types the wire protocol can't deliver in
+    * target form are rewritten AT THE SOURCE so the conversion runs
+    * once inside the source engine — MySQL spatial → WKT/SRID+WKB
+    * reassembly, MSSQL CLR types (`hierarchyid.ToString()`,
+    * `.STAsText()`/`.STAsBinary()`, `CAST(sql_variant AS
+    * nvarchar(max))`). Rewrites alias back to the original column
+    * name, so downstream schema mapping and chunk predicates are
+    * unaffected.
+    */
+  def scanExpr(c: SourceColumn, o: TypeOptions,
+      caps: ScanCaps = ScanCaps()): String = quote(c.name)
+
+  /** Expression-rewriting scan SQL (the S5 form of [[scanSql]]). */
+  final def scanSql(table: String, cols: Seq[SourceColumn],
+      o: TypeOptions, caps: ScanCaps): String =
+    s"SELECT ${cols.map(c => scanExpr(c, o, caps)).mkString(", ")} " +
+      s"FROM ${quote(table)}"
+
+  /** True when any column's scan expression differs from its plain
+    * quoted name — the gate for swapping the JDBC relation from the
+    * bare table to a pushed-down derived table.
+    */
+  final def needsScanRewrite(cols: Seq[SourceColumn], o: TypeOptions,
+      caps: ScanCaps = ScanCaps()): Boolean =
+    cols.exists(c => scanExpr(c, o, caps) != quote(c.name))
 
   /** Normalize a JDBC URL with the connection options the reference
     * forces on its DSNs (UTC, parsed timestamps, read-only where the
@@ -307,6 +364,44 @@ object MySqlDialect extends SourceDialect {
     }
   }
 
+  private val spatialTypes = Set("geometry", "point", "linestring",
+    "polygon", "multipoint", "multilinestring", "multipolygon",
+    "geometrycollection")
+
+  /** S5 scan-expression rewrite (reference `migrate.go:496-503`,
+    * `mysqlPostGISSelectExpr` :520-531): spatial columns can't ship
+    * raw when the target form needs server-side conversion.
+    * - PostGIS mode: rebuild MySQL's internal encoding — 4-byte LE
+    *   SRID prefix + WKB — from `ST_SRID` byte-split CHAR()s and
+    *   `ST_AsWKB(g, 'axis-order=long-lat')` (axis option only where
+    *   the server supports it), so geographic geometries arrive
+    *   lng/lat-ordered regardless of MySQL 8's SRID-defined axis
+    *   order; the Spark-side F12 transform then splices EWKB exactly
+    *   as it does for raw bytes.
+    * - wkt_text: `ST_AsText` at the source; the value crosses the
+    *   wire as finished WKT.
+    * wkb_bytea intentionally stays the plain column: the raw
+    * SRID-prefixed payload IS the target encoding
+    * (`source_mysql.go:816-820`).
+    */
+  override def scanExpr(c: SourceColumn, o: TypeOptions,
+      caps: ScanCaps = ScanCaps()): String = {
+    val q = quote(c.name)
+    val dt = c.dataType.toLowerCase
+    if (spatialTypes(dt) && o.usePostGis) {
+      val wkb =
+        if (caps.axisOrderExpr) s"ST_AsWKB($q, 'axis-order=long-lat')"
+        else s"ST_AsWKB($q)"
+      val srid = s"ST_SRID($q)"
+      s"CONCAT(CHAR(($srid) & 255 USING binary), " +
+        s"CHAR((($srid) >> 8) & 255 USING binary), " +
+        s"CHAR((($srid) >> 16) & 255 USING binary), " +
+        s"CHAR((($srid) >> 24) & 255 USING binary), $wkb) AS $q"
+    } else if (spatialTypes(dt) && o.spatialMode == "wkt_text")
+      s"ST_AsText($q) AS $q"
+    else q
+  }
+
   /** Parse the length of `base(n)` out of a MySQL column_type
     * (`source_mysql.go` mysqlColumnTypeLength).
     */
@@ -428,6 +523,30 @@ object MssqlDialect extends SourceDialect {
         case _ => None
       }
       case _ => None
+    }
+  }
+
+  /** S5 scan-expression rewrite (reference `migrate.go:505-516`):
+    * MSSQL's CLR types don't round-trip through the TDS wire in
+    * target form — hierarchyid arrives as opaque varbinary,
+    * geography/geometry as the internal CLR serialization,
+    * sql_variant as whatever the driver guesses. The method-call /
+    * CAST rewrites make the SERVER render the target encoding:
+    * `.ToString()` (the canonical `/1/2/` path), `.STAsText()` WKT,
+    * `.STAsBinary()` OGC WKB (no SRID prefix — MSSQL keeps SRID out
+    * of band, so no F12 splice applies), `CAST(… AS nvarchar(max))`.
+    */
+  override def scanExpr(c: SourceColumn, o: TypeOptions,
+      caps: ScanCaps = ScanCaps()): String = {
+    val q = quote(c.name)
+    c.dataType.toLowerCase match {
+      case "hierarchyid" => s"$q.ToString() AS $q"
+      case "geography" | "geometry" if o.spatialMode == "wkt_text" =>
+        s"$q.STAsText() AS $q"
+      case "geography" | "geometry" if o.spatialMode == "wkb_bytea" =>
+        s"$q.STAsBinary() AS $q"
+      case "sql_variant" => s"CAST($q AS nvarchar(max)) AS $q"
+      case _ => q
     }
   }
 }

@@ -21,7 +21,17 @@ object JdbcSource {
       url: String,
       table: String,
       keyColumn: Option[String],
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      /** S5: full scan SELECT with per-column expression rewrite
+        * ([[SourceDialect.scanSql]] expression form). When set, the
+        * JDBC relation becomes this derived table instead of the bare
+        * table — Catalyst's filter pushdown still wraps it (chunk
+        * predicates land in the outer WHERE; rewritten columns alias
+        * back to their source names, so key predicates resolve), and
+        * the expensive conversions (ST_AsText, .ToString(), …) run
+        * inside the source engine, once, per chunk-parallel task.
+        */
+      scanQuery: Option[String] = None)
 
   /** The MIN/MAX planning SQL (runs as a 1-row JDBC query). */
   def planningSql(dialect: SourceDialect, table: String, key: String): String =
@@ -78,9 +88,14 @@ object JdbcSource {
     // dialect-forced connection options (UTC, read-only, …) — the JDBC
     // analog of the reference's DSN normalization
     val url = dialect.normalizeUrl(spec.url)
+    // derived-table relation for rewritten scans; bare table otherwise
+    // (keeps the JDBC source's direct column pruning on the table)
+    val rel = spec.scanQuery
+      .map(q => s"($q) graft_scan")
+      .getOrElse(dialect.quote(spec.table))
     if (preds.isEmpty)
-      spark.read.jdbc(url, dialect.quote(spec.table), props)
+      spark.read.jdbc(url, rel, props)
     else
-      spark.read.jdbc(url, dialect.quote(spec.table), preds, props)
+      spark.read.jdbc(url, rel, preds, props)
   }
 }

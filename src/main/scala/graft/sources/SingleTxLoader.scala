@@ -56,9 +56,20 @@ final class SingleTxTableLoader(
     opened
   }
 
+  /** Axis-order capability, probed once on the shared connection and
+    * only when a MySQL→PostGIS scan can need it (reference
+    * `source_mysql.go:64-79` probes at Connect).
+    */
+  private lazy val scanCaps: ScanCaps =
+    if (dialect.name == "mysql" && cfg.typeOptions.usePostGis)
+      ScanCaps.probe(conn)
+    else ScanCaps()
+
   def load(table: TableMeta): Long = {
     val st = bySource(table.name)
-    val sql = dialect.scanSql(st.name, st.columns.map(_.name))
+    // S5: per-column scan-expression rewrite (ST_AsText/ToString/…)
+    val sql = dialect.scanSql(st.name, st.columns,
+      cfg.typeOptions, scanCaps)
     // the same config-selected per-column transforms the parallel
     // DataFrame path applies (Transforms.applyTo), in value form — the
     // target DDL is built from these TypeOptions, so skipping them here
