@@ -41,6 +41,39 @@ object Bench {
     * from query/analysis code (e.g. a registration builder's literal
     * check) must not abort the whole bench run.
     */
+  /** Driver tail-window budget for [[metricLine]]: the round driver
+    * keeps only the LAST ~2 KB of stdout and parses the metric line
+    * out of that window, so the line must stay comfortably inside it
+    * (r9–r14 silently recorded "parsed": null when profile maps grew
+    * the line past 4 KB). BenchContractSpec fails the build when the
+    * headline catalog or a new field pushes a worst-case line over
+    * this budget — shrink the line (or move the field to the diag
+    * line), don't raise the budget.
+    */
+  val MetricLineBudgetBytes = 1800
+
+  private[graft] def r3(v: Double): Double = math.rint(v * 1000) / 1000
+  private[graft] def jsonMap(kvs: Seq[(String, Double)]): String =
+    kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+  private[graft] def total(kvs: Seq[(String, Double)]): Double =
+    r3(kvs.map(_._2).filter(_ >= 0).sum)
+
+  /** The ONE driver-contract JSON line — always printed LAST, carrying
+    * only the contract keys + scalar totals; everything per-query
+    * beyond the warm map rides the separate "diag" line that a grep
+    * for '"metric"' skips.
+    */
+  def metricLine(warm: Seq[(String, Double)], unpreparedTotal: Double,
+      coldTotal: Double, cores: Int, sf: String, fixture: String)
+      : String =
+    s"""{"metric":"total","value":${total(warm)},"unit":"sec",""" +
+      s""""queries":${jsonMap(warm)},""" +
+      s""""unprepared_total":$unpreparedTotal,""" +
+      s""""cold_total":$coldTotal,""" +
+      s""""cores":$cores,""" +
+      s""""sf":"$sf","fixture":"$fixture"}"""
+
   private final class RowCountMismatch(msg: String)
     extends RuntimeException(msg)
 
@@ -343,12 +376,6 @@ object Bench {
     // compact — r9's driver-side parse failed on the raw line once
     // ("parsed": null), and sub-ms digits carry no information at a
     // 30 ms scheduling floor anyway
-    def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-        .mkString("{", ",", "}")
-    def total(kvs: Seq[(String, Double)]): Double =
-      r3(kvs.map(_._2).filter(_ >= 0).sum)
     // floor = wall − taskSec/cores: the share of wall clock NOT
     // explained by perfectly-parallel execution of the measured task
     // work — scheduling gaps, AQE materialization barriers, driver-side
@@ -384,12 +411,8 @@ object Bench {
       s""""queries_cold":${jsonMap(cold)},""" +
       s""""profiles":$profiles,""" +
       s""""bare_job_ms":${r3(bareJobMs)}}""")
-    println(s"""{"metric":"total","value":${total(warm)},"unit":"sec",""" +
-      s""""queries":${jsonMap(warm)},""" +
-      s""""unprepared_total":${total(unprepared)},""" +
-      s""""cold_total":${total(cold)},""" +
-      s""""cores":$cores,""" +
-      s""""sf":"$rawDir","fixture":"$fixture"}""")
+    println(metricLine(warm, total(unprepared), total(cold), cores,
+      rawDir, fixture))
     Caches.clear(spark)
     spark.stop()
   }

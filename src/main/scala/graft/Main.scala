@@ -44,7 +44,16 @@ object Main {
     sys.env.getOrElse("GRAFT_BUILD_VERSION", "dev"),
     sys.env.getOrElse("GRAFT_BUILD_COMMIT", "unknown"))
 
+  /** Bare-invocation dispatch (reference `main.go:74-82`): no args on
+    * an interactive terminal opens the wizard; no args off-terminal
+    * (piped/CI) prints usage and exits 2. Pure so the decision is
+    * testable without a TTY.
+    */
+  def bareDispatch(tty: Boolean): String = if (tty) "wizard" else "usage"
+
   def main(args: Array[String]): Unit = args.toList match {
+    case Nil if bareDispatch(System.console() != null) == "wizard" =>
+      Wizard.main(Array.empty)
     case "version" :: Nil => println(versionString)
     case "migrate" :: cfgPath :: Nil => runMigrate(Paths.get(cfgPath))
     case "plan" :: cfgPath :: rest =>

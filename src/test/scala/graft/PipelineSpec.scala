@@ -596,6 +596,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(Main.shortCommit("  ") == "")
   }
 
+  test("bare invocation dispatches to the wizard on a TTY, usage " +
+      "off-terminal (main.go:74-82)") {
+    assert(Main.bareDispatch(tty = true) == "wizard")
+    assert(Main.bareDispatch(tty = false) == "usage")
+  }
+
   test("orphan cleanup: anti-join with MATCH SIMPLE null guard") {
     val spark = SparkTestSession.spark
     import spark.implicits._
