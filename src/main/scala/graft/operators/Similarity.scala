@@ -77,23 +77,40 @@ object Similarity {
             |ORDER BY v1, v2""".stripMargin))
 
   // Brute-force cosine top-k: the exact ANN baseline. The query side
-  // (vec_id < 20) broadcasts; ranking is a per-query window.
+  // (vec_id < 20) broadcasts; ranking is a per-query BOUNDED TOP-K
+  // AGGREGATE ([[graft.functions.TopKAggregator]]), not a window —
+  // the window spelling shuffled every (query, candidate) sim row to
+  // its qid partition before ranking (O(q·N) wire volume: the whole
+  // brute-force product), while the mergeable aggregate keeps a
+  // ≤k-entry buffer per (task, qid) map-side so the one exchange
+  // carries O(tasks·q·k) entries at ANY corpus size. Same total order
+  // (sim desc, vec_id asc), bit-identical output (r16; TopKAggSpec
+  // property-proves the equivalence).
   val q26AnnTopk: QueryDef = QueryDef(
     "q26_ann_topk",
     (s, dir) => {
+      import org.apache.spark.sql.Encoders
       val e = normed(s, dir)
       val q = broadcast(e.filter(col("vec_id") < NumQueryVecs)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nrm").as("qn")))
       val cands = e.filter(col("vec_id") >= NumQueryVecs)
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("vec_id"))
+      val topk = new graft.functions.TopKAggregator(TopK)
       q.join(cands)
         .withColumn("sim", cosine(col("qv"), col("v"), col("qn"), col("nrm")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
-          graft.Round4(col("sim")).as("sim"))
+        .select(col("qid"), col("sim"), col("vec_id"))
+        .as[(Long, Double, Long)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+            Encoders.scalaLong))
+        .groupByKey(_._1)(Encoders.scalaLong)
+        .mapValues(r => (r._2, r._3))(
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+        .agg(topk.toColumn)
+        .toDF("qid", "top")
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col._2").as("neighbor"),
+          graft.Round4(col("col._1")).as("sim"))
         .orderBy("qid", "rnk")
     },
     Some(s"""SELECT qid, rnk, neighbor,
