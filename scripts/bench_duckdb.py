@@ -68,7 +68,8 @@ def main():
         "metric": "duckdb_total", "value": sum(warm.values()),
         "unit": "sec", "queries": warm,
         "single_total": sum(single.values()), "queries_single": single,
-        "threads": 32, "sf": sf_dir}))
+        "threads": 32, "sf": sf_dir,
+        "duckdb_version": duckdb.__version__}))
 
 
 if __name__ == "__main__":

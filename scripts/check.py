@@ -73,6 +73,10 @@ def main(sfdir, outdir):
         else:
             n_pass += 1
             print(f"[PASS ] {name}: rows={len(sv)}")
+    # pin the oracle engine version into the artifact trail: the r15
+    # q188 red row was a DRIVER-environment DuckDB delta invisible in
+    # the repo's own runs (VERDICT r15 adjudication)
+    print(f"[env  ] duckdb={duckdb.__version__}")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
     return 1 if n_fail else 0
 

@@ -886,11 +886,17 @@ class ScaleGrowthSpec extends AnyFunSuite {
         }
         packed(off) = math.sqrt(acc)
       }
-      val e = operators.Similarity.normed(spark, dir)
+      // qrel adds the µ-quantized (qv, qn) columns the r15 exact-
+      // integer µcos contract folds over — same wiring as the q188
+      // catalog pools
+      val e = operators.Bitext.qrel(
+        operators.Similarity.normed(spark, dir))
       val x = e.filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id").as("id"), col("v"), col("nrm"))
+        .select(col("vec_id").as("id"), col("v"), col("nrm"),
+          col("qv"), col("qn"))
       val y = e.filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id").as("id"), col("v"), col("nrm"))
+        .select(col("vec_id").as("id"), col("v"), col("nrm"),
+          col("qv"), col("qn"))
       val cands = operators.Bitext
         .probedUcos(spark, x, y, packed = packed.toSeq).count()
       val mined = operators.Bitext

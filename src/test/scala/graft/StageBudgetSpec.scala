@@ -24,7 +24,10 @@ class StageBudgetSpec extends AnyFunSuite {
     // r11: q61 joined the interactive tier — 8 stages fuse under 2
     // jobs (cache build + final) with AQE barriers off
     ("q61_curation", 8, 2),
-    ("q58_embed_neardup_lsh", 14, 14),
+    // r16: headline swap — the oneShotNeardup dispatcher entry
+    // replaced q58's direct spelling (same codes-build + self-join +
+    // verify plan family, plus the manifest row-count job)
+    ("q207_oneshot_neardup", 15, 15),
     // r11: the adaptive-geometry default near-dup — same plan family
     // as q58 (codes build + self-join + verify), so the same budget
     // class; a regression to per-consumer code rebuilds fails here
