@@ -1767,7 +1767,7 @@ object Dedup {
            |  md5(COALESCE(agg.clean, '')) AS clean_md5
            |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
            |ORDER BY d.doc_id""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   val all: Seq[QueryDef] = Seq(
     q167LineDedup,

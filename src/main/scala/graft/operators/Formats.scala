@@ -339,7 +339,7 @@ object Formats {
            |  md5(rendered) AS render_md5,
            |  CAST(len(rendered) AS INTEGER) AS n_chars
            |FROM r ORDER BY doc_id""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // Span-corruption transform (Raffel et al. JMLR'20 §3.1.4 — the T5
   // denoising objective; UL2's R-denoiser): mask ~1/7 of 3-token
