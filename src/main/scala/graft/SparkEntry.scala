@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Intervals.all ++ operators.EventAnalytics.all ++
       operators.FrequentItems.all ++ operators.Retrieval.all ++
       operators.Classifier.all ++ operators.Urls.all ++
-      operators.Bitext.all ++ operators.Chat.all
+      operators.Bitext.all ++ operators.Chat.all ++
+      operators.Graph.all ++ operators.Sampling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

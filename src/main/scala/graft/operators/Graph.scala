@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{Caches, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative link-graph analytics — the operator class a crawl-scale
+  * curation stack uses to PRIORITIZE what it fetches and keeps
+  * (Common Crawl publishes exactly this: per-domain harmonic/PageRank
+  * centrality over the host webgraph, used to rank the frontier the
+  * q180/q182 crawl tier consumes). The catalog's graph story so far
+  * is reachability (q66 pointer-jumping, q106 recursive closure);
+  * PageRank adds the VALUE-propagation family — fixed-point iteration
+  * of a sparse matrix-vector product — which no amount of closure
+  * composition expresses.
+  *
+  * Spark-first shape: the edge relation is built ONCE (one keyed agg
+  * off the fact join), pre-partitioned by `src`, and persisted; every
+  * iteration is then one join against the rank vector plus one keyed
+  * agg — at local scale AQE broadcasts the (V-row) rank side so the
+  * persisted (E-row) edges NEVER shuffle again, and at web scale the
+  * same plan runs as a co-partitioned join where each iteration
+  * shuffles O(V) rank rows, never the O(E) edges (the GraphX/Pregel
+  * cost model, expressed in plain DataFrame ops). Iteration count is
+  * FIXED (5) so the computation is a pure function of the data — the
+  * oracle unrolls the same 5 steps; a production run iterates to an
+  * integer fixed point instead (the rank vector is BIGINT, so "no
+  * rank moved" is an exact predicate, not an epsilon test).
+  *
+  * Determinism contract (the repo-wide integer-unit discipline): the
+  * rank vector lives in parts-per-billion of total mass. Each edge
+  * carries `(rank_src · w) div wsum_src` — BIGINT div BIGINT — and the
+  * damping update is `150000000 div V + (85 · Σ contrib) div 100`
+  * (= ⌊0.15·10⁹/V⌋ + ⌊0.85·Σ⌋ in exact rationals). Every intermediate
+  * stays ≤ 85·10⁹ ≪ 2⁶³; both engines fold identical longs, so the
+  * result is bit-stable under any partitioning/summation order
+  * (the q188 lesson: no float crosses the engine boundary).
+  *
+  * Graph derivation (no link table in the star schema): the weighted
+  * bipartite customer↔supplier graph — an edge per (custkey, suppkey)
+  * with weight = their lineitem count, materialized in BOTH directions
+  * so the walk is an undirected random walk with restart. Rank over it
+  * is the stationary "importance" of each supplier weighted by how
+  * much central-customer traffic flows through it (the BiRank/co-HITS
+  * family; Page, Brin, Motwani & Winograd 1999 for the recurrence).
+  * Reported: every supplier's rank, descending.
+  */
+object Graph {
+
+  /** Total rank mass: ranks are parts-per-billion (ppb) BIGINTs. */
+  val RankScale = 1000000000L
+
+  /** Fixed iteration count (oracle unrolls the same number). */
+  val Iterations = 5
+
+  /** Node encoding over one BIGINT key space: customers even,
+    * suppliers odd — a composite (type, id) key without a struct
+    * join key on the iteration's hot path.
+    */
+  private def custNode(c: org.apache.spark.sql.Column) = c * 2L
+  private def suppNode(p: org.apache.spark.sql.Column) = p * 2L + 1L
+
+  /** Weighted out-normalized edge relation `(src, dst, w, wsum)`,
+    * both directions, pre-partitioned by `src` and persisted — the
+    * loop-invariant side of every iteration's join.
+    */
+  private[graft] def edges(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .agg(count(lit(1)).as("w"))
+    val both = e0.select(custNode(col("c")).as("src"),
+        suppNode(col("p")).as("dst"), col("w"))
+      .unionAll(e0.select(suppNode(col("p")).as("src"),
+        custNode(col("c")).as("dst"), col("w")))
+    val ws = both.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    Caches.persist(
+      both.join(ws, "src").repartition(col("src")))
+  }
+
+  /** Five damped-update rounds of the integer recurrence; returns the
+    * full `(node, rank)` vector. Every node has in-edges by
+    * construction (edges are materialized in both directions and the
+    * node set is the edge endpoints), so no dangling-mass term.
+    */
+  private[graft] def ranks(ew: DataFrame): DataFrame = {
+    val nodes = Caches.persist(
+      ew.select(col("dst").as("node")).distinct())
+    val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
+    var r = nodes.crossJoin(nn)
+      .select(col("node"), expr(s"$RankScale div nn").as("rank"))
+    for (_ <- 1 to Iterations) {
+      val contrib = ew
+        .join(r.select(col("node").as("src"), col("rank").as("srank")),
+          "src")
+        .select(col("dst").as("node"),
+          expr("(srank * w) div wsum").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("ctb"))
+      r = nodes.join(contrib, Seq("node"), "left").crossJoin(nn)
+        .select(col("node"), expr(
+          "150000000 div nn + (85 * coalesce(ctb, 0)) div 100")
+          .as("rank"))
+    }
+    r
+  }
+
+  val q208SupplierPagerank: QueryDef = QueryDef(
+    "q208_supplier_pagerank",
+    (s, dir) => {
+      val r = ranks(edges(s, dir))
+      r.filter(expr("node % 2 = 1"))
+        .select(expr("node div 2").as("s_suppkey"),
+          col("rank").as("rank_ppb"))
+        .join(Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name")), "s_suppkey")
+        .select(col("s_suppkey"), col("s_name"), col("rank_ppb"))
+        .orderBy(col("rank_ppb").desc, col("s_suppkey"))
+    },
+    Some {
+      // unrolled 5-step twin of the integer recurrence above
+      val steps = (1 to Iterations).map { i =>
+        s"""c$i AS (
+           |  SELECT ew.dst AS node,
+           |    SUM((r.rank * ew.w) // ew.wsum) AS ctb
+           |  FROM ew JOIN r${i - 1} r ON ew.src = r.node
+           |  GROUP BY ew.dst),
+           |r$i AS (
+           |  SELECT n.node, 150000000 // nn.n
+           |    + (85 * COALESCE(c$i.ctb, 0)) // 100 AS rank
+           |  FROM nodes n CROSS JOIN nn
+           |  LEFT JOIN c$i ON n.node = c$i.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT o_custkey AS c, l_suppkey AS p, COUNT(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT c * 2 AS src, p * 2 + 1 AS dst, w FROM e0
+         |  UNION ALL
+         |  SELECT p * 2 + 1 AS src, c * 2 AS dst, w FROM e0),
+         |ws AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, e.w, ws.wsum
+         |       FROM e JOIN ws ON e.src = ws.src),
+         |nodes AS (SELECT DISTINCT dst AS node FROM e),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT node, 1000000000 // nn.n AS rank
+         |       FROM nodes CROSS JOIN nn),
+         |$steps
+         |SELECT node // 2 AS s_suppkey, s_name, rank AS rank_ppb
+         |FROM r$Iterations JOIN supplier ON node // 2 = s_suppkey
+         |WHERE node % 2 = 1
+         |ORDER BY rank_ppb DESC, s_suppkey""".stripMargin
+    },
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q208SupplierPagerank)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q208 PageRank: the distributed integer recurrence must equal a
+  * serial driver-side reference fold exactly (the oracle hash proves
+  * Spark == DuckDB; this proves both == the recurrence as written),
+  * plus the mass-conservation bound integer damping guarantees.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val ew = operators.Graph.edges(spark, dir)
+    .select("src", "dst", "w", "wsum").collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  /** Serial reference: the same recurrence over plain Maps. */
+  private def refRanks: Map[Long, Long] = {
+    val nodes = ew.map(_._2).distinct.sorted
+    val n = nodes.length.toLong
+    var r = nodes.map(_ -> operators.Graph.RankScale / n).toMap
+    for (_ <- 1 to operators.Graph.Iterations) {
+      val ctb = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      ew.foreach { case (src, dst, w, wsum) =>
+        ctb(dst) += r(src) * w / wsum
+      }
+      r = nodes.map(v => v -> (150000000L / n + 85L * ctb(v) / 100L))
+        .toMap
+    }
+    r
+  }
+
+  test("distributed ranks equal the serial integer reference exactly") {
+    val got = operators.Graph.ranks(
+      operators.Graph.edges(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = refRanks
+    assert(got.keySet == ref.keySet)
+    val diff = got.collect { case (k, v) if ref(k) != v => k }
+    assert(diff.isEmpty, s"ranks diverge at nodes ${diff.take(5)}")
+  }
+
+  test("rank mass is conserved up to integer-division leakage") {
+    val ranks = refRanks.values.toSeq
+    val n = ranks.length.toLong
+    val total = ranks.sum
+    // each update floors once per node (teleport) + once per in-edge
+    // contribution + once per damp — mass only leaks DOWN, and by
+    // less than one unit per floor per iteration
+    assert(total <= operators.Graph.RankScale)
+    assert(total >= operators.Graph.RankScale -
+      operators.Graph.Iterations * (2 * n + ew.length),
+      s"leaked more than the floor budget: $total")
+  }
+
+  test("every rank holds the teleport floor") {
+    val n = refRanks.size.toLong
+    val floor = 150000000L / n
+    assert(refRanks.values.forall(_ >= floor))
+  }
+}
