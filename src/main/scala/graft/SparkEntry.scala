@@ -21,7 +21,8 @@ object SparkEntry {
       operators.FrequentItems.all ++ operators.Retrieval.all ++
       operators.Classifier.all ++ operators.Urls.all ++
       operators.Bitext.all ++ operators.Chat.all ++
-      operators.Graph.all ++ operators.Sampling.all
+      operators.Graph.all ++ operators.Sampling.all ++
+      operators.KnnGraph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -93,7 +93,7 @@ object Bitext {
     * dot/(na*nb) — the oracle spells the identical tree, so every op
     * is one correctly-rounded scalar on identical inputs.
     */
-  private def ucosCol =
+  private[graft] def ucosCol =
     floor(graft.functions.VectorOps.cosine(col("xq"), col("yq"),
       col("xn"), col("yn")) * lit(1000000.0) + lit(0.5)).cast("long")
 
@@ -214,7 +214,7 @@ object Bitext {
     * exact however the engine folds it; the scalar tail mirrors the
     * Spark tree op-for-op (dot / (xn*yn) * 1e6 + 0.5, floor).
     */
-  private def oracleQuantCte: String =
+  private[graft] def oracleQuantCte: String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
