@@ -60,4 +60,26 @@ class GraphSpec extends AnyFunSuite {
     val floor = 150000000L / n
     assert(refRanks.values.forall(_ >= floor))
   }
+
+  test("shuffle volume grows ~linearly with the fact table " +
+      "(edges shuffle once; iterations move rank rows)") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      val sh = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        .map { d =>
+          clock.quiesce(); clock.reset()
+          SparkEntry.queries("q208_supplier_pagerank")(spark, d)
+            .collect()
+          clock.quiesce()
+          val s = clock.shuffleRecords
+          Caches.clear(spark)
+          s
+        }
+      val exp = math.log(sh(1).toDouble / sh(0)) / math.log(10.0)
+      info(f"q208 shuffle=${sh(0)}/${sh(1)} exp=$exp%.2f")
+      assert(exp < 1.3,
+        s"pagerank shuffle volume superlinear: ${sh(0)} -> ${sh(1)}")
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
 }
