@@ -61,6 +61,32 @@ class GraphSpec extends AnyFunSuite {
     assert(refRanks.values.forall(_ >= floor))
   }
 
+  test("the convergence arm stops on an exact revisited state " +
+      "(f(f(r)) = r) and holds the same floor/mass bounds") {
+    val (r, rounds) = operators.Graph.ranksToConvergence(
+      operators.Graph.edges(spark, dir))
+    assert(rounds < 200, s"no revisited state in $rounds rounds")
+    val got = r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val n = got.size.toLong
+    info(s"converged in $rounds rounds over $n nodes")
+    assert(got.values.forall(_ >= 150000000L / n))
+    assert(got.values.sum <= operators.Graph.RankScale)
+    // exact period invariance: applying the damped update TWICE
+    // returns the same vector (covers both the fixed-point and the
+    // bipartite 2-cycle stop)
+    def step(cur: Map[Long, Long]): Map[Long, Long] = {
+      val ctb = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      ew.foreach { case (src, dst, w, wsum) =>
+        ctb(dst) += cur(src) * w / wsum
+      }
+      cur.keys.map(v => v -> (150000000L / n + 85L * ctb(v) / 100L))
+        .toMap
+    }
+    assert(step(step(got)) == got,
+      "claimed stop state is not period-1 or period-2")
+  }
+
   test("shuffle volume grows ~linearly with the fact table " +
       "(edges shuffle once; iterations move rank rows)") {
     val clock = new StageClock

@@ -76,7 +76,11 @@ class StageBudgetSpec extends AnyFunSuite {
     // base persisted, dedup agg + window + manifest agg)
     ("q188_bitext_margin", 17, 17),
     ("q193_doc_fim", 2, 2),
-    ("q200_sft_pipeline", 10, 10))
+    ("q200_sft_pipeline", 10, 10),
+    // r16: PageRank — the budget pins that the persisted edge
+    // relation is built ONCE and each of the 5 rounds adds one join +
+    // one agg stage, never a rebuild of the orders⋈lineitem chain
+    ("q208_supplier_pagerank", 54, 54))
 
   test("the pinned expensive headline queries keep their executed " +
       "stage/job budgets under the bench profile") {
