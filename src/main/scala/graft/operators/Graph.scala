@@ -84,7 +84,14 @@ object Graph {
   /** Five damped-update rounds of the integer recurrence; returns the
     * full `(node, rank)` vector. Every node has in-edges by
     * construction (edges are materialized in both directions and the
-    * node set is the edge endpoints), so no dangling-mass term.
+    * node set is the edge endpoints), so no dangling-mass term — and
+    * no per-round join back to the node list either: the contribution
+    * agg already emits exactly one row per node, so each round is ONE
+    * join against the persisted edges + ONE keyed agg (+ the 1-row
+    * broadcast for the teleport term). The equivalent left join the
+    * oracle spells for clarity is a no-op dropped here: on a
+    * floor-dominated local wall the extra join cost a stage per
+    * round (measured 51 → 46 executed stages).
     */
   private[graft] def ranks(ew: DataFrame): DataFrame = {
     val nodes = Caches.persist(
@@ -92,20 +99,24 @@ object Graph {
     val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
     var r = nodes.crossJoin(nn)
       .select(col("node"), expr(s"$RankScale div nn").as("rank"))
-    for (_ <- 1 to Iterations) {
-      val contrib = ew
-        .join(r.select(col("node").as("src"), col("rank").as("srank")),
-          "src")
-        .select(col("dst").as("node"),
-          expr("(srank * w) div wsum").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("ctb"))
-      r = nodes.join(contrib, Seq("node"), "left").crossJoin(nn)
-        .select(col("node"), expr(
-          "150000000 div nn + (85 * coalesce(ctb, 0)) div 100")
-          .as("rank"))
-    }
+    for (_ <- 1 to Iterations) r = damped(ew, r, nn)
     r
   }
+
+  /** One damped round: contributions along the persisted edges, then
+    * teleport + damping. Emits one row per node (every node has
+    * in-edges by construction).
+    */
+  private def damped(ew: DataFrame, r: DataFrame,
+      nn: DataFrame): DataFrame =
+    ew.join(r.select(col("node").as("src"), col("rank").as("srank")),
+        "src")
+      .select(col("dst").as("node"),
+        expr("(srank * w) div wsum").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("ctb"))
+      .crossJoin(nn)
+      .select(col("node"),
+        expr("150000000 div nn + (85 * ctb) div 100").as("rank"))
 
   /** Production iteration: run the damped update until the rank
     * vector REVISITS a state — period-1 (a true fixed point) or
@@ -133,18 +144,7 @@ object Graph {
     val nodes = graft.Caches.persist(
       ew.select(col("dst").as("node")).distinct())
     val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
-    def step(cur: DataFrame): DataFrame = {
-      val contrib = ew
-        .join(cur.select(col("node").as("src"),
-          col("rank").as("srank")), "src")
-        .select(col("dst").as("node"),
-          expr("(srank * w) div wsum").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("ctb"))
-      nodes.join(contrib, Seq("node"), "left").crossJoin(nn)
-        .select(col("node"), expr(
-          "150000000 div nn + (85 * coalesce(ctb, 0)) div 100")
-          .as("rank"))
-    }
+    def step(cur: DataFrame): DataFrame = damped(ew, cur, nn)
     def differs(a: DataFrame, b: DataFrame): Boolean =
       a.join(b.withColumnRenamed("rank", "prev"), "node")
         .filter(col("rank") =!= col("prev")).limit(1).count() > 0
@@ -213,7 +213,7 @@ object Graph {
          |WHERE node % 2 = 1
          |ORDER BY rank_ppb DESC, s_suppkey""".stripMargin
     },
-    bench = true)
+    bench = true, lowLatency = true)
 
   val all: Seq[QueryDef] = Seq(q208SupplierPagerank)
 }
