@@ -215,5 +215,90 @@ object Graph {
     },
     bench = true, lowLatency = true)
 
-  val all: Seq[QueryDef] = Seq(q208SupplierPagerank)
+  /** Every 5th vector keeps its label as a seed; the rest learn. */
+  val SeedMod = 5
+
+  /** Fixed propagation rounds (oracle unrolls the same number). */
+  val PropRounds = 3
+
+  /** Semi-supervised label propagation over the mutual-kNN graph
+    * (Zhu & Ghahramani CMU-CALD-02-107; majority-vote LPA per
+    * Raghavan et al. PRE'07) — the weak-supervision move a curation
+    * stack uses to stretch a small labeled set across a corpus:
+    * labels spread from seed nodes along the q210 edge relation,
+    * each round re-labeling a node by the MAJORITY label of its
+    * labeled neighbors (count desc, label asc — a deterministic
+    * integer argmax, no RNG ordering as in the original async LPA),
+    * seeds clamped, unreached nodes stay null. Fixed
+    * [[PropRounds]] rounds for oracle purity (both engines unroll
+    * identically); rounds are pure keyed relational algebra — one
+    * adjacency join + one count agg + one argmax window + one left
+    * join — all O(N·k) on the kNN graph, so at corpus scale the cost
+    * per round is the kNN edge list, never N².
+    */
+  val q211LabelProp: QueryDef = QueryDef(
+    "q211_label_propagation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = KnnGraph.mutualTopK(KnnGraph.exactScores(
+        Bitext.qrel(Similarity.normed(s, dir))))
+      val adj = Caches.persist(
+        edges.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(edges.select(col("b").as("u"),
+            col("a").as("v"))))
+      var l = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("node"),
+          when(col("vec_id") % SeedMod === 0, col("label")).as("lab"))
+      for (_ <- 1 to PropRounds) {
+        val best = adj
+          .join(l.select(col("node").as("v"), col("lab")), "v")
+          .filter(col("lab").isNotNull)
+          .groupBy(col("u").as("node"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("r", row_number().over(Window
+            .partitionBy("node")
+            .orderBy(col("c").desc, col("lab"))))
+          .filter(col("r") === 1)
+          .select(col("node"), col("lab").as("blab"))
+        l = l.join(best, Seq("node"), "left")
+          .select(col("node"),
+            when(col("node") % SeedMod === 0, col("lab"))
+              .otherwise(coalesce(col("blab"), col("lab")))
+              .as("lab"))
+      }
+      l.select(col("node").as("vec_id"), col("lab").as("label"))
+        .orderBy("vec_id")
+    },
+    Some {
+      val steps = (1 to PropRounds).map { i =>
+        s"""v$i AS (
+           |  SELECT adj.u AS node, l.lab, COUNT(*) AS c
+           |  FROM adj JOIN l${i - 1} l ON adj.v = l.node
+           |  WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+           |b$i AS (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab, ROW_NUMBER() OVER (
+           |      PARTITION BY node ORDER BY c DESC, lab) AS r
+           |    FROM v$i) t WHERE r = 1),
+           |l$i AS (
+           |  SELECT p.node,
+           |    CASE WHEN p.node % $SeedMod = 0 THEN p.lab
+           |         ELSE COALESCE(b$i.lab, p.lab) END AS lab
+           |  FROM l${i - 1} p LEFT JOIN b$i ON p.node = b$i.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""${KnnGraph.oracleMutualCte},
+         |adj AS (
+         |  SELECT a AS u, b AS v FROM mutual
+         |  UNION ALL SELECT b AS u, a AS v FROM mutual),
+         |l0 AS (
+         |  SELECT vec_id AS node,
+         |    CASE WHEN vec_id % $SeedMod = 0 THEN label END AS lab
+         |  FROM embeddings),
+         |$steps
+         |SELECT node AS vec_id, lab AS label FROM l$PropRounds
+         |ORDER BY vec_id""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(q208SupplierPagerank, q211LabelProp)
 }

@@ -100,25 +100,34 @@ object KnnGraph {
         col("sx") =!= col("ty"))
       .withColumn("ucos", Bitext.ucosCol)
 
+  /** Shared oracle prefix ending in a `mutual(a, b, ucos)` CTE — the
+    * exact-arm mutual-kNN edge relation (q210's result before its
+    * final ORDER BY; q211's propagation substrate).
+    */
+  private[graft] def oracleMutualCte: String =
+    s"""${Bitext.oracleQuantCte},
+       |p AS (
+       |  SELECT x.vec_id AS sx, y.vec_id AS ty,
+       |    CAST(floor(list_inner_product(x.qv, y.qv)
+       |        / (x.qn * y.qn)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS ucos
+       |  FROM n x JOIN n y ON x.vec_id <> y.vec_id),
+       |knn AS (
+       |  SELECT sx, ty, ucos FROM (
+       |    SELECT sx, ty, ucos, ROW_NUMBER() OVER (
+       |      PARTITION BY sx ORDER BY ucos DESC, ty) AS r
+       |    FROM p) t WHERE r <= $GraphK),
+       |mutual AS (
+       |  SELECT k1.sx AS a, k1.ty AS b, k1.ucos
+       |  FROM knn k1 JOIN knn k2 ON k1.sx = k2.ty AND k1.ty = k2.sx
+       |  WHERE k1.sx < k1.ty)""".stripMargin
+
   val q210KnnGraph: QueryDef = QueryDef(
     "q210_knn_graph",
     (s, dir) => mutualTopK(exactScores(
       Bitext.qrel(Similarity.normed(s, dir)))),
-    Some(s"""${Bitext.oracleQuantCte},
-            |p AS (
-            |  SELECT x.vec_id AS sx, y.vec_id AS ty,
-            |    CAST(floor(list_inner_product(x.qv, y.qv)
-            |        / (x.qn * y.qn)
-            |      * 1000000.0 + 0.5) AS BIGINT) AS ucos
-            |  FROM n x JOIN n y ON x.vec_id <> y.vec_id),
-            |knn AS (
-            |  SELECT sx, ty, ucos FROM (
-            |    SELECT sx, ty, ucos, ROW_NUMBER() OVER (
-            |      PARTITION BY sx ORDER BY ucos DESC, ty) AS r
-            |    FROM p) t WHERE r <= $GraphK)
-            |SELECT k1.sx AS a, k1.ty AS b, k1.ucos
-            |FROM knn k1 JOIN knn k2 ON k1.sx = k2.ty AND k1.ty = k2.sx
-            |WHERE k1.sx < k1.ty
+    Some(s"""$oracleMutualCte
+            |SELECT a, b, ucos FROM mutual
             |ORDER BY a, b""".stripMargin))
 
   /** q210b: the probed production arm oracle-checked end-to-end —

@@ -87,6 +87,54 @@ class GraphSpec extends AnyFunSuite {
       "claimed stop state is not period-1 or period-2")
   }
 
+  test("label propagation equals the serial LPA reference; seeds " +
+      "never move; coverage grows monotonically with rounds") {
+    val sf01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q211_label_propagation")(
+      spark, sf01).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    // serial reference over the exact mutual-kNN edges
+    val edges = SparkEntry.queries("q210_knn_graph")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val seedLab = Tables.load(spark, sf01, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val seedMod = operators.Graph.SeedMod
+    var l: Map[Long, Option[Int]] = seedLab.map { case (n, lb) =>
+      n -> (if (n % seedMod == 0) Some(lb) else None)
+    }
+    val coverage = scala.collection.mutable.ArrayBuffer(
+      l.values.count(_.isDefined))
+    for (_ <- 1 to operators.Graph.PropRounds) {
+      val next = l.map { case (n, cur) =>
+        if (n % seedMod == 0) n -> cur
+        else {
+          val votes = adj.getOrElse(n, Seq.empty[Long])
+            .flatMap(l(_)).groupBy(x => x)
+            .map { case (lb, v) => (lb, v.size) }
+          if (votes.isEmpty) n -> cur
+          else n -> Some(votes.toSeq
+            .sortBy { case (lb, c) => (-c, lb) }.head._1)
+        }
+      }
+      l = next
+      coverage += l.values.count(_.isDefined)
+    }
+    assert(got == l, "distributed LPA diverges from serial reference")
+    // seeds clamped
+    seedLab.foreach { case (n, lb) =>
+      if (n % seedMod == 0) assert(got(n).contains(lb))
+    }
+    // labels only ever spread (a labeled node never loses its label)
+    assert(coverage.sliding(2).forall(w => w(1) >= w(0)),
+      s"coverage shrank: $coverage")
+    assert(coverage.last > coverage.head, "propagation never spread")
+    info(s"coverage by round: ${coverage.mkString(" -> ")}")
+  }
+
   test("shuffle volume grows ~linearly with the fact table " +
       "(edges shuffle once; iterations move rank rows)") {
     val clock = new StageClock
