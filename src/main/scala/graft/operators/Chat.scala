@@ -536,7 +536,7 @@ object Chat {
          |FROM c2 GROUP BY source, CAST(cum_excl // 2048 AS BIGINT)
          |ORDER BY source, bin""".stripMargin
     }),
-    bench = true)
+    bench = true, lowLatency = true)
 
   val all: Seq[QueryDef] = Seq(q190ChatStats, q191ChatDedup, q192ChatRender,
     q196DpoPairs, q199ChatDecontam, q200SftPipeline, q204ChatTruncate)

@@ -713,7 +713,7 @@ object Dedup {
             |JOIN tot ta ON p.src_a = ta.source
             |JOIN tot tb ON p.src_b = tb.source
             |ORDER BY p.src_a, p.src_b""".stripMargin),
-    bench = true)
+    bench = true, lowLatency = true)
 
   private val BloomBits = graft.functions.BloomDefaults.NumBits
   private val BloomHashes = graft.functions.BloomDefaults.NumHashes

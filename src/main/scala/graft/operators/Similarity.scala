@@ -1303,7 +1303,11 @@ object Similarity {
             |  JOIN e qe ON qe.vec_id = s.qid
             |  JOIN e ne ON ne.vec_id = s.vec_id) r
             |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin),
-    bench = true)
+    // interactive tier (r16): the encode→LUT→ADC→re-rank chain is
+    // all sub-second keyed joins on bounded shortlists — AQE's
+    // per-query-stage job barriers cost 18 jobs / 0.28 s; static
+    // planning runs the same plan at 12 stages / 10 jobs / 0.11 s
+    bench = true, lowLatency = true)
 
   private val NumNegatives = 4
 

@@ -33,7 +33,9 @@ class StageBudgetSpec extends AnyFunSuite {
     // class; a regression to per-consumer code rebuilds fails here
     ("q135_adaptive_neardup", 12, 12),
     ("q118_embed_neardup_banded", 13, 13),
-    ("q72_ann_ivfpq", 18, 18),
+    // r16: interactive tier — 12 stages / 10 jobs (was 18/18 under
+    // AQE; the flip took the wall 0.28 s → 0.11 s at sf0.1)
+    ("q72_ann_ivfpq", 13, 11),
     ("q78_range_join", 5, 5),
     ("q17_join_agg", 11, 7),
     ("q59_ship_priority", 5, 2),
@@ -76,7 +78,8 @@ class StageBudgetSpec extends AnyFunSuite {
     // base persisted, dedup agg + window + manifest agg)
     ("q188_bitext_margin", 17, 17),
     ("q193_doc_fim", 2, 2),
-    ("q200_sft_pipeline", 10, 10),
+    // r16: interactive tier — 8 stages / 5 jobs (was 10/10 adaptive)
+    ("q200_sft_pipeline", 9, 6),
     // r16: PageRank — the budget pins that the persisted edge
     // relation is built ONCE and each of the 5 rounds adds one join +
     // one agg stage, never a rebuild of the orders⋈lineitem chain
