@@ -485,4 +485,41 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 12,
       p.take(1200))
   }
+
+  test("q208: the fact join builds the edge relation ONCE — all 5 " +
+      "rounds read the persisted copy; nn cross joins are 1-row " +
+      "broadcasts, never a cartesian") {
+    val p = plan("q208_supplier_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    Seq("lineitem", "orders").foreach { t =>
+      val n = scans("q208_supplier_pagerank")
+        .count(_.metadata.get("Location").exists(_.contains(t)))
+      assert(n <= 1,
+        s"$t scanned $n times — an iteration rebuilds the edge chain")
+    }
+    // every round reads the persisted edges
+    assert("InMemoryTableScan".r.findAllIn(p).size >=
+      operators.Graph.Iterations,
+      "rounds are not reading the persisted edge relation")
+  }
+
+  test("q210b/q211: candidate generation and propagation stay " +
+      "equi-joins — no corpus-sized nested loop, no cartesian") {
+    // q210b: pure equi candidate join — zero nested loops
+    val pb = plan("q210b_knn_graph_probed")
+    assert(!pb.contains("CartesianProduct"), pb.take(600))
+    assert(!pb.contains("BroadcastNestedLoopJoin"),
+      s"q210b grew a nested-loop join: ${pb.take(600)}")
+    // q211 consumes the EXACT kNN arm, whose one all-pairs broadcast
+    // NLJ is the small-corpus arm by design — it EXECUTES once inside
+    // the persisted adjacency build, though every cache consumer
+    // PRINTS the cached child plan (the q80 print-vs-execute note),
+    // so an NLJ text count is meaningless here. Pin instead that the
+    // adjacency is read from cache by every propagation round
+    val pl = plan("q211_label_propagation")
+    assert(!pl.contains("CartesianProduct"), pl.take(600))
+    assert("InMemoryTableScan".r.findAllIn(pl).size >=
+      operators.Graph.PropRounds,
+      "propagation rounds are not reading the persisted adjacency")
+  }
 }
