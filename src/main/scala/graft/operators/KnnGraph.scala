@@ -72,10 +72,16 @@ object KnnGraph {
         col("qn").as("yn")), "ty")
       .withColumn("ucos", Bitext.ucosCol)
 
-  /** Co-probe candidate pairs from the IVF geometry. */
-  private[graft] def probedScores(s: SparkSession,
-      e: DataFrame): DataFrame = {
-    val cents = typedLit(graft.Fixtures.ivfCentroidsPacked(s).toSeq)
+  /** Co-probe candidate pairs from the IVF geometry. The centroid
+    * table defaults to the committed fixture; callers operating the
+    * k ∝ N contract (the q139 scale posture) pass their own packed
+    * table — [[graft.ScaleGrowthSpec]] measures the resulting
+    * candidate-volume exponent at ~1 under that contract.
+    */
+  private[graft] def probedScores(s: SparkSession, e: DataFrame,
+      packed: Seq[Double] = null): DataFrame = {
+    val cents = typedLit(Option(packed)
+      .getOrElse(graft.Fixtures.ivfCentroidsPacked(s).toSeq))
     val probed = graft.Caches.persist(
       e.select(col("vec_id"),
         explode(graft.functions.VectorOps.centroidTopK(

@@ -969,4 +969,89 @@ class ScaleGrowthSpec extends AnyFunSuite {
       }
     } finally spark.sparkContext.removeSparkListener(clock)
   }
+
+  // ---- round-16: q210b co-probe kNN-graph candidate volume ----
+  //
+  // The co-probe claim is (nprobe·N)²/L candidate rows, O(N) under
+  // the k ∝ N centroid operating contract (q139's). The committed
+  // 16-centroid fixture can't exercise that contract, so this test
+  // RUNS the geometry it claims: clustered corpora at N ∈
+  // {512, 2048, 8192} with k = N/32 cluster centers AS the packed
+  // centroid table, and fits the end-to-end shuffle exponent of the
+  // full mutual-kNN build (probed candidates + µcos re-rank + top-k
+  // window + mutual semi-join).
+
+  /** Deterministic clustered corpus: block j = ids [32j, 32j+32)
+    * around center c(j,·), members at cosine ≈ 0.97 to their center
+    * and near-orthogonal across blocks.
+    */
+  private def clusterMember(id: Long, d: Int): Double = {
+    val j = id / 32
+    val c = MurmurHash3.productHash(("knncent", j, d)) /
+      Int.MaxValue.toDouble
+    val noise = MurmurHash3.productHash(("knnnoise", id, d)) /
+      Int.MaxValue.toDouble
+    c + 0.25 * noise
+  }
+
+  test("q210b co-probe kNN graph at k = N/32 centroids: shuffle " +
+      "exponent ~1 (the (nprobe·N)^2/L contract), edges stay " +
+      "in-cluster") {
+    import spark.implicits._
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    graft.functions.VectorOps.register(spark)
+    try {
+      val dim = graft.tools.GenFixtures.Dim
+      val scales = Seq(512, 2048, 8192)
+      val measured = scales.map { n =>
+        val k = n / 32
+        // packed centroid table: per cid [norm, v(0..dim-1)], the
+        // Fixtures.ivfCentroidsPacked layout, norms accumulated
+        // sequentially like the L2Norm kernel
+        val packed = new Array[Double](k * (dim + 1))
+        (0 until k).foreach { j =>
+          val cv = Array.tabulate(dim)(d =>
+            MurmurHash3.productHash(("knncent", j.toLong, d)) /
+              Int.MaxValue.toDouble)
+          var acc = 0.0
+          cv.foreach(x => acc += x * x)
+          packed(j * (dim + 1)) = math.sqrt(acc)
+          cv.indices.foreach(d => packed(j * (dim + 1) + 1 + d) = cv(d))
+        }
+        val e = operators.Bitext.qrel(
+          (0L until n.toLong).map { id =>
+            (id, Seq.tabulate(dim)(clusterMember(id, _)))
+          }.toDF("vec_id", "v")
+            .withColumn("nrm",
+              graft.functions.VectorOps.l2norm(col("v"))))
+        clock.quiesce(); clock.reset()
+        val edges = operators.KnnGraph.mutualTopK(
+          operators.KnnGraph.probedScores(spark, e, packed.toSeq))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        clock.quiesce()
+        val sh = clock.shuffleRecords
+        Caches.clear(spark)
+        val inCluster = edges.count { case (a, b) => a / 32 == b / 32 }
+        (n, sh, edges.length, inCluster)
+      }
+      val report = measured.map { case (n, sh, f, ic) =>
+        f"N=$n shuffle=$sh edges=$f inCluster=$ic"
+      }.mkString("; ")
+      info(report)
+      measured.foreach { case (n, _, f, ic) =>
+        // a kNN graph over 32-member clusters keeps most nodes at
+        // full degree; mutual edges overwhelmingly stay in-block
+        assert(f > n / 2, s"degenerate graph at N=$n ($report)")
+        assert(ic.toDouble / f >= 0.95,
+          s"co-probe edges leak across clusters at N=$n ($report)")
+      }
+      val exp = math.log(measured(2)._2.toDouble / measured(1)._2) /
+        math.log(4.0)
+      info(f"co-probe kNN shuffle exponent (2048->8192): $exp%.2f")
+      assert(exp < 1.3,
+        s"co-probe candidate volume superlinear under k ∝ N " +
+          s"(exp $exp): $report")
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
 }
