@@ -51,8 +51,21 @@ object Main {
     */
   def bareDispatch(tty: Boolean): String = if (tty) "wizard" else "usage"
 
+  /** `System.console() != null` stopped meaning "interactive" on
+    * JDK ≥ 22 (JDK-8305424: a Console exists even with redirected
+    * stdin); there `Console.isTerminal` carries the signal. Reflective
+    * so the JDK 17 build still compiles; absent method = pre-22
+    * semantics, where non-null IS the TTY test.
+    */
+  private[graft] def consoleIsTty: Boolean = {
+    val c = System.console()
+    c != null && (try c.getClass.getMethod("isTerminal").invoke(c)
+        .asInstanceOf[Boolean]
+      catch { case _: NoSuchMethodException => true })
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
-    case Nil if bareDispatch(System.console() != null) == "wizard" =>
+    case Nil if bareDispatch(consoleIsTty) == "wizard" =>
       Wizard.main(Array.empty)
     case "version" :: Nil => println(versionString)
     case "migrate" :: cfgPath :: Nil => runMigrate(Paths.get(cfgPath))

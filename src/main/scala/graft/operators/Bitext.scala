@@ -214,6 +214,21 @@ object Bitext {
     * exact however the engine folds it; the scalar tail mirrors the
     * Spark tree op-for-op (dot / (xn*yn) * 1e6 + 0.5, floor).
     */
+  /** The exact integer-µcos pair SELECT — THE determinism-contract
+    * expression, defined once so a future contract change cannot
+    * silently miss one of its oracle spellings (q188/q188b/q210/
+    * q210b/q211 all fold this exact tree). `sx`/`ty` name the id
+    * expressions, `from` supplies pair generation; the endpoint
+    * quantized relations must be aliased `x` and `y`.
+    */
+  private[graft] def oracleUcosSelect(sx: String, ty: String,
+      from: String): String =
+    s"""SELECT $sx AS sx, $ty AS ty,
+       |    CAST(floor(list_inner_product(x.qv, y.qv)
+       |        / (x.qn * y.qn)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS ucos
+       |  FROM $from""".stripMargin
+
   private[graft] def oracleQuantCte: String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -260,12 +275,8 @@ object Bitext {
     },
     Some(s"""$oracleQuantCte,
             |p AS (
-            |  SELECT x.vec_id AS sx, y.vec_id AS ty,
-            |    CAST(floor(list_inner_product(x.qv, y.qv)
-            |        / (x.qn * y.qn)
-            |      * 1000000.0 + 0.5) AS BIGINT) AS ucos
-            |  FROM n x JOIN n y
-            |    ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+            |  ${oracleUcosSelect("x.vec_id", "y.vec_id",
+               "n x JOIN n y ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1")}),
             |${oracleMarginTail(MarginK)}""".stripMargin),
     bench = true)
 
@@ -302,13 +313,9 @@ object Bitext {
             |      AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
             |      AND a.crnk = 1 AND b.crnk <= $NProbe) u),
             |p AS (
-            |  SELECT c.sx, c.ty,
-            |    CAST(floor(list_inner_product(x.qv, y.qv)
-            |        / (x.qn * y.qn)
-            |      * 1000000.0 + 0.5) AS BIGINT) AS ucos
-            |  FROM cand c
-            |  JOIN n x ON x.vec_id = c.sx
-            |  JOIN n y ON y.vec_id = c.ty),
+            |  ${oracleUcosSelect("c.sx", "c.ty",
+               "cand c JOIN n x ON x.vec_id = c.sx " +
+                 "JOIN n y ON y.vec_id = c.ty")}),
             |${oracleMarginTail(MarginK)}""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q188BitextMargin, q188bBitextMarginProbed)

@@ -148,6 +148,16 @@ object Graph {
     def differs(a: DataFrame, b: DataFrame): Boolean =
       a.join(b.withColumnRenamed("rank", "prev"), "node")
         .filter(col("rank") =!= col("prev")).limit(1).count() > 0
+    // release a superseded checkpoint's cached RDD: only the current
+    // and previous vectors are ever read again, so without this every
+    // round's V-row block stays resident for the whole call (~100
+    // rounds of garbage at graph scale)
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     var prev: DataFrame = null
     var r = nodes.crossJoin(nn)
       .select(col("node"), expr(s"$RankScale div nn").as("rank"))
@@ -158,6 +168,7 @@ object Graph {
       val next = step(r).localCheckpoint()
       done = !differs(next, r) ||
         (prev != null && !differs(next, prev))
+      if (prev != null) release(prev)
       prev = r
       r = next
       rounds += 1

@@ -47,6 +47,9 @@ object KnnGraph {
 
   /** Top-[[GraphK]] per node over a scored candidate relation
     * `(sx, ty, ucos)`, then keep the mutual pairs, canonical a < b.
+    * Unordered: the catalog entries ORDER BY (a, b) for their output
+    * contract; substrate consumers (q211's adjacency) would only
+    * throw that sort away.
     */
   private[graft] def mutualTopK(scored: DataFrame): DataFrame = {
     val knn = scored
@@ -58,7 +61,6 @@ object KnnGraph {
     knn.join(rev, Seq("sx", "ty"), "left_semi")
       .filter(col("sx") < col("ty"))
       .select(col("sx").as("a"), col("ty").as("b"), col("ucos"))
-      .orderBy("a", "b")
   }
 
   /** Exact integer-µcos score for a candidate pair relation, joined
@@ -113,11 +115,8 @@ object KnnGraph {
   private[graft] def oracleMutualCte: String =
     s"""${Bitext.oracleQuantCte},
        |p AS (
-       |  SELECT x.vec_id AS sx, y.vec_id AS ty,
-       |    CAST(floor(list_inner_product(x.qv, y.qv)
-       |        / (x.qn * y.qn)
-       |      * 1000000.0 + 0.5) AS BIGINT) AS ucos
-       |  FROM n x JOIN n y ON x.vec_id <> y.vec_id),
+       |  ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
+          "n x JOIN n y ON x.vec_id <> y.vec_id")}),
        |knn AS (
        |  SELECT sx, ty, ucos FROM (
        |    SELECT sx, ty, ucos, ROW_NUMBER() OVER (
@@ -131,7 +130,7 @@ object KnnGraph {
   val q210KnnGraph: QueryDef = QueryDef(
     "q210_knn_graph",
     (s, dir) => mutualTopK(exactScores(
-      Bitext.qrel(Similarity.normed(s, dir)))),
+      Bitext.qrel(Similarity.normed(s, dir)))).orderBy("a", "b"),
     Some(s"""$oracleMutualCte
             |SELECT a, b, ucos FROM mutual
             |ORDER BY a, b""".stripMargin))
@@ -149,7 +148,7 @@ object KnnGraph {
   val q210bKnnGraphProbed: QueryDef = QueryDef(
     "q210b_knn_graph_probed",
     (s, dir) => mutualTopK(probedScores(s,
-      Bitext.qrel(Similarity.normed(s, dir)))),
+      Bitext.qrel(Similarity.normed(s, dir)))).orderBy("a", "b"),
     Some(s"""${Bitext.oracleQuantCte},
             |ce AS (SELECT cid, cv
             |       FROM read_parquet('${graft.Fixtures.ivfCentroidsPath}')),
@@ -164,13 +163,9 @@ object KnnGraph {
             |    AND a.crnk <= $NProbe AND b.crnk <= $NProbe
             |    AND a.vec_id <> b.vec_id),
             |p AS (
-            |  SELECT c.sx, c.ty,
-            |    CAST(floor(list_inner_product(x.qv, y.qv)
-            |        / (x.qn * y.qn)
-            |      * 1000000.0 + 0.5) AS BIGINT) AS ucos
-            |  FROM cand c
-            |  JOIN n x ON x.vec_id = c.sx
-            |  JOIN n y ON y.vec_id = c.ty),
+            |  ${Bitext.oracleUcosSelect("c.sx", "c.ty",
+               "cand c JOIN n x ON x.vec_id = c.sx " +
+                 "JOIN n y ON y.vec_id = c.ty")}),
             |knn AS (
             |  SELECT sx, ty, ucos FROM (
             |    SELECT sx, ty, ucos, ROW_NUMBER() OVER (

@@ -67,9 +67,14 @@ object UnigramDsirScore {
     // lowercase via UTF8String — the SAME implementation Spark's
     // lower() uses (UTF8_BINARY collation path), so the in-row scorer
     // and the relational twin (unigramToks / SQL lower()) cannot
-    // diverge on locale/Unicode-sensitive code points (İ, ß, final
-    // sigma); JVM String.toLowerCase(Locale.ROOT) does NOT make that
-    // guarantee
+    // diverge from EACH OTHER. Note the shared implementation is
+    // itself locale-stable only on its ASCII fast path: non-ASCII
+    // strings fall to default-locale String.toLowerCase inside
+    // UTF8String, so on a non-en JVM both sides shift together
+    // relative to DuckDB's locale-independent lower() (İ, ß, final
+    // sigma). Scorer≡twin is the contract here; cross-engine parity
+    // additionally assumes ASCII corpora or an en/ROOT JVM locale,
+    // which the fixtures and driver guarantee
     val s = text.toLowerCase.toString
     var sumBits = 0.0
     var sumLr = 0.0

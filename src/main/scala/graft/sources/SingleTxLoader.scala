@@ -58,10 +58,14 @@ final class SingleTxTableLoader(
 
   /** Axis-order capability, probed once on the shared connection and
     * only when a MySQL→PostGIS scan can need it (reference
-    * `source_mysql.go:64-79` probes at Connect).
+    * `source_mysql.go:64-79` probes at Connect) — the same gate as
+    * the parallel path's, including the per-table rewrite check, so
+    * the S5 probe policy stays single-sourced across both loaders.
     */
   private lazy val scanCaps: ScanCaps =
-    if (dialect.name == "mysql" && cfg.typeOptions.usePostGis)
+    if (dialect.name == "mysql" && cfg.typeOptions.usePostGis &&
+        sourceTables.exists(st =>
+          dialect.needsScanRewrite(st.columns, cfg.typeOptions)))
       ScanCaps.probe(conn)
     else ScanCaps()
 
