@@ -226,6 +226,100 @@ object Graph {
     },
     bench = true, lowLatency = true)
 
+  /** Every 10th supplier is a trusted seed for q212. */
+  val TrustSeedMod = 10
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen VLDB'04) — the
+    * seeded-teleport variant of q208 a crawl stack runs to PROPAGATE
+    * TRUST from a small vetted seed set instead of ranking globally:
+    * the teleport term lands only on seeds, so mass reaches a node
+    * only through paths from the trusted set and spam/junk regions
+    * score ~0 however well-linked they are internally. Identical
+    * machinery to q208 (same persisted edge relation, same integer
+    * recurrence, same 5 unrolled rounds) with the base term gated by
+    * the seed predicate — a pure function of the node id, so both
+    * engines state it identically. Output: every supplier reached by
+    * trust, descending.
+    */
+  val q212TrustRank: QueryDef = QueryDef(
+    "q212_trustrank",
+    (s, dir) => {
+      val ew = edges(s, dir)
+      val nodes = Caches.persist(
+        ew.select(col("dst").as("node")).distinct())
+      val seedCond =
+        s"node % 2 = 1 AND (node div 2) % $TrustSeedMod = 0"
+      val ns = broadcast(nodes.filter(expr(seedCond))
+        .agg(count(lit(1)).as("ns")))
+      var t = nodes.crossJoin(ns).select(col("node"),
+        expr(s"CASE WHEN $seedCond THEN $RankScale div ns " +
+          "ELSE CAST(0 AS BIGINT) END").as("rank"))
+      for (_ <- 1 to Iterations) {
+        t = ew.join(t.select(col("node").as("src"),
+            col("rank").as("srank")), "src")
+          .select(col("dst").as("node"),
+            expr("(srank * w) div wsum").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("ctb"))
+          .crossJoin(ns)
+          .select(col("node"),
+            expr(s"CASE WHEN $seedCond THEN 150000000 div ns " +
+              "ELSE CAST(0 AS BIGINT) END + (85 * ctb) div 100")
+              .as("rank"))
+      }
+      t.filter(expr("node % 2 = 1 AND rank > 0"))
+        .select(expr("node div 2").as("s_suppkey"),
+          col("rank").as("trust_ppb"))
+        .join(Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name")), "s_suppkey")
+        .select(col("s_suppkey"), col("s_name"), col("trust_ppb"),
+          expr(s"CAST(s_suppkey % $TrustSeedMod = 0 AS INT)")
+            .as("is_seed"))
+        .orderBy(col("trust_ppb").desc, col("s_suppkey"))
+    },
+    Some {
+      val seedCond =
+        s"node % 2 = 1 AND (node // 2) % $TrustSeedMod = 0"
+      val steps = (1 to Iterations).map { i =>
+        s"""c$i AS (
+           |  SELECT ew.dst AS node,
+           |    SUM((r.rank * ew.w) // ew.wsum) AS ctb
+           |  FROM ew JOIN t${i - 1} r ON ew.src = r.node
+           |  GROUP BY ew.dst),
+           |t$i AS (
+           |  SELECT n.node,
+           |    CASE WHEN n.node % 2 = 1
+           |      AND (n.node // 2) % $TrustSeedMod = 0
+           |      THEN 150000000 // ns.n ELSE 0 END
+           |    + (85 * COALESCE(c$i.ctb, 0)) // 100 AS rank
+           |  FROM nodes n CROSS JOIN ns
+           |  LEFT JOIN c$i ON n.node = c$i.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT o_custkey AS c, l_suppkey AS p, COUNT(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT c * 2 AS src, p * 2 + 1 AS dst, w FROM e0
+         |  UNION ALL
+         |  SELECT p * 2 + 1 AS src, c * 2 AS dst, w FROM e0),
+         |ws AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, e.w, ws.wsum
+         |       FROM e JOIN ws ON e.src = ws.src),
+         |nodes AS (SELECT DISTINCT dst AS node FROM e),
+         |ns AS (SELECT COUNT(*) AS n FROM nodes
+         |       WHERE $seedCond),
+         |t0 AS (SELECT node, CASE WHEN $seedCond
+         |         THEN 1000000000 // ns.n ELSE 0 END AS rank
+         |       FROM nodes CROSS JOIN ns),
+         |$steps
+         |SELECT node // 2 AS s_suppkey, s_name, rank AS trust_ppb,
+         |  CAST((node // 2) % $TrustSeedMod = 0 AS INT) AS is_seed
+         |FROM t$Iterations JOIN supplier ON node // 2 = s_suppkey
+         |WHERE node % 2 = 1 AND rank > 0
+         |ORDER BY trust_ppb DESC, s_suppkey""".stripMargin
+    })
+
   /** Every 5th vector keeps its label as a seed; the rest learn. */
   val SeedMod = 5
 
@@ -311,5 +405,6 @@ object Graph {
          |ORDER BY vec_id""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(q208SupplierPagerank, q211LabelProp)
+  val all: Seq[QueryDef] =
+    Seq(q208SupplierPagerank, q211LabelProp, q212TrustRank)
 }

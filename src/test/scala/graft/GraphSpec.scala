@@ -87,6 +87,47 @@ class GraphSpec extends AnyFunSuite {
       "claimed stop state is not period-1 or period-2")
   }
 
+  test("trustrank equals the serial seeded fold; trust flows only " +
+      "from seeds; seeds hold the teleport floor") {
+    val got = SparkEntry.queries("q212_trustrank")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("s_suppkey") ->
+        (r.getAs[Long]("trust_ppb"), r.getAs[Int]("is_seed"))).toMap
+    // serial reference over the same edges
+    val nodes = ew.map(_._2).distinct
+    val seeds = nodes.filter(n =>
+      n % 2 == 1 && (n / 2) % operators.Graph.TrustSeedMod == 0)
+    val ns = seeds.length.toLong
+    def base(v: Long): Long =
+      if (v % 2 == 1 && (v / 2) % operators.Graph.TrustSeedMod == 0)
+        150000000L / ns
+      else 0L
+    var t = nodes.map(v => v ->
+      (if (base(v) > 0) operators.Graph.RankScale / ns else 0L)).toMap
+    for (_ <- 1 to operators.Graph.Iterations) {
+      val ctb = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      ew.foreach { case (src, dst, w, wsum) =>
+        ctb(dst) += t(src) * w / wsum
+      }
+      t = nodes.map(v => v -> (base(v) + 85L * ctb(v) / 100L)).toMap
+    }
+    val refSupp = t.collect {
+      case (v, r) if v % 2 == 1 && r > 0 => (v / 2) -> r
+    }
+    assert(got.view.mapValues(_._1).toMap == refSupp)
+    // every seed holds its teleport floor; is_seed flags agree
+    got.foreach { case (k, (trust, isSeed)) =>
+      assert((isSeed == 1) ==
+        (k % operators.Graph.TrustSeedMod == 0))
+      if (isSeed == 1) assert(trust >= 150000000L / ns)
+    }
+    // trust mass is bounded by the scale (div-only leakage)
+    assert(t.values.sum <= operators.Graph.RankScale)
+    // non-seeds scoring > 0 must exist (trust actually propagates)
+    assert(got.exists { case (_, (tr, s)) => s == 0 && tr > 0 })
+  }
+
   test("label propagation equals the serial LPA reference; seeds " +
       "never move; coverage grows monotonically with rounds") {
     val sf01 = "/root/testdata/sf0.01"
