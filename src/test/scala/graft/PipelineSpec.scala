@@ -600,6 +600,11 @@ class PipelineSpec extends AnyFunSuite {
       "off-terminal (main.go:74-82)") {
     assert(Main.bareDispatch(tty = true) == "wizard")
     assert(Main.bareDispatch(tty = false) == "usage")
+    // the reflective Console.isTerminal probe (JDK-8305424 hardening)
+    // must never throw, and under a piped test JVM must report
+    // non-interactive: System.console() is null pre-22, and on 22+
+    // isTerminal is false with redirected stdin — both mean false
+    assert(!Main.consoleIsTty)
   }
 
   test("orphan cleanup: anti-join with MATCH SIMPLE null guard") {
