@@ -12,7 +12,33 @@ import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def canon(cols, rows):
+def type_class(t):
+    """Coarse Arrow-type class: keeps the distinctions the driver's
+    hasher is known to be sensitive to (int64 vs decimal128 — the r16
+    five-red-row defect class) while normalizing representation-only
+    variants (string vs large_string) that differ between a parquet
+    file and a DuckDB Arrow fetch."""
+    import pyarrow as pa
+    # widths collapse: the driver's hasher compares python-object
+    # values, so int32 == int64 (both python int; Spark row_number is
+    # int32 where DuckDB's is int64 and those rows pass the driver) —
+    # but Decimal('940') != 940, so decimal stays its own class
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t): return "float"
+    if pa.types.is_decimal(t): return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "bin"
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(
+            f"{f.name}:{type_class(f.type)}" for f in t) + ">"
+    return str(t)
+
+def canon(cols, rows, table=None):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -24,7 +50,15 @@ def canon(cols, rows):
                 else: v = f"{v:.6f}"
             vals.append(str(v))
         out.append("\x01".join(vals))
-    return sorted(cols), sorted(out)
+    # TYPE-STRICT (r16 lesson): the driver's hasher serializes values
+    # WITH their Arrow types, so str(Decimal('940')) == str(940) is a
+    # blind spot — five red rows shipped while this gate said PASS.
+    # Carry the coarse type class next to each column name.
+    typed = sorted(cols)
+    if table is not None:
+        tmap = {f.name: type_class(f.type) for f in table.schema}
+        typed = [f"{c}:{tmap[c]}" for c in sorted(cols)]
+    return typed, sorted(out)
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -56,8 +90,8 @@ def main(sfdir, outdir):
             n_fail += 1
             print(f"[FAIL ] {name}: duckdb error: {e}")
             continue
-        sc, sv = canon(scols, srows)
-        dc, dv = canon(dcols, drows)
+        sc, sv = canon(scols, srows, t)
+        dc, dv = canon(dcols, drows, dt)
         if sc != dc:
             n_fail += 1
             print(f"[FAIL ] {name}: schema {sc} != {dc}")

@@ -27,6 +27,19 @@ object Caches {
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Release the cached RDD behind a `localCheckpoint()`ed DataFrame
+    * that has been superseded in an iterative loop (q208's
+    * ranksToConvergence, q213's NN-descent rounds): only the current
+    * round's vector is ever read again, so without this every round's
+    * block stays resident for the session's life.
+    */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Unpersist every relation this registry holds for `spark` WITHOUT
     * touching the resolved-relation/schema caches ([[Tables]] /
     * [[Fixtures]]). Unpersisting drops the CacheManager's logical-plan

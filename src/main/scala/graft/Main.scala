@@ -54,14 +54,19 @@ object Main {
   /** `System.console() != null` stopped meaning "interactive" on
     * JDK ≥ 22 (JDK-8305424: a Console exists even with redirected
     * stdin); there `Console.isTerminal` carries the signal. Reflective
-    * so the JDK 17 build still compiles; absent method = pre-22
-    * semantics, where non-null IS the TTY test.
+    * so the JDK 17 build still compiles. The lookup goes through the
+    * PUBLIC declaring class `java.io.Console` — on 22+ the runtime
+    * object is the package-private `ProxyingConsole`, whose
+    * `getClass.getMethod` resolves to an inaccessible override and
+    * `invoke` throws IllegalAccessException, not NoSuchMethodException.
+    * Any reflective failure falls back to pre-22 semantics, where
+    * non-null IS the TTY test.
     */
   private[graft] def consoleIsTty: Boolean = {
     val c = System.console()
-    c != null && (try c.getClass.getMethod("isTerminal").invoke(c)
-        .asInstanceOf[Boolean]
-      catch { case _: NoSuchMethodException => true })
+    c != null && (try classOf[java.io.Console].getMethod("isTerminal")
+        .invoke(c).asInstanceOf[Boolean]
+      catch { case _: ReflectiveOperationException => true })
   }
 
   def main(args: Array[String]): Unit = args.toList match {

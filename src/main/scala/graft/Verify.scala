@@ -60,6 +60,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Environment pin for the artifact trail: r15's q188 red row was
+    // initially misattributed to a driver-side DuckDB version delta
+    // because nothing recorded the engines in play. The oracle
+    // contract is type-proof now (OracleLintSpec + type-strict
+    // check.py), but record versions anyway so any future delta is
+    // attributable in one step. expected_duckdb is the version the
+    // repo's local gate last validated against (scripts/check.py
+    // prints the live one).
+    val env = Seq(
+      "spark" -> spark.version,
+      "scala" -> scala.util.Properties.versionNumberString,
+      "java" -> System.getProperty("java.version"),
+      "expected_duckdb" -> "1.0.0"
+    ).map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/env.json"), env)
     spark.stop()
   }
 }

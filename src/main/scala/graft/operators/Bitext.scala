@@ -250,8 +250,11 @@ object Bitext {
        |  WHERE r <= $k GROUP BY ty),
        |m AS (
        |  SELECT p.sx, p.ty,
-       |    (${2 * k} * p.ucos * 1000000) // (kx.sfwd + ky.sbwd)
-       |      AS margin_u
+       |    -- CAST: sfwd/sbwd are SUM-derived HUGEINT, so the division
+       |    -- inherits decimal128 via Arrow; the engine emits int64
+       |    -- (the Relational.scala:469 rule — r16's five red rows)
+       |    CAST((${2 * k} * p.ucos * 1000000) // (kx.sfwd + ky.sbwd)
+       |      AS BIGINT) AS margin_u
        |  FROM p JOIN kx USING (sx) JOIN ky USING (ty)
        |  WHERE p.ucos > 0 AND kx.sfwd + ky.sbwd > 0),
        |fwd AS (SELECT sx, ty, margin_u FROM (

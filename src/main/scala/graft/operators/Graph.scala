@@ -153,11 +153,7 @@ object Graph {
     // round's V-row block stays resident for the whole call (~100
     // rounds of garbage at graph scale)
     def release(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectLeaves().foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+      graft.Caches.releaseLocalCheckpoint(df)
     var prev: DataFrame = null
     var r = nodes.crossJoin(nn)
       .select(col("node"), expr(s"$RankScale div nn").as("rank"))
@@ -173,6 +169,12 @@ object Graph {
       r = next
       rounds += 1
     }
+    // the caller only needs the FINAL vector: release the last prev
+    // checkpoint and the per-call nodes cache too, or every call
+    // leaves ~two V-row blocks resident for the session's life —
+    // exactly the round-garbage this function exists to avoid
+    if (prev != null && (prev ne r)) release(prev)
+    nodes.unpersist(blocking = false)
     (r, rounds)
   }
 
@@ -219,7 +221,8 @@ object Graph {
          |r0 AS (SELECT node, 1000000000 // nn.n AS rank
          |       FROM nodes CROSS JOIN nn),
          |$steps
-         |SELECT node // 2 AS s_suppkey, s_name, rank AS rank_ppb
+         |SELECT node // 2 AS s_suppkey, s_name,
+         |  CAST(rank AS BIGINT) AS rank_ppb
          |FROM r$Iterations JOIN supplier ON node // 2 = s_suppkey
          |WHERE node % 2 = 1
          |ORDER BY rank_ppb DESC, s_suppkey""".stripMargin
@@ -313,7 +316,8 @@ object Graph {
          |         THEN 1000000000 // ns.n ELSE 0 END AS rank
          |       FROM nodes CROSS JOIN ns),
          |$steps
-         |SELECT node // 2 AS s_suppkey, s_name, rank AS trust_ppb,
+         |SELECT node // 2 AS s_suppkey, s_name,
+         |  CAST(rank AS BIGINT) AS trust_ppb,
          |  CAST((node // 2) % $TrustSeedMod = 0 AS INT) AS is_seed
          |FROM t$Iterations JOIN supplier ON node // 2 = s_suppkey
          |WHERE node % 2 = 1 AND rank > 0

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,23 +45,35 @@ object KnnGraph {
   /** Lists probed per vector (both sides) in candidate generation. */
   val NProbe = 2
 
-  /** Top-[[GraphK]] per node over a scored candidate relation
-    * `(sx, ty, ucos)`, then keep the mutual pairs, canonical a < b.
-    * Unordered: the catalog entries ORDER BY (a, b) for their output
-    * contract; substrate consumers (q211's adjacency) would only
-    * throw that sort away.
+  /** Directed top-k per node over a scored candidate relation
+    * `(sx, ty, ucos)` — the kNN relation both the mutualization
+    * below and the q213 NN-descent rounds consume.
     */
-  private[graft] def mutualTopK(scored: DataFrame): DataFrame = {
-    val knn = scored
+  private[graft] def directedTopK(scored: DataFrame,
+      k: Int = GraphK): DataFrame =
+    scored
       .withColumn("r", row_number().over(Window.partitionBy("sx")
         .orderBy(col("ucos").desc, col("ty"))))
-      .filter(col("r") <= GraphK)
+      .filter(col("r") <= k)
       .select(col("sx"), col("ty"), col("ucos"))
+
+  /** Keep the mutual pairs of a directed kNN relation, canonical
+    * a < b.
+    */
+  private[graft] def mutualize(knn: DataFrame): DataFrame = {
     val rev = knn.select(col("ty").as("sx"), col("sx").as("ty"))
     knn.join(rev, Seq("sx", "ty"), "left_semi")
       .filter(col("sx") < col("ty"))
       .select(col("sx").as("a"), col("ty").as("b"), col("ucos"))
   }
+
+  /** Top-[[GraphK]] per node, then keep the mutual pairs, canonical
+    * a < b. Unordered: the catalog entries ORDER BY (a, b) for their
+    * output contract; substrate consumers (q211's adjacency) would
+    * only throw that sort away.
+    */
+  private[graft] def mutualTopK(scored: DataFrame): DataFrame =
+    mutualize(directedTopK(scored))
 
   /** Exact integer-µcos score for a candidate pair relation, joined
     * back to the quantized corpus on both endpoints.
@@ -176,5 +188,199 @@ object KnnGraph {
             |WHERE k1.sx < k1.ty
             |ORDER BY a, b""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q210KnnGraph, q210bKnnGraphProbed)
+  /** NN-descent refinement rounds (oracle unrolls the same number). */
+  val DescentRounds = 3
+
+  /** Internal search width during descent. The paper's K trades
+    * per-round candidate volume (O(N·K²)) for exploration reach; a
+    * frontier as narrow as the output k barely moves on corpora
+    * without local cluster structure. Measured on the fixture's
+    * near-uniform tail (mutual recall vs the exact q210 graph,
+    * probed start = 0.52): K=3 × 2 rounds → 0.56; K=8 × 2 → 0.75;
+    * K=12 × 3 → 0.92. Descent runs at [[SearchK]] and truncates to
+    * [[GraphK]] at the end — the standard search-k vs output-k
+    * split.
+    */
+  val SearchK = 12
+
+  /** One NN-descent round (Dong, Moses & Li WWW'11, "Efficient
+    * k-nearest neighbor graph construction for generic similarity
+    * measures"): the paper's observation is that a neighbor of my
+    * neighbor is likely my neighbor — so each round proposes, for
+    * every node, the OTHER neighbors of each of its current
+    * (undirected) neighbors, exact-scores the proposals, and keeps
+    * the best k of old ∪ new. Deterministic spelling of the paper's
+    * local-join: the undirected adjacency `und = knn ∪ reverse(knn)`,
+    * candidates = pairs meeting at a shared endpoint (one self-join
+    * of `und` keyed on the hub), scores via the exact integer-µcos
+    * contract, top-k by the usual (ucos DESC, ty) window. No sampling
+    * (ρ = 1 in the paper's terms) and a FIXED round count so the
+    * result is a pure function of the data — both engines unroll
+    * identically. Cost per round: Σ_hub deg(hub)² with deg ≤ 2k —
+    * O(N·k²) candidate rows, every exchange keyed (hub, then sx) —
+    * the paper's empirical O(N^1.14) without the termination
+    * heuristics that would break oracle purity.
+    */
+  private def descentRound(knn: DataFrame, e: DataFrame): DataFrame = {
+    val und = knn.select(col("sx").as("u"), col("ty").as("v"))
+      .unionByName(knn.select(col("ty").as("u"), col("sx").as("v")))
+      .dropDuplicates("u", "v")
+    val cand = und.select(col("u"), col("v").as("sx"))
+      .join(und.select(col("u"), col("v").as("ty")), "u")
+      .filter(col("sx") =!= col("ty"))
+      .dropDuplicates("sx", "ty")
+      .select(col("sx"), col("ty"))
+    // every duplicate (sx, ty) row carries the identical pure-function
+    // ucos, so the dedup is value-deterministic
+    directedTopK(
+      score(cand, e).select(col("sx"), col("ty"), col("ucos"))
+        .unionByName(knn)
+        .dropDuplicates("sx", "ty"),
+      SearchK)
+  }
+
+  /** Probed kNN start refined by [[DescentRounds]] NN-descent rounds.
+    * `packed` threads a caller-built centroid table through to
+    * [[probedScores]] (the k ∝ N operating contract in
+    * [[graft.ScaleGrowthSpec]]); null = the committed fixture.
+    */
+  private[graft] def nnDescent(s: SparkSession, e: DataFrame,
+      rounds: Int = DescentRounds,
+      packed: Seq[Double] = null): DataFrame = {
+    // localCheckpoint per round (the q66/ranksToConvergence loop
+    // discipline): plan depth stays constant however many rounds run
+    // — 3 unrolled rounds of window+join+window otherwise compound
+    // into a tree the optimizer re-copies per round — and superseded
+    // round checkpoints are released as soon as the next round is
+    // materialized (each is only N·SearchK rows, but a long-lived
+    // session shouldn't accumulate them)
+    var knn = directedTopK(probedScores(s, e, packed), SearchK)
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val next = descentRound(knn, e).localCheckpoint()
+      graft.Caches.releaseLocalCheckpoint(knn)
+      knn = next
+    }
+    directedTopK(knn, GraphK)
+  }
+
+  /** q213: NN-descent over the q210b co-probe start — the standard
+    * upgrade path when the corpus is NOT geometrically concentrated
+    * and probing 2/16 lists leaves graph recall on the table (q210b's
+    * honest 0.52 on this fixture's near-uniform tail). Three
+    * SearchK-wide descent rounds recover 0.92 of the exact graph
+    * (recall pinned in [[graft.KnnGraphSpec]]) while every stage
+    * stays keyed — no N² anywhere. The oracle unrolls every round
+    * relationally, so candidate membership of each round is pinned,
+    * not recall-gated.
+    */
+  val q213NnDescent: QueryDef = QueryDef(
+    "q213_nn_descent",
+    (s, dir) => mutualize(nnDescent(s,
+      Bitext.qrel(Similarity.normed(s, dir)))).orderBy("a", "b"),
+    Some {
+      val rounds = (1 to DescentRounds).map { i =>
+        s"""u$i AS (
+           |  SELECT sx AS u, ty AS v FROM k${i - 1}
+           |  UNION SELECT ty AS u, sx AS v FROM k${i - 1}),
+           |c$i AS (
+           |  SELECT DISTINCT a.v AS sx, b.v AS ty
+           |  FROM u$i a JOIN u$i b ON a.u = b.u AND a.v <> b.v),
+           |p$i AS (
+           |  ${Bitext.oracleUcosSelect("c.sx", "c.ty",
+              s"c$i c JOIN n x ON x.vec_id = c.sx " +
+                "JOIN n y ON y.vec_id = c.ty")}),
+           |k$i AS (
+           |  SELECT sx, ty, ucos FROM (
+           |    SELECT sx, ty, ucos, ROW_NUMBER() OVER (
+           |      PARTITION BY sx ORDER BY ucos DESC, ty) AS r
+           |    FROM (SELECT sx, ty, ucos FROM p$i
+           |          UNION SELECT sx, ty, ucos FROM k${i - 1}) q
+           |  ) t WHERE r <= $SearchK)""".stripMargin
+      }.mkString(",\n")
+      s"""${Bitext.oracleQuantCte},
+         |ce AS (SELECT cid, cv
+         |       FROM read_parquet('${graft.Fixtures.ivfCentroidsPath}')),
+         |asn AS (
+         |  SELECT n.vec_id, ce.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |      list_cosine_similarity(v, cv) DESC, ce.cid) AS crnk
+         |  FROM n CROSS JOIN ce),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS sx, b.vec_id AS ty
+         |  FROM asn a JOIN asn b ON a.cid = b.cid
+         |    AND a.crnk <= $NProbe AND b.crnk <= $NProbe
+         |    AND a.vec_id <> b.vec_id),
+         |p0 AS (
+         |  ${Bitext.oracleUcosSelect("c.sx", "c.ty",
+            "cand c JOIN n x ON x.vec_id = c.sx " +
+              "JOIN n y ON y.vec_id = c.ty")}),
+         |k0 AS (
+         |  SELECT sx, ty, ucos FROM (
+         |    SELECT sx, ty, ucos, ROW_NUMBER() OVER (
+         |      PARTITION BY sx ORDER BY ucos DESC, ty) AS r
+         |    FROM p0) t WHERE r <= $SearchK),
+         |$rounds,
+         |kf AS (
+         |  SELECT sx, ty, ucos FROM (
+         |    SELECT sx, ty, ucos, ROW_NUMBER() OVER (
+         |      PARTITION BY sx ORDER BY ucos DESC, ty) AS r
+         |    FROM k$DescentRounds) t WHERE r <= $GraphK)
+         |SELECT k1.sx AS a, k1.ty AS b, k1.ucos
+         |FROM kf k1 JOIN kf k2
+         |  ON k1.sx = k2.ty AND k1.ty = k2.sx
+         |WHERE k1.sx < k1.ty
+         |ORDER BY a, b""".stripMargin
+    })
+
+  /** q214: the similarity→dedup bridge SemDeDup (Abbas et al. 2023)
+    * describes — semantic duplicate GROUPS from the mutual-kNN graph,
+    * not just pairs: q66's pointer-jumping connected components keyed
+    * by the q210 edge relation, every embedding labeled with its
+    * component (singletons stand alone), one canonical keeper per
+    * cluster. This closes the loop the catalog left open: q210 finds
+    * semantic PAIRS, q66 groups LEXICAL pairs; a dedup pass that
+    * keeps one doc per SEMANTIC cluster needs both composed. At scale
+    * the component loop runs on the (N·k)-row edge list — tiny vs
+    * the corpus — in O(log d) rounds (the q66 cost model).
+    */
+  val q214SemanticClusters: QueryDef = QueryDef(
+    "q214_semantic_clusters",
+    (s, dir) => {
+      val edges = mutualTopK(exactScores(
+        Bitext.qrel(Similarity.normed(s, dir))))
+      val comp = Dedup.connectedComponents(
+        edges.select(col("a").as("d1"), col("b").as("d2")))
+      Tables.load(s, dir, "embeddings").select(col("vec_id"))
+        .join(comp.select(col("v").as("vec_id"), col("lbl")),
+          Seq("vec_id"), "left")
+        .withColumn("cluster", coalesce(col("lbl"), col("vec_id")))
+        .withColumn("members",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .select(col("vec_id"), col("cluster"), col("members"),
+          when(col("vec_id") === col("cluster"), 1).otherwise(0)
+            .as("keep"))
+        .orderBy("vec_id")
+    },
+    Some(s"""${oracleMutualCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+            |und AS (SELECT a AS v, b AS u FROM mutual
+            |        UNION SELECT b, a FROM mutual),
+            |reach(v, u) AS (
+            |  SELECT v, u FROM und
+            |  UNION
+            |  SELECT r.v, e2.u FROM reach r JOIN und e2 ON r.u = e2.v),
+            |lab AS (SELECT v, least(v, MIN(u)) AS cluster
+            |        FROM reach GROUP BY v)
+            |SELECT em.vec_id,
+            |  COALESCE(lab.cluster, em.vec_id) AS cluster,
+            |  COUNT(*) OVER (
+            |    PARTITION BY COALESCE(lab.cluster, em.vec_id))
+            |    AS members,
+            |  CASE WHEN em.vec_id = COALESCE(lab.cluster, em.vec_id)
+            |    THEN 1 ELSE 0 END AS keep
+            |FROM embeddings em LEFT JOIN lab ON em.vec_id = lab.v
+            |ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q210KnnGraph, q210bKnnGraphProbed,
+    q213NnDescent, q214SemanticClusters)
 }

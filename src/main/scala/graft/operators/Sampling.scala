@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
@@ -26,37 +27,122 @@ import org.apache.spark.sql.types.LongType
   * Everything is BIGINT div BIGINT on both engines — a pure function
   * of the ordered corpus, bit-stable under repartitioning.
   *
-  * Scale posture: the running sum is ONE global ordered window —
-  * q71's documented serial→parallel tradeoff, global here because the
-  * sample is corpus-level. At 100 TB the identical semantics run as
-  * the two-pass prefix sum (per-shard partial sums → broadcast the
-  * shard offset vector → shard-local windows); the selection math is
-  * per-row either way and never changes.
+  * Scale posture — TWO arms behind [[pps]], the `oneShotNeardup`
+  * dispatcher pattern:
+  *
+  *  - [[ppsGlobal]]: ONE global ordered window. Correct, but every
+  *    row funnels through a single task for the running sum — the
+  *    unbounded serial stage the reference's chunk planner exists to
+  *    avoid (chunk.go:34-70 insists on bounded parallel units). Kept
+  *    as the small-corpus arm, where one task IS the right plan.
+  *  - [[ppsSharded]]: the classic two-pass parallel prefix sum.
+  *    Pass 1 computes per-shard token sums (`shard = doc_id div W`,
+  *    a pure integer function — no range-sampler nondeterminism) and
+  *    prefix-sums THOSE — a serial window over #shards ≈ N/W rows,
+  *    not N. Pass 2 joins the shard offsets back (shard-keyed join
+  *    that co-partitions with the shard-local window, so the corpus
+  *    shuffles ONCE) and each task computes its shard's local prefix
+  *    sums; `cum = shard_offset + local_cum`. Identical output to
+  *    the global arm by the associativity of integer addition —
+  *    pinned by an equivalence spec, with per-task row volume
+  *    measured bounded in [[graft.SamplingSpec]] via StageClock.
+  *
+  * At 100 TB with W = 2^20 a 10^11-doc corpus yields ~10^5 shard
+  * rows for the serial stage — driver-trivial — while every
+  * corpus-sized stage is an ordinary keyed exchange.
   */
 object Sampling {
 
   /** Target sample size (the stride denominator). */
   val SampleK = 40L
 
+  /** Shard width for the two-pass arm: each per-task window sees at
+    * most this many rows (doc_ids are unique, so shard cardinality is
+    * ≤ W by construction). Small here so the driver's fixtures
+    * (500–5000 docs) genuinely exercise the multi-shard path;
+    * a 100 TB run sizes it to taste (2^20 keeps the shard-sum
+    * relation driver-trivial at any realistic corpus).
+    */
+  val ShardWidth = 256L
+
+  /** Tokenized `(doc_id, lang, nt)` view of the documents table. */
+  private def tokenized(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("nt"))
+
+  /** Selection tail shared by both arms: stride from the broadcast
+    * 1-row total, PPS hit multiplicity, deterministic output order.
+    */
+  private def selectHits(withCum: DataFrame, k: Long): DataFrame =
+    withCum
+      .withColumn("stride",
+        expr(s"greatest(tw div $k, CAST(1 AS BIGINT))"))
+      .withColumn("hits",
+        expr("(cum + nt) div stride - cum div stride"))
+      .filter(col("hits") > 0)
+      .select(col("doc_id"), col("lang"), col("nt"), col("hits"))
+      .orderBy(col("doc_id"))
+
+  /** Small-corpus arm: one global ordered window (single-task running
+    * sum — fine when the corpus fits a task, serial otherwise).
+    */
+  private[graft] def ppsGlobal(d: DataFrame, k: Long): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = broadcast(d.agg(sum(col("nt")).as("tw")))
+    selectHits(
+      d.crossJoin(tot)
+        .withColumn("cum", coalesce(sum(col("nt")).over(w), lit(0L))),
+      k)
+  }
+
+  /** Production arm: two-pass sharded prefix sum. The only
+    * unpartitioned window runs over the #shards-row shard-sum
+    * relation; every corpus-sized stage is shard-keyed.
+    */
+  private[graft] def ppsSharded(d: DataFrame, k: Long,
+      shardWidth: Long = ShardWidth): DataFrame = {
+    val sharded = d.withColumn("shard",
+      expr(s"doc_id div $shardWidth"))
+    // pass 1: per-shard token sums, then an EXCLUSIVE prefix sum over
+    // shards — N/W rows, the only ordered-unpartitioned window
+    val wShard = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("shard"))
+      .agg(sum(col("nt")).as("ssum"))
+      .withColumn("off",
+        coalesce(sum(col("ssum")).over(wShard), lit(0L)))
+      .select(col("shard"), col("off"))
+    // pass 2: shard-keyed join + shard-local exclusive window; the
+    // join's hash(shard) exchange is the same distribution the window
+    // needs, so the corpus shuffles once (AQE broadcasts the offsets
+    // side at small scale; at cluster scale it is a co-partitioned
+    // join — either way no second corpus exchange)
+    val wLocal = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = broadcast(d.agg(sum(col("nt")).as("tw")))
+    selectHits(
+      sharded.join(offsets, "shard")
+        .crossJoin(tot)
+        .withColumn("cum", col("off") +
+          coalesce(sum(col("nt")).over(wLocal), lit(0L))),
+      k)
+  }
+
+  /** Dispatcher: corpora that fit one shard take the single-window
+    * arm; anything larger takes the two-pass arm. Both are the same
+    * pure function of the data (equivalence spec-pinned), so the
+    * cardinality probe does not affect the result.
+    */
+  def pps(d: DataFrame, k: Long): DataFrame =
+    if (d.count() <= ShardWidth) ppsGlobal(d, k) else ppsSharded(d, k)
+
   val q209PpsSample: QueryDef = QueryDef(
     "q209_pps_sample",
-    (s, dir) => {
-      val w = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast(LongType).as("nt"))
-      val tot = broadcast(d.agg(sum(col("nt")).as("tw")))
-      d.crossJoin(tot)
-        .withColumn("cum", coalesce(sum(col("nt")).over(w), lit(0L)))
-        .withColumn("stride",
-          expr(s"greatest(tw div $SampleK, CAST(1 AS BIGINT))"))
-        .withColumn("hits",
-          expr("(cum + nt) div stride - cum div stride"))
-        .filter(col("hits") > 0)
-        .select(col("doc_id"), col("lang"), col("nt"), col("hits"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => pps(tokenized(s, dir), SampleK),
     Some(s"""WITH d AS (
             |  SELECT doc_id, lang,
             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
@@ -70,7 +156,8 @@ object Sampling {
             |      0) AS cum
             |  FROM d)
             |SELECT doc_id, lang, nt,
-            |  (cum + nt) // stride - cum // stride AS hits
+            |  CAST((cum + nt) // stride - cum // stride AS BIGINT)
+            |    AS hits
             |FROM c CROSS JOIN t
             |WHERE (cum + nt) // stride - cum // stride > 0
             |ORDER BY doc_id""".stripMargin))

@@ -63,9 +63,20 @@ class GraphSpec extends AnyFunSuite {
 
   test("the convergence arm stops on an exact revisited state " +
       "(f(f(r)) = r) and holds the same floor/mass bounds") {
-    val (r, rounds) = operators.Graph.ranksToConvergence(
-      operators.Graph.edges(spark, dir))
+    val ewDf = operators.Graph.edges(spark, dir)
+    ewDf.count() // materialize the edge cache before the baseline
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    val (r, rounds) = operators.Graph.ranksToConvergence(ewDf)
     assert(rounds < 200, s"no revisited state in $rounds rounds")
+    // storage hygiene: ~rounds localCheckpoints ran, but only the
+    // RETURNED vector's block may remain — superseded rounds, the
+    // final prev, and the per-call nodes cache are all released
+    // (blocking=false: poll briefly for the async drops)
+    val deadline = System.nanoTime() + 10000000000L
+    def leaked = spark.sparkContext.getPersistentRDDs.size - rddsBefore
+    while (leaked > 1 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked <= 1,
+      s"convergence arm left $leaked cached RDDs beyond the result")
     val got = r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     val n = got.size.toLong
     info(s"converged in $rounds rounds over $n nodes")

@@ -93,4 +93,78 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(recovered.toDouble / planted.size >= 0.95,
       s"planted-twin recall ${recovered.toDouble / planted.size}")
   }
+
+  test("NN-descent recovers most of the exact graph the probed " +
+      "start misses (the Dong et al. refinement claim, measured)") {
+    // q210b's honest recall on this fixture's near-uniform tail is
+    // ~0.52 (probing 2/16 lists); the descent rounds must lift
+    // mutual-graph recall substantially without any N² stage
+    // (measured 0.92 at SearchK=12 × 3 rounds). The exact graph is
+    // the q210 catalog entry.
+    val exact = collectEdges("q210_knn_graph")
+      .map(e => (e._1, e._2)).toSet
+    val probed = collectEdges("q210b_knn_graph_probed")
+      .map(e => (e._1, e._2)).toSet
+    val refined = collectEdges("q213_nn_descent")
+      .map(e => (e._1, e._2)).toSet
+    val rProbed = probed.count(exact.contains).toDouble / exact.size
+    val rRefined = refined.count(exact.contains).toDouble / exact.size
+    info(f"mutual-graph recall: probed $rProbed%.2f -> " +
+      f"nn-descent $rRefined%.2f (${exact.size} exact edges)")
+    assert(rRefined >= 0.85,
+      f"nn-descent recall $rRefined%.2f below the refinement claim")
+    assert(rRefined >= rProbed + 0.25,
+      f"nn-descent ($rRefined%.2f) barely improves on the probed " +
+        f"start ($rProbed%.2f)")
+  }
+
+  test("centroid-ranking near-ties are provably absent on every " +
+      "fixture scale (the cross-engine float-comparison guard)") {
+    // The q210b/q188b oracles pin candidate membership by re-ranking
+    // IVF centroid assignment with RAW-FLOAT cosine independently in
+    // each engine (DuckDB list_cosine_similarity vs Spark
+    // centroidTopK). A near-tie in a vector's centroid ranking could
+    // order differently across engines/builds — the r15 q188 defect
+    // class, which the µcos quantization only fences DOWNSTREAM of
+    // candidate generation. This asserts the separation margin at the
+    // two rank boundaries the oracles read — rank 1|2 (q188b's
+    // crnk = 1 arms) and rank NProbe|NProbe+1 (probe membership) —
+    // exceeds 1e-9 for EVERY corpus vector: double-precision
+    // summation-order deltas for 64-dim dots are ~1e-14, so a 1e-9
+    // margin makes identical ranking across engines a theorem, not
+    // an observation.
+    val cents = graft.Fixtures.ivfCentroids(spark)
+      .select(col("cid").cast("long").as("cid"),
+        col("cv").cast("array<double>").as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val boundaries = Seq(1, operators.KnnGraph.NProbe)
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val vecs = operators.Similarity.normed(spark, s"/root/testdata/$sf")
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      var minMargin = Double.MaxValue
+      vecs.foreach { case (_, v) =>
+        val ranked = cents.map(c => cos(v, c._2)).sorted(
+          Ordering[Double].reverse)
+        boundaries.foreach { b =>
+          val m = ranked(b - 1) - ranked(b)
+          if (m < minMargin) minMargin = m
+        }
+      }
+      assert(minMargin > 1e-9,
+        s"$sf: centroid-rank separation margin $minMargin is inside " +
+          "float-noise territory — the raw-float oracle ranking is " +
+          "no longer engine-stable")
+      info(s"$sf min rank-boundary margin: $minMargin")
+    }
+  }
 }

@@ -605,6 +605,22 @@ class PipelineSpec extends AnyFunSuite {
     // non-interactive: System.console() is null pre-22, and on 22+
     // isTerminal is false with redirected stdin — both mean false
     assert(!Main.consoleIsTty)
+    // pin the lookup SITE: the method must be resolved on the public
+    // java.io.Console class, never on the runtime class — on JDK 22+
+    // System.console() returns the package-private ProxyingConsole,
+    // where getClass.getMethod resolves to an inaccessible declaring
+    // class and invoke throws IllegalAccessException (a
+    // ReflectiveOperationException, NOT NoSuchMethodException — the
+    // catch must span the wider type). On 17 the public lookup throws
+    // NoSuchMethodException, which the probe maps to the pre-22
+    // non-null-means-TTY fallback.
+    val lookup = scala.util.Try(
+      classOf[java.io.Console].getMethod("isTerminal"))
+    if (lookup.isSuccess) // JDK 22+: public and invocable
+      assert(java.lang.reflect.Modifier.isPublic(
+        lookup.get.getDeclaringClass.getModifiers))
+    else // JDK <= 21: must be the exception class the probe catches
+      assert(lookup.failed.get.isInstanceOf[ReflectiveOperationException])
   }
 
   test("orphan cleanup: anti-join with MATCH SIMPLE null guard") {

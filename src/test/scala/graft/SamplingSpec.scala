@@ -51,4 +51,86 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(sel.toSeq == ref.toSeq)
   }
+
+  // ---- two-pass sharded arm (the production prefix sum) ----
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.types.LongType
+
+  /** Deterministic synthetic corpus: dense doc_ids, hash-varied token
+    * counts (1..200, heavy tail via the square).
+    */
+  private def synthCorpus(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash(("pps", i))
+      val u = math.floorMod(h, 1000) / 1000.0
+      (i.toLong, s"l${i % 3}", 1L + (u * u * 199).toLong)
+    }.toDF("doc_id", "lang", "nt")
+      .select(col("doc_id"), col("lang"), col("nt").cast(LongType)
+        .as("nt"))
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("hits"))).toSeq
+
+  test("sharded two-pass arm equals the global-window arm " +
+      "(incl. an odd misaligned shard width)") {
+    val d = synthCorpus(3000)
+    val g = rows(operators.Sampling.ppsGlobal(d, 40L))
+    assert(g.nonEmpty)
+    assert(rows(operators.Sampling.ppsSharded(d, 40L)) == g)
+    assert(rows(operators.Sampling.ppsSharded(d, 40L, 7L)) == g)
+    assert(rows(operators.Sampling.ppsSharded(d, 40L, 3000L)) == g)
+  }
+
+  test("dispatcher picks the sharded arm past one shard width and " +
+      "matches the global arm") {
+    val small = synthCorpus(200) // <= ShardWidth -> global
+    val big = synthCorpus(900)   // > ShardWidth -> sharded
+    assert(rows(operators.Sampling.pps(small, 11L)) ==
+      rows(operators.Sampling.ppsGlobal(small, 11L)))
+    assert(rows(operators.Sampling.pps(big, 11L)) ==
+      rows(operators.Sampling.ppsGlobal(big, 11L)))
+  }
+
+  test("per-task row volume: global window funnels the corpus " +
+      "through ONE task; the sharded arm stays bounded by shard load") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    val sh0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val n = 8192
+      val w = operators.Sampling.ShardWidth // 256 -> 32 shards
+      val d = synthCorpus(n).cache()
+      d.count()
+      clock.quiesce(); clock.reset()
+      operators.Sampling.ppsGlobal(d, 40L).count()
+      clock.quiesce()
+      val globalMax = clock.maxTaskShuffleRead
+      clock.reset()
+      operators.Sampling.ppsSharded(d, 40L).count()
+      clock.quiesce()
+      val shardedMax = clock.maxTaskShuffleRead
+      d.unpersist()
+      // the single-partition window reads every corpus row in one task
+      assert(globalMax >= n,
+        s"global arm expected a >=$n-row task, saw $globalMax")
+      // 32 shards hash onto 32 reducers: a task reads the shards that
+      // land on it (expected 1, slack for collisions) — never ~N
+      val bound = 6 * w + n / w + 200
+      assert(shardedMax <= bound,
+        s"sharded arm: a task read $shardedMax shuffle rows " +
+          s"(bound $bound) — the prefix sum is concentrating")
+      info(s"globalMax=$globalMax shardedMax=$shardedMax bound=$bound")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.shuffle.partitions", sh0)
+      spark.sparkContext.removeSparkListener(clock)
+    }
+  }
 }

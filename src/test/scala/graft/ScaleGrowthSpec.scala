@@ -1054,4 +1054,71 @@ class ScaleGrowthSpec extends AnyFunSuite {
           s"(exp $exp): $report")
     } finally spark.sparkContext.removeSparkListener(clock)
   }
+
+  // ---- round-17: q213 NN-descent candidate volume ----
+  //
+  // Each descent round proposes Σ_hub deg(hub)² pairs with deg ≤ 2k —
+  // O(N·k²) rows, keyed on the hub then on sx. The refinement must
+  // not reintroduce the N² the probed start avoided: the end-to-end
+  // shuffle exponent of probed-start + 2 descent rounds + mutualize
+  // stays ~1 under the same k ∝ N centroid contract as q210b.
+  test("q213 NN-descent at k = N/32 centroids: shuffle exponent ~1 " +
+      "(descent rounds stay O(N·k²))") {
+    import spark.implicits._
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    graft.functions.VectorOps.register(spark)
+    try {
+      val dim = graft.tools.GenFixtures.Dim
+      val scales = Seq(1024, 4096)
+      val measured = scales.map { n =>
+        val k = n / 32
+        val packed = new Array[Double](k * (dim + 1))
+        (0 until k).foreach { j =>
+          val cv = Array.tabulate(dim)(d =>
+            MurmurHash3.productHash(("knncent", j.toLong, d)) /
+              Int.MaxValue.toDouble)
+          var acc = 0.0
+          cv.foreach(x => acc += x * x)
+          packed(j * (dim + 1)) = math.sqrt(acc)
+          cv.indices.foreach(d => packed(j * (dim + 1) + 1 + d) = cv(d))
+        }
+        // checkpoint the corpus: a LocalRelation this wide gets
+        // row-copied by ConvertToLocalRelation every time the growing
+        // round plans re-optimize — at N=8192 that OOMed the test JVM
+        val e = operators.Bitext.qrel(
+          (0L until n.toLong).map { id =>
+            (id, Seq.tabulate(dim)(clusterMember(id, _)))
+          }.toDF("vec_id", "v")
+            .withColumn("nrm",
+              graft.functions.VectorOps.l2norm(col("v"))))
+          .localCheckpoint()
+        clock.quiesce(); clock.reset()
+        val edges = operators.KnnGraph.mutualize(
+          operators.KnnGraph.nnDescent(spark, e, packed = packed.toSeq))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        clock.quiesce()
+        val sh = clock.shuffleRecords
+        Caches.releaseLocalCheckpoint(e)
+        Caches.clear(spark)
+        val inCluster = edges.count { case (a, b) => a / 32 == b / 32 }
+        (n, sh, edges.length, inCluster)
+      }
+      val report = measured.map { case (n, sh, f, ic) =>
+        f"N=$n shuffle=$sh edges=$f inCluster=$ic"
+      }.mkString("; ")
+      info(report)
+      measured.foreach { case (n, _, f, ic) =>
+        assert(f > n / 2, s"degenerate graph at N=$n ($report)")
+        assert(ic.toDouble / f >= 0.95,
+          s"descent edges leak across clusters at N=$n ($report)")
+      }
+      val exp = math.log(measured(1)._2.toDouble / measured(0)._2) /
+        math.log(4.0)
+      info(f"nn-descent shuffle exponent (1024->4096): $exp%.2f")
+      assert(exp < 1.3,
+        s"NN-descent candidate volume superlinear under k ∝ N " +
+          s"(exp $exp): $report")
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
 }
