@@ -522,4 +522,33 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       operators.Graph.PropRounds,
       "propagation rounds are not reading the persisted adjacency")
   }
+
+  test("q209: the only unpartitioned window runs over the SHARD SUMS " +
+      "(N/W rows), never the corpus — the two-pass prefix sum in the " +
+      "physical plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // sf0.001's 500 docs exceed ShardWidth=256, so the dispatcher
+    // hands out the sharded arm here
+    val p = SparkEntry.queries("q209_pps_sample")(spark, dir)
+      .queryExecution.executedPlan
+    val wins = collectWithSubqueries(p) { case w: WindowExec => w }
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.size == 1,
+      s"expected exactly one unpartitioned window, got ${global.size}")
+    val aggBelow = global.head.collect { case a: BaseAggregateExec => a }
+    assert(aggBelow.nonEmpty,
+      "the unpartitioned window consumes the raw corpus — the serial " +
+        "prefix sum is back")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "missing the shard-local (partitioned) window")
+  }
+
+  test("q213: NN-descent candidate generation stays equi-joins — no " +
+      "corpus-sized nested loop, no cartesian") {
+    val p = plan("q213_nn_descent")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q213 grew a nested-loop join: ${p.take(600)}")
+  }
 }
