@@ -381,6 +381,213 @@ object KnnGraph {
             |FROM embeddings em LEFT JOIN lab ON em.vec_id = lab.v
             |ORDER BY vec_id""".stripMargin))
 
+  /** Outlier cutoff: flagged when 10·knn_u < 9·mean(knn_u) — i.e.
+    * the node's mean top-k cosine sits below 0.9 of the corpus mean.
+    * Measured on the sf0.01 fixture: flags 53/500 (~10%); 0.8 would
+    * flag 3. Exact integers on both sides, no percentile/global rank.
+    */
+  val OutlierNum = 9
+  val OutlierDen = 10
+
+  /** q215: kNN-distance outlier scores (Ramaswamy, Rastogi & Shim
+    * SIGMOD'00 — "distance to the k-th/mean-of-k nearest neighbors"
+    * as the outlier measure; the embedding-space curation filter that
+    * drops OOD/noise vectors before training, and the
+    * prototypicality signal the D4 pipeline family ranks by). Score:
+    * `knn_u = (Σ top-k µcos) div k` per vector — already computed by
+    * the kNN substrate — flagged against a mean-relative integer
+    * cutoff ([[OutlierNum]]/[[OutlierDen]]) rather than a global
+    * rank: the flag is one broadcast scalar + a map-side comparison,
+    * so NOTHING here funnels the corpus through a single task (the
+    * q209 lesson — a percentile spelling would be a global sort).
+    */
+  val q215KnnOutliers: QueryDef = QueryDef(
+    "q215_knn_outliers",
+    (s, dir) => {
+      val e = Bitext.qrel(Similarity.normed(s, dir))
+      val sc = directedTopK(exactScores(e), GraphK)
+        .groupBy(col("sx").as("vec_id"))
+        .agg(sum(col("ucos")).as("su"))
+        .select(col("vec_id"), expr(s"su div $GraphK").as("knn_u"))
+      val mu = broadcast(sc.agg(
+        expr("sum(knn_u) div count(1)").as("mu")))
+      sc.crossJoin(mu)
+        .select(col("vec_id"), col("knn_u"),
+          expr(s"CAST($OutlierDen * knn_u < $OutlierNum * mu AS INT)")
+            .as("is_outlier"))
+        .orderBy("vec_id")
+    },
+    Some(s"""${Bitext.oracleQuantCte},
+            |p AS (
+            |  ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
+               "n x JOIN n y ON x.vec_id <> y.vec_id")}),
+            |knn AS (
+            |  SELECT sx, ty, ucos FROM (
+            |    SELECT sx, ty, ucos, ROW_NUMBER() OVER (
+            |      PARTITION BY sx ORDER BY ucos DESC, ty) AS r
+            |    FROM p) t WHERE r <= $GraphK),
+            |sc AS (
+            |  SELECT sx AS vec_id,
+            |    CAST(SUM(ucos) // $GraphK AS BIGINT) AS knn_u
+            |  FROM knn GROUP BY sx),
+            |m AS (SELECT SUM(knn_u) // COUNT(*) AS mu FROM sc)
+            |SELECT vec_id, knn_u,
+            |  CAST($OutlierDen * knn_u < $OutlierNum * mu AS INT)
+            |    AS is_outlier
+            |FROM sc CROSS JOIN m
+            |ORDER BY vec_id""".stripMargin))
+
+  /** Beam width and hop count for the graph-ANN serving walk. */
+  val BeamWidth = 8
+  val BeamHops = 4
+
+  /** Entry-point stride: corpus nodes with
+    * `(vec_id - BeamQueryVecs) % EntryStride = 0` seed every query's
+    * beam. A SINGLE fixed entry measured 0.22 recall@3 on the
+    * near-uniform fixture — a greedy walk over an unstructured kNN
+    * graph stalls in local optima (the reason HNSW grows a hierarchy
+    * and DiskANN/Vamana use medoid+spread entries); ~N/64 spread
+    * entries restore the multi-restart guarantee deterministically.
+    */
+  val EntryStride = 32
+
+  /** Query pool: the ANN-family convention (vec_id below this are
+    * queries, the rest the indexed corpus — q26/q45/q174's split).
+    */
+  val BeamQueryVecs = 20
+
+  /** q216: graph-based ANN serving — greedy beam search over the
+    * corpus kNN graph (the HNSW layer-0 walk, Malkov & Yashunin
+    * TPAMI'18; NSG/Vamana are the same loop with different build
+    * rules), completing the ANN index family: the catalog serves
+    * IVF (q45), PQ (q64/q72), LSH (q27) and brute force (q26); graph
+    * search is the remaining — and at serving time usually winning —
+    * geometry. Deterministic spelling: the offline graph is the q210
+    * directed top-k over the corpus pool; every query's beam seeds
+    * from the fixed [[EntryStride]]-spread entry set (~N/64 nodes, a
+    * broadcast — the deterministic multi-restart that keeps a greedy
+    * walk out of local optima) and runs
+    * [[BeamHops]] fixed hops; each hop expands the beam's undirected
+    * neighbors (one keyed join to the persisted adjacency), re-ranks
+    * old ∪ new by exact integer µcos to the query, keeps
+    * [[BeamWidth]] (ties by node id), and the final beam yields
+    * top-[[GraphK]]. Fixed hops instead of the usual
+    * stop-when-no-improvement so both engines unroll identically.
+    * Per-hop cost: O(Q · BeamWidth · GraphK) candidate rows — keyed
+    * joins only, independent of corpus size once the graph is built
+    * (the reason serving stacks pick graphs at 10⁹ vectors).
+    */
+  /** The full beam pipeline over a quantized relation `e` (columns
+    * vec_id/qv/qn; ids below [[BeamQueryVecs]] are queries, the rest
+    * the corpus): offline graph build + entry seeding + [[BeamHops]]
+    * hops + final top-[[GraphK]]. Shared by the q216 catalog entry
+    * and the clustered-corpus recall spec.
+    */
+  private[graft] def beamSearch(e: DataFrame): DataFrame = {
+    val corpus = graft.Caches.persist(
+      e.filter(col("vec_id") >= BeamQueryVecs)
+        .select(col("vec_id"), col("qv"), col("qn")))
+    val queries = broadcast(e.filter(col("vec_id") < BeamQueryVecs)
+      .select(col("vec_id").as("qid"), col("qv").as("xq"),
+        col("qn").as("xn")))
+    val knn = directedTopK(exactScores(corpus), GraphK)
+    val und = graft.Caches.persist(
+      knn.select(col("sx").as("u"), col("ty").as("v"))
+        .unionByName(knn.select(col("ty").as("u"),
+          col("sx").as("v")))
+        .dropDuplicates("u", "v"))
+    def scoreQ(cand: DataFrame): DataFrame =
+      cand.join(queries, "qid")
+        .join(corpus.select(col("vec_id").as("node"),
+          col("qv").as("yq"), col("qn").as("yn")), "node")
+        .select(col("qid"), col("node"), Bitext.ucosCol.as("ucos"))
+    def topB(scored: DataFrame, b: Int): DataFrame =
+      scored.withColumn("r", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("ucos").desc, col("node"))))
+        .filter(col("r") <= b)
+        .select(col("qid"), col("node"), col("ucos"))
+    val entries = broadcast(corpus
+      .filter(expr(s"(vec_id - $BeamQueryVecs) % $EntryStride = 0"))
+      .select(col("vec_id").as("node")))
+    var beam = topB(
+      scoreQ(queries.select(col("qid")).crossJoin(entries)), BeamWidth)
+      .localCheckpoint()
+    for (_ <- 1 to BeamHops) {
+      val expanded = beam.select(col("qid"), col("node").as("u"))
+        .join(und, "u")
+        .select(col("qid"), col("v").as("node"))
+        .dropDuplicates("qid", "node")
+      val next = topB(scoreQ(expanded).unionByName(beam)
+        .dropDuplicates("qid", "node"), BeamWidth)
+        .localCheckpoint()
+      graft.Caches.releaseLocalCheckpoint(beam)
+      beam = next
+    }
+    beam
+      .withColumn("rnk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("ucos").desc, col("node"))))
+      .filter(col("rnk") <= GraphK)
+      .select(col("qid"), col("rnk"), col("node").as("neighbor"),
+        col("ucos"))
+      .orderBy("qid", "rnk")
+  }
+
+  val q216GraphAnnBeam: QueryDef = QueryDef(
+    "q216_graph_ann_beam",
+    (s, dir) => beamSearch(Bitext.qrel(Similarity.normed(s, dir))),
+    Some {
+      val hops = (1 to BeamHops).map { i =>
+        s"""ex$i AS (
+           |  SELECT DISTINCT b.qid, und.v AS node
+           |  FROM b${i - 1} b JOIN und ON b.node = und.u),
+           |sc$i AS (
+           |  SELECT sx AS qid, ty AS node, ucos FROM (
+           |    ${Bitext.oracleUcosSelect("e.qid", "e.node",
+              s"ex$i e JOIN n x ON x.vec_id = e.qid " +
+                "JOIN n y ON y.vec_id = e.node")}) t),
+           |b$i AS (
+           |  SELECT qid, node, ucos FROM (
+           |    SELECT qid, node, ucos, ROW_NUMBER() OVER (
+           |      PARTITION BY qid ORDER BY ucos DESC, node) AS r
+           |    FROM (SELECT qid, node, ucos FROM sc$i
+           |          UNION SELECT qid, node, ucos FROM b${i - 1}) q
+           |  ) t WHERE r <= $BeamWidth)""".stripMargin
+      }.mkString(",\n")
+      s"""${Bitext.oracleQuantCte},
+         |p AS (
+         |  ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
+            s"n x JOIN n y ON x.vec_id >= $BeamQueryVecs " +
+              s"AND y.vec_id >= $BeamQueryVecs " +
+              "AND x.vec_id <> y.vec_id")}),
+         |cg AS (
+         |  SELECT sx, ty, ucos FROM (
+         |    SELECT sx, ty, ucos, ROW_NUMBER() OVER (
+         |      PARTITION BY sx ORDER BY ucos DESC, ty) AS r
+         |    FROM p) t WHERE r <= $GraphK),
+         |und AS (SELECT sx AS u, ty AS v FROM cg
+         |        UNION SELECT ty, sx FROM cg),
+         |s0 AS (
+         |  SELECT sx AS qid, ty AS node, ucos FROM (
+         |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
+            s"n x JOIN n y ON y.vec_id >= $BeamQueryVecs " +
+              s"AND (y.vec_id - $BeamQueryVecs) % $EntryStride = 0 " +
+              s"WHERE x.vec_id < $BeamQueryVecs")}) t),
+         |b0 AS (
+         |  SELECT qid, node, ucos FROM (
+         |    SELECT qid, node, ucos, ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY ucos DESC, node) AS r
+         |    FROM s0) t WHERE r <= $BeamWidth),
+         |$hops
+         |SELECT qid, rnk, node AS neighbor, ucos FROM (
+         |  SELECT qid, node, ucos, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY ucos DESC, node) AS rnk
+         |  FROM b$BeamHops) t
+         |WHERE rnk <= $GraphK
+         |ORDER BY qid, rnk""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q210KnnGraph, q210bKnnGraphProbed,
-    q213NnDescent, q214SemanticClusters)
+    q213NnDescent, q214SemanticClusters, q215KnnOutliers,
+    q216GraphAnnBeam)
 }

@@ -118,6 +118,175 @@ class KnnGraphSpec extends AnyFunSuite {
         f"start ($rProbed%.2f)")
   }
 
+  test("q215 outlier scores equal the serial kNN-distance fold; the " +
+      "cutoff flags the corpus's sparse tail") {
+    def ucos(x: (Long, Array[Double], Double),
+        y: (Long, Array[Double], Double)): Long = {
+      var d = 0.0; var i = 0
+      while (i < x._2.length) { d += x._2(i) * y._2(i); i += 1 }
+      math.floor(d / (x._3 * y._3) * 1000000.0 + 0.5).toLong
+    }
+    val k = operators.KnnGraph.GraphK
+    val refScore = qrows.map { x =>
+      val top = qrows.filter(_._1 != x._1).map(y => (ucos(x, y), y._1))
+        .sortBy { case (u, id) => (-u, id) }.take(k)
+      x._1 -> top.map(_._1).sum / k
+    }.toMap
+    val mu = refScore.values.sum / refScore.size
+    val refFlag = refScore.map { case (id, u) =>
+      id -> (if (operators.KnnGraph.OutlierDen * u <
+        operators.KnnGraph.OutlierNum * mu) 1 else 0)
+    }
+    val got = SparkEntry.queries("q215_knn_outliers")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("knn_u"), r.getAs[Int]("is_outlier")))
+    assert(got.map(x => x._1 -> x._2).toMap == refScore)
+    assert(got.map(x => x._1 -> x._3).toMap == refFlag)
+    val flagged = got.count(_._3 == 1)
+    info(s"flagged $flagged/${got.length} as outliers")
+    assert(flagged > 0 && flagged < got.length / 4,
+      s"cutoff degenerate: $flagged flagged")
+  }
+
+  test("q215 flags a planted OOD vector against a clustered corpus") {
+    // What the operator detects: on a corpus WITH local structure
+    // (normal points sit in tight clusters, knn_u near 10⁶), a vector
+    // with no neighborhood scores at the random-cosine level and
+    // falls under the mean-relative cutoff. (On the near-uniform
+    // catalog fixture the corpus mean itself IS the random level —
+    // the organic-rate test above covers that regime.)
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    val dim = graft.tools.GenFixtures.Dim
+    def member(id: Long, d: Int): Double = {
+      val j = id / 32
+      val c = MurmurHash3.productHash(("outcent", j, d)) /
+        Int.MaxValue.toDouble
+      val noise = MurmurHash3.productHash(("outnoise", id, d)) /
+        Int.MaxValue.toDouble
+      c + 0.15 * noise
+    }
+    val base = (0L until 512L).map(id =>
+      (id, Seq.tabulate(dim)(member(id, _))))
+    // the planted vector: pure hash noise, member of no cluster
+    val planted = (999999L, Seq.tabulate(dim)(d =>
+      MurmurHash3.productHash(("lone", d)) / Int.MaxValue.toDouble))
+    val df = spark.createDataset(base :+ planted).toDF("vec_id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+      .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+    val e = operators.Bitext.qrel(df)
+    val sc = operators.KnnGraph.directedTopK(
+      operators.KnnGraph.exactScores(e), operators.KnnGraph.GraphK)
+      .groupBy(col("sx").as("vec_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("ucos")).as("su"))
+      .select(col("vec_id"),
+        expr(s"su div ${operators.KnnGraph.GraphK}").as("knn_u"))
+    val mu = sc.agg(expr("sum(knn_u) div count(1)")).head.getLong(0)
+    val pl = sc.filter(col("vec_id") === 999999L).head.getLong(1)
+    info(s"clustered-corpus mean knn_u=$mu, planted OOD knn_u=$pl")
+    assert(operators.KnnGraph.OutlierDen * pl <
+      operators.KnnGraph.OutlierNum * mu,
+      s"planted OOD vector not flagged (knn_u=$pl mean=$mu)")
+  }
+
+  test("q216 beam search on the near-uniform fixture: recall pinned " +
+      "at its measured floor (the regime a kNN graph cannot navigate)") {
+    // Hash-random 64-dim vectors have NO local structure: a node's
+    // neighbors are mutually near-orthogonal, so the graph is
+    // effectively random and greedy ascent explores ~B·k nodes per
+    // hop with no gradient toward the query — the regime every
+    // graph-ANN paper excludes and HNSW's hierarchy exists to
+    // mitigate. Measured 0.32 at stride-32 entries × 4 hops × beam 8;
+    // pinned as a floor so the walk cannot silently regress. The
+    // clustered-corpus test below is the operating regime.
+    def ucos(x: (Long, Array[Double], Double),
+        y: (Long, Array[Double], Double)): Long = {
+      var d = 0.0; var i = 0
+      while (i < x._2.length) { d += x._2(i) * y._2(i); i += 1 }
+      math.floor(d / (x._3 * y._3) * 1000000.0 + 0.5).toLong
+    }
+    val q = operators.KnnGraph.BeamQueryVecs
+    val k = operators.KnnGraph.GraphK
+    val queries = qrows.filter(_._1 < q)
+    val corpus = qrows.filter(_._1 >= q)
+    val exact = queries.map { x =>
+      x._1 -> corpus.map(y => (ucos(x, y), y._1))
+        .sortBy { case (u, id) => (-u, id) }.take(k).map(_._2).toSet
+    }.toMap
+    val got = SparkEntry.queries("q216_graph_ann_beam")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor")))
+      .groupBy(_._1).map { case (qid, xs) => qid -> xs.map(_._2).toSet }
+    val hits = exact.map { case (qid, ex) =>
+      got.getOrElse(qid, Set.empty).count(ex.contains)
+    }.sum
+    val recall = hits.toDouble / (exact.size * k)
+    info(f"uniform-fixture beam recall@$k: $recall%.2f " +
+      f"over ${exact.size} queries")
+    assert(recall >= 0.25,
+      f"beam recall $recall%.2f fell below the measured uniform floor")
+  }
+
+  test("q216 beam search navigates a CLUSTERED corpus (the graph-ANN " +
+      "operating regime): near-perfect recall for in-cluster queries") {
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    graft.functions.VectorOps.register(spark)
+    val dim = graft.tools.GenFixtures.Dim
+    def member(id: Long, d: Int): Double = {
+      val j = id / 32
+      val c = MurmurHash3.productHash(("beamcent", j, d)) /
+        Int.MaxValue.toDouble
+      val noise = MurmurHash3.productHash(("beamnoise", id, d)) /
+        Int.MaxValue.toDouble
+      c + 0.15 * noise
+    }
+    val qn = operators.KnnGraph.BeamQueryVecs
+    // corpus ids start at BeamQueryVecs (the dispatch convention);
+    // queries are fresh perturbations of cluster members, one per
+    // cluster for the first qn clusters
+    val corpus = (0L until 512L).map(id =>
+      (id + qn, Seq.tabulate(dim)(member(id, _))))
+    val queries = (0L until qn.toLong).map { j =>
+      val base = corpus(((j % 16) * 32).toInt)._2
+      (j, base.zipWithIndex.map { case (x, d) =>
+        x + 0.1 * (MurmurHash3.productHash(("qnoise", j, d)) /
+          Int.MaxValue.toDouble)
+      })
+    }
+    val df = spark.createDataset(queries ++ corpus).toDF("vec_id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+      .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
+    val e = operators.Bitext.qrel(df).localCheckpoint()
+    // run the same beam pipeline the catalog entry builds, against
+    // this corpus (helper arm shared with the QueryDef)
+    val got = operators.KnnGraph.beamSearch(e)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor")))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    // serial exact reference
+    def ucos(x: Seq[Double], y: Seq[Double]): Long = {
+      val qx = x.map(v => math.floor(v * 1e6 + 0.5))
+      val qy = y.map(v => math.floor(v * 1e6 + 0.5))
+      val d = qx.zip(qy).map { case (a, b) => a * b }.sum
+      val nx = math.sqrt(qx.map(a => a * a).sum)
+      val ny = math.sqrt(qy.map(a => a * a).sum)
+      math.floor(d / (nx * ny) * 1e6 + 0.5).toLong
+    }
+    val k = operators.KnnGraph.GraphK
+    val exact = queries.map { case (qid, qv) =>
+      qid -> corpus.map { case (cid, cv) => (ucos(qv, cv), cid) }
+        .sortBy { case (u, id) => (-u, id) }.take(k).map(_._2).toSet
+    }.toMap
+    val hits = exact.map { case (qid, ex) =>
+      got.getOrElse(qid, Set.empty).count(ex.contains) }.sum
+    val recall = hits.toDouble / (exact.size * k)
+    Caches.releaseLocalCheckpoint(e)
+    info(f"clustered-corpus beam recall@$k: $recall%.2f")
+    assert(recall >= 0.9,
+      f"beam recall $recall%.2f on clustered data — the walk is " +
+        "not navigating cluster structure")
+  }
+
   test("centroid-ranking near-ties are provably absent on every " +
       "fixture scale (the cross-engine float-comparison guard)") {
     // The q210b/q188b oracles pin candidate membership by re-ranking
