@@ -482,15 +482,23 @@ object KnnGraph {
     * the corpus): offline graph build + entry seeding + [[BeamHops]]
     * hops + final top-[[GraphK]]. Shared by the q216 catalog entry
     * and the clustered-corpus recall spec.
+    *
+    * `graph` injects a pre-built directed kNN relation
+    * `(sx, ty, ucos)` over the corpus pool — the PRODUCTION
+    * composition: build the graph once with [[nnDescent]] (O(N·k²),
+    * no N² stage) and serve every query batch through it; null builds
+    * the exact graph in place (the small-corpus arm the oracle pins).
     */
-  private[graft] def beamSearch(e: DataFrame): DataFrame = {
+  private[graft] def beamSearch(e: DataFrame,
+      graph: DataFrame = null): DataFrame = {
     val corpus = graft.Caches.persist(
       e.filter(col("vec_id") >= BeamQueryVecs)
         .select(col("vec_id"), col("qv"), col("qn")))
     val queries = broadcast(e.filter(col("vec_id") < BeamQueryVecs)
       .select(col("vec_id").as("qid"), col("qv").as("xq"),
         col("qn").as("xn")))
-    val knn = directedTopK(exactScores(corpus), GraphK)
+    val knn = Option(graph)
+      .getOrElse(directedTopK(exactScores(corpus), GraphK))
     val und = graft.Caches.persist(
       knn.select(col("sx").as("u"), col("ty").as("v"))
         .unionByName(knn.select(col("ty").as("u"),

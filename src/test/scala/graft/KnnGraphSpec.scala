@@ -280,11 +280,41 @@ class KnnGraphSpec extends AnyFunSuite {
     val hits = exact.map { case (qid, ex) =>
       got.getOrElse(qid, Set.empty).count(ex.contains) }.sum
     val recall = hits.toDouble / (exact.size * k)
-    Caches.releaseLocalCheckpoint(e)
     info(f"clustered-corpus beam recall@$k: $recall%.2f")
     assert(recall >= 0.9,
       f"beam recall $recall%.2f on clustered data — the walk is " +
         "not navigating cluster structure")
+    // the PRODUCTION composition: serve through the q213 NN-descent
+    // graph (no N² anywhere — O(N·k²) build, O(Q·B·k) serve) and
+    // hold the same recall bar. The descent graph needs a centroid
+    // table matching this corpus's k ∝ N contract: 16 cluster
+    // centers as the packed table.
+    val packed = new Array[Double](16 * (dim + 1))
+    (0 until 16).foreach { j =>
+      val cv = Array.tabulate(dim)(d =>
+        MurmurHash3.productHash(("beamcent", j.toLong, d)) /
+          Int.MaxValue.toDouble)
+      var acc = 0.0
+      cv.foreach(x => acc += x * x)
+      packed(j * (dim + 1)) = math.sqrt(acc)
+      cv.indices.foreach(d => packed(j * (dim + 1) + 1 + d) = cv(d))
+    }
+    val eCorpus = e.filter(col("vec_id") >=
+      operators.KnnGraph.BeamQueryVecs)
+    val descentGraph = operators.KnnGraph.nnDescent(spark, eCorpus,
+      packed = packed.toSeq)
+    val got2 = operators.KnnGraph.beamSearch(e, descentGraph)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor")))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val hits2 = exact.map { case (qid, ex) =>
+      got2.getOrElse(qid, Set.empty).count(ex.contains) }.sum
+    val recall2 = hits2.toDouble / (exact.size * k)
+    Caches.releaseLocalCheckpoint(e)
+    info(f"clustered-corpus beam recall@$k over the NN-DESCENT " +
+      f"graph: $recall2%.2f")
+    assert(recall2 >= 0.9,
+      f"production build∘serve recall $recall2%.2f — the descent " +
+        "graph degrades the walk")
   }
 
   test("centroid-ranking near-ties are provably absent on every " +
