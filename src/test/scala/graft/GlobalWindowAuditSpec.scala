@@ -75,18 +75,27 @@ class GlobalWindowAuditSpec extends AnyFunSuite
   }
 
   test("no catalog query funnels an unbounded relation through an " +
-      "unpartitioned window") {
+      "unpartitioned window; none plans a cartesian product") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     val offenders = SparkEntry.defs.flatMap { d =>
-      try offendersOf(d.name,
-        d.build(spark, dir).queryExecution.executedPlan)
-      catch {
+      try {
+        val plan = d.build(spark, dir).queryExecution.executedPlan
+        // a CartesianProductExec is the non-broadcast all-pairs join —
+        // corpus² shuffle rows at any scale; the small-corpus arms all
+        // go through BroadcastNestedLoopJoin, which stays bounded by
+        // the broadcast side (PlanShapeSpec pins those per query)
+        val carts = collectWithSubqueries(plan) {
+          case c: CartesianProductExec => c
+        }.map(_ => s"${d.name} (CartesianProduct)")
+        offendersOf(d.name, plan) ++ carts
+      } catch {
         case e: Throwable =>
           Seq(s"${d.name} [plan error: " +
             s"${Option(e.getMessage).getOrElse(e.toString).take(80)}]")
       }
     }
     assert(offenders.isEmpty,
-      "unpartitioned windows over unbounded input (the q209 " +
-        s"single-task class): ${offenders.mkString("; ")}")
+      "scale-killer plan shapes (the q209 single-task window class / " +
+        s"non-broadcast cartesian): ${offenders.mkString("; ")}")
   }
 }
