@@ -595,7 +595,93 @@ object KnnGraph {
          |ORDER BY qid, rnk""".stripMargin
     })
 
+  /** Coreset size for the k-center selection. */
+  val CoresetK = 8
+
+  /** q217: farthest-point / k-center coreset selection (Gonzalez
+    * 1985, the 2-approximation greedy; the coreset construction of
+    * Sener & Savarese ICLR'18 and the DIVERSIFICATION half of the D4
+    * pipeline after SemDeDup prunes duplicates): iteratively pick
+    * the vector FARTHEST from everything selected so far — i.e. with
+    * the MINIMUM max-µcos to the current centers — so K rows span the
+    * embedding space instead of oversampling its dense core. The
+    * selection is inherently sequential (each pick depends on all
+    * prior picks), so the loop is K−1 rounds of one broadcast-center
+    * scan + one 1-row argmin — the per-round driver probe every
+    * iterative engine performs — with the per-vector `maxu` state
+    * localCheckpointed and superseded rounds released. All integer:
+    * µcos scores, GREATEST folds, (maxu, vec_id) tie-breaks; the
+    * oracle unrolls all [[CoresetK]] rounds. At corpus scale each
+    * round is one map-side scan of N rows against ONE broadcast
+    * center plus a K-row argmin — O(N·K) total, nothing quadratic.
+    */
+  val q217KcenterCoreset: QueryDef = QueryDef(
+    "q217_kcenter_coreset",
+    (s, dir) => {
+      val e = graft.Caches.persist(
+        Bitext.qrel(Similarity.normed(s, dir))
+          .select(col("vec_id"), col("qv"), col("qn")))
+      def ucosTo(cid: Long): DataFrame =
+        e.select(col("vec_id").as("vid"), col("qv").as("xq"),
+            col("qn").as("xn"))
+          .crossJoin(broadcast(e.filter(col("vec_id") === cid)
+            .select(col("qv").as("yq"), col("qn").as("yn"))))
+          .select(col("vid"), Bitext.ucosCol.as("u"))
+      val c0 = e.agg(min(col("vec_id"))).head.getLong(0)
+      var sel = Vector((0, c0, 1000000L))
+      var state = ucosTo(c0).withColumnRenamed("u", "maxu")
+        .localCheckpoint()
+      for (i <- 1 until CoresetK) {
+        val selIds = sel.map(_._2)
+        val nxt = state.filter(!col("vid").isin(selIds: _*))
+          .orderBy(col("maxu").asc, col("vid").asc).limit(1).head
+        val (cid, du) = (nxt.getLong(0), nxt.getLong(1))
+        sel = sel :+ ((i, cid, du))
+        val ns = state.join(ucosTo(cid), "vid")
+          .select(col("vid"),
+            greatest(col("maxu"), col("u")).as("maxu"))
+          .localCheckpoint()
+        graft.Caches.releaseLocalCheckpoint(state)
+        state = ns
+      }
+      graft.Caches.releaseLocalCheckpoint(state)
+      import s.implicits._
+      sel.toDF("sel", "vec_id", "farthest_u").orderBy("sel")
+    },
+    Some {
+      val rounds = (1 until CoresetK).map { i =>
+        s"""c$i AS (
+           |  SELECT vid AS id, maxu FROM m${i - 1}
+           |  WHERE vid NOT IN (SELECT id FROM cs${i - 1})
+           |  ORDER BY maxu ASC, vid LIMIT 1),
+           |cs$i AS (SELECT id FROM cs${i - 1}
+           |         UNION ALL SELECT id FROM c$i),
+           |m$i AS (
+           |  SELECT m.vid, GREATEST(m.maxu, u.ucos) AS maxu
+           |  FROM m${i - 1} m JOIN (
+           |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
+              s"n x CROSS JOIN c$i JOIN n y ON y.vec_id = c$i.id")}) u
+           |  ON u.sx = m.vid)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 until CoresetK).map(i =>
+        s"SELECT $i AS sel, id AS vec_id, maxu AS farthest_u FROM c$i")
+        .mkString("\nUNION ALL ")
+      s"""${Bitext.oracleQuantCte},
+         |c0 AS (SELECT MIN(vec_id) AS id FROM n),
+         |cs0 AS (SELECT id FROM c0),
+         |m0 AS (
+         |  SELECT sx AS vid, ucos AS maxu FROM (
+         |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
+            "n x CROSS JOIN c0 JOIN n y ON y.vec_id = c0.id")}) t),
+         |$rounds
+         |SELECT sel, vec_id, farthest_u FROM (
+         |  SELECT 0 AS sel, id AS vec_id,
+         |    CAST(1000000 AS BIGINT) AS farthest_u FROM c0
+         |  UNION ALL $out) t
+         |ORDER BY sel""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q210KnnGraph, q210bKnnGraphProbed,
     q213NnDescent, q214SemanticClusters, q215KnnOutliers,
-    q216GraphAnnBeam)
+    q216GraphAnnBeam, q217KcenterCoreset)
 }

@@ -317,6 +317,40 @@ class KnnGraphSpec extends AnyFunSuite {
         "graph degrades the walk")
   }
 
+  test("q217 k-center selection equals the serial Gonzalez greedy; " +
+      "selected similarities are monotone (farthest-first invariant)") {
+    def ucos(x: (Long, Array[Double], Double),
+        y: (Long, Array[Double], Double)): Long = {
+      var d = 0.0; var i = 0
+      while (i < x._2.length) { d += x._2(i) * y._2(i); i += 1 }
+      math.floor(d / (x._3 * y._3) * 1000000.0 + 0.5).toLong
+    }
+    val byId = qrows.map(r => r._1 -> r).toMap
+    var selIds = Vector(qrows.map(_._1).min)
+    var ref = Vector((0, selIds.head, 1000000L))
+    var maxu = qrows.map(r =>
+      r._1 -> ucos(r, byId(selIds.head))).toMap
+    for (i <- 1 until operators.KnnGraph.CoresetK) {
+      val (cid, du) = maxu.filterNot(kv => selIds.contains(kv._1))
+        .toSeq.minBy { case (id, u) => (u, id) }
+      selIds :+= cid
+      ref :+= ((i, cid, du))
+      maxu = maxu.map { case (id, u) =>
+        id -> math.max(u, ucos(byId(id), byId(cid))) }
+    }
+    val got = SparkEntry.queries("q217_kcenter_coreset")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("sel"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("farthest_u"))).toVector
+    assert(got == ref)
+    // farthest-first: each later pick is (weakly) MORE similar to the
+    // selected set — the covering radius only tightens
+    val picks = got.drop(1).map(_._3)
+    assert(picks == picks.sorted,
+      s"selection similarities not monotone: $picks")
+    info(s"selected ${got.map(_._2).mkString(",")}; " +
+      s"similarity path ${picks.mkString(",")}")
+  }
+
   test("centroid-ranking near-ties are provably absent on every " +
       "fixture scale (the cross-engine float-comparison guard)") {
     // The q210b/q188b oracles pin candidate membership by re-ranking
