@@ -615,73 +615,177 @@ object KnnGraph {
     * round is one map-side scan of N rows against ONE broadcast
     * center plus a K-row argmin — O(N·K) total, nothing quadratic.
     */
+  /** Gonzalez greedy over a quantized relation (vec_id/qv/qn): K
+    * rows (sel, vec_id, farthest_u), seeded at the minimum id.
+    * Shared by q217 (whole corpus) and q218 (curation survivors).
+    */
+  private[graft] def kcenterSelect(s: SparkSession, e0: DataFrame,
+      k: Int = CoresetK): DataFrame = {
+    val e = graft.Caches.persist(
+      e0.select(col("vec_id"), col("qv"), col("qn")))
+    def ucosTo(cid: Long): DataFrame =
+      e.select(col("vec_id").as("vid"), col("qv").as("xq"),
+          col("qn").as("xn"))
+        .crossJoin(broadcast(e.filter(col("vec_id") === cid)
+          .select(col("qv").as("yq"), col("qn").as("yn"))))
+        .select(col("vid"), Bitext.ucosCol.as("u"))
+    val c0 = e.agg(min(col("vec_id"))).head.getLong(0)
+    var sel = Vector((0, c0, 1000000L))
+    var state = ucosTo(c0).withColumnRenamed("u", "maxu")
+      .localCheckpoint()
+    for (i <- 1 until k) {
+      val selIds = sel.map(_._2)
+      val nxt = state.filter(!col("vid").isin(selIds: _*))
+        .orderBy(col("maxu").asc, col("vid").asc).limit(1).head
+      val (cid, du) = (nxt.getLong(0), nxt.getLong(1))
+      sel = sel :+ ((i, cid, du))
+      val ns = state.join(ucosTo(cid), "vid")
+        .select(col("vid"),
+          greatest(col("maxu"), col("u")).as("maxu"))
+        .localCheckpoint()
+      graft.Caches.releaseLocalCheckpoint(state)
+      state = ns
+    }
+    graft.Caches.releaseLocalCheckpoint(state)
+    import s.implicits._
+    sel.toDF("sel", "vec_id", "farthest_u").orderBy("sel")
+  }
+
+  /** The k-center rounds as oracle CTE text over quantized relation
+    * `rel` (must expose vec_id/qv/qn). Ends with CTEs c0..c{k-1};
+    * [[kcenterOracleOut]] is the matching final SELECT.
+    */
+  private[graft] def kcenterOracleCtes(rel: String,
+      k: Int = CoresetK): String = {
+    val rounds = (1 until k).map { i =>
+      s"""c$i AS (
+         |  SELECT vid AS id, maxu FROM m${i - 1}
+         |  WHERE vid NOT IN (SELECT id FROM cs${i - 1})
+         |  ORDER BY maxu ASC, vid LIMIT 1),
+         |cs$i AS (SELECT id FROM cs${i - 1}
+         |         UNION ALL SELECT id FROM c$i),
+         |m$i AS (
+         |  SELECT m.vid, GREATEST(m.maxu, u.ucos) AS maxu
+         |  FROM m${i - 1} m JOIN (
+         |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
+            s"$rel x CROSS JOIN c$i JOIN $rel y " +
+              s"ON y.vec_id = c$i.id")}) u
+         |  ON u.sx = m.vid)""".stripMargin
+    }.mkString(",\n")
+    s"""c0 AS (SELECT MIN(vec_id) AS id FROM $rel),
+       |cs0 AS (SELECT id FROM c0),
+       |m0 AS (
+       |  SELECT sx AS vid, ucos AS maxu FROM (
+       |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
+          s"$rel x CROSS JOIN c0 JOIN $rel y ON y.vec_id = c0.id")}) t),
+       |$rounds""".stripMargin
+  }
+
+  private[graft] def kcenterOracleOut(k: Int = CoresetK): String = {
+    val out = (1 until k).map(i =>
+      s"SELECT $i AS sel, id AS vec_id, maxu AS farthest_u FROM c$i")
+      .mkString("\nUNION ALL ")
+    s"""SELECT sel, vec_id, farthest_u FROM (
+       |  SELECT 0 AS sel, id AS vec_id,
+       |    CAST(1000000 AS BIGINT) AS farthest_u FROM c0
+       |  UNION ALL $out) t
+       |ORDER BY sel""".stripMargin
+  }
+
   val q217KcenterCoreset: QueryDef = QueryDef(
     "q217_kcenter_coreset",
+    (s, dir) => kcenterSelect(s,
+      Bitext.qrel(Similarity.normed(s, dir))),
+    Some(s"""${Bitext.oracleQuantCte},
+            |${kcenterOracleCtes("n")}
+            |${kcenterOracleOut()}""".stripMargin))
+
+  /** q218: the semantic-curation CAPSTONE — the D4 recipe end to end
+    * as ONE composed plan (Tirumala et al. 2023: SemDeDup-style
+    * dedup, then diversify; plus the kNN-outlier drop a production
+    * pass inserts between them): (1) semantic duplicate groups from
+    * the mutual-kNN components keep ONE representative per cluster
+    * (q214); (2) kNN-distance outliers drop (q215's mean-relative
+    * integer cutoff over the full corpus); (3) k-center greedy picks
+    * the [[CoresetK]] most diverse survivors (q217). The all-pairs
+    * µcos relation is computed ONCE and persisted — the kNN edges for
+    * dedup and the top-k scores for the outlier gate both read the
+    * same cached scores, the q147/q165 capstone discipline. The
+    * oracle composes the same CTE chain (recursive closure + scores +
+    * survivor-restricted k-center rounds), so every stage boundary is
+    * hash-pinned, not just the final coreset.
+    */
+  val q218SemanticCuration: QueryDef = QueryDef(
+    "q218_semantic_curation",
     (s, dir) => {
-      val e = graft.Caches.persist(
-        Bitext.qrel(Similarity.normed(s, dir))
-          .select(col("vec_id"), col("qv"), col("qn")))
-      def ucosTo(cid: Long): DataFrame =
-        e.select(col("vec_id").as("vid"), col("qv").as("xq"),
-            col("qn").as("xn"))
-          .crossJoin(broadcast(e.filter(col("vec_id") === cid)
-            .select(col("qv").as("yq"), col("qn").as("yn"))))
-          .select(col("vid"), Bitext.ucosCol.as("u"))
-      val c0 = e.agg(min(col("vec_id"))).head.getLong(0)
-      var sel = Vector((0, c0, 1000000L))
-      var state = ucosTo(c0).withColumnRenamed("u", "maxu")
-        .localCheckpoint()
-      for (i <- 1 until CoresetK) {
-        val selIds = sel.map(_._2)
-        val nxt = state.filter(!col("vid").isin(selIds: _*))
-          .orderBy(col("maxu").asc, col("vid").asc).limit(1).head
-        val (cid, du) = (nxt.getLong(0), nxt.getLong(1))
-        sel = sel :+ ((i, cid, du))
-        val ns = state.join(ucosTo(cid), "vid")
-          .select(col("vid"),
-            greatest(col("maxu"), col("u")).as("maxu"))
-          .localCheckpoint()
-        graft.Caches.releaseLocalCheckpoint(state)
-        state = ns
-      }
-      graft.Caches.releaseLocalCheckpoint(state)
-      import s.implicits._
-      sel.toDF("sel", "vec_id", "farthest_u").orderBy("sel")
+      val eAll = graft.Caches.persist(
+        Bitext.qrel(Similarity.normed(s, dir)))
+      val scored = graft.Caches.persist(
+        exactScores(eAll).select(col("sx"), col("ty"), col("ucos")))
+      val comp = Dedup.connectedComponents(
+        mutualize(directedTopK(scored))
+          .select(col("a").as("d1"), col("b").as("d2")))
+      val keepers = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"))
+        .join(comp.select(col("v").as("vec_id"), col("lbl")),
+          Seq("vec_id"), "left")
+        .filter(col("lbl").isNull || col("lbl") === col("vec_id"))
+        .select(col("vec_id"))
+      val sc = directedTopK(scored, GraphK)
+        .groupBy(col("sx").as("vec_id"))
+        .agg(sum(col("ucos")).as("su"))
+        .select(col("vec_id"), expr(s"su div $GraphK").as("knn_u"))
+      val mu = broadcast(sc.agg(
+        expr("sum(knn_u) div count(1)").as("mu")))
+      val inliers = sc.crossJoin(mu)
+        .filter(expr(s"$OutlierDen * knn_u >= $OutlierNum * mu"))
+        .select(col("vec_id"))
+      val surv = keepers.join(inliers, "vec_id")
+      kcenterSelect(s, eAll.join(surv, "vec_id"))
     },
     Some {
-      val rounds = (1 until CoresetK).map { i =>
-        s"""c$i AS (
-           |  SELECT vid AS id, maxu FROM m${i - 1}
-           |  WHERE vid NOT IN (SELECT id FROM cs${i - 1})
-           |  ORDER BY maxu ASC, vid LIMIT 1),
-           |cs$i AS (SELECT id FROM cs${i - 1}
-           |         UNION ALL SELECT id FROM c$i),
-           |m$i AS (
-           |  SELECT m.vid, GREATEST(m.maxu, u.ucos) AS maxu
-           |  FROM m${i - 1} m JOIN (
-           |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
-              s"n x CROSS JOIN c$i JOIN n y ON y.vec_id = c$i.id")}) u
-           |  ON u.sx = m.vid)""".stripMargin
-      }.mkString(",\n")
-      val out = (1 until CoresetK).map(i =>
-        s"SELECT $i AS sel, id AS vec_id, maxu AS farthest_u FROM c$i")
-        .mkString("\nUNION ALL ")
-      s"""${Bitext.oracleQuantCte},
-         |c0 AS (SELECT MIN(vec_id) AS id FROM n),
-         |cs0 AS (SELECT id FROM c0),
-         |m0 AS (
-         |  SELECT sx AS vid, ucos AS maxu FROM (
-         |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
-            "n x CROSS JOIN c0 JOIN n y ON y.vec_id = c0.id")}) t),
-         |$rounds
-         |SELECT sel, vec_id, farthest_u FROM (
-         |  SELECT 0 AS sel, id AS vec_id,
-         |    CAST(1000000 AS BIGINT) AS farthest_u FROM c0
-         |  UNION ALL $out) t
-         |ORDER BY sel""".stripMargin
+      val base =
+        s"""${oracleMutualCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |und AS (SELECT a AS v, b AS u FROM mutual
+           |        UNION SELECT b, a FROM mutual),
+           |reach(v, u) AS (
+           |  SELECT v, u FROM und
+           |  UNION
+           |  SELECT r.v, e2.u FROM reach r JOIN und e2 ON r.u = e2.v),
+           |lab AS (SELECT v, least(v, MIN(u)) AS cluster
+           |        FROM reach GROUP BY v),
+           |keepers AS (
+           |  SELECT em.vec_id FROM embeddings em
+           |  LEFT JOIN lab ON em.vec_id = lab.v
+           |  WHERE lab.v IS NULL OR lab.cluster = em.vec_id),
+           |sc AS (
+           |  SELECT sx AS vec_id,
+           |    CAST(SUM(ucos) // $GraphK AS BIGINT) AS knn_u
+           |  FROM knn GROUP BY sx),
+           |mm AS (SELECT SUM(knn_u) // COUNT(*) AS mu FROM sc),
+           |inl AS (SELECT sc.vec_id FROM sc CROSS JOIN mm
+           |        WHERE $OutlierDen * knn_u >= $OutlierNum * mu),
+           |surv AS (SELECT k.vec_id FROM keepers k
+           |         JOIN inl ON k.vec_id = inl.vec_id),
+           |ns AS (SELECT n.vec_id, n.qv, n.qn FROM n
+           |       JOIN surv ON n.vec_id = surv.vec_id),
+           |${kcenterOracleCtes("ns")}
+           |${kcenterOracleOut()}""".stripMargin
+      // MATERIALIZED hints (execution-only, DuckDB re-inlines CTEs by
+      // default): the k-center rounds reference `ns` 16 times and the
+      // score CTEs fan out similarly — inlined, every reference
+      // re-opens the parquet scan, which both blows the fd limit and
+      // recomputes the N² pair relation per round
+      base.replace("q AS (SELECT", "q AS MATERIALIZED (SELECT")
+        .replace("n AS (SELECT vec_id, v, qv,",
+          "n AS MATERIALIZED (SELECT vec_id, v, qv,")
+        .replace("ns AS (SELECT n.vec_id, n.qv, n.qn",
+          "ns AS MATERIALIZED (SELECT n.vec_id, n.qv, n.qn")
+        .replace("knn AS (", "knn AS MATERIALIZED (")
+        .replace("p AS (", "p AS MATERIALIZED (")
     })
 
   val all: Seq[QueryDef] = Seq(q210KnnGraph, q210bKnnGraphProbed,
     q213NnDescent, q214SemanticClusters, q215KnnOutliers,
-    q216GraphAnnBeam, q217KcenterCoreset)
+    q216GraphAnnBeam, q217KcenterCoreset, q218SemanticCuration)
 }

@@ -351,6 +351,23 @@ class KnnGraphSpec extends AnyFunSuite {
       s"similarity path ${picks.mkString(",")}")
   }
 
+  test("q218 capstone: every pick is a q214 cluster representative, " +
+      "none is a q215 outlier, and the coreset is full-size") {
+    val picks = SparkEntry.queries("q218_semantic_curation")(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(picks.size == operators.KnnGraph.CoresetK)
+    val clus = SparkEntry.queries("q214_semantic_clusters")(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Int]("keep")).toMap
+    assert(picks.forall(clus(_) == 1),
+      "a pick is a dropped semantic duplicate")
+    val outliers = SparkEntry.queries("q215_knn_outliers")(spark, dir)
+      .collect().filter(_.getAs[Int]("is_outlier") == 1)
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(picks.intersect(outliers).isEmpty,
+      "a pick is a flagged outlier")
+  }
+
   test("centroid-ranking near-ties are provably absent on every " +
       "fixture scale (the cross-engine float-comparison guard)") {
     // The q210b/q188b oracles pin candidate membership by re-ranking
