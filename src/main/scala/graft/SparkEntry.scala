@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Classifier.all ++ operators.Urls.all ++
       operators.Bitext.all ++ operators.Chat.all ++
       operators.Graph.all ++ operators.Sampling.all ++
-      operators.KnnGraph.all
+      operators.KnnGraph.all ++ operators.Sketches.all ++
+      operators.Kmeans.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -162,5 +162,74 @@ object Sampling {
             |WHERE (cum + nt) // stride - cum // stride > 0
             |ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q209PpsSample)
+  /** Quantile ranks in percent (p50/p90/p99 — the length-distribution
+    * cutpoints a corpus datasheet reports and truncation budgets are
+    * sized from).
+    */
+  private val QuantilePcts = Seq(50, 90, 99)
+
+  // Exact distributed quantiles WITHOUT a global sort: the
+  // ORDER-BY-and-index spelling ships the whole corpus through one
+  // ordered stage (the q209 serial-window class, banned by
+  // GlobalWindowAuditSpec), and percentile_approx trades exactness
+  // away. Over an integer domain (token counts) the value histogram
+  // IS the sorted multiset: one map-side-combined keyed agg to
+  // (lang, nt, cnt) — at most |langs|·|distinct nt| rows at ANY corpus
+  // size — then a per-lang running sum over that BOUNDED relation
+  // locates the value whose cumulative interval covers each rank.
+  // Definition pinned on both engines: p_q = the value at zero-indexed
+  // position (n−1)·q div 100 of the sorted multiset (lower-value
+  // discrete quantile), all-BIGINT arithmetic. For continuous domains
+  // the same shape runs on floor-binned values and narrows (bin pass →
+  // exact pass inside the one straddling bin); the integer domain here
+  // needs no second pass.
+  val q220ExactQuantiles: QueryDef = QueryDef(
+    "q220_exact_quantiles",
+    (s, dir) => {
+      val d = tokenized(s, dir)
+      val hist = d.groupBy(col("lang"), col("nt"))
+        .agg(count(lit(1)).as("cnt"))
+      // running sum over the histogram — bounded input (aggregate),
+      // partitioned by lang: never corpus-sized
+      val w = Window.partitionBy(col("lang")).orderBy(col("nt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("cum",
+        coalesce(sum(col("cnt")).over(w), lit(0L)))
+      val tot = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val picks = QuantilePcts.map { p =>
+        val r = expr(s"((n - 1) * $p) div 100")
+        max(when(col("cum") <= r && r < col("cum") + col("cnt"),
+          col("nt"))).as(s"p$p")
+      }
+      cum.join(tot, "lang")
+        .groupBy(col("lang"), col("n"))
+        .agg(picks.head, picks.tail: _*)
+        .orderBy("lang")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT lang,
+            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+            |  FROM documents),
+            |h AS (SELECT lang, nt, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+            |c AS (SELECT lang, nt, cnt,
+            |    COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY nt
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            |      0) AS cum
+            |  FROM h),
+            |t AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1)
+            |SELECT c.lang, t.n,
+            |${QuantilePcts.map(p =>
+               // the CAST is a no-op on the BIGINT nt values; it keeps
+               // the static HUGEINT lint conservative-clean (cum is
+               // SUM-derived but feeds only the predicate, never the
+               // output value)
+               s"""  CAST(MAX(CASE WHEN c.cum <= ((t.n - 1) * $p) // 100
+                  |    AND ((t.n - 1) * $p) // 100 < c.cum + c.cnt
+                  |    THEN c.nt END) AS BIGINT) AS p$p""".stripMargin)
+              .mkString(",\n")}
+            |FROM c JOIN t USING (lang)
+            |GROUP BY c.lang, t.n
+            |ORDER BY c.lang""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q209PpsSample, q220ExactQuantiles)
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distinct-cardinality sketching — the corpus-scale
+  * "how many distinct n-grams does this slice have" question a
+  * pretraining pipeline asks before sizing vocabularies, dedup
+  * bands, or contamination indexes (the infini-gram accounting).
+  *
+  * The engine-internal HLL (q142) estimates well but its sketch bytes
+  * are engine-private — only an error GATE can be oracle-checked.
+  * KMV (k minimum values) is the complementary design point: the
+  * sketch is the k smallest md5-derived 48-bit hash values, a pure
+  * deterministic function of the data, so Spark and DuckDB compute
+  * the IDENTICAL estimate and the driver hash-matches the estimate
+  * itself. See [[graft.functions.KmvAggregator]] for the estimator
+  * and the O(tasks·k)-per-group exchange argument.
+  *
+  * Reference anchor: the reference validates COUNT(*) parity per
+  * table (validator.go's row-count checks); this is the same
+  * validation posture extended to distinct cardinalities too large to
+  * count exactly in one pass at 100 TB — the exact arm here is the
+  * fixture-scale validation run (q142's discipline), the sketch arm
+  * is the production path.
+  */
+object Sketches {
+
+  /** Sketch size: k-th-min estimator with ~1/√(k−2) ≈ 6% std error. */
+  val KmvK = 256
+
+  /** Hash space: 48-bit prefixes of md5, so every arithmetic step
+    * stays inside exact BIGINT range on both engines
+    * ((k−1)·2⁴⁸ ≈ 7.2e16 < 2⁶³).
+    */
+  val HashBits = 48
+  private val HashSpace = 1L << HashBits
+
+  /** Word 3-shingles per (lang, doc) — the distinct-value domain.
+    * Both engines spell the same windows: doc i covers words
+    * (i, i+1, i+2) for i in [0, nt−3].
+    */
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(w) - 2)," +
+          " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("sh"))
+
+  /** 48-bit hash: md5 hex prefix parsed as an integer — the
+    * engine-portable hash convention (q166's md5-bucket features).
+    */
+  private def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** The production arm alone: per-lang KMV estimate from a
+    * (lang, sh) relation — bounded O(k) aggregation state, no
+    * value-keyed exchange. Factored out so the spec can measure its
+    * wire volume against the exact arm's.
+    */
+  private[graft] def kmvEstimate(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val kmv = new graft.functions.KmvAggregator(KmvK)
+    g.select(col("lang"), hash48(col("sh")).as("hv"))
+      .as[(String, Long)](
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapValues(_._2)(Encoders.scalaLong)
+      .agg(kmv.toColumn)
+      .toDF("lang", "mins")
+      .select(col("lang"),
+        when(size(col("mins")) < KmvK,
+          size(col("mins")).cast("long"))
+          .otherwise(expr(s"${(KmvK - 1).toLong * HashSpace}L div " +
+            s"greatest(element_at(mins, $KmvK), 1L)"))
+          .as("kmv_est"))
+  }
+
+  // One row per lang: exact distinct shingles (the validation arm —
+  // a full distinct exchange, run at fixture scale only), the KMV
+  // estimate (the production arm — bounded aggregation state, no
+  // value-keyed exchange), and the ≤20% agreement gate. The estimate
+  // column itself is deterministic and hash-matched.
+  val q219KmvDistinct: QueryDef = QueryDef(
+    "q219_kmv_distinct",
+    (s, dir) => {
+      val g = graft.Caches.persist(shingles(s, dir))
+      val exact = g.groupBy(col("lang"))
+        .agg(countDistinct(col("sh")).as("exact_distinct"))
+      exact.join(kmvEstimate(g), "lang")
+        .select(col("lang"), col("exact_distinct"), col("kmv_est"),
+          (abs(col("kmv_est") - col("exact_distinct")) * 5 <=
+            col("exact_distinct")).as("sketch_ok"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT lang, string_split(lower(text), ' ') AS w
+            |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            |g AS (
+            |  SELECT lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+            |  FROM d CROSS JOIN unnest(range(1, len(w) - 1)) AS t(i)),
+            |ex AS (SELECT lang, COUNT(DISTINCT sh) AS exact_distinct
+            |       FROM g GROUP BY 1),
+            |h AS (SELECT DISTINCT lang,
+            |        CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS hv
+            |      FROM g),
+            |r AS (SELECT lang, hv, ROW_NUMBER() OVER (
+            |        PARTITION BY lang ORDER BY hv) AS rk FROM h),
+            |km AS (SELECT lang,
+            |        CASE WHEN COUNT(*) < $KmvK THEN CAST(COUNT(*) AS BIGINT)
+            |             ELSE ${(KmvK - 1).toLong * HashSpace} //
+            |               GREATEST(MAX(CASE WHEN rk = $KmvK
+            |                 THEN hv END), 1)
+            |        END AS kmv_est
+            |      FROM r WHERE rk <= $KmvK GROUP BY 1)
+            |SELECT ex.lang, ex.exact_distinct, km.kmv_est,
+            |  ABS(km.kmv_est - ex.exact_distinct) * 5 <=
+            |    ex.exact_distinct AS sketch_ok
+            |FROM ex JOIN km USING (lang)
+            |ORDER BY lang""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q219KmvDistinct)
+}

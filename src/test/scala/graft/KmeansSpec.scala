@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-plan Lloyd training invariants (q221): partition-invariant
+  * deterministic seeds and assignments, a complete single-assignment
+  * partition of the corpus, genuine centroid movement across rounds,
+  * and non-decreasing µcos mass (training improves the objective it
+  * optimizes — on the integer-rounded fold the mean update can
+  * in principle dither, so the pin is the measured fixture run).
+  */
+class KmeansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val K = operators.Kmeans.K
+
+  test("seeds and final ledger are invariant under repartitioning") {
+    val n = operators.Kmeans.qrel(spark, dir)
+    val a = operators.Kmeans.initCents(n)
+    val b = operators.Kmeans.initCents(n.repartition(11))
+    assert(a.map(_.cid) == b.map(_.cid))
+    assert(a.zip(b).forall { case (x, y) =>
+      x.cv.sameElements(y.cv) && x.cn == y.cn })
+    val led = operators.Kmeans.train(spark, dir).collect().toSeq
+    val led2 = operators.Kmeans.train(spark, dir).collect().toSeq
+    assert(led.map(_.toSeq) == led2.map(_.toSeq))
+  }
+
+  test("the final ledger partitions the corpus: every vector in " +
+      "exactly one cluster, every cluster organically populated") {
+    val n = operators.Kmeans.qrel(spark, dir)
+    val total = n.count()
+    val led = operators.Kmeans.train(spark, dir).collect().toSeq
+    assert(led.map(_.getLong(1)).sum == total)
+    assert(led.length == K)
+    assert(led.forall(_.getLong(1) > 0))
+    assert(led.map(_.getLong(0)).sorted == (0L until K.toLong))
+  }
+
+  test("training moves the centroids and does not degrade the µcos " +
+      "objective on the fixture") {
+    val n = operators.Kmeans.qrel(spark, dir).persist()
+    n.count()
+    val init = operators.Kmeans.initCents(n)
+    def mass(cents: Seq[operators.Kmeans.Cent]): Long =
+      operators.Kmeans.withAssignment(n, cents)
+        .agg(sum(col("ucos"))).collect()(0).getLong(0)
+    val m0 = mass(init)
+    val c1 = operators.Kmeans.updated(
+      operators.Kmeans.withAssignment(n, init))
+    assert(init.zip(c1).exists { case (a, b) =>
+      !a.cv.sameElements(b.cv) },
+      "first Lloyd update left every centroid exactly in place")
+    val c2 = operators.Kmeans.updated(
+      operators.Kmeans.withAssignment(n, c1))
+    val m2 = mass(c2)
+    n.unpersist()
+    assert(m2 > m0,
+      s"µcos mass did not improve: init=$m0 after-2-updates=$m2")
+  }
+}

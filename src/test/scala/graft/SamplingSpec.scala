@@ -133,4 +133,25 @@ class SamplingSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(clock)
     }
   }
+
+  test("q220 histogram quantiles equal the sort-and-index definition " +
+      "and are monotone") {
+    val got = SparkEntry.queries("q220_exact_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    docs.groupBy(_._1).foreach { case (lang, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length.toLong
+      def q(p: Int): Long = sorted(((n - 1) * p / 100).toInt)
+      val (gn, p50, p90, p99) = got(lang)
+      assert(gn == n)
+      assert((p50, p90, p99) == ((q(50), q(90), q(99))), s"lang=$lang")
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KMV distinct-sketch invariants: the aggregator against brute force
+  * (any reduce/merge interleaving), the unsaturated-exact contract,
+  * determinism of the whole q219 query under repartitioning, and the
+  * wire-volume claim — the sketch arm's exchange is bounded by
+  * tasks·k·groups while the exact arm ships every distinct value.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("KmvAggregator equals brute-force k-smallest-distinct under " +
+      "any reduce/merge interleaving") {
+    val k = 16
+    val agg = new functions.KmvAggregator(k)
+    val rnd = new scala.util.Random(7)
+    // heavy duplication: 5000 draws over 400 distinct values
+    val xs = Seq.fill(5000)(rnd.nextInt(400).toLong * 7919L)
+    val brute = xs.distinct.sorted.take(k)
+    assert(xs.foldLeft(agg.zero)(agg.reduce) == brute)
+    // split into uneven chunks, reduce each, merge pairwise in a
+    // skewed order — mergeability must not depend on shape
+    val chunks = xs.grouped(613).toList
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    assert(chunks.reduce(agg.merge) == brute)
+    assert(chunks.reverse.reduce(agg.merge) == brute)
+  }
+
+  test("unsaturated sketch returns the distinct count exactly") {
+    val k = 64
+    val agg = new functions.KmvAggregator(k)
+    val xs = Seq(5L, 3L, 5L, 9L, 3L, 1L)
+    val buf = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(buf == Seq(1L, 3L, 5L, 9L))
+  }
+
+  test("q219 output is invariant under repartitioning and its " +
+      "estimate gate holds organically") {
+    val base = operators.Sketches.q219KmvDistinct.build(spark, dir)
+      .collect().toSeq
+    assert(base.nonEmpty)
+    assert(base.forall(_.getBoolean(3)),
+      s"KMV estimate off by >20% somewhere: ${base.mkString(";")}")
+    // saturated on this fixture: est is the order-statistic formula,
+    // not the trivial exact-echo branch
+    assert(base.forall(r => r.getLong(1) > operators.Sketches.KmvK))
+    val g = operators.Sketches.shingles(spark, dir).repartition(13)
+    val exact = g.groupBy(col("lang"))
+      .agg(countDistinct(col("sh")).as("exact_distinct"))
+    val re = exact.join(operators.Sketches.kmvEstimate(g), "lang")
+      .orderBy("lang").collect().toSeq
+    assert(re.map(r => (r.getString(0), r.getLong(2))) ==
+      base.map(r => (r.getString(0), r.getLong(2))))
+  }
+
+  test("the sketch arm's exchange is bounded O(tasks·k) per group; " +
+      "the exact arm ships every distinct value") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      val parts = 4
+      val g = operators.Sketches.shingles(spark, dir)
+        .repartition(parts).persist()
+      g.count()
+      clock.quiesce(); clock.reset()
+      val est = operators.Sketches.kmvEstimate(g).collect()
+      clock.quiesce()
+      val sketchRecs = clock.shuffleRecords
+      clock.reset()
+      val exact = g.select(col("lang"), col("sh")).distinct().count()
+      clock.quiesce()
+      val exactRecs = clock.shuffleRecords
+      g.unpersist()
+      val langs = est.length
+      // partial buffers: ≤ one k-vector row per (task, lang), counted
+      // once written; generous 2× slack for the final-merge row
+      assert(sketchRecs <= 2L * parts * langs * operators.Sketches.KmvK,
+        s"sketch arm shuffled $sketchRecs records")
+      // the exact arm's exchange carries at least one record per
+      // globally distinct (lang, shingle) — corpus-cardinality wire
+      assert(exactRecs >= exact,
+        s"exact arm shuffled $exactRecs < $exact distinct values")
+      assert(sketchRecs < exactRecs)
+    } finally {
+      spark.sparkContext.removeSparkListener(clock)
+    }
+  }
+}

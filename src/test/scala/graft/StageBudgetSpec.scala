@@ -95,6 +95,12 @@ class StageBudgetSpec extends AnyFunSuite {
     val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
     val co0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     val sh0 = spark.conf.get("spark.sql.shuffle.partitions")
+    // q174's budget pins the SERVE path — ensure the on-disk index
+    // artifact exists before measuring, or suite ordering decides
+    // whether the build's write stages land in this spec's count
+    // (ArtifactCache publishes once per content stamp; any suite that
+    // runs q45/q174 first would otherwise absorb them instead)
+    operators.Similarity.annIndexLayout(spark, dir)
     try {
       val report = budgets.map { case (name, maxS, maxJ) =>
         val d = SparkEntry.benchDefs.find(_.name == name)
