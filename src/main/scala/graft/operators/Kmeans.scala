@@ -178,5 +178,182 @@ object Kmeans {
          |ORDER BY a.cid""".stripMargin
     })
 
-  val all: Seq[QueryDef] = Seq(q221KmeansTrain)
+  // ---------------------------------------------------------------
+  // PQ codebook training (q223) — the product-quantization half of
+  // the train story (Jégou et al. TPAMI'11): split each vector into
+  // SubSpaces contiguous subvectors and run an INDEPENDENT k-means
+  // per subspace. Distances are squared-L2 over µ-ints — every fold
+  // is exact BIGINT (no sqrt, no division at all in assignment), so
+  // the unrolled oracle is integer-identical with zero rounding
+  // windows. The Spark loop is q221's topology with (sub, cid) keys:
+  // the exploded subvector relation is 4× the corpus rows but the
+  // exchange after partial agg stays ≤ SubSpaces·K·SubDim rows per
+  // task, and the driver state is the whole codebook (tiny).
+  // ---------------------------------------------------------------
+
+  /** Subspace geometry: 64 dims → 4 blocks of 16. */
+  val SubSpaces = 4
+  val SubDim = 16
+
+  /** Centroids per subspace (a real PQ uses 256; 4 keeps the oracle's
+    * unrolled CTE chain tractable while exercising the identical
+    * shape).
+    */
+  val PqK = 4
+
+  /** PQ Lloyd rounds (assignments; updates between). */
+  val PqRounds = 3
+
+  private[graft] case class SubCent(sub: Int, cid: Long,
+      cv: Array[Double])
+
+  /** Exploded (vec_id, sub, sv) subvector relation. */
+  private[graft] def subrel(s: SparkSession, dir: String): DataFrame = {
+    val n = qrel(s, dir)
+    val subs = (0 until SubSpaces).map(b =>
+      struct(lit(b).as("sub"),
+        slice(col("qv"), b * SubDim + 1, SubDim).as("sv")))
+    n.select(col("vec_id"), explode(array(subs: _*)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+  }
+
+  /** Integer squared-L2 against a literal centroid:
+    * ‖x‖² − 2⟨x,c⟩ + ‖c‖² — exact on µ-int components.
+    */
+  private def distCol(cv: Array[Double]): Column = {
+    val c = typedLit(cv.toSeq)
+    (graft.functions.VectorOps.dot(col("sv"), col("sv")) -
+      lit(2.0) * graft.functions.VectorOps.dot(col("sv"), c) +
+      lit(cv.map(x => x * x).sum)).cast("long")
+  }
+
+  /** Per-subspace argmin over the codebook literals: one in-row
+    * array_min over (dist, cid) structs, dispatched on `sub`.
+    */
+  private[graft] def withPqAssignment(sv: DataFrame,
+      book: Seq[SubCent]): DataFrame = {
+    val bySub = book.groupBy(_.sub)
+    val perSub = (0 until SubSpaces).map { b =>
+      array_min(array(bySub(b).sortBy(_.cid).map { c =>
+        struct(distCol(c.cv).as("d"), lit(c.cid).as("cid"))
+      }: _*))
+    }
+    // sub is a literal-range dispatch: CASE WHEN sub = b THEN argmin_b
+    val best = (0 until SubSpaces).foldRight(lit(null)
+        .cast(s"struct<d:bigint,cid:bigint>")) { (b, acc) =>
+      when(col("sub") === b, perSub(b)).otherwise(acc)
+    }
+    sv.withColumn("best", best)
+      .withColumn("cid", col("best.cid"))
+      .withColumn("dist", col("best.d"))
+  }
+
+  /** Deterministic seeds per subspace: subvector of the minimum
+    * vec_id in residue class vec_id mod PqK.
+    */
+  private[graft] def initBook(sv: DataFrame): Seq[SubCent] =
+    sv.withColumn("res", col("vec_id") % PqK)
+      .groupBy(col("sub"), col("res"))
+      .agg(min(col("vec_id")).as("svid"))
+      .join(sv.select(col("vec_id"), col("sub").as("s2"), col("sv")),
+        col("svid") === col("vec_id") && col("sub") === col("s2"))
+      .select(col("sub"), col("res"), col("sv"))
+      .collect()
+      .map(r => SubCent(r.getInt(0), r.getLong(1),
+        r.getSeq[Double](2).toArray))
+      .sortBy(c => (c.sub, c.cid))
+
+  private[graft] def updatedBook(asn: DataFrame): Seq[SubCent] =
+    asn.select(col("sub"), col("cid"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getLong(1)))
+      .map { case ((sub, cid), rows) =>
+        val cv = new Array[Double](SubDim)
+        rows.foreach(r => cv(r.getInt(2)) =
+          math.floor(r.getDouble(3) / r.getLong(4)))
+        SubCent(sub, cid, cv)
+      }
+      .toSeq.sortBy(c => (c.sub, c.cid))
+
+  def trainPq(s: SparkSession, dir: String): DataFrame = {
+    val sv = graft.Caches.persist(subrel(s, dir))
+    var book = initBook(sv)
+    for (_ <- 1 until PqRounds)
+      book = updatedBook(withPqAssignment(sv, book))
+    val csums = book.map(c =>
+      (c.sub.toLong * PqK + c.cid) -> c.cv.map(_.toLong).sum).toMap
+    withPqAssignment(sv, book)
+      .groupBy(col("sub"), col("cid"))
+      .agg(count(lit(1)).as("members"), sum(col("dist")).as("dist_sum"))
+      .withColumn("csum", element_at(typedLit(csums),
+        col("sub").cast("long") * PqK + col("cid")))
+      .select(col("sub").cast("long").as("sub"), col("cid"),
+        col("members"), col("dist_sum"), col("csum"))
+      .orderBy("sub", "cid")
+  }
+
+  private def pqAssignSql(a: String, cPrev: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, sub, cid, dist FROM (
+       |    SELECT vec_id, sub, cid, dist, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk
+       |    FROM (
+       |      SELECT v.vec_id, v.sub, c.cid,
+       |        CAST(list_inner_product(v.sv, v.sv)
+       |          - 2.0 * list_inner_product(v.sv, c.cv)
+       |          + list_inner_product(c.cv, c.cv) AS BIGINT) AS dist
+       |      FROM sv v JOIN $cPrev c ON v.sub = c.sub) s1) s2
+       |  WHERE rk = 1)""".stripMargin
+
+  private def pqUpdateSql(c: String, a: String): String =
+    s"""$c AS (
+       |  SELECT sub, cid, list(flo ORDER BY pos) AS cv FROM (
+       |    SELECT a.sub, a.cid, p.pos,
+       |      floor(SUM(v.sv[p.pos]) / COUNT(*)) AS flo
+       |    FROM $a a JOIN sv v ON a.vec_id = v.vec_id AND a.sub = v.sub
+       |    CROSS JOIN p GROUP BY a.sub, a.cid, p.pos) s
+       |  GROUP BY sub, cid)""".stripMargin
+
+  val q223PqTrain: QueryDef = QueryDef(
+    "q223_pq_train",
+    (s, dir) => trainPq(s, dir),
+    Some {
+      val rounds = (1 until PqRounds).map(r =>
+        pqAssignSql(s"a$r", s"c${r - 1}") + ",\n" +
+          pqUpdateSql(s"c$r", s"a$r")).mkString(",\n")
+      val subSel = (0 until SubSpaces).map(b =>
+        s"SELECT vec_id, $b AS sub, " +
+          s"qv[${b * SubDim + 1}:${(b + 1) * SubDim}] AS sv FROM q")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id,
+         |    list_transform(v, x -> floor(x * 1000000.0 + 0.5)) AS qv
+         |  FROM e),
+         |sv AS (
+         |  $subSel),
+         |p AS (SELECT unnest(range(1, ${SubDim + 1})) AS pos),
+         |i AS (SELECT sub, vec_id % $PqK AS cid, MIN(vec_id) AS svid
+         |      FROM sv GROUP BY 1, 2),
+         |c0 AS (SELECT i.sub, i.cid, v.sv AS cv
+         |       FROM i JOIN sv v
+         |         ON v.vec_id = i.svid AND v.sub = i.sub),
+         |$rounds,
+         |${pqAssignSql(s"a$PqRounds", s"c${PqRounds - 1}")},
+         |cs AS (SELECT sub, cid, CAST(list_sum(cv) AS BIGINT) AS csum
+         |       FROM c${PqRounds - 1})
+         |SELECT CAST(a.sub AS BIGINT) AS sub, a.cid,
+         |  COUNT(*) AS members,
+         |  CAST(SUM(a.dist) AS BIGINT) AS dist_sum,
+         |  cs.csum
+         |FROM a$PqRounds a JOIN cs ON a.sub = cs.sub AND a.cid = cs.cid
+         |GROUP BY a.sub, a.cid, cs.csum
+         |ORDER BY sub, a.cid""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(q221KmeansTrain, q223PqTrain)
 }

@@ -657,14 +657,20 @@ object KnnGraph {
     */
   private[graft] def kcenterOracleCtes(rel: String,
       k: Int = CoresetK): String = {
+    // MATERIALIZED is load-bearing, not a tuning hint: m{i}/c{i}/cs{i}
+    // are each referenced 2-3 times by round i+1 and the final UNION,
+    // so un-materialized CTEs inline into a 2^k-expanded plan — DuckDB
+    // re-evaluates the whole prior chain per reference and spills the
+    // duplicated hash tables (observed: q217 alone exhausted 80 GB of
+    // temp at sf0.1; with hints the same query runs in seconds).
     val rounds = (1 until k).map { i =>
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT vid AS id, maxu FROM m${i - 1}
          |  WHERE vid NOT IN (SELECT id FROM cs${i - 1})
          |  ORDER BY maxu ASC, vid LIMIT 1),
-         |cs$i AS (SELECT id FROM cs${i - 1}
+         |cs$i AS MATERIALIZED (SELECT id FROM cs${i - 1}
          |         UNION ALL SELECT id FROM c$i),
-         |m$i AS (
+         |m$i AS MATERIALIZED (
          |  SELECT m.vid, GREATEST(m.maxu, u.ucos) AS maxu
          |  FROM m${i - 1} m JOIN (
          |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
@@ -672,9 +678,9 @@ object KnnGraph {
               s"ON y.vec_id = c$i.id")}) u
          |  ON u.sx = m.vid)""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS (SELECT MIN(vec_id) AS id FROM $rel),
-       |cs0 AS (SELECT id FROM c0),
-       |m0 AS (
+    s"""c0 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM $rel),
+       |cs0 AS MATERIALIZED (SELECT id FROM c0),
+       |m0 AS MATERIALIZED (
        |  SELECT sx AS vid, ucos AS maxu FROM (
        |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
           s"$rel x CROSS JOIN c0 JOIN $rel y ON y.vec_id = c0.id")}) t),

@@ -231,5 +231,118 @@ object Sampling {
             |GROUP BY c.lang, t.n
             |ORDER BY c.lang""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q209PpsSample, q220ExactQuantiles)
+  /** Total sample budget for the stratified draw. */
+  val NeymanBudget = 100L
+
+  // Stratified sampling with Neyman allocation (Neyman 1934): the
+  // eval-set construction move when strata differ in spread — the
+  // per-stratum budget n_h ∝ N_h·S_h concentrates the sample where
+  // the measured variable (token count) actually varies, minimizing
+  // the estimator variance at fixed budget vs proportional allocation.
+  //
+  // Engine-exact integer spelling end to end:
+  //  - N_h·S_h = sqrt(N_h·Σx² − (Σx)²) exactly (the variance
+  //    numerator is exact BIGINT; ONE correctly-rounded sqrt + floor,
+  //    the per-key-sqrt discipline), so weights are integers;
+  //  - seats by largest remainder (floor shares, then +1 to the
+  //    `extra` strata ranked by remainder desc / lang asc) — Σn_h =
+  //    budget exactly, no float rounding drift;
+  //  - within-stratum selection = the n_h smallest md5-derived
+  //    48-bit doc hashes (the q75 min-md5 convention), a pure
+  //    function of doc identity.
+  //
+  // Scale posture: stats are ONE map-side-combined keyed agg; seat
+  // math runs on the |strata|-row relation (every window there is
+  // over aggregate output — the bounded class); selection is the
+  // mergeable bounded top-k AGGREGATE (O(budget) state per task per
+  // stratum), never a per-stratum sort of the corpus — the window
+  // spelling would re-sort the largest stratum end to end.
+  val q222StratifiedNeyman: QueryDef = QueryDef(
+    "q222_stratified_neyman",
+    (s, dir) => {
+      import org.apache.spark.sql.Encoders
+      val n = NeymanBudget
+      val d = tokenized(s, dir)
+      // per-stratum stats → integer Neyman weight w = floor(sqrt(vn))
+      val st = d.groupBy(col("lang")).agg(
+        count(lit(1)).as("nh"),
+        sum(col("nt")).as("sx"),
+        sum(col("nt") * col("nt")).as("sxx"))
+        .withColumn("w",
+          floor(sqrt((col("nh") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"))).cast("long"))
+      val tw = broadcast(st.agg(sum(col("w")).as("tw")))
+      // floor seats + largest-remainder top-up (strata-count relation)
+      val seats0 = st.crossJoin(tw)
+        .withColumn("base", expr(s"($n * w) div tw"))
+        .withColumn("rem", expr(s"($n * w) % tw"))
+      val extra = broadcast(seats0
+        .agg((lit(n) - sum(col("base"))).as("extra")))
+      val wRem = Window.orderBy(col("rem").desc, col("lang"))
+      val seats = seats0.crossJoin(extra)
+        .withColumn("rr", row_number().over(wRem))
+        .withColumn("n_h",
+          col("base") + when(col("rr") <= col("extra"), 1L)
+            .otherwise(0L))
+        .select(col("lang"), col("n_h"))
+      // within-stratum: n_h smallest 48-bit doc hashes via the
+      // mergeable bounded top-k aggregate (value = −hash ⇒ hash asc,
+      // doc_id asc tie-break)
+      val topk = new graft.functions.TopKAggregator(n.toInt)
+      val picked = d.select(col("lang"),
+        (-conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+          16, 10).cast("long").cast("double")).as("nh48"),
+        col("doc_id"))
+        .as[(String, Double, Long)](Encoders.tuple(
+          Encoders.STRING, Encoders.scalaDouble, Encoders.scalaLong))
+        .groupByKey(_._1)(Encoders.STRING)
+        .mapValues(r => (r._2, r._3))(
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+        .agg(topk.toColumn)
+        .toDF("lang", "top")
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+          col("col._2").as("doc_id"))
+      picked.join(seats, "lang")
+        .filter(col("rk") <= col("n_h"))
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+            |  FROM documents),
+            |st AS (
+            |  SELECT lang, COUNT(*) AS nh,
+            |    CAST(SUM(nt) AS BIGINT) AS sx,
+            |    CAST(SUM(nt * nt) AS BIGINT) AS sxx
+            |  FROM d GROUP BY 1),
+            |w AS (SELECT lang,
+            |    CAST(floor(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)))
+            |      AS BIGINT) AS w
+            |  FROM st),
+            |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+            |s0 AS (SELECT lang, ($NeymanBudget * w) // tw AS base,
+            |         ($NeymanBudget * w) % tw AS rem
+            |       FROM w CROSS JOIN tw),
+            |ex AS (SELECT $NeymanBudget - CAST(SUM(base) AS BIGINT)
+            |         AS extra FROM s0),
+            |seats AS (
+            |  SELECT lang, base + CASE WHEN ROW_NUMBER() OVER (
+            |      ORDER BY rem DESC, lang) <= ex.extra
+            |    THEN 1 ELSE 0 END AS n_h
+            |  FROM s0 CROSS JOIN ex),
+            |h AS (SELECT lang, doc_id,
+            |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+            |      AS BIGINT) AS hv
+            |  FROM d),
+            |r AS (SELECT lang, doc_id, ROW_NUMBER() OVER (
+            |    PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM h)
+            |SELECT r.lang, CAST(r.rk AS BIGINT) AS rk, r.doc_id
+            |FROM r JOIN seats USING (lang)
+            |WHERE r.rk <= seats.n_h
+            |ORDER BY r.lang, r.rk""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(q209PpsSample, q220ExactQuantiles, q222StratifiedNeyman)
 }

@@ -38,6 +38,38 @@ class KmeansSpec extends AnyFunSuite {
     assert(led.map(_.getLong(0)).sorted == (0L until K.toLong))
   }
 
+  test("q223 PQ: every (vector, subspace) assigned once, Lloyd " +
+      "monotonically shrinks the integer L2 objective, codebook is " +
+      "partition-invariant") {
+    val sv = operators.Kmeans.subrel(spark, dir).persist()
+    val rows = sv.count()
+    val vecs = operators.Kmeans.qrel(spark, dir).count()
+    assert(rows == vecs * operators.Kmeans.SubSpaces)
+    val init = operators.Kmeans.initBook(sv)
+    assert(init.length == operators.Kmeans.SubSpaces * operators.Kmeans.PqK)
+    val init2 = operators.Kmeans.initBook(sv.repartition(9))
+    assert(init.zip(init2).forall { case (a, b) =>
+      a.sub == b.sub && a.cid == b.cid && a.cv.sameElements(b.cv) })
+    def obj(book: Seq[operators.Kmeans.SubCent]): Long =
+      operators.Kmeans.withPqAssignment(sv, book)
+        .agg(sum(col("dist"))).collect()(0).getLong(0)
+    val d0 = obj(init)
+    val b1 = operators.Kmeans.updatedBook(
+      operators.Kmeans.withPqAssignment(sv, init))
+    val d1 = obj(b1)
+    val b2 = operators.Kmeans.updatedBook(
+      operators.Kmeans.withPqAssignment(sv, b1))
+    val d2 = obj(b2)
+    sv.unpersist()
+    // exact-L2 Lloyd is monotone up to the floor rounding of the mean
+    // (≤ SubDim per centroid) — require genuine improvement anyway
+    assert(d1 < d0, s"round 1 did not improve: $d0 -> $d1")
+    assert(d2 <= d1, s"round 2 degraded: $d1 -> $d2")
+    val led = operators.Kmeans.trainPq(spark, dir).collect().toSeq
+    assert(led.map(_.getLong(2)).sum == rows)
+    assert(led.forall(_.getLong(3) >= 0))
+  }
+
   test("training moves the centroids and does not degrade the µcos " +
       "objective on the fixture") {
     val n = operators.Kmeans.qrel(spark, dir).persist()

@@ -134,6 +134,49 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("q222 Neyman seats: budget exactly exhausted, allocation " +
+      "follows N_h·S_h, and the draw is the n_h smallest doc hashes") {
+    val got = SparkEntry.queries("q222_stratified_neyman")(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.length == operators.Sampling.NeymanBudget)
+    // per-stratum seat counts: recompute the allocation serially
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = operators.Sampling.NeymanBudget
+    val w = d.groupBy(_._2).map { case (lang, rs) =>
+      val nh = rs.length.toLong
+      val sx = rs.map(_._3).sum
+      val sxx = rs.map(x => x._3 * x._3).sum
+      lang -> math.floor(math.sqrt((nh * sxx - sx * sx).toDouble)).toLong
+    }
+    val tw = w.values.sum
+    val base = w.map { case (l, x) => l -> (n * x / tw, n * x % tw) }
+    val extra = (n - base.values.map(_._1).sum).toInt
+    val topped = base.toSeq.sortBy { case (l, (_, rem)) => (-rem, l) }
+      .zipWithIndex
+      .map { case ((l, (b, _)), i) => l -> (b + (if (i < extra) 1 else 0)) }
+      .toMap
+    val seatCounts = got.groupBy(_._1).view.mapValues(_.length.toLong)
+    topped.foreach { case (l, nh) =>
+      assert(seatCounts.getOrElse(l, 0L) == nh, s"lang=$l") }
+    // within-stratum membership: exactly the n_h hash-smallest docs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    d.groupBy(_._2).foreach { case (lang, rs) =>
+      val want = rs.map(r => (h48(r._1), r._1)).sorted
+        .take(topped(lang).toInt).map(_._2).toSet
+      val have = got.filter(_._1 == lang).map(_._3).toSet
+      assert(have == want, s"lang=$lang")
+    }
+  }
+
   test("q220 histogram quantiles equal the sort-and-index definition " +
       "and are monotone") {
     val got = SparkEntry.queries("q220_exact_quantiles")(spark, dir)
