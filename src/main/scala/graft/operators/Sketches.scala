@@ -41,13 +41,15 @@ object Sketches {
     * Both engines spell the same windows: doc i covers words
     * (i, i+1, i+2) for i in [0, nt−3].
     */
-  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .withColumn("w", split(lower(col("text")), " "))
+  private[graft] def shingleRel(docs: DataFrame): DataFrame =
+    docs.withColumn("w", split(lower(col("text")), " "))
       .filter(size(col("w")) >= 3)
       .select(col("lang"), explode(expr(
         "transform(sequence(1, size(w) - 2)," +
           " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("sh"))
+
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleRel(Tables.load(s, dir, "documents"))
 
   /** 48-bit hash: md5 hex prefix parsed as an integer — the
     * engine-portable hash convention (q166's md5-bucket features).
@@ -55,12 +57,13 @@ object Sketches {
   private def hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
-  /** The production arm alone: per-lang KMV estimate from a
-    * (lang, sh) relation — bounded O(k) aggregation state, no
-    * value-keyed exchange. Factored out so the spec can measure its
-    * wire volume against the exact arm's.
+  /** Per-lang KMV state from a (lang, sh) relation — the k smallest
+    * distinct hashes as a `mins` array column. Works identically on a
+    * batch or streaming input: the buffer is a pure set-minimum, so
+    * ANY merge order (task topology, micro-batch arrival) yields the
+    * same state.
     */
-  private[graft] def kmvEstimate(g: DataFrame): DataFrame = {
+  private[graft] def kmvMins(g: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     val kmv = new graft.functions.KmvAggregator(KmvK)
     g.select(col("lang"), hash48(col("sh")).as("hv"))
@@ -70,13 +73,37 @@ object Sketches {
       .mapValues(_._2)(Encoders.scalaLong)
       .agg(kmv.toColumn)
       .toDF("lang", "mins")
-      .select(col("lang"),
-        when(size(col("mins")) < KmvK,
-          size(col("mins")).cast("long"))
-          .otherwise(expr(s"${(KmvK - 1).toLong * HashSpace}L div " +
-            s"greatest(element_at(mins, $KmvK), 1L)"))
-          .as("kmv_est"))
   }
+
+  /** Order-statistic estimate from a (lang, mins) state relation. */
+  private[graft] def estimateFromMins(mins: DataFrame): DataFrame =
+    mins.select(col("lang"),
+      when(size(col("mins")) < KmvK,
+        size(col("mins")).cast("long"))
+        .otherwise(expr(s"${(KmvK - 1).toLong * HashSpace}L div " +
+          s"greatest(element_at(mins, $KmvK), 1L)"))
+        .as("kmv_est"))
+
+  /** The production arm alone: per-lang KMV estimate from a
+    * (lang, sh) relation — bounded O(k) aggregation state, no
+    * value-keyed exchange. Factored out so the spec can measure its
+    * wire volume against the exact arm's.
+    */
+  private[graft] def kmvEstimate(g: DataFrame): DataFrame =
+    estimateFromMins(kmvMins(g))
+
+  /** Exact-arm join + agreement gate shared by q219 (batch) and q224
+    * (streaming state): one row per lang, deterministic order.
+    */
+  private[graft] def withExactArm(g: DataFrame,
+      est: DataFrame): DataFrame =
+    g.groupBy(col("lang"))
+      .agg(countDistinct(col("sh")).as("exact_distinct"))
+      .join(est, "lang")
+      .select(col("lang"), col("exact_distinct"), col("kmv_est"),
+        (abs(col("kmv_est") - col("exact_distinct")) * 5 <=
+          col("exact_distinct")).as("sketch_ok"))
+      .orderBy("lang")
 
   // One row per lang: exact distinct shingles (the validation arm —
   // a full distinct exchange, run at fixture scale only), the KMV
@@ -87,13 +114,7 @@ object Sketches {
     "q219_kmv_distinct",
     (s, dir) => {
       val g = graft.Caches.persist(shingles(s, dir))
-      val exact = g.groupBy(col("lang"))
-        .agg(countDistinct(col("sh")).as("exact_distinct"))
-      exact.join(kmvEstimate(g), "lang")
-        .select(col("lang"), col("exact_distinct"), col("kmv_est"),
-          (abs(col("kmv_est") - col("exact_distinct")) * 5 <=
-            col("exact_distinct")).as("sketch_ok"))
-        .orderBy("lang")
+      withExactArm(g, kmvEstimate(g))
     },
     Some(s"""WITH d AS (
             |  SELECT lang, string_split(lower(text), ' ') AS w
@@ -121,5 +142,27 @@ object Sketches {
             |FROM ex JOIN km USING (lang)
             |ORDER BY lang""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q219KmvDistinct)
+  // q219's sketch pass as REAL Structured Streaming state (the q133
+  // pattern, but STRONGER): the corpus arrives as a document stream
+  // and the per-lang KMV buffer lives in streaming aggregation state,
+  // merged per micro-batch in complete mode — the continuous
+  // distinct-cardinality monitor a crawl dashboard runs. Where q133's
+  // Misra-Gries state varies its candidate set with merge order (and
+  // needs the exact-recount pass to launder it), the KMV buffer is a
+  // pure set-minimum: ANY arrival order, batch split, or restart
+  // replays to the IDENTICAL k-smallest state, so the streamed
+  // ESTIMATE — not just a gated recount — equals the batch estimate
+  // bit-for-bit and q219's oracle applies verbatim.
+  val q224StreamKmv: QueryDef = QueryDef(
+    "q224_stream_kmv",
+    (s, dir) => {
+      val stream = shingleRel(
+        graft.streaming.EventsStream.readDocuments(s, dir))
+      val mins = graft.streaming.EventsStream
+        .runToCompletion(s, kmvMins(stream))
+      withExactArm(shingles(s, dir), estimateFromMins(mins))
+    },
+    q219KmvDistinct.oracle)
+
+  val all: Seq[QueryDef] = Seq(q219KmvDistinct, q224StreamKmv)
 }

@@ -57,6 +57,55 @@ class SketchesSpec extends AnyFunSuite {
       base.map(r => (r.getString(0), r.getLong(2))))
   }
 
+  test("q224: streamed KMV state equals the batch sketch bit-for-bit " +
+      "across micro-batches and a checkpoint restart") {
+    import scala.collection.mutable
+    val root = java.nio.file.Files.createTempDirectory("graft_kmvrs")
+    val in = root.resolve("in").toString
+    val cp = root.resolve("cp").toString
+    val docs = Tables.load(spark, dir, "documents")
+    def writeSlice(i: Int): Unit =
+      docs.filter(col("doc_id") % 3 === i).repartition(1)
+        .write.mode("append").parquet(in)
+    val schema = docs.schema
+    val snaps = mutable.Buffer[Seq[(String, Seq[Long])]]()
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = operators.Sketches.kmvMins(
+        operators.Sketches.shingleRel(stream))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().toSeq
+            .map(r => r.getString(0) -> r.getSeq[Long](1))
+          snaps.synchronized { snaps += rows }
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // slices 0-1 arrive, the query checkpoints and STOPS; slice 2
+    // lands while it is down; the restarted query must fold it into
+    // the recovered state
+    writeSlice(0); writeSlice(1)
+    run()
+    writeSlice(2)
+    run()
+    val afterAll = snaps.last.toMap
+    val batch = operators.Sketches.kmvMins(
+        operators.Sketches.shingleRel(docs))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(afterAll == batch,
+      "restarted streaming state diverged from the batch sketch")
+    // and the catalog entry end-to-end matches q219's batch output
+    val a = SparkEntry.queries("q224_stream_kmv")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q219_kmv_distinct")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("the sketch arm's exchange is bounded O(tasks·k) per group; " +
       "the exact arm ships every distinct value") {
     val clock = new StageClock
