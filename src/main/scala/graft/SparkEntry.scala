@@ -23,7 +23,7 @@ object SparkEntry {
       operators.Bitext.all ++ operators.Chat.all ++
       operators.Graph.all ++ operators.Sampling.all ++
       operators.KnnGraph.all ++ operators.Sketches.all ++
-      operators.Kmeans.all
+      operators.Kmeans.all ++ operators.IvfPqPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The ANN index-build capstone (q225): train the WHOLE IVF-PQ index
+  * in-plan — coarse quantizer, residual PQ codebook, codes — then
+  * serve ADC queries from it, all in one composed query with no
+  * fixture dependency (q72 serves the same composition from
+  * offline-trained parquet; this is the build job that produces such
+  * an index at 100 TB, done as the q147/q165 capstone discipline).
+  *
+  * Stages (Jégou et al. TPAMI'11, the FAISS IVFPQ recipe):
+  *  1. coarse k-means on the corpus (K=[[CoarseK]], integer
+  *     squared-L2 — [[Kmeans.lloydBook]] with one 64-dim "subspace");
+  *  2. residuals r = qv − coarse_centroid(assignment), an exact
+  *     integer subtraction in-row against the broadcast-literal book;
+  *  3. PQ codebook on the residual subvectors ([[Kmeans.SubSpaces]]×
+  *     [[Kmeans.SubDim]], K=[[PqCodeK]]) — the standard residual
+  *     encoding the raw-vector PQ (q223) feeds into production;
+  *  4. encode: per (vector, subspace) the argmin codeword id;
+  *  5. serve: each query probes its [[NProbe]] nearest coarse lists,
+  *     builds the per-list residual LUT (an exact-BIGINT table of
+  *     sub×code distances), and ADC-ranks ONLY the probed lists'
+  *     candidates by Σ_sub lut[code] — top-[[TopK]] per query.
+  *
+  * Everything is exact integer arithmetic over µ-quantized components
+  * (q223's no-sqrt-no-division class), so the entire pipeline — every
+  * training round, the codes, and the served ranking — hash-matches
+  * the oracle's composed CTE chain. Scale posture: training is the
+  * q221/q223 corpus-never-shuffles loop; the LUT relation is
+  * queries×NProbe×(SubSpaces·K) rows (broadcastable at any corpus
+  * size); candidates ride ONE cid-keyed join; ADC is a keyed agg.
+  */
+object IvfPqPipeline {
+
+  /** Query workload: vec_id < NumQ query the index of the rest. */
+  val NumQ = 16L
+
+  /** Coarse quantizer size / Lloyd rounds. */
+  val CoarseK = 8
+  val CoarseRounds = 3
+
+  /** Residual-PQ codewords per subspace / rounds (geometry =
+    * [[Kmeans.SubSpaces]] × [[Kmeans.SubDim]]).
+    */
+  val PqCodeK = 4
+  val PqRounds = 3
+
+  /** Probed inverted lists per query; served neighbors per query. */
+  val NProbe = 2
+  val TopK = 5
+
+  /** Integer squared-L2 of a subvector column against a literal. */
+  private def l2(svc: Column, cv: Array[Double]): Column =
+    (graft.functions.VectorOps.dot(svc, svc) -
+      lit(2.0) * graft.functions.VectorOps.dot(svc, typedLit(cv.toSeq)) +
+      lit(cv.map(x => x * x).sum)).cast("long")
+
+  /** In-row residual against the centroid selected by `cidCol`:
+    * CASE chain over the broadcast-literal book, exact integer
+    * component subtraction.
+    */
+  private def residCol(book: Seq[Kmeans.SubCent], cidCol: Column,
+      vCol: Column): Column =
+    book.sortBy(_.cid).foldRight(lit(null).cast("array<double>")) {
+      (c, acc) =>
+        when(cidCol === c.cid,
+          zip_with(vCol, typedLit(c.cv.toSeq), (x, y) => x - y))
+          .otherwise(acc)
+    }
+
+  def pipeline(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
+      .select(col("vec_id"), col("qv")))
+    val corpus = n.filter(col("vec_id") >= NumQ)
+    val queries = n.filter(col("vec_id") < NumQ)
+
+    // 1. coarse book on the corpus (one 64-dim "subspace")
+    val csv = graft.Caches.persist(Kmeans.subrelOf(corpus, 1, Kmeans.Dim))
+    val coarse = Kmeans.lloydBook(csv, CoarseK, CoarseRounds, Kmeans.Dim)
+
+    // 2. corpus assignment + residuals (in-row, no corpus×K join)
+    val resid = graft.Caches.persist(
+      Kmeans.withPqAssignment(csv, coarse)
+        .select(col("vec_id"), col("cid").as("lcid"),
+          residCol(coarse, col("cid"), col("sv")).as("qv")))
+
+    // 3. PQ codebook on residual subvectors
+    val rsv = graft.Caches.persist(
+      Kmeans.subrelOf(resid, Kmeans.SubSpaces, Kmeans.SubDim))
+    val book = Kmeans.lloydBook(rsv, PqCodeK, PqRounds, Kmeans.SubDim)
+
+    // 4. codes, carried with the list assignment
+    val codes = Kmeans.withPqAssignment(rsv, book)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      .join(resid.select(col("vec_id"), col("lcid")), "vec_id")
+
+    // 5. serve: probes → per-(query, list) residual LUT → ADC
+    val probeArr = array_sort(array(coarse.sortBy(_.cid).map { c =>
+      struct(l2(col("qv"), c.cv).as("d"), lit(c.cid).as("cid"))
+    }: _*))
+    val probes = queries
+      .withColumn("pc", slice(probeArr, 1, NProbe))
+      .select(col("vec_id").as("qid"), col("qv"),
+        explode(col("pc")).as("p"))
+      .select(col("qid"), col("qv"), col("p.cid").as("pcid"))
+      .withColumn("rq", residCol(coarse, col("pcid"), col("qv")))
+    val lutEntries = array(book.sortBy(c => (c.sub, c.cid)).map { c =>
+      struct(lit(c.sub).as("sub"), lit(c.cid).as("code"),
+        l2(slice(col("rq"), c.sub * Kmeans.SubDim + 1, Kmeans.SubDim),
+          c.cv).as("lutv"))
+    }: _*)
+    val luts = probes.select(col("qid"), col("pcid"),
+      explode(lutEntries).as("e"))
+      .select(col("qid"), col("pcid"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.lutv").as("lutv"))
+    // candidates = probed lists' codes; ADC = Σ_sub lut[code]
+    val adc = broadcast(luts)
+      .join(codes, col("pcid") === col("lcid") &&
+        luts("sub") === codes("sub") && luts("code") === codes("code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("lutv")).as("approx"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("approx"), col("vec_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
+        col("approx"))
+      .orderBy("qid", "rnk")
+  }
+
+  private def oracleSql: String = {
+    import Kmeans.{subSelSql, lloydChainSql, SubSpaces, SubDim, Dim}
+    val cbA = s"cba$CoarseRounds"   // final coarse assignment
+    val cbC = s"cbc${CoarseRounds - 1}" // final coarse book
+    val pqA = s"pqa$PqRounds"
+    val pqC = s"pqc${PqRounds - 1}"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id,
+       |    list_transform(v, x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |  FROM e),
+       |corp AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQ),
+       |qry AS (SELECT vec_id, qv FROM q WHERE vec_id < $NumQ),
+       |csv AS (SELECT vec_id, 0 AS sub, qv AS sv FROM corp),
+       |p64 AS (SELECT unnest(range(1, ${Dim + 1})) AS pos),
+       |p16 AS (SELECT unnest(range(1, ${SubDim + 1})) AS pos),
+       |${lloydChainSql("cb", "csv", "p64", CoarseK, CoarseRounds)},
+       |rq0 AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid AS lcid,
+       |    list(v.sv[p64.pos] - c.cv[p64.pos] ORDER BY p64.pos) AS qv
+       |  FROM $cbA a
+       |  JOIN csv v ON v.vec_id = a.vec_id
+       |  JOIN $cbC c ON c.cid = a.cid
+       |  CROSS JOIN p64
+       |  GROUP BY a.vec_id, a.cid),
+       |rsv AS MATERIALIZED (
+       |  ${subSelSql("rq0", SubSpaces, SubDim)}),
+       |${lloydChainSql("pq", "rsv", "p16", PqCodeK, PqRounds)},
+       |codes AS MATERIALIZED (
+       |  SELECT a.vec_id, a.sub, a.cid AS code, r.lcid
+       |  FROM $pqA a JOIN rq0 r ON r.vec_id = a.vec_id),
+       |qd AS (
+       |  SELECT s.vec_id AS qid, c.cid,
+       |    CAST(list_inner_product(s.qv, s.qv)
+       |      - 2.0 * list_inner_product(s.qv, c.cv)
+       |      + list_inner_product(c.cv, c.cv) AS BIGINT) AS d
+       |  FROM qry s CROSS JOIN $cbC c),
+       |probes AS MATERIALIZED (
+       |  SELECT qid, cid AS pcid FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (
+       |      PARTITION BY qid ORDER BY d, cid) AS rk FROM qd) t
+       |  WHERE rk <= $NProbe),
+       |qres AS MATERIALIZED (
+       |  SELECT pr.qid, pr.pcid,
+       |    list(s.qv[p64.pos] - c.cv[p64.pos] ORDER BY p64.pos) AS rq
+       |  FROM probes pr
+       |  JOIN qry s ON s.vec_id = pr.qid
+       |  JOIN $cbC c ON c.cid = pr.pcid
+       |  CROSS JOIN p64
+       |  GROUP BY pr.qid, pr.pcid),
+       |luts AS MATERIALIZED (
+       |  SELECT qr.qid, qr.pcid, b.sub, b.cid AS code,
+       |    CAST(list_inner_product(
+       |        list_slice(qr.rq, b.sub * $SubDim + 1,
+       |          (b.sub + 1) * $SubDim),
+       |        list_slice(qr.rq, b.sub * $SubDim + 1,
+       |          (b.sub + 1) * $SubDim))
+       |      - 2.0 * list_inner_product(
+       |        list_slice(qr.rq, b.sub * $SubDim + 1,
+       |          (b.sub + 1) * $SubDim), b.cv)
+       |      + list_inner_product(b.cv, b.cv) AS BIGINT) AS lutv
+       |  FROM qres qr CROSS JOIN $pqC b),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id,
+       |    CAST(SUM(l.lutv) AS BIGINT) AS approx
+       |  FROM luts l JOIN codes c
+       |    ON c.lcid = l.pcid AND c.sub = l.sub AND c.code = l.code
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor,
+       |  approx
+       |FROM (
+       |  SELECT qid, vec_id, approx, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY approx, vec_id) AS rnk
+       |  FROM adc) t
+       |WHERE rnk <= $TopK
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  val q225IvfPqPipeline: QueryDef = QueryDef(
+    "q225_ivfpq_train_serve",
+    (s, dir) => pipeline(s, dir),
+    Some(oracleSql))
+
+  val all: Seq[QueryDef] = Seq(q225IvfPqPipeline)
+}

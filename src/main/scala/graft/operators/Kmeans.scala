@@ -110,6 +110,39 @@ object Kmeans {
       }
       .toSeq.sortBy(_.cid)
 
+  /** Production arm: Lloyd to the exact fixed point — stop when an
+    * update leaves every centroid component IDENTICAL (centroids are
+    * integer-valued after the floor-mean, so the comparison is exact,
+    * not an ε; the same state-revisit discipline as
+    * [[Graph.ranksToConvergence]]). Assignments are a deterministic
+    * function of centroids, so centroids(r+1) == centroids(r) implies
+    * every later round repeats — a true fixed point. The
+    * integer-floored mean cannot 2-cycle in practice on organic data,
+    * but the revisit SET guards the theoretical cycle the same way
+    * q208's bipartite period-2 case is handled: any previously-seen
+    * codebook terminates.
+    *
+    * Returns (final centroids, rounds run). Each round is one
+    * assignment pass + one K·dim-row agg collect; driver state is the
+    * codebook plus its seen-set hashes.
+    */
+  private[graft] def trainToConvergence(n: DataFrame,
+      maxRounds: Int = 64): (Seq[Cent], Int) = {
+    def key(cs: Seq[Cent]): Seq[(Long, Seq[Double])] =
+      cs.map(c => c.cid -> c.cv.toSeq)
+    var cents = initCents(n)
+    val seen = scala.collection.mutable.Set(key(cents))
+    var rounds = 0
+    var fixed = false
+    while (!fixed && rounds < maxRounds) {
+      val next = updated(withAssignment(n, cents))
+      rounds += 1
+      fixed = !seen.add(key(next))
+      cents = next
+    }
+    (cents, rounds)
+  }
+
   def train(s: SparkSession, dir: String): DataFrame = {
     val n = graft.Caches.persist(qrel(s, dir))
     var cents = initCents(n)
@@ -207,15 +240,22 @@ object Kmeans {
   private[graft] case class SubCent(sub: Int, cid: Long,
       cv: Array[Double])
 
-  /** Exploded (vec_id, sub, sv) subvector relation. */
-  private[graft] def subrel(s: SparkSession, dir: String): DataFrame = {
-    val n = qrel(s, dir)
-    val subs = (0 until SubSpaces).map(b =>
+  /** Exploded (vec_id, sub, sv) subvector relation over an arbitrary
+    * (vec_id, qv) input and geometry — the generalized form q225's
+    * coarse (1×64) and residual-PQ (4×16) stages both reuse.
+    */
+  private[graft] def subrelOf(n: DataFrame, subSpaces: Int,
+      subDim: Int): DataFrame = {
+    val subs = (0 until subSpaces).map(b =>
       struct(lit(b).as("sub"),
-        slice(col("qv"), b * SubDim + 1, SubDim).as("sv")))
+        slice(col("qv"), b * subDim + 1, subDim).as("sv")))
     n.select(col("vec_id"), explode(array(subs: _*)).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
   }
+
+  /** Exploded (vec_id, sub, sv) subvector relation (q223 geometry). */
+  private[graft] def subrel(s: SparkSession, dir: String): DataFrame =
+    subrelOf(qrel(s, dir), SubSpaces, SubDim)
 
   /** Integer squared-L2 against a literal centroid:
     * ‖x‖² − 2⟨x,c⟩ + ‖c‖² — exact on µ-int components.
@@ -233,15 +273,16 @@ object Kmeans {
   private[graft] def withPqAssignment(sv: DataFrame,
       book: Seq[SubCent]): DataFrame = {
     val bySub = book.groupBy(_.sub)
-    val perSub = (0 until SubSpaces).map { b =>
-      array_min(array(bySub(b).sortBy(_.cid).map { c =>
+    val subIds = bySub.keys.toSeq.sorted
+    val perSub = subIds.map { b =>
+      b -> array_min(array(bySub(b).sortBy(_.cid).map { c =>
         struct(distCol(c.cv).as("d"), lit(c.cid).as("cid"))
       }: _*))
     }
     // sub is a literal-range dispatch: CASE WHEN sub = b THEN argmin_b
-    val best = (0 until SubSpaces).foldRight(lit(null)
-        .cast(s"struct<d:bigint,cid:bigint>")) { (b, acc) =>
-      when(col("sub") === b, perSub(b)).otherwise(acc)
+    val best = perSub.foldRight(lit(null)
+        .cast(s"struct<d:bigint,cid:bigint>")) { case ((b, c), acc) =>
+      when(col("sub") === b, c).otherwise(acc)
     }
     sv.withColumn("best", best)
       .withColumn("cid", col("best.cid"))
@@ -249,10 +290,11 @@ object Kmeans {
   }
 
   /** Deterministic seeds per subspace: subvector of the minimum
-    * vec_id in residue class vec_id mod PqK.
+    * vec_id in residue class vec_id mod k.
     */
-  private[graft] def initBook(sv: DataFrame): Seq[SubCent] =
-    sv.withColumn("res", col("vec_id") % PqK)
+  private[graft] def initBook(sv: DataFrame,
+      k: Int = PqK): Seq[SubCent] =
+    sv.withColumn("res", col("vec_id") % k)
       .groupBy(col("sub"), col("res"))
       .agg(min(col("vec_id")).as("svid"))
       .join(sv.select(col("vec_id"), col("sub").as("s2"), col("sv")),
@@ -263,7 +305,8 @@ object Kmeans {
         r.getSeq[Double](2).toArray))
       .sortBy(c => (c.sub, c.cid))
 
-  private[graft] def updatedBook(asn: DataFrame): Seq[SubCent] =
+  private[graft] def updatedBook(asn: DataFrame,
+      subDim: Int = SubDim): Seq[SubCent] =
     asn.select(col("sub"), col("cid"),
         posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy(col("sub"), col("cid"), col("pos"))
@@ -271,18 +314,29 @@ object Kmeans {
       .collect()
       .groupBy(r => (r.getInt(0), r.getLong(1)))
       .map { case ((sub, cid), rows) =>
-        val cv = new Array[Double](SubDim)
+        val cv = new Array[Double](subDim)
         rows.foreach(r => cv(r.getInt(2)) =
           math.floor(r.getDouble(3) / r.getLong(4)))
         SubCent(sub, cid, cv)
       }
       .toSeq.sortBy(c => (c.sub, c.cid))
 
+  /** The generalized Lloyd loop over an exploded subvector relation:
+    * `rounds` assignments with floor-mean updates between — q223's
+    * engine, also the coarse (1-subspace) and residual-PQ stages of
+    * the q225 pipeline.
+    */
+  private[graft] def lloydBook(sv: DataFrame, k: Int, rounds: Int,
+      subDim: Int): Seq[SubCent] = {
+    var book = initBook(sv, k)
+    for (_ <- 1 until rounds)
+      book = updatedBook(withPqAssignment(sv, book), subDim)
+    book
+  }
+
   def trainPq(s: SparkSession, dir: String): DataFrame = {
     val sv = graft.Caches.persist(subrel(s, dir))
-    var book = initBook(sv)
-    for (_ <- 1 until PqRounds)
-      book = updatedBook(withPqAssignment(sv, book))
+    val book = lloydBook(sv, PqK, PqRounds, SubDim)
     val csums = book.map(c =>
       (c.sub.toLong * PqK + c.cid) -> c.cv.map(_.toLong).sum).toMap
     withPqAssignment(sv, book)
@@ -295,8 +349,9 @@ object Kmeans {
       .orderBy("sub", "cid")
   }
 
-  private def pqAssignSql(a: String, cPrev: String): String =
-    s"""$a AS (
+  private[graft] def pqAssignSql(a: String, cPrev: String,
+      rel: String = "sv"): String =
+    s"""$a AS MATERIALIZED (
        |  SELECT vec_id, sub, cid, dist FROM (
        |    SELECT vec_id, sub, cid, dist, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id, sub ORDER BY dist, cid) AS rk
@@ -305,29 +360,54 @@ object Kmeans {
        |        CAST(list_inner_product(v.sv, v.sv)
        |          - 2.0 * list_inner_product(v.sv, c.cv)
        |          + list_inner_product(c.cv, c.cv) AS BIGINT) AS dist
-       |      FROM sv v JOIN $cPrev c ON v.sub = c.sub) s1) s2
+       |      FROM $rel v JOIN $cPrev c ON v.sub = c.sub) s1) s2
        |  WHERE rk = 1)""".stripMargin
 
-  private def pqUpdateSql(c: String, a: String): String =
-    s"""$c AS (
+  private[graft] def pqUpdateSql(c: String, a: String,
+      rel: String = "sv", pos: String = "p"): String =
+    s"""$c AS MATERIALIZED (
        |  SELECT sub, cid, list(flo ORDER BY pos) AS cv FROM (
-       |    SELECT a.sub, a.cid, p.pos,
-       |      floor(SUM(v.sv[p.pos]) / COUNT(*)) AS flo
-       |    FROM $a a JOIN sv v ON a.vec_id = v.vec_id AND a.sub = v.sub
-       |    CROSS JOIN p GROUP BY a.sub, a.cid, p.pos) s
+       |    SELECT a.sub, a.cid, $pos.pos,
+       |      floor(SUM(v.sv[$pos.pos]) / COUNT(*)) AS flo
+       |    FROM $a a JOIN $rel v ON a.vec_id = v.vec_id AND a.sub = v.sub
+       |    CROSS JOIN $pos GROUP BY a.sub, a.cid, $pos.pos) s
        |  GROUP BY sub, cid)""".stripMargin
+
+  /** Subvector-split SELECT over a (vec_id, qv) CTE — the oracle twin
+    * of [[subrelOf]].
+    */
+  private[graft] def subSelSql(rel: String, subSpaces: Int,
+      subDim: Int): String =
+    (0 until subSpaces).map(b =>
+      s"SELECT vec_id, $b AS sub, " +
+        s"qv[${b * subDim + 1}:${(b + 1) * subDim}] AS sv FROM $rel")
+      .mkString("\n  UNION ALL\n  ")
+
+  /** Whole unrolled Lloyd chain as CTE text: seeds from `rel` (an
+    * exploded (vec_id, sub, sv) relation CTE), `rounds` assignments
+    * with updates between, prefix-namespaced so two chains compose in
+    * one WITH (q225 trains coarse AND PQ). Ends with `<px>a{rounds}`
+    * (final assignment) and `<px>c{rounds-1}` (final book).
+    */
+  private[graft] def lloydChainSql(px: String, rel: String,
+      pos: String, k: Int, rounds: Int): String = {
+    val steps = (1 until rounds).map(r =>
+      pqAssignSql(s"${px}a$r", s"${px}c${r - 1}", rel) + ",\n" +
+        pqUpdateSql(s"${px}c$r", s"${px}a$r", rel, pos)).mkString(",\n")
+    s"""${px}i AS MATERIALIZED (SELECT sub, vec_id % $k AS cid, MIN(vec_id) AS svid
+       |      FROM $rel GROUP BY 1, 2),
+       |${px}c0 AS MATERIALIZED (SELECT i.sub, i.cid, v.sv AS cv
+       |       FROM ${px}i i JOIN $rel v
+       |         ON v.vec_id = i.svid AND v.sub = i.sub),
+       |$steps,
+       |${pqAssignSql(s"${px}a$rounds", s"${px}c${rounds - 1}", rel)}"""
+      .stripMargin
+  }
 
   val q223PqTrain: QueryDef = QueryDef(
     "q223_pq_train",
     (s, dir) => trainPq(s, dir),
     Some {
-      val rounds = (1 until PqRounds).map(r =>
-        pqAssignSql(s"a$r", s"c${r - 1}") + ",\n" +
-          pqUpdateSql(s"c$r", s"a$r")).mkString(",\n")
-      val subSel = (0 until SubSpaces).map(b =>
-        s"SELECT vec_id, $b AS sub, " +
-          s"qv[${b * SubDim + 1}:${(b + 1) * SubDim}] AS sv FROM q")
-        .mkString("\n  UNION ALL\n  ")
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
@@ -335,15 +415,9 @@ object Kmeans {
          |    list_transform(v, x -> floor(x * 1000000.0 + 0.5)) AS qv
          |  FROM e),
          |sv AS (
-         |  $subSel),
+         |  ${subSelSql("q", SubSpaces, SubDim)}),
          |p AS (SELECT unnest(range(1, ${SubDim + 1})) AS pos),
-         |i AS (SELECT sub, vec_id % $PqK AS cid, MIN(vec_id) AS svid
-         |      FROM sv GROUP BY 1, 2),
-         |c0 AS (SELECT i.sub, i.cid, v.sv AS cv
-         |       FROM i JOIN sv v
-         |         ON v.vec_id = i.svid AND v.sub = i.sub),
-         |$rounds,
-         |${pqAssignSql(s"a$PqRounds", s"c${PqRounds - 1}")},
+         |${lloydChainSql("", "sv", "p", PqK, PqRounds)},
          |cs AS (SELECT sub, cid, CAST(list_sum(cv) AS BIGINT) AS csum
          |       FROM c${PqRounds - 1})
          |SELECT CAST(a.sub AS BIGINT) AS sub, a.cid,

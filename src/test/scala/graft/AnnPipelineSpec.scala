@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q225 pinned against a from-scratch SERIAL fold of the whole IVF-PQ
+  * pipeline — coarse Lloyd, residuals, PQ Lloyd, codes, probes, LUTs,
+  * ADC ranking — written here with plain Scala collections from the
+  * definitions alone (no shared code with the operator). Equality of
+  * the full served output proves the distributed composition
+  * implements the definition, not just its own oracle spelling.
+  */
+class AnnPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private type Vec = Array[Double]
+
+  private def micro(v: Array[Double]): Vec =
+    v.map(x => math.floor(x * 1000000.0 + 0.5))
+
+  private def l2(a: Vec, b: Vec): Long = {
+    var i = 0; var s = 0.0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s.toLong
+  }
+
+  /** Serial Lloyd over (id, vec) with residue-class seeds, floor-mean
+    * updates, (dist, cid) argmin ties to smaller cid.
+    */
+  private def lloyd(xs: Seq[(Long, Vec)], k: Int,
+      rounds: Int): Map[Long, Vec] = {
+    var cents: Map[Long, Vec] = xs.groupBy(_._1 % k)
+      .map { case (b, g) => b -> g.minBy(_._1)._2 }
+    def assign(c: Map[Long, Vec]): Seq[(Long, Long)] =
+      xs.map { case (id, v) =>
+        id -> c.toSeq.map { case (cid, cv) => (l2(v, cv), cid) }
+          .min._2
+      }
+    for (_ <- 1 until rounds) {
+      val byC = assign(cents).groupBy(_._2)
+      cents = byC.map { case (cid, members) =>
+        val vs = members.map(m => xs.find(_._1 == m._1).get._2)
+        val cv = new Vec(vs.head.length)
+        for (p <- cv.indices)
+          cv(p) = math.floor(vs.map(_(p)).sum / vs.length)
+        cid -> cv
+      }
+    }
+    cents
+  }
+
+  test("the served q225 output equals a from-definitions serial fold " +
+      "of the whole train+serve pipeline") {
+    import operators.IvfPqPipeline._
+    import operators.Kmeans.{SubSpaces, SubDim}
+    val all = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> micro(r.getSeq[Double](1).toArray))
+      .toSeq.sortBy(_._1)
+    val corpus = all.filter(_._1 >= NumQ)
+    val queries = all.filter(_._1 < NumQ)
+
+    val coarse = lloyd(corpus, CoarseK, CoarseRounds)
+    def coarseAssign(v: Vec): Long =
+      coarse.toSeq.map { case (cid, cv) => (l2(v, cv), cid) }.min._2
+    def sub(v: Vec, b: Int): Vec =
+      v.slice(b * SubDim, (b + 1) * SubDim)
+    val resid = corpus.map { case (id, v) =>
+      val cid = coarseAssign(v)
+      (id, cid, v.zip(coarse(cid)).map { case (x, c) => x - c })
+    }
+    // PQ book per subspace over residual subvectors
+    val book: Map[Int, Map[Long, Vec]] = (0 until SubSpaces).map { b =>
+      b -> lloyd(resid.map { case (id, _, r) => id -> sub(r, b) },
+        PqCodeK, PqRounds)
+    }.toMap
+    def code(r: Vec, b: Int): Long =
+      book(b).toSeq.map { case (cid, cv) => (l2(sub(r, b), cv), cid) }
+        .min._2
+    val codes = resid.map { case (id, lcid, r) =>
+      (id, lcid, (0 until SubSpaces).map(b => code(r, b)))
+    }
+    // serve
+    val want = queries.flatMap { case (qid, qv) =>
+      val probed = coarse.toSeq
+        .map { case (cid, cv) => (l2(qv, cv), cid) }
+        .sorted.take(NProbe).map(_._2)
+      val scored = probed.flatMap { pcid =>
+        val rq = qv.zip(coarse(pcid)).map { case (x, c) => x - c }
+        codes.filter(_._2 == pcid).map { case (id, _, cs) =>
+          val approx = (0 until SubSpaces).map(b =>
+            l2(sub(rq, b), book(b)(cs(b)))).sum
+          (approx, id)
+        }
+      }
+      scored.sorted.take(TopK).zipWithIndex.map {
+        case ((approx, id), i) => (qid, (i + 1).toLong, id, approx)
+      }
+    }.sortBy(r => (r._1, r._2))
+
+    val got = SparkEntry.queries("q225_ivfpq_train_serve")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty && got == want)
+    // sanity on shape: full top-k per query, ranks dense, monotone
+    got.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2) == (1L to rs.length.toLong), s"qid=$qid")
+      assert(rs.map(_._4) == rs.map(_._4).sorted)
+      assert(rs.forall(_._3 >= NumQ))
+    }
+  }
+}

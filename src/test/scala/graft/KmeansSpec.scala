@@ -38,6 +38,21 @@ class KmeansSpec extends AnyFunSuite {
     assert(led.map(_.getLong(0)).sorted == (0L until K.toLong))
   }
 
+  test("the convergence arm reaches an exact integer fixed point: " +
+      "one more update leaves every centroid component identical") {
+    val n = operators.Kmeans.qrel(spark, dir).persist()
+    n.count()
+    val (cents, rounds) = operators.Kmeans.trainToConvergence(n)
+    assert(rounds < 64, s"no fixed point within 64 rounds")
+    val again = operators.Kmeans.updated(
+      operators.Kmeans.withAssignment(n, cents))
+    n.unpersist()
+    assert(cents.length == again.length)
+    assert(cents.zip(again).forall { case (a, b) =>
+      a.cid == b.cid && a.cv.sameElements(b.cv) },
+      s"state at round $rounds is not a fixed point")
+  }
+
   test("q223 PQ: every (vector, subspace) assigned once, Lloyd " +
       "monotonically shrinks the integer L2 objective, codebook is " +
       "partition-invariant") {
