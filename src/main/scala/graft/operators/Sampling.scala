@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
@@ -343,6 +343,134 @@ object Sampling {
             |WHERE r.rk <= seats.n_h
             |ORDER BY r.lang, r.rk""".stripMargin))
 
-  val all: Seq[QueryDef] =
-    Seq(q209PpsSample, q220ExactQuantiles, q222StratifiedNeyman)
+  /** Histogram-refinement fan-out per pass. */
+  private val QBins = 64
+
+  /** A narrowed range is finished when this few rows remain — they
+    * are fetched exactly (64 keeps the driver fetch trivial AND
+    * forces the multi-pass path on the fixtures).
+    */
+  private val QFetch = 64L
+
+  /** One in-flight quantile search: the target's 0-indexed offset
+    * within the remaining scope, the scope predicate (a compounded
+    * chain of exact bin-membership tests), and the bin geometry for
+    * the next pass.
+    */
+  private final case class QSearch(sid: Int, etype: String, t: Long,
+      pred: Column, lo: Double, w: Double,
+      var answer: Option[Double] = None)
+
+  private def binCol(lo: Double, w: Double): Column =
+    least(lit(QBins - 1), greatest(lit(0),
+      floor((col("value") - lit(lo)) / lit(w)).cast("int")))
+
+  // Exact quantiles of a CONTINUOUS double column — the "bin first,
+  // then narrow" arm q220's integer-domain histogram cannot cover,
+  // promoted from that file's prose to code (the q209 lesson). The
+  // classic iterative-refinement distributed quantile: each pass is
+  // ONE corpus aggregation that bins every still-active search's
+  // scope into QBins counts (all searches ride the same job via an
+  // in-row contribution array), the driver walks the 15-row-per-search
+  // histogram to the bin covering the target rank, and the scope
+  // narrows 64× per pass until ≤ QFetch rows remain for an exact
+  // fetch. Two determinism guards make float bins safe: scope is a
+  // COMPOUNDED CHAIN of the exact bin predicates already evaluated
+  // (never a recomputed lo ≤ v ≤ hi range, whose float boundaries can
+  // disagree with the binning by an ulp), and a bin whose min equals
+  // its max short-circuits (a mega-duplicate value can never shrink
+  // further — its min IS the answer). Driver state is O(searches);
+  // passes are O(log_B n); the corpus is never sorted and no window
+  // ever sees it.
+  /** The refinement loop over an arbitrary (event_type, value)
+    * relation — factored so the spec can feed adversarial shapes
+    * (mega-duplicate groups, tightly-clustered multi-pass ranges).
+    */
+  private[graft] def valueQuantiles(s: org.apache.spark.sql
+      .SparkSession, din: DataFrame): DataFrame = {
+      import s.implicits._
+      val d = graft.Caches.persist(
+        din.select(col("event_type"), col("value")))
+      val stats = d.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), min(col("value")).as("lo"),
+        max(col("value")).as("hi")).collect()
+      var searches = stats.toSeq.flatMap { r =>
+        val (et, n, lo, hi) =
+          (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+        QuantilePcts.map { p =>
+          // +ulp keeps w > 0 when the group is a single repeated
+          // value (the min==max short-circuit then answers pass 1)
+          QSearch(0, et, (n - 1) * p / 100, lit(true),
+            lo, (hi - lo) / QBins + java.lang.Math.ulp(hi))
+        }
+      }.zipWithIndex.map { case (q, i) => q.copy(sid = i) }
+      var pass = 0
+      while (searches.exists(_.answer.isEmpty) && pass < 64) {
+        pass += 1
+        val active = searches.filter(_.answer.isEmpty)
+        val contribs = active.map { q =>
+          when(col("event_type") === q.etype && q.pred,
+            struct(lit(q.sid).as("sid"),
+              binCol(q.lo, q.w).as("bin")))
+        }
+        val hist = d
+          .select(col("value"), explode(filter(array(contribs: _*),
+            c => c.isNotNull)).as("c"))
+          .groupBy(col("c.sid").as("sid"), col("c.bin").as("bin"))
+          .agg(count(lit(1)).as("cnt"), min(col("value")).as("bmin"),
+            max(col("value")).as("bmax"))
+          .collect()
+          .groupBy(_.getInt(0))
+        searches = searches.map { q =>
+          if (q.answer.nonEmpty) q
+          else {
+            val bins = hist(q.sid).map(r => r.getInt(1) ->
+              (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+              .sortBy(_._1)
+            // walk to the bin whose cumulative interval covers t
+            var rem = q.t
+            val (bin, (cnt, bmin, bmax)) = bins.find { case (_, (c, _, _)) =>
+              if (rem < c) true else { rem -= c; false }
+            }.get
+            if (bmin == bmax) q.copy(answer = Some(bmin))
+            else if (cnt <= QFetch) {
+              val vals = d.filter(col("event_type") === q.etype &&
+                  q.pred && binCol(q.lo, q.w) === bin)
+                .select(col("value")).as[Double].collect().sorted
+              q.copy(answer = Some(vals(rem.toInt)))
+            } else q.copy(t = rem,
+              pred = q.pred && binCol(q.lo, q.w) === bin,
+              lo = q.lo + bin * q.w, w = q.w / QBins)
+          }
+        }
+      }
+      val rows = searches.groupBy(_.etype).toSeq.map { case (et, qs) =>
+        val byP = QuantilePcts.zipWithIndex.map { case (p, i) =>
+          p -> qs(i).answer.get
+        }.toMap
+        (et, stats.find(_.getString(0) == et).get.getLong(1),
+          byP(50), byP(90), byP(99))
+      }
+      rows.toDF("event_type", "n", "p50", "p90", "p99")
+        .orderBy("event_type")
+  }
+
+  val q226ValueQuantiles: QueryDef = QueryDef(
+    "q226_value_quantiles",
+    (s, dir) => valueQuantiles(s, Tables.load(s, dir, "events")),
+    Some(s"""WITH d AS (SELECT event_type, value FROM events),
+            |t AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+            |r AS (SELECT event_type, value, ROW_NUMBER() OVER (
+            |    PARTITION BY event_type ORDER BY value) AS rk FROM d)
+            |SELECT t.event_type, t.n,
+            |${QuantilePcts.map(p =>
+               s"""  MAX(CASE WHEN rk = (t.n - 1) * $p // 100 + 1
+                  |    THEN value END) AS p$p""".stripMargin)
+              .mkString(",\n")}
+            |FROM r JOIN t USING (event_type)
+            |GROUP BY t.event_type, t.n
+            |ORDER BY t.event_type""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q209PpsSample, q220ExactQuantiles,
+    q222StratifiedNeyman, q226ValueQuantiles)
 }

@@ -177,6 +177,48 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("q226 refinement quantiles equal the sort-and-index " +
+      "definition on the real fixture") {
+    val got = SparkEntry.queries("q226_value_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val vals = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    vals.groupBy(_._1).foreach { case (et, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length.toLong
+      def q(p: Int): Double = sorted(((n - 1) * p / 100).toInt)
+      assert(got(et) == ((n, q(50), q(90), q(99))), s"etype=$et")
+    }
+  }
+
+  test("q226 adversarial shapes: a mega-duplicate group " +
+      "short-circuits, a tightly-clustered group narrows over " +
+      "multiple passes to the exact answer") {
+    import spark.implicits._
+    // group "dup": 5000 identical values (no bin split can ever
+    // shrink it — the min==max guard must answer); group "tight":
+    // 5000 values packed inside one first-pass bin width, forcing
+    // repeated refinement passes before the ≤QFetch fetch
+    val dup = Seq.fill(5000)(("dup", 42.42))
+    val tight = (0 until 5000).map(i => ("tight", 100.0 + i * 1e-9))
+    val d = (dup ++ tight).toDF("event_type", "value")
+      .repartition(13)
+    val got = operators.Sampling.valueQuantiles(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got("dup") == ((5000L, 42.42, 42.42, 42.42)))
+    def t(p: Int): Double = {
+      val sorted = tight.map(_._2).sorted
+      sorted(((4999L) * p / 100).toInt)
+    }
+    assert(got("tight") == ((5000L, t(50), t(90), t(99))))
+  }
+
   test("q220 histogram quantiles equal the sort-and-index definition " +
       "and are monotone") {
     val got = SparkEntry.queries("q220_exact_quantiles")(spark, dir)
