@@ -6,7 +6,7 @@ oracle SQL in DuckDB against the same sf parquet tables, and compares:
 row count, column names (sorted), and values (rows sorted, floats rounded).
 Usage: python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import sys, os, json, math
+import sys, os, json, math, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -68,6 +68,7 @@ def main(sfdir, outdir):
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(f"{outdir}/{d}"))
     n_pass = n_fail = n_weak = 0
+    slow = []
     for name in names:
         t = pq.read_table(f"{outdir}/{name}")
         scols = t.column_names
@@ -81,7 +82,15 @@ def main(sfdir, outdir):
         try:
             # fetch via Arrow: HUGEINT sums surface as the float/decimal
             # values the driver's hasher would see, not python ints
+            t0 = time.monotonic()
             dt = con.execute(oracle[name]).arrow()
+            dur = time.monotonic() - t0
+            if dur > 30:
+                # tripwire for the q217 class: an unrolled CTE chain a
+                # future edit leaves un-MATERIALIZED re-inlines
+                # exponentially and can spill the disk at the next SF —
+                # surface it while it is still only slow
+                slow.append((name, dur))
             dcols = dt.column_names
             dd = dt.to_pydict()
             drows = [tuple(dd[c][i] for c in dcols)
@@ -107,6 +116,9 @@ def main(sfdir, outdir):
         else:
             n_pass += 1
             print(f"[PASS ] {name}: rows={len(sv)}")
+    for name, dur in slow:
+        print(f"[SLOW ] {name}: oracle took {dur:.0f}s — check CTE "
+              f"MATERIALIZED hints before the next scale-up")
     # pin the oracle engine version into the artifact trail: the r15
     # q188 red row was a DRIVER-environment DuckDB delta invisible in
     # the repo's own runs (VERDICT r15 adjudication)

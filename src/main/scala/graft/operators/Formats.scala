@@ -402,7 +402,82 @@ object Formats {
            |  md5(inp) AS input_md5, md5(tgt) AS target_md5
            |FROM r ORDER BY doc_id""".stripMargin))
 
+  /** Shard counts before / after the reshard (8 → 9). */
+  val ShardsBefore = 8
+  val ShardsAfter = 9
+
+  /** Per-(doc, shard) rendezvous weight: the engine-portable md5
+    * hash of "doc_id#shard" (the q166/q219 hex convention).
+    */
+  private def hrwWeight(s: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(s"#$s"))), 1, 12), 16, 10).cast("long")
+
+  /** Rendezvous (highest-random-weight) shard id over n shards —
+    * one in-row argmax, ties (never observed at 48 bits) to the
+    * smaller shard.
+    */
+  private def hrwShard(n: Int): org.apache.spark.sql.Column =
+    -array_max(array((0 until n).map(s =>
+      struct(hrwWeight(s).as("h"), lit(-s.toLong).as("ns"))): _*))
+      .getField("ns")
+
+  // Rendezvous / highest-random-weight sharding (Thaler &
+  // Ravishankar, IEEE ToN'98 — the consistent-placement scheme
+  // memcached/Riak-style layouts use): doc → argmax_s h(doc, s).
+  // The property that matters for a 100 TB incremental layout:
+  // growing S → S+1 moves ONLY the docs whose new shard wins their
+  // argmax — an expected 1/(S+1) of the corpus — and every moved doc
+  // lands ON the new shard (its old argmax is unchanged otherwise).
+  // Contrast doc_id % S, which relocates ~S/(S+1) of everything on
+  // reshard (FormatsSpec measures both). The output ledger carries
+  // the per-shard arrival accounting for the 8 → 9 reshard; the hash
+  // match pins both the placement AND the moved⟹new-shard invariant
+  // (arrived = 0 for every pre-existing shard) on both engines.
+  // Plan: pure in-row argmaxes + ONE keyed agg — nothing shuffles but
+  // the |shards|-row ledger.
+  val q227RendezvousShards: QueryDef = QueryDef(
+    "q227_rendezvous_shards",
+    (s, dir) => {
+      graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          hrwShard(ShardsBefore).as("shard_before"),
+          hrwShard(ShardsAfter).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard_before") =!= col("shard"), 1L)
+            .otherwise(0L)).as("arrived"))
+        .orderBy("shard")
+    },
+    Some {
+      // NB no continuation line inside weights() may START with "||":
+      // the emitted text passes through the OUTER stripMargin too,
+      // which would eat one pipe of a leading concat operator
+      def weights(n: Int, alias: String) =
+        s"""SELECT doc_id, s AS $alias FROM (
+           |    SELECT doc_id, s, ROW_NUMBER() OVER (
+           |      PARTITION BY doc_id ORDER BY hv DESC, s) AS rk
+           |    FROM (
+           |      SELECT d.doc_id, t.s,
+           |        CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) ||
+           |          '#' || CAST(t.s AS VARCHAR)), 1, 12)
+           |          AS BIGINT) AS hv
+           |      FROM d CROSS JOIN
+           |        (SELECT unnest(range(0, $n)) AS s) t) h) r
+           |  WHERE rk = 1""".stripMargin
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |a8 AS (${weights(ShardsBefore, "shard_before")}),
+         |a9 AS (${weights(ShardsAfter, "shard")})
+         |SELECT a9.shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN a8.shard_before <> a9.shard
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS arrived
+         |FROM a8 JOIN a9 USING (doc_id)
+         |GROUP BY a9.shard
+         |ORDER BY a9.shard""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q193DocFim, q198SpanCorruption,
     q69JsonlScan, q73CsvScan,
-    q98SchemaEvolution, q140PartitionPrune, q151HtmlExtract)
+    q98SchemaEvolution, q140PartitionPrune, q151HtmlExtract,
+    q227RendezvousShards)
 }
