@@ -27,6 +27,33 @@ class KmeansSpec extends AnyFunSuite {
     assert(led.map(_.toSeq) == led2.map(_.toSeq))
   }
 
+  test("a training round's exchange is codebook-sized, not " +
+      "corpus-sized: shuffle records bounded by tasks·K·dim") {
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      val parts = 4
+      val n = operators.Kmeans.qrel(spark, "/root/testdata/sf0.01")
+        .repartition(parts).persist()
+      n.count()
+      val init = operators.Kmeans.initCents(n)
+      clock.quiesce(); clock.reset()
+      operators.Kmeans.updated(
+        operators.Kmeans.withAssignment(n, init))
+      clock.quiesce()
+      val recs = clock.shuffleRecords
+      n.unpersist()
+      // partial agg emits ≤ K·Dim rows per task; 2x slack for the
+      // final-merge side of the exchange
+      val bound = 2L * parts * K * operators.Kmeans.Dim
+      assert(recs > 0 && recs <= bound,
+        s"round shuffled $recs records, bound $bound — partial " +
+          "aggregation is not combining map-side")
+    } finally {
+      spark.sparkContext.removeSparkListener(clock)
+    }
+  }
+
   test("the final ledger partitions the corpus: every vector in " +
       "exactly one cluster, every cluster organically populated") {
     val n = operators.Kmeans.qrel(spark, dir)
