@@ -27,6 +27,22 @@ object Caches {
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Release ONE registered relation early (an iterative operator's
+    * per-call cache that should not wait for the session-level
+    * [[clear]]): unpersist AND deregister — a direct `df.unpersist`
+    * would free the blocks but leave the DataFrame (plan tree +
+    * session reference) in the registry for the session's life.
+    */
+  def release(df: DataFrame): Unit = {
+    reg.remove(df)
+    df.unpersist(blocking = false); ()
+  }
+
+  /** Registered-relation count — spec hook for the no-dead-entries
+    * contract of [[release]].
+    */
+  def registered: Int = reg.size()
+
   /** Release the cached RDD behind a `localCheckpoint()`ed DataFrame
     * that has been superseded in an iterative loop (q208's
     * ranksToConvergence, q213's NN-descent rounds): only the current

@@ -174,7 +174,9 @@ object Graph {
     // leaves ~two V-row blocks resident for the session's life —
     // exactly the round-garbage this function exists to avoid
     if (prev != null && (prev ne r)) release(prev)
-    nodes.unpersist(blocking = false)
+    // through Caches.release, not a bare unpersist: the registry entry
+    // must go too, or each call leaks one dead DataFrame there
+    graft.Caches.release(nodes)
     (r, rounds)
   }
 

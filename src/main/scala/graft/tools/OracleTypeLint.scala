@@ -24,27 +24,34 @@ package graft.tools
   */
 object OracleTypeLint {
 
-  /** Mask single-quoted string literals so keywords inside them don't
-    * confuse the scanner ('' escapes handled by pairing).
+  /** Mask string-literal contents AND strip `--` comments in ONE
+    * scanner pass. Neither is safe as a separate phase: a `--` inside
+    * a literal (a concat separator) would truncate the line if
+    * comments were stripped first, and an apostrophe inside a comment
+    * ("r16's") would flip the literal state machine if literals were
+    * masked first. Here a `--` only opens a comment OUTSIDE a literal,
+    * and a quote only toggles the literal state OUTSIDE a comment.
     */
-  private def maskLiterals(sql: String): String = {
+  private def maskLiteralsAndComments(sql: String): String = {
     val sb = new StringBuilder(sql.length)
     var i = 0
     var inStr = false
+    var inComment = false
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'') { inStr = !inStr; sb.append('\'') }
-      else sb.append(if (inStr) ' ' else c)
+      if (c == '\n') { inComment = false; sb.append('\n') }
+      else if (inComment) () // dropped
+      else if (inStr) {
+        if (c == '\'') { inStr = false; sb.append('\'') }
+        else sb.append(' ')
+      } else if (c == '\'') { inStr = true; sb.append('\'') }
+      else if (c == '-' && i + 1 < sql.length &&
+          sql.charAt(i + 1) == '-') { inComment = true }
+      else sb.append(c)
       i += 1
     }
     sb.toString
   }
-
-  private def stripComments(sql: String): String =
-    sql.linesIterator.map { l =>
-      val i = l.indexOf("--")
-      if (i >= 0) l.substring(0, i) else l
-    }.mkString("\n")
 
   /** Replace every balanced `CAST(...)` / `TRY_CAST(...)` region with
     * a neutral literal — a CAST's output type is pinned regardless of
@@ -198,7 +205,7 @@ object OracleTypeLint {
     * actual defects.
     */
   def taintedOutputs(sql: String): Set[String] = {
-    val clean = maskLiterals(stripComments(sql))
+    val clean = maskLiteralsAndComments(sql)
     val (ctes, fin) = splitCtes(clean)
     var taint = Set.empty[String]
     ctes.foreach { case (_, body) =>

@@ -66,7 +66,13 @@ class GraphSpec extends AnyFunSuite {
     val ewDf = operators.Graph.edges(spark, dir)
     ewDf.count() // materialize the edge cache before the baseline
     val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    val regBefore = Caches.registered
     val (r, rounds) = operators.Graph.ranksToConvergence(ewDf)
+    // registry hygiene too: the per-call nodes cache must leave the
+    // Caches registry on release, not just drop its blocks (a bare
+    // unpersist leaks one dead DataFrame entry per call)
+    assert(Caches.registered <= regBefore,
+      s"registry grew ${Caches.registered - regBefore} entries")
     assert(rounds < 200, s"no revisited state in $rounds rounds")
     // storage hygiene: ~rounds localCheckpoints ran, but only the
     // RETURNED vector's block may remain — superseded rounds, the

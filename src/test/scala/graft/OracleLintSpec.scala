@@ -28,6 +28,24 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleTypeLint.taintedOutputs(bad) == Set("rank_ppb"))
   }
 
+  test("scanner survives '--' inside a literal and an apostrophe " +
+      "inside a comment (the r17 phase-ordering classes)") {
+    // a comment apostrophe must not flip the literal state (it hid
+    // margin_u's taint when literals were masked before comments)...
+    val commentQuote =
+      """WITH e AS (SELECT k, SUM(w) AS s FROM t GROUP BY k)
+        |-- r16's five red rows came from exactly this
+        |SELECT k, s AS total FROM e""".stripMargin
+    assert(OracleTypeLint.taintedOutputs(commentQuote) == Set("total"))
+    // ...and a '--' inside a literal must not truncate the line and
+    // hide the SUM that follows it
+    val literalDashes =
+      """WITH e AS (SELECT k, concat(k, '--', k), SUM(w) AS s
+        |           FROM t GROUP BY k)
+        |SELECT k, s AS total FROM e""".stripMargin
+    assert(OracleTypeLint.taintedOutputs(literalDashes) == Set("total"))
+  }
+
   test("lint accepts the CAST fix (canary)") {
     val good =
       """WITH e AS (SELECT src, SUM(w) AS wsum FROM edges GROUP BY src),
