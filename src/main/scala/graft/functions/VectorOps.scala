@@ -104,6 +104,12 @@ object VectorOps {
     reg.createOrReplaceTempFunction("graft_centroid_topk",
       exprs => CentroidTopK(exprs(0), exprs(1), exprs(2),
         intLit("graft_centroid_topk", "k")(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction("graft_centroid_mu_assign",
+      exprs => graft.plans.CentroidMuAssign(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_sub_l2_argmin",
+      exprs => graft.plans.SubL2Argmin(exprs(0), exprs(1), exprs(2)),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_counts",
       exprs => BigramCounts(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_sign_band_codes",
@@ -306,6 +312,20 @@ object VectorOps {
   def centroidTopK(v: Column, nrm: Column, packed: Column, k: Int): Column =
     call_function("graft_centroid_topk", v, nrm, packed,
       org.apache.spark.sql.functions.lit(k))
+
+  /** `struct<u, cid>` µcos-argmax training assignment vs a packed
+    * `[cid, cn, cv…]` table — the production-K arm of
+    * [[graft.operators.Kmeans.withAssignment]].
+    */
+  def centroidMuAssign(v: Column, nrm: Column, packed: Column): Column =
+    call_function("graft_centroid_mu_assign", v, nrm, packed)
+
+  /** `struct<d, cid>` per-subspace squared-L2 argmin vs a packed
+    * `[sub, cid, cv…]` codebook — the production-K arm of
+    * [[graft.operators.Kmeans.withPqAssignment]].
+    */
+  def subL2Argmin(sv: Column, sub: Column, packed: Column): Column =
+    call_function("graft_sub_l2_argmin", sv, sub, packed)
 
   /** cosine(a, b) given precomputed norms — dot/(na*nb), matching the
     * lambda formulation bit-for-bit.

@@ -11,6 +11,12 @@ import org.apache.spark.sql.expressions.Window
   * fixture dependency (q72 serves the same composition from
   * offline-trained parquet; this is the build job that produces such
   * an index at 100 TB, done as the q147/q165 capstone discipline).
+  * q228 adds the MAINTENANCE half: a one-sided delta append that
+  * assigns ONLY a newly-ingested batch to the frozen index — the
+  * q74/q127 base×delta discipline applied to the index artifact
+  * (VERDICT r17 "What's missing" #2: at 100 TB you rebuild nothing
+  * daily; reference analog `checkpoint.go:16-35` — work is never
+  * redone).
   *
   * Stages (Jégou et al. TPAMI'11, the FAISS IVFPQ recipe):
   *  1. coarse k-means on the corpus (K=[[CoarseK]], integer
@@ -53,6 +59,16 @@ object IvfPqPipeline {
   val NProbe = 2
   val TopK = 5
 
+  /** q228 delta membership: vec_id ≡ DeltaMod−1 (mod DeltaMod) plays
+    * the newly-ingested batch (~1/DeltaMod of the corpus) — a pure
+    * identity predicate, so the base/delta split is scale-invariant
+    * and identical on both engines.
+    */
+  val DeltaMod = 5L
+
+  private def isDelta: Column =
+    col("vec_id") % DeltaMod === DeltaMod - 1
+
   /** Integer squared-L2 of a subvector column against a literal. */
   private def l2(svc: Column, cv: Array[Double]): Column =
     (graft.functions.VectorOps.dot(svc, svc) -
@@ -72,33 +88,31 @@ object IvfPqPipeline {
           .otherwise(acc)
     }
 
-  def pipeline(s: SparkSession, dir: String): DataFrame = {
-    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
-      .select(col("vec_id"), col("qv")))
-    val corpus = n.filter(col("vec_id") >= NumQ)
-    val queries = n.filter(col("vec_id") < NumQ)
+  /** (vec_id, lcid, qv) residuals of a 1×Dim subrel slice under a
+    * frozen coarse book — assignment + in-row subtraction, no
+    * corpus×K join.
+    */
+  private[graft] def residualsOf(csv: DataFrame,
+      coarse: Seq[Kmeans.SubCent]): DataFrame =
+    Kmeans.withPqAssignment(csv, coarse)
+      .select(col("vec_id"), col("cid").as("lcid"),
+        residCol(coarse, col("cid"), col("sv")).as("qv"))
 
-    // 1. coarse book on the corpus (one 64-dim "subspace")
-    val csv = graft.Caches.persist(Kmeans.subrelOf(corpus, 1, Kmeans.Dim))
-    val coarse = Kmeans.lloydBook(csv, CoarseK, CoarseRounds, Kmeans.Dim)
-
-    // 2. corpus assignment + residuals (in-row, no corpus×K join)
-    val resid = graft.Caches.persist(
-      Kmeans.withPqAssignment(csv, coarse)
-        .select(col("vec_id"), col("cid").as("lcid"),
-          residCol(coarse, col("cid"), col("sv")).as("qv")))
-
-    // 3. PQ codebook on residual subvectors
-    val rsv = graft.Caches.persist(
-      Kmeans.subrelOf(resid, Kmeans.SubSpaces, Kmeans.SubDim))
-    val book = Kmeans.lloydBook(rsv, PqCodeK, PqRounds, Kmeans.SubDim)
-
-    // 4. codes, carried with the list assignment
-    val codes = Kmeans.withPqAssignment(rsv, book)
+  /** (vec_id, sub, code, lcid) PQ codes from an exploded residual
+    * subvector relation + its residual relation, under a frozen book.
+    */
+  private[graft] def encodeFromSubrel(rsv: DataFrame, resid: DataFrame,
+      book: Seq[Kmeans.SubCent]): DataFrame =
+    Kmeans.withPqAssignment(rsv, book)
       .select(col("vec_id"), col("sub"), col("cid").as("code"))
       .join(resid.select(col("vec_id"), col("lcid")), "vec_id")
 
-    // 5. serve: probes → per-(query, list) residual LUT → ADC
+  /** Serve stage: probes → per-(query, list) residual LUT → ADC over
+    * ONE cid-keyed candidate join → per-query top-k.
+    */
+  private[graft] def serve(queries: DataFrame, codes: DataFrame,
+      coarse: Seq[Kmeans.SubCent],
+      book: Seq[Kmeans.SubCent]): DataFrame = {
     val probeArr = array_sort(array(coarse.sortBy(_.cid).map { c =>
       struct(l2(col("qv"), c.cv).as("d"), lit(c.cid).as("cid"))
     }: _*))
@@ -130,6 +144,130 @@ object IvfPqPipeline {
       .select(col("qid"), col("rnk"), col("vec_id").as("neighbor"),
         col("approx"))
       .orderBy("qid", "rnk")
+  }
+
+  def pipeline(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
+      .select(col("vec_id"), col("qv")))
+    val corpus = n.filter(col("vec_id") >= NumQ)
+    val queries = n.filter(col("vec_id") < NumQ)
+
+    // 1. coarse book on the corpus (one 64-dim "subspace")
+    val csv = graft.Caches.persist(Kmeans.subrelOf(corpus, 1, Kmeans.Dim))
+    val coarse = Kmeans.lloydBook(csv, CoarseK, CoarseRounds, Kmeans.Dim)
+
+    // 2. corpus assignment + residuals (in-row, no corpus×K join)
+    val resid = graft.Caches.persist(residualsOf(csv, coarse))
+
+    // 3. PQ codebook on residual subvectors
+    val rsv = graft.Caches.persist(
+      Kmeans.subrelOf(resid, Kmeans.SubSpaces, Kmeans.SubDim))
+    val book = Kmeans.lloydBook(rsv, PqCodeK, PqRounds, Kmeans.SubDim)
+
+    // 4. codes, carried with the list assignment
+    val codes = encodeFromSubrel(rsv, resid, book)
+
+    // 5. serve from the built index
+    serve(queries, codes, coarse, book)
+  }
+
+  /** q228: build the index on the BASE slice only, then append the
+    * delta batch ONE-SIDED — the delta alone flows through coarse
+    * assignment, residual, and PQ encode against the FROZEN books and
+    * unions into the served artifact; no base row is re-encoded. The
+    * spec pins (a) served-equivalence to a same-books full re-encode
+    * and (b) a StageClock receipt that the append's shuffle volume
+    * scales with the delta, not the corpus.
+    */
+  def appendServe(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
+      .select(col("vec_id"), col("qv")))
+    val queries = n.filter(col("vec_id") < NumQ)
+    val base = n.filter(col("vec_id") >= NumQ && !isDelta)
+    val delta = n.filter(col("vec_id") >= NumQ && isDelta)
+
+    // frozen artifacts: books trained on BASE, base codes built once
+    val bsv = graft.Caches.persist(Kmeans.subrelOf(base, 1, Kmeans.Dim))
+    val coarse = Kmeans.lloydBook(bsv, CoarseK, CoarseRounds, Kmeans.Dim)
+    val residB = graft.Caches.persist(residualsOf(bsv, coarse))
+    val rsvB = graft.Caches.persist(
+      Kmeans.subrelOf(residB, Kmeans.SubSpaces, Kmeans.SubDim))
+    val book = Kmeans.lloydBook(rsvB, PqCodeK, PqRounds, Kmeans.SubDim)
+    val codesBase = encodeFromSubrel(rsvB, residB, book)
+
+    // the one-sided append: ONLY delta rows are assigned and encoded
+    val codesDelta = appendCodes(delta, coarse, book)
+
+    serve(queries, codesBase.unionByName(codesDelta), coarse, book)
+  }
+
+  /** The append stage alone — factored so the spec can meter its
+    * shuffle volume in isolation: every stage here is sized by the
+    * delta batch (subrel explode, in-row assignment, one
+    * vec_id-keyed join of delta-cardinality sides).
+    */
+  private[graft] def appendCodes(delta: DataFrame,
+      coarse: Seq[Kmeans.SubCent],
+      book: Seq[Kmeans.SubCent]): DataFrame = {
+    val dsv = Kmeans.subrelOf(delta, 1, Kmeans.Dim)
+    val residD = residualsOf(dsv, coarse)
+    encodeFromSubrel(
+      Kmeans.subrelOf(residD, Kmeans.SubSpaces, Kmeans.SubDim),
+      residD, book)
+  }
+
+  /** The shared serve-side oracle text: probes of `qryRel` against
+    * the final coarse book `cbC`, LUTs against the final PQ book
+    * `pqC`, ADC over `codesRel`.
+    */
+  private def serveSql(qryRel: String, codesRel: String, cbC: String,
+      pqC: String): String = {
+    import Kmeans.SubDim
+    s"""qd AS (
+       |  SELECT s.vec_id AS qid, c.cid,
+       |    CAST(list_inner_product(s.qv, s.qv)
+       |      - 2.0 * list_inner_product(s.qv, c.cv)
+       |      + list_inner_product(c.cv, c.cv) AS BIGINT) AS d
+       |  FROM $qryRel s CROSS JOIN $cbC c),
+       |probes AS MATERIALIZED (
+       |  SELECT qid, cid AS pcid FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (
+       |      PARTITION BY qid ORDER BY d, cid) AS rk FROM qd) t
+       |  WHERE rk <= $NProbe),
+       |qres AS MATERIALIZED (
+       |  SELECT pr.qid, pr.pcid,
+       |    list(s.qv[p64.pos] - c.cv[p64.pos] ORDER BY p64.pos) AS rq
+       |  FROM probes pr
+       |  JOIN $qryRel s ON s.vec_id = pr.qid
+       |  JOIN $cbC c ON c.cid = pr.pcid
+       |  CROSS JOIN p64
+       |  GROUP BY pr.qid, pr.pcid),
+       |luts AS MATERIALIZED (
+       |  SELECT qr.qid, qr.pcid, b.sub, b.cid AS code,
+       |    CAST(list_inner_product(
+       |        list_slice(qr.rq, b.sub * $SubDim + 1,
+       |          (b.sub + 1) * $SubDim),
+       |        list_slice(qr.rq, b.sub * $SubDim + 1,
+       |          (b.sub + 1) * $SubDim))
+       |      - 2.0 * list_inner_product(
+       |        list_slice(qr.rq, b.sub * $SubDim + 1,
+       |          (b.sub + 1) * $SubDim), b.cv)
+       |      + list_inner_product(b.cv, b.cv) AS BIGINT) AS lutv
+       |  FROM qres qr CROSS JOIN $pqC b),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id,
+       |    CAST(SUM(l.lutv) AS BIGINT) AS approx
+       |  FROM luts l JOIN $codesRel c
+       |    ON c.lcid = l.pcid AND c.sub = l.sub AND c.code = l.code
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor,
+       |  approx
+       |FROM (
+       |  SELECT qid, vec_id, approx, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY approx, vec_id) AS rnk
+       |  FROM adc) t
+       |WHERE rnk <= $TopK
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   private def oracleSql: String = {
@@ -164,51 +302,56 @@ object IvfPqPipeline {
        |codes AS MATERIALIZED (
        |  SELECT a.vec_id, a.sub, a.cid AS code, r.lcid
        |  FROM $pqA a JOIN rq0 r ON r.vec_id = a.vec_id),
-       |qd AS (
-       |  SELECT s.vec_id AS qid, c.cid,
-       |    CAST(list_inner_product(s.qv, s.qv)
-       |      - 2.0 * list_inner_product(s.qv, c.cv)
-       |      + list_inner_product(c.cv, c.cv) AS BIGINT) AS d
-       |  FROM qry s CROSS JOIN $cbC c),
-       |probes AS MATERIALIZED (
-       |  SELECT qid, cid AS pcid FROM (
-       |    SELECT qid, cid, ROW_NUMBER() OVER (
-       |      PARTITION BY qid ORDER BY d, cid) AS rk FROM qd) t
-       |  WHERE rk <= $NProbe),
-       |qres AS MATERIALIZED (
-       |  SELECT pr.qid, pr.pcid,
-       |    list(s.qv[p64.pos] - c.cv[p64.pos] ORDER BY p64.pos) AS rq
-       |  FROM probes pr
-       |  JOIN qry s ON s.vec_id = pr.qid
-       |  JOIN $cbC c ON c.cid = pr.pcid
+       |${serveSql("qry", "codes", cbC, pqC)}""".stripMargin
+  }
+
+  /** q228 oracle: identical chain with the Lloyd training relations
+    * restricted to the BASE slice; encoding then runs the FINAL
+    * base-trained books over base+delta (encode is a pure per-row
+    * function of the frozen books, so encode(base ∪ delta) ≡
+    * encode(base) ∪ append(delta) — the identity the one-sided Spark
+    * path realizes physically).
+    */
+  private def appendOracleSql: String = {
+    import Kmeans.{subSelSql, lloydChainSql, pqAssignSql, SubSpaces,
+      SubDim, Dim}
+    val cbC = s"cbc${CoarseRounds - 1}" // final coarse book (base-trained)
+    val pqC = s"pqc${PqRounds - 1}"     // final PQ book (base-trained)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id,
+       |    list_transform(v, x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |  FROM e),
+       |corpA AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQ),
+       |corpB AS (SELECT vec_id, qv FROM corpA
+       |          WHERE vec_id % $DeltaMod <> ${DeltaMod - 1}),
+       |qry AS (SELECT vec_id, qv FROM q WHERE vec_id < $NumQ),
+       |csvB AS (SELECT vec_id, 0 AS sub, qv AS sv FROM corpB),
+       |csvA AS (SELECT vec_id, 0 AS sub, qv AS sv FROM corpA),
+       |p64 AS (SELECT unnest(range(1, ${Dim + 1})) AS pos),
+       |p16 AS (SELECT unnest(range(1, ${SubDim + 1})) AS pos),
+       |${lloydChainSql("cb", "csvB", "p64", CoarseK, CoarseRounds)},
+       |${pqAssignSql("cball", cbC, "csvA")},
+       |rq0 AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid AS lcid,
+       |    list(v.sv[p64.pos] - c.cv[p64.pos] ORDER BY p64.pos) AS qv
+       |  FROM cball a
+       |  JOIN csvA v ON v.vec_id = a.vec_id
+       |  JOIN $cbC c ON c.cid = a.cid
        |  CROSS JOIN p64
-       |  GROUP BY pr.qid, pr.pcid),
-       |luts AS MATERIALIZED (
-       |  SELECT qr.qid, qr.pcid, b.sub, b.cid AS code,
-       |    CAST(list_inner_product(
-       |        list_slice(qr.rq, b.sub * $SubDim + 1,
-       |          (b.sub + 1) * $SubDim),
-       |        list_slice(qr.rq, b.sub * $SubDim + 1,
-       |          (b.sub + 1) * $SubDim))
-       |      - 2.0 * list_inner_product(
-       |        list_slice(qr.rq, b.sub * $SubDim + 1,
-       |          (b.sub + 1) * $SubDim), b.cv)
-       |      + list_inner_product(b.cv, b.cv) AS BIGINT) AS lutv
-       |  FROM qres qr CROSS JOIN $pqC b),
-       |adc AS (
-       |  SELECT l.qid, c.vec_id,
-       |    CAST(SUM(l.lutv) AS BIGINT) AS approx
-       |  FROM luts l JOIN codes c
-       |    ON c.lcid = l.pcid AND c.sub = l.sub AND c.code = l.code
-       |  GROUP BY 1, 2)
-       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor,
-       |  approx
-       |FROM (
-       |  SELECT qid, vec_id, approx, ROW_NUMBER() OVER (
-       |    PARTITION BY qid ORDER BY approx, vec_id) AS rnk
-       |  FROM adc) t
-       |WHERE rnk <= $TopK
-       |ORDER BY qid, rnk""".stripMargin
+       |  GROUP BY a.vec_id, a.cid),
+       |rsvA AS MATERIALIZED (
+       |  ${subSelSql("rq0", SubSpaces, SubDim)}),
+       |rsvB AS MATERIALIZED (
+       |  SELECT * FROM rsvA
+       |  WHERE vec_id % $DeltaMod <> ${DeltaMod - 1}),
+       |${lloydChainSql("pq", "rsvB", "p16", PqCodeK, PqRounds)},
+       |${pqAssignSql("pqall", pqC, "rsvA")},
+       |codes AS MATERIALIZED (
+       |  SELECT a.vec_id, a.sub, a.cid AS code, r.lcid
+       |  FROM pqall a JOIN rq0 r ON r.vec_id = a.vec_id),
+       |${serveSql("qry", "codes", cbC, pqC)}""".stripMargin
   }
 
   val q225IvfPqPipeline: QueryDef = QueryDef(
@@ -216,5 +359,10 @@ object IvfPqPipeline {
     (s, dir) => pipeline(s, dir),
     Some(oracleSql))
 
-  val all: Seq[QueryDef] = Seq(q225IvfPqPipeline)
+  val q228IvfPqDeltaAppend: QueryDef = QueryDef(
+    "q228_ivfpq_delta_append",
+    (s, dir) => appendServe(s, dir),
+    Some(appendOracleSql))
+
+  val all: Seq[QueryDef] = Seq(q225IvfPqPipeline, q228IvfPqDeltaAppend)
 }

@@ -61,6 +61,18 @@ object Kmeans {
       .withColumn("qn", graft.functions.VectorOps.l2norm(col("qv")))
   }
 
+  /** Largest codebook the literal-struct arms build into the
+    * expression tree; bigger codebooks dispatch to the packed kernels
+    * ([[graft.plans.CentroidMuAssign]]/[[graft.plans.SubL2Argmin]]).
+    * The literal tree grows one codegen'd struct per centroid — fine
+    * at the fixture K=8, unbuildable at the production K=4096/256 the
+    * serve tier handles via its packed kernels (the r17 grade:
+    * PLANS.md promised this swap in prose; this constant is the
+    * code). Both arms are bit-identical (KmeansSpec equivalence), so
+    * the dispatch never changes a result.
+    */
+  val LiteralArmMaxK = 16
+
   /** best = (µcos, −cid) argmax over the K centroid literals as one
     * in-row expression (array_max over 8 structs — codegen'd, no join).
     */
@@ -73,17 +85,38 @@ object Kmeans {
         lit(-c.cid).as("nc"))
     }: _*))
 
-  private[graft] def withAssignment(n: DataFrame, cents: Seq[Cent]): DataFrame =
+  /** Small-K arm: one struct literal per centroid. */
+  private[graft] def withAssignmentLiteral(n: DataFrame,
+      cents: Seq[Cent]): DataFrame =
     n.withColumn("best", bestCol(cents))
       .withColumn("cid", -col("best.nc"))
       .withColumn("ucos", col("best.u"))
+
+  /** `[cid, cn, cv…]` per entry, cid-ascending — the
+    * [[graft.plans.CentroidMuAssign]] layout (ids ride IN the table:
+    * Lloyd's update drops empty clusters, so cids can be sparse).
+    */
+  private[graft] def packCents(cents: Seq[Cent]): Seq[Double] =
+    cents.sortBy(_.cid).flatMap(c => c.cid.toDouble +: c.cn +: c.cv.toSeq)
+
+  /** Production-K arm: one packed-kernel expression per row. */
+  private[graft] def withAssignmentKernel(n: DataFrame,
+      cents: Seq[Cent]): DataFrame =
+    n.withColumn("best", graft.functions.VectorOps.centroidMuAssign(
+        col("qv"), col("qn"), typedLit(packCents(cents))))
+      .withColumn("cid", col("best.cid"))
+      .withColumn("ucos", col("best.u"))
+
+  private[graft] def withAssignment(n: DataFrame, cents: Seq[Cent]): DataFrame =
+    if (cents.size <= LiteralArmMaxK) withAssignmentLiteral(n, cents)
+    else withAssignmentKernel(n, cents)
 
   private def centOf(cid: Long, cv: Array[Double]): Cent =
     Cent(cid, cv, math.sqrt(cv.map(x => x * x).sum))
 
   /** Deterministic seeds: qv of the minimum vec_id per residue class. */
-  private[graft] def initCents(n: DataFrame): Seq[Cent] =
-    n.withColumn("res", col("vec_id") % K)
+  private[graft] def initCents(n: DataFrame, k: Int = K): Seq[Cent] =
+    n.withColumn("res", col("vec_id") % k)
       .groupBy(col("res")).agg(min(col("vec_id")).as("sv"))
       .join(n, col("sv") === col("vec_id"))
       .select(col("res"), col("qv"))
@@ -270,7 +303,7 @@ object Kmeans {
   /** Per-subspace argmin over the codebook literals: one in-row
     * array_min over (dist, cid) structs, dispatched on `sub`.
     */
-  private[graft] def withPqAssignment(sv: DataFrame,
+  private[graft] def withPqAssignmentLiteral(sv: DataFrame,
       book: Seq[SubCent]): DataFrame = {
     val bySub = book.groupBy(_.sub)
     val subIds = bySub.keys.toSeq.sorted
@@ -287,6 +320,30 @@ object Kmeans {
     sv.withColumn("best", best)
       .withColumn("cid", col("best.cid"))
       .withColumn("dist", col("best.d"))
+  }
+
+  /** `[sub, cid, cv…]` per entry, (sub, cid)-ascending — the
+    * [[graft.plans.SubL2Argmin]] layout (explicit ids for the same
+    * empty-cluster-drop reason as [[packCents]]).
+    */
+  private[graft] def packBook(book: Seq[SubCent]): Seq[Double] =
+    book.sortBy(c => (c.sub, c.cid))
+      .flatMap(c => c.sub.toDouble +: c.cid.toDouble +: c.cv.toSeq)
+
+  /** Production-K arm: one packed-kernel argmin per row. */
+  private[graft] def withPqAssignmentKernel(sv: DataFrame,
+      book: Seq[SubCent]): DataFrame =
+    sv.withColumn("best", graft.functions.VectorOps.subL2Argmin(
+        col("sv"), col("sub"), typedLit(packBook(book))))
+      .withColumn("cid", col("best.cid"))
+      .withColumn("dist", col("best.d"))
+
+  private[graft] def withPqAssignment(sv: DataFrame,
+      book: Seq[SubCent]): DataFrame = {
+    val maxPerSub = book.groupBy(_.sub).valuesIterator
+      .map(_.size).maxOption.getOrElse(0)
+    if (maxPerSub <= LiteralArmMaxK) withPqAssignmentLiteral(sv, book)
+    else withPqAssignmentKernel(sv, book)
   }
 
   /** Deterministic seeds per subspace: subvector of the minimum

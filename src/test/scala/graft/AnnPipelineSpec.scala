@@ -111,4 +111,107 @@ class AnnPipelineSpec extends AnyFunSuite {
       assert(rs.forall(_._3 >= NumQ))
     }
   }
+
+  test("q228 delta append: the one-sided path serves IDENTICALLY to " +
+      "a full re-encode under the same frozen books, and delta " +
+      "neighbors can actually surface") {
+    import operators.IvfPqPipeline._
+    import org.apache.spark.sql.functions._
+    val appended = SparkEntry.queries("q228_ivfpq_delta_append")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(appended.nonEmpty)
+    // rebuild arm: train on base (same as append), then encode
+    // base+delta in ONE pass with the frozen books — encode is a pure
+    // per-row function of the books, so this must serve bit-equal
+    val n = operators.Kmeans.qrel(spark, dir)
+      .select(col("vec_id"), col("qv")).persist()
+    n.count()
+    val queries = n.filter(col("vec_id") < NumQ)
+    val base = n.filter(col("vec_id") >= NumQ &&
+      col("vec_id") % DeltaMod =!= DeltaMod - 1)
+    val whole = n.filter(col("vec_id") >= NumQ)
+    val bsv = operators.Kmeans.subrelOf(base, 1, operators.Kmeans.Dim)
+      .persist()
+    val coarse = operators.Kmeans.lloydBook(bsv, CoarseK, CoarseRounds,
+      operators.Kmeans.Dim)
+    val residB = operators.IvfPqPipeline.residualsOf(bsv, coarse)
+      .persist()
+    val rsvB = operators.Kmeans.subrelOf(residB,
+      operators.Kmeans.SubSpaces, operators.Kmeans.SubDim).persist()
+    val book = operators.Kmeans.lloydBook(rsvB, PqCodeK, PqRounds,
+      operators.Kmeans.SubDim)
+    val rebuilt = operators.IvfPqPipeline.serve(queries,
+      operators.IvfPqPipeline.appendCodes(whole, coarse, book),
+      coarse, book)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(appended == rebuilt,
+      "one-sided append diverged from the same-books full re-encode")
+    // the appended index is live: delta vectors are servable (at
+    // least one delta doc lands in some query's top-k on the fixture)
+    assert(appended.exists(_._3 % DeltaMod == DeltaMod - 1),
+      "no delta vector surfaced in any served top-k — the append " +
+        "path may be dead")
+    Seq(bsv, residB, rsvB, n).foreach(_.unpersist())
+  }
+
+  test("q228 append cost receipt: the delta-encode stage's shuffle " +
+      "volume scales with the delta batch, not the corpus") {
+    import operators.IvfPqPipeline._
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val n = operators.Kmeans.qrel(spark, sf01)
+      .select(col("vec_id"), col("qv")).persist()
+    n.count()
+    val base = n.filter(col("vec_id") >= NumQ &&
+      col("vec_id") % DeltaMod =!= DeltaMod - 1)
+    val delta = n.filter(col("vec_id") >= NumQ &&
+      col("vec_id") % DeltaMod === DeltaMod - 1)
+    val whole = n.filter(col("vec_id") >= NumQ)
+    val deltaRows = delta.count()
+    val wholeRows = whole.count()
+    // frozen books (values irrelevant to the cost shape — seeds do)
+    val bsv = operators.Kmeans.subrelOf(base, 1, operators.Kmeans.Dim)
+    val coarse = operators.Kmeans.initBook(bsv, CoarseK)
+    val book = operators.Kmeans.initBook(operators.Kmeans.subrelOf(
+      operators.IvfPqPipeline.residualsOf(bsv, coarse),
+      operators.Kmeans.SubSpaces, operators.Kmeans.SubDim), PqCodeK)
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    // at spec scale AQE broadcasts the vec_id-keyed join and nothing
+    // measurable shuffles; force the exchange so the meter reads the
+    // join's keyed row volume (the quantity that scales at 100 TB)
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def shuffleOf(slice: org.apache.spark.sql.DataFrame): Long = {
+        clock.quiesce(); clock.reset()
+        operators.IvfPqPipeline.appendCodes(slice, coarse, book).count()
+        clock.quiesce()
+        clock.shuffleRecords
+      }
+      val deltaShuffle = shuffleOf(delta)
+      val fullShuffle = shuffleOf(whole)
+      // the append moves ~deltaRows·(SubSpaces+1) keyed rows; a
+      // corpus-sized append would move ~wholeRows·(SubSpaces+1).
+      // Require the measured ratio to track the delta fraction
+      // (0.2 here) with 2x slack — far below a corpus-shaped cost.
+      val frac = deltaShuffle.toDouble / fullShuffle
+      val deltaFrac = deltaRows.toDouble / wholeRows
+      assert(fullShuffle > 0 && frac <= 2.0 * deltaFrac,
+        s"append shuffled $deltaShuffle records vs full $fullShuffle " +
+          s"(ratio $frac, delta fraction $deltaFrac) — the append is " +
+          "paying corpus-shaped cost")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
+      spark.sparkContext.removeSparkListener(clock)
+    }
+    n.unpersist()
+  }
 }

@@ -112,6 +112,83 @@ class KmeansSpec extends AnyFunSuite {
     assert(led.forall(_.getLong(3) >= 0))
   }
 
+  test("packed-kernel assignment arm is bit-identical to the " +
+      "literal-struct arm (µcos coarse + PQ L2), incl. a codebook " +
+      "with dropped (non-contiguous) cids") {
+    val n = operators.Kmeans.qrel(spark, dir).persist()
+    n.count()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cid"), col("ucos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // seeds AND a post-update codebook (non-trivial centroids)
+    val init = operators.Kmeans.initCents(n)
+    val c1 = operators.Kmeans.updated(
+      operators.Kmeans.withAssignmentLiteral(n, init))
+    Seq(init, c1).foreach { cents =>
+      assert(rowsOf(operators.Kmeans.withAssignmentKernel(n, cents)) ==
+        rowsOf(operators.Kmeans.withAssignmentLiteral(n, cents)))
+    }
+    // empty-cluster drop: a sparse-cid codebook must assign identically
+    val sparse = c1.filterNot(c => c.cid == 2 || c.cid == 5)
+    assert(rowsOf(operators.Kmeans.withAssignmentKernel(n, sparse)) ==
+      rowsOf(operators.Kmeans.withAssignmentLiteral(n, sparse)))
+    n.unpersist()
+    val sv = operators.Kmeans.subrel(spark, dir).persist()
+    sv.count()
+    def pqRowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("sub"), col("cid"), col("dist"))
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val book0 = operators.Kmeans.initBook(sv)
+    val book1 = operators.Kmeans.updatedBook(
+      operators.Kmeans.withPqAssignmentLiteral(sv, book0))
+    Seq(book0, book1).foreach { book =>
+      assert(pqRowsOf(operators.Kmeans.withPqAssignmentKernel(sv, book)) ==
+        pqRowsOf(operators.Kmeans.withPqAssignmentLiteral(sv, book)))
+    }
+    val sparseBook = book1.filterNot(c => c.sub == 1 && c.cid == 2)
+    assert(
+      pqRowsOf(operators.Kmeans.withPqAssignmentKernel(sv, sparseBook)) ==
+        pqRowsOf(operators.Kmeans.withPqAssignmentLiteral(sv, sparseBook)))
+    sv.unpersist()
+  }
+
+  test("production K dispatches the packed kernel (the r17 " +
+      "prose-not-code gap): K > LiteralArmMaxK plans carry the kernel " +
+      "expression, train end-to-end, and partition the corpus") {
+    val bigK = 48
+    assert(bigK > operators.Kmeans.LiteralArmMaxK)
+    val n = operators.Kmeans.qrel(spark, dir).persist()
+    val total = n.count()
+    val cents = operators.Kmeans.initCents(n, bigK)
+    assert(cents.length == bigK)
+    val asn = operators.Kmeans.withAssignment(n, cents)
+    val plan = asn.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("centroidmuassign"),
+      "big-K coarse assignment did not route through the packed kernel")
+    assert(!plan.contains("array_max"),
+      "big-K plan still builds the literal-struct argmax")
+    // a Lloyd round through the public dispatch stays a valid partition
+    val c1 = operators.Kmeans.updated(asn)
+    val led = operators.Kmeans.withAssignment(n, c1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("m")).collect()
+    assert(led.map(_.getLong(1)).sum == total)
+    assert(led.forall(r => r.getLong(0) >= 0 && r.getLong(0) < bigK))
+    n.unpersist()
+    // PQ side: a 32-codeword book routes through SubL2Argmin
+    val sv = operators.Kmeans.subrel(spark, dir).persist()
+    val svRows = sv.count()
+    val book = operators.Kmeans.initBook(sv, 32)
+    val pqAsn = operators.Kmeans.withPqAssignment(sv, book)
+    val pqPlan = pqAsn.queryExecution.executedPlan.toString.toLowerCase
+    assert(pqPlan.contains("subl2argmin"),
+      "big-K PQ assignment did not route through the packed kernel")
+    assert(pqAsn.count() == svRows)
+    sv.unpersist()
+  }
+
   test("training moves the centroids and does not degrade the µcos " +
       "objective on the fixture") {
     val n = operators.Kmeans.qrel(spark, dir).persist()
