@@ -406,21 +406,13 @@ object Formats {
   val ShardsBefore = 8
   val ShardsAfter = 9
 
-  /** Per-(doc, shard) rendezvous weight: the engine-portable md5
-    * hash of "doc_id#shard" (the q166/q219 hex convention).
-    */
-  private def hrwWeight(s: Int): org.apache.spark.sql.Column =
-    conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(s"#$s"))), 1, 12), 16, 10).cast("long")
-
-  /** Rendezvous (highest-random-weight) shard id over n shards —
-    * one in-row argmax, ties (never observed at 48 bits) to the
-    * smaller shard.
+  /** Rendezvous shard id — DELEGATES to the layout writer's
+    * [[graft.sources.LakehouseSink.hrwShardCol]] (r18): the q227
+    * ledger and `writeHrwSharded`/`reshardHrw` must agree
+    * byte-for-byte on placement, so there is exactly ONE definition.
     */
   private def hrwShard(n: Int): org.apache.spark.sql.Column =
-    -array_max(array((0 until n).map(s =>
-      struct(hrwWeight(s).as("h"), lit(-s.toLong).as("ns"))): _*))
-      .getField("ns")
+    graft.sources.LakehouseSink.hrwShardCol(col("doc_id"), n)
 
   // Rendezvous / highest-random-weight sharding (Thaler &
   // Ravishankar, IEEE ToN'98 — the consistent-placement scheme

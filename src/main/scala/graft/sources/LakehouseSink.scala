@@ -16,6 +16,115 @@ import java.io.File
   */
 object LakehouseSink {
 
+  /** Per-(key, shard) rendezvous weight: the engine-portable md5 hash
+    * of "key#shard" (the q166/q219 hex convention) — shared with the
+    * q227 ledger query so the layout writer and the movement
+    * accounting agree byte-for-byte.
+    */
+  private def hrwWeight(key: org.apache.spark.sql.Column,
+      s: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(key.cast("string"), lit(s"#$s"))), 1, 12),
+      16, 10).cast("long")
+
+  /** Rendezvous (highest-random-weight) shard id over n shards — one
+    * in-row argmax, ties (never observed at 48 bits) to the smaller
+    * shard. Growing n → n+1 moves an expected 1/(n+1) of keys, every
+    * one TO the new shard — the property [[reshardHrw]] exploits to
+    * rewrite only moved documents' files.
+    */
+  def hrwShardCol(key: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column =
+    -array_max(array((0 until n).map(s =>
+      struct(hrwWeight(key, s).as("h"), lit(-s.toLong).as("ns"))): _*))
+      .getField("ns")
+
+  /** Write `df` HRW-sharded on `keyCol` into `shard=<s>` directory
+    * partitions (clustered within files by `clusterCols`) — the
+    * stable-layout arm of [[writePartitioned]]: unlike a `key % n`
+    * layout, growing the shard count relocates ~1/(n+1) of rows, so
+    * [[reshardHrw]] is an incremental maintenance pass, not a corpus
+    * rewrite.
+    */
+  def writeHrwSharded(df: DataFrame, path: String, keyCol: String,
+      numShards: Int, clusterCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    writePartitioned(
+      df.withColumn("shard", hrwShardCol(col(keyCol), numShards)),
+      path, Seq("shard"), clusterCols, mode)
+
+  final case class ReshardReport(docsMoved: Long, filesRewritten: Int,
+      filesUntouched: Int)
+
+  /** Reshard an HRW layout `oldShards → newShards`, rewriting ONLY
+    * the files that contain moved rows: moved rows append into their
+    * new shard's directory, and each affected source file is
+    * rewritten in place minus its moved rows; every file with no
+    * moved row is left untouched (verified by mtime in
+    * `LakehouseSinkSpec`). With HRW the affected set is an expected
+    * 1/(newShards) of rows spread over their containing files — at
+    * 100 TB with key-clustered files that is a bounded maintenance
+    * pass, vs a mod-hash layout where ~all files contain movers.
+    *
+    * Swap order is the [[compact]] crash-safety-by-duplication
+    * discipline: new files land first (append of movers, then the
+    * rewritten keepers move in), old files delete LAST — an
+    * interruption leaves transiently duplicated movers (rerun to
+    * converge), never a lost row.
+    */
+  def reshardHrw(spark: SparkSession, path: String, keyCol: String,
+      oldShards: Int, newShards: Int): ReshardReport = {
+    val newShard = hrwShardCol(col(keyCol), newShards)
+    val withFile = spark.read.parquet(path)
+      .withColumn("_f", input_file_name())
+    val moved = withFile.filter(newShard =!= col("shard"))
+    // affected source files — bounded by the layout's file count
+    val affected = moved.select(col("_f")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val docsMoved = moved.count()
+    val totalFiles = withFile.select(col("_f")).distinct().count().toInt
+    if (affected.isEmpty)
+      return ReshardReport(0L, 0, totalFiles)
+    // 1. movers land in their NEW shard directories (append = new
+    //    files only; nothing existing is touched yet)
+    moved.drop("_f")
+      .withColumn("shard", newShard)
+      .write.mode(SaveMode.Append).partitionBy("shard").parquet(path)
+    // 2. each affected file is rewritten minus its movers: keepers =
+    //    rows whose NEW shard still equals the file's directory shard
+    affected.foreach { uri =>
+      val f = new File(java.net.URI.create(uri).getPath)
+      val shardOfFile = {
+        val m = "shard=(\\d+)".r.findFirstMatchIn(f.getParent)
+        m.getOrElse(throw new IllegalArgumentException(
+          s"not an HRW layout file: $uri")).group(1).toLong
+      }
+      val keep = spark.read.parquet(f.getPath)
+        .filter(hrwShardCol(col(keyCol), newShards) === shardOfFile)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-reshard").toFile
+      try {
+        keep.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+        Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(n => n.isFile && n.getName.endsWith(".parquet"))
+          .foreach(n => java.nio.file.Files.move(n.toPath,
+            new File(f.getParentFile, n.getName).toPath))
+        java.nio.file.Files.delete(f.toPath)
+      } finally {
+        def rm(x: File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          java.nio.file.Files.deleteIfExists(x.toPath); ()
+        }
+        rm(tmp)
+      }
+    }
+    // the session's file-status cache still lists the deleted
+    // originals; a maintenance op must invalidate it or the next
+    // reader of `path` throws FILE_NOT_EXIST
+    spark.catalog.refreshByPath(path)
+    ReshardReport(docsMoved, affected.length,
+      totalFiles - affected.length)
+  }
+
   /** Write `df` partitioned by `partitionCols` and clustered (sorted)
     * within files by `clusterCols`.
     */

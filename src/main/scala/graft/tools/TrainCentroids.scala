@@ -89,6 +89,65 @@ object TrainCentroids {
     (0 until k).map(c =>
       c -> (0 until dim).map(GenFixtures.centroidComponent(c, _)).toArray)
 
+  /** Rank-boundary separation-margin guard (VERDICT r17 finding #4,
+    * moved INTO generation from its spec-only home): the q210b/q188b
+    * oracles re-rank centroid assignment with RAW-FLOAT cosine
+    * independently in each engine, so a near-tie in any corpus
+    * vector's centroid ranking at the boundaries the oracles read
+    * (rank 1|2 for crnk=1 arms, rank NProbe|NProbe+1 for probe
+    * membership) could order differently across engines/builds — the
+    * r15 q188 defect class. Double-precision summation-order deltas
+    * for 64-dim dots are ~1e-14, so a 1e-9 floor makes identical
+    * cross-engine ranking a theorem. Generators call this BEFORE
+    * writing a centroid fixture, so a regenerated fixture cannot
+    * reintroduce the class (`KnnGraphSpec` keeps the committed-file
+    * backstop). Returns the minimum margin seen; throws on violation.
+    */
+  def assertRankMargins(vecs: Iterable[Array[Double]],
+      cents: Seq[Array[Double]], boundaries: Seq[Int],
+      minMargin: Double = 1e-9, label: String = ""): Double = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    var worst = Double.MaxValue
+    vecs.foreach { v =>
+      val ranked = cents.map(c => cos(v, c)).sorted(
+        Ordering[Double].reverse)
+      boundaries.foreach { b =>
+        if (b < ranked.length) {
+          val m = ranked(b - 1) - ranked(b)
+          if (m < worst) worst = m
+        }
+      }
+    }
+    require(worst > minMargin,
+      s"$label: centroid-rank separation margin $worst is inside " +
+        "float-noise territory — this fixture would make the " +
+        "raw-float oracle ranking engine-unstable; re-seed or retrain")
+    worst
+  }
+
+  /** [[assertRankMargins]] over every local SF corpus at the
+    * boundaries the q210b/q188b oracles read — the generation-time
+    * twin of the KnnGraphSpec margin test.
+    */
+  def assertRankMarginsAllSf(spark: SparkSession,
+      cents: Seq[(Int, Array[Double])]): Unit = {
+    val cvs = cents.sortBy(_._1).map(_._2)
+    val boundaries = Seq(1, graft.operators.KnnGraph.NProbe)
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val vecs = Tables.load(spark, s"/root/testdata/$sf", "embeddings")
+        .select(col("embedding").cast("array<double>").as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val m = assertRankMargins(vecs, cvs, boundaries, label = sf)
+      println(f"[margin] $sf min rank-boundary margin: $m%.3e")
+    }
+  }
+
   /** usage: TrainCentroids [sfDir] [k] [iters] [outPath]
     *
     * Defaults regenerate the committed IVF fixture from the sf0.1
@@ -109,6 +168,10 @@ object TrainCentroids {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", graft.functions.VectorOps.l2norm(col("v")))
     val trained = lloyd(e, defaultInit(k, GenFixtures.Dim), iters)
+    // generation-time margin gate: refuse to write a fixture that
+    // would put any corpus vector's oracle centroid ranking inside
+    // float-noise territory (see assertRankMargins)
+    assertRankMarginsAllSf(spark, trained.cents)
     val tmp = java.nio.file.Files.createTempDirectory("graft-cent").toString
     trained.cents.toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(tmp)

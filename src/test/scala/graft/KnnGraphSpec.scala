@@ -383,38 +383,45 @@ class KnnGraphSpec extends AnyFunSuite {
     // summation-order deltas for 64-dim dots are ~1e-14, so a 1e-9
     // margin makes identical ranking across engines a theorem, not
     // an observation.
+    // the COMMITTED-fixture backstop of the generation-time gate in
+    // TrainCentroids.assertRankMargins (r18 — VERDICT r17 #4: the
+    // generator now refuses to WRITE a near-tie fixture; this test
+    // keeps catching a hand-edited or stale committed file)
     val cents = graft.Fixtures.ivfCentroids(spark)
       .select(col("cid").cast("long").as("cid"),
         col("cv").cast("array<double>").as("cv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      d / math.sqrt(na * nb)
-    }
+      .sortBy(_._1).map(_._2).toSeq
     val boundaries = Seq(1, operators.KnnGraph.NProbe)
     Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
       val vecs = operators.Similarity.normed(spark, s"/root/testdata/$sf")
         .select(col("vec_id"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      var minMargin = Double.MaxValue
-      vecs.foreach { case (_, v) =>
-        val ranked = cents.map(c => cos(v, c._2)).sorted(
-          Ordering[Double].reverse)
-        boundaries.foreach { b =>
-          val m = ranked(b - 1) - ranked(b)
-          if (m < minMargin) minMargin = m
-        }
-      }
-      assert(minMargin > 1e-9,
-        s"$sf: centroid-rank separation margin $minMargin is inside " +
-          "float-noise territory — the raw-float oracle ranking is " +
-          "no longer engine-stable")
-      info(s"$sf min rank-boundary margin: $minMargin")
+        .map(r => r.getSeq[Double](1).toArray)
+      val m = tools.TrainCentroids.assertRankMargins(vecs, cents,
+        boundaries, label = sf)
+      info(s"$sf min rank-boundary margin: $m")
     }
+  }
+
+  test("the generation-time margin gate REFUSES a synthetic near-tie " +
+      "codebook (a regenerated fixture cannot reintroduce the r15 " +
+      "q188 class)") {
+    // two centroids equidistant-in-angle from the probe vector: the
+    // rank-1|2 margin is exactly 0 — the gate must throw
+    val v = Array.fill(8)(1.0)
+    val c0 = Array(2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val c1 = Array(1.0, 2.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val far = Array(-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0)
+    val ex = intercept[IllegalArgumentException] {
+      tools.TrainCentroids.assertRankMargins(Seq(v), Seq(c0, c1, far),
+        Seq(1), label = "synthetic")
+    }
+    assert(ex.getMessage.contains("float-noise territory"))
+    // and passes once the tie is broken well past the floor
+    val c1b = c1.clone(); c1b(1) = 3.0
+    val m = tools.TrainCentroids.assertRankMargins(Seq(v),
+      Seq(c0, c1b, far), Seq(1), label = "synthetic-ok")
+    assert(m > 1e-9)
   }
 }

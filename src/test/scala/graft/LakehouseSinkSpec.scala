@@ -86,4 +86,65 @@ class LakehouseSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
     assert(scans.head.selectedPartitions.partitionCount == 1)
   }
+
+  test("HRW reshard 8 -> 9 rewrites ONLY files containing moved docs " +
+      "(untouched files byte-stable), moves ~1/9 of docs, and the " +
+      "layout stays placement-correct") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_hrw").toString + "/docs"
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"))
+    val total = docs.count()
+    // several files per shard so per-file rewrite granularity is real
+    LakehouseSink.writeHrwSharded(docs.repartition(4, col("doc_id")),
+      out, "doc_id", 8)
+
+    def files(): Map[String, (Long, Long)] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { c =>
+          if (c.isDirectory) walk(c)
+          else if (c.getName.endsWith(".parquet")) Seq(c) else Nil
+        }
+      walk(new java.io.File(out))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val before = files()
+    // independently compute which docs move (q227's own definition)
+    // and which files hold them
+    val withFile = spark.read.parquet(out)
+      .withColumn("_f", input_file_name())
+      .withColumn("ns", LakehouseSink.hrwShardCol(col("doc_id"), 9))
+    val movedDocs = withFile.filter(col("ns") =!= col("shard"))
+    val wantMoved = movedDocs.count()
+    // the moved-file set must be captured BEFORE the reshard mutates
+    // the layout (the plan's file listing references the originals)
+    val movedFilePaths = movedDocs.select("_f").distinct().collect()
+      .map(r => java.net.URI.create(r.getString(0)).getPath).toSet
+    val wantRewritten = movedFilePaths.size.toLong
+    assert(wantMoved > 0 && wantMoved < total / 5,
+      s"HRW 8->9 moved $wantMoved of $total docs — expected ~1/9")
+
+    val report = LakehouseSink.reshardHrw(spark, out, "doc_id", 8, 9)
+    assert(report.docsMoved == wantMoved)
+    assert(report.filesRewritten == wantRewritten,
+      s"rewrote ${report.filesRewritten} files; only $wantRewritten " +
+        "contain moved docs")
+    // every file with no moved doc is bitwise untouched (same path,
+    // mtime, size)
+    val after = files()
+    val untouched = before.filter { case (p, _) =>
+      !movedFilePaths.contains(p)
+    }
+    untouched.foreach { case (p, stamp) =>
+      assert(after.get(p).contains(stamp), s"untouched file changed: $p")
+    }
+    assert(report.filesUntouched == untouched.size)
+    // layout correctness: same corpus, every row in its 9-shard home,
+    // and every moved doc landed on the NEW shard (the HRW theorem)
+    val back = spark.read.parquet(out)
+    assert(back.count() == total)
+    assert(back.filter(LakehouseSink.hrwShardCol(col("doc_id"), 9) =!=
+      col("shard")).count() == 0)
+    assert(back.filter(col("shard") === 8).count() == wantMoved)
+  }
 }
