@@ -357,7 +357,8 @@ object IvfPqPipeline {
   val q225IvfPqPipeline: QueryDef = QueryDef(
     "q225_ivfpq_train_serve",
     (s, dir) => pipeline(s, dir),
-    Some(oracleSql))
+    Some(oracleSql),
+    bench = true)
 
   val q228IvfPqDeltaAppend: QueryDef = QueryDef(
     "q228_ivfpq_delta_append",

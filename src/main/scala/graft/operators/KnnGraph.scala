@@ -331,7 +331,8 @@ object KnnGraph {
          |  ON k1.sx = k2.ty AND k1.ty = k2.sx
          |WHERE k1.sx < k1.ty
          |ORDER BY a, b""".stripMargin
-    })
+    },
+    bench = true, lowLatency = true)
 
   /** q214: the similarity→dedup bridge SemDeDup (Abbas et al. 2023)
     * describes — semantic duplicate GROUPS from the mutual-kNN graph,
@@ -704,7 +705,8 @@ object KnnGraph {
       Bitext.qrel(Similarity.normed(s, dir))),
     Some(s"""${Bitext.oracleQuantCte},
             |${kcenterOracleCtes("n")}
-            |${kcenterOracleOut()}""".stripMargin))
+            |${kcenterOracleOut()}""".stripMargin),
+    bench = true, lowLatency = true)
 
   /** q218: the semantic-curation CAPSTONE — the D4 recipe end to end
     * as ONE composed plan (Tirumala et al. 2023: SemDeDup-style
