@@ -73,6 +73,40 @@ object Kmeans {
     */
   val LiteralArmMaxK = 16
 
+  /** Past this packed-table size the kernel arm ships its codebook as
+    * a BROADCAST handle instead of a plan constant: a `typedLit`
+    * table serializes into every task binary (TaskSetManager warns at
+    * 1 MiB), while a broadcast is fetched once per executor — the
+    * q135 SignBandCodesBcast discipline. A production coarse book
+    * (K=4096, dim 64) packs to ~2.2 MB and takes this arm.
+    */
+  val KernelLitMaxBytes: Long = 1L << 20
+
+  private[graft] sealed trait AssignArm
+  private[graft] case object LiteralArm extends AssignArm
+  private[graft] case object KernelLitArm extends AssignArm
+  private[graft] case object KernelBcastArm extends AssignArm
+
+  /** The pure dispatch rule all three assignment surfaces share
+    * (unit-tested in KmeansSpec): literal structs to
+    * [[LiteralArmMaxK]], then the packed kernel as a plan constant to
+    * [[KernelLitMaxBytes]], then the broadcast-handle kernel. All
+    * three arms are bit-identical (equivalence specs), so dispatch
+    * never changes a result.
+    */
+  private[graft] def assignArm(k: Int, packedBytes: Long): AssignArm =
+    if (k <= LiteralArmMaxK) LiteralArm
+    else if (packedBytes <= KernelLitMaxBytes) KernelLitArm
+    else KernelBcastArm
+
+  /** FNV-1a over the packed doubles' bit patterns — the broadcast
+    * expressions' content fingerprint (equality/canonicalization
+    * cannot use the handle; see [[graft.plans.CentroidMuAssignBcast]]).
+    */
+  private def fingerprint(packed: Array[Double]): Long =
+    packed.foldLeft(-3750763034362895579L)((h, x) =>
+      (h ^ java.lang.Double.doubleToLongBits(x)) * 1099511628211L)
+
   /** best = (µcos, −cid) argmax over the K centroid literals as one
     * in-row expression (array_max over 8 structs — codegen'd, no join).
     */
@@ -107,9 +141,31 @@ object Kmeans {
       .withColumn("cid", col("best.cid"))
       .withColumn("ucos", col("best.u"))
 
+  /** Broadcast-handle arm: the packed codebook rides the block
+    * manager, not the task binary. Each training round broadcasts its
+    * fresh codebook; superseded handles are reclaimed by Spark's
+    * ContextCleaner once the round's plan is unreachable (the same
+    * lifecycle as MLlib's per-iteration model broadcasts).
+    */
+  private[graft] def withAssignmentBcast(n: DataFrame,
+      cents: Seq[Cent]): DataFrame = {
+    val packed = packCents(cents).toArray
+    val bc = n.sparkSession.sparkContext.broadcast(packed)
+    import org.apache.spark.sql.GraftShims
+    val best = GraftShims.column(graft.plans.CentroidMuAssignBcast(
+      GraftShims.expression(col("qv")), GraftShims.expression(col("qn")),
+      bc, fingerprint(packed)))
+    n.withColumn("best", best)
+      .withColumn("cid", col("best.cid"))
+      .withColumn("ucos", col("best.u"))
+  }
+
   private[graft] def withAssignment(n: DataFrame, cents: Seq[Cent]): DataFrame =
-    if (cents.size <= LiteralArmMaxK) withAssignmentLiteral(n, cents)
-    else withAssignmentKernel(n, cents)
+    assignArm(cents.size, packCents(cents).length * 8L) match {
+      case LiteralArm => withAssignmentLiteral(n, cents)
+      case KernelLitArm => withAssignmentKernel(n, cents)
+      case KernelBcastArm => withAssignmentBcast(n, cents)
+    }
 
   private def centOf(cid: Long, cv: Array[Double]): Cent =
     Cent(cid, cv, math.sqrt(cv.map(x => x * x).sum))
@@ -338,12 +394,31 @@ object Kmeans {
       .withColumn("cid", col("best.cid"))
       .withColumn("dist", col("best.d"))
 
+  /** Broadcast-handle arm of the PQ argmin — see
+    * [[withAssignmentBcast]] for the lifecycle.
+    */
+  private[graft] def withPqAssignmentBcast(sv: DataFrame,
+      book: Seq[SubCent]): DataFrame = {
+    val packed = packBook(book).toArray
+    val bc = sv.sparkSession.sparkContext.broadcast(packed)
+    import org.apache.spark.sql.GraftShims
+    val best = GraftShims.column(graft.plans.SubL2ArgminBcast(
+      GraftShims.expression(col("sv")), GraftShims.expression(col("sub")),
+      bc, fingerprint(packed)))
+    sv.withColumn("best", best)
+      .withColumn("cid", col("best.cid"))
+      .withColumn("dist", col("best.d"))
+  }
+
   private[graft] def withPqAssignment(sv: DataFrame,
       book: Seq[SubCent]): DataFrame = {
     val maxPerSub = book.groupBy(_.sub).valuesIterator
       .map(_.size).maxOption.getOrElse(0)
-    if (maxPerSub <= LiteralArmMaxK) withPqAssignmentLiteral(sv, book)
-    else withPqAssignmentKernel(sv, book)
+    assignArm(maxPerSub, packBook(book).length * 8L) match {
+      case LiteralArm => withPqAssignmentLiteral(sv, book)
+      case KernelLitArm => withPqAssignmentKernel(sv, book)
+      case KernelBcastArm => withPqAssignmentBcast(sv, book)
+    }
   }
 
   /** Deterministic seeds per subspace: subvector of the minimum

@@ -93,6 +93,79 @@ object CentroidMuAssign {
     }
     InternalRow(bestU, bestCid)
   }
+
+  /** Primitive-table overload for the broadcast arm — same op
+    * sequence on the same values, so results are bit-identical to the
+    * ArrayData path.
+    */
+  def compute(v: ArrayData, nrm: Double, packed: Array[Double])
+      : InternalRow = {
+    val dim = v.numElements()
+    val stride = dim + 2
+    val nc = packed.length / stride
+    var bestU = Long.MinValue
+    var bestCid = -1L
+    var e = 0
+    while (e < nc) {
+      val off = e * stride
+      val cid = packed(off).toLong
+      val cn = packed(off + 1)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        dot += v.getDouble(d) * packed(off + 2 + d)
+        d += 1
+      }
+      val u = math.floor(dot / (nrm * cn) * 1000000.0 + 0.5).toLong
+      if (bestCid < 0 || u > bestU) { bestU = u; bestCid = cid }
+      e += 1
+    }
+    InternalRow(bestU, bestCid)
+  }
+}
+
+/** [[CentroidMuAssign]] with the packed codebook shipped as a
+  * BROADCAST handle instead of an expression-tree constant — the
+  * [[SignBandCodesBcast]] discipline: past ~1 MB a `typedLit` table
+  * serializes into EVERY task binary (TaskSetManager warns), while a
+  * broadcast serializes as a block-manager handle fetched once per
+  * executor. A production coarse book (K=4096, dim 64) is ~2.2 MB.
+  * Equality/canonicalization uses the driver-computed content
+  * `fingerprint` (two plans built from separate broadcasts of the
+  * same codebook must still match the persist cache).
+  */
+case class CentroidMuAssignBcast(left: Expression, right: Expression,
+    book: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    fingerprint: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = CentroidMuAssign.OutType
+
+  override def nullSafeEval(v: Any, nrm: Any): Any =
+    CentroidMuAssign.compute(v.asInstanceOf[ArrayData],
+      nrm.asInstanceOf[Double], book.value)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("muAssignBookBc", book,
+      "org.apache.spark.broadcast.Broadcast<double[]>")
+    val arr = ctx.addMutableState("double[]", "muAssignBookArr",
+      v => s"$v = (double[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.CentroidMuAssign.compute($a, $b, $arr);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: CentroidMuAssignBcast =>
+      left == o.left && right == o.right && fingerprint == o.fingerprint
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      java.lang.Long.valueOf(fingerprint))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidMuAssignBcast =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Per-subspace squared-L2 argmin: `struct<d: bigint, cid: bigint>`
@@ -166,4 +239,82 @@ object SubL2Argmin {
     }
     InternalRow(bestD, bestCid)
   }
+
+  /** Primitive-table overload for the broadcast arm — bit-identical
+    * to the ArrayData path (same op sequence, same values).
+    */
+  def compute(sv: ArrayData, sub: Int, packed: Array[Double])
+      : InternalRow = {
+    val subDim = sv.numElements()
+    val stride = subDim + 2
+    val nc = packed.length / stride
+    var aa = 0.0
+    var d = 0
+    while (d < subDim) {
+      val x = sv.getDouble(d); aa += x * x; d += 1
+    }
+    var bestD = Long.MaxValue
+    var bestCid = -1L
+    var e = 0
+    while (e < nc) {
+      val off = e * stride
+      if (packed(off).toInt == sub) {
+        val cid = packed(off + 1).toLong
+        var ab = 0.0
+        var bb = 0.0
+        d = 0
+        while (d < subDim) {
+          ab += sv.getDouble(d) * packed(off + 2 + d)
+          d += 1
+        }
+        d = 0
+        while (d < subDim) {
+          val y = packed(off + 2 + d); bb += y * y; d += 1
+        }
+        val dist = (aa - 2.0 * ab + bb).toLong
+        if (bestCid < 0 || dist < bestD) { bestD = dist; bestCid = cid }
+      }
+      e += 1
+    }
+    InternalRow(bestD, bestCid)
+  }
+}
+
+/** [[SubL2Argmin]] with the packed codebook as a BROADCAST handle —
+  * see [[CentroidMuAssignBcast]] for the size rationale (a production
+  * PQ book at K=256 × 4×16 dims is ~150 KB; a production coarse book
+  * probed through this same kernel is ~2 MB).
+  */
+case class SubL2ArgminBcast(left: Expression, right: Expression,
+    book: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    fingerprint: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = SubL2Argmin.OutType
+
+  override def nullSafeEval(sv: Any, sub: Any): Any =
+    SubL2Argmin.compute(sv.asInstanceOf[ArrayData],
+      sub.asInstanceOf[Int], book.value)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("subArgminBookBc", book,
+      "org.apache.spark.broadcast.Broadcast<double[]>")
+    val arr = ctx.addMutableState("double[]", "subArgminBookArr",
+      v => s"$v = (double[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.SubL2Argmin.compute($a, $b, $arr);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: SubL2ArgminBcast =>
+      left == o.left && right == o.right && fingerprint == o.fingerprint
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      java.lang.Long.valueOf(fingerprint))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubL2ArgminBcast =
+    copy(left = newLeft, right = newRight)
 }

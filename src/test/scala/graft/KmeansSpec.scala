@@ -189,6 +189,53 @@ class KmeansSpec extends AnyFunSuite {
     sv.unpersist()
   }
 
+  test("broadcast-handle kernel arm is bit-identical to the other " +
+      "two arms, and its plan carries the broadcast expression (no " +
+      "codebook in the task binary)") {
+    val n = operators.Kmeans.qrel(spark, dir).persist()
+    n.count()
+    val init = operators.Kmeans.initCents(n)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cid"), col("ucos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val bc = operators.Kmeans.withAssignmentBcast(n, init)
+    assert(rowsOf(bc) == rowsOf(operators.Kmeans.withAssignmentLiteral(n, init)))
+    assert(bc.queryExecution.executedPlan.toString.toLowerCase
+      .contains("centroidmuassignbcast"))
+    n.unpersist()
+    val sv = operators.Kmeans.subrel(spark, dir).persist()
+    sv.count()
+    val book = operators.Kmeans.initBook(sv)
+    def pqRowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("sub"), col("cid"), col("dist"))
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val pqBc = operators.Kmeans.withPqAssignmentBcast(sv, book)
+    assert(pqRowsOf(pqBc) ==
+      pqRowsOf(operators.Kmeans.withPqAssignmentLiteral(sv, book)))
+    assert(pqBc.queryExecution.executedPlan.toString.toLowerCase
+      .contains("subl2argminbcast"))
+    sv.unpersist()
+  }
+
+  test("the three-arm dispatch rule: literal to K=16, packed plan " +
+      "constant to 1 MiB, broadcast past it (production K=4096 " +
+      "coarse / K=256 PQ land where they should)") {
+    import operators.Kmeans._
+    def bytes(k: Int, dim: Int): Long = k.toLong * (dim + 2) * 8
+    assert(assignArm(8, bytes(8, 64)) == LiteralArm)
+    assert(assignArm(16, bytes(16, 64)) == LiteralArm)
+    assert(assignArm(17, bytes(17, 64)) == KernelLitArm)
+    assert(assignArm(48, bytes(48, 64)) == KernelLitArm)
+    // production PQ book: 256 codewords × 16 dims ≈ 37 KB → constant
+    assert(assignArm(256, bytes(256 * SubSpaces, SubDim)) == KernelLitArm)
+    // production coarse book: 4096 × 64 dims ≈ 2.2 MB → broadcast
+    assert(assignArm(4096, bytes(4096, 64)) == KernelBcastArm)
+    assert(bytes(4096, 64) > KernelLitMaxBytes)
+  }
+
   test("training moves the centroids and does not degrade the µcos " +
       "objective on the fixture") {
     val n = operators.Kmeans.qrel(spark, dir).persist()
