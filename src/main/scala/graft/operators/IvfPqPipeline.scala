@@ -179,41 +179,98 @@ object IvfPqPipeline {
     * and (b) a StageClock receipt that the append's shuffle volume
     * scales with the delta, not the corpus.
     */
-  def appendServe(s: SparkSession, dir: String): DataFrame = {
-    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
-      .select(col("vec_id"), col("qv")))
-    val queries = n.filter(col("vec_id") < NumQ)
-    val base = n.filter(col("vec_id") >= NumQ && !isDelta)
-    val delta = n.filter(col("vec_id") >= NumQ && isDelta)
+  /** The frozen index artifact of the base slice: base-trained books
+    * + base codes — shared by the batch (q228) and streaming (q229)
+    * append paths.
+    */
+  private[graft] final case class BaseIndex(
+      coarse: Seq[Kmeans.SubCent], book: Seq[Kmeans.SubCent],
+      codesBase: DataFrame)
 
-    // frozen artifacts: books trained on BASE, base codes built once
+  private[graft] def buildBaseIndex(n: DataFrame): BaseIndex = {
+    val base = n.filter(col("vec_id") >= NumQ && !isDelta)
     val bsv = graft.Caches.persist(Kmeans.subrelOf(base, 1, Kmeans.Dim))
     val coarse = Kmeans.lloydBook(bsv, CoarseK, CoarseRounds, Kmeans.Dim)
     val residB = graft.Caches.persist(residualsOf(bsv, coarse))
     val rsvB = graft.Caches.persist(
       Kmeans.subrelOf(residB, Kmeans.SubSpaces, Kmeans.SubDim))
     val book = Kmeans.lloydBook(rsvB, PqCodeK, PqRounds, Kmeans.SubDim)
-    val codesBase = encodeFromSubrel(rsvB, residB, book)
+    BaseIndex(coarse, book, encodeFromSubrel(rsvB, residB, book))
+  }
+
+  def appendServe(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
+      .select(col("vec_id"), col("qv")))
+    val queries = n.filter(col("vec_id") < NumQ)
+    val delta = n.filter(col("vec_id") >= NumQ && isDelta)
+    val idx = buildBaseIndex(n)
 
     // the one-sided append: ONLY delta rows are assigned and encoded
-    val codesDelta = appendCodes(delta, coarse, book)
+    val codesDelta = appendCodes(delta, idx.coarse, idx.book)
 
-    serve(queries, codesBase.unionByName(codesDelta), coarse, book)
+    serve(queries, idx.codesBase.unionByName(codesDelta), idx.coarse,
+      idx.book)
+  }
+
+  /** q229: q228's append with the delta arriving as a STREAM — the
+    * continuous-ingest form of index maintenance (a crawl emits new
+    * embeddings all day; the index absorbs them without a rebuild).
+    * [[appendCodes]] is a stateless per-row map (in-row assign →
+    * residual → explode → argmin, zero joins, zero aggregation
+    * state), so it runs UNCHANGED as a Structured Streaming append
+    * query: any micro-batch split of the delta produces the identical
+    * code set, the streamed codes union into the frozen artifact, and
+    * the served output — and therefore q228's oracle — applies
+    * verbatim (the q224 order-free-state discipline, here with NO
+    * state at all). AnnPipelineSpec additionally drives a 5-batch
+    * MemoryStream split to pin batch-boundary invariance.
+    */
+  def streamAppendServe(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
+      .select(col("vec_id"), col("qv")))
+    val queries = n.filter(col("vec_id") < NumQ)
+    val idx = buildBaseIndex(n)
+
+    graft.functions.VectorOps.register(s)
+    val deltaStream = graft.streaming.EventsStream.readEmbeddings(s, dir)
+      .filter(col("vec_id") >= NumQ && isDelta)
+      .select(col("vec_id"),
+        graft.functions.VectorOps.quantizeMicro(
+          col("embedding").cast("array<double>")).as("qv"))
+    val codesDelta = graft.streaming.EventsStream.runToCompletion(s,
+      appendCodes(deltaStream, idx.coarse, idx.book), mode = "append")
+
+    serve(queries, idx.codesBase.unionByName(codesDelta), idx.coarse,
+      idx.book)
   }
 
   /** The append stage alone — factored so the spec can meter its
-    * shuffle volume in isolation: every stage here is sized by the
-    * delta batch (subrel explode, in-row assignment, one
-    * vec_id-keyed join of delta-cardinality sides).
+    * shuffle volume in isolation, and spelled as ONE narrow in-row
+    * chain with NO join at all: coarse-assign → residual → explode to
+    * PQ subvectors CARRYING the list id → per-subspace argmin. (The
+    * build path's [[encodeFromSubrel]] joins codes back to residuals
+    * because training shares the exploded relation; with frozen books
+    * the join is pure overhead — and the join-free spelling is also
+    * what lets q229 run this exact function over a STREAMING delta,
+    * where a stream-stream join would need watermark plumbing for
+    * what is a stateless per-row map.)
     */
   private[graft] def appendCodes(delta: DataFrame,
       coarse: Seq[Kmeans.SubCent],
       book: Seq[Kmeans.SubCent]): DataFrame = {
+    import Kmeans.{SubSpaces, SubDim}
     val dsv = Kmeans.subrelOf(delta, 1, Kmeans.Dim)
     val residD = residualsOf(dsv, coarse)
-    encodeFromSubrel(
-      Kmeans.subrelOf(residD, Kmeans.SubSpaces, Kmeans.SubDim),
-      residD, book)
+    val subs = (0 until SubSpaces).map(b =>
+      struct(lit(b).as("sub"),
+        slice(col("qv"), b * SubDim + 1, SubDim).as("sv")))
+    val rsv = residD.select(col("vec_id"), col("lcid"),
+        explode(array(subs: _*)).as("e"))
+      .select(col("vec_id"), col("lcid"), col("e.sub").as("sub"),
+        col("e.sv").as("sv"))
+    Kmeans.withPqAssignment(rsv, book)
+      .select(col("vec_id"), col("sub"), col("cid").as("code"),
+        col("lcid"))
   }
 
   /** The shared serve-side oracle text: probes of `qryRel` against
@@ -365,5 +422,11 @@ object IvfPqPipeline {
     (s, dir) => appendServe(s, dir),
     Some(appendOracleSql))
 
-  val all: Seq[QueryDef] = Seq(q225IvfPqPipeline, q228IvfPqDeltaAppend)
+  val q229StreamIndexAppend: QueryDef = QueryDef(
+    "q229_stream_index_append",
+    (s, dir) => streamAppendServe(s, dir),
+    Some(appendOracleSql))
+
+  val all: Seq[QueryDef] = Seq(q225IvfPqPipeline, q228IvfPqDeltaAppend,
+    q229StreamIndexAppend)
 }

@@ -158,8 +158,55 @@ class AnnPipelineSpec extends AnyFunSuite {
     Seq(bsv, residB, rsvB, n).foreach(_.unpersist())
   }
 
-  test("q228 append cost receipt: the delta-encode stage's shuffle " +
-      "volume scales with the delta batch, not the corpus") {
+  test("q229: a 5-batch MemoryStream split of the delta encodes the " +
+      "IDENTICAL code set as the one-shot batch append — batch " +
+      "boundaries are invisible to the index") {
+    import operators.IvfPqPipeline._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val n = operators.Kmeans.qrel(spark, dir)
+      .select(col("vec_id"), col("qv")).persist()
+    n.count()
+    val idx = operators.IvfPqPipeline.buildBaseIndex(n)
+    val deltaRows = n
+      .filter(col("vec_id") >= NumQ &&
+        col("vec_id") % DeltaMod === DeltaMod - 1)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(deltaRows.length >= 5, "fixture too small for a 5-batch split")
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val codedStream = operators.IvfPqPipeline.appendCodes(
+      input.toDS().toDF("vec_id", "qv"), idx.coarse, idx.book)
+    val name = s"idx_append_${System.nanoTime()}"
+    val q = codedStream.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      deltaRows.grouped(math.max(1, deltaRows.length / 5)).foreach { g =>
+        input.addData(g.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("sub"), col("code"), col("lcid"))
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val streamed = codeSet(spark.table(name))
+    val batch = codeSet(operators.IvfPqPipeline.appendCodes(
+      n.filter(col("vec_id") >= NumQ &&
+        col("vec_id") % DeltaMod === DeltaMod - 1),
+      idx.coarse, idx.book))
+    assert(streamed.nonEmpty && streamed == batch,
+      "micro-batch split changed the encoded index")
+    n.unpersist()
+  }
+
+  test("q228 append cost receipt: the delta encode is a pure narrow " +
+      "map — ZERO shuffled data rows at any corpus size (only the " +
+      "probe count's partial rows cross an exchange)") {
     import operators.IvfPqPipeline._
     import org.apache.spark.sql.functions._
     val sf01 = "/root/testdata/sf0.01"
@@ -191,22 +238,28 @@ class AnnPipelineSpec extends AnyFunSuite {
     try {
       def shuffleOf(slice: org.apache.spark.sql.DataFrame): Long = {
         clock.quiesce(); clock.reset()
-        operators.IvfPqPipeline.appendCodes(slice, coarse, book).count()
+        val got = operators.IvfPqPipeline.appendCodes(slice, coarse,
+          book).count()
         clock.quiesce()
+        assert(got > 0, "vacuous append measurement")
         clock.shuffleRecords
       }
+      // the r18 join-free append spelling (assign → residual →
+      // explode → argmin, all in-row) shuffles NO data rows at all —
+      // even with broadcast joins disabled. The only exchanged
+      // records are the count() probe's per-task partials, bounded by
+      // partition count: cost is a narrow scan of the delta, period.
+      val partitionBound = 2L *
+        spark.conf.get("spark.sql.shuffle.partitions").toLong + 64
       val deltaShuffle = shuffleOf(delta)
       val fullShuffle = shuffleOf(whole)
-      // the append moves ~deltaRows·(SubSpaces+1) keyed rows; a
-      // corpus-sized append would move ~wholeRows·(SubSpaces+1).
-      // Require the measured ratio to track the delta fraction
-      // (0.2 here) with 2x slack — far below a corpus-shaped cost.
-      val frac = deltaShuffle.toDouble / fullShuffle
-      val deltaFrac = deltaRows.toDouble / wholeRows
-      assert(fullShuffle > 0 && frac <= 2.0 * deltaFrac,
-        s"append shuffled $deltaShuffle records vs full $fullShuffle " +
-          s"(ratio $frac, delta fraction $deltaFrac) — the append is " +
-          "paying corpus-shaped cost")
+      assert(deltaShuffle <= partitionBound,
+        s"append shuffled $deltaShuffle records (delta " +
+          s"$deltaRows rows) — the encode chain has grown an " +
+          "exchange; it must stay a narrow per-row map")
+      assert(fullShuffle <= partitionBound,
+        s"full re-encode shuffled $fullShuffle records " +
+          s"(corpus $wholeRows rows) — same narrow-map contract")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqe0)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
