@@ -164,5 +164,135 @@ object Sketches {
     },
     q219KmvDistinct.oracle)
 
-  val all: Seq[QueryDef] = Seq(q219KmvDistinct, q224StreamKmv)
+  // -----------------------------------------------------------------
+  // q230: KMV SET ALGEBRA — pairwise slice overlap from the sketches
+  // alone (Beyer et al. SIGMOD'07 §5): the "how much does slice A
+  // share with slice B" question (cross-dump dedup planning, source
+  // contamination triage — q187's exact source-overlap at a scale
+  // where re-scanning pairs is off the table). The min-wise identity
+  // makes sketch UNION exact: the k smallest of L_a ∪ L_b ARE the k
+  // smallest of A ∪ B, so est|A∪B| follows from the merged sketch,
+  // ρ = |union-sketch ∩ A ∩ B| / k estimates Jaccard, and
+  // est|A∩B| = ρ·est|A∪B|. Membership of a union-sketch element in A
+  // reduces to membership in L_a (x ≤ kth-min(A∪B) ≤ kth-min(A)), so
+  // the WHOLE computation runs on the |langs|-row sketch relation —
+  // the corpus is never rescanned per pair. Exact arms ride along at
+  // fixture scale (the q219/q142 validation discipline); every
+  // estimate is integer-deterministic and hash-matched itself.
+  // -----------------------------------------------------------------
+
+  /** Pairwise overlap estimates from a (lang, mins) sketch relation —
+    * pure sketch algebra on the bounded relation, no corpus access.
+    */
+  private[graft] def overlapFromMins(mins: DataFrame): DataFrame = {
+    val a = mins.select(col("lang").as("la"), col("mins").as("amins"))
+    val b = mins.select(col("lang").as("lb"), col("mins").as("bmins"))
+    a.crossJoin(b).filter(col("la") < col("lb"))
+      .withColumn("us", expr(
+        s"slice(array_sort(array_union(amins, bmins)), 1, $KmvK)"))
+      .withColumn("inter_m", size(array_intersect(col("us"),
+        array_intersect(col("amins"), col("bmins")))).cast("long"))
+      .withColumn("union_est",
+        when(size(col("us")) < KmvK, size(col("us")).cast("long"))
+          .otherwise(expr(s"${(KmvK - 1).toLong * HashSpace}L div " +
+            s"greatest(element_at(us, $KmvK), 1L)")))
+      .withColumn("inter_est",
+        expr(s"inter_m * union_est div ${KmvK}L"))
+      .select(col("la"), col("lb"), col("union_est"), col("inter_m"),
+        col("inter_est"))
+  }
+
+  val q230KmvOverlap: QueryDef = QueryDef(
+    "q230_kmv_overlap",
+    (s, dir) => {
+      val g = graft.Caches.persist(shingles(s, dir))
+      val est = overlapFromMins(kmvMins(g))
+      // exact arms (fixture-scale validation): per-lang distinct
+      // counts + pairwise exact intersections over the distinct
+      // shingle relation
+      val ds = graft.Caches.persist(
+        g.select(col("lang"), col("sh")).distinct())
+      val cnt = ds.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val xint = ds.select(col("lang").as("xla"), col("sh"))
+        .join(ds.select(col("lang").as("xlb"), col("sh")), "sh")
+        .filter(col("xla") < col("xlb"))
+        .groupBy(col("xla"), col("xlb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      est
+        .join(cnt.select(col("lang").as("la"), col("n").as("na")), "la")
+        .join(cnt.select(col("lang").as("lb"), col("n").as("nb")), "lb")
+        .join(xint, col("la") === col("xla") && col("lb") === col("xlb"),
+          "left")
+        .withColumn("exact_inter",
+          coalesce(col("exact_inter"), lit(0L)))
+        .withColumn("exact_union",
+          col("na") + col("nb") - col("exact_inter"))
+        .withColumn("union_ok",
+          abs(col("union_est") - col("exact_union")) * 5 <=
+            col("exact_union"))
+        .select(col("la"), col("lb"), col("union_est"), col("inter_m"),
+          col("inter_est"), col("exact_union"), col("exact_inter"),
+          col("union_ok"))
+        .orderBy("la", "lb")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT lang, string_split(lower(text), ' ') AS w
+            |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            |g AS (
+            |  SELECT lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+            |  FROM d CROSS JOIN unnest(range(1, len(w) - 1)) AS t(i)),
+            |ds AS (SELECT DISTINCT lang, sh FROM g),
+            |h AS (SELECT DISTINCT lang,
+            |        CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS hv
+            |      FROM g),
+            |cnt AS (SELECT lang, COUNT(*) AS n FROM ds GROUP BY 1),
+            |pairs AS (SELECT a.lang AS la, b.lang AS lb
+            |          FROM cnt a JOIN cnt b ON a.lang < b.lang),
+            |xint AS (SELECT a.lang AS la, b.lang AS lb,
+            |           COUNT(*) AS exact_inter
+            |         FROM ds a JOIN ds b
+            |           ON a.sh = b.sh AND a.lang < b.lang
+            |         GROUP BY 1, 2),
+            |uh0 AS (SELECT DISTINCT p.la, p.lb, h.hv
+            |        FROM pairs p JOIN h
+            |          ON h.lang = p.la OR h.lang = p.lb),
+            |uh AS (SELECT la, lb, hv, ROW_NUMBER() OVER (
+            |         PARTITION BY la, lb ORDER BY hv) AS rk
+            |       FROM uh0),
+            |us AS (SELECT * FROM uh WHERE rk <= $KmvK),
+            |usz AS (SELECT la, lb, COUNT(*) AS un,
+            |          MAX(CASE WHEN rk = $KmvK THEN hv END) AS kth
+            |        FROM us GROUP BY 1, 2),
+            |mm AS (SELECT u.la, u.lb, COUNT(*) AS m
+            |       FROM us u
+            |       JOIN h ha ON ha.lang = u.la AND ha.hv = u.hv
+            |       JOIN h hb ON hb.lang = u.lb AND hb.hv = u.hv
+            |       GROUP BY 1, 2),
+            |est AS (SELECT z.la, z.lb,
+            |          CASE WHEN z.un < $KmvK THEN CAST(z.un AS BIGINT)
+            |               ELSE ${(KmvK - 1).toLong * HashSpace} //
+            |                 GREATEST(z.kth, 1)
+            |          END AS union_est,
+            |          COALESCE(m.m, 0) AS inter_m
+            |        FROM usz z LEFT JOIN mm m
+            |          ON m.la = z.la AND m.lb = z.lb)
+            |SELECT p.la, p.lb, e.union_est,
+            |  CAST(e.inter_m AS BIGINT) AS inter_m,
+            |  CAST(e.inter_m * e.union_est // $KmvK AS BIGINT)
+            |    AS inter_est,
+            |  CAST(ca.n + cb.n - COALESCE(x.exact_inter, 0) AS BIGINT)
+            |    AS exact_union,
+            |  CAST(COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+            |  ABS(e.union_est -
+            |      (ca.n + cb.n - COALESCE(x.exact_inter, 0))) * 5 <=
+            |    ca.n + cb.n - COALESCE(x.exact_inter, 0) AS union_ok
+            |FROM pairs p
+            |JOIN est e ON e.la = p.la AND e.lb = p.lb
+            |JOIN cnt ca ON ca.lang = p.la
+            |JOIN cnt cb ON cb.lang = p.lb
+            |LEFT JOIN xint x ON x.la = p.la AND x.lb = p.lb
+            |ORDER BY p.la, p.lb""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q219KmvDistinct, q224StreamKmv,
+    q230KmvOverlap)
 }

@@ -38,6 +38,49 @@ class SketchesSpec extends AnyFunSuite {
     assert(buf == Seq(1L, 3L, 5L, 9L))
   }
 
+  test("q230 sketch algebra vs brute force: union merge is EXACT " +
+      "(min-wise identity), membership-in-sketch equals " +
+      "membership-in-set on union-sketch elements, and the overlap " +
+      "estimates match a serial fold") {
+    import spark.implicits._
+    val k = operators.Sketches.KmvK
+    val rnd = new scala.util.Random(41)
+    // two slices with a planted ~30% overlap, values pre-hashed
+    val shared = Seq.fill(900)(rnd.nextLong().abs % (1L << 48)).distinct
+    val onlyA = Seq.fill(2100)(rnd.nextLong().abs % (1L << 48)).distinct
+      .filterNot(shared.contains)
+    val onlyB = Seq.fill(1700)(rnd.nextLong().abs % (1L << 48)).distinct
+      .filterNot(x => shared.contains(x) || onlyA.contains(x))
+    val setA = (shared ++ onlyA).toSet
+    val setB = (shared ++ onlyB).toSet
+    val la = setA.toSeq.sorted.take(k)
+    val lb = setB.toSeq.sorted.take(k)
+    // min-wise identity: k-min of (L_a ∪ L_b) == k-min of (A ∪ B)
+    val usMerged = (la ++ lb).distinct.sorted.take(k)
+    val usTrue = (setA ++ setB).toSeq.sorted.take(k)
+    assert(usMerged == usTrue)
+    // membership reduction: x ∈ us ∧ x ∈ A ⟺ x ∈ us ∧ x ∈ L_a
+    assert(usMerged.count(x => setA(x) && setB(x)) ==
+      usMerged.count(x => la.contains(x) && lb.contains(x)))
+    // the overlapFromMins relation reproduces the serial fold
+    val mins = Seq(("a", la), ("b", lb)).toDF("lang", "mins")
+    val row = operators.Sketches.overlapFromMins(mins).collect()
+    assert(row.length == 1)
+    val m = usMerged.count(x => la.contains(x) && lb.contains(x)).toLong
+    val unionEst =
+      if (usMerged.length < k) usMerged.length.toLong
+      else (k - 1).toLong * (1L << 48) / math.max(usMerged(k - 1), 1L)
+    assert(row(0).getAs[Long]("inter_m") == m)
+    assert(row(0).getAs[Long]("union_est") == unionEst)
+    assert(row(0).getAs[Long]("inter_est") == m * unionEst / k)
+    // statistical sanity on the planted geometry (not a hash-match
+    // claim — the oracle pins those): estimates within 25% of truth
+    val trueUnion = (setA ++ setB).size.toLong
+    val trueInter = setA.intersect(setB).size.toLong
+    assert(math.abs(unionEst - trueUnion) * 4 <= trueUnion)
+    assert(math.abs(m * unionEst / k - trueInter) * 4 <= trueInter)
+  }
+
   test("q219 output is invariant under repartitioning and its " +
       "estimate gate holds organically") {
     val base = operators.Sketches.q219KmvDistinct.build(spark, dir)
