@@ -427,6 +427,113 @@ object IvfPqPipeline {
     (s, dir) => streamAppendServe(s, dir),
     Some(appendOracleSql))
 
+  // -----------------------------------------------------------------
+  // q231: IVF LIST REBALANCE — the third leg of index maintenance
+  // (append q228/q229, reshard via HRW q227, and now occupancy
+  // repair). A long-lived index drifts: appends concentrate on a few
+  // coarse lists and probe cost degrades toward a scan of the hot
+  // list. The FAISS-style repair splits each oversized list with a
+  // LOCAL 2-means on just its members — work ∝ hot-list size, never
+  // the corpus. The structural trick: per-hot-list independent
+  // k-means IS the per-subspace Lloyd loop with `sub` = list id, so
+  // [[Kmeans.lloydBook]] trains ALL hot lists simultaneously in one
+  // codebook-sized-exchange loop and the oracle reuses the SAME
+  // unrolled chain machinery (`lloydChainSql` over the hot-member
+  // relation) — every training round hash-pinned per list.
+  // -----------------------------------------------------------------
+
+  /** Lloyd rounds for each hot-list 2-means split. */
+  val SplitRounds = 3
+
+  /** List count of the rebalanced (stale) index. */
+  val RebalanceK = 16
+
+  /** A list is hot past 9/8 × mean occupancy:
+    * members · 8K > 9 · total (exact integer on both engines). The
+    * index under repair is a STALE quantizer — the residue-class seed
+    * book with zero Lloyd rounds (`lloydBook(…, rounds = 1)` = one
+    * assignment, no update), the stand-in for an index whose
+    * quantizer was never retrained as the corpus grew; a
+    * Lloyd-trained book balances the fixture's near-uniform
+    * embeddings inside the threshold everywhere, which is exactly
+    * WHY production indexes drift only after training stops.
+    */
+  def rebalance(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
+      .select(col("vec_id"), col("qv")))
+    val corpus = n.filter(col("vec_id") >= NumQ)
+    val csv = graft.Caches.persist(Kmeans.subrelOf(corpus, 1, Kmeans.Dim))
+    val coarse = Kmeans.lloydBook(csv, RebalanceK, 1, Kmeans.Dim)
+    val asn = graft.Caches.persist(Kmeans.withPqAssignment(csv, coarse)
+      .select(col("vec_id"), col("cid").as("lcid"), col("dist"),
+        col("sv")))
+    val occ = asn.groupBy(col("lcid"))
+      .agg(count(lit(1)).as("members"), sum(col("dist")).as("dsum"))
+    // the driver probe: one K-row collect (occupancy ledger)
+    val occRows = occ.collect()
+    val total = occRows.map(_.getLong(1)).sum
+    val hotIds = occRows
+      .filter(r => r.getLong(1) * 8 * RebalanceK > 9 * total)
+      .map(_.getLong(0)).toSet
+    // per-list 2-means: sub = list id, trained for ALL hot lists in
+    // ONE loop (the per-subspace machinery re-aimed)
+    val hsv = asn.filter(col("lcid").isInCollection(
+        if (hotIds.isEmpty) Set(-1L) else hotIds))
+      .select(col("vec_id"), col("lcid").cast("int").as("sub"),
+        col("sv"))
+    val book = Kmeans.lloydBook(hsv, 2, SplitRounds, Kmeans.Dim)
+    val splitRows = Kmeans.withPqAssignment(hsv, book)
+      .groupBy(col("sub"), col("cid"))
+      .agg(count(lit(1)).as("members"), sum(col("dist")).as("dsum"))
+      .select(col("sub").cast("long").as("lcid"),
+        col("cid").as("part"), col("members"), col("dsum"))
+    val keepRows = occ
+      .filter(!col("lcid").isInCollection(
+        if (hotIds.isEmpty) Set(-1L) else hotIds))
+      .select(col("lcid"), lit(-1L).as("part"), col("members"),
+        col("dsum"))
+    keepRows.unionByName(splitRows).orderBy("lcid", "part")
+  }
+
+  private def rebalanceOracleSql: String = {
+    import Kmeans.{lloydChainSql, Dim}
+    val cbA = "cba1" // seeds-only book: 1 assignment, 0 updates
+    val spA = s"spa$SplitRounds"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id,
+       |    list_transform(v, x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |  FROM e),
+       |corp AS (SELECT vec_id, qv FROM q WHERE vec_id >= $NumQ),
+       |csv AS (SELECT vec_id, 0 AS sub, qv AS sv FROM corp),
+       |p64 AS (SELECT unnest(range(1, ${Dim + 1})) AS pos),
+       |${lloydChainSql("cb", "csv", "p64", RebalanceK, 1)},
+       |occ AS (SELECT cid AS lcid, COUNT(*) AS members,
+       |          CAST(SUM(dist) AS BIGINT) AS dsum
+       |        FROM $cbA GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(members) AS BIGINT) AS n FROM occ),
+       |hot AS (SELECT lcid FROM occ CROSS JOIN tot
+       |        WHERE members * ${8 * RebalanceK} > 9 * n),
+       |hsv AS (SELECT a.vec_id, CAST(a.cid AS INTEGER) AS sub, v.sv
+       |        FROM $cbA a JOIN csv v ON v.vec_id = a.vec_id
+       |        WHERE a.cid IN (SELECT lcid FROM hot)),
+       |${lloydChainSql("sp", "hsv", "p64", 2, SplitRounds)}
+       |SELECT CAST(o.lcid AS BIGINT) AS lcid,
+       |  CAST(-1 AS BIGINT) AS part, o.members, o.dsum
+       |FROM occ o WHERE o.lcid NOT IN (SELECT lcid FROM hot)
+       |UNION ALL
+       |SELECT CAST(a.sub AS BIGINT) AS lcid, a.cid AS part,
+       |  COUNT(*) AS members, CAST(SUM(a.dist) AS BIGINT) AS dsum
+       |FROM $spA a GROUP BY 1, 2
+       |ORDER BY lcid, part""".stripMargin
+  }
+
+  val q231IvfRebalance: QueryDef = QueryDef(
+    "q231_ivf_rebalance",
+    (s, dir) => rebalance(s, dir),
+    Some(rebalanceOracleSql))
+
   val all: Seq[QueryDef] = Seq(q225IvfPqPipeline, q228IvfPqDeltaAppend,
-    q229StreamIndexAppend)
+    q229StreamIndexAppend, q231IvfRebalance)
 }

@@ -525,15 +525,19 @@ object Kmeans {
       pos: String, k: Int, rounds: Int): String = {
     val steps = (1 until rounds).map(r =>
       pqAssignSql(s"${px}a$r", s"${px}c${r - 1}", rel) + ",\n" +
-        pqUpdateSql(s"${px}c$r", s"${px}a$r", rel, pos)).mkString(",\n")
-    s"""${px}i AS MATERIALIZED (SELECT sub, vec_id % $k AS cid, MIN(vec_id) AS svid
-       |      FROM $rel GROUP BY 1, 2),
-       |${px}c0 AS MATERIALIZED (SELECT i.sub, i.cid, v.sv AS cv
-       |       FROM ${px}i i JOIN $rel v
-       |         ON v.vec_id = i.svid AND v.sub = i.sub),
-       |$steps,
-       |${pqAssignSql(s"${px}a$rounds", s"${px}c${rounds - 1}", rel)}"""
-      .stripMargin
+        pqUpdateSql(s"${px}c$r", s"${px}a$r", rel, pos))
+    // rounds = 1 is the seeds-only book (one assignment, no update —
+    // q231's stale-quantizer arm): steps is then EMPTY and must not
+    // leave a dangling comma in the WITH chain
+    val blocks = Seq(
+      s"""${px}i AS MATERIALIZED (SELECT sub, vec_id % $k AS cid, MIN(vec_id) AS svid
+         |      FROM $rel GROUP BY 1, 2)""".stripMargin,
+      s"""${px}c0 AS MATERIALIZED (SELECT i.sub, i.cid, v.sv AS cv
+         |       FROM ${px}i i JOIN $rel v
+         |         ON v.vec_id = i.svid AND v.sub = i.sub)""".stripMargin
+    ) ++ steps ++ Seq(
+      pqAssignSql(s"${px}a$rounds", s"${px}c${rounds - 1}", rel))
+    blocks.mkString(",\n")
   }
 
   val q223PqTrain: QueryDef = QueryDef(

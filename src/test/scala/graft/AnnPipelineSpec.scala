@@ -204,6 +204,46 @@ class AnnPipelineSpec extends AnyFunSuite {
     n.unpersist()
   }
 
+  test("q231 rebalance: the split path is EXERCISED at every fixture " +
+      "scale (non-vacuous), membership is conserved, every split " +
+      "half is smaller than its hot parent, and the worst list " +
+      "shrinks") {
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val d = s"/root/testdata/$sf"
+      val rows = operators.IvfPqPipeline.rebalance(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val total = operators.Kmeans.qrel(spark, d)
+        .filter(org.apache.spark.sql.functions.col("vec_id") >=
+          operators.IvfPqPipeline.NumQ).count()
+      // conservation: every corpus vector in exactly one output row
+      assert(rows.map(_._3).sum == total, s"$sf: membership leaked")
+      val splits = rows.filter(_._2 >= 0)
+      assert(splits.nonEmpty,
+        s"$sf: no hot list split — the rebalance path is vacuous here")
+      // each hot parent produced two halves (2-means with residue
+      // seeds never empties a half on organic data), each smaller
+      // than the parent, and the index's worst list got smaller
+      val keepMax = rows.filter(_._2 == -1).map(_._3).max
+      val hotParents = splits.groupBy(_._1)
+      hotParents.foreach { case (lcid, halves) =>
+        assert(halves.length == 2, s"$sf list $lcid: ${halves.length} halves")
+        val parent = halves.map(_._3).sum
+        assert(halves.forall(_._3 < parent))
+        // the parent was hot: above 9/8 of mean
+        assert(parent * 8 * operators.IvfPqPipeline.RebalanceK >
+          9 * total, s"$sf list $lcid was split but not hot")
+      }
+      val maxAfter = rows.map(_._3).max
+      val maxBefore = math.max(keepMax,
+        hotParents.values.map(_.map(_._3).sum).max)
+      assert(maxAfter < maxBefore,
+        s"$sf: rebalance did not shrink the worst list " +
+          s"($maxBefore -> $maxAfter)")
+      info(s"$sf: ${hotParents.size} hot lists split, worst " +
+        s"$maxBefore -> $maxAfter of $total")
+    }
+  }
+
   test("q228 append cost receipt: the delta encode is a pure narrow " +
       "map — ZERO shuffled data rows at any corpus size (only the " +
       "probe count's partial rows cross an exchange)") {
