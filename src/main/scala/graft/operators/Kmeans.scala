@@ -160,8 +160,15 @@ object Kmeans {
       .withColumn("ucos", col("best.u"))
   }
 
+  /** Packed-table size WITHOUT building the table (the dispatch
+    * probe must not pack twice — r18 review finding).
+    */
+  private def packedBytes(entries: Int, dim: Int): Long =
+    entries.toLong * (dim + 2) * 8
+
   private[graft] def withAssignment(n: DataFrame, cents: Seq[Cent]): DataFrame =
-    assignArm(cents.size, packCents(cents).length * 8L) match {
+    assignArm(cents.size, packedBytes(cents.size,
+        cents.headOption.map(_.cv.length).getOrElse(0))) match {
       case LiteralArm => withAssignmentLiteral(n, cents)
       case KernelLitArm => withAssignmentKernel(n, cents)
       case KernelBcastArm => withAssignmentBcast(n, cents)
@@ -414,7 +421,8 @@ object Kmeans {
       book: Seq[SubCent]): DataFrame = {
     val maxPerSub = book.groupBy(_.sub).valuesIterator
       .map(_.size).maxOption.getOrElse(0)
-    assignArm(maxPerSub, packBook(book).length * 8L) match {
+    assignArm(maxPerSub, packedBytes(book.size,
+        book.headOption.map(_.cv.length).getOrElse(0))) match {
       case LiteralArm => withPqAssignmentLiteral(sv, book)
       case KernelLitArm => withPqAssignmentKernel(sv, book)
       case KernelBcastArm => withPqAssignmentBcast(sv, book)

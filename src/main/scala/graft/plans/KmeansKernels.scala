@@ -91,6 +91,10 @@ object CentroidMuAssign {
       if (bestCid < 0 || u > bestU) { bestU = u; bestCid = cid }
       e += 1
     }
+    // a fabricated assignment from an empty table must not flow into
+    // ledgers looking real (r18 review finding)
+    if (bestCid < 0) throw new IllegalStateException(
+      "CentroidMuAssign: empty packed centroid table")
     InternalRow(bestU, bestCid)
   }
 
@@ -120,6 +124,8 @@ object CentroidMuAssign {
       if (bestCid < 0 || u > bestU) { bestU = u; bestCid = cid }
       e += 1
     }
+    if (bestCid < 0) throw new IllegalStateException(
+      "CentroidMuAssign: empty packed centroid table")
     InternalRow(bestU, bestCid)
   }
 }
@@ -237,6 +243,11 @@ object SubL2Argmin {
       }
       e += 1
     }
+    // no codeword for this row's subspace: fail loudly — the literal
+    // arm's null would at least surface as a null key, a fabricated
+    // (MaxValue, -1) row would not (r18 review finding)
+    if (bestCid < 0) throw new IllegalStateException(
+      s"SubL2Argmin: no codebook entry for subspace $sub")
     InternalRow(bestD, bestCid)
   }
 
@@ -276,6 +287,8 @@ object SubL2Argmin {
       }
       e += 1
     }
+    if (bestCid < 0) throw new IllegalStateException(
+      s"SubL2Argmin: no codebook entry for subspace $sub")
     InternalRow(bestD, bestCid)
   }
 }

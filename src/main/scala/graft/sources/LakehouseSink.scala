@@ -65,65 +65,93 @@ object LakehouseSink {
     * 100 TB with key-clustered files that is a bounded maintenance
     * pass, vs a mod-hash layout where ~all files contain movers.
     *
-    * Swap order is the [[compact]] crash-safety-by-duplication
-    * discipline: new files land first (append of movers, then the
-    * rewritten keepers move in), old files delete LAST — an
-    * interruption leaves transiently duplicated movers (rerun to
-    * converge), never a lost row.
+    * Crash safety is RERUN-CONVERGENT (requires `keyCol` to be a row
+    * identity — unique per row, the writeHrwSharded contract): new
+    * files land first, old files delete LAST, and BOTH halves of the
+    * swap are idempotent — the mover append anti-joins keys already
+    * present in their correct shard (a rerun after a crash between
+    * append and file rewrite does not re-append), and each keeper
+    * rewrite anti-joins keys already present in a SIBLING file of the
+    * same directory (a rerun after a crash between keeper move-in and
+    * old-file delete drops the now-duplicated keepers instead of
+    * keeping both copies). Any interruption therefore leaves a state
+    * from which one more `reshardHrw` produces the exact target
+    * layout — transient duplication, never loss, never permanent
+    * duplication (the r18 review finding: the previous spelling's
+    * "rerun to converge" doc was false for both windows).
     */
   def reshardHrw(spark: SparkSession, path: String, keyCol: String,
       oldShards: Int, newShards: Int): ReshardReport = {
     val newShard = hrwShardCol(col(keyCol), newShards)
+    // file inventory from ONE filesystem walk (not a corpus scan)
+    val allFiles = leafDirs(new File(path)).flatMap(parquetFiles)
+    val totalFiles = allFiles.size
+    // validate the declared old layout before mutating anything
+    val dirShards = allFiles.map(f => shardOfDir(f.getParent)).toSet
+    require(dirShards.forall(_ < oldShards),
+      s"layout at $path has shard dirs $dirShards — not an " +
+        s"$oldShards-shard HRW layout")
     val withFile = spark.read.parquet(path)
       .withColumn("_f", input_file_name())
-    val moved = withFile.filter(newShard =!= col("shard"))
-    // affected source files — bounded by the layout's file count
-    val affected = moved.select(col("_f")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val docsMoved = moved.count()
-    val totalFiles = withFile.select(col("_f")).distinct().count().toInt
-    if (affected.isEmpty)
-      return ReshardReport(0L, 0, totalFiles)
-    // 1. movers land in their NEW shard directories (append = new
-    //    files only; nothing existing is touched yet)
-    moved.drop("_f")
-      .withColumn("shard", newShard)
-      .write.mode(SaveMode.Append).partitionBy("shard").parquet(path)
-    // 2. each affected file is rewritten minus its movers: keepers =
-    //    rows whose NEW shard still equals the file's directory shard
-    affected.foreach { uri =>
-      val f = new File(java.net.URI.create(uri).getPath)
-      val shardOfFile = {
-        val m = "shard=(\\d+)".r.findFirstMatchIn(f.getParent)
-        m.getOrElse(throw new IllegalArgumentException(
-          s"not an HRW layout file: $uri")).group(1).toLong
+    val moved = withFile.filter(newShard =!= col("shard")).persist()
+    try {
+      // ONE pass over the movers: per-file counts give the affected
+      // set AND the total, no second corpus scan
+      val perFile = moved.groupBy(col("_f")).count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val affected = perFile.map(_._1)
+      val docsMoved = perFile.map(_._2).sum
+      if (affected.isEmpty)
+        return ReshardReport(0L, 0, totalFiles)
+      // 1. movers land in their NEW shard directories — idempotently:
+      //    keys already sitting in their correct shard (a previous
+      //    interrupted run's appends) are not appended again
+      val present = withFile.filter(newShard === col("shard"))
+        .select(col(keyCol))
+      moved.drop("_f")
+        .join(present, Seq(keyCol), "left_anti")
+        .withColumn("shard", newShard)
+        .write.mode(SaveMode.Append).partitionBy("shard").parquet(path)
+      // 2. each affected file is rewritten minus its movers AND minus
+      //    any row a sibling file of the same directory already holds
+      //    (the keeper-duplication window of an interrupted swap)
+      affected.foreach { uri =>
+        val f = new File(java.net.URI.create(uri).getPath)
+        val shardOfFile = shardOfDir(f.getParent)
+        val siblings = parquetFiles(f.getParentFile)
+          .filter(_.getPath != f.getPath)
+        val own = spark.read.parquet(f.getPath)
+          .filter(hrwShardCol(col(keyCol), newShards) === shardOfFile)
+        val keep =
+          if (siblings.isEmpty) own
+          else own.join(
+            spark.read.parquet(siblings.map(_.getPath): _*)
+              .select(col(keyCol)),
+            Seq(keyCol), "left_anti")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-reshard").toFile
+        try {
+          keep.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+          Option(tmp.listFiles()).getOrElse(Array.empty)
+            .filter(n => n.isFile && n.getName.endsWith(".parquet"))
+            .foreach(n => java.nio.file.Files.move(n.toPath,
+              new File(f.getParentFile, n.getName).toPath))
+          java.nio.file.Files.delete(f.toPath)
+        } finally rmTree(tmp)
       }
-      val keep = spark.read.parquet(f.getPath)
-        .filter(hrwShardCol(col(keyCol), newShards) === shardOfFile)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-reshard").toFile
-      try {
-        keep.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-        Option(tmp.listFiles()).getOrElse(Array.empty)
-          .filter(n => n.isFile && n.getName.endsWith(".parquet"))
-          .foreach(n => java.nio.file.Files.move(n.toPath,
-            new File(f.getParentFile, n.getName).toPath))
-        java.nio.file.Files.delete(f.toPath)
-      } finally {
-        def rm(x: File): Unit = {
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-          java.nio.file.Files.deleteIfExists(x.toPath); ()
-        }
-        rm(tmp)
-      }
-    }
-    // the session's file-status cache still lists the deleted
-    // originals; a maintenance op must invalidate it or the next
-    // reader of `path` throws FILE_NOT_EXIST
-    spark.catalog.refreshByPath(path)
-    ReshardReport(docsMoved, affected.length,
-      totalFiles - affected.length)
+      // the session's file-status cache still lists the deleted
+      // originals; a maintenance op must invalidate it or the next
+      // reader of `path` throws FILE_NOT_EXIST
+      spark.catalog.refreshByPath(path)
+      ReshardReport(docsMoved, affected.length,
+        totalFiles - affected.length)
+    } finally { moved.unpersist(); () }
   }
+
+  private def shardOfDir(dir: String): Long =
+    "shard=(\\d+)".r.findFirstMatchIn(dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an HRW layout directory: $dir")).group(1).toLong
 
   /** Write `df` partitioned by `partitionCols` and clustered (sorted)
     * within files by `clusterCols`.
@@ -165,25 +193,32 @@ object LakehouseSink {
     * `_SUCCESS`) are skipped per the Hadoop convention. Not atomic —
     * maintenance-op contract, same as OPTIMIZE on a path-based table.
     */
+  private def hidden(f: File): Boolean =
+    f.getName.startsWith("_") || f.getName.startsWith(".")
+
+  /** Leaf (partition) directories under a layout root. */
+  private def leafDirs(dir: File): Seq[File] = {
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+    val subdirs = kids.filter(d => d.isDirectory && !hidden(d))
+    if (subdirs.isEmpty) Seq(dir) else subdirs.toSeq.flatMap(leafDirs)
+  }
+
+  private def parquetFiles(dir: File): Seq[File] =
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !hidden(f) &&
+        f.getName.endsWith(".parquet"))
+
+  /** Recursive delete — the one shared spelling ([[compact]] and
+    * [[reshardHrw]] both stage through temp dirs).
+    */
+  private def rmTree(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    java.nio.file.Files.deleteIfExists(f.toPath); ()
+  }
+
   def compact(spark: SparkSession, path: String,
       clusterCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
-    def hidden(f: File): Boolean =
-      f.getName.startsWith("_") || f.getName.startsWith(".")
-    def leafDirs(dir: File): Seq[File] = {
-      val kids = Option(dir.listFiles()).getOrElse(Array.empty)
-      val subdirs = kids.filter(d => d.isDirectory && !hidden(d))
-      if (subdirs.isEmpty) Seq(dir) else subdirs.toSeq.flatMap(leafDirs)
-    }
-    def parquetFiles(dir: File): Seq[File] =
-      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isFile && !hidden(f) &&
-          f.getName.endsWith(".parquet"))
-    def deleteRecursively(f: File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty)
-        .foreach(deleteRecursively)
-      java.nio.file.Files.deleteIfExists(f.toPath); ()
-    }
     var (nPart, before, after) = (0, 0, 0)
     leafDirs(new File(path)).foreach { dir =>
       val files = parquetFiles(dir)
@@ -211,7 +246,7 @@ object LakehouseSink {
             new File(dir, f.getName).toPath))
           files.foreach(f => java.nio.file.Files.delete(f.toPath))
           after += newFiles.size
-        } finally deleteRecursively(tmp)
+        } finally rmTree(tmp)
       } else after += files.size
     }
     CompactionReport(nPart, before, after)

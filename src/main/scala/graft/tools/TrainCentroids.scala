@@ -124,6 +124,12 @@ object TrainCentroids {
         }
       }
     }
+    // a gate that never saw a (vector, boundary) pair must not
+    // certify anything — an empty/stale corpus or out-of-range
+    // boundaries would otherwise pass vacuously (r18 review finding)
+    require(worst != Double.MaxValue,
+      s"$label: margin gate checked zero (vector, boundary) pairs — " +
+        "empty corpus or boundaries beyond the codebook")
     require(worst > minMargin,
       s"$label: centroid-rank separation margin $worst is inside " +
         "float-noise territory — this fixture would make the " +
