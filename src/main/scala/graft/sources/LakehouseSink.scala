@@ -86,11 +86,15 @@ object LakehouseSink {
     // file inventory from ONE filesystem walk (not a corpus scan)
     val allFiles = leafDirs(new File(path)).flatMap(parquetFiles)
     val totalFiles = allFiles.size
-    // validate the declared old layout before mutating anything
+    // validate the declared layout before mutating anything: every
+    // shard dir must belong to the old range OR the new one (a
+    // recovery rerun legitimately finds new-range dirs an interrupted
+    // reshard already created)
     val dirShards = allFiles.map(f => shardOfDir(f.getParent)).toSet
-    require(dirShards.forall(_ < oldShards),
+    require(dirShards.forall(_ < math.max(oldShards, newShards)),
       s"layout at $path has shard dirs $dirShards — not an " +
-        s"$oldShards-shard HRW layout")
+        s"$oldShards-shard HRW layout (nor a $newShards-shard " +
+        "reshard in progress)")
     val withFile = spark.read.parquet(path)
       .withColumn("_f", input_file_name())
     val moved = withFile.filter(newShard =!= col("shard")).persist()

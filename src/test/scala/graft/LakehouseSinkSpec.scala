@@ -147,4 +147,70 @@ class LakehouseSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       col("shard")).count() == 0)
     assert(back.filter(col("shard") === 8).count() == wantMoved)
   }
+
+  test("HRW reshard crash windows are rerun-convergent: both " +
+      "interrupted states (movers appended / keepers duplicated) " +
+      "converge to the exact target layout with no duplicates") {
+    import org.apache.spark.sql.SaveMode
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"))
+    val total = docs.count()
+    def freshLayout(): String = {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_hrw_crash").toString + "/docs"
+      LakehouseSink.writeHrwSharded(docs.repartition(4, col("doc_id")),
+        out, "doc_id", 8)
+      out
+    }
+    def assertConverged(out: String): Unit = {
+      spark.catalog.refreshByPath(out)
+      val back = spark.read.parquet(out)
+      assert(back.count() == total, "row count diverged — " +
+        "duplication or loss survived the rerun")
+      assert(back.select(col("doc_id")).distinct().count() == total)
+      assert(back.filter(LakehouseSink.hrwShardCol(col("doc_id"), 9)
+        =!= col("shard")).count() == 0)
+    }
+    // window 1: crash AFTER the mover append committed, BEFORE any
+    // file rewrite — simulated by appending the movers manually and
+    // then running the real reshard (which must not re-append them)
+    val out1 = freshLayout()
+    val pre = spark.read.parquet(out1)
+    pre.filter(LakehouseSink.hrwShardCol(col("doc_id"), 9) =!=
+        col("shard"))
+      .withColumn("shard", LakehouseSink.hrwShardCol(col("doc_id"), 9))
+      .write.mode(SaveMode.Append).partitionBy("shard").parquet(out1)
+    spark.catalog.refreshByPath(out1)
+    assert(spark.read.parquet(out1).count() > total,
+      "window-1 setup produced no transient duplication — vacuous")
+    LakehouseSink.reshardHrw(spark, out1, "doc_id", 8, 9)
+    assertConverged(out1)
+    // window 2: crash AFTER one file's keepers moved in, BEFORE the
+    // old file deleted — simulated by copying an affected file's
+    // keeper rows in as an extra sibling file, then rerunning
+    val out2 = freshLayout()
+    val withFile = spark.read.parquet(out2)
+      .withColumn("_f", input_file_name())
+    val someAffected = withFile
+      .filter(LakehouseSink.hrwShardCol(col("doc_id"), 9) =!=
+        col("shard"))
+      .select(col("_f")).distinct().collect().map(_.getString(0)).min
+    val f = new java.io.File(java.net.URI.create(someAffected).getPath)
+    val dirShard = "shard=(\\d+)".r.findFirstMatchIn(f.getParent)
+      .get.group(1).toLong
+    val keepers = spark.read.parquet(f.getPath)
+      .filter(LakehouseSink.hrwShardCol(col("doc_id"), 9) === dirShard)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_crash2").toFile
+    keepers.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(n => java.nio.file.Files.move(n.toPath,
+        new java.io.File(f.getParentFile,
+          "dup-" + n.getName).toPath))
+    spark.catalog.refreshByPath(out2)
+    assert(spark.read.parquet(out2).count() > total,
+      "window-2 setup produced no transient duplication — vacuous")
+    LakehouseSink.reshardHrw(spark, out2, "doc_id", 8, 9)
+    assertConverged(out2)
+  }
 }
