@@ -166,13 +166,16 @@ object Kmeans {
   private def packedBytes(entries: Int, dim: Int): Long =
     entries.toLong * (dim + 2) * 8
 
-  private[graft] def withAssignment(n: DataFrame, cents: Seq[Cent]): DataFrame =
+  private[graft] def withAssignment(n: DataFrame, cents: Seq[Cent]): DataFrame = {
+    require(cents.nonEmpty,
+      "withAssignment: empty centroid set — nothing to assign against")
     assignArm(cents.size, packedBytes(cents.size,
         cents.headOption.map(_.cv.length).getOrElse(0))) match {
       case LiteralArm => withAssignmentLiteral(n, cents)
       case KernelLitArm => withAssignmentKernel(n, cents)
       case KernelBcastArm => withAssignmentBcast(n, cents)
     }
+  }
 
   private def centOf(cid: Long, cv: Array[Double]): Cent =
     Cent(cid, cv, math.sqrt(cv.map(x => x * x).sum))
@@ -419,6 +422,12 @@ object Kmeans {
 
   private[graft] def withPqAssignment(sv: DataFrame,
       book: Seq[SubCent]): DataFrame = {
+    // an all-empty book is detectable HERE, at plan construction —
+    // without this, packedBytes(0)=0 dispatches to the packed kernel,
+    // which throws per row inside executor tasks (the loud per-row
+    // failure is for per-SUBSPACE gaps, not a missing book)
+    require(book.nonEmpty,
+      "withPqAssignment: empty codebook — nothing to assign against")
     val maxPerSub = book.groupBy(_.sub).valuesIterator
       .map(_.size).maxOption.getOrElse(0)
     assignArm(maxPerSub, packedBytes(book.size,

@@ -79,6 +79,14 @@ object LakehouseSink {
     * layout — transient duplication, never loss, never permanent
     * duplication (the r18 review finding: the previous spelling's
     * "rerun to converge" doc was false for both windows).
+    *
+    * NOT concurrency-safe — the maintenance-op contract (same as
+    * [[compact]] and OPTIMIZE on any path-based table): the file
+    * inventory is a raw directory listing and the keeper rewrites
+    * consult sibling files as they exist mid-pass, so a concurrent
+    * writer or a concurrent compact on the same path can double-count
+    * or miss keepers. Run reshard exclusively: one maintenance writer
+    * per layout at a time.
     */
   def reshardHrw(spark: SparkSession, path: String, keyCol: String,
       oldShards: Int, newShards: Int): ReshardReport = {
@@ -107,6 +115,22 @@ object LakehouseSink {
       val docsMoved = perFile.map(_._2).sum
       if (affected.isEmpty)
         return ReshardReport(0L, 0, totalFiles)
+      // enforce the keyCol-uniqueness contract BEFORE mutating: the
+      // idempotence anti-joins key on keyCol alone, so duplicate keys
+      // would be silently collapsed instead of resharded. The check
+      // runs on the persisted MOVED relation (one small aggregation),
+      // not the whole layout — a whole-layout check would reject the
+      // legitimate crash-recovery states this pass exists to repair
+      // (an interrupted run's transient duplicates never have BOTH
+      // copies misplaced, so they never both appear here, while a
+      // user's duplicate rows on the destructive path do).
+      val dup = moved.groupBy(col(keyCol))
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"reshardHrw requires '$keyCol' to be unique per row, but " +
+          s"found duplicate key ${dup.head.get(0)} among rows to be " +
+          "moved — resharding would silently collapse duplicates; " +
+          "dedupe the layout first")
       // 1. movers land in their NEW shard directories — idempotently:
       //    keys already sitting in their correct shard (a previous
       //    interrupted run's appends) are not appended again
@@ -152,8 +176,15 @@ object LakehouseSink {
     } finally { moved.unpersist(); () }
   }
 
+  /** Shard id of a partition directory — parsed from the LEAF segment
+    * only (anchored): a layout rooted under a path that itself happens
+    * to contain `shard=<n>` (e.g. `/data/shard=3/docs/…`) must parse
+    * the partition directory, not the root spelling — [[reshardHrw]]
+    * filters keepers against this id before DELETING files, so a wrong
+    * parse here is silent data loss, not a cosmetic bug.
+    */
   private def shardOfDir(dir: String): Long =
-    "shard=(\\d+)".r.findFirstMatchIn(dir)
+    "^shard=(\\d+)$".r.findFirstMatchIn(new File(dir).getName)
       .getOrElse(throw new IllegalArgumentException(
         s"not an HRW layout directory: $dir")).group(1).toLong
 

@@ -213,4 +213,47 @@ class LakehouseSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     LakehouseSink.reshardHrw(spark, out2, "doc_id", 8, 9)
     assertConverged(out2)
   }
+
+  test("reshard fails loudly on a duplicate-key layout instead of " +
+      "silently collapsing rows (keyCol-uniqueness contract)") {
+    import org.apache.spark.sql.SaveMode
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_hrw_dup").toString + "/docs"
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"))
+    LakehouseSink.writeHrwSharded(docs, out, "doc_id", 8)
+    // a contract violation: a duplicate LOGICAL row (same key, any
+    // payload) misplaced so it participates in the mover path — the
+    // destructive pass must refuse, not converge to a smaller corpus
+    val misplaced = spark.read.parquet(out)
+      .withColumn("ns", LakehouseSink.hrwShardCol(col("doc_id"), 9))
+      .filter(col("ns") =!= col("shard"))
+      .limit(1).select(col("doc_id"), col("lang"), col("shard"))
+    misplaced.unionByName(misplaced) // two copies, both misplaced
+      .write.mode(SaveMode.Append).partitionBy("shard").parquet(out)
+    spark.catalog.refreshByPath(out)
+    val e = intercept[IllegalArgumentException] {
+      LakehouseSink.reshardHrw(spark, out, "doc_id", 8, 9)
+    }
+    assert(e.getMessage.contains("unique"), e.getMessage)
+  }
+
+  test("reshard parses the LEAF shard directory, not a shard=<n> " +
+      "spelling in the layout's root path") {
+    // a root path that itself matches the partition-dir pattern must
+    // not confuse the per-file shard parse (reshardHrw filters keepers
+    // against it before DELETING files)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hrw_root").toString + "/shard=3/docs"
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"))
+    val total = docs.count()
+    LakehouseSink.writeHrwSharded(docs, root, "doc_id", 8)
+    val report = LakehouseSink.reshardHrw(spark, root, "doc_id", 8, 9)
+    assert(report.docsMoved > 0)
+    val back = spark.read.parquet(root)
+    assert(back.count() == total)
+    assert(back.filter(LakehouseSink.hrwShardCol(col("doc_id"), 9) =!=
+      col("shard")).count() == 0)
+  }
 }
