@@ -37,6 +37,70 @@ import org.apache.spark.sql.functions._
   * occupancy (k ∝ N centroids, the q139 operating contract); nothing
   * here ever materializes more than candidates.
   */
+/** Executor/driver-shared exact Gonzalez greedy over µ-quantized rows
+  * — the kernel both stages of [[KnnGraph.kcenterSelectComposable]]
+  * run (stage 1 ships it inside a flatMapGroups closure, hence
+  * Serializable).
+  *
+  * µcos here is BIT-IDENTICAL to the engine spelling
+  * ([[Bitext.ucosCol]] / the oracle's list_inner_product form): the
+  * quantized components are integer-valued doubles whose pairwise
+  * products sum far below 2^53, so the dot is an EXACT integer in any
+  * summation order; qn is a correctly-rounded sqrt of an exact
+  * integer; the remaining divide·scale·floor is one deterministic
+  * IEEE chain on identical inputs — the same argument the catalog's
+  * engine-equality contract rests on everywhere.
+  */
+private[graft] object KcGreedy extends Serializable {
+  final case class KcRow(vid: Long, qv: Array[Double], qn: Double)
+
+  def ucos(a: KcRow, b: KcRow): Long = {
+    var d = 0.0; var i = 0
+    while (i < a.qv.length) { d += a.qv(i) * b.qv(i); i += 1 }
+    math.floor(d / (a.qn * b.qn) * 1000000.0 + 0.5).toLong
+  }
+
+  /** Exact farthest-first (Gonzalez 1985) over `rows` in memory,
+    * seeded at the minimum vid, argmin ties (maxu asc, vid asc) — the
+    * serial arm's exact per-round semantics. Returns min(k, n) picks
+    * as (sel, row, farthest_u); the seed reports farthest_u = 10⁶.
+    */
+  def gonzalez(rows: Array[KcRow], k: Int): Vector[(Int, KcRow, Long)] = {
+    if (rows.isEmpty) return Vector.empty
+    val n = rows.length
+    val seed = rows.indices.minBy(rows(_).vid)
+    val maxu = new Array[Long](n)
+    val taken = new Array[Boolean](n)
+    var i = 0
+    while (i < n) { maxu(i) = ucos(rows(i), rows(seed)); i += 1 }
+    taken(seed) = true
+    var out = Vector((0, rows(seed), 1000000L))
+    var r = 1
+    while (r < math.min(k, n)) {
+      var best = -1
+      var j = 0
+      while (j < n) {
+        if (!taken(j) && (best < 0 || maxu(j) < maxu(best) ||
+            (maxu(j) == maxu(best) && rows(j).vid < rows(best).vid)))
+          best = j
+        j += 1
+      }
+      taken(best) = true
+      out :+= ((r, rows(best), maxu(best)))
+      j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val u = ucos(rows(j), rows(best))
+          if (u > maxu(j)) maxu(j) = u
+        }
+        j += 1
+      }
+      r += 1
+    }
+    out
+  }
+}
+
 object KnnGraph {
 
   /** Neighbors kept per node before symmetrization. */
@@ -616,11 +680,49 @@ object KnnGraph {
     * round is one map-side scan of N rows against ONE broadcast
     * center plus a K-row argmin — O(N·K) total, nothing quadratic.
     */
+  /** Largest K the serial exact arm accepts: past this the round
+    * count — K−1 serial driver jobs at a ~40 ms scheduling floor each
+    * — dominates any data cost (at the D4-style production coreset
+    * sizes of 10⁴–10⁶ centers that is DAYS of pure scheduling), so
+    * the dispatcher swaps to the bounded-round composable arm. The
+    * same size-dispatch recipe as [[Kmeans.assignArm]]: both arms are
+    * spec-pinned at the boundary (exact equality is impossible across
+    * arms — composable is a bounded-approximation by construction —
+    * so the pin is the covering-radius bound, KnnGraphSpec).
+    */
+  val KcenterSerialMaxK = 32
+
+  /** Residue classes of the composable arm's local stage at fixture
+    * scale (production passes the executor partition count).
+    */
+  val KcenterParts = 2
+
+  private[graft] sealed trait KcenterArm
+  private[graft] case object KcSerialArm extends KcenterArm
+  private[graft] case object KcComposableArm extends KcenterArm
+
+  /** The pure dispatch rule (unit-tested at the boundary): the exact
+    * serial greedy while K−1 driver rounds stay cheap, the two-round
+    * composable oversample past it.
+    */
+  private[graft] def kcenterArm(k: Int): KcenterArm =
+    if (k <= KcenterSerialMaxK) KcSerialArm else KcComposableArm
+
   /** Gonzalez greedy over a quantized relation (vec_id/qv/qn): K
     * rows (sel, vec_id, farthest_u), seeded at the minimum id.
     * Shared by q217 (whole corpus) and q218 (curation survivors).
+    * Dispatches on K like [[Kmeans.assignArm]]: the exact serial
+    * greedy to [[KcenterSerialMaxK]], the O(1)-round composable
+    * oversample ([[kcenterSelectComposable]]) past it.
     */
   private[graft] def kcenterSelect(s: SparkSession, e0: DataFrame,
+      k: Int = CoresetK): DataFrame = kcenterArm(k) match {
+    case KcSerialArm => kcenterSerial(s, e0, k)
+    case KcComposableArm => kcenterSelectComposable(s, e0, k,
+      math.max(2, s.sparkContext.defaultParallelism))
+  }
+
+  private[graft] def kcenterSerial(s: SparkSession, e0: DataFrame,
       k: Int = CoresetK): DataFrame = {
     val e = graft.Caches.persist(
       e0.select(col("vec_id"), col("qv"), col("qn")))
@@ -652,12 +754,69 @@ object KnnGraph {
     sel.toDF("sel", "vec_id", "farthest_u").orderBy("sel")
   }
 
+  /** q232 / the production-K arm of [[kcenterSelect]]: COMPOSABLE
+    * k-center in two rounds TOTAL, independent of K (the Ene,
+    * Im & Moseley KDD'11 MapReduce-clustering shape; scalable
+    * k-means‖'s oversample-then-reduce is the same move):
+    *
+    *  1. LOCAL: each of `parts` residue classes of vec_id runs the
+    *     exact Gonzalez greedy over ITS rows only, picking an
+    *     oversample of min(2K, |class|) local centers — one
+    *     `flatMapGroups` pass, executor-local, no driver round-trips
+    *     (residue classes rather than physical partitions so the
+    *     result is a pure function of the data, not of Spark's task
+    *     placement — the determinism contract every oracle needs);
+    *  2. GLOBAL: the ≤ 2K·parts union — codebook-sized, the same
+    *     driver-materialization class as a broadcast join's build
+    *     side or [[Kmeans.lloydBook]]'s per-round collect — is
+    *     reduced by one exact Gonzalez greedy to the final K.
+    *
+    * ONE Spark job regardless of K (StageClock-receipted in
+    * KnnGraphSpec) vs the serial arm's K−1; the covering-radius cost
+    * of composing is bounded (local picks 2K ≥ K+1 centers, so every
+    * final center's class-local covering radius is ≤ its class's
+    * (K+1)-center Gonzalez radius; the standard analysis bounds the
+    * composed radius within a constant factor of the serial greedy's
+    * 2-approximation — spec-pinned at ≤ 2× the serial arm's measured
+    * radius on the fixtures). Memory model: a residue class must fit
+    * one executor (|class| ≈ N/parts rows — `parts` IS the scale
+    * knob, exactly a coreset pass's contract).
+    *
+    * Output contract matches the serial arm — (sel, vec_id,
+    * farthest_u) seeded at the minimum vec_id — with farthest_u
+    * measured within the stage-2 union (the relation the final
+    * greedy actually sees), not the corpus.
+    */
+  private[graft] def kcenterSelectComposable(s: SparkSession,
+      e0: DataFrame, k: Int = CoresetK,
+      parts: Int = KcenterParts): DataFrame = {
+    import s.implicits._
+    val over = 2 * k
+    val union = e0
+      .select(col("vec_id").cast("long"), col("qv"),
+        col("qn").cast("double"))
+      .as[(Long, Seq[Double], Double)]
+      .groupByKey(_._1 % parts)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map { case (v, q, n) =>
+          KcGreedy.KcRow(v, q.toArray, n)
+        }.toArray
+        KcGreedy.gonzalez(rows, over).iterator
+          .map { case (_, r, _) => (r.vid, r.qv.toSeq, r.qn) }
+      }
+      .collect()
+      .map { case (v, q, n) => KcGreedy.KcRow(v, q.toArray, n) }
+    KcGreedy.gonzalez(union, k)
+      .map { case (i, r, u) => (i, r.vid, u) }
+      .toDF("sel", "vec_id", "farthest_u").orderBy("sel")
+  }
+
   /** The k-center rounds as oracle CTE text over quantized relation
     * `rel` (must expose vec_id/qv/qn). Ends with CTEs c0..c{k-1};
     * [[kcenterOracleOut]] is the matching final SELECT.
     */
   private[graft] def kcenterOracleCtes(rel: String,
-      k: Int = CoresetK): String = {
+      k: Int = CoresetK, p: String = ""): String = {
     // MATERIALIZED is load-bearing, not a tuning hint: m{i}/c{i}/cs{i}
     // are each referenced 2-3 times by round i+1 and the final UNION,
     // so un-materialized CTEs inline into a 2^k-expanded plan — DuckDB
@@ -665,36 +824,38 @@ object KnnGraph {
     // duplicated hash tables (observed: q217 alone exhausted 80 GB of
     // temp at sf0.1; with hints the same query runs in seconds).
     val rounds = (1 until k).map { i =>
-      s"""c$i AS MATERIALIZED (
-         |  SELECT vid AS id, maxu FROM m${i - 1}
-         |  WHERE vid NOT IN (SELECT id FROM cs${i - 1})
+      s"""${p}c$i AS MATERIALIZED (
+         |  SELECT vid AS id, maxu FROM ${p}m${i - 1}
+         |  WHERE vid NOT IN (SELECT id FROM ${p}cs${i - 1})
          |  ORDER BY maxu ASC, vid LIMIT 1),
-         |cs$i AS MATERIALIZED (SELECT id FROM cs${i - 1}
-         |         UNION ALL SELECT id FROM c$i),
-         |m$i AS MATERIALIZED (
+         |${p}cs$i AS MATERIALIZED (SELECT id FROM ${p}cs${i - 1}
+         |         UNION ALL SELECT id FROM ${p}c$i),
+         |${p}m$i AS MATERIALIZED (
          |  SELECT m.vid, GREATEST(m.maxu, u.ucos) AS maxu
-         |  FROM m${i - 1} m JOIN (
+         |  FROM ${p}m${i - 1} m JOIN (
          |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
-            s"$rel x CROSS JOIN c$i JOIN $rel y " +
-              s"ON y.vec_id = c$i.id")}) u
+            s"$rel x CROSS JOIN ${p}c$i JOIN $rel y " +
+              s"ON y.vec_id = ${p}c$i.id")}) u
          |  ON u.sx = m.vid)""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM $rel),
-       |cs0 AS MATERIALIZED (SELECT id FROM c0),
-       |m0 AS MATERIALIZED (
+    s"""${p}c0 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM $rel),
+       |${p}cs0 AS MATERIALIZED (SELECT id FROM ${p}c0),
+       |${p}m0 AS MATERIALIZED (
        |  SELECT sx AS vid, ucos AS maxu FROM (
        |    ${Bitext.oracleUcosSelect("x.vec_id", "y.vec_id",
-          s"$rel x CROSS JOIN c0 JOIN $rel y ON y.vec_id = c0.id")}) t),
+          s"$rel x CROSS JOIN ${p}c0 JOIN $rel y " +
+            s"ON y.vec_id = ${p}c0.id")}) t),
        |$rounds""".stripMargin
   }
 
-  private[graft] def kcenterOracleOut(k: Int = CoresetK): String = {
+  private[graft] def kcenterOracleOut(k: Int = CoresetK,
+      p: String = ""): String = {
     val out = (1 until k).map(i =>
-      s"SELECT $i AS sel, id AS vec_id, maxu AS farthest_u FROM c$i")
+      s"SELECT $i AS sel, id AS vec_id, maxu AS farthest_u FROM ${p}c$i")
       .mkString("\nUNION ALL ")
     s"""SELECT sel, vec_id, farthest_u FROM (
        |  SELECT 0 AS sel, id AS vec_id,
-       |    CAST(1000000 AS BIGINT) AS farthest_u FROM c0
+       |    CAST(1000000 AS BIGINT) AS farthest_u FROM ${p}c0
        |  UNION ALL $out) t
        |ORDER BY sel""".stripMargin
   }
@@ -793,7 +954,41 @@ object KnnGraph {
         .replace("p AS (", "p AS MATERIALIZED (")
     })
 
+  /** q232: the COMPOSABLE k-center arm exercised end-to-end at
+    * fixture scale (the dispatcher routes production K here — q217
+    * pins the serial arm, this pins the bounded-round one, the same
+    * both-arms-at-the-boundary discipline as the Kmeans dispatch).
+    * The oracle unrolls all three greedy chains — one 2K-round
+    * Gonzalez per residue class, then the K-round reduction over the
+    * union of local picks — so every local pick AND the final
+    * selection are hash-pinned, not just the output rows.
+    */
+  val q232KcenterComposable: QueryDef = QueryDef(
+    "q232_kcenter_composable",
+    (s, dir) => kcenterSelectComposable(s,
+      Bitext.qrel(Similarity.normed(s, dir)), CoresetK, KcenterParts),
+    Some {
+      val over = 2 * CoresetK
+      val groups = (0 until KcenterParts).map { g =>
+        s"""g$g AS MATERIALIZED (SELECT vec_id, qv, qn FROM n
+           |  WHERE vec_id % $KcenterParts = $g)""".stripMargin
+      }.mkString(",\n")
+      val locals = (0 until KcenterParts).map(g =>
+        kcenterOracleCtes(s"g$g", over, s"p${g}_")).mkString(",\n")
+      val unionIds = (0 until KcenterParts).map(g =>
+        s"SELECT id FROM p${g}_cs${over - 1}").mkString("\n  UNION ALL ")
+      s"""${Bitext.oracleQuantCte},
+         |$groups,
+         |$locals,
+         |un AS MATERIALIZED (
+         |  SELECT n.vec_id, n.qv, n.qn FROM n
+         |  JOIN ($unionIds) s ON n.vec_id = s.id),
+         |${kcenterOracleCtes("un", CoresetK, "f")}
+         |${kcenterOracleOut(CoresetK, "f")}""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q210KnnGraph, q210bKnnGraphProbed,
     q213NnDescent, q214SemanticClusters, q215KnnOutliers,
-    q216GraphAnnBeam, q217KcenterCoreset, q218SemanticCuration)
+    q216GraphAnnBeam, q217KcenterCoreset, q218SemanticCuration,
+    q232KcenterComposable)
 }

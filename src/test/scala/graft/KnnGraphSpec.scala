@@ -351,6 +351,68 @@ class KnnGraphSpec extends AnyFunSuite {
       s"similarity path ${picks.mkString(",")}")
   }
 
+  test("q232 composable k-center: covering radius within 2x the " +
+      "serial arm's; O(1) Spark jobs INDEPENDENT of K (the receipt " +
+      "the serial arm cannot give); dispatch boundary pinned") {
+    import operators.{KcGreedy, KnnGraph}
+    // dispatch rule at the boundary — the assignArm recipe
+    assert(KnnGraph.kcenterArm(KnnGraph.KcenterSerialMaxK) ==
+      KnnGraph.KcSerialArm)
+    assert(KnnGraph.kcenterArm(KnnGraph.KcenterSerialMaxK + 1) ==
+      KnnGraph.KcComposableArm)
+
+    val rows = qrows.map { case (v, q, n) => KcGreedy.KcRow(v, q, n) }
+    // covering radius of a center set over the WHOLE corpus, in
+    // angular distance (arccos of the max similarity to any center —
+    // the metric the Gonzalez 2-approximation is stated in)
+    def radius(centers: Set[Long]): Double = {
+      val cs = rows.filter(r => centers.contains(r.vid))
+      rows.map { r =>
+        val best = cs.map(c => KcGreedy.ucos(r, c)).max
+        math.acos(math.min(1.0, best / 1000000.0))
+      }.max
+    }
+    val rel = operators.Bitext.qrel(
+      operators.Similarity.normed(spark, dir))
+    val serial = SparkEntry.queries("q217_kcenter_coreset")(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val comp = SparkEntry.queries("q232_kcenter_composable")(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(comp.size == KnnGraph.CoresetK)
+    val (rs, rc) = (radius(serial), radius(comp))
+    assert(rc <= 2.0 * rs + 1e-9,
+      f"composable covering radius $rc%.4f rad exceeds 2x the serial " +
+        f"greedy's $rs%.4f rad — the composition bound is broken")
+    info(f"radius serial=$rs%.4f comp=$rc%.4f ratio=${rc / rs}%.3f")
+
+    // O(1)-rounds receipt: job count does NOT grow with K (the serial
+    // arm runs K−1 argmin jobs + K−1 localCheckpoint materializations;
+    // the composable arm is one local-oversample job + one driver
+    // reduction whatever K is)
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      def jobsFor(k: Int): Int = {
+        clock.quiesce(); clock.reset()
+        KnnGraph.kcenterSelectComposable(spark, rel, k,
+          KnnGraph.KcenterParts).count()
+        clock.quiesce()
+        clock.jobs
+      }
+      val j8 = jobsFor(8)
+      val j16 = jobsFor(16)
+      assert(j16 <= j8,
+        s"composable arm's job count grew with K: K=8 ran $j8, " +
+          s"K=16 ran $j16")
+      // 4 on this profile: the oversample shuffle's AQE
+      // materialization, the collect, and the local-relation count —
+      // the assertion is the CLASS (a small constant), the j16 <= j8
+      // check above is the K-independence
+      assert(j8 <= 5, s"composable arm ran $j8 jobs — expected O(1)")
+      info(s"composable jobs: K=8 -> $j8, K=16 -> $j16")
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
+
   test("q218 capstone: every pick is a q214 cluster representative, " +
       "none is a q215 outlier, and the coreset is full-size") {
     val picks = SparkEntry.queries("q218_semantic_curation")(spark, dir)
