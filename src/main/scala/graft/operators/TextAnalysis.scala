@@ -1052,8 +1052,9 @@ object TextAnalysis {
   // = top-V by (count DESC, token ASC) — a deterministic truncation,
   // collected once as the frozen artifact a production run ships
   // (cutpoint/classifier-weight class). The rewrite is ENTIRELY
-  // in-row (filter + transform + array_contains against the V-token
-  // literal — no explode, no join, no per-doc reassembly exchange);
+  // in-row (filter + transform + the size-dispatched
+  // Membership.contains probe — no explode, no join, no per-doc
+  // reassembly exchange);
   // cost is the information-theoretic two passes (one tokenize to
   // build the vocab, one re-scan to rewrite). The per-lang ordered
   // digest over rewritten text proves every substitution
@@ -1073,16 +1074,22 @@ object TextAnalysis {
       val kept = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("t")).limit(TopV)
         .collect().map(_.getString(0)).toSeq
-      val keptLit = typedLit(kept)
+      // size-dispatched membership (Membership.contains): the
+      // fixture's 25-token vocabulary takes the literal
+      // array_contains arm; a production vocabulary (10⁵–10⁶ tokens)
+      // dispatches to the exact broadcast binary-search probe — no
+      // per-token linear scan, no vocabulary copy per task binary
+      def inVocab(x: Column): Column =
+        graft.functions.Membership.contains(x, kept)
       val words = filter(split(lower(col("text")), " "),
         x => x =!= "")
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(words).cast(LongType).as("nt"),
-          size(filter(words, x => !array_contains(keptLit, x)))
+          size(filter(words, x => !inVocab(x)))
             .cast(LongType).as("nrep"),
           md5(array_join(transform(words, x =>
-            when(array_contains(keptLit, x), x)
+            when(inVocab(x), x)
               .otherwise(lit("<unk>"))), " ")
             .cast(BinaryType)).as("h"))
         .groupBy(col("lang"))

@@ -127,11 +127,13 @@ object Urls {
   // per-domain audit is an explode + broadcast-able equi-join LEFT
   // from the blocklist (a listed domain that matches nothing must
   // report 0 — silently dropping it hides a stale list); the
-  // retention row checks membership in-row via arrays_overlap against
-  // the frozen list (the blocklist is a tiny committed artifact — at
-  // a production list size the overlap literal becomes a broadcast
-  // Bloom front, the q138 swap, with the explode+join arm unchanged).
-  // One corpus scan feeds both consumers via the persist cache.
+  // retention row checks membership in-row against the frozen list
+  // via the SIZE-DISPATCHED Membership.overlaps (the committed
+  // fixture takes the literal arrays_overlap arm; a production-size
+  // list dispatches to the exact broadcast binary-search probe — the
+  // swap is code, not a comment, with both arms equivalence-pinned in
+  // MembershipSpec). One corpus scan feeds both consumers via the
+  // persist cache.
   val q179DomainBlocklist: QueryDef = QueryDef(
     "q179_domain_blocklist",
     (s, dir) => {
@@ -152,7 +154,8 @@ object Urls {
         .groupBy(col("domain"))
         .agg(count(col("doc_id")).as("n_docs"))
       val kept = corpus
-        .filter(!arrays_overlap(col("sufs"), typedLit(domains)))
+        .filter(!graft.functions.Membership.overlaps(col("sufs"),
+          domains))
         .agg(count(lit(1)).as("n_docs"))
         .select(lit("__kept__").as("domain"), col("n_docs"))
       perDomain.unionByName(kept).orderBy("domain")
@@ -197,11 +200,11 @@ object Urls {
     df.withColumn("host", hostC)
       .withColumn("canon", canonC)
       .withColumn("labels", split(col("host"), "\\."))
-      .withColumn("blocked", arrays_overlap(
+      .withColumn("blocked", graft.functions.Membership.overlaps(
         transform(sequence(lit(1), size(col("labels"))), i =>
           array_join(slice(col("labels"), i,
             size(col("labels")) - i + 1), ".")),
-        typedLit(domains)))
+        domains))
       .drop("labels")
   }
 
