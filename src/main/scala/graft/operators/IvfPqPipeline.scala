@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -146,29 +146,32 @@ object IvfPqPipeline {
       .orderBy("qid", "rnk")
   }
 
-  def pipeline(s: SparkSession, dir: String): DataFrame = {
-    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
-      .select(col("vec_id"), col("qv")))
+  /** Stages 1–4 over the WHOLE corpus — the full-index twin of
+    * [[buildBaseIndex]] (q225's build; q233's delete path freezes
+    * these books while tombstoning rows).
+    */
+  private[graft] def buildFullIndex(n: DataFrame): BaseIndex = {
     val corpus = n.filter(col("vec_id") >= NumQ)
-    val queries = n.filter(col("vec_id") < NumQ)
-
     // 1. coarse book on the corpus (one 64-dim "subspace")
     val csv = graft.Caches.persist(Kmeans.subrelOf(corpus, 1, Kmeans.Dim))
     val coarse = Kmeans.lloydBook(csv, CoarseK, CoarseRounds, Kmeans.Dim)
-
     // 2. corpus assignment + residuals (in-row, no corpus×K join)
     val resid = graft.Caches.persist(residualsOf(csv, coarse))
-
     // 3. PQ codebook on residual subvectors
     val rsv = graft.Caches.persist(
       Kmeans.subrelOf(resid, Kmeans.SubSpaces, Kmeans.SubDim))
     val book = Kmeans.lloydBook(rsv, PqCodeK, PqRounds, Kmeans.SubDim)
-
     // 4. codes, carried with the list assignment
-    val codes = encodeFromSubrel(rsv, resid, book)
+    BaseIndex(coarse, book, encodeFromSubrel(rsv, resid, book))
+  }
 
+  def pipeline(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
+      .select(col("vec_id"), col("qv")))
+    val queries = n.filter(col("vec_id") < NumQ)
+    val idx = buildFullIndex(n)
     // 5. serve from the built index
-    serve(queries, codes, coarse, book)
+    serve(queries, idx.codesBase, idx.coarse, idx.book)
   }
 
   /** q228: build the index on the BASE slice only, then append the
@@ -327,12 +330,15 @@ object IvfPqPipeline {
        |ORDER BY qid, rnk""".stripMargin
   }
 
-  private def oracleSql: String = {
+  /** The full-corpus train chain up to the `codes` CTE — shared by
+    * the build oracle (q225, serves `codes`) and the tombstone oracle
+    * (q233, serves the survivor-filtered `codesLive`).
+    */
+  private def fullTrainChainSql: String = {
     import Kmeans.{subSelSql, lloydChainSql, SubSpaces, SubDim, Dim}
     val cbA = s"cba$CoarseRounds"   // final coarse assignment
     val cbC = s"cbc${CoarseRounds - 1}" // final coarse book
     val pqA = s"pqa$PqRounds"
-    val pqC = s"pqc${PqRounds - 1}"
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
@@ -358,7 +364,13 @@ object IvfPqPipeline {
        |${lloydChainSql("pq", "rsv", "p16", PqCodeK, PqRounds)},
        |codes AS MATERIALIZED (
        |  SELECT a.vec_id, a.sub, a.cid AS code, r.lcid
-       |  FROM $pqA a JOIN rq0 r ON r.vec_id = a.vec_id),
+       |  FROM $pqA a JOIN rq0 r ON r.vec_id = a.vec_id)""".stripMargin
+  }
+
+  private def oracleSql: String = {
+    val cbC = s"cbc${CoarseRounds - 1}"
+    val pqC = s"pqc${PqRounds - 1}"
+    s"""$fullTrainChainSql,
        |${serveSql("qry", "codes", cbC, pqC)}""".stripMargin
   }
 
@@ -534,6 +546,135 @@ object IvfPqPipeline {
     (s, dir) => rebalance(s, dir),
     Some(rebalanceOracleSql))
 
+  // -----------------------------------------------------------------
+  // q233: TOMBSTONE DELETE + PER-AFFECTED-LIST COMPACTION — the
+  // missing half of q228's append discipline (VERDICT r18 "What's
+  // missing" #2): a served index must also SHRINK (dedup rewind,
+  // takedown, TTL) without a rebuild. One-sided like the append:
+  // the tombstoned vectors alone are assigned to their inverted
+  // lists (in-row against the frozen coarse book — work ∝ deletes,
+  // never the corpus), and compaction rewrites ONLY those lists'
+  // directories in the cid-partitioned index layout (the reshardHrw
+  // file-rewrite discipline applied to the index tier). Because a
+  // PQ code is a pure per-row function of the frozen books,
+  // delete+compact ≡ re-encode of the survivors under the same books
+  // ≡ the oracle's survivor-filtered serve — the exact identity
+  // q228 pins in the other direction.
+  // -----------------------------------------------------------------
+
+  /** q233 tombstone membership: vec_id ≡ TombMod−1 (mod TombMod)
+    * plays the deleted batch (~1/TombMod of the corpus) — identity
+    * predicate, scale-invariant, engine-identical (the [[DeltaMod]]
+    * convention; coprime to it so delete and append tiers exercise
+    * different row sets).
+    */
+  val TombMod = 7L
+
+  private def isTomb: Column =
+    col("vec_id") % TombMod === TombMod - 1
+
+  final case class TombCompactReport(listsRewritten: Int,
+      listsUntouched: Int, codesDropped: Long)
+
+  /** Rewrite ONLY the inverted-list directories in `affected` minus
+    * the tombstoned vectors' rows. Swap order per list: new files
+    * move IN first, old files delete LAST (the [[graft.sources
+    * .LakehouseSink]] maintenance contract — a crash leaves transient
+    * duplication, never loss), and the rewrite reads through
+    * `.distinct()` so a rerun over a crash window's duplicated
+    * keepers converges (codes are full-row-unique by construction:
+    * one row per (vec_id, sub)). Work ∝ Σ affected-list sizes; every
+    * other directory is byte-stable (spec-pinned by mtime).
+    */
+  private[graft] def compactTombstones(s: SparkSession, path: String,
+      tombs: DataFrame, affected: Seq[Long]): TombCompactReport = {
+    val tombIds = broadcast(tombs.select(col("vec_id")))
+    val allLists = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .count(d => d.isDirectory && d.getName.startsWith("lcid="))
+    var dropped = 0L
+    affected.sorted.foreach { lcid =>
+      val dir = new java.io.File(path, s"lcid=$lcid")
+      require(dir.isDirectory,
+        s"q233 compaction: missing inverted-list dir $dir")
+      val oldFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val before = s.read.parquet(dir.getPath)
+      val keep = before.join(tombIds, Seq("vec_id"), "left_anti")
+        .distinct()
+      dropped += before.count() - keep.count()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ivf-compact").toFile
+      try {
+        keep.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+        Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.move(f.toPath,
+            new java.io.File(dir, f.getName).toPath))
+        oldFiles.foreach(f => java.nio.file.Files.delete(f.toPath))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          java.nio.file.Files.deleteIfExists(f.toPath); ()
+        }
+        rm(tmp)
+      }
+    }
+    s.catalog.refreshByPath(path)
+    TombCompactReport(affected.size, allLists - affected.size, dropped)
+  }
+
+  /** The q233 body, factored so the spec can interrogate the layout:
+    * build the full index, persist it as a cid-partitioned layout,
+    * tombstone the delete batch, compact the affected lists, and
+    * serve from the compacted artifact.
+    */
+  private[graft] def tombstoneCompactServe(s: SparkSession,
+      dir: String, layout: String): DataFrame = {
+    val n = graft.Caches.persist(Kmeans.qrel(s, dir)
+      .select(col("vec_id"), col("qv")))
+    val queries = n.filter(col("vec_id") < NumQ)
+    val idx = buildFullIndex(n)
+    graft.sources.LakehouseSink.writePartitioned(idx.codesBase,
+      layout, partitionCols = Seq("lcid"), clusterCols = Seq("vec_id"))
+    // the delete request: tombstoned ids + their one-sided list
+    // assignment (in-row vs the frozen coarse book — work ∝ deletes)
+    val tombRows = n.filter(col("vec_id") >= NumQ && isTomb)
+    val affected = residualsOf(
+        Kmeans.subrelOf(tombRows, 1, Kmeans.Dim), idx.coarse)
+      .select(col("lcid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    compactTombstones(s, layout, tombRows.select(col("vec_id")),
+      affected)
+    val codes = s.read.parquet(layout)
+      .withColumn("lcid", col("lcid").cast("long"))
+    serve(queries, codes, idx.coarse, idx.book)
+  }
+
+  /** q233 oracle: the identical full-corpus train chain with the
+    * serve running over the SURVIVOR-filtered codes — "rebuild
+    * without the deleted vectors under the frozen quantizers", the
+    * identity the one-sided delete realizes physically.
+    */
+  private def tombstoneOracleSql: String = {
+    val cbC = s"cbc${CoarseRounds - 1}"
+    val pqC = s"pqc${PqRounds - 1}"
+    s"""$fullTrainChainSql,
+       |codesLive AS MATERIALIZED (
+       |  SELECT * FROM codes
+       |  WHERE vec_id % $TombMod <> ${TombMod - 1}),
+       |${serveSql("qry", "codesLive", cbC, pqC)}""".stripMargin
+  }
+
+  val q233IvfTombstoneDelete: QueryDef = QueryDef(
+    "q233_ivfpq_tombstone_delete",
+    (s, dir) => {
+      val layout = java.nio.file.Files
+        .createTempDirectory("graft_ivf_tomb").toString + "/index"
+      tombstoneCompactServe(s, dir, layout)
+    },
+    Some(tombstoneOracleSql))
+
   val all: Seq[QueryDef] = Seq(q225IvfPqPipeline, q228IvfPqDeltaAppend,
-    q229StreamIndexAppend, q231IvfRebalance)
+    q229StreamIndexAppend, q231IvfRebalance, q233IvfTombstoneDelete)
 }

@@ -307,4 +307,108 @@ class AnnPipelineSpec extends AnyFunSuite {
     }
     n.unpersist()
   }
+
+  test("q233 tombstone compaction: ONLY affected list dirs are " +
+      "rewritten (others byte-stable), served top-k equals the " +
+      "runtime anti-join delete AND a survivors re-encode, no " +
+      "tombstone survives, and a crash-window rerun converges") {
+    import operators.IvfPqPipeline._
+    import org.apache.spark.sql.functions._
+    val layout = java.nio.file.Files
+      .createTempDirectory("graft_tomb_spec").toString + "/index"
+    // replicate the q233 body stepwise so the layout state BETWEEN
+    // write and compact is observable
+    val n = operators.Kmeans.qrel(spark, dir)
+      .select(col("vec_id"), col("qv")).persist()
+    n.count()
+    val queries = n.filter(col("vec_id") < NumQ)
+    val idx = operators.IvfPqPipeline.buildFullIndex(n)
+    sources.LakehouseSink.writePartitioned(idx.codesBase, layout,
+      partitionCols = Seq("lcid"), clusterCols = Seq("vec_id"))
+    def files(): Map[String, (Long, Long)] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+          c =>
+            if (c.isDirectory) walk(c)
+            else if (c.getName.endsWith(".parquet")) Seq(c) else Nil
+        }
+      walk(new java.io.File(layout))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val before = files()
+    val tombRows = n.filter(col("vec_id") >= NumQ &&
+      col("vec_id") % TombMod === TombMod - 1)
+    val tombIds = tombRows.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(tombIds.nonEmpty, "no tombstones at this scale — vacuous")
+    val affected = operators.IvfPqPipeline.residualsOf(
+        operators.Kmeans.subrelOf(tombRows, 1, operators.Kmeans.Dim),
+        idx.coarse)
+      .select(col("lcid")).distinct().collect().map(_.getLong(0)).toSeq
+    val report = operators.IvfPqPipeline.compactTombstones(spark,
+      layout, tombRows.select(col("vec_id")), affected)
+    assert(report.listsRewritten == affected.size)
+    assert(report.codesDropped ==
+      tombIds.size.toLong * operators.Kmeans.SubSpaces,
+      s"dropped ${report.codesDropped} code rows for ${tombIds.size} " +
+        "tombstones — expected one per subspace")
+    // untouched-list receipt: every file outside an affected dir is
+    // bitwise stable (same path, mtime, size) — compaction cost is
+    // ∝ affected lists, never the index
+    val after = files()
+    val affectedDirs = affected.map(l => s"lcid=$l").toSet
+    before.foreach { case (p, stamp) =>
+      val inAffected = affectedDirs.exists(d => p.contains(s"/$d/"))
+      if (!inAffected)
+        assert(after.get(p).contains(stamp), s"untouched file " +
+          s"changed: $p")
+    }
+    // no tombstoned code survives; all survivor codes intact
+    val live = spark.read.parquet(layout)
+    assert(live.filter(col("vec_id").isin(tombIds.toSeq: _*))
+      .count() == 0)
+    val wantLive = idx.codesBase
+      .filter(col("vec_id") % TombMod =!= TombMod - 1).count()
+    assert(live.count() == wantLive)
+    // served equivalences: compacted layout ≡ runtime anti-join
+    // delete ≡ survivors re-encode under the frozen books
+    def served(codes: org.apache.spark.sql.DataFrame) =
+      operators.IvfPqPipeline.serve(queries, codes, idx.coarse,
+        idx.book).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val fromLayout = served(live
+      .withColumn("lcid", col("lcid").cast("long")))
+    val runtimeDelete = served(idx.codesBase
+      .filter(col("vec_id") % TombMod =!= TombMod - 1))
+    val reencoded = served(operators.IvfPqPipeline.appendCodes(
+      n.filter(col("vec_id") >= NumQ &&
+        col("vec_id") % TombMod =!= TombMod - 1),
+      idx.coarse, idx.book))
+    assert(fromLayout == runtimeDelete,
+      "compacted layout diverged from the runtime anti-join delete")
+    assert(fromLayout == reencoded,
+      "compacted layout diverged from a survivors re-encode")
+    assert(fromLayout.forall(t => !tombIds.contains(t._3)),
+      "a deleted vector surfaced in a served top-k")
+    // crash-window rerun convergence: duplicate one affected dir's
+    // keeper file (the state after new-files-in, before old-delete),
+    // rerun the same compaction — distinct() collapses the dupes
+    val someDir = new java.io.File(layout, s"lcid=${affected.min}")
+    val keeperFile = someDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(keeperFile.toPath,
+      new java.io.File(someDir, "dup-" + keeperFile.getName).toPath)
+    spark.catalog.refreshByPath(layout)
+    assert(spark.read.parquet(layout).count() > wantLive,
+      "crash simulation produced no duplication — vacuous")
+    operators.IvfPqPipeline.compactTombstones(spark, layout,
+      tombRows.select(col("vec_id")), affected)
+    val again = spark.read.parquet(layout)
+    assert(again.count() == wantLive)
+    assert(again.groupBy(col("vec_id"), col("sub")).count()
+      .filter(col("count") > 1).count() == 0,
+      "rerun left duplicated codes")
+    n.unpersist()
+  }
 }
