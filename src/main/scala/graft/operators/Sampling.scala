@@ -509,6 +509,116 @@ object Sampling {
             |GROUP BY t.event_type, t.n
             |ORDER BY t.event_type""".stripMargin))
 
+  // -----------------------------------------------------------------
+  // q234/q235: MERGEABLE QUANTILE SKETCH (KLL class) — the one-pass /
+  // streaming arm of this file's exact quantile tier (VERDICT r18
+  // "What's missing" #3). q220/q226 are exact and right for batch
+  // reports, but q226 is a driver-coordinated multi-pass loop
+  // (log₆₄ n full scans); the dashboard/continuous form is ONE scan
+  // folding an O(k) mergeable compactor ladder per group
+  // ([[graft.functions.KllAggregator]]). A compacting sketch's
+  // estimates vary with merge order, so the output never hashes the
+  // estimate: it emits the EXACT interpolated quantiles (the q93
+  // percentile/quantile_cont pairing) plus in-query rank-error gates —
+  // |rank(estimate) − p·n| ≤ ε·n with 3× headroom over KLL's O(1/k)
+  // theory — which the oracle spells as literal TRUE (the q93/q132
+  // discipline: the gate's job is to fail loudly if the sketch ever
+  // drifts).
+  // -----------------------------------------------------------------
+
+  /** Sketch size (items retained ≈ 3k at a deep ladder). */
+  private[graft] val KllK = 256
+
+  /** Gate tolerance: KLL theory ε ≈ 1.7/k ≈ 0.007 at k=256; the gate
+    * pins 0.02 — tight enough to catch a broken compactor, loose
+    * enough that the content-hash coin's non-iid corners never flake.
+    */
+  private[graft] val KllEps = 0.02
+
+  private[graft] val KllPcts = Seq(0.5, 0.9, 0.99)
+
+  /** Per-event_type KLL estimate states from a (event_type, value)
+    * relation — identical code on a batch or streaming input (the
+    * q219/q224 kmvMins pattern): state is the O(k) compactor ladder,
+    * merged per task / per micro-batch.
+    */
+  private[graft] def kllEstimates(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val kll = new graft.functions.KllAggregator(KllK, KllPcts)
+    d.select(col("event_type"), col("value"))
+      .as[(String, Double)](
+        Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapValues(_._2)(Encoders.scalaDouble)
+      .agg(kll.toColumn)
+      .toDF("event_type", "est")
+  }
+
+  /** Exact arm + rank-error gates against a (event_type, est[3])
+    * estimate relation — shared verbatim by q234 (batch) and q235
+    * (streaming state), so the two arms differ ONLY in where the
+    * sketch folded.
+    */
+  private[graft] def kllGated(d: DataFrame, est: DataFrame): DataFrame = {
+    val g = d.join(broadcast(est), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("ex"),
+        sum(when(col("value") <= col("est")(0), 1L).otherwise(0L))
+          .as("r50"),
+        sum(when(col("value") <= col("est")(1), 1L).otherwise(0L))
+          .as("r90"),
+        sum(when(col("value") <= col("est")(2), 1L).otherwise(0L))
+          .as("r99"))
+    def gate(r: Column, p: Double): Column =
+      abs(r.cast("double") - col("n").cast("double") * p) <=
+        col("n").cast("double") * KllEps + 1d
+    g.select(col("event_type"), col("n"),
+      graft.Round4(col("ex")(0)).as("p50"),
+      graft.Round4(col("ex")(1)).as("p90"),
+      graft.Round4(col("ex")(2)).as("p99"),
+      gate(col("r50"), 0.5).as("kll_p50_ok"),
+      gate(col("r90"), 0.9).as("kll_p90_ok"),
+      gate(col("r99"), 0.99).as("kll_p99_ok"))
+      .orderBy("event_type")
+  }
+
+  private[graft] lazy val kllOracleSql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  ${graft.Round4.sql("quantile_cont(value, 0.5)")} AS p50,
+       |  ${graft.Round4.sql("quantile_cont(value, 0.9)")} AS p90,
+       |  ${graft.Round4.sql("quantile_cont(value, 0.99)")} AS p99,
+       |  true AS kll_p50_ok, true AS kll_p90_ok, true AS kll_p99_ok
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val q234QuantileSketch: QueryDef = QueryDef(
+    "q234_quantile_sketch",
+    (s, dir) => {
+      val d = graft.Caches.persist(Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value")))
+      kllGated(d, kllEstimates(d))
+    },
+    Some(kllOracleSql))
+
+  /** q235: the sketch folding in STREAMING AGGREGATION STATE — the
+    * continuous value-distribution monitor (the q224 form): events
+    * arrive as a stream, each micro-batch merges into the per-group
+    * compactor ladder in complete mode, and the drained final states
+    * gate against the batch exact arm under the SAME oracle.
+    */
+  val q235StreamQuantileSketch: QueryDef = QueryDef(
+    "q235_stream_quantile_sketch",
+    (s, dir) => {
+      val stream = graft.streaming.EventsStream.readEvents(s, dir)
+      val est = graft.streaming.EventsStream.runToCompletion(s,
+        kllEstimates(stream))
+      val d = graft.Caches.persist(Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value")))
+      kllGated(d, est)
+    },
+    Some(kllOracleSql))
+
   val all: Seq[QueryDef] = Seq(q209PpsSample, q220ExactQuantiles,
-    q222StratifiedNeyman, q226ValueQuantiles)
+    q222StratifiedNeyman, q226ValueQuantiles, q234QuantileSketch,
+    q235StreamQuantileSketch)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.KllAggregator
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The KLL compactor ladder's structural invariants (q234/q235's
+  * sketch): exact weight conservation, the O(k) state bound, and the
+  * rank-error guarantee under adversarial merge orders — the
+  * properties the in-query gate rests on, pinned directly.
+  */
+class QuantileSketchSpec extends AnyFunSuite {
+  private val K = 64
+  private val pcts = Seq(0.5, 0.9, 0.99)
+  private def agg = new KllAggregator(K, pcts)
+
+  private def fold(a: KllAggregator,
+      xs: Seq[Double]): Array[Array[Double]] =
+    xs.foldLeft(a.zero)(a.reduce)
+
+  test("weight is conserved EXACTLY through inserts and merges, and " +
+      "retained state stays O(k) while the input grows unbounded") {
+    val a = agg
+    val n = 50000
+    // skewed, duplicate-heavy input (worst case for naive sketches)
+    val xs = (0 until n).map(i =>
+      if (i % 7 == 0) 42.0 else math.pow(1.0002, i % 9973))
+    val b = fold(a, xs)
+    assert(a.weightOf(b) == n.toLong,
+      s"weight ${a.weightOf(b)} != inserted $n — compaction lost rows")
+    assert(a.sizeOf(b) <= 4 * K,
+      s"retained ${a.sizeOf(b)} items — state is not O(k)")
+    // compaction genuinely happened (the bound test is non-vacuous)
+    assert(a.sizeOf(b) < n)
+  }
+
+  test("merge conserves weight and the merged sketch's rank error " +
+      "stays within the gate under adversarial merge orders") {
+    val a = agg
+    val n = 40000
+    val xs = (0 until n).map(i => (i * 2654435761L % 100003).toDouble)
+    val sortedXs = xs.sorted
+    def rankOf(v: Double): Long = {
+      // count <= v — the in-query gate's rank definition
+      val idx = sortedXs.search(v)(Ordering.Double.TotalOrdering)
+        .insertionPoint
+      var i = idx
+      while (i < n && sortedXs(i) <= v) i += 1
+      i.toLong
+    }
+    // three merge topologies: sequential, balanced tree over 16
+    // shards, and sorted-runs (each shard sees an ordered slice —
+    // the pathological case for content-hash coins)
+    val shards = xs.grouped(n / 16 + 1).toSeq
+    val seqBuf = fold(a, xs)
+    val treeBuf = shards.map(fold(a, _)).reduce(a.merge)
+    val runBuf = sortedXs.grouped(n / 16 + 1).toSeq
+      .map(fold(a, _)).reduce(a.merge)
+    for ((name, buf) <- Seq("sequential" -> seqBuf,
+        "tree" -> treeBuf, "sorted-runs" -> runBuf)) {
+      assert(a.weightOf(buf) == n.toLong, s"$name lost weight")
+      val est = a.finish(buf)
+      pcts.zip(est).foreach { case (p, e) =>
+        val err = math.abs(rankOf(e) - p * n)
+        assert(err <= 0.02 * n + 1,
+          f"$name p=$p rank error $err%.0f exceeds the 2%% gate " +
+            f"(n=$n, estimate=$e)")
+      }
+    }
+  }
+
+  test("small groups pass through EXACTLY (no compaction below " +
+      "capacity) and the estimator answers the definitional rank") {
+    val a = agg
+    val xs = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+    val b = fold(a, xs)
+    assert(a.sizeOf(b) == 5 && a.weightOf(b) == 5)
+    // ceil(0.5*5)=3rd smallest = 5.0; ceil(0.9*5)=5th = 9.0
+    val est = a.finish(b)
+    assert(est(0) == 5.0 && est(1) == 9.0 && est(2) == 9.0)
+  }
+}
