@@ -11,6 +11,29 @@ object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     Runtime.getRuntime.availableProcessors().toString)
 
+  /** Streaming state-store provider, profile-selected. The in-memory
+    * HDFSBackedStateStoreProvider (Spark's default) keeps every key
+    * resident in executor heap — right for the fixture-scale tests
+    * and the complete-mode O(groups) counters, wrong for the
+    * production frontiers whose state is ∝ unique pages (q182's
+    * seen-set, q127's pair ledger): those want RocksDB's
+    * off-heap/on-disk store (the provider Spark ships for exactly
+    * this; state size then bounds by disk, not heap).
+    * `SPARK_GRAFT_STATE_STORE=rocksdb` selects it engine-wide;
+    * StreamRestartSpec drives the frontier + near-dup restarts under
+    * BOTH providers so the checkpoint contract is provider-portable
+    * (RocksDB state survives restarts through the same
+    * checkpointLocation mechanics).
+    */
+  def stateStoreProvider: String =
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE")
+        .exists(_.equalsIgnoreCase("rocksdb")))
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"
+    else
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider"
+
   def build(appName: String, coresOverride: Option[String] = None)
       : SparkSession = {
     val n = coresOverride.getOrElse(cpus)
@@ -36,6 +59,8 @@ object Sessions {
       // init 16× for a 16-file table (the MRG bench fixture, small
       // dims). Large files still split by maxPartitionBytes as before.
       .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        stateStoreProvider)
       .config("spark.ui.enabled", "false")
     // Ad-hoc knob passthrough for measurement runs, e.g.
     // SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.coalescePartitions.parallelismFirst=false;k2=v2".

@@ -164,9 +164,37 @@ class StreamRestartSpec extends AnyFunSuite {
     Caches.clear(spark)
   }
 
+  /** Swap the streaming state-store provider for one scenario (fresh
+    * checkpoints only — a checkpoint is provider-sticky). The
+    * production-tier scenarios (frontier seen-set, near-dup pair
+    * ledger — the two whose state grows with the corpus) run under
+    * BOTH the default in-memory provider and RocksDB
+    * ([[Sessions.stateStoreProvider]]'s profile), proving the
+    * checkpoint-restart contract is provider-portable.
+    */
+  private def withStateStore(provider: String)(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, provider)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
   test("q127-class stream-static near-dup state survives a restart: " +
       "pair dedup keeps swallowing redelivered docs delivered after " +
       "the restart") {
+    neardupRestartScenario()
+  }
+
+  test("q127-class near-dup restart under the RocksDB state store " +
+      "(the production provider for corpus-proportional state)") {
+    withStateStore(RocksProvider)(neardupRestartScenario())
+  }
+
+  private def neardupRestartScenario(): Unit = {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft_ndrs")
@@ -501,6 +529,15 @@ class StreamRestartSpec extends AnyFunSuite {
   test("q182-class crawl frontier survives a restart: the canonical " +
       "seen-set restores from the checkpoint, so aliases of " +
       "pre-restart pages never re-emit") {
+    frontierRestartScenario()
+  }
+
+  test("q182-class frontier restart under the RocksDB state store " +
+      "(the provider the frontier's web-scale seen-set actually runs)") {
+    withStateStore(RocksProvider)(frontierRestartScenario())
+  }
+
+  private def frontierRestartScenario(): Unit = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_furls")
     val in = root.resolve("in").toString
