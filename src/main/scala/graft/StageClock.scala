@@ -37,6 +37,7 @@ final class StageClock extends SparkListener {
   private var cpuTimeNs = 0L
   private var stageWallMs = 0L
   private var shuffleRecs = 0L
+  private var shuffleWriteBytes = 0L
   private var maxTaskShuffleReadRecs = 0L
   private var activeJobs = 0
 
@@ -65,6 +66,7 @@ final class StageClock extends SparkListener {
         taskTimeMs += m.executorRunTime
         cpuTimeNs += m.executorCpuTime
         shuffleRecs += m.shuffleWriteMetrics.recordsWritten
+        shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
       }
       stageWallMs += (for {
         s <- si.submissionTime; c <- si.completionTime
@@ -73,7 +75,8 @@ final class StageClock extends SparkListener {
 
   def reset(): Unit = lock.synchronized {
     stages = 0; jobsCount = 0; taskTimeMs = 0L; cpuTimeNs = 0L
-    stageWallMs = 0L; shuffleRecs = 0L; maxTaskShuffleReadRecs = 0L
+    stageWallMs = 0L; shuffleRecs = 0L; shuffleWriteBytes = 0L
+    maxTaskShuffleReadRecs = 0L
   }
 
   /** Jobs started since the last reset — each job in local mode costs a
@@ -88,6 +91,12 @@ final class StageClock extends SparkListener {
     * exponent over.
     */
   def shuffleRecords: Long = lock.synchronized(shuffleRecs)
+
+  /** Total shuffle bytes WRITTEN since the last reset — the wire-cost
+    * meter (the packed-vector tier's saving lives here, not in
+    * parquet-on-disk bytes, which snappy already squeezes).
+    */
+  def shuffleBytes: Long = lock.synchronized(shuffleWriteBytes)
 
   /** Largest shuffle-read record count of any single task since the
     * last reset — the skew diagnostic: a hot key that concentrates on

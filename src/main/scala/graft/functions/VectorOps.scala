@@ -17,6 +17,12 @@ object VectorOps {
       exprs => L2Norm(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_quantize_micro",
       exprs => graft.plans.QuantizeMicro(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_pack_f32",
+      exprs => graft.plans.PackF32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_unpack_f32",
+      exprs => graft.plans.UnpackF32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_ucos_packed_f32",
+      exprs => graft.plans.UcosPackedF32(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_rolling_hash",
       exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_byte_entropy",
@@ -227,6 +233,19 @@ object VectorOps {
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def l2norm(a: Column): Column = call_function("graft_l2norm", a)
+
+  /** Lossless f32 pack of a µ-quantized integer-component vector
+    * (2× smaller storage/wire; see [[graft.plans.PackedF32]]).
+    */
+  def packF32(a: Column): Column = call_function("graft_pack_f32", a)
+  def unpackF32(b: Column): Column =
+    call_function("graft_unpack_f32", b)
+
+  /** Fused µcos over two packed-f32 buffers — bit-identical to the
+    * array-tier [[graft.operators.Bitext.ucosCol]] chain.
+    */
+  def ucosPackedF32(a: Column, b: Column): Column =
+    call_function("graft_ucos_packed_f32", a, b)
 
   /** `floor(x·10⁶ + 0.5)` per component, kept as doubles — see
     * [[graft.plans.QuantizeMicro]] for the exact-integer-in-double

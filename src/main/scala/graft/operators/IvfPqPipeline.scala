@@ -429,10 +429,13 @@ object IvfPqPipeline {
     Some(oracleSql),
     bench = true)
 
+  // bench: rotated into the measured tier in r19 (VERDICT r18 ask #7
+  // — the r18 additions had catalog greens but no wall trend)
   val q228IvfPqDeltaAppend: QueryDef = QueryDef(
     "q228_ivfpq_delta_append",
     (s, dir) => appendServe(s, dir),
-    Some(appendOracleSql))
+    Some(appendOracleSql),
+    bench = true)
 
   val q229StreamIndexAppend: QueryDef = QueryDef(
     "q229_stream_index_append",
@@ -544,7 +547,8 @@ object IvfPqPipeline {
   val q231IvfRebalance: QueryDef = QueryDef(
     "q231_ivf_rebalance",
     (s, dir) => rebalance(s, dir),
-    Some(rebalanceOracleSql))
+    Some(rebalanceOracleSql),
+    bench = true)
 
   // -----------------------------------------------------------------
   // q233: TOMBSTONE DELETE + PER-AFFECTED-LIST COMPACTION — the
