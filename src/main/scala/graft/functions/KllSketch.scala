@@ -88,9 +88,13 @@ final class KllAggregator(k: Int, pcts: Seq[Double])
 
   def reduce(b: Array[Array[Double]],
       x: Double): Array[Array[Double]] = {
-    val out = b.clone()
-    out(0) = out(0) :+ x
-    compacted(out)
+    // the Aggregator contract permits mutating the buffer in place —
+    // no spine clone per row, and the full-ladder compaction scan
+    // only runs when level 0 is genuinely over capacity (r19 review
+    // finding); the remaining per-row cost is one ≤k-double append
+    // copy
+    b(0) = b(0) :+ x
+    if (b(0).length > capacity(b.length - 1)) compacted(b) else b
   }
 
   def merge(a: Array[Array[Double]],

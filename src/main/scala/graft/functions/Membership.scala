@@ -55,12 +55,22 @@ object Membership {
     var i = 0
     while (i < sorted.length) {
       val bytes = sorted(i).getBytes
+      // length PREFIX, not an in-band separator byte: a separator
+      // that can itself appear inside a key lets two different key
+      // sets hash the same byte stream (["ab"] vs
+      // ["a","b"]) — and equals/semanticEquals trusts this
+      // fingerprint, so a collision would let Catalyst conflate two
+      // different membership gates (r19 review finding)
+      var s = 0
+      while (s < 32) { // fixed-width length → uniquely decodable
+        h = (h ^ ((bytes.length >>> s) & 0xff)) * 1099511628211L
+        s += 8
+      }
       var j = 0
       while (j < bytes.length) {
         h = (h ^ bytes(j)) * 1099511628211L
         j += 1
       }
-      h = (h ^ 0x1e) * 1099511628211L // key separator
       i += 1
     }
     h

@@ -602,27 +602,16 @@ object IvfPqPipeline {
       require(dir.isDirectory,
         s"q233 compaction: missing inverted-list dir $dir")
       val oldFiles = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
       val before = s.read.parquet(dir.getPath)
+      // persist: the kept relation feeds a count AND the rewrite —
+      // one scan of the list, not three (r19 review finding)
       val keep = before.join(tombIds, Seq("vec_id"), "left_anti")
-        .distinct()
-      dropped += before.count() - keep.count()
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-ivf-compact").toFile
+        .distinct().persist()
       try {
-        keep.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-        Option(tmp.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .foreach(f => java.nio.file.Files.move(f.toPath,
-            new java.io.File(dir, f.getName).toPath))
-        oldFiles.foreach(f => java.nio.file.Files.delete(f.toPath))
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          java.nio.file.Files.deleteIfExists(f.toPath); ()
-        }
-        rm(tmp)
-      }
+        dropped += before.count() - keep.count()
+        graft.sources.LakehouseSink.swapRewrite(keep, dir, oldFiles)
+      } finally { keep.unpersist(); () }
     }
     s.catalog.refreshByPath(path)
     TombCompactReport(affected.size, allLists - affected.size, dropped)
@@ -673,8 +662,16 @@ object IvfPqPipeline {
   val q233IvfTombstoneDelete: QueryDef = QueryDef(
     "q233_ivfpq_tombstone_delete",
     (s, dir) => {
-      val layout = java.nio.file.Files
-        .createTempDirectory("graft_ivf_tomb").toString + "/index"
+      // STABLE scratch path per (user, source dir): each run
+      // overwrites the previous layout instead of accumulating one
+      // temp copy per invocation (r19 review finding — warm bench
+      // iterations would otherwise fill /tmp); content is
+      // deterministic, so overwrite-then-compact is idempotent
+      val layout = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_tomb_${System.getProperty("user.name", "anon")}_" +
+          f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x")
+        .getPath
       tombstoneCompactServe(s, dir, layout)
     },
     Some(tombstoneOracleSql))

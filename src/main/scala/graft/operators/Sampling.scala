@@ -560,26 +560,38 @@ object Sampling {
     * sketch folded.
     */
   private[graft] def kllGated(d: DataFrame, est: DataFrame): DataFrame = {
+    // the KLL guarantee is on the estimate's rank INTERVAL
+    // [count(< est), count(≤ est)] — a duplicate-value atom wider
+    // than the tolerance makes gating on count(≤ est) alone
+    // unsatisfiable by ANY estimate when a percentile lands inside
+    // the atom (tie-heavy columns are the NORM for the length
+    // distributions this sketch serves), so the gate measures the
+    // distance from p·n to that interval (r19 review finding)
+    def rk(cmp: Column): Column =
+      sum(when(cmp, 1L).otherwise(0L))
     val g = d.join(broadcast(est), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("ex"),
-        sum(when(col("value") <= col("est")(0), 1L).otherwise(0L))
-          .as("r50"),
-        sum(when(col("value") <= col("est")(1), 1L).otherwise(0L))
-          .as("r90"),
-        sum(when(col("value") <= col("est")(2), 1L).otherwise(0L))
-          .as("r99"))
-    def gate(r: Column, p: Double): Column =
-      abs(r.cast("double") - col("n").cast("double") * p) <=
-        col("n").cast("double") * KllEps + 1d
+        rk(col("value") < col("est")(0)).as("lt50"),
+        rk(col("value") <= col("est")(0)).as("le50"),
+        rk(col("value") < col("est")(1)).as("lt90"),
+        rk(col("value") <= col("est")(1)).as("le90"),
+        rk(col("value") < col("est")(2)).as("lt99"),
+        rk(col("value") <= col("est")(2)).as("le99"))
+    def gate(ltC: Column, leC: Column, p: Double): Column = {
+      val t = col("n").cast("double") * p
+      val slack = col("n").cast("double") * KllEps + 1d
+      (t <= leC.cast("double") + slack) &&
+        (t >= ltC.cast("double") - slack)
+    }
     g.select(col("event_type"), col("n"),
       graft.Round4(col("ex")(0)).as("p50"),
       graft.Round4(col("ex")(1)).as("p90"),
       graft.Round4(col("ex")(2)).as("p99"),
-      gate(col("r50"), 0.5).as("kll_p50_ok"),
-      gate(col("r90"), 0.9).as("kll_p90_ok"),
-      gate(col("r99"), 0.99).as("kll_p99_ok"))
+      gate(col("lt50"), col("le50"), 0.5).as("kll_p50_ok"),
+      gate(col("lt90"), col("le90"), 0.9).as("kll_p90_ok"),
+      gate(col("lt99"), col("le99"), 0.99).as("kll_p99_ok"))
       .orderBy("event_type")
   }
 

@@ -86,6 +86,13 @@ object PackedF32 {
     val out = new Array[Byte](n * 4)
     var i = 0
     while (i < n) {
+      // a null ELEMENT must hit the loud guard, not pack as 0.0f
+      // (UnsafeArrayData zeroes null slots) or NPE without the
+      // contract message (GenericArrayData) — r19 review finding
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"PackF32: null component at position $i — µ-quantized " +
+            "vectors are dense; pack has no null spelling")
       val x = v.getDouble(i)
       if (x != Math.rint(x) || Math.abs(x) > MaxExact)
         throw new IllegalArgumentException(

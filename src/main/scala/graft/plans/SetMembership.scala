@@ -24,10 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * blocklist ≈ 20 MB — broadcast-join-build-sized, far past the
   * task-binary budget a `typedLit` literal would pay).
   *
-  * Interpreted-eval only (no doGenCode): the consumers sit inside
-  * higher-order lambda bodies (`exists`/`transform`), which Spark
-  * evaluates interpreted anyway; the probe itself is one
-  * binary search per call. Equality/canonicalization uses the
+  * Evaluation: codegen'd (`doGenCode` emits one static probe call
+  * with the broadcast fetched once into mutable state) when the probe
+  * sits on a plain column — e.g. a `Membership.contains` gate
+  * outside a lambda; inside higher-order lambda bodies
+  * (`exists`/`transform`) Spark evaluates the lambda interpreted and
+  * takes the `nullSafeEval` path. Both are the same one-binary-search
+  * probe. Equality/canonicalization uses the
   * driver-computed content `fingerprint` (the [[BloomContains]] /
   * [[CentroidMuAssignBcast]] discipline — two plans built from
   * separate broadcasts of the same list must still semanticEquals).

@@ -156,16 +156,7 @@ object LakehouseSink {
             spark.read.parquet(siblings.map(_.getPath): _*)
               .select(col(keyCol)),
             Seq(keyCol), "left_anti")
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-reshard").toFile
-        try {
-          keep.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-          Option(tmp.listFiles()).getOrElse(Array.empty)
-            .filter(n => n.isFile && n.getName.endsWith(".parquet"))
-            .foreach(n => java.nio.file.Files.move(n.toPath,
-              new File(f.getParentFile, n.getName).toPath))
-          java.nio.file.Files.delete(f.toPath)
-        } finally rmTree(tmp)
+        swapRewrite(keep, f.getParentFile, Seq(f))
       }
       // the session's file-status cache still lists the deleted
       // originals; a maintenance op must invalidate it or the next
@@ -251,6 +242,29 @@ object LakehouseSink {
     java.nio.file.Files.deleteIfExists(f.toPath); ()
   }
 
+  /** The ONE crash-safe directory-rewrite swap every maintenance pass
+    * uses ([[compact]], [[reshardHrw]], the ANN index tier's
+    * tombstone compaction — r19 review: two inline copies of this
+    * logic is one future crash-window fix missed): stage `df` into a
+    * private temp dir, move the new parquet parts IN first, delete
+    * `oldFiles` LAST. An interruption leaves transient duplication,
+    * never loss; `Files.delete` throws on failure so a half-swapped
+    * state surfaces loudly. Returns the number of files moved in.
+    */
+  private[graft] def swapRewrite(df: DataFrame, dir: File,
+      oldFiles: Seq[File]): Int = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-swap").toFile
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+      val newFiles = parquetFiles(tmp)
+      newFiles.foreach(f => java.nio.file.Files.move(f.toPath,
+        new File(dir, f.getName).toPath))
+      oldFiles.foreach(f => java.nio.file.Files.delete(f.toPath))
+      newFiles.size
+    } finally rmTree(tmp)
+  }
+
   def compact(spark: SparkSession, path: String,
       clusterCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
@@ -269,19 +283,7 @@ object LakehouseSink {
           else df
             .repartitionByRange(nOut, clusterCols.map(col): _*)
             .sortWithinPartitions(clusterCols.map(col): _*)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-compact").toFile
-        try {
-          shaped.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-          val newFiles = parquetFiles(tmp)
-          // move in first, delete old last: see swap-order doc above.
-          // Files.delete throws on failure, so a half-swapped state is
-          // loudly surfaced instead of silently duplicating forever.
-          newFiles.foreach(f => java.nio.file.Files.move(f.toPath,
-            new File(dir, f.getName).toPath))
-          files.foreach(f => java.nio.file.Files.delete(f.toPath))
-          after += newFiles.size
-        } finally rmTree(tmp)
+        after += swapRewrite(shaped, dir, files)
       } else after += files.size
     }
     CompactionReport(nPart, before, after)

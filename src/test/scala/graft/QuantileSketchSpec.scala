@@ -39,13 +39,13 @@ class QuantileSketchSpec extends AnyFunSuite {
     val n = 40000
     val xs = (0 until n).map(i => (i * 2654435761L % 100003).toDouble)
     val sortedXs = xs.sorted
-    def rankOf(v: Double): Long = {
-      // count <= v — the in-query gate's rank definition
-      val idx = sortedXs.search(v)(Ordering.Double.TotalOrdering)
-        .insertionPoint
-      var i = idx
-      while (i < n && sortedXs(i) <= v) i += 1
-      i.toLong
+    // the KLL guarantee is on the estimate's rank INTERVAL
+    // [count(<est), count(<=est)] — the in-query gate's definition
+    def rankErr(v: Double, p: Double): Double = {
+      val lt = sortedXs.count(_ < v).toDouble
+      val le = sortedXs.count(_ <= v).toDouble
+      val t = p * n
+      if (t < lt) lt - t else if (t > le) t - le else 0.0
     }
     // three merge topologies: sequential, balanced tree over 16
     // shards, and sorted-runs (each shard sees an ordered slice —
@@ -60,12 +60,40 @@ class QuantileSketchSpec extends AnyFunSuite {
       assert(a.weightOf(buf) == n.toLong, s"$name lost weight")
       val est = a.finish(buf)
       pcts.zip(est).foreach { case (p, e) =>
-        val err = math.abs(rankOf(e) - p * n)
+        val err = rankErr(e, p)
         assert(err <= 0.02 * n + 1,
           f"$name p=$p rank error $err%.0f exceeds the 2%% gate " +
             f"(n=$n, estimate=$e)")
       }
     }
+  }
+
+  test("a duplicate-value atom spanning a percentile gates cleanly: " +
+      "the interval rank definition is satisfiable where the " +
+      "one-sided count(<=est) definition is not (r19 review fix)") {
+    val a = agg
+    val n = 30000
+    // 60% of the mass is ONE value covering ranks 0.2n..0.8n — the
+    // median lands inside the atom (integer token counts do this
+    // constantly)
+    val xs = (0 until n).map(i =>
+      if (i % 5 == 0) (i % 997).toDouble - 2000 // 20% below
+      else if (i % 5 == 1) (i % 997).toDouble + 2000 // 20% above
+      else 42.0)
+    val buf = fold(a, xs)
+    val est = a.finish(buf)
+    val sorted = xs.sorted
+    // the p50 estimate must BE the atom value, and its rank interval
+    // covers the target, so interval error is 0
+    assert(est(0) == 42.0, s"median estimate ${est(0)} missed the atom")
+    val lt = sorted.count(_ < est(0)).toDouble
+    val le = sorted.count(_ <= est(0)).toDouble
+    val t = 0.5 * n
+    assert(lt <= t && t <= le)
+    // the one-sided definition would be unsatisfiable here: distance
+    // from t to count(<=est) alone exceeds any reasonable tolerance
+    assert(math.abs(le - t) > 0.02 * n + 1,
+      "atom too small — the regression this test pins is vacuous")
   }
 
   test("small groups pass through EXACTLY (no compaction below " +
