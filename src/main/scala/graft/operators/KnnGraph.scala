@@ -780,7 +780,11 @@ object KnnGraph {
     * 2-approximation — spec-pinned at ≤ 2× the serial arm's measured
     * radius on the fixtures). Memory model: a residue class must fit
     * one executor (|class| ≈ N/parts rows — `parts` IS the scale
-    * knob, exactly a coreset pass's contract).
+    * knob, exactly a coreset pass's contract), and the stage-2 union
+    * (≤ 2K·parts rows) plus its O(|union|·K) driver greedy must fit
+    * the driver's budget — at extreme K the same two-round recipe
+    * composes recursively (run stage 1 over the union relation
+    * itself), the standard MapReduce-clustering escalation.
     *
     * Output contract matches the serial arm — (sel, vec_id,
     * farthest_u) seeded at the minimum vec_id — with farthest_u

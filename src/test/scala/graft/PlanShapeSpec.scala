@@ -564,4 +564,18 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"q213 grew a nested-loop join: ${p.take(600)}")
   }
+
+  test("q236: the query side BROADCASTS against one corpus pass and " +
+      "the only data shuffles are the per-query TopK agg pair + the " +
+      "output sort — the corpus never exchanges before aggregation") {
+    val p = plan("q236_packed_f32_topk")
+    // brute-force serve = intentional broadcast NLJ with the ≤20-row
+    // query side as the BUILD side (q26's accepted class)
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"),
+      p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // shuffles: partial→final TopK agg exchange + the final orderBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"corpus-side exchange crept in: ${p.take(1200)}")
+  }
 }
