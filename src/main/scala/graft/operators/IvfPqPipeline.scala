@@ -435,7 +435,7 @@ object IvfPqPipeline {
     "q228_ivfpq_delta_append",
     (s, dir) => appendServe(s, dir),
     Some(appendOracleSql),
-    bench = true)
+    bench = true, lowLatency = true)
 
   val q229StreamIndexAppend: QueryDef = QueryDef(
     "q229_stream_index_append",
@@ -548,7 +548,7 @@ object IvfPqPipeline {
     "q231_ivf_rebalance",
     (s, dir) => rebalance(s, dir),
     Some(rebalanceOracleSql),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // -----------------------------------------------------------------
   // q233: TOMBSTONE DELETE + PER-AFFECTED-LIST COMPACTION — the
