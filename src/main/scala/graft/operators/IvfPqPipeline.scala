@@ -427,7 +427,7 @@ object IvfPqPipeline {
     "q225_ivfpq_train_serve",
     (s, dir) => pipeline(s, dir),
     Some(oracleSql),
-    bench = true)
+    bench = true, lowLatency = true)
 
   // bench: rotated into the measured tier in r19 (VERDICT r18 ask #7
   // — the r18 additions had catalog greens but no wall trend)
