@@ -468,8 +468,60 @@ object Formats {
          |ORDER BY a9.shard""".stripMargin
     })
 
+  // Z-ORDER clustering key (r19) — the second half of the layout
+  // tier's index-metadata mapping (q140 proves directory pruning,
+  // q227 proves stable sharding; this pins the MULTI-DIMENSIONAL
+  // clustering key a box query needs): per event, the Morton
+  // interleave of range-quantized (user_id, event_id) — all exact
+  // BIGINT div/shift/mask, one definition shared with the layout
+  // writer (`LakehouseSink.zOrderKey` / `writeZOrdered`, whose
+  // file-pruning benefit ZOrderSpec measures against a 1-D-sorted
+  // layout). Output is the per-tile (top-6-bit prefix) row count +
+  // an ordered digest of every (event_id, zkey) pair — the q186
+  // fingerprint discipline, so the full key assignment is
+  // hash-pinned, not sampled. The coordinate envelope derives from
+  // the data on BOTH engines (driver 2-row agg / 1-row CTE).
+  val q237ZorderLayout: QueryDef = QueryDef(
+    "q237_zorder_layout",
+    (s, dir) => {
+      import graft.sources.LakehouseSink
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      val mm = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("event_id")), max(col("event_id"))).head
+      ev.withColumn("zkey", LakehouseSink.zOrderKey(
+          col("user_id"), col("event_id"),
+          mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3)))
+        .withColumn("tile", shiftright(col("zkey"), 34))
+        .withColumn("h", md5(concat_ws(":", col("event_id"),
+          col("zkey")).cast("binary")))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          md5(concat_ws("", transform(
+            array_sort(collect_list(struct(col("event_id"), col("h")))),
+            x => x.getField("h"))).cast("binary")).as("fp"))
+        .orderBy("tile")
+    },
+    Some {
+      val zsub = graft.sources.LakehouseSink.zOrderKeySql(
+        "events CROSS JOIN mm", "event_id", "user_id", "event_id",
+        "mm.umn", "mm.umx", "mm.emn", "mm.emx")
+      s"""WITH mm AS (
+         |  SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+         |    MIN(event_id) AS emn, MAX(event_id) AS emx
+         |  FROM events),
+         |zk AS ($zsub),
+         |h AS (SELECT event_id, zkey,
+         |        md5(CAST(event_id AS VARCHAR) || ':' ||
+         |          CAST(zkey AS VARCHAR)) AS h
+         |      FROM zk)
+         |SELECT (zkey >> 34) AS tile, COUNT(*) AS n_rows,
+         |  md5(string_agg(h, '' ORDER BY event_id)) AS fp
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q193DocFim, q198SpanCorruption,
     q69JsonlScan, q73CsvScan,
     q98SchemaEvolution, q140PartitionPrune, q151HtmlExtract,
-    q227RendezvousShards)
+    q227RendezvousShards, q237ZorderLayout)
 }

@@ -199,6 +199,104 @@ object LakehouseSink {
       .parquet(path)
   }
 
+  // -------------------------------------------------------------------
+  // Z-ORDER clustering (r19): the "Z-order hints" half of this file's
+  // index-metadata mapping, previously scaladoc prose — now code. A
+  // single-column sort gives min/max pruning on ONE dimension; a
+  // 100 TB box query (user range × time range, id range × score range)
+  // wants compact per-file min/max envelopes on BOTH columns, which is
+  // exactly what clustering by the Morton interleave of the two
+  // quantized coordinates provides (Morton 1966; the OPTIMIZE ZORDER
+  // BY of the table formats). Everything is exact BIGINT arithmetic —
+  // quantize by integer div, spread by shift/mask — so the key is
+  // engine-identical and q237 hash-pins it against DuckDB.
+  // -------------------------------------------------------------------
+
+  /** Bits per dimension (2·ZBits ≤ 62 keeps the key positive). */
+  val ZBits = 20
+
+  /** The 2-D bit-spread mask/shift ladder (classic magic numbers):
+    * after the five steps a value < 2³² occupies the even bit
+    * positions. Shared by the Column arm, the SQL twin, and the
+    * spec's serial reference — one definition.
+    */
+  private[graft] val ZSpreadSteps: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL,
+    2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
+  /** Quantize x over [mn, mx] into [0, 2^bits) — exact integer div
+    * (the engine-portable `div`, never a float divide near a floor).
+    */
+  private def zBucket(x: org.apache.spark.sql.Column, mn: Long,
+      mx: Long, bits: Int): org.apache.spark.sql.Column =
+    call_function("div", (x - lit(mn)) * lit(1L << bits),
+      lit(mx - mn + 1L))
+
+  private def zSpread(x0: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    ZSpreadSteps.foldLeft(x0) { case (v, (sh, mask)) =>
+      (v.bitwiseOR(shiftleft(v, sh))).bitwiseAND(lit(mask))
+    }
+
+  /** Morton key of (a, b) range-quantized to `bits` each: a rides the
+    * even bit positions, b the odd. The (mn, mx) ranges are the
+    * layout's frozen coordinate envelope (one 2-row agg to compute —
+    * broadcast-build class).
+    */
+  def zOrderKey(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column,
+      aMin: Long, aMax: Long, bMin: Long, bMax: Long,
+      bits: Int = ZBits): org.apache.spark.sql.Column =
+    zSpread(zBucket(a, aMin, aMax, bits))
+      .bitwiseOR(shiftleft(zSpread(zBucket(b, bMin, bMax, bits)), 1))
+
+  /** The oracle twin: a SQL subquery computing (idCol, zkey) FROM
+    * `rel`, staged one spread step per nested SELECT so the text stays
+    * linear (inlining the ladder would square per step). The range
+    * bounds are SQL EXPRESSIONS (typically columns of a cross-joined
+    * 1-row min/max CTE) so the oracle derives the envelope from the
+    * data at every scale, exactly as the Column arm's driver agg does.
+    */
+  private[graft] def zOrderKeySql(rel: String, idCol: String,
+      aCol: String, bCol: String, aMin: String, aMax: String,
+      bMin: String, bMax: String, bits: Int = ZBits): String = {
+    val b = 1L << bits
+    val base =
+      s"""SELECT $idCol,
+         |  ((($aCol) - ($aMin)) * $b) // (($aMax) - ($aMin) + 1) AS za,
+         |  ((($bCol) - ($bMin)) * $b) // (($bMax) - ($bMin) + 1) AS zb
+         |FROM $rel""".stripMargin
+    val spread = ZSpreadSteps.foldLeft(base) { case (prev, (sh, mask)) =>
+      s"""SELECT $idCol,
+         |  (za | (za << $sh)) & $mask AS za,
+         |  (zb | (zb << $sh)) & $mask AS zb
+         |FROM ($prev)""".stripMargin
+    }
+    s"""SELECT $idCol, za | (zb << 1) AS zkey FROM ($spread)"""
+  }
+
+  /** Write `df` as `numFiles` zkey-DISJOINT files clustered by the
+    * Morton key of (aCol, bCol) — range-partitioned then sorted, so
+    * file- and row-group-level min/max envelopes are compact in BOTH
+    * coordinates and a box predicate prunes on either (ZOrderSpec
+    * measures the file-touch ratio against a 1-D-sorted layout). The
+    * zkey column is kept in the layout: it IS the clustering index.
+    */
+  def writeZOrdered(df: DataFrame, path: String, aCol: String,
+      bCol: String, numFiles: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val mm = df.agg(min(col(aCol)), max(col(aCol)), min(col(bCol)),
+      max(col(bCol))).head
+    val z = df.withColumn("zkey", zOrderKey(col(aCol), col(bCol),
+      mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3)))
+    z.repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode(mode).parquet(path)
+  }
+
   final case class CompactionReport(
       partitionsCompacted: Int, filesBefore: Int, filesAfter: Int)
 

@@ -1,0 +1,100 @@
+package graft
+
+import graft.sources.LakehouseSink
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Z-order tier (q237 / LakehouseSink.writeZOrdered): the Morton
+  * key against a from-definitions serial reference, and the property
+  * the layout exists for — a box-selective (or second-column-only)
+  * predicate touches FEWER files on the z-clustered layout than on a
+  * single-column-sorted one, measured, not argued.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  /** Serial reference: quantize + interleave from the definitions
+    * alone (bit-by-bit, no shared code with the mask ladder).
+    */
+  private def refZ(a: Long, b: Long, amn: Long, amx: Long, bmn: Long,
+      bmx: Long, bits: Int = LakehouseSink.ZBits): Long = {
+    def bucket(x: Long, mn: Long, mx: Long): Long =
+      (x - mn) * (1L << bits) / (mx - mn + 1)
+    val (ba, bb) = (bucket(a, amn, amx), bucket(b, bmn, bmx))
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((ba >>> i) & 1L) << (2 * i)
+      z |= ((bb >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("the mask-ladder Morton key equals the bit-by-bit definition " +
+      "on every fixture event") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"))
+    val mm = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("event_id")), max(col("event_id"))).head
+    val (umn, umx, emn, emx) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    val got = ev.withColumn("zkey", LakehouseSink.zOrderKey(
+        col("user_id"), col("event_id"), umn, umx, emn, emx))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (eid, uid, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val want = refZ(uid, eid, umn, umx, emn, emx)
+      assert(z == want, s"event $eid: zkey $z != reference $want")
+      assert(z >= 0, s"zkey sign overflow at event $eid")
+    }
+  }
+
+  test("measured pruning: a second-column range touches FEWER files " +
+      "on the z-clustered layout than on the 1-D user_id-sorted one " +
+      "(where it must touch ~all), and both return identical rows") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id")).persist()
+    val n = ev.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    val files = 16
+    LakehouseSink.writeZOrdered(ev, s"$root/z", "user_id", "event_id",
+      files)
+    // the 1-D baseline: same file count, clustered on user_id only
+    ev.repartitionByRange(files, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.parquet(s"$root/flat")
+    // a ~5% slice of the SECOND coordinate — the dimension the 1-D
+    // layout cannot cluster
+    val bounds = ev.agg(min(col("event_id")), max(col("event_id"))).head
+    val (emn, emx) = (bounds.getLong(0), bounds.getLong(1))
+    val lo = emn + (emx - emn) * 47 / 100
+    val hi = emn + (emx - emn) * 52 / 100
+    def touched(path: String): (Long, Long) = {
+      val m = spark.read.parquet(path)
+        .filter(col("event_id").between(lo, hi))
+      (m.select(input_file_name()).distinct().count(), m.count())
+    }
+    val (zFiles, zRows) = touched(s"$root/z")
+    val (fFiles, fRows) = touched(s"$root/flat")
+    assert(zRows == fRows && zRows > 0)
+    info(s"event-range slice: z-layout rows in $zFiles/$files files, " +
+      s"1-D layout $fFiles/$files")
+    // the 1-D layout scatters the event dimension everywhere; the
+    // z-layout confines a 5% slice to the tiles it intersects
+    assert(fFiles >= files - 2,
+      s"baseline unexpectedly clustered: $fFiles files")
+    // measured 10/16 vs 16/16 on the fixture: each of 16 files spans
+    // a 4-bit z-prefix (a 4×4 coarse grid), so a thin event slice
+    // still intersects most event-rows of grid columns it crosses —
+    // the ratio widens with file count (at production file counts the
+    // touched fraction tends to the slice width); the pin is a
+    // decisive file-level margin, not the asymptote
+    assert(zFiles + 4 <= fFiles,
+      s"z-layout touched $zFiles files vs 1-D $fFiles — no pruning win")
+    ev.unpersist()
+  }
+}
