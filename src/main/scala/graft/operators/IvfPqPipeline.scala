@@ -659,20 +659,44 @@ object IvfPqPipeline {
        |${serveSql("qry", "codesLive", cbC, pqC)}""".stripMargin
   }
 
+  /** One scratch layout per (user, source dir, PROCESS), swept on JVM
+    * exit — see the q233 QueryDef comment for the isolation
+    * reasoning.
+    */
+  private lazy val q233Sweeper: java.util.concurrent.ConcurrentHashMap[
+      String, Boolean] = {
+    val dirs = new java.util.concurrent.ConcurrentHashMap[
+      String, Boolean]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        java.nio.file.Files.deleteIfExists(f.toPath); ()
+      }
+      dirs.keySet().forEach(p => rm(new java.io.File(p)))
+    }))
+    dirs
+  }
+
+  private def q233ScratchLayout(dir: String): String = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_tomb_${System.getProperty("user.name", "anon")}_" +
+        f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x" +
+        s"_p${ProcessHandle.current().pid()}").getPath
+    q233Sweeper.put(root, true)
+    s"$root/index"
+  }
+
   val q233IvfTombstoneDelete: QueryDef = QueryDef(
     "q233_ivfpq_tombstone_delete",
     (s, dir) => {
-      // STABLE scratch path per (user, source dir): each run
-      // overwrites the previous layout instead of accumulating one
-      // temp copy per invocation (r19 review finding — warm bench
-      // iterations would otherwise fill /tmp); content is
-      // deterministic, so overwrite-then-compact is idempotent
-      val layout = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_tomb_${System.getProperty("user.name", "anon")}_" +
-          f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x")
-        .getPath
-      tombstoneCompactServe(s, dir, layout)
+      // scratch path stable WITHIN a process (warm bench/verify
+      // reruns overwrite one layout instead of accumulating a temp
+      // copy per invocation) but unique ACROSS processes (the pid
+      // component — two concurrent harness runs as the same user must
+      // not Overwrite each other's layout mid-read; both r19 review
+      // findings), and removed at JVM exit
+      tombstoneCompactServe(s, dir, q233ScratchLayout(dir))
     },
     Some(tombstoneOracleSql))
 

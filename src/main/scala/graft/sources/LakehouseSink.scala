@@ -249,9 +249,24 @@ object LakehouseSink {
   def zOrderKey(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column,
       aMin: Long, aMax: Long, bMin: Long, bMax: Long,
-      bits: Int = ZBits): org.apache.spark.sql.Column =
+      bits: Int = ZBits): org.apache.spark.sql.Column = {
+    // the quantize multiplies BEFORE dividing ((x−mn)·2^bits), so a
+    // coordinate span past 2^(63−bits) would overflow Long — Spark's
+    // non-ANSI multiply wraps SILENTLY into garbage buckets while
+    // DuckDB errors, the worst possible divergence for a layout key.
+    // Fail loudly at construction; a wider envelope should pre-shift
+    // the coordinate (e.g. epoch-micros → epoch-seconds) — r19
+    // review finding.
+    def guard(mn: Long, mx: Long, which: String): Unit =
+      require(mx - mn >= 0 && mx - mn < (1L << (63 - bits)),
+        s"zOrderKey: $which span ${mx - mn} overflows the exact " +
+          s"$bits-bit quantize (max 2^${63 - bits} − 1) — pre-scale " +
+          "the coordinate")
+    guard(aMin, aMax, "first coordinate")
+    guard(bMin, bMax, "second coordinate")
     zSpread(zBucket(a, aMin, aMax, bits))
       .bitwiseOR(shiftleft(zSpread(zBucket(b, bMin, bMax, bits)), 1))
+  }
 
   /** The oracle twin: a SQL subquery computing (idCol, zkey) FROM
     * `rel`, staged one spread step per nested SELECT so the text stays
@@ -288,6 +303,12 @@ object LakehouseSink {
   def writeZOrdered(df: DataFrame, path: String, aCol: String,
       bCol: String, numFiles: Int,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    // withColumn REPLACES an existing column of the same name — a
+    // caller's own `zkey` data would be silently clobbered in the
+    // written layout (r19 review finding)
+    require(!df.columns.contains("zkey"),
+      "writeZOrdered: input already has a 'zkey' column — rename it; " +
+        "the layout writer owns that name for the clustering index")
     val mm = df.agg(min(col(aCol)), max(col(aCol)), min(col(bCol)),
       max(col(bCol))).head
     val z = df.withColumn("zkey", zOrderKey(col(aCol), col(bCol),

@@ -52,6 +52,24 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("guards fail loudly: a coordinate span past the exact-" +
+      "quantize bound, and a caller-owned zkey column") {
+    // span >= 2^43 would overflow (x-mn)*2^20 — Spark would wrap
+    // silently while DuckDB errors, the worst divergence for a key
+    val e1 = intercept[IllegalArgumentException] {
+      LakehouseSink.zOrderKey(col("a"), col("b"),
+        0L, 1L << 43, 0L, 10L)
+    }
+    assert(e1.getMessage.contains("overflows"), e1.getMessage)
+    // a pre-existing zkey column must not be silently clobbered
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L)).toDF("a", "b", "zkey")
+    val e2 = intercept[IllegalArgumentException] {
+      LakehouseSink.writeZOrdered(df, "/tmp/never-written", "a", "b", 2)
+    }
+    assert(e2.getMessage.contains("zkey"), e2.getMessage)
+  }
+
   test("measured pruning: a second-column range touches FEWER files " +
       "on the z-clustered layout than on the 1-D user_id-sorted one " +
       "(where it must touch ~all), and both return identical rows") {
