@@ -404,6 +404,14 @@ class KnnGraphSpec extends AnyFunSuite {
       assert(j16 <= j8,
         s"composable arm's job count grew with K: K=8 ran $j8, " +
           s"K=16 ran $j16")
+      // the dispatcher's composable BRANCH end-to-end (K past the
+      // boundary routes through defaultParallelism-part grouping and
+      // returns a full-size selection)
+      val viaDispatch = KnnGraph.kcenterSelect(spark, rel,
+        KnnGraph.KcenterSerialMaxK + 1).collect()
+      assert(viaDispatch.length == KnnGraph.KcenterSerialMaxK + 1)
+      assert(viaDispatch.map(_.getLong(1)).distinct.length ==
+        viaDispatch.length, "dispatcher's composable arm repeated a pick")
       // 4 on this profile: the oversample shuffle's AQE
       // materialization, the collect, and the local-relation count —
       // the assertion is the CLASS (a small constant), the j16 <= j8

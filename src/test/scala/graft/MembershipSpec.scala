@@ -30,6 +30,19 @@ class MembershipSpec extends AnyFunSuite {
     assert(e.collectFirst {
       case b: graft.plans.SetContainsBcast => b
     }.nonEmpty, s"expected a broadcast probe, got: $e")
+    // the overlaps PUBLIC route past the threshold also dispatches to
+    // the probe (inside the exists lambda), and answers correctly
+    // the probe sits inside the unresolved exists-lambda body, which
+    // collectFirst cannot descend before resolution — the string form
+    // shows it
+    val eo = GraftShims.expression(
+      Membership.overlaps(array(lit("x")), big)).toString
+    assert(eo.contains("setcontainsbcast"),
+      s"expected a broadcast probe in overlaps, got: $eo")
+    val got = spark.range(1).select(
+      Membership.overlaps(array(lit("tok7"), lit("zz")), big).as("a"),
+      Membership.overlaps(array(lit("zz")), big).as("b")).head
+    assert(got.getBoolean(0) && !got.getBoolean(1))
   }
 
   test("contains: broadcast arm equals the literal arm token-for-" +
