@@ -94,16 +94,22 @@ object Membership {
       GraftShims.expression(c), bc, fingerprint(arr)))
   }
 
-  /** `c` (string) is a member of `keys`. */
+  /** `c` (string) is a member of `keys`. Dispatches on the DISTINCT
+    * key count — both arms dedupe (the broadcast arm sorts distinct
+    * keys; the literal arm's semantics ignore duplicates), so a
+    * duplicate-heavy list just over [[LiteralMaxKeys]] raw entries
+    * stays on the literal arm its effective size belongs to (r19
+    * ADVICE; the list is driver-side and dispatch-time tiny).
+    */
   def contains(c: Column, keys: Seq[String]): Column =
-    arm(keys.size) match {
+    arm(keys.distinct.size) match {
       case LiteralArm => array_contains(typedLit(keys), c)
       case BcastArm => containsBcast(c, keys)
     }
 
   /** ANY element of the string-array column `arrCol` is in `keys`. */
   def overlaps(arrCol: Column, keys: Seq[String]): Column =
-    arm(keys.size) match {
+    arm(keys.distinct.size) match {
       case LiteralArm => arrays_overlap(arrCol, typedLit(keys))
       case BcastArm => overlapsBcast(arrCol, keys)
     }

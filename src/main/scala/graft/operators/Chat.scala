@@ -274,11 +274,12 @@ object Chat {
   // user message IS the unit of leakage — a training prompt equal to
   // an eval prompt leaks the benchmark even under a different
   // completion). The eval set here is the first [[NumEvalPrompts]]
-  // prompt-pool entries — bounded by construction (benchmarks are
-  // thousands of prompts, broadcast class; at larger sets the Bloom
-  // front of q138 composes in front, unchanged). One in-row
-  // normalized-prompt compare against the broadcast literal + one
-  // source-keyed agg.
+  // prompt-pool entries, probed through the size-dispatched
+  // [[graft.functions.Membership.contains]]: the fixture set rides
+  // the plan as a literal; a production benchmark set (10³–10⁵
+  // prompts) takes the exact broadcast binary-search arm with no
+  // change at this call site. One in-row normalized-prompt membership
+  // probe + one source-keyed agg.
   val NumEvalPrompts = 10
 
   val q199ChatDecontam: QueryDef = QueryDef(
@@ -288,7 +289,8 @@ object Chat {
         .map(graft.tools.GenChatFixture.promptText)
       dressed(s).filter(col("valid") === 1)
         .withColumn("contaminated",
-          when(normFirstUserPrompt.isin(evalTexts: _*), lit(1))
+          when(graft.functions.Membership.contains(
+            normFirstUserPrompt, evalTexts), lit(1))
             .otherwise(lit(0)))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("convos"),
@@ -489,7 +491,7 @@ object Chat {
           .unboundedPreceding, -1)
       base.join(keepers, "prompt_key")
         .filter(col("conv_id") === col("keeper") &&
-          !col("pnorm").isin(evalTexts: _*))
+          !graft.functions.Membership.contains(col("pnorm"), evalTexts))
         .withColumn("nt", graft.functions.VectorOps
           .bpeCount(rendered, ml, mr).cast("long"))
         .withColumn("cum_excl",

@@ -56,9 +56,16 @@ case class SetContainsBcast(child: Expression,
       s"${ev.value} = graft.plans.SetContainsBcast.probe($arr, $key);")
   }
 
+  // the content fingerprint is 64-bit FNV-1a (craftable collisions,
+  // and blocklists carry externally sourced strings) while this is an
+  // EXACT gate with no downstream verify — so equality also compares
+  // the key COUNT, a driver-local O(1) check that already breaks any
+  // same-hash-different-cardinality forgery and shrinks the practical
+  // collision surface to same-length same-hash pairs (r19 ADVICE)
   override def equals(other: Any): Boolean = other match {
     case o: SetContainsBcast =>
-      child == o.child && fingerprint == o.fingerprint
+      child == o.child && fingerprint == o.fingerprint &&
+        keys.value.length == o.keys.value.length
     case _ => false
   }
 
