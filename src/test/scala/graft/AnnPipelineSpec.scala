@@ -411,4 +411,69 @@ class AnnPipelineSpec extends AnyFunSuite {
       "rerun left duplicated codes")
     n.unpersist()
   }
+
+  test("q233 compaction runs O(1) Spark jobs regardless of how many " +
+      "lists the delete touches (StageClock receipt — the q232 " +
+      "discipline; r19 VERDICT ask #1)") {
+    import operators.IvfPqPipeline._
+    import org.apache.spark.sql.functions._
+    val n = operators.Kmeans.qrel(spark, dir)
+      .select(col("vec_id"), col("qv")).persist()
+    n.count()
+    val idx = operators.IvfPqPipeline.buildFullIndex(n)
+    val codes = idx.codesBase.persist()
+    codes.count()
+    val tombRows = n.filter(col("vec_id") >= NumQ &&
+      col("vec_id") % TombMod === TombMod - 1)
+    // tombstone → list assignment, reused to build a one-list delete
+    // and the full delete
+    val assigned = operators.IvfPqPipeline.residualsOf(
+        operators.Kmeans.subrelOf(tombRows, 1, operators.Kmeans.Dim),
+        idx.coarse)
+      .select(col("vec_id"), col("lcid")).persist()
+    assigned.count()
+    val allAffected = assigned.select(col("lcid")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(allAffected.size >= 2,
+      "fixture delete touches <2 lists — the receipt would be vacuous")
+    val oneList = allAffected.head
+    def freshLayout(): String = {
+      val l = java.nio.file.Files
+        .createTempDirectory("graft_tomb_jobs").toString + "/index"
+      sources.LakehouseSink.writePartitioned(codes, l,
+        partitionCols = Seq("lcid"), clusterCols = Seq("vec_id"))
+      l
+    }
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      def jobsOf(tombs: org.apache.spark.sql.DataFrame,
+          affected: Seq[Long]): Int = {
+        val layout = freshLayout()
+        clock.quiesce(); clock.reset()
+        operators.IvfPqPipeline.compactTombstones(spark, layout,
+          tombs, affected)
+        clock.quiesce()
+        clock.jobs
+      }
+      val jobsOne = jobsOf(
+        assigned.filter(col("lcid") === oneList).select(col("vec_id")),
+        Seq(oneList))
+      val jobsAll = jobsOf(tombRows.select(col("vec_id")), allAffected)
+      // the receipt: job count must NOT grow with |affected| — the
+      // old per-list foreach ran ~3 jobs PER list, so equality here
+      // (±1 for AQE stage-materialization jitter) is exactly the
+      // rounds-∝-work loop being gone
+      assert(jobsAll <= jobsOne + 1,
+        s"compaction ran $jobsAll jobs for ${allAffected.size} " +
+          s"affected lists vs $jobsOne jobs for 1 — job count is " +
+          "growing with the affected set again")
+      assert(jobsAll <= 10,
+        s"compaction ran $jobsAll jobs — expected a small constant " +
+          "(union read + counts + one staging write)")
+    } finally {
+      spark.sparkContext.removeSparkListener(clock)
+      assigned.unpersist(); codes.unpersist(); n.unpersist(); ()
+    }
+  }
 }
