@@ -421,6 +421,75 @@ class KnnGraphSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(clock)
   }
 
+  test("extreme-K escalation: a driver budget below 2K·parts routes " +
+      "through a second local-oversample round end-to-end — full-size " +
+      "deterministic selection, covering radius within the composed " +
+      "bound, one extra shuffle round, not one per class") {
+    import operators.{KcGreedy, KnnGraph}
+    val rel = operators.Bitext.qrel(
+      operators.Similarity.normed(spark, dir))
+    val k = KnnGraph.CoresetK
+    val over = 2 * k
+    val parts = 4
+    // budget of 2·over rows: over·parts = 64 > 32 forces the
+    // escalation, and the escalated round runs at parts' =
+    // budget/over = 2 residue classes — the exact route the scaladoc
+    // promises at production K (the af85176 both-branches discipline)
+    val budget = 2L * over
+    val rows = qrows.map { case (v, q, n) => KcGreedy.KcRow(v, q, n) }
+    def radius(centers: Set[Long]): Double = {
+      val cs = rows.filter(r => centers.contains(r.vid))
+      rows.map { r =>
+        val best = cs.map(c => KcGreedy.ucos(r, c)).max
+        math.acos(math.min(1.0, best / 1000000.0))
+      }.max
+    }
+    val clock = new StageClock
+    spark.sparkContext.addSparkListener(clock)
+    try {
+      def run(b: Long): (Seq[(Int, Long, Long)], Int) = {
+        clock.quiesce(); clock.reset()
+        val got = KnnGraph.kcenterSelectComposable(spark, rel, k,
+          parts, b).collect()
+          .map(r => (r.getAs[Int]("sel"), r.getAs[Long]("vec_id"),
+            r.getAs[Long]("farthest_u"))).toSeq
+        clock.quiesce()
+        (got, clock.jobs)
+      }
+      val (esc, jobsEsc) = run(budget)
+      val (flat, jobsFlat) = run(KnnGraph.KcenterDriverMaxUnion)
+      // output contract: full-size, distinct, sel-sequenced,
+      // farthest-first monotone within the final union
+      assert(esc.map(_._1) == (0 until k))
+      assert(esc.map(_._2).distinct.length == k,
+        "escalated route repeated a pick")
+      val path = esc.drop(1).map(_._3)
+      assert(path == path.sorted,
+        s"escalated selection similarities not monotone: $path")
+      // the escalation costs one more composition level, bounded the
+      // same way each level is — pin it against the SERIAL greedy's
+      // radius (the q232 constant with one extra level of slack)
+      val serial = SparkEntry.queries("q217_kcenter_coreset")(
+        spark, dir).collect().map(_.getAs[Long]("vec_id")).toSet
+      val (rs, re) = (radius(serial), radius(esc.map(_._2).toSet))
+      assert(re <= 4.0 * rs + 1e-9,
+        f"escalated covering radius $re%.4f rad exceeds 4x the " +
+          f"serial greedy's $rs%.4f rad")
+      // determinism: residue classes, not task placement — a rerun
+      // reproduces the selection exactly
+      val (esc2, _) = run(budget)
+      assert(esc == esc2, "escalated selection is not deterministic")
+      // cost shape: exactly ONE more oversample round than the
+      // non-escalated route (each round is one shuffle + its AQE
+      // materialization), never rounds ∝ classes
+      assert(jobsEsc <= jobsFlat + 3,
+        s"escalated route ran $jobsEsc jobs vs $jobsFlat " +
+          "non-escalated — more than one extra round")
+      info(f"radius serial=$rs%.4f escalated=$re%.4f " +
+        f"ratio=${re / rs}%.3f; jobs flat=$jobsFlat esc=$jobsEsc")
+    } finally spark.sparkContext.removeSparkListener(clock)
+  }
+
   test("q218 capstone: every pick is a q214 cluster representative, " +
       "none is a q215 outlier, and the coreset is full-size") {
     val picks = SparkEntry.queries("q218_semantic_curation")(spark, dir)
