@@ -31,13 +31,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * they emit exact quantiles plus an in-query rank-error GATE
   * (|rank(estimate) − p·n| ≤ ε·n — the q93/q132 discipline; KLL
   * theory gives ε = O(1/k), the gate pins 3× headroom).
+  *
+  * Three Aggregator faces over the ONE [[KllLadder]] op set (r20: the
+  * artifact tier — r19 VERDICT ask #5 — needs the ladder itself as a
+  * value, not just in-flight state):
+  *  - [[KllAggregator]]: values in → estimates out (q234/q235, the
+  *    in-plan/in-state form);
+  *  - [[KllLadderAggregator]]: values in → LADDER out — the artifact
+  *    WRITER's aggregator (per-slice ladders persist to a layout);
+  *  - [[KllMergeAggregator]]: stored ladders in → estimates out — the
+  *    artifact READER's aggregator (a report folds persisted ladders
+  *    without rescanning the facts, q142's HLL discipline for
+  *    quantiles).
   */
-final class KllAggregator(k: Int, pcts: Seq[Double])
-    extends Aggregator[Double, Array[Array[Double]], Array[Double]] {
-  require(k >= 8, s"KLL k must be >= 8, got $k")
+private[graft] object KllLadder {
 
   /** Capacity of the level `depth` steps below the top. */
-  private def capacity(depth: Int): Int =
+  def capacity(k: Int, depth: Int): Int =
     math.max(2, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
 
   /** Content-derived coin: which of each adjacent pair survives. */
@@ -54,7 +64,7 @@ final class KllAggregator(k: Int, pcts: Seq[Double])
     * exactly and the loop terminates (every pass strictly shrinks
     * the total item count).
     */
-  private def compacted(
+  def compacted(k: Int,
       levels0: Array[Array[Double]]): Array[Array[Double]] = {
     var ls = levels0
     var again = true
@@ -63,7 +73,7 @@ final class KllAggregator(k: Int, pcts: Seq[Double])
       val top = ls.length - 1
       var h = 0
       while (h < ls.length && !again) {
-        if (ls(h).length > capacity(top - h)) {
+        if (ls(h).length > capacity(k, top - h)) {
           val sorted = ls(h).sorted
           val m = (sorted.length / 2) * 2
           val off = coin(sorted, h)
@@ -84,34 +94,25 @@ final class KllAggregator(k: Int, pcts: Seq[Double])
     ls
   }
 
-  def zero: Array[Array[Double]] = Array(Array.empty[Double])
-
-  def reduce(b: Array[Array[Double]],
-      x: Double): Array[Array[Double]] = {
-    // the Aggregator contract permits mutating the buffer in place —
-    // no spine clone per row, and the full-ladder compaction scan
-    // only runs when level 0 is genuinely over capacity (r19 review
-    // finding); the remaining per-row cost is one ≤k-double append
-    // copy
-    b(0) = b(0) :+ x
-    if (b(0).length > capacity(b.length - 1)) compacted(b) else b
-  }
-
-  def merge(a: Array[Array[Double]],
+  /** Level-wise concatenate + re-compact — the mergeable-summaries
+    * half; associative up to the rank-error guarantee.
+    */
+  def merge(k: Int, a: Array[Array[Double]],
       b: Array[Array[Double]]): Array[Array[Double]] = {
     val out = Array.tabulate(math.max(a.length, b.length)) { h =>
       val xa = if (h < a.length) a(h) else Array.empty[Double]
       val xb = if (h < b.length) b(h) else Array.empty[Double]
       xa ++ xb
     }
-    compacted(out)
+    compacted(k, out)
   }
 
   /** Weighted-rank estimates for each requested fraction: smallest
     * item whose cumulative weight reaches ⌈p·W⌉ (W = conserved total
     * weight = exact input count).
     */
-  def finish(ls: Array[Array[Double]]): Array[Double] = {
+  def estimate(pcts: Seq[Double],
+      ls: Array[Array[Double]]): Array[Double] = {
     val items = (for {
       h <- ls.indices; v <- ls(h)
     } yield (v, 1L << h)).sortBy(_._1)
@@ -133,12 +134,101 @@ final class KllAggregator(k: Int, pcts: Seq[Double])
   }
 
   /** Total conserved weight of a buffer — the spec's invariant probe. */
-  private[graft] def weightOf(ls: Array[Array[Double]]): Long =
+  def weightOf(ls: Array[Array[Double]]): Long =
     ls.indices.iterator.map(h => ls(h).length.toLong << h).sum
 
   /** Total retained items — the O(k) state-bound probe. */
-  private[graft] def sizeOf(ls: Array[Array[Double]]): Int =
+  def sizeOf(ls: Array[Array[Double]]): Int =
     ls.iterator.map(_.length).sum
+}
+
+/** Values in → estimates out (see [[KllLadder]]). */
+final class KllAggregator(k: Int, pcts: Seq[Double])
+    extends Aggregator[Double, Array[Array[Double]], Array[Double]] {
+  require(k >= 8, s"KLL k must be >= 8, got $k")
+
+  def zero: Array[Array[Double]] = Array(Array.empty[Double])
+
+  def reduce(b: Array[Array[Double]],
+      x: Double): Array[Array[Double]] = {
+    // the Aggregator contract permits mutating the buffer in place —
+    // no spine clone per row, and the full-ladder compaction scan
+    // only runs when level 0 is genuinely over capacity (r19 review
+    // finding); the remaining per-row cost is one ≤k-double append
+    // copy
+    b(0) = b(0) :+ x
+    if (b(0).length > KllLadder.capacity(k, b.length - 1))
+      KllLadder.compacted(k, b)
+    else b
+  }
+
+  def merge(a: Array[Array[Double]],
+      b: Array[Array[Double]]): Array[Array[Double]] =
+    KllLadder.merge(k, a, b)
+
+  def finish(ls: Array[Array[Double]]): Array[Double] =
+    KllLadder.estimate(pcts, ls)
+
+  private[graft] def weightOf(ls: Array[Array[Double]]): Long =
+    KllLadder.weightOf(ls)
+
+  private[graft] def sizeOf(ls: Array[Array[Double]]): Int =
+    KllLadder.sizeOf(ls)
+
+  def bufferEncoder: Encoder[Array[Array[Double]]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+}
+
+/** Values in → LADDER out — the artifact writer's face: a per-slice
+  * fold whose output is the O(k) compactor ladder itself, persisted
+  * as an `array<array<double>>` column (see [[KllLadder]]).
+  */
+final class KllLadderAggregator(k: Int) extends Aggregator[
+    Double, Array[Array[Double]], Array[Array[Double]]] {
+  require(k >= 8, s"KLL k must be >= 8, got $k")
+
+  def zero: Array[Array[Double]] = Array(Array.empty[Double])
+
+  def reduce(b: Array[Array[Double]],
+      x: Double): Array[Array[Double]] = {
+    b(0) = b(0) :+ x
+    if (b(0).length > KllLadder.capacity(k, b.length - 1))
+      KllLadder.compacted(k, b)
+    else b
+  }
+
+  def merge(a: Array[Array[Double]],
+      b: Array[Array[Double]]): Array[Array[Double]] =
+    KllLadder.merge(k, a, b)
+
+  def finish(ls: Array[Array[Double]]): Array[Array[Double]] = ls
+
+  def bufferEncoder: Encoder[Array[Array[Double]]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Array[Array[Double]]] = ExpressionEncoder()
+}
+
+/** Stored ladders in → estimates out — the artifact reader's face: a
+  * report folds persisted per-slice ladders with [[KllLadder.merge]]
+  * (one keyed agg over KB-sized sketch rows) instead of rescanning
+  * the fact table (see [[KllLadder]]).
+  */
+final class KllMergeAggregator(k: Int, pcts: Seq[Double])
+    extends Aggregator[Array[Array[Double]], Array[Array[Double]],
+      Array[Double]] {
+  require(k >= 8, s"KLL k must be >= 8, got $k")
+
+  def zero: Array[Array[Double]] = Array(Array.empty[Double])
+
+  def reduce(b: Array[Array[Double]],
+      x: Array[Array[Double]]): Array[Array[Double]] =
+    KllLadder.merge(k, b, x)
+
+  def merge(a: Array[Array[Double]],
+      b: Array[Array[Double]]): Array[Array[Double]] =
+    KllLadder.merge(k, a, b)
+
+  def finish(ls: Array[Array[Double]]): Array[Double] =
+    KllLadder.estimate(pcts, ls)
 
   def bufferEncoder: Encoder[Array[Array[Double]]] = ExpressionEncoder()
   def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()

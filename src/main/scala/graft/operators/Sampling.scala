@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
@@ -630,7 +630,78 @@ object Sampling {
     },
     Some(kllOracleSql))
 
+  // -----------------------------------------------------------------
+  // q238: PERSISTED KLL SKETCH ARTIFACTS — q142's sketch-once-answer-
+  // many discipline applied to quantiles (r19 VERDICT "What's
+  // missing" #3 / round-20 ask #5). q234 folds the ladder in-plan, so
+  // a 100 TB length-distribution dashboard re-scans the corpus per
+  // report; here the "nightly" pass folds ONE per-(event_type, day)
+  // ladder per slice and PERSISTS the O(k) ladders as a parquet
+  // artifact (KBs per day), and the report answers the holistic
+  // per-type quantile question by MERGING the stored ladders — one
+  // keyed agg over sketch rows ([[graft.functions
+  // .KllMergeAggregator]]), the fact table untouched on the sketch
+  // path. Any future range report (week, month, ad-hoc [a, b])
+  // derives from the same stored ladders, exactly as q142's rolling
+  // HLL union. The exact arm exists to GATE the merged estimates
+  // (the q142/q44 posture: at 100 TB the exact arm is the validation
+  // run, not the dashboard path), so the oracle is q234's unchanged.
+  // -----------------------------------------------------------------
+
+  /** The nightly pass: ONE fact scan → per-(event_type, day) ladders
+    * written to `layout`.
+    */
+  private[graft] def kllWriteArtifact(s: SparkSession, dir: String,
+      layout: String): Unit = {
+    import s.implicits._
+    val lad = new graft.functions.KllLadderAggregator(KllK)
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .as[(String, String, Double)]
+      .groupByKey(t => (t._1, t._2))
+      .mapValues(_._3)
+      .agg(lad.toColumn)
+      .map { case ((et, day), ladder) => (et, day, ladder) }
+      .toDF("event_type", "day", "ladder")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(layout)
+  }
+
+  /** The report's estimate relation: stored ladders merged per
+    * event_type — reads ONLY the artifact.
+    */
+  private[graft] def kllMergedEstimates(s: SparkSession,
+      layout: String): DataFrame = {
+    import s.implicits._
+    // nested arrays sit outside the implicit primitive-encoder set
+    implicit val ladderEnc: org.apache.spark.sql.Encoder[
+      Array[Array[Double]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    val mrg = new graft.functions.KllMergeAggregator(KllK, KllPcts)
+    s.read.parquet(layout)
+      .select(col("event_type"), col("ladder"))
+      .as[(String, Array[Array[Double]])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(mrg.toColumn)
+      .toDF("event_type", "est")
+  }
+
+  val q238KllArtifact: QueryDef = QueryDef(
+    "q238_kll_sketch_artifact",
+    (s, dir) => {
+      // process-scoped scratch artifact (warm reruns overwrite, pid
+      // isolation, exit-time sweep — see [[graft.Scratch]])
+      val layout = graft.Scratch.layout("kll_art", dir, "sketches")
+      kllWriteArtifact(s, dir, layout)
+      val d = graft.Caches.persist(Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value")))
+      kllGated(d, kllMergedEstimates(s, layout))
+    },
+    Some(kllOracleSql))
+
   val all: Seq[QueryDef] = Seq(q209PpsSample, q220ExactQuantiles,
     q222StratifiedNeyman, q226ValueQuantiles, q234QuantileSketch,
-    q235StreamQuantileSketch)
+    q235StreamQuantileSketch, q238KllArtifact)
 }

@@ -96,6 +96,46 @@ class QuantileSketchSpec extends AnyFunSuite {
       "atom too small — the regression this test pins is vacuous")
   }
 
+  test("q238 artifact tier: persisted per-(type, day) ladders " +
+      "conserve weight EXACTLY against the fact counts, and the " +
+      "report's merged estimates — read from the artifact alone — " +
+      "satisfy the rank gate (r19 VERDICT ask #5)") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val layout = java.nio.file.Files
+      .createTempDirectory("graft_kll_art").toString + "/sketches"
+    operators.Sampling.kllWriteArtifact(spark, dir, layout)
+    // weight conservation across the persist/read boundary: the
+    // stored ladders' summed weights equal the exact per-type fact
+    // counts — the artifact IS the corpus, rank-wise
+    val art = spark.read.parquet(layout).collect().map { r =>
+      val lad = r.getSeq[scala.collection.Seq[Double]](
+        r.fieldIndex("ladder")).map(_.toArray).toArray
+      (r.getString(r.fieldIndex("event_type")),
+        functions.KllLadder.weightOf(lad))
+    }
+    assert(art.nonEmpty, "empty artifact — vacuous")
+    val weights = art.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).sum }
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(weights == exact,
+      s"stored ladder weights $weights != fact counts $exact")
+    // the report: merged-from-artifact estimates pass every in-query
+    // rank gate (the q238 entry end-to-end)
+    val out = SparkEntry.queries("q238_kll_sketch_artifact")(
+      spark, dir).collect()
+    assert(out.map(_.getString(0)).toSet == exact.keySet)
+    out.foreach { r =>
+      Seq("kll_p50_ok", "kll_p90_ok", "kll_p99_ok").foreach { g =>
+        assert(r.getBoolean(r.fieldIndex(g)),
+          s"$g failed for ${r.getString(0)}")
+      }
+    }
+  }
+
   test("small groups pass through EXACTLY (no compaction below " +
       "capacity) and the estimator answers the definitional rank") {
     val a = agg
