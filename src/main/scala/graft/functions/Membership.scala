@@ -94,25 +94,30 @@ object Membership {
       GraftShims.expression(c), bc, fingerprint(arr)))
   }
 
-  /** `c` (string) is a member of `keys`. Dispatches on the DISTINCT
-    * key count — both arms dedupe (the broadcast arm sorts distinct
-    * keys; the literal arm's semantics ignore duplicates), so a
-    * duplicate-heavy list just over [[LiteralMaxKeys]] raw entries
-    * stays on the literal arm its effective size belongs to (r19
-    * ADVICE; the list is driver-side and dispatch-time tiny).
+  /** `c` (string) is a member of `keys`. Dedupes ONCE, then both the
+    * dispatch and the chosen arm consume the deduped list — so a
+    * duplicate-heavy list whose distinct size is literal-tier takes
+    * the literal arm AND embeds only the distinct keys in the plan
+    * (r19 ADVICE, plus the review catch that dispatching on distinct
+    * while embedding the raw list would serialize the duplicates into
+    * every task binary).
     */
-  def contains(c: Column, keys: Seq[String]): Column =
-    arm(keys.distinct.size) match {
-      case LiteralArm => array_contains(typedLit(keys), c)
-      case BcastArm => containsBcast(c, keys)
+  def contains(c: Column, keys: Seq[String]): Column = {
+    val ks = keys.distinct
+    arm(ks.size) match {
+      case LiteralArm => array_contains(typedLit(ks), c)
+      case BcastArm => containsBcast(c, ks)
     }
+  }
 
   /** ANY element of the string-array column `arrCol` is in `keys`. */
-  def overlaps(arrCol: Column, keys: Seq[String]): Column =
-    arm(keys.distinct.size) match {
-      case LiteralArm => arrays_overlap(arrCol, typedLit(keys))
-      case BcastArm => overlapsBcast(arrCol, keys)
+  def overlaps(arrCol: Column, keys: Seq[String]): Column = {
+    val ks = keys.distinct
+    arm(ks.size) match {
+      case LiteralArm => arrays_overlap(arrCol, typedLit(ks))
+      case BcastArm => overlapsBcast(arrCol, ks)
     }
+  }
 
   /** The broadcast arm of [[overlaps]] — one probe per element inside
     * an `exists` lambda (higher-order functions evaluate per-element

@@ -616,6 +616,9 @@ object IvfPqPipeline {
       tombs: DataFrame, affected: Seq[Long]): TombCompactReport = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    // a crashed prior pass's staging dir would otherwise sit hidden
+    // inside the layout forever (fresh UUID per run)
+    graft.sources.LakehouseSink.sweepStaleStaging(fs, root)
     val allLists = fs.listStatus(root)
       .count(st => st.isDirectory && st.getPath.getName.startsWith("lcid="))
     if (affected.isEmpty)
@@ -651,18 +654,13 @@ object IvfPqPipeline {
           if (fs.exists(staged))
             graft.sources.LakehouseSink.parquetFiles(fs, staged)
               .foreach { f =>
-                if (!fs.rename(f, new org.apache.hadoop.fs.Path(d,
-                    f.getName)))
-                  throw new java.io.IOException(
-                    s"q233 compaction: rename $f into $d failed")
+                graft.sources.LakehouseSink.renameOrThrow(fs, f,
+                  new org.apache.hadoop.fs.Path(d, f.getName))
               }
         }
         oldFiles.foreach { case (_, olds) =>
-          olds.foreach { f =>
-            if (!fs.delete(f, false))
-              throw new java.io.IOException(
-                s"q233 compaction: delete $f failed")
-          }
+          olds.foreach(f =>
+            graft.sources.LakehouseSink.deleteOrThrow(fs, f))
         }
       } finally { fs.delete(tmp, true); () }
       s.catalog.refreshByPath(path)

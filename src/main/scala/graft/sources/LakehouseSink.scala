@@ -40,16 +40,34 @@ object LakehouseSink {
 
   /** Hadoop returns `false` on a failed rename/delete instead of
     * throwing; a maintenance swap must surface a half-applied state
-    * loudly, never continue past it.
+    * loudly, never continue past it. Shared (private[graft]) with the
+    * ANN tier's tombstone compaction so there is ONE spelling of the
+    * move-in/delete-last primitives, not a drifting copy.
     */
-  private def renameOrThrow(fs: FileSystem, src: Path,
+  private[graft] def renameOrThrow(fs: FileSystem, src: Path,
       dst: Path): Unit =
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename $src -> $dst failed")
 
-  private def deleteOrThrow(fs: FileSystem, p: Path): Unit =
+  private[graft] def deleteOrThrow(fs: FileSystem, p: Path): Unit =
     if (!fs.delete(p, false))
       throw new java.io.IOException(s"delete $p failed")
+
+  /** Remove stale `.graft-*` staging dirs a CRASHED prior pass left
+    * under `dir` (a crash skips the in-pass cleanup, and every run
+    * stages under a fresh name, so without this sweep the staged copy
+    * of a partition's data would sit hidden inside the layout
+    * forever). Safe under the documented one-maintenance-writer-per-
+    * layout exclusivity: no other pass can have a live staging dir
+    * here while this one runs.
+    */
+  private[graft] def sweepStaleStaging(fs: FileSystem,
+      dir: Path): Unit =
+    fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".graft-")) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
 
   /** Per-(key, shard) rendezvous weight: the engine-portable md5 hash
     * of "key#shard" (the q166/q219 hex convention) — shared with the
@@ -396,16 +414,12 @@ object LakehouseSink {
     else subdirs.toSeq.flatMap(st => leafDirs(fs, st.getPath))
   }
 
-  private[graft] def parquetFiles(fs: FileSystem,
-      dir: Path): Seq[Path] =
-    fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && !hidden(st.getPath.getName) &&
-        st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-
-  /** Parquet files with their byte sizes from ONE listing —
+  /** Parquet data files with their sizes from ONE listing —
     * [[compact]]'s inventory (a second per-file status call per entry
-    * would double the metadata round-trips on an object store).
+    * would double the metadata round-trips on an object store). The
+    * ONE definition of "data file" ([[parquetFiles]] derives from it):
+    * this predicate feeds DELETE paths, so two drifting copies would
+    * be a data-loss bug waiting.
     */
   private def parquetStatuses(fs: FileSystem,
       dir: Path): Seq[FileStatus] =
@@ -413,20 +427,27 @@ object LakehouseSink {
       .filter(st => st.isFile && !hidden(st.getPath.getName) &&
         st.getPath.getName.endsWith(".parquet"))
 
-  /** The ONE crash-safe directory-rewrite swap every maintenance pass
-    * uses ([[compact]], [[reshardHrw]], the ANN index tier's
-    * tombstone compaction — r19 review: two inline copies of this
-    * logic is one future crash-window fix missed): stage `df` into a
-    * hidden temp dir BESIDE the target (same filesystem, so the
-    * move-in is a rename, never a cross-FS copy), move the new
-    * parquet parts IN first, delete `oldFiles` LAST. An interruption
-    * leaves transient duplication, never loss; rename/delete failures
-    * throw so a half-swapped state surfaces loudly. Returns the
-    * number of files moved in.
+  private[graft] def parquetFiles(fs: FileSystem,
+      dir: Path): Seq[Path] =
+    parquetStatuses(fs, dir).map(_.getPath)
+
+  /** The crash-safe directory-rewrite swap [[compact]] and
+    * [[reshardHrw]] use per directory (the ANN index tier's
+    * single-pass tombstone compaction stages all its lists in ONE
+    * write and swaps through the same [[renameOrThrow]]/
+    * [[deleteOrThrow]]/[[sweepStaleStaging]] primitives — one
+    * spelling of the swap mechanics either way): sweep any crashed
+    * prior pass's staging, stage `df` into a hidden temp dir INSIDE
+    * the target (same filesystem, so the move-in is a rename, never a
+    * cross-FS copy), move the new parquet parts IN first, delete
+    * `oldFiles` LAST. An interruption leaves transient duplication,
+    * never loss; rename/delete failures throw so a half-swapped state
+    * surfaces loudly. Returns the number of files moved in.
     */
   private[graft] def swapRewrite(df: DataFrame, dir: Path,
       oldFiles: Seq[Path]): Int = {
     val fs = fsOf(df.sparkSession, dir)
+    sweepStaleStaging(fs, dir)
     val tmp = new Path(dir,
       s".graft-swap-${java.util.UUID.randomUUID().toString.take(12)}")
     try {
