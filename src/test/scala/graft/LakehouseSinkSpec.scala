@@ -87,6 +87,36 @@ class LakehouseSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(scans.head.selectedPartitions.partitionCount == 1)
   }
 
+  test("a crashed prior pass's staging dir inside the layout is swept " +
+      "by the next maintenance pass and never leaks into reads (r20 " +
+      "review: fresh-UUID staging would otherwise accumulate hidden " +
+      "duplicate data forever)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_lake_s").toString + "/events"
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(25)
+      .write.partitionBy("event_type").parquet(out)
+    val total = events.count()
+    // plant a crash leftover: a staged copy of one partition's data
+    // inside that partition dir (exactly what a death between write
+    // and move-in leaves)
+    val pdir = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("event_type="))
+      .head
+    val stale = new java.io.File(pdir, ".graft-swap-deadbeef0000")
+    spark.read.parquet(pdir.getPath).limit(5)
+      .write.parquet(stale.getPath)
+    assert(stale.isDirectory)
+    // hidden dirs never leak into reads even before the sweep
+    assert(spark.read.parquet(out).count() == total)
+    // the next maintenance pass sweeps it and the layout is intact
+    LakehouseSink.compact(spark, out, clusterCols = Seq("user_id"))
+    assert(!stale.exists,
+      "stale staging dir survived the maintenance pass")
+    spark.catalog.refreshByPath(out)
+    assert(spark.read.parquet(out).count() == total)
+  }
+
   test("HRW reshard 8 -> 9 rewrites ONLY files containing moved docs " +
       "(untouched files byte-stable), moves ~1/9 of docs, and the " +
       "layout stays placement-correct") {

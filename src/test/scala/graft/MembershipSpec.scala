@@ -45,6 +45,35 @@ class MembershipSpec extends AnyFunSuite {
     assert(got.getBoolean(0) && !got.getBoolean(1))
   }
 
+  test("a duplicate-heavy list dispatches on its DISTINCT size AND " +
+      "embeds only the distinct keys (r20 review: dispatching on " +
+      "distinct while embedding the raw list would serialize the " +
+      "duplicates into every task binary)") {
+    spark
+    import org.apache.spark.sql.GraftShims
+    // 10x LiteralMaxKeys raw entries, 8 distinct — literal tier
+    val dupHeavy = Seq.fill(Membership.LiteralMaxKeys * 10)(
+      (0 until 8).map(i => s"k$i")).flatten
+    val e = GraftShims.expression(
+      Membership.contains(lit("k3"), dupHeavy))
+    assert(e.collectFirst {
+      case b: graft.plans.SetContainsBcast => b
+    }.isEmpty, "duplicate-heavy literal-tier list took the broadcast " +
+      "arm")
+    // the embedded literal carries the DISTINCT keys, not the raw
+    // list — counted in the rendered tree (robust to how the
+    // pre-resolution Column API wraps the literal node): 8 distinct
+    // keys + the probe's own k3, vs 640 raw entries
+    val toks = "k\\d+".r.findAllIn(e.toString).size
+    assert(toks <= 9, s"literal arm rendered $toks key tokens — the " +
+      "raw duplicate-heavy list leaked into the plan")
+    // and it still answers correctly
+    val got = spark.range(1).select(
+      Membership.contains(lit("k5"), dupHeavy).as("a"),
+      Membership.contains(lit("zz"), dupHeavy).as("b")).head
+    assert(got.getBoolean(0) && !got.getBoolean(1))
+  }
+
   test("contains: broadcast arm equals the literal arm token-for-" +
       "token on the q186 vocabulary rewrite (forced below threshold)") {
     val docs = Tables.load(spark, dir, "documents")
