@@ -648,19 +648,25 @@ object IvfPqPipeline {
           .parquet(tmp.toString)
         // move-in-first across ALL lists (a list whose keepers are
         // empty stages no dir — nothing to move, its old files still
-        // delete below), then delete-last across ALL lists
-        oldFiles.foreach { case (d, _) =>
-          val staged = new org.apache.hadoop.fs.Path(tmp, d.getName)
-          if (fs.exists(staged))
-            graft.sources.LakehouseSink.parquetFiles(fs, staged)
-              .foreach { f =>
-                graft.sources.LakehouseSink.renameOrThrow(fs, f,
-                  new org.apache.hadoop.fs.Path(d, f.getName))
-              }
+        // delete below), then delete-last across ALL lists; each
+        // phase runs parallel across the (independent) list dirs on
+        // the bounded maintenance pool — pure metadata ops, but at
+        // 10⁴–10⁵ affected lists on an object store the serial
+        // spelling was hours of rename round-trips
+        graft.sources.LakehouseSink.inParallel(oldFiles) {
+          case (d, _) =>
+            val staged = new org.apache.hadoop.fs.Path(tmp, d.getName)
+            if (fs.exists(staged))
+              graft.sources.LakehouseSink.parquetFiles(fs, staged)
+                .foreach { f =>
+                  graft.sources.LakehouseSink.renameOrThrow(fs, f,
+                    new org.apache.hadoop.fs.Path(d, f.getName))
+                }
         }
-        oldFiles.foreach { case (_, olds) =>
-          olds.foreach(f =>
-            graft.sources.LakehouseSink.deleteOrThrow(fs, f))
+        graft.sources.LakehouseSink.inParallel(oldFiles) {
+          case (_, olds) =>
+            olds.foreach(f =>
+              graft.sources.LakehouseSink.deleteOrThrow(fs, f))
         }
       } finally { fs.delete(tmp, true); () }
       s.catalog.refreshByPath(path)

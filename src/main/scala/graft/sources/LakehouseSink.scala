@@ -38,6 +38,47 @@ object LakehouseSink {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Driver-side concurrency of a maintenance pass across INDEPENDENT
+    * units (directories; files within one phase). Bounded: each slot
+    * is at most one in-flight Spark job or FS metadata call, and the
+    * driver must stay responsive for the jobs' own scheduling — 8 is
+    * the Delta-OPTIMIZE-class default (`optimize.maxThreads` spirit).
+    * On an object store this is the knob that turns 10⁴ serial
+    * ~50-100 ms rename/HEAD round-trips into 10⁴/8 — the difference
+    * between minutes and hours for a broad pass.
+    */
+  private[graft] val MaintenancePoolSize = 8
+
+  /** Run `f` over `xs` on a bounded driver pool, results in input
+    * order; the first failure rethrows its ORIGINAL exception (the
+    * loud-failure maintenance contract — an ExecutionException
+    * wrapper would change the surface the specs and callers pin).
+    * Units MUST be independent: callers parallelize across
+    * directories (or across files within one swap phase), never
+    * within a directory — same-dir rewrites consult sibling files
+    * mid-pass and sweep `.graft-*` staging, so same-dir concurrency
+    * would race a live sibling's staging dir.
+    */
+  private[graft] def inParallel[A, B](xs: Seq[A],
+      par: Int = MaintenancePoolSize)(f: A => B): Seq[B] =
+    if (xs.lengthCompare(1) <= 0 || par <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(par, xs.size))
+      try {
+        val futs = xs.map { x =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = f(x)
+          })
+        }
+        try futs.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      } finally { pool.shutdownNow(); () }
+    }
+
   /** Hadoop returns `false` on a failed rename/delete instead of
     * throwing; a maintenance swap must surface a half-applied state
     * loudly, never continue past it. Shared (private[graft]) with the
@@ -133,13 +174,17 @@ object LakehouseSink {
     * duplication (the r18 review finding: the previous spelling's
     * "rerun to converge" doc was false for both windows).
     *
-    * NOT concurrency-safe — the maintenance-op contract (same as
-    * [[compact]] and OPTIMIZE on any path-based table): the file
-    * inventory is a raw directory listing and the keeper rewrites
-    * consult sibling files as they exist mid-pass, so a concurrent
-    * writer or a concurrent compact on the same path can double-count
-    * or miss keepers. Run reshard exclusively: one maintenance writer
-    * per layout at a time.
+    * NOT concurrency-safe ACROSS passes — the maintenance-op contract
+    * (same as [[compact]] and OPTIMIZE on any path-based table): the
+    * file inventory is a raw directory listing and the keeper
+    * rewrites consult sibling files as they exist mid-pass, so a
+    * concurrent writer or a concurrent compact on the same path can
+    * double-count or miss keepers. Run reshard exclusively: one
+    * maintenance writer per layout at a time. WITHIN the one pass,
+    * directory rewrites run concurrently on the bounded
+    * [[MaintenancePoolSize]] driver pool (directories are
+    * independent); files of ONE directory stay strictly serial —
+    * that order is what the sibling-keeper idempotence reasons over.
     */
   def reshardHrw(spark: SparkSession, path: String, keyCol: String,
       oldShards: Int, newShards: Int): ReshardReport = {
@@ -198,22 +243,33 @@ object LakehouseSink {
         .write.mode(SaveMode.Append).partitionBy("shard").parquet(path)
       // 2. each affected file is rewritten minus its movers AND minus
       //    any row a sibling file of the same directory already holds
-      //    (the keeper-duplication window of an interrupted swap)
-      affected.foreach { uri =>
+      //    (the keeper-duplication window of an interrupted swap).
+      //    Parallel ACROSS shard directories (independent: each
+      //    rewrite lists, stages, and deletes only inside its own
+      //    dir), strictly serial WITHIN one — a file's keeper
+      //    anti-join consults siblings as they exist mid-pass, and a
+      //    concurrent same-dir swap would sweep its sibling's live
+      //    staging.
+      val byDir = affected
         // input_file_name() yields the file's URI — resolve it back
         // through the same FileSystem, whatever the scheme
-        val f = new Path(new java.net.URI(uri))
-        val shardOfFile = shardOfDir(f.getParent.getName)
-        val siblings = parquetFiles(fs, f.getParent).filter(_ != f)
-        val own = spark.read.parquet(f.toString)
-          .filter(hrwShardCol(col(keyCol), newShards) === shardOfFile)
-        val keep =
-          if (siblings.isEmpty) own
-          else own.join(
-            spark.read.parquet(siblings.map(_.toString): _*)
-              .select(col(keyCol)),
-            Seq(keyCol), "left_anti")
-        swapRewrite(keep, f.getParent, Seq(f))
+        .map(uri => new Path(new java.net.URI(uri)))
+        .groupBy(_.getParent).toSeq.sortBy(_._1.toString)
+      inParallel(byDir) { case (parent, files) =>
+        SparkSession.setActiveSession(spark)
+        val shardOfFile = shardOfDir(parent.getName)
+        files.sortBy(_.toString).foreach { f =>
+          val siblings = parquetFiles(fs, parent).filter(_ != f)
+          val own = spark.read.parquet(f.toString)
+            .filter(hrwShardCol(col(keyCol), newShards) === shardOfFile)
+          val keep =
+            if (siblings.isEmpty) own
+            else own.join(
+              spark.read.parquet(siblings.map(_.toString): _*)
+                .select(col(keyCol)),
+              Seq(keyCol), "left_anti")
+          swapRewrite(keep, parent, Seq(f))
+        }
       }
       // the session's file-status cache still lists the deleted
       // originals; a maintenance op must invalidate it or the next
@@ -453,9 +509,11 @@ object LakehouseSink {
     try {
       df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val newFiles = parquetFiles(fs, tmp)
-      newFiles.foreach(f =>
+      // each phase is parallel across its (distinct) files; the
+      // move-in-first/delete-last barrier is the phase boundary
+      inParallel(newFiles)(f =>
         renameOrThrow(fs, f, new Path(dir, f.getName)))
-      oldFiles.foreach(f => deleteOrThrow(fs, f))
+      inParallel(oldFiles)(f => deleteOrThrow(fs, f))
       newFiles.size
     } finally { fs.delete(tmp, true); () }
   }
@@ -465,24 +523,28 @@ object LakehouseSink {
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    var (nPart, before, after) = (0, 0, 0)
-    leafDirs(fs, root).foreach { dir =>
+    // leaf dirs are independent units — each rewrite stages, swaps,
+    // and sweeps ONLY inside its own directory — so the per-dir
+    // rewrites run on the bounded driver pool (the Delta-OPTIMIZE
+    // shape: one pass, concurrent per-partition rewrite jobs, never
+    // jobs-serial-in-the-number-of-dirty-dirs)
+    val results = inParallel(leafDirs(fs, root)) { dir =>
+      SparkSession.setActiveSession(spark)
       val files = parquetStatuses(fs, dir)
       val bytes = files.map(_.getLen).sum
       val nOut = math.max(1L, (bytes + targetFileBytes - 1)
         / targetFileBytes).toInt
-      before += files.size
       if (files.size > nOut) {
-        nPart += 1
         val df = spark.read.parquet(dir.toString)
         val shaped =
           if (clusterCols.isEmpty) df.repartition(nOut)
           else df
             .repartitionByRange(nOut, clusterCols.map(col): _*)
             .sortWithinPartitions(clusterCols.map(col): _*)
-        after += swapRewrite(shaped, dir, files.map(_.getPath))
-      } else after += files.size
+        (1, files.size, swapRewrite(shaped, dir, files.map(_.getPath)))
+      } else (0, files.size, files.size)
     }
-    CompactionReport(nPart, before, after)
+    CompactionReport(results.map(_._1).sum, results.map(_._2).sum,
+      results.map(_._3).sum)
   }
 }

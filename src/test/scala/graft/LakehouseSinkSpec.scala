@@ -87,6 +87,23 @@ class LakehouseSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(scans.head.selectedPartitions.partitionCount == 1)
   }
 
+  test("the maintenance pool preserves input order and rethrows the " +
+      "ORIGINAL exception (the loud-failure contract — an " +
+      "ExecutionException wrapper would change the surface callers " +
+      "and specs pin)") {
+    assert(LakehouseSink.inParallel(1 to 100)(_ * 2) == (2 to 200 by 2))
+    val boom = intercept[java.io.IOException] {
+      LakehouseSink.inParallel(1 to 20) { i =>
+        if (i == 13) throw new java.io.IOException("rename x failed")
+        i
+      }
+    }
+    assert(boom.getMessage.contains("rename x failed"))
+    // degenerate shapes stay on the serial path
+    assert(LakehouseSink.inParallel(Seq(7))(_ + 1) == Seq(8))
+    assert(LakehouseSink.inParallel(Seq.empty[Int])(_ + 1).isEmpty)
+  }
+
   test("a crashed prior pass's staging dir inside the layout is swept " +
       "by the next maintenance pass and never leaks into reads (r20 " +
       "review: fresh-UUID staging would otherwise accumulate hidden " +
