@@ -58,6 +58,24 @@ private[graft] object KllLadder {
     (z & 1L).toInt
   }
 
+  /** The ONE per-row append both value-folding aggregators share
+    * ([[KllAggregator]]'s in-plan estimates and
+    * [[KllLadderAggregator]]'s artifact writer — r20 review: two
+    * pasted copies of the append-then-maybe-compact body would let
+    * the writer and in-plan sketches silently drift apart on a
+    * future compaction-trigger fix). Mutates the buffer in place —
+    * the Aggregator contract permits it, so there is no spine clone
+    * per row, and the full-ladder compaction scan only runs when
+    * level 0 is genuinely over capacity; the remaining per-row cost
+    * is one ≤k-double append copy.
+    */
+  def append(k: Int, b: Array[Array[Double]],
+      x: Double): Array[Array[Double]] = {
+    b(0) = b(0) :+ x
+    if (b(0).length > capacity(k, b.length - 1)) compacted(k, b)
+    else b
+  }
+
   /** Compact any over-capacity level until the ladder fits. Each
     * compaction halves a level into the one above (pairs → one item
     * of doubled weight; odd remainder stays), so weight is conserved
@@ -150,17 +168,8 @@ final class KllAggregator(k: Int, pcts: Seq[Double])
   def zero: Array[Array[Double]] = Array(Array.empty[Double])
 
   def reduce(b: Array[Array[Double]],
-      x: Double): Array[Array[Double]] = {
-    // the Aggregator contract permits mutating the buffer in place —
-    // no spine clone per row, and the full-ladder compaction scan
-    // only runs when level 0 is genuinely over capacity (r19 review
-    // finding); the remaining per-row cost is one ≤k-double append
-    // copy
-    b(0) = b(0) :+ x
-    if (b(0).length > KllLadder.capacity(k, b.length - 1))
-      KllLadder.compacted(k, b)
-    else b
-  }
+      x: Double): Array[Array[Double]] =
+    KllLadder.append(k, b, x)
 
   def merge(a: Array[Array[Double]],
       b: Array[Array[Double]]): Array[Array[Double]] =
@@ -190,12 +199,8 @@ final class KllLadderAggregator(k: Int) extends Aggregator[
   def zero: Array[Array[Double]] = Array(Array.empty[Double])
 
   def reduce(b: Array[Array[Double]],
-      x: Double): Array[Array[Double]] = {
-    b(0) = b(0) :+ x
-    if (b(0).length > KllLadder.capacity(k, b.length - 1))
-      KllLadder.compacted(k, b)
-    else b
-  }
+      x: Double): Array[Array[Double]] =
+    KllLadder.append(k, b, x)
 
   def merge(a: Array[Array[Double]],
       b: Array[Array[Double]]): Array[Array[Double]] =

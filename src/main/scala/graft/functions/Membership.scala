@@ -77,9 +77,18 @@ object Membership {
   }
 
   private def sortedKeys(keys: Seq[String]): Array[UTF8String] = {
-    val arr = keys.distinct.map(UTF8String.fromString).toArray
+    val arr = keys.map(UTF8String.fromString).toArray
     java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
-    arr
+    // dedupe adjacent post-sort — one linear pass instead of a
+    // second hash-based distinct (the public entries already dedupe
+    // for the dispatch; direct [[containsBcast]] callers may not)
+    var n = 0
+    var i = 0
+    while (i < arr.length) {
+      if (n == 0 || arr(i) != arr(n - 1)) { arr(n) = arr(i); n += 1 }
+      i += 1
+    }
+    if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
   }
 
   /** The broadcast arm, callable directly (specs pin equivalence by

@@ -617,8 +617,10 @@ object IvfPqPipeline {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
     // a crashed prior pass's staging dir would otherwise sit hidden
-    // inside the layout forever (fresh UUID per run)
-    graft.sources.LakehouseSink.sweepStaleStaging(fs, root)
+    // inside the layout forever (fresh UUID per run; the tombstone
+    // swap commits through `.distinct()` rerun convergence, not a
+    // marker, so its staging is always the discard case here)
+    graft.sources.LakehouseSink.recoverStaging(fs, root)
     val allLists = fs.listStatus(root)
       .count(st => st.isDirectory && st.getPath.getName.startsWith("lcid="))
     if (affected.isEmpty)

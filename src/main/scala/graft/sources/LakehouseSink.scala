@@ -94,21 +94,87 @@ object LakehouseSink {
     if (!fs.delete(p, false))
       throw new java.io.IOException(s"delete $p failed")
 
-  /** Remove stale `.graft-*` staging dirs a CRASHED prior pass left
-    * under `dir` (a crash skips the in-pass cleanup, and every run
-    * stages under a fresh name, so without this sweep the staged copy
-    * of a partition's data would sit hidden inside the layout
-    * forever). Safe under the documented one-maintenance-writer-per-
-    * layout exclusivity: no other pass can have a live staging dir
-    * here while this one runs.
+  /** The swap COMMIT MARKER: `.graft-commit-<id>` beside the
+    * `.graft-swap-<id>` staging dir, listing the leaf names of the
+    * files the swap replaces. Written AFTER the staging write
+    * completes and BEFORE the first move-in — the swap's single
+    * commit point. Its presence is what lets [[recoverStaging]]
+    * complete a crashed swap FORWARD without any row identity:
+    * before it, a crash converges by discarding the staging; after
+    * it, by finishing the move-in and deleting exactly the listed
+    * old files (both directions idempotent). Hidden name, so no
+    * reader ever sees it as data.
     */
-  private[graft] def sweepStaleStaging(fs: FileSystem,
-      dir: Path): Unit =
-    fs.listStatus(dir).foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith(".graft-")) {
+  private def commitMarker(dir: Path, id: String): Path =
+    new Path(dir, s".graft-commit-$id")
+
+  private def writeMarker(fs: FileSystem, marker: Path,
+      oldNames: Seq[String]): Unit = {
+    val out = fs.create(marker, true)
+    try out.write(oldNames.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMarker(fs: FileSystem, marker: Path): Seq[String] = {
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Converge any CRASHED prior swap under `dir` — run by every
+    * maintenance pass on every directory it inventories, whether or
+    * not it then rewrites it (a sweep only on the rewrite path would
+    * let a crash leftover sit in a since-clean directory forever).
+    *
+    *  - A `.graft-commit-<id>` marker means the crashed swap had
+    *    COMMITTED: finish it forward — move any parquet still in its
+    *    staging dir in (a move-in whose destination already exists
+    *    was completed by the crashed pass itself; drop the staged
+    *    copy), delete the marker's listed old files that still
+    *    exist, then drop staging + marker. Every step is idempotent,
+    *    so a crash DURING recovery re-converges on the next pass.
+    *  - A `.graft-*` staging dir with NO marker is an uncommitted
+    *    pass (crash before its staging write finished, or before the
+    *    marker landed): discard it — the old files are untouched and
+    *    complete.
+    *
+    * Safe under the documented one-maintenance-writer-per-layout
+    * exclusivity: no other pass can have a live staging dir here
+    * while this one runs.
+    */
+  private[graft] def recoverStaging(fs: FileSystem,
+      dir: Path): Unit = {
+    val kids = fs.listStatus(dir)
+    val markers = kids.filter(st => st.isFile &&
+      st.getPath.getName.startsWith(".graft-commit-"))
+    markers.foreach { m =>
+      val id = m.getPath.getName.stripPrefix(".graft-commit-")
+      val staging = new Path(dir, s".graft-swap-$id")
+      if (fs.exists(staging))
+        parquetFiles(fs, staging).foreach { f =>
+          val dst = new Path(dir, f.getName)
+          if (fs.exists(dst)) deleteOrThrow(fs, f)
+          else renameOrThrow(fs, f, dst)
+        }
+      readMarker(fs, m.getPath).foreach { name =>
+        val old = new Path(dir, name)
+        if (fs.exists(old)) deleteOrThrow(fs, old)
+      }
+      fs.delete(staging, true)
+      deleteOrThrow(fs, m.getPath)
+    }
+    val committed = markers.map(_.getPath.getName
+      .stripPrefix(".graft-commit-")).toSet
+    kids.foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".graft-") &&
+          !committed.contains(
+            st.getPath.getName.stripPrefix(".graft-swap-"))) {
         fs.delete(st.getPath, true); ()
       }
     }
+  }
 
   /** Per-(key, shard) rendezvous weight: the engine-portable md5 hash
     * of "key#shard" (the q166/q219 hex convention) — shared with the
@@ -191,8 +257,13 @@ object LakehouseSink {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val newShard = hrwShardCol(col(keyCol), newShards)
+    // converge any crashed prior swap in EVERY shard dir before the
+    // inventory (recovery changes the file set; and a dir the rerun
+    // no longer rewrites must still shed its crash leftovers)
+    val shardDirs = leafDirs(fs, root)
+    shardDirs.foreach(d => recoverStaging(fs, d))
     // file inventory from ONE filesystem walk (not a corpus scan)
-    val allFiles = leafDirs(fs, root).flatMap(d => parquetFiles(fs, d))
+    val allFiles = shardDirs.flatMap(d => parquetFiles(fs, d))
     val totalFiles = allFiles.size
     // validate the declared layout before mutating anything: every
     // shard dir must belong to the old range OR the new one (a
@@ -491,31 +562,57 @@ object LakehouseSink {
     * [[reshardHrw]] use per directory (the ANN index tier's
     * single-pass tombstone compaction stages all its lists in ONE
     * write and swaps through the same [[renameOrThrow]]/
-    * [[deleteOrThrow]]/[[sweepStaleStaging]] primitives — one
-    * spelling of the swap mechanics either way): sweep any crashed
-    * prior pass's staging, stage `df` into a hidden temp dir INSIDE
-    * the target (same filesystem, so the move-in is a rename, never a
-    * cross-FS copy), move the new parquet parts IN first, delete
-    * `oldFiles` LAST. An interruption leaves transient duplication,
-    * never loss; rename/delete failures throw so a half-swapped state
-    * surfaces loudly. Returns the number of files moved in.
+    * [[deleteOrThrow]]/[[recoverStaging]] primitives — one spelling
+    * of the swap mechanics either way): recover any crashed prior
+    * swap, stage `df` into a hidden temp dir INSIDE the target (same
+    * filesystem, so the move-in is a rename, never a cross-FS copy),
+    * write the [[commitMarker]] naming exactly the files being
+    * replaced, move the new parquet parts IN first, delete
+    * `oldFiles` LAST, drop marker + staging. An interruption leaves
+    * transient duplication, never loss, and the NEXT maintenance
+    * pass converges it: forward past the commit marker, by discard
+    * before it (r20 review: without the marker, a crash between
+    * move-in and delete made the duplication PERMANENT for callers
+    * with no row identity — exactly [[compact]]). Rename/delete
+    * failures throw so a half-swapped state surfaces loudly — and
+    * land on the same marker-governed recovery. Returns the number
+    * of files moved in.
     */
   private[graft] def swapRewrite(df: DataFrame, dir: Path,
       oldFiles: Seq[Path]): Int = {
     val fs = fsOf(df.sparkSession, dir)
-    sweepStaleStaging(fs, dir)
-    val tmp = new Path(dir,
-      s".graft-swap-${java.util.UUID.randomUUID().toString.take(12)}")
+    recoverStaging(fs, dir)
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(dir, s".graft-swap-$id")
+    var committed = false
     try {
       df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val newFiles = parquetFiles(fs, tmp)
+      // the COMMIT POINT: once the marker (listing exactly the files
+      // this swap replaces) is durable, any interruption — crash OR
+      // thrown rename/delete — is completed FORWARD by the next
+      // pass's [[recoverStaging]]; before it, the staging is
+      // discarded and the old files stand. This is what makes the
+      // swap rerun-convergent WITHOUT row identity (compact has
+      // none: a generic table may hold legitimate duplicate rows, so
+      // a distinct-based convergence would corrupt it).
+      writeMarker(fs, commitMarker(dir, id),
+        oldFiles.map(_.getName))
+      committed = true
       // each phase is parallel across its (distinct) files; the
       // move-in-first/delete-last barrier is the phase boundary
       inParallel(newFiles)(f =>
         renameOrThrow(fs, f, new Path(dir, f.getName)))
       inParallel(oldFiles)(f => deleteOrThrow(fs, f))
+      deleteOrThrow(fs, commitMarker(dir, id))
+      fs.delete(tmp, true)
       newFiles.size
-    } finally { fs.delete(tmp, true); () }
+    } finally {
+      // an uncommitted failure discards its staging (olds are
+      // complete); a committed one leaves marker + staging in place
+      // as the forward-recoverable state
+      if (!committed) { fs.delete(tmp, true); () }
+    }
   }
 
   def compact(spark: SparkSession, path: String,
@@ -530,6 +627,11 @@ object LakehouseSink {
     // jobs-serial-in-the-number-of-dirty-dirs)
     val results = inParallel(leafDirs(fs, root)) { dir =>
       SparkSession.setActiveSession(spark)
+      // converge any crashed prior swap BEFORE inventorying — and on
+      // every dir, not just ones this pass rewrites (r20 review: a
+      // rewrite-path-only sweep lets a crash leftover sit in a
+      // since-clean directory forever)
+      recoverStaging(fs, dir)
       val files = parquetStatuses(fs, dir)
       val bytes = files.map(_.getLen).sum
       val nOut = math.max(1L, (bytes + targetFileBytes - 1)
@@ -544,6 +646,11 @@ object LakehouseSink {
         (1, files.size, swapRewrite(shaped, dir, files.map(_.getPath)))
       } else (0, files.size, files.size)
     }
+    // the session's file-status cache still lists the deleted
+    // originals; every maintenance op must invalidate it or the next
+    // reader of `path` throws FILE_NOT_EXIST (r20 review: reshard and
+    // the tombstone compaction already did — compact was the gap)
+    spark.catalog.refreshByPath(path)
     CompactionReport(results.map(_._1).sum, results.map(_._2).sum,
       results.map(_._3).sum)
   }

@@ -126,12 +126,66 @@ class LakehouseSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(stale.isDirectory)
     // hidden dirs never leak into reads even before the sweep
     assert(spark.read.parquet(out).count() == total)
-    // the next maintenance pass sweeps it and the layout is intact
+    // the next maintenance pass sweeps it and the layout is intact —
+    // and compact's own refreshByPath suffices for this re-read (r20
+    // review: it was the one maintenance op not invalidating the
+    // session's file-status cache)
     LakehouseSink.compact(spark, out, clusterCols = Seq("user_id"))
     assert(!stale.exists,
       "stale staging dir survived the maintenance pass")
-    spark.catalog.refreshByPath(out)
     assert(spark.read.parquet(out).count() == total)
+  }
+
+  test("a swap crash AFTER the commit marker is completed FORWARD by " +
+      "the next maintenance pass — no duplication, no loss — in both " +
+      "crash windows (nothing moved in yet; mid-move with live " +
+      "duplication). Without the marker, compact had no row identity " +
+      "to converge with and the duplication was permanent") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_lake_c").toString + "/events"
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(3).write.partitionBy("event_type").parquet(out)
+    val total = events.count()
+    val pdirs = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("event_type="))
+      .sortBy(_.getName)
+    assert(pdirs.length >= 2, "fixture needs two partition dirs")
+    def parquets(d: java.io.File) = d.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    def plant(pdir: java.io.File, id: String,
+        moveIn: Boolean): Seq[java.io.File] = {
+      val olds = parquets(pdir).toSeq
+      assert(olds.nonEmpty)
+      val staging = new java.io.File(pdir, s".graft-swap-$id")
+      spark.read.parquet(pdir.getPath).coalesce(1)
+        .write.parquet(staging.getPath)
+      if (moveIn) {
+        val staged = parquets(staging).head
+        java.nio.file.Files.move(staged.toPath,
+          new java.io.File(pdir, staged.getName).toPath)
+      }
+      java.nio.file.Files.write(
+        new java.io.File(pdir, s".graft-commit-$id").toPath,
+        olds.map(_.getName).mkString("\n").getBytes("UTF-8"))
+      olds
+    }
+    // window 1: committed, nothing moved in yet (olds complete)
+    val olds1 = plant(pdirs(0), "cafef00d0000", moveIn = false)
+    // window 2: committed, staged file ALREADY moved in — the
+    // duplication is live on disk right now
+    val olds2 = plant(pdirs(1), "beefbeef0000", moveIn = true)
+    assert(parquets(pdirs(1)).length == olds2.length + 1)
+    // ONE maintenance pass converges both windows
+    LakehouseSink.compact(spark, out, clusterCols = Seq("user_id"))
+    assert(spark.read.parquet(out).count() == total,
+      "recovery duplicated or lost rows")
+    (olds1 ++ olds2).foreach(f => assert(!f.exists,
+      s"marker-listed old file ${f.getName} survived recovery"))
+    pdirs.take(2).foreach { d =>
+      assert(d.listFiles().forall(f =>
+        !f.getName.startsWith(".graft-")),
+        s"staging/marker leftovers in $d")
+    }
   }
 
   test("HRW reshard 8 -> 9 rewrites ONLY files containing moved docs " +
