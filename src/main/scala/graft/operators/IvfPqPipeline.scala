@@ -671,10 +671,15 @@ object IvfPqPipeline {
               graft.sources.LakehouseSink.deleteOrThrow(fs, f))
         }
       } finally { fs.delete(tmp, true); () }
-      s.catalog.refreshByPath(path)
       TombCompactReport(affected.size, allLists - affected.size,
         dropped)
-    } finally { keep.unpersist(); () }
+    } finally {
+      keep.unpersist()
+      // in a FINALLY (r20 review, the LakehouseSink discipline): even
+      // a partially-failed pass has deleted files, and the session's
+      // cached listings must not outlive them
+      s.catalog.refreshByPath(path)
+    }
   }
 
   /** The q233 body, factored so the spec can interrogate the layout:

@@ -108,12 +108,26 @@ object LakehouseSink {
   private def commitMarker(dir: Path, id: String): Path =
     new Path(dir, s".graft-commit-$id")
 
-  private def writeMarker(fs: FileSystem, marker: Path,
+  private def markerTmp(dir: Path, id: String): Path =
+    new Path(dir, s".graft-mktmp-$id")
+
+  /** Write the marker ATOMICALLY: content lands in a `.graft-mktmp-*`
+    * temp file first, then ONE rename makes the `.graft-commit-*`
+    * name appear — the swap's single atomic commit step. Writing the
+    * final name in place would make the marker EXIST (= committed to
+    * recovery) before its old-file list is complete: a crash mid-
+    * write would then have recovery move the staged files in but
+    * delete only the flushed subset of olds — permanent duplication,
+    * the exact failure the marker exists to eliminate (r20 review).
+    */
+  private def writeMarker(fs: FileSystem, dir: Path, id: String,
       oldNames: Seq[String]): Unit = {
-    val out = fs.create(marker, true)
+    val tmp = markerTmp(dir, id)
+    val out = fs.create(tmp, true)
     try out.write(oldNames.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    renameOrThrow(fs, tmp, commitMarker(dir, id))
   }
 
   private def readMarker(fs: FileSystem, marker: Path): Seq[String] = {
@@ -172,6 +186,11 @@ object LakehouseSink {
           !committed.contains(
             st.getPath.getName.stripPrefix(".graft-swap-"))) {
         fs.delete(st.getPath, true); ()
+      }
+      // a partially-written marker temp is an UNCOMMITTED swap's
+      // leftover (the atomic rename never happened) — discard
+      if (st.isFile && st.getPath.getName.startsWith(".graft-mktmp-")) {
+        fs.delete(st.getPath, false); ()
       }
     }
   }
@@ -259,9 +278,13 @@ object LakehouseSink {
     val newShard = hrwShardCol(col(keyCol), newShards)
     // converge any crashed prior swap in EVERY shard dir before the
     // inventory (recovery changes the file set; and a dir the rerun
-    // no longer rewrites must still shed its crash leftovers)
+    // no longer rewrites must still shed its crash leftovers), then
+    // refresh: recovery can delete files a long-lived session has in
+    // its file-status cache, and the spark.read below would plan
+    // against the stale listing (r20 review)
     val shardDirs = leafDirs(fs, root)
-    shardDirs.foreach(d => recoverStaging(fs, d))
+    inParallel(shardDirs)(d => recoverStaging(fs, d))
+    spark.catalog.refreshByPath(path)
     // file inventory from ONE filesystem walk (not a corpus scan)
     val allFiles = shardDirs.flatMap(d => parquetFiles(fs, d))
     val totalFiles = allFiles.size
@@ -342,13 +365,16 @@ object LakehouseSink {
           swapRewrite(keep, parent, Seq(f))
         }
       }
-      // the session's file-status cache still lists the deleted
-      // originals; a maintenance op must invalidate it or the next
-      // reader of `path` throws FILE_NOT_EXIST
-      spark.catalog.refreshByPath(path)
       ReshardReport(docsMoved, affected.length,
         totalFiles - affected.length)
-    } finally { moved.unpersist(); () }
+    } finally {
+      moved.unpersist()
+      // in a FINALLY (r20 review): even a partially-failed pass has
+      // deleted files, and the session's cached listings must not
+      // outlive them or the next reader of `path` throws
+      // FILE_NOT_EXIST
+      spark.catalog.refreshByPath(path)
+    }
   }
 
   /** Shard id of a partition directory — parsed from the LEAF segment
@@ -580,24 +606,27 @@ object LakehouseSink {
     */
   private[graft] def swapRewrite(df: DataFrame, dir: Path,
       oldFiles: Seq[Path]): Int = {
+    // PRECONDITION: the calling pass already ran [[recoverStaging]]
+    // on `dir` (both callers recover every directory up front — a
+    // per-swap re-listing here would pay one redundant metadata
+    // round-trip per rewritten FILE on reshard's serial loop)
     val fs = fsOf(df.sparkSession, dir)
-    recoverStaging(fs, dir)
     val id = java.util.UUID.randomUUID().toString.take(12)
     val tmp = new Path(dir, s".graft-swap-$id")
     var committed = false
     try {
       df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val newFiles = parquetFiles(fs, tmp)
-      // the COMMIT POINT: once the marker (listing exactly the files
-      // this swap replaces) is durable, any interruption — crash OR
-      // thrown rename/delete — is completed FORWARD by the next
-      // pass's [[recoverStaging]]; before it, the staging is
-      // discarded and the old files stand. This is what makes the
-      // swap rerun-convergent WITHOUT row identity (compact has
-      // none: a generic table may hold legitimate duplicate rows, so
-      // a distinct-based convergence would corrupt it).
-      writeMarker(fs, commitMarker(dir, id),
-        oldFiles.map(_.getName))
+      // the COMMIT POINT: the marker (listing exactly the files this
+      // swap replaces) appears via one atomic rename; from then on
+      // any interruption — crash OR thrown rename/delete — is
+      // completed FORWARD by the next pass's [[recoverStaging]];
+      // before it, the staging is discarded and the old files stand.
+      // This is what makes the swap rerun-convergent WITHOUT row
+      // identity (compact has none: a generic table may hold
+      // legitimate duplicate rows, so a distinct-based convergence
+      // would corrupt it).
+      writeMarker(fs, dir, id, oldFiles.map(_.getName))
       committed = true
       // each phase is parallel across its (distinct) files; the
       // move-in-first/delete-last barrier is the phase boundary
@@ -608,10 +637,15 @@ object LakehouseSink {
       fs.delete(tmp, true)
       newFiles.size
     } finally {
-      // an uncommitted failure discards its staging (olds are
-      // complete); a committed one leaves marker + staging in place
-      // as the forward-recoverable state
-      if (!committed) { fs.delete(tmp, true); () }
+      // an uncommitted failure discards its staging AND any partial
+      // marker temp (the final marker name cannot exist uncommitted —
+      // it only appears via the atomic rename); a committed one
+      // leaves marker + staging in place as the forward-recoverable
+      // state
+      if (!committed) {
+        fs.delete(markerTmp(dir, id), false)
+        fs.delete(tmp, true); ()
+      }
     }
   }
 
@@ -620,38 +654,48 @@ object LakehouseSink {
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    // leaf dirs are independent units — each rewrite stages, swaps,
-    // and sweeps ONLY inside its own directory — so the per-dir
-    // rewrites run on the bounded driver pool (the Delta-OPTIMIZE
-    // shape: one pass, concurrent per-partition rewrite jobs, never
-    // jobs-serial-in-the-number-of-dirty-dirs)
-    val results = inParallel(leafDirs(fs, root)) { dir =>
-      SparkSession.setActiveSession(spark)
-      // converge any crashed prior swap BEFORE inventorying — and on
-      // every dir, not just ones this pass rewrites (r20 review: a
-      // rewrite-path-only sweep lets a crash leftover sit in a
-      // since-clean directory forever)
-      recoverStaging(fs, dir)
-      val files = parquetStatuses(fs, dir)
-      val bytes = files.map(_.getLen).sum
-      val nOut = math.max(1L, (bytes + targetFileBytes - 1)
-        / targetFileBytes).toInt
-      if (files.size > nOut) {
-        val df = spark.read.parquet(dir.toString)
-        val shaped =
-          if (clusterCols.isEmpty) df.repartition(nOut)
-          else df
-            .repartitionByRange(nOut, clusterCols.map(col): _*)
-            .sortWithinPartitions(clusterCols.map(col): _*)
-        (1, files.size, swapRewrite(shaped, dir, files.map(_.getPath)))
-      } else (0, files.size, files.size)
+    val dirs = leafDirs(fs, root)
+    try {
+      // PHASE 0 — converge any crashed prior swap in EVERY dir (not
+      // just ones this pass rewrites: a rewrite-path-only sweep lets
+      // a crash leftover sit in a since-clean directory forever),
+      // then invalidate the session file-status cache BEFORE the
+      // reads below: recovery can delete visible files a long-lived
+      // session has cached, and a read planned against that stale
+      // listing throws FILE_NOT_EXIST (both r20 review findings).
+      // Metadata-only, parallel across dirs on the same pool.
+      inParallel(dirs)(d => recoverStaging(fs, d))
+      spark.catalog.refreshByPath(path)
+      // leaf dirs are independent units — each rewrite stages,
+      // swaps, and recovers ONLY inside its own directory — so the
+      // per-dir rewrites run on the bounded driver pool (the
+      // Delta-OPTIMIZE shape: one pass, concurrent per-partition
+      // rewrite jobs, never jobs-serial-in-the-number-of-dirty-dirs)
+      val results = inParallel(dirs) { dir =>
+        SparkSession.setActiveSession(spark)
+        val files = parquetStatuses(fs, dir)
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1L, (bytes + targetFileBytes - 1)
+          / targetFileBytes).toInt
+        if (files.size > nOut) {
+          val df = spark.read.parquet(dir.toString)
+          val shaped =
+            if (clusterCols.isEmpty) df.repartition(nOut)
+            else df
+              .repartitionByRange(nOut, clusterCols.map(col): _*)
+              .sortWithinPartitions(clusterCols.map(col): _*)
+          (1, files.size,
+            swapRewrite(shaped, dir, files.map(_.getPath)))
+        } else (0, files.size, files.size)
+      }
+      CompactionReport(results.map(_._1).sum, results.map(_._2).sum,
+        results.map(_._3).sum)
+    } finally {
+      // in a FINALLY: even a partially-failed pass has deleted files
+      // (completed dirs' originals), and the session's cached
+      // listings must not outlive them or the next reader of `path`
+      // throws FILE_NOT_EXIST
+      spark.catalog.refreshByPath(path)
     }
-    // the session's file-status cache still lists the deleted
-    // originals; every maintenance op must invalidate it or the next
-    // reader of `path` throws FILE_NOT_EXIST (r20 review: reshard and
-    // the tombstone compaction already did — compact was the gap)
-    spark.catalog.refreshByPath(path)
-    CompactionReport(results.map(_._1).sum, results.map(_._2).sum,
-      results.map(_._3).sum)
   }
 }

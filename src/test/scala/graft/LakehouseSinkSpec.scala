@@ -169,13 +169,28 @@ class LakehouseSinkSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         olds.map(_.getName).mkString("\n").getBytes("UTF-8"))
       olds
     }
+    // populate the session's file-status cache with the PRE-crash
+    // listing: recovery deletes visible files, and the pass must
+    // refresh before its own reads and before handing back to the
+    // session (r20 review — a stale cached listing throws
+    // FILE_NOT_EXIST)
+    assert(spark.read.parquet(out).count() == total)
     // window 1: committed, nothing moved in yet (olds complete)
     val olds1 = plant(pdirs(0), "cafef00d0000", moveIn = false)
     // window 2: committed, staged file ALREADY moved in — the
     // duplication is live on disk right now
     val olds2 = plant(pdirs(1), "beefbeef0000", moveIn = true)
     assert(parquets(pdirs(1)).length == olds2.length + 1)
-    // ONE maintenance pass converges both windows
+    // window 3: UNCOMMITTED — a partially-written marker temp (the
+    // crash hit before the atomic rename): recovery must DISCARD it
+    // and leave the olds untouched, never treat it as a commit
+    val stage3 = new java.io.File(pdirs(0), ".graft-swap-feedfeed0000")
+    spark.read.parquet(pdirs(0).getPath).limit(1)
+      .write.parquet(stage3.getPath)
+    java.nio.file.Files.write(
+      new java.io.File(pdirs(0), ".graft-mktmp-feedfeed0000").toPath,
+      "partial-".getBytes("UTF-8"))
+    // ONE maintenance pass converges all three windows
     LakehouseSink.compact(spark, out, clusterCols = Seq("user_id"))
     assert(spark.read.parquet(out).count() == total,
       "recovery duplicated or lost rows")
