@@ -128,26 +128,34 @@ object Similarity {
     bench = true, lowLatency = true)
 
   /** Per-(vector, table) sign-bucket codes from the hyperplane fixture —
-    * the stage q27 (ANN) and q58 (near-dup) share. Per-vector work: 32
-    * broadcast-joined in-row dot products (codegen'd DotProduct, no
-    * pre-join shuffle of vector components); the only exchange is the
-    * groupBy assembling 4 sign bits per (vec_id, table) into a code.
+    * the stage q27 (ANN) and q58 (near-dup) share. r20-opt: codes are
+    * computed IN-ROW by the packed [[graft.plans.SignBandCodesBcast]]
+    * kernel (the q135 discipline — all 8 table codes per vector in one
+    * narrow map, exploded straight into the bucket-key repartition),
+    * replacing the corpus × 32-plane `crossJoin(broadcast)` + per-
+    * (vec_id, tbl) hash aggregation: that spelling materialized N·L·B
+    * projection rows and paid a corpus-sized aggregation to assemble
+    * bits the kernel folds per row (guide §2.4 — the aggregation's
+    * exchange was elided by the map-side combine, but the agg itself
+    * was the hottest stage of every cold/unprepared build). The dot is
+    * DotProduct's sequential accumulation over the SAME packed fixture
+    * doubles, so every sign — and therefore every code — is
+    * bit-identical to the relational spelling (q58/q27's oracle CTEs
+    * recompute the codes in SQL and still hash-match).
     */
   private[graft] def signCodes(e: DataFrame): DataFrame = {
-    val planes = broadcast(graft.Fixtures.lshPlanes(e.sparkSession))
-    e.crossJoin(planes)
-      .withColumn("proj",
-        graft.functions.VectorOps.dot(col("v"), col("plane")))
-      .groupBy(col("vec_id"), col("tbl"))
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
-        .otherwise(0)).cast("long").as("code"))
+    val planes = graft.Fixtures.planesBroadcast(e.sparkSession,
+      graft.Fixtures.lshPlanesPath)
+    e.select(col("vec_id"),
+        posexplode(graft.functions.VectorOps.signBandCodesBcast(
+          col("v"), planes)).as(Seq("tbl", "code")))
       // hash-distribute on the bucket key once and PERSIST: the
       // candidate joins read this relation from two consumers (q58's
       // self-join sides; q118's base/delta split), and exchange reuse
       // never fires across re-derived subtrees (r8 executed-plan
-      // audit) — an uncached plan re-ran the scan + 32 dot products +
-      // aggregation once per consumer. ~8 rows per vector, cached
-      // co-partitioned on the bucket key.
+      // audit) — an uncached plan re-ran the scan + 32 dot products
+      // once per consumer. ~8 rows per vector, cached co-partitioned
+      // on the bucket key.
       .repartition(col("tbl"), col("code"))
       .transform(graft.Caches.persist)
   }
@@ -891,10 +899,8 @@ object Similarity {
     s.range(lTables.toLong * bBits).map { id =>
       val t = (id / bBits).toInt
       val b = (id % bBits).toInt
-      val plane = Array.tabulate(dim) { d =>
-        scala.util.hashing.MurmurHash3.productHash(("ab04", t, b, d)) /
-          Int.MaxValue.toDouble
-      }
+      val plane = Array.tabulate(dim)(d =>
+        graft.Fixtures.adaptivePlaneComponent(t, b, d))
       (t, b, plane)
     }.toDF("tbl", "bit", "plane")
   }
@@ -930,16 +936,54 @@ object Similarity {
     * instead of N². DedupSimilaritySpec proves both arms against the
     * exact all-pairs answer.
     */
+  /** Packed-in-row plane budget for [[oneShotNeardup]]'s arms, in
+    * PLANES (tables × bits): to 2²⁰ planes (the SignBandCodes domain
+    * note — ~512 MB packed at dim 64) codes are computed by the in-row
+    * broadcast kernel, one narrow map per vector with no corpus ×
+    * planes join and no aggregation (q135's production shape, made the
+    * dispatcher's too in r20-opt). Past the bound the relational
+    * [[wideBandNeardup]] spelling streams the plane relation instead —
+    * at τ=0.4 that hand-off lands near N ≈ 3·10⁷, where the plane
+    * table stops being broadcast-class.
+    */
+  val PackedPlaneBound = 1L << 20
+
   def oneShotNeardup(s: SparkSession, dir: String, n: Long,
       tau: Double = NearDupThreshold): DataFrame = {
     val e = normed(s, dir)
-    val planes =
-      if (n <= SmallCorpusBound) graft.Fixtures.lshPlanes(s)
-      else adaptivePlanes(s, n, tau, graft.tools.GenFixtures.Dim)
-    wideBandNeardup(e, planes, tau)
+    val res =
+      if (n <= SmallCorpusBound)
+        // the fixed 8×4 fixture, packed + broadcast (bit-identical
+        // codes to q58's relational spelling — same dot order over the
+        // same fixture doubles, so the shared oracle still hash-matches)
+        bandedSelfJoinVerify(e, inRowBandCodes(e,
+          graft.Fixtures.planesBroadcast(s,
+            graft.Fixtures.lshPlanesPath)), tau)
+      else {
+        val (bBits, lTables) = adaptiveGeometry(n, tau)
+        if (bBits.toLong * lTables <= PackedPlaneBound)
+          bandedSelfJoinVerify(e, inRowBandCodes(e,
+            graft.Fixtures.adaptivePlanesBroadcast(s, bBits, lTables,
+              graft.tools.GenFixtures.Dim)), tau)
+        else
+          wideBandNeardup(e,
+            adaptivePlanes(s, n, tau, graft.tools.GenFixtures.Dim), tau)
+      }
+    res
       .select(col("v1"), col("v2"), graft.Round4(col("sim")).as("sim"))
       .orderBy("v1", "v2")
   }
+
+  /** (vec_id, tbl, code) from the packed in-row kernel — the q135
+    * code path, shared by both [[oneShotNeardup]] arms inside the
+    * packed-plane budget.
+    */
+  private def inRowBandCodes(e: DataFrame,
+      planes: (org.apache.spark.broadcast.Broadcast[Array[Double]],
+        Long, Int)): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(graft.functions.VectorOps.signBandCodesBcast(
+        col("v"), planes)).as(Seq("tbl", "code")))
 
   /** Catalog entry for the DISPATCHER itself (q207) — the plan a
     * caller of the one-shot near-dup API actually gets. `n` is the

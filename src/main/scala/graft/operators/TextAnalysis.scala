@@ -318,7 +318,14 @@ object TextAnalysis {
             |  ${graft.Round4.sql("AVG(ent)")} AS avg_entropy,
             |  ${graft.Round4.sql("MAX(ent)")} AS max_entropy
             |FROM ent GROUP BY source ORDER BY source""".stripMargin),
-    bench = true)
+    // interactive tier (r20-opt): the plan is scan → in-row entropy →
+    // partial agg; BOTH exchanges carry ≤ |sources| group rows at ANY
+    // corpus scale, so AQE's runtime re-planning has nothing to
+    // coalesce or re-join here — its stage-materialization barriers
+    // were pure scheduling floor (the q225/q17/q26 r19 move, applied
+    // where the scale argument is airtight because the exchanges are
+    // output-bounded, not corpus-bounded)
+    bench = true, lowLatency = true)
 
   /** Per-language length quartiles via ntile — grouped exact tiering
     * (each language's docs split into 4 equal-count tiers by token
