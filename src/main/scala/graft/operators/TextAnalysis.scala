@@ -2916,7 +2916,18 @@ object TextAnalysis {
            |JOIN t ON gc.lang = t.lang
            |JOIN p ON gc.lang = p.lang
            |ORDER BY gc.lang""".stripMargin),
-    bench = true)
+    // interactive tier (r20-opt): the capstone's joins are ALL
+    // broadcast (tiny aggregates against the persisted corpus
+    // relations), its corpus exchanges are keyed on md5 content
+    // hashes (uniform by construction — no skew for AQE to split, and
+    // skew-join handling applies only to joins anyway) or on lang
+    // (output-bounded aggs); AQE's remaining lever, post-shuffle
+    // coalescing, is production shuffle-width sizing that never fires
+    // at bench scale. Its 16 stage-materialization barriers were the
+    // largest single floor in the catalog (floor_share 0.76 of the
+    // heaviest headline wall). The q225/q61/q72 precedent, applied
+    // with the skew analysis written down.
+    bench = true, lowLatency = true)
 
   /** Tokenizer-exact sequence packing — q71's fixed-budget bin
     * assignment re-based on REAL byte-level BPE token counts (Sennrich
