@@ -161,8 +161,14 @@ object IvfPqPipeline {
     val rsv = graft.Caches.persist(
       Kmeans.subrelOf(resid, Kmeans.SubSpaces, Kmeans.SubDim))
     val book = Kmeans.lloydBook(rsv, PqCodeK, PqRounds, Kmeans.SubDim)
-    // 4. codes, carried with the list assignment
-    BaseIndex(coarse, book, encodeFromSubrel(rsv, resid, book))
+    // 4. codes, carried with the list assignment — PERSISTED (r20-opt):
+    // the codes relation IS the index (what q174/q177 write to a
+    // layout); every serve re-derived the encode join from the cached
+    // training relations instead of reading the resident artifact.
+    // Unprepared/cold builds still pay the full encode (Caches
+    // registration), exactly like every other index relation.
+    BaseIndex(coarse, book,
+      graft.Caches.persist(encodeFromSubrel(rsv, resid, book)))
   }
 
   def pipeline(s: SparkSession, dir: String): DataFrame = {
@@ -198,7 +204,9 @@ object IvfPqPipeline {
     val rsvB = graft.Caches.persist(
       Kmeans.subrelOf(residB, Kmeans.SubSpaces, Kmeans.SubDim))
     val book = Kmeans.lloydBook(rsvB, PqCodeK, PqRounds, Kmeans.SubDim)
-    BaseIndex(coarse, book, encodeFromSubrel(rsvB, residB, book))
+    // codes persisted — the resident index artifact (see buildFullIndex)
+    BaseIndex(coarse, book,
+      graft.Caches.persist(encodeFromSubrel(rsvB, residB, book)))
   }
 
   def appendServe(s: SparkSession, dir: String): DataFrame = {
