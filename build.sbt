@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses graft.Bench's one-line metric JSON out of
+// the LAST ~2 KB of stdout. sbt's default forked-run output strategy
+// logs every child line with an "[info] " prefix, which made the
+// driver's parser reject the line every round since r17 ("parsed":
+// null in BENCH_r17..r20 / empty PERF per_query — r20 VERDICT finding
+// #1). StdoutOutput passes the forked JVM's stdout through verbatim;
+// the bench additionally writes the same line to bench_out.json.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

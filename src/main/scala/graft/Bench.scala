@@ -411,8 +411,20 @@ object Bench {
       s""""queries_cold":${jsonMap(cold)},""" +
       s""""profiles":$profiles,""" +
       s""""bare_job_ms":${r3(bareJobMs)}}""")
-    println(metricLine(warm, total(unprepared), total(cold), cores,
-      rawDir, fixture))
+    val line = metricLine(warm, total(unprepared), total(cold), cores,
+      rawDir, fixture)
+    println(line)
+    // The driver recovers the metric line from the tail of stdout —
+    // but sbt's forked-run logger prefixed every line with "[info] ",
+    // which is why PERF_r17..r20 all recorded "parsed": null despite
+    // the line printing (r20 VERDICT finding #1). Two belt-and-braces
+    // fixes, neither changing WHAT is measured: build.sbt now sets
+    // `outputStrategy := StdoutOutput` so the line reaches stdout
+    // bare, AND the identical line is written verbatim to
+    // bench_out.json in the working directory for a file-based reader.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => () } // diagnostics only — never fail the bench
     Caches.clear(spark)
     spark.stop()
   }

@@ -327,6 +327,21 @@ object VectorOps {
       org.apache.spark.sql.GraftShims.expression(v),
       planes._1, planes._2, planes._3))
 
+  /** Exact ≤8-byte NUL-free string ⟷ long codec so a `min_by` payload
+    * keeps a primitive (mutable) aggregation buffer and the aggregate
+    * plans as HashAggregate instead of SortAggregate — see
+    * [[graft.plans.PackStr8]] for the checked bounded-domain contract
+    * (BCP-47 language subtags are the intended payload). Direct
+    * expression construction (no temp-function registry) so callers
+    * need no per-session registration.
+    */
+  def packStr8(s: Column): Column =
+    org.apache.spark.sql.GraftShims.column(graft.plans.PackStr8(
+      org.apache.spark.sql.GraftShims.expression(s)))
+  def unpackStr8(h: Column): Column =
+    org.apache.spark.sql.GraftShims.column(graft.plans.UnpackStr8(
+      org.apache.spark.sql.GraftShims.expression(h)))
+
   /** Top-k centroid ids by cosine vs a packed constant centroid table. */
   def centroidTopK(v: Column, nrm: Column, packed: Column, k: Int): Column =
     call_function("graft_centroid_topk", v, nrm, packed,

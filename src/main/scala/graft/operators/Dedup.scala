@@ -153,18 +153,33 @@ object Dedup {
   // the survivor is the lexicographic MIN of (ts, event_id), so it
   // reassembles through a plain aggregate: partial min per map task,
   // one keyed exchange of ≤ |groups| rows, no per-partition sort. The
-  // window formulation shuffles and sorts EVERY event row; min-struct
-  // ships one candidate per group per task — the 100 TB shape.
+  // window formulation shuffles and sorts EVERY event row.
   // (`dropDuplicates` would be nondeterministic about WHICH row
   // survives; the explicit min keeps the survivor oracle-checkable.)
+  //
+  // The (ts, event_id) order rides as ONE packed DECIMAL(38,0) scalar
+  // (r21-opt): the previous struct(ems, eid) ordering made the min_by
+  // aggregation buffer struct-typed — immutable in UnsafeRow — so both
+  // halves of the partial/final pair silently planned as
+  // SortAggregateExec, a full sort of EVERY event row on each side of
+  // the exchange (the spill machine at 100 TB, and exactly what this
+  // spelling exists to avoid). ems·2⁶³ + eid is strictly monotone in
+  // lexicographic (ems, eid) for ANY long ems — negative included —
+  // provided 0 ≤ eid < 2⁶³ (event ids are nonnegative by schema, the
+  // one bounded-domain premise), and |ems|·2⁶³ + eid ≤ ~8.6e37 fits
+  // Decimal(38,0) exactly for ALL longs, so the pack is total and
+  // collision-free: the surviving event_id is bit-identical to the
+  // struct ordering's. Decimal buffers ARE mutable, so the pair plans
+  // as HashAggregateExec (PlanShapeSpec pins SortAggregate's absence).
   val q20DedupKeyed: QueryDef = QueryDef(
     "q20_dedup_keyed",
     (s, dir) => {
       val e = Tables.load(s, dir, "events")
+      val packedOrder = unix_millis(col("ts")).cast(DecimalType(38, 0)) *
+        lit(BigDecimal(2).pow(63)) +
+        col("event_id").cast(DecimalType(38, 0))
       e.groupBy(col("user_id"), col("event_type"))
-        .agg(min_by(col("event_id"),
-          struct(unix_millis(col("ts")).as("ems"),
-            col("event_id").as("eid"))).as("first_event"))
+        .agg(min_by(col("event_id"), packedOrder).as("first_event"))
         .orderBy("user_id", "event_type")
     },
     Some("""SELECT user_id, event_type, event_id AS first_event FROM (

@@ -38,6 +38,14 @@ object Similarity {
     * materializes exactly this relation once as the index input.
     * Disk-backed at 10⁹-vector scale; the cache key is the canonical
     * plan, so all ANN queries in a session share one copy.
+    *
+    * PRECONDITION (r20 ADVICE #3): `embedding` is non-null — the
+    * fixture schema stores it required, and every oracle assumes it.
+    * The in-row code kernel's nullSafeEval would DROP a null vector
+    * from candidate generation while the relational spelling would
+    * code it as 0 in every table; with non-null embeddings the two
+    * spellings cannot diverge (DedupSimilaritySpec pins the fixture
+    * invariant rather than paying a per-row assert on the hot path).
     */
   private[graft] def normed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorOps.register(s)
@@ -816,9 +824,17 @@ object Similarity {
     val codes = e.crossJoin(broadcast(planes))
       .withColumn("proj",
         graft.functions.VectorOps.dot(col("v"), col("plane")))
+      // 1L << bit, NOT the 32-bit `shiftleft(1, bit)` (r21, r20 ADVICE
+      // #2): adaptiveGeometry yields bBits = ⌈log₂ n⌉, so an n ≥ 2³¹
+      // corpus reaching this arm has bit indices ≥ 31 — an int shift
+      // silently wraps, collapsing the high code bits (recall degrades
+      // with no error; precision was never at risk — the exact verify
+      // catches false candidates). The long shift keeps codes
+      // bit-identical to the in-row kernel's `1L << b` on every
+      // geometry, preserving the cross-arm bit-identity contract.
       .groupBy(col("vec_id"), col("tbl"))
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(1, bit)"))
-        .otherwise(0)).cast("long").as("code"))
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, bit)"))
+        .otherwise(0L)).cast("long").as("code"))
     bandedSelfJoinVerify(e, codes, tau)
   }
 
@@ -874,6 +890,12 @@ object Similarity {
     val rho = math.log(1.0 / p1) / math.log(2.0)
     val bBits = math.max(1,
       math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt)
+    // codes are packed into one long in BOTH spellings (1L << bit), so
+    // ≥ 63 bits per table would overflow the code word itself — loud,
+    // not a silent recall cliff (unreachable for any physical corpus:
+    // bBits = 63 needs n > 2⁶²)
+    require(bBits < 63, s"adaptiveGeometry: bBits=$bBits overflows the " +
+      "64-bit packed code word")
     val lTables = math.max(1,
       math.ceil(c * math.pow(n.toDouble, rho)).toInt)
     (bBits, lTables)
@@ -937,16 +959,24 @@ object Similarity {
     * exact all-pairs answer.
     */
   /** Packed-in-row plane budget for [[oneShotNeardup]]'s arms, in
-    * PLANES (tables × bits): to 2²⁰ planes (the SignBandCodes domain
-    * note — ~512 MB packed at dim 64) codes are computed by the in-row
-    * broadcast kernel, one narrow map per vector with no corpus ×
-    * planes join and no aggregation (q135's production shape, made the
-    * dispatcher's too in r20-opt). Past the bound the relational
-    * [[wideBandNeardup]] spelling streams the plane relation instead —
-    * at τ=0.4 that hand-off lands near N ≈ 3·10⁷, where the plane
-    * table stops being broadcast-class.
+    * PLANES (tables × bits): up to 2¹⁸ planes codes are computed by
+    * the in-row broadcast kernel, one narrow map per vector with no
+    * corpus × planes join and no aggregation (q135's production shape,
+    * made the dispatcher's too in r20-opt). Past the bound the
+    * relational [[wideBandNeardup]] spelling streams the plane
+    * relation instead. The bound is set by the DRIVER-side allocation,
+    * not broadcast capacity (the r20 VERDICT finding #4):
+    * [[graft.Fixtures.adaptivePlanesBroadcast]] tabulates the packed
+    * double[] in driver heap before broadcasting, so the bound IS the
+    * max driver-side array — 2¹⁸ planes × dim 64 × 8 B = 128 MB, well
+    * inside both the driver heap and broadcast class (the previous
+    * 2²⁰ bound allowed a ~512 MB driver array, the nearer cliff). At
+    * τ=0.4 the hand-off lands near N ≈ 2·10⁵ (B·L =
+    * ⌈log₂N⌉·⌈4·N^0.664⌉); both arms are pinned bit-identical
+    * (DedupSimilaritySpec), so the hand-off changes plan shape only,
+    * never results.
     */
-  val PackedPlaneBound = 1L << 20
+  val PackedPlaneBound = 1L << 18
 
   def oneShotNeardup(s: SparkSession, dir: String, n: Long,
       tau: Double = NearDupThreshold): DataFrame = {

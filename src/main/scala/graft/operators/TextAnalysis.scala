@@ -2803,17 +2803,34 @@ object TextAnalysis {
         .filter(col("doc_id") % 100 < 80)
         .withColumn("nt", size(split(lower(col("text")), " ")))
       val gated = tr.filter(col("nt") >= 20 && col("nt") <= 80)
-      // exact dedup in q20/q21's min_by shape: partial min per map
-      // task, one keyed exchange of ≤ |groups| candidate structs — not
-      // a window (which would sort every row to keep rank 1 of a
-      // ~unique key)
+      // exact dedup as ONE hash-aggregable pair (r21-opt): the old
+      // spelling keyed on hh and aggregated min_by(struct(<every gated
+      // column>), doc_id) — a struct-typed (string-bearing) aggregation
+      // buffer is immutable in UnsafeRow, so BOTH halves of the
+      // partial/final pair planned as SortAggregateExec: two full
+      // sorts of the gated corpus on the capstone's hot path, just to
+      // ferry the survivor row. Keyed on the content (text, nt — nt is
+      // a pure function of text) instead, the groups are identical to
+      // PARTITION BY md5(text) whenever md5 is injective on the corpus
+      // (any non-adversarial corpus; the driver oracle hash-matches at
+      // every SF), and the buffer is (min doc_id, min_by packed-lang)
+      // — all primitive, so the pair plans as HashAggregateExec:
+      // partial min per map task, one keyed exchange of ≤ |groups|
+      // rows, no sort anywhere. lang ferries through the ≤8-byte codec
+      // ([[graft.plans.PackStr8]] — BCP-47 primary subtags, checked
+      // loudly); hh is md5'd once per GROUP after the agg instead of
+      // once per row; and the gated columns nothing downstream reads
+      // (source, n_chars) no longer ride the exchange or the persisted
+      // relation (guide §2.3: project before the exchange).
       val ded = graft.Caches.persist(
-        gated.withColumn("hh", md5(col("text").cast(BinaryType)))
-          .groupBy(col("hh"))
-          .agg(min_by(struct(gated.columns.map(col): _*),
-            col("doc_id")).as("s__"))
-          .select((gated.columns.map(c => col(s"s__.$c")) :+
-            col("hh")): _*))
+        gated.groupBy(col("text"), col("nt"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            graft.functions.VectorOps.unpackStr8(min_by(
+              graft.functions.VectorOps.packStr8(col("lang")),
+              col("doc_id"))).as("lang"))
+          .withColumn("hh", md5(col("text").cast(BinaryType)))
+          .select(col("doc_id"), col("lang"), col("text"), col("nt"),
+            col("hh")))
       // decontamination: q138's bloom prune + exact semi verify
       val (testG, bits) = StreamingQueries.decontamStatics(s, dir)
       val leak = ded.select(col("doc_id"),
@@ -3228,14 +3245,21 @@ object TextAnalysis {
           graft.functions.VectorOps.bpeCount(col("text"), ml, mr)
             .cast(LongType).as("nt"))
       val gated = tr.filter(col("nt") >= 40 && col("nt") <= 240)
-      // q21's min_by keep-first (the q147 r12 spelling — no window)
+      // q21's min_by keep-first, hash-aggregable (the q147 r21-opt
+      // spelling — see q147TrainingPipeline's dedup note: content-keyed
+      // groupBy + primitive (min doc_id, packed-lang min_by) buffer so
+      // the pair plans as HashAggregate, never SortAggregate). text is
+      // additionally DROPPED from the persisted relation here: unlike
+      // q147, no downstream stage of this entry reads it, so the
+      // resident survivor set carries only (doc_id, lang, nt, hh).
       val ded = graft.Caches.persist(
-        gated.withColumn("hh", md5(col("text").cast(BinaryType)))
-          .groupBy(col("hh"))
-          .agg(min_by(struct(gated.columns.map(col): _*),
-            col("doc_id")).as("s__"))
-          .select((gated.columns.map(c => col(s"s__.$c")) :+
-            col("hh")): _*))
+        gated.groupBy(col("text"), col("nt"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            graft.functions.VectorOps.unpackStr8(min_by(
+              graft.functions.VectorOps.packStr8(col("lang")),
+              col("doc_id"))).as("lang"))
+          .withColumn("hh", md5(col("text").cast(BinaryType)))
+          .select(col("doc_id"), col("lang"), col("nt"), col("hh")))
       // the ONE shared µunit budget spelling ([[alphaBudget]])
       val counts = ded.groupBy(col("lang"))
         .agg(count(lit(1)).as("deduped"),

@@ -26,7 +26,9 @@ object FinalPlan {
     val shuffleDefault = spark.conf.get("spark.sql.shuffle.partitions")
     val defByName = graft.SparkEntry.defs.map(d => d.name -> d).toMap
     names.foreach { n =>
-      val d = defByName(n)
+      val d = defByName.getOrElse(n, sys.error(
+        s"FinalPlan: unknown query '$n' — usage: FinalPlan <sfDir> " +
+          "<query>... (names come from SparkEntry.defs)"))
       val aqe = if (d.lowLatency) "false" else aqeDefault
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe)
@@ -45,7 +47,10 @@ object FinalPlan {
         f"jobs=${clock.jobs} task_sec=$task%.3f cpu_sec=$cpu%.3f " +
         f"stage_wall=$sw%.3f")
       // count()'s own execution is what Bench times; print ITS final
-      // plan (post-AQE) via a fresh count-shaped execution
+      // plan (post-AQE) via a fresh count-shaped execution. NOTE: this
+      // is a THIRD, separate execution — AQE's runtime decisions are
+      // not guaranteed identical to the timed warm run's (they usually
+      // are at a fixed SF; treat deltas as a flag, not ground truth).
       val qe = df.groupBy().count().queryExecution
       qe.executedPlan.executeCollect()
       println(qe.executedPlan.toString)

@@ -262,4 +262,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(nz === bool(lang),
         s"$lang: graded nonzero $nz != boolean ${bool(lang)}")
   }
+
+  test("embeddings fixtures carry NO null vectors — the precondition " +
+      "under which the in-row code kernel (drops a null row) and the " +
+      "relational spelling (codes it 0) cannot diverge (r20 ADVICE #3; " +
+      "normed()'s scaladoc states the contract)") {
+    import org.apache.spark.sql.functions.col
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nulls = Tables.load(spark, d, "embeddings")
+        .filter(col("embedding").isNull).count()
+      assert(nulls == 0L, s"$d: $nulls null embeddings")
+    }
+    val fixNulls = spark.read
+      .parquet(graft.Fixtures.neardupEmbeddingsPath)
+      .filter(col("embedding").isNull).count()
+    assert(fixNulls == 0L, "committed near-dup fixture has null vectors")
+  }
 }

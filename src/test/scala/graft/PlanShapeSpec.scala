@@ -81,6 +81,15 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("Window"), "q20 regressed to a window")
     assert("partial_min_by".r.findAllIn(p).size >= 1 &&
       "Aggregate".r.findAllIn(p).size >= 2, p.take(800))
+    // r21: the (ts, event_id) ordering rides as ONE packed
+    // Decimal(38,0) scalar so the min_by buffer stays mutable — a
+    // struct ordering demotes BOTH aggregate halves to SortAggregate
+    // (a full sort of every event row per side, the 100 TB spill
+    // machine this spelling exists to avoid)
+    assert(!p.contains("SortAggregate"),
+      "q20's min_by buffer went immutable again — the aggregate " +
+        "pair fell back to SortAggregate (full corpus sorts)")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
   }
 
   test("self-join candidate generation hash-distributes the relation " +
@@ -356,6 +365,60 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // rebuilt per consumer
     assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
       "persisted stage relations not reused across consumers")
+    // r21: the exact-dedup stage is content-keyed with a fully
+    // primitive (min doc_id, packed-lang min_by) buffer — the old
+    // full-row-struct min_by planned BOTH aggregate halves as
+    // SortAggregate (two corpus sorts on the capstone's hot path; 16
+    // SortAggregate nodes across the consumers' printed subtrees)
+    assert(!p.contains("SortAggregate"),
+      "q147's exact dedup fell back to SortAggregate — the min_by " +
+        "buffer went immutable (struct/string) again")
+  }
+
+  test("q153: the BPE capstone shares q147's hash-aggregable dedup — " +
+      "no SortAggregate anywhere in the composed plan") {
+    val p = plan("q153_pipeline_bpe")
+    assert(!p.contains("SortAggregate"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q118/q207: sign-LSH codes come from the in-row kernel — no " +
+      "corpus × planes crossJoin, no code-assembly aggregation " +
+      "(the r20 kernel pin)") {
+    Seq("q118_embed_neardup_banded", "q207_oneshot_neardup").foreach {
+      q =>
+        val p = plan(q).toLowerCase
+        assert(p.contains("signbandcodes"),
+          s"$q lost the in-row SignBandCodes kernel")
+        assert(!p.contains("cartesianproduct"), q)
+        // the only aggregations left are the verify path's (the code
+        // assembly's corpus-sized groupBy is gone); clean-state count
+        // is ≤ 4 HashAggregate mentions (partial+final pairs)
+        assert("hashaggregate".r.findAllIn(p).size <= 4,
+          s"$q grew an aggregation — the crossJoin+agg code assembly " +
+            "is back?")
+    }
+  }
+
+  test("q225/q228: the IVFPQ serve reads its resident relations — " +
+      "code relation AND per-batch LUTs — from cache (r20 persist + " +
+      "r21 LUT pin), and the ADC join builds on a broadcast") {
+    Seq("q225_ivfpq_train_serve", "q228_ivfpq_delta_append")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastHashJoin"),
+          s"$q: ADC candidate join lost its LUT broadcast")
+        // the LUT relation is identified by its lutv column: its scan
+        // must be an InMemoryTableScan (the r21 persist), never the
+        // re-derived probe-explode chain
+        assert("InMemoryTableScan \\[[^\\]]*lutv".r.findFirstIn(p)
+          .isDefined,
+          s"$q: the serve's LUT input is not read from cache — the " +
+            "per-batch LUT persist dropped?")
+        // and the resident code relation stays cached (the r20 pin)
+        assert("InMemoryTableScan".r.findAllIn(p).size >= 8,
+          s"$q: resident index relations not cached")
+      }
   }
 
   test("q142: the fact table feeds the sketch/exact arms through " +
