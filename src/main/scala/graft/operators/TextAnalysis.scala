@@ -573,6 +573,44 @@ object TextAnalysis {
     s"CAST(least(CAST($mass AS HUGEINT), " +
       "((CAST(total AS HUGEINT) // 2) * wu) // swu) AS BIGINT)"
 
+  /** Exact keep-first dedup as ONE hash-aggregable partial/final pair
+    * — the shared q147/q153 spelling (r21-opt), defined once so the
+    * two capstones cannot drift. The pre-r21 spelling keyed on
+    * hh = md5(text) and aggregated min_by(struct(<every gated
+    * column>), doc_id): a struct-typed (string-bearing) aggregation
+    * buffer is immutable in UnsafeRow, so BOTH halves of the
+    * partial/final pair planned as SortAggregateExec — two full sorts
+    * of the gated corpus on the capstone's hot path, just to ferry the
+    * survivor row. Keyed on the content (text, nt — nt a pure function
+    * of text) instead, the groups are identical to PARTITION BY
+    * md5(text) whenever md5 is injective on the corpus (any
+    * non-adversarial corpus; the driver oracle hash-matches at every
+    * SF), and the buffer is (min doc_id, min_by packed-lang) — all
+    * primitive, so the pair plans as HashAggregateExec: partial min
+    * per map task, one keyed exchange of ≤ |groups| candidate rows per
+    * task, no sort anywhere. lang ferries through the ≤8-byte codec
+    * ([[graft.plans.PackStr8]] — this schema's primary-subtag lang
+    * column, checked loudly); hh is md5'd once per GROUP after the agg
+    * instead of once per corpus row; and gated columns nothing
+    * downstream reads (source, n_chars — and text itself when
+    * `keepText` is false) do not ride the exchange or the persisted
+    * relation (guide §2.3: project before the exchange).
+    * PlanShapeSpec pins SortAggregate's absence in both plans.
+    */
+  private def contentKeyedDedup(gated: DataFrame,
+      keepText: Boolean): DataFrame = {
+    val agged = gated.groupBy(col("text"), col("nt"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        graft.functions.VectorOps.unpackStr8(min_by(
+          graft.functions.VectorOps.packStr8(col("lang")),
+          col("doc_id"))).as("lang"))
+      .withColumn("hh", md5(col("text").cast(BinaryType)))
+    val cols = if (keepText)
+      Seq(col("doc_id"), col("lang"), col("text"), col("nt"), col("hh"))
+    else Seq(col("doc_id"), col("lang"), col("nt"), col("hh"))
+    agged.select(cols: _*)
+  }
+
   /** Broadcast DSIR model (t, cr, ct, nr, v, ntt) shared by
     * q163/q165: raw unigram counts, Laplace-smoothed target-slice
     * counts, and the normalizing constants, in ONE relation so the
@@ -2803,34 +2841,11 @@ object TextAnalysis {
         .filter(col("doc_id") % 100 < 80)
         .withColumn("nt", size(split(lower(col("text")), " ")))
       val gated = tr.filter(col("nt") >= 20 && col("nt") <= 80)
-      // exact dedup as ONE hash-aggregable pair (r21-opt): the old
-      // spelling keyed on hh and aggregated min_by(struct(<every gated
-      // column>), doc_id) — a struct-typed (string-bearing) aggregation
-      // buffer is immutable in UnsafeRow, so BOTH halves of the
-      // partial/final pair planned as SortAggregateExec: two full
-      // sorts of the gated corpus on the capstone's hot path, just to
-      // ferry the survivor row. Keyed on the content (text, nt — nt is
-      // a pure function of text) instead, the groups are identical to
-      // PARTITION BY md5(text) whenever md5 is injective on the corpus
-      // (any non-adversarial corpus; the driver oracle hash-matches at
-      // every SF), and the buffer is (min doc_id, min_by packed-lang)
-      // — all primitive, so the pair plans as HashAggregateExec:
-      // partial min per map task, one keyed exchange of ≤ |groups|
-      // rows, no sort anywhere. lang ferries through the ≤8-byte codec
-      // ([[graft.plans.PackStr8]] — BCP-47 primary subtags, checked
-      // loudly); hh is md5'd once per GROUP after the agg instead of
-      // once per row; and the gated columns nothing downstream reads
-      // (source, n_chars) no longer ride the exchange or the persisted
-      // relation (guide §2.3: project before the exchange).
+      // exact dedup as ONE hash-aggregable pair (r21-opt) — the shared
+      // [[contentKeyedDedup]] spelling; text stays in the survivor set
+      // because the decontamination shingles below read it
       val ded = graft.Caches.persist(
-        gated.groupBy(col("text"), col("nt"))
-          .agg(min(col("doc_id")).as("doc_id"),
-            graft.functions.VectorOps.unpackStr8(min_by(
-              graft.functions.VectorOps.packStr8(col("lang")),
-              col("doc_id"))).as("lang"))
-          .withColumn("hh", md5(col("text").cast(BinaryType)))
-          .select(col("doc_id"), col("lang"), col("text"), col("nt"),
-            col("hh")))
+        contentKeyedDedup(gated, keepText = true))
       // decontamination: q138's bloom prune + exact semi verify
       val (testG, bits) = StreamingQueries.decontamStatics(s, dir)
       val leak = ded.select(col("doc_id"),
@@ -2935,15 +2950,19 @@ object TextAnalysis {
            |ORDER BY gc.lang""".stripMargin),
     // interactive tier (r20-opt): the capstone's joins are ALL
     // broadcast (tiny aggregates against the persisted corpus
-    // relations), its corpus exchanges are keyed on md5 content
-    // hashes (uniform by construction — no skew for AQE to split, and
-    // skew-join handling applies only to joins anyway) or on lang
-    // (output-bounded aggs); AQE's remaining lever, post-shuffle
-    // coalescing, is production shuffle-width sizing that never fires
-    // at bench scale. Its 16 stage-materialization barriers were the
-    // largest single floor in the catalog (floor_share 0.76 of the
-    // heaviest headline wall). The q225/q61/q72 precedent, applied
-    // with the skew analysis written down.
+    // relations), its corpus exchanges are keyed on the dedup's
+    // (text, nt) content key (r21 rekey — was md5(text); the groups
+    // are identical, and the partial HashAggregate collapses each key
+    // map-side so the exchange carries ≤ one row per group per task:
+    // a heavily duplicated text is ONE row per task, never a hot
+    // shuffle key — and skew-join handling applies only to joins
+    // anyway) or on lang (output-bounded aggs); AQE's remaining
+    // lever, post-shuffle coalescing, is production shuffle-width
+    // sizing that never fires at bench scale. Its 16
+    // stage-materialization barriers were the largest single floor in
+    // the catalog (floor_share 0.76 of the heaviest headline wall).
+    // The q225/q61/q72 precedent, applied with the skew analysis
+    // written down.
     //
     // SCALE RECEIPT (r21, the r20 VERDICT ask #3 — is the flip a
     // local[32] floor artifact?): graft.tools.Q147ScaleReceipt runs
@@ -3260,21 +3279,13 @@ object TextAnalysis {
           graft.functions.VectorOps.bpeCount(col("text"), ml, mr)
             .cast(LongType).as("nt"))
       val gated = tr.filter(col("nt") >= 40 && col("nt") <= 240)
-      // q21's min_by keep-first, hash-aggregable (the q147 r21-opt
-      // spelling — see q147TrainingPipeline's dedup note: content-keyed
-      // groupBy + primitive (min doc_id, packed-lang min_by) buffer so
-      // the pair plans as HashAggregate, never SortAggregate). text is
-      // additionally DROPPED from the persisted relation here: unlike
-      // q147, no downstream stage of this entry reads it, so the
-      // resident survivor set carries only (doc_id, lang, nt, hh).
+      // q21's min_by keep-first, hash-aggregable — the shared
+      // [[contentKeyedDedup]] spelling; text is DROPPED from the
+      // persisted relation here (unlike q147, no downstream stage of
+      // this entry reads it), so the resident survivor set carries
+      // only (doc_id, lang, nt, hh)
       val ded = graft.Caches.persist(
-        gated.groupBy(col("text"), col("nt"))
-          .agg(min(col("doc_id")).as("doc_id"),
-            graft.functions.VectorOps.unpackStr8(min_by(
-              graft.functions.VectorOps.packStr8(col("lang")),
-              col("doc_id"))).as("lang"))
-          .withColumn("hh", md5(col("text").cast(BinaryType)))
-          .select(col("doc_id"), col("lang"), col("nt"), col("hh")))
+        contentKeyedDedup(gated, keepText = false))
       // the ONE shared µunit budget spelling ([[alphaBudget]])
       val counts = ded.groupBy(col("lang"))
         .agg(count(lit(1)).as("deduped"),

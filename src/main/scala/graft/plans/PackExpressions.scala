@@ -21,9 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - no NUL byte (zero bytes are the pad, so an embedded NUL would
   *    not round-trip).
   *
-  * Language tags are the intended payload: BCP-47 primary subtags are
-  * 2–8 ASCII alphanumerics by grammar (RFC 5646 §2.2.1), so the domain
-  * holds for any real corpus's `lang` column at any scale. Bytes pack
+  * Language tags are the intended payload: this data model's `lang`
+  * column carries BCP-47 PRIMARY subtags — 2–8 ASCII alphanumerics by
+  * grammar (RFC 5646 §2.2.1) — so the domain holds for it at any
+  * corpus scale. A column carrying full multi-subtag tags (e.g.
+  * `zh-Hant-TW`, 10 bytes) exceeds 8 bytes and fails LOUDLY at pack
+  * time, by design; the extension path for a wider payload is a
+  * second packed long (two `min_by` aggregates keep the buffer
+  * primitive), never silent truncation. Bytes pack
   * big-endian from the most significant byte down, zero-padded, so
   * `UnpackStr8(PackStr8(s)) = s` exactly on the domain; the empty
   * string round-trips as 0L. Ordering of the packed longs is NOT part

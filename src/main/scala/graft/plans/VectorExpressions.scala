@@ -639,9 +639,10 @@ object PqCodes {
   * the relational spelling and to the oracle's `list_inner_product`.
   * (Bit-sum order is immaterial: integer adds of distinct powers of
   * two.) Domain note: viable while the plane table packs into a
-  * constant (≲10⁶ planes, i.e. corpora to ~10⁶ vectors at τ=0.4);
-  * beyond that the relational `wideBandNeardup` spelling streams the
-  * plane relation instead.
+  * constant — the dispatcher's bound is `Similarity.PackedPlaneBound`
+  * = 2¹⁸ planes (~128 MB driver-side at dim 64, corpora to
+  * N ≈ 2·10⁵ at τ=0.4); past it the relational `wideBandNeardup`
+  * spelling streams the plane relation instead.
   */
 case class SignBandCodes(child: Expression, packed: Array[Double],
     bBits: Int) extends UnaryExpression {

@@ -34,9 +34,15 @@ object Q147ScaleReceipt {
     spark.sparkContext.addSparkListener(clock)
 
     // deterministic synthetic documents: 20–80 words from a 1000-word
-    // vocab, ~10% of rows re-emit one of 1000 planted contents (the
-    // exact-dup population), lang varies ACROSS duplicate rows so the
-    // min_by(lang) payload is exercised
+    // vocab; ~10% of rows (ids ≡ 0 mod 10) re-emit one of 100 planted
+    // contents (id mod 1000 ∈ {0,10,…,990} — the exact-dup
+    // population, ~nDocs/1000 copies each), lang varies ACROSS
+    // duplicate rows so the min_by(lang) payload is exercised.
+    // Premise of the A/B: the 'adaptive' arm rebuilds Bench's
+    // adaptive-tier width from Sessions.cpus, which on the
+    // measurement box (SPARK_GRAFT_CPUS=32) is exactly what Bench
+    // times; on a box with different cores set SPARK_GRAFT_CPUS to
+    // the tier you mean to measure.
     val dir = graft.Scratch.layout("q147scale", s"n$nDocs", "sf")
     val docsPath = s"$dir/documents.parquet"
     spark.range(nDocs)
